@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
+  * entry maps to. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the discrepancy engine's dw_data_metrics row for the orders
+    * fixture pair on sf=0.001 (driver smoke-checks rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    TableDiff.metrics(Fixtures.hiveOrders(spark, dir),
+      Fixtures.sfOrders(spark, dir), "orders", "o_orderkey")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries ++ FunctionQueries.queries
+
+  /** DuckDB-equivalent SQL per query key; keys absent here get the driver's
+    * weaker rows-only check (non-SQL-expressible operators). */
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracleSql ++ FunctionQueries.oracleSql
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HiveFunctions.rowHash
+
+/** The discrepancy engine: Spark-native rebuild of the reference's
+  * Snowflake-vs-Hive validation surface —
+  *  - PK presence diff (reference: tools/compare_tool.py:34-42),
+  *  - per-table `dw_data_metrics` rows (tools/snowflake_tool.py:23-39),
+  *  - column-level mismatch matrix + roll-up (tools/data_matrix_tool.py,
+  *    the COMPARE_MISMATCH_IGNORE_EXCLUDED_COL procedure at
+  *    tools/snowflake_tool.py:41-52).
+  *
+  * Scale design: the whole diff is ONE full-outer shuffle join on the PK.
+  * Row fingerprints (md5 over non-excluded columns) are computed map-side
+  * before the shuffle, so "is this row discrepant" is a single string
+  * compare per matched key — never a per-column compare across 100 TB.
+  * The per-column matrix is only unpivoted for rows already known to
+  * mismatch (a tiny subset), and PK sample arrays are capped at
+  * `sampleCap`, so metrics rows stay O(1) regardless of input size
+  * (the reference collects unbounded PK arrays; that pattern dies at scale).
+  */
+object TableDiff {
+
+  /** Null-aware stringification used inside fingerprints and the matrix:
+    * COALESCE(CAST(c AS STRING),'NULL') — the reference's exact sentinel
+    * (script_converter_tool.py:169-170). */
+  private def str(c: Column): Column = coalesce(c.cast("string"), lit("NULL"))
+
+  /** Columns that participate in comparison: everything but the PK and the
+    * excluded (audit) columns, in left-schema order. */
+  def compareCols(df: DataFrame, pk: String, exclude: Seq[String]): Seq[String] = {
+    val drop = (exclude :+ pk).map(_.toLowerCase).toSet
+    df.columns.filterNot(c => drop.contains(c.toLowerCase)).toSeq
+  }
+
+  /** Per-side prepared frame: (pk, fingerprint, compare columns). */
+  private def withHash(df: DataFrame, pk: String, cols: Seq[String], side: String): DataFrame =
+    df.select(
+      (col(pk).as("pk") +:
+        rowHash(cols.map(col)).as(s"${side}_hash") +:
+        cols.map(c => col(c).as(s"${side}_$c"))): _*)
+
+  /** One full-outer join on PK with presence + fingerprint-mismatch flags.
+    * Output: pk, in_left, in_right, hash_mismatch, left_/right_ columns. */
+  def diff(left: DataFrame, right: DataFrame, pk: String,
+           exclude: Seq[String] = Nil): DataFrame = {
+    val cols = compareCols(left, pk, exclude)
+    val l = withHash(left, pk, cols, "left")
+    val r = withHash(right, pk, cols, "right")
+    l.join(r, Seq("pk"), "full_outer")
+      .withColumn("in_left", col("left_hash").isNotNull)
+      .withColumn("in_right", col("right_hash").isNotNull)
+      .withColumn("hash_mismatch",
+        col("in_left") && col("in_right") && col("left_hash") =!= col("right_hash"))
+  }
+
+  /** One `dw_data_metrics`-style row (reference: snowflake_tool.py:23-39):
+    * total counts per side + sorted, capped samples of hive-only / sf-only /
+    * data-discrepancy PK values (rendered as comma-joined strings so the row
+    * is bounded and engine-portable). */
+  def metrics(left: DataFrame, right: DataFrame, tableName: String, pk: String,
+              exclude: Seq[String] = Nil, sampleCap: Int = 100): DataFrame = {
+    val d = diff(left, right, pk, exclude)
+    def sample(flag: Column): Column =
+      coalesce(
+        concat_ws(",",
+          transform(
+            slice(sort_array(collect_list(when(flag, col("pk")))), 1, sampleCap),
+            _.cast("string"))),
+        lit(""))
+    d.agg(
+      count(when(col("in_left"), 1)).as("total_record_count_hive"),
+      count(when(col("in_right"), 1)).as("total_record_count_sf"),
+      count(when(col("in_left") && !col("in_right"), 1)).as("hive_only_count"),
+      count(when(col("in_right") && !col("in_left"), 1)).as("sf_only_count"),
+      count(when(col("hash_mismatch"), 1)).as("data_discrepancy_count"),
+      sample(col("in_left") && !col("in_right")).as("hive_only_pk_values"),
+      sample(col("in_right") && !col("in_left")).as("sf_only_pk_values"),
+      sample(col("hash_mismatch")).as("data_discrepancy_pk_values")
+    ).select(lit(tableName).as("table_name"), col("*"))
+  }
+
+  /** Column-level mismatch matrix for fingerprint-mismatched keys
+    * (reference: data_matrix_tool.py:52-64): one row per (id, column) whose
+    * values differ, as (id, column_name, hive, snowflake) strings.
+    *
+    * Unpivots via `stack` AFTER filtering to mismatched rows, so the
+    * row-explosion factor (#columns) only applies to actual discrepancies.
+    * `idCap` mirrors the reference's `list_ids[:3]` probe cap
+    * (data_matrix_tool.py:43) — bounded work no matter how bad the drift.
+    */
+  def mismatchMatrix(left: DataFrame, right: DataFrame, pk: String,
+                     exclude: Seq[String] = Nil, idCap: Int = 1000000): DataFrame = {
+    val cols = compareCols(left, pk, exclude)
+    val d = diff(left, right, pk, exclude).filter(col("hash_mismatch"))
+    val capped = d.orderBy(col("pk")).limit(idCap)
+    val stackArgs = cols.map(c =>
+      s"'$c', CAST(`left_$c` AS STRING), CAST(`right_$c` AS STRING)").mkString(", ")
+    capped
+      .select(col("pk").as("id"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (column_name, hive, snowflake)"))
+      .filter(not(col("hive") <=> col("snowflake")))
+      .select(col("id"), col("column_name"),
+        coalesce(col("hive"), lit("NULL")).as("hive"),
+        coalesce(col("snowflake"), lit("NULL")).as("snowflake"))
+  }
+
+  /** Roll the matrix up by column (reference: data_matrix_tool.py:69-86):
+    * sorted distinct hive/snowflake values + contributing ids, comma-joined
+    * (the reference emits sorted lists; strings keep the row bounded). */
+  def mismatchRollup(matrix: DataFrame): DataFrame =
+    matrix.groupBy(col("column_name")).agg(
+      concat_ws(",", sort_array(collect_set(col("hive")))).as("hive"),
+      concat_ws(",", sort_array(collect_set(col("snowflake")))).as("snowflake"),
+      concat_ws(",",
+        transform(sort_array(collect_set(col("id"))), _.cast("string"))).as("ids"),
+      count(lit(1)).as("n_cells"))
+}

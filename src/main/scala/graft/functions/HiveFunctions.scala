@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The Hive/Snowflake scalar-function surface the reference's conversion
+  * rules enumerate (reference: tools/script_converter_tool.py:31-95).
+  *
+  * Each is a `Column` combinator over Spark's codegen'd built-ins — no Scala
+  * UDFs in the hot path, so every expression stays inside whole-stage
+  * codegen and is usable at 100 TB.
+  */
+object HiveFunctions {
+
+  /** Hive `locate(substr, str)` / `INSTR(str, substr)` / Snowflake
+    * `position(substr, str)` (converter rules 7 and 12). 1-based, 0 when
+    * absent — exactly Spark's `locate`. */
+  def hlocate(substr: String, str: Column): Column = locate(substr, str)
+
+  /** Hive `SPLIT(col, sep)[n]` (0-based) ≡ Snowflake
+    * `SPLIT_PART(col, sep, n+1)` (converter rule 21). `part` is 1-based
+    * here, matching SPLIT_PART. Empty string when out of range. */
+  def splitPart(col: Column, sep: String, part: Int): Column = {
+    // element_at is 1-based; out-of-range raises under ANSI, so guard via
+    // array size — keeps SPLIT_PART's "empty string past the end" contract.
+    val arr = split(col, java.util.regex.Pattern.quote(sep))
+    when(size(arr) >= part && lit(part) >= 1, element_at(arr, part))
+      .otherwise(lit(""))
+  }
+
+  /** Hive `LCASE` ≡ `LOWER` (converter rule 11). */
+  def lcase(col: Column): Column = lower(col)
+
+  /** Hive `IF(cond, a, b)` ≡ Snowflake `IFF` (converter rule 26). */
+  def iff(cond: Column, ifTrue: Column, ifFalse: Column): Column =
+    when(cond, ifTrue).otherwise(ifFalse)
+
+  /** `reflect('org.apache.commons.codec.digest.DigestUtils','sha256Hex',x)`
+    * ≡ Snowflake `SHA2_HEX(x)` (converter rule 9) — natively `sha2(x,256)`,
+    * codegen'd, no reflection on the executor hot path. */
+  def sha256hex(col: Column): Column = sha2(col, 256)
+
+  /** Hive `find_in_set(item, csvList)` (converter rule 35 keeps it verbatim
+    * on the Snowflake side too): 1-based index of `item` in the
+    * comma-separated `list`, 0 if absent. */
+  def findInSet(item: Column, csvList: Column): Column =
+    array_position(split(csvList, ","), item).cast("int")
+
+  /** Hive `unix_timestamp()*1000` — epoch millis of a timestamp column
+    * (the reference multiplies to millis everywhere; converter rules 14/32/36
+    * strip the *1000 on the Snowflake side). */
+  def epochMillis(ts: Column): Column = (unix_timestamp(ts) * 1000L)
+
+  /** Hive `to_date(from_unixtime(floor(ms/1000)))` ≡ Snowflake `DATE(ms)`
+    * (converter rule 36). */
+  def msToDate(ms: Column): Column =
+    to_date(timestamp_seconds(floor(ms / 1000).cast("long")))
+
+  /** Row fingerprint used for change detection across warehouse sides:
+    * `md5(concat(COALESCE(CAST(col AS STRING),'NULL') ...))` over the
+    * non-audit columns (reference: resources/scripts HQL md5 pattern and
+    * tools/script_converter_tool.py:169-170, 209-210).
+    *
+    * Columns are pipe-joined after a NULL→'NULL' sentinel so the hash is
+    * positional and null-aware. Doubles must be pre-normalized by the caller
+    * (e.g. to integral cents) if the hash is compared against another
+    * engine's rendering of floats.
+    */
+  def rowHash(cols: Seq[Column]): Column =
+    md5(concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit("NULL"))): _*))
+
+  /** Hive UDAF `collect_max_one(value, rank)` (converter rule 13): the value
+    * paired with the max rank — i.e. per-column argmax. The reference's
+    * Snowflake rewrite is `SUBSTRING(MAX(CONCAT(ts, val)), 14)`; in Spark
+    * this is natively `max_by`, a single-pass declarative aggregate with
+    * map-side partial aggregation (no string concat trick needed).
+    *
+    * Matches the sentinel semantics of rule 13: rows with NULL value rank as
+    * 0 so any non-NULL value wins, and ties on rank resolve to the larger
+    * value (deterministic across retries/partitionings — plain max_by is
+    * tie-unstable, which would break verify reruns).
+    */
+  def collectMaxOne(value: Column, rank: Column): Column = {
+    val effRank = when(value.isNull, lit(0L)).otherwise(rank.cast("long"))
+    // Deterministic tiebreak: pack (rank, value) and take max of the struct.
+    max(struct(effRank.as("r"), value.as("v"))).getField("v")
+  }
+
+  /** `reflect("java.net.URLDecoder", "decode", v [, "UTF-8"])` ≡ Snowflake
+    * custom `decodeurl` (converter rule 8). Catalyst expression in
+    * [[graft.functions.UrlDecode]]; this is the Column-facing wrapper. */
+  def decodeUrl(col: Column): Column = UrlDecode.decodeurl(col)
+
+  /** Deterministic string hash ("hashcode", converter rule 10): Java
+    * String.hashCode semantics via Spark's codegen'd hash — stable across
+    * JVMs/partitions, unlike Scala closure hashing. */
+  def hashcode(col: Column): Column = hash(col)
+}

@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Fixtures, TableDiff}
+import graft.operators.MergePipeline
+import graft.sources.Tables
+
+/** Queries #1-#13 of SURVEY.md §2 — the reference's discrepancy-validation
+  * surface — plus their DuckDB oracle SQL. Every query ends in a
+  * deterministic unique-key ORDER BY so the driver's hash compare is
+  * order-stable.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val ordersCompareCols =
+    Seq("o_custkey", "o_orderstatus", "o_totalprice_cents", "o_orderdate", "o_orderpriority")
+  private val customerCompareCols =
+    Seq("c_name", "c_nationkey", "c_acctbal_cents", "c_mktsegment")
+
+  // ---- SQL fragments -----------------------------------------------------
+
+  /** DuckDB mirror of TableDiff.diff's mismatch predicate: fingerprint
+    * inequality ⟺ any compare column IS DISTINCT FROM its twin (fixture
+    * columns are integral/string/timestamp, so rendering is injective). */
+  private def distinctAny(cols: Seq[String], l: String = "h", r: String = "s"): String =
+    cols.map(c => s"$l.$c IS DISTINCT FROM $r.$c").mkString("(", " OR ", ")")
+
+  private def diffCte(name: String, hive: String, sf: String, pk: String,
+                      cols: Seq[String]): String =
+    s"""$name AS (
+       |  SELECT coalesce(h.$pk, s.$pk) AS pk,
+       |         h.$pk IS NOT NULL AS in_left,
+       |         s.$pk IS NOT NULL AS in_right,
+       |         (h.$pk IS NOT NULL AND s.$pk IS NOT NULL AND
+       |          ${distinctAny(cols)}) AS mism
+       |  FROM $hive h FULL OUTER JOIN $sf s ON h.$pk = s.$pk)""".stripMargin
+
+  private def metricsSelect(tableName: String, diffName: String): String =
+    s"""SELECT '$tableName' AS table_name,
+       |  count(*) FILTER (WHERE in_left) AS total_record_count_hive,
+       |  count(*) FILTER (WHERE in_right) AS total_record_count_sf,
+       |  count(*) FILTER (WHERE in_left AND NOT in_right) AS hive_only_count,
+       |  count(*) FILTER (WHERE in_right AND NOT in_left) AS sf_only_count,
+       |  count(*) FILTER (WHERE mism) AS data_discrepancy_count,
+       |  coalesce(array_to_string(list_slice(list_sort(list(pk) FILTER (WHERE in_left AND NOT in_right)), 1, 100), ','), '') AS hive_only_pk_values,
+       |  coalesce(array_to_string(list_slice(list_sort(list(pk) FILTER (WHERE in_right AND NOT in_left)), 1, 100), ','), '') AS sf_only_pk_values,
+       |  coalesce(array_to_string(list_slice(list_sort(list(pk) FILTER (WHERE mism)), 1, 100), ','), '') AS data_discrepancy_pk_values
+       |FROM $diffName""".stripMargin
+
+  /** region vs region: the discrepancy-free control pair. */
+  private val regionPairSql =
+    """hive_region AS (SELECT r_regionkey, r_name FROM region),
+      |sf_region AS (SELECT r_regionkey, r_name FROM region)""".stripMargin
+
+  private val metricsUnionSql: String =
+    s"""${Fixtures.Sql.bothPairs},
+       |$regionPairSql,
+       |${diffCte("d_orders", "hive_orders", "sf_orders", "o_orderkey", ordersCompareCols)},
+       |${diffCte("d_customer", "hive_customer", "sf_customer", "c_custkey", customerCompareCols)},
+       |${diffCte("d_region", "hive_region", "sf_region", "r_regionkey", Seq("r_name"))},
+       |m AS (
+       |${metricsSelect("orders", "d_orders")}
+       |UNION ALL
+       |${metricsSelect("customer", "d_customer")}
+       |UNION ALL
+       |${metricsSelect("region", "d_region")}
+       |)""".stripMargin
+
+  // ---- Spark side --------------------------------------------------------
+
+  /** Metrics frame over all fixture pairs (union of one row per table). */
+  def metricsUnion(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region")
+    TableDiff.metrics(Fixtures.hiveOrders(s, dir), Fixtures.sfOrders(s, dir),
+        "orders", "o_orderkey")
+      .unionByName(TableDiff.metrics(Fixtures.hiveCustomer(s, dir),
+        Fixtures.sfCustomer(s, dir), "customer", "c_custkey"))
+      .unionByName(TableDiff.metrics(region, region, "region", "r_regionkey"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pk_diff_left_only" -> ((s, dir) =>
+      Fixtures.hiveOrders(s, dir).join(Fixtures.sfOrders(s, dir),
+          Seq("o_orderkey"), "left_anti")
+        .select(col("o_orderkey")).orderBy(col("o_orderkey"))),
+
+    "q_pk_diff_right_only" -> ((s, dir) =>
+      Fixtures.sfOrders(s, dir).join(Fixtures.hiveOrders(s, dir),
+          Seq("o_orderkey"), "left_anti")
+        .select(col("o_orderkey")).orderBy(col("o_orderkey"))),
+
+    "q_data_metrics" -> ((s, dir) =>
+      TableDiff.metrics(Fixtures.hiveOrders(s, dir), Fixtures.sfOrders(s, dir),
+        "orders", "o_orderkey")),
+
+    "q_metrics_filter" -> ((s, dir) =>
+      metricsUnion(s, dir)
+        .filter((col("total_record_count_hive") > 0 || col("total_record_count_sf") > 0) &&
+          (col("hive_only_count") > 0 || col("sf_only_count") > 0 ||
+            col("data_discrepancy_count") > 0))
+        .orderBy(col("hive_only_pk_values"), col("sf_only_pk_values"),
+          col("data_discrepancy_pk_values"), col("table_name"))),
+
+    "q_discrepancy_lookup" -> ((s, dir) =>
+      metricsUnion(s, dir)
+        .filter(upper(trim(col("table_name"))) === upper(trim(lit(" Orders "))))
+        .select(col("table_name"), col("data_discrepancy_pk_values"))),
+
+    "q_mismatch_matrix" -> ((s, dir) =>
+      TableDiff.mismatchMatrix(Fixtures.hiveOrders(s, dir),
+          Fixtures.sfOrders(s, dir), "o_orderkey")
+        .orderBy(col("id"), col("column_name"))),
+
+    "q_mismatch_rollup" -> ((s, dir) =>
+      TableDiff.mismatchRollup(
+        TableDiff.mismatchMatrix(Fixtures.hiveOrders(s, dir),
+          Fixtures.sfOrders(s, dir), "o_orderkey"))
+        .orderBy(col("column_name"))),
+
+    "q_row_hash_diff" -> ((s, dir) =>
+      TableDiff.diff(Fixtures.hiveOrders(s, dir), Fixtures.sfOrders(s, dir),
+          "o_orderkey", exclude = Seq("o_orderdate"))
+        .filter(col("hash_mismatch"))
+        .select(col("pk").as("id"), col("left_hash").as("hive_hash"),
+          col("right_hash").as("sf_hash"))
+        .orderBy(col("id"))),
+
+    "q_rank_dedup" -> ((s, dir) =>
+      MergePipeline.rankDedup(Tables.load(s, dir, "events"),
+          keys = Seq(col("user_id")),
+          ord = Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))),
+
+    "q_argmax_merge" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .withColumn("r", unix_millis(col("ts")) * 1000000L + col("event_id"))
+      MergePipeline.argmaxMerge(e, col("user_id"), col("r"),
+          Seq("event_type", "value"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_sparse_dw_merge" -> ((s, dir) => {
+      val orders = Fixtures.hiveOrders(s, dir)
+      val sp0 = MergePipeline.argmaxMerge(
+          orders.select(col("o_custkey").as("c_custkey"),
+            col("o_orderkey"), col("o_totalprice_cents")),
+          col("c_custkey"), col("o_orderkey"), Seq("o_totalprice_cents"))
+        .withColumnRenamed("o_totalprice_cents", "c_acctbal_cents")
+      val sp = sp0.unionByName(
+        sp0.filter(col("c_custkey") % 50 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_acctbal_cents")))
+      MergePipeline.sparseDwMerge(sp, Fixtures.hiveCustomer(s, dir), "c_custkey")
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_union_precedence" -> ((s, dir) => {
+      val o = Fixtures.hiveOrders(s, dir)
+      val b1 = o.filter(col("o_orderstatus") === "F")
+        .withColumn("for_ordering", lit(2))
+      val b2 = o.filter(col("o_orderstatus") =!= "F")
+        .withColumn("for_ordering", lit(1))
+      MergePipeline.rankDedup(b1.unionByName(b2),
+          keys = Seq(col("o_custkey")),
+          ord = Seq(col("for_ordering").desc, col("o_orderdate").desc,
+            col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("for_ordering"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_count_compare" -> ((s, dir) => {
+      val h = Fixtures.hiveOrders(s, dir).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("hive_n"))
+      val f = Fixtures.sfOrders(s, dir).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("sf_n"))
+      h.join(f, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          coalesce(col("hive_n"), lit(0L)).as("hive_n"),
+          coalesce(col("sf_n"), lit(0L)).as("sf_n"),
+          (coalesce(col("hive_n"), lit(0L)) - coalesce(col("sf_n"), lit(0L))).as("diff"),
+          (coalesce(col("hive_n"), lit(0L)) === coalesce(col("sf_n"), lit(0L))).as("is_match"))
+        .orderBy(col("o_orderstatus"))
+    })
+  )
+
+  // ---- Oracle SQL --------------------------------------------------------
+
+  private val matrixCellsSql: String = {
+    val cells = ordersCompareCols.map { c =>
+      s"""SELECT id, '$c' AS column_name,
+         |  coalesce(CAST(h_$c AS VARCHAR), 'NULL') AS hive,
+         |  coalesce(CAST(s_$c AS VARCHAR), 'NULL') AS snowflake,
+         |  h_$c IS DISTINCT FROM s_$c AS differs
+         |FROM mm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val proj = ordersCompareCols.map(c => s"h.$c AS h_$c, s.$c AS s_$c").mkString(", ")
+    s"""mm AS (
+       |  SELECT h.o_orderkey AS id, $proj
+       |  FROM hive_orders h JOIN sf_orders s ON h.o_orderkey = s.o_orderkey
+       |  WHERE ${distinctAny(ordersCompareCols)}),
+       |cells AS (
+       |$cells
+       |)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pk_diff_left_only" ->
+      s"""${Fixtures.Sql.ordersPair}
+         |SELECT h.o_orderkey FROM hive_orders h
+         |WHERE NOT EXISTS (SELECT 1 FROM sf_orders s WHERE s.o_orderkey = h.o_orderkey)
+         |ORDER BY h.o_orderkey""".stripMargin,
+
+    "q_pk_diff_right_only" ->
+      s"""${Fixtures.Sql.ordersPair}
+         |SELECT s.o_orderkey FROM sf_orders s
+         |WHERE NOT EXISTS (SELECT 1 FROM hive_orders h WHERE h.o_orderkey = s.o_orderkey)
+         |ORDER BY s.o_orderkey""".stripMargin,
+
+    "q_data_metrics" ->
+      s"""${Fixtures.Sql.ordersPair},
+         |${diffCte("d_orders", "hive_orders", "sf_orders", "o_orderkey", ordersCompareCols)}
+         |${metricsSelect("orders", "d_orders")}""".stripMargin,
+
+    "q_metrics_filter" ->
+      s"""$metricsUnionSql
+         |SELECT * FROM m
+         |WHERE (total_record_count_hive > 0 OR total_record_count_sf > 0)
+         |  AND (hive_only_count > 0 OR sf_only_count > 0 OR data_discrepancy_count > 0)
+         |ORDER BY hive_only_pk_values, sf_only_pk_values, data_discrepancy_pk_values, table_name""".stripMargin,
+
+    "q_discrepancy_lookup" ->
+      s"""$metricsUnionSql
+         |SELECT table_name, data_discrepancy_pk_values FROM m
+         |WHERE upper(trim(table_name)) = upper(trim(' Orders '))""".stripMargin,
+
+    "q_mismatch_matrix" ->
+      s"""${Fixtures.Sql.ordersPair},
+         |$matrixCellsSql
+         |SELECT id, column_name, hive, snowflake FROM cells
+         |WHERE differs ORDER BY id, column_name""".stripMargin,
+
+    "q_mismatch_rollup" ->
+      s"""${Fixtures.Sql.ordersPair},
+         |$matrixCellsSql
+         |SELECT column_name,
+         |  array_to_string(list_sort(list(DISTINCT hive)), ',') AS hive,
+         |  array_to_string(list_sort(list(DISTINCT snowflake)), ',') AS snowflake,
+         |  array_to_string(list_sort(list(DISTINCT id)), ',') AS ids,
+         |  count(*) AS n_cells
+         |FROM cells WHERE differs
+         |GROUP BY column_name ORDER BY column_name""".stripMargin,
+
+    "q_row_hash_diff" -> {
+      def h(side: String) =
+        s"""md5(concat_ws('|',
+           |  coalesce(CAST($side.o_custkey AS VARCHAR), 'NULL'),
+           |  coalesce($side.o_orderstatus, 'NULL'),
+           |  coalesce(CAST($side.o_totalprice_cents AS VARCHAR), 'NULL'),
+           |  coalesce($side.o_orderpriority, 'NULL')))""".stripMargin
+      s"""${Fixtures.Sql.ordersPair},
+         |hx AS (
+         |  SELECT h.o_orderkey AS id, ${h("h")} AS hive_hash, ${h("s")} AS sf_hash
+         |  FROM hive_orders h JOIN sf_orders s ON h.o_orderkey = s.o_orderkey)
+         |SELECT id, hive_hash, sf_hash FROM hx
+         |WHERE hive_hash <> sf_hash ORDER BY id""".stripMargin
+    },
+
+    "q_rank_dedup" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_argmax_merge" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) * 1000000 + event_id AS r,
+        |         event_type, value
+        |  FROM events)
+        |SELECT user_id, max_by(event_type, r) AS event_type,
+        |       max_by(value, r) AS value
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_sparse_dw_merge" ->
+      s"""${Fixtures.Sql.ordersPair},
+         |${Fixtures.Sql.hiveCustomer},
+         |sp0 AS (
+         |  SELECT o_custkey AS c_custkey,
+         |         max_by(o_totalprice_cents, o_orderkey) AS c_acctbal_cents
+         |  FROM hive_orders GROUP BY o_custkey),
+         |sp AS (
+         |  SELECT * FROM sp0
+         |  UNION ALL
+         |  SELECT c_custkey + 1000000, c_acctbal_cents FROM sp0
+         |  WHERE c_custkey % 50 = 0)
+         |SELECT sp.c_custkey, d.c_name, d.c_nationkey,
+         |       sp.c_acctbal_cents AS c_acctbal_cents, d.c_mktsegment
+         |FROM sp LEFT JOIN hive_customer d ON sp.c_custkey = d.c_custkey
+         |WHERE sp.c_acctbal_cents IS DISTINCT FROM d.c_acctbal_cents
+         |ORDER BY sp.c_custkey""".stripMargin,
+
+    "q_union_precedence" ->
+      s"""${Fixtures.Sql.ordersPair},
+         |b AS (
+         |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+         |         2 AS for_ordering
+         |  FROM hive_orders WHERE o_orderstatus = 'F'
+         |  UNION ALL
+         |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+         |         1 AS for_ordering
+         |  FROM hive_orders WHERE o_orderstatus <> 'F')
+         |SELECT o_custkey, o_orderkey, o_orderstatus, for_ordering FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |    ORDER BY for_ordering DESC, o_orderdate DESC, o_orderkey DESC) AS rn
+         |  FROM b) t
+         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_count_compare" ->
+      s"""${Fixtures.Sql.ordersPair},
+         |h AS (SELECT o_orderstatus, count(*) AS hive_n FROM hive_orders GROUP BY o_orderstatus),
+         |f AS (SELECT o_orderstatus, count(*) AS sf_n FROM sf_orders GROUP BY o_orderstatus)
+         |SELECT coalesce(h.o_orderstatus, f.o_orderstatus) AS o_orderstatus,
+         |       coalesce(h.hive_n, 0) AS hive_n,
+         |       coalesce(f.sf_n, 0) AS sf_n,
+         |       coalesce(h.hive_n, 0) - coalesce(f.sf_n, 0) AS diff,
+         |       coalesce(h.hive_n, 0) = coalesce(f.sf_n, 0) AS is_match
+         |FROM h FULL OUTER JOIN f ON h.o_orderstatus = f.o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+  )
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Driver-mimic correctness check: for each query output under OUTDIR,
+run its oracle SQL in DuckDB over the same sf parquet tables and compare
+(values compared column-name-sorted, like the driver)."""
+import sys, json, glob, os
+import duckdb, pandas as pd, numpy as np
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        if str(df[c].dtype) in ("float32",):
+            df[c] = df[c].astype("float64")
+    return df.reset_index(drop=True)
+
+fails = 0
+for qdir in sorted(glob.glob(f"{outdir}/q_*")):
+    name = os.path.basename(qdir)
+    mine = pd.read_parquet(qdir)
+    if name not in oracle:
+        print(f"{name:28s} rows-only: {len(mine)} rows {'OK' if len(mine)>0 else 'EMPTY!'}")
+        continue
+    try:
+        ref = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"{name:28s} ORACLE SQL ERROR: {str(e)[:150]}"); fails += 1; continue
+    a, b = norm(mine), norm(ref)
+    if list(a.columns) != list(b.columns):
+        print(f"{name:28s} COLUMN MISMATCH mine={list(a.columns)} ref={list(b.columns)}"); fails += 1; continue
+    if len(a) != len(b):
+        print(f"{name:28s} ROWCOUNT {len(a)} vs {len(b)}"); fails += 1; continue
+    bad = []
+    for c in a.columns:
+        if str(a[c].dtype) == "float64" or str(b[c].dtype) == "float64":
+            eq = np.isclose(a[c].astype(float), b[c].astype(float), rtol=0, atol=0, equal_nan=True)
+        else:
+            eq = (a[c].values == b[c].values) | (pd.isna(a[c]).values & pd.isna(b[c]).values)
+        if not eq.all():
+            i = int(np.argmin(eq))
+            bad.append((c, i, a[c].iloc[i], b[c].iloc[i]))
+    if bad:
+        fails += 1
+        print(f"{name:28s} VALUE MISMATCH {len(bad)} cols; first: col={bad[0][0]} row={bad[0][1]} mine={bad[0][2]!r} ref={bad[0][3]!r}")
+    else:
+        print(f"{name:28s} OK ({len(a)} rows)")
+print("FAILURES:", fails)
+sys.exit(1 if fails else 0)
