@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2
+  * #20-#23): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: nothing here is O(n²) over the corpus. Exact dedup is one
+  * hash-shuffle. Near-dup candidate generation always goes through an
+  * inverted index (shingle → doc list) or LSH buckets with a
+  * document-frequency cap, so the pair space is bounded per bucket and the
+  * expensive exact similarity only runs on candidates.
+  */
+object Dedup {
+
+  import TextAnalysis.{normalized, tokens}
+
+  /** Token n-gram shingles (distinct), e.g. n=3 word shingles. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(normalized(text))
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Exact duplicate groups by canonical-text hash: one row per duplicated
+    * fingerprint with the surviving (min) id, the sorted member ids, and
+    * the group size. One shuffle on the 128-bit hash — never on the text
+    * itself, so 100 TB of documents shuffles only ids+hashes. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.docFingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("canonical_id"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("member_ids"),
+        count(lit(1)).as("group_size"))
+      .filter(col("group_size") > 1)
+      .select(col("canonical_id"), col("fp"), col("member_ids"), col("group_size"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs via an inverted shingle
+    * index: explode distinct shingles, drop "stop shingles" whose document
+    * frequency exceeds `dfCap` (they only generate quadratic noise), join
+    * doc-lists per shingle into candidate pairs, then
+    * J = |A∩B| / (|A|+|B|-|A∩B|) from exact distinct-shingle counts.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minJaccard: Double = 0.5,
+                        dfCap: Int = 10000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val capped = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df") <= dfCap)
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcastIfSmall(sizes.withColumnRenamed("n_sh", "n1")), col("id1") === col("id"))
+      .drop("id")
+      .join(broadcastIfSmall(sizes.select(col("id"), col("n_sh").as("n2"))), col("id2") === col("id"))
+      .drop("id")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("shared"), col("n1"), col("n2"), col("jaccard"))
+  }
+
+  // Doc-size side tables are tiny relative to the pair stream; broadcast
+  // them so the jaccard join never shuffles the pair stream twice.
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  /** MinHash signature columns: for each seed, min over the doc's shingles
+    * of xxhash64(seed, shingle). */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH candidate pairs: band the signature (`bands` bands of
+    * `numHashes/bands` rows), bucket-join per band on the band hash, dedup
+    * pairs, and attach the estimated Jaccard (fraction of agreeing minhash
+    * components). The shuffle key is (band, bandHash) — at 100 TB each
+    * bucket holds only near-colliding docs, never the corpus. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignature(df, idCol, textCol, n, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
+      xxhash64((lit(b) +: cols): _*).as(s"band_$b")
+    }
+    val banded = sig.select((col("id") +: bandCols): _*)
+    val exploded = banded
+      .select(col("id"), posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
+      .toDF("id", "band", "bucket")
+    // Re-attach signatures for estimation after candidate generation.
+    val cand = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    val est = (0 until numHashes)
+      .map(i => when(col(s"s1.mh_$i") === col(s"s2.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(numHashes.toDouble)
+    cand
+      .join(sig.as("s1"), col("id1") === col("s1.id"))
+      .join(sig.as("s2"), col("id2") === col("s2.id"))
+      .select(col("id1"), col("id2"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** 64-bit SimHash per document: bit i of the hash is the sign of
+    * Σ_tokens (±1 depending on bit i of xxhash64(token)). Computed as one
+    * aggregate over exploded tokens (64 declarative sums → single
+    * hash-aggregate pass, map-side combinable). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(tokens(normalized(col(textCol)))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i"))
+    val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until 64).map(i =>
+      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates from matching 16-bit band prefixes
+    * (a hamming distance ≤ 3 pair must agree on ≥1 of 4 bands), verified
+    * with an exact popcount of the XOR. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val banded = sig.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("id", "simhash", "band", "bucket")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.simhash").as("sh1"), col("b.simhash").as("sh2")).distinct()
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+}

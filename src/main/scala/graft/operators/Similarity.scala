@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2 #24-#26): brute-force cosine
+  * top-k as the exact baseline, random-hyperplane LSH bucketing as the
+  * scale path, and cosine near-duplicate pairs with label blocking.
+  *
+  * All vector math is `zip_with`/`aggregate` over `array<double>` — pure
+  * Catalyst expressions (codegen'd, left-to-right fold, so the float result
+  * is deterministic and engine-portable). The probe side of every search is
+  * broadcast: at 100 TB the candidate corpus streams through one scan and
+  * never shuffles.
+  */
+object Similarity {
+
+  /** Elementwise widen to double — keeps all arithmetic in one type. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Left-to-right dot product fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** cos(a,b) = a·b / sqrt((a·a)(b·b)) — single-sqrt form so the oracle
+    * can reproduce it bit-for-bit. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Exact top-k by cosine for each probe vector. `probes` is expected to
+    * be small (it is broadcast); `corpus` can be arbitrarily large — the
+    * cross join is a broadcast-nested-loop over one corpus scan, and the
+    * per-probe top-k is a window over probe-partitioned rows. */
+  def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(p)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane p, dim i:
+    * a fixed hash mapped into [-0.5, 0.5). */
+  private def planeComponent(p: Int, i: Column): Column =
+    (pmod(xxhash64(lit(p), i), lit(1000L)).cast("double") / 1000.0) - 0.5
+
+  /** Random-hyperplane LSH bucket signature (one int, `planes` bits): bit p
+    * is the sign of Σ_i v[i] * h(p,i). */
+  def lshBucket(v: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1), p)).otherwise(0)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN via LSH buckets: candidates share the probe's bucket; exact cosine
+    * + top-k only within the bucket. Trades recall for a corpus-partition-
+    * local search — the standard IVF-style scale path. */
+  def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes)))
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes))
+    val scored = c.join(p, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** Cosine near-duplicate pairs, blocked on a coarse partition column
+    * (cluster label / shard) so the pair space is per-block, not corpus². */
+  def cosineNearDupPairs(df: DataFrame, blockCol: String, minCos: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"))
+    v.as("a").join(v.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.block").as("block"),
+        cosine(col("a.v"), col("b.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("id1"), col("id2"), col("block"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2
+  * #27-#30): language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting. All pure `Column` combinators over codegen'd
+  * built-ins — each query is one parquet scan with no shuffle at all, so
+  * they stream at I/O speed over 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the corpus is single-space normalized). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish lexer token count: runs of letters, runs of digits, or single
+    * other non-space chars — the pre-tokenization split BPE vocabularies
+    * are trained over. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  def stopwordCount(text: Column, stops: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stops.map(s => s: Any): _*)))
+
+  def stopwordRatio(text: Column, stops: Seq[String]): Column =
+    stopwordCount(text, stops).cast("double") / wsTokenCount(text).cast("double")
+
+  /** Vowel density — a cheap character-distribution feature. */
+  def vowelRatio(text: Column): Column =
+    regexp_count(text, lit("[aeiou]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Heuristic quality score in [0,1]: length saturation + stopword
+    * presence + mean-token-length sanity band, equally weighted. */
+  def qualityScore(text: Column, stops: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text, stops) * 10.0, lit(1.0))
+    val meanTok = length(text).cast("double") / greatest(wsTokenCount(text), lit(1)).cast("double")
+    val tokScore = when(meanTok >= 3.0 && meanTok <= 10.0, 1.0).otherwise(0.5)
+    (lenScore + stopScore + tokScore) / 3.0
+  }
+
+  /** Stopword-marker language ID: score = English-marker hit ratio;
+    * classify en / und on a threshold. Deterministic and engine-portable;
+    * a production lexicon just widens `stops`. */
+  def langIdScore(text: Column): Column =
+    stopwordRatio(text, Seq("the", "a", "of", "and", "is"))
+
+  def langIdPrediction(text: Column, threshold: Double = 0.02): Column =
+    when(langIdScore(text) >= threshold, "en").otherwise("und")
+
+  /** Single-space-collapsed, lower-cased, trimmed canonical form. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), " +", " "))
+
+  /** Whole-document fingerprint over the canonical form. */
+  def docFingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Prefix-shingle fingerprint: hash of the first `n` tokens — a cheap
+    * "rolling" handle for clustering truncated/extended variants. */
+  def prefixFingerprint(text: Column, n: Int = 5): Column =
+    md5(concat_ws(" ", slice(tokens(normalized(text)), 1, n)))
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Queries #32-#33 of SURVEY.md §2: batch twins of the streaming operators
+  * over `events` (event_id, ts, user_id, event_type, value, props). The
+  * live Structured Streaming versions are in graft.streaming.EventStream.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-hour window aggregation: the batch twin of the streaming
+    // watermark+window query. Money-style sums as exact milli-units.
+    "q_event_window_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 1000).cast("long")).as("value_milli"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("n_events"), col("value_milli"), col("min_value"), col("max_value"))
+        .orderBy(col("hour_start"), col("event_type"))),
+
+    // Gap-based sessionization (30-min inactivity): lag → new-session flag
+    // → running sum as session id → per-session rollup. One shuffle on
+    // user_id; both windows and the groupBy share that partitioning.
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = events(s, dir)
+        .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(w)))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+        .orderBy(col("user_id"), col("session_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_event_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  sum(CAST(round(value * 1000) AS BIGINT)) AS value_milli,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  sum(CAST(round(value * 1000) AS BIGINT)) AS value_milli
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+  )
+}

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Queries #24-#26 of SURVEY.md §2: embedding similarity search over the
+  * `embeddings` table (vec_id, embedding float[64], label). */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact baseline: brute-force cosine top-5 for every vec_id % 100 == 0
+    // probe, probes broadcast against one corpus scan.
+    "q_ann_topk" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Scale path: random-hyperplane LSH buckets, exact cosine only within
+    // the probe's bucket. Not SQL-portable (hash-derived hyperplanes) —
+    // rows-only; recall vs q_ann_topk is pinned in SimilaritySpec.
+    "q_ann_lsh" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+      Similarity.lshTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5, planes = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Label-blocked cosine near-duplicate pairs.
+    "q_dedup_embedding" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
+          blockCol = "label", minCos = 0.3)
+        .orderBy(col("id1"), col("id2")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ann_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT p.query_id, v.vec_id,
+        |    list_dot_product(qv, e)
+        |      / sqrt(list_dot_product(qv, qv) * list_dot_product(e, e)) AS cos_sim
+        |  FROM v CROSS JOIN p WHERE v.vec_id <> p.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(cos_sim, 4) AS cos_sim
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS block,
+        |  round(list_dot_product(a.e, b.e)
+        |    / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 4) AS cos_sim
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e)
+        |    / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.3
+        |ORDER BY id1, id2""".stripMargin
+  )
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.sources.Tables
+
+/** Queries #20-#23 and #27-#30 of SURVEY.md §2: text analysis and text
+  * deduplication over the `documents` table.
+  *
+  * The dedup corpus injects known duplicates deterministically (same
+  * derivation in the oracle SQL): exact copies of every doc_id %7 == 0 at
+  * +100000, and a near-copy (appended marker tail) of every %11 == 0 at
+  * +200000.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val qualityStops = Seq("the", "a")
+
+  def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" graft dedup tail marker")).as("text")))
+  }
+
+  private val dupCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, concat(text, ' graft dedup tail marker')
+      |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin
+
+  /** DuckDB spelling of TextAnalysis.normalized. */
+  private val normSql = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+
+  val queries: Map[String, Q] = Map(
+    "q_token_count" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TA.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TA.regexTokenCount(col("text")).cast("long").as("lex_tokens"),
+        length(col("text")).cast("long").as("n_chars_computed"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TA.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TA.stopwordCount(col("text"), qualityStops).cast("long").as("stop_cnt"),
+        TA.stopwordRatio(col("text"), qualityStops).as("stop_ratio"),
+        TA.vowelRatio(col("text")).as("vowel_ratio"),
+        TA.qualityScore(col("text"), qualityStops).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q_lang_id" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TA.langIdScore(col("text")).as("en_score"),
+        TA.langIdPrediction(col("text")).as("pred"))
+        .orderBy(col("doc_id"))),
+
+    "q_doc_fingerprint" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TA.docFingerprint(col("text")).as("fp"),
+        TA.prefixFingerprint(col("text"), 5).as("prefix_fp"))
+        .orderBy(col("doc_id"))),
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(dupCorpus(s, dir), "doc_id", "text")
+        .orderBy(col("canonical_id"))),
+
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(dupCorpus(s, dir), "doc_id", "text",
+          n = 3, minJaccard = 0.5, dfCap = 10000)
+        .orderBy(col("id1"), col("id2"))),
+
+    // MinHash-LSH and SimHash aren't expressible in portable SQL —
+    // rows-only here; recall/precision vs the exact Jaccard pairs is
+    // pinned in DedupSpec.
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(dupCorpus(s, dir), "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, minEstJaccard = 0.5)
+        .orderBy(col("id1"), col("id2"))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(dupCorpus(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id1"), col("id2")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS lex_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_computed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(toks AS BIGINT) AS ws_tokens,
+        |  CAST(stop_cnt AS BIGINT) AS stop_cnt,
+        |  CAST(stop_cnt AS DOUBLE) / CAST(toks AS DOUBLE) AS stop_ratio,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE)
+        |    / CAST(greatest(length(text), 1) AS DOUBLE) AS vowel_ratio,
+        |  (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |   + least((CAST(stop_cnt AS DOUBLE) / CAST(toks AS DOUBLE)) * 10.0, 1.0)
+        |   + CASE WHEN (CAST(length(text) AS DOUBLE) / CAST(greatest(toks, 1) AS DOUBLE)) >= 3.0
+        |           AND (CAST(length(text) AS DOUBLE) / CAST(greatest(toks, 1) AS DOUBLE)) <= 10.0
+        |          THEN 1.0 ELSE 0.5 END) / 3.0 AS quality
+        |FROM (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS toks,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS stop_cnt
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS en_score,
+        |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.02
+        |    THEN 'en' ELSE 'und' END AS pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5($normSql) AS fp,
+         |  md5(array_to_string(list_slice(string_split($normSql, ' '), 1, 5), ' ')) AS prefix_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""WITH $dupCorpusSql,
+         |g AS (
+         |  SELECT md5($normSql) AS fp,
+         |    min(doc_id) AS canonical_id,
+         |    array_to_string(list_sort(list(doc_id)), ',') AS member_ids,
+         |    count(*) AS group_size
+         |  FROM corpus GROUP BY 1)
+         |SELECT canonical_id, fp, member_ids, group_size FROM g
+         |WHERE group_size > 1 ORDER BY canonical_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH $dupCorpusSql,
+         |tokd AS (
+         |  SELECT doc_id AS id,
+         |    list_distinct([array_to_string(l[i:i+2], ' ')
+         |                   for i in range(1, greatest(len(l) - 2, 0) + 1)]) AS shs
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS l FROM corpus)),
+         |sh AS (SELECT id, unnest(shs) AS sh FROM tokd),
+         |keepsh AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 10000),
+         |shc AS (SELECT sh.id, sh.sh FROM sh JOIN keepsh USING (sh)),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         |pairs AS (
+         |  SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+         |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT id1, id2, shared, s1.n_sh AS n1, s2.n_sh AS n2,
+         |    CAST(shared AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - shared AS DOUBLE) AS jaccard
+         |  FROM pairs
+         |  JOIN sizes s1 ON pairs.id1 = s1.id
+         |  JOIN sizes s2 ON pairs.id2 = s2.id)
+         |SELECT id1, id2, shared, n1, n2, jaccard FROM j
+         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin
+  )
+}
