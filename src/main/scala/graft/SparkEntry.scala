@@ -19,7 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FunctionQueries.queries ++ TextQueries.queries ++
-      SimilarityQueries.queries ++ EventQueries.queries
+      SimilarityQueries.queries ++ EventQueries.queries ++ MultimodalQueries.queries
 
   /** DuckDB-equivalent SQL per query key; keys absent here get the driver's
     * weaker rows-only check (non-SQL-expressible operators). */

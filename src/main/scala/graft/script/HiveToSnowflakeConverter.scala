@@ -1,0 +1,235 @@
+package graft.script
+
+import scala.util.matching.Regex
+
+/** Deterministic Hive-on-Spark → Snowflake dialect converter
+  * (SURVEY.md §2 #36) — the mechanical subset of the reference's 37
+  * conversion rules (reference: tools/script_converter_tool.py:31-95).
+  * The reference prompts an LLM with these rules; every rule implemented
+  * here is a pure text transform, so conversion is reproducible and
+  * testable offline.
+  *
+  * Rule numbers cited inline. Rules needing semantic judgment (33's
+  * structure preservation, 31's alias edge cases) are no-ops by
+  * construction: transforms only touch matched patterns.
+  */
+object HiveToSnowflakeConverter {
+
+  /** Find the argument list of the call starting at `start` (index of the
+    * opening paren); returns (args, indexAfterCloseParen). */
+  private def spanArgs(s: String, start: Int): Option[(String, Int)] = {
+    if (start >= s.length || s(start) != '(') return None
+    var depth = 0
+    var i = start
+    while (i < s.length) {
+      s(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return Some((s.substring(start + 1, i), i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Split a call argument list at top-level commas. */
+  private def splitArgs(args: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var last = 0; var inStr: Option[Char] = None
+    args.zipWithIndex.foreach { case (c, i) =>
+      inStr match {
+        case Some(q) => if (c == q) inStr = None
+        case None => c match {
+          case '\'' | '"' => inStr = Some(c)
+          case '(' | '[' => depth += 1
+          case ')' | ']' => depth -= 1
+          case ',' if depth == 0 => out += args.substring(last, i); last = i + 1
+          case _ =>
+        }
+      }
+    }
+    out += args.substring(last)
+    out.map(_.trim).toSeq
+  }
+
+  /** Rewrite every `name(...)` call via `fn(args)`; `fn` returning None
+    * keeps the original call. Case-insensitive on `name`. */
+  private def rewriteCalls(s: String, name: String)(fn: Seq[String] => Option[String]): String = {
+    val rx = new Regex("(?i)\\b" + name + "\\s*\\(")
+    val sb = new StringBuilder
+    var pos = 0
+    var m = rx.findFirstMatchIn(s)
+    var cur = s
+    while (m.isDefined) {
+      val mm = m.get
+      val open = mm.end - 1
+      spanArgs(cur, open) match {
+        case Some((args, after)) =>
+          val repl = fn(splitArgs(args))
+          sb.append(cur.substring(0, mm.start))
+          sb.append(repl.getOrElse(cur.substring(mm.start, after)))
+          cur = cur.substring(after)
+        case None =>
+          sb.append(cur.substring(0, mm.end)); cur = cur.substring(mm.end)
+      }
+      m = rx.findFirstMatchIn(cur)
+    }
+    sb.append(cur).toString
+  }
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
+      s.substring(1, s.length - 1)
+    else s
+
+  /** Rules 8/9: `reflect('java.net.URLDecoder','decode',v[,'UTF-8'])` →
+    * `decodeurl(v)`; `reflect('...DigestUtils','sha256Hex',v)` → `SHA2_HEX(v)`. */
+  private def rewriteReflect(s: String): String =
+    rewriteCalls(s, "reflect") { args =>
+      if (args.length < 3) None
+      else (stripQuotes(args(0)), stripQuotes(args(1))) match {
+        case ("java.net.URLDecoder", "decode") => Some(s"decodeurl(${args(2)})")
+        case (cls, "sha256Hex") if cls.endsWith("DigestUtils") => Some(s"SHA2_HEX(${args(2)})")
+        case _ => None
+      }
+    }
+
+  /** Rule 12: `INSTR(str, ch)` → `position(ch, str)`. */
+  private def rewriteInstr(s: String): String =
+    rewriteCalls(s, "INSTR") {
+      case Seq(str, ch) => Some(s"position($ch, $str)")
+      case _ => None
+    }
+
+  /** Rule 21: `SPLIT(col, sep)[n]` → `SPLIT_PART(col, sep, n+1)`. */
+  private def rewriteSplitIndex(s: String): String = {
+    val rx = new Regex("(?i)\\bSPLIT\\s*\\(")
+    var cur = s
+    val sb = new StringBuilder
+    var m = rx.findFirstMatchIn(cur)
+    while (m.isDefined) {
+      val mm = m.get
+      spanArgs(cur, mm.end - 1) match {
+        case Some((args, after)) =>
+          val idxRx = """^\s*\[\s*(\d+)\s*\]""".r
+          idxRx.findFirstMatchIn(cur.substring(after)) match {
+            case Some(im) =>
+              val parts = splitArgs(args)
+              sb.append(cur.substring(0, mm.start))
+              sb.append(s"SPLIT_PART(${parts.mkString(",")},${im.group(1).toInt + 1})")
+              cur = cur.substring(after + im.end)
+            case None =>
+              sb.append(cur.substring(0, after)); cur = cur.substring(after)
+          }
+        case None => sb.append(cur.substring(0, mm.end)); cur = cur.substring(mm.end)
+      }
+      m = rx.findFirstMatchIn(cur)
+    }
+    sb.append(cur).toString
+  }
+
+  /** Rule 36: `to_date(from_unixtime(floor(X/1000)))` → `DATE(X)`. */
+  private def rewriteMsToDate(s: String): String =
+    rewriteCalls(s, "to_date") { args =>
+      if (args.length != 1) None
+      else {
+        val inner = """(?is)^from_unixtime\s*\(\s*floor\s*\(\s*(.*?)\s*/\s*1000\s*\)\s*\)$""".r
+        args.head match {
+          case inner(x) => Some(s"DATE($x)")
+          case _ => None
+        }
+      }
+    }
+
+  /** Rule 13/27: the canonical per-column argmax template block →
+    * Snowflake `SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(RowModified),...)))`
+    * form. Matched whitespace-insensitively on its unmistakable head. */
+  private val CollectMaxOneBlock: Regex =
+    """(?is)CASE\s+WHEN\s+map_values\s*\(\s*collect_max_one\s*\(\s*COALESCE\s*\(%1\$s,''\).*?END\s+AS\s+%1\$s(?=\s*[}:])""".r
+
+  private val CollectMaxOneTarget: String =
+    """SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(RowModified),IFF(COALESCE(%1$s,'') = '',NULL,%1$s))),14) AS %1$s:
+      |                CAST(SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(RowModified),%1$s)),14) AS boolean) AS %1$s:
+      |                SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(RowModified),%1$s)),14) AS %1$s:
+      |                CAST(SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(RowModified),%1$s)),14) AS double) AS %1$s:
+      |                CAST(SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(RowModified),%1$s)),14) AS double) AS %1$s""".stripMargin
+
+  /** Detect a "main script" (rule 15): contains the argmax merge pattern. */
+  def isMainScript(script: String): Boolean =
+    script.contains("collect_max_one") ||
+      """(?i)SUBSTRING\s*\(\s*MAX\s*\(\s*CONCAT\s*\(\s*RowModified""".r
+        .findFirstIn(script).isDefined
+
+  def convert(script: String): String = {
+    var s = script
+    val main = isMainScript(s)
+
+    // Rule 19: drop MAPJOIN hints; rule 20: drop mapred.reduce.tasks SETs.
+    s = s.replaceAll("""(?i)/\*\+\s*MAPJOIN\s*\([^)]*\)\s*\*/""", "")
+    s = s.replaceAll("""(?im)^\s*SET\s+mapred\.reduce\.tasks\s*=[^;]*;\s*$\n?""", "")
+
+    // Rule 23: SET Var = ('a','b'); → SET Var = 'a,b';
+    s = """(?im)^(\s*SET\s+\w+\s*=\s*)\(([^)]*)\)\s*;""".r.replaceAllIn(s, m => {
+      val items = splitArgs(m.group(2)).map(stripQuotes)
+      Regex.quoteReplacement(s"${m.group(1)}'${items.mkString(",")}';")
+    })
+
+    // Rule 22: ${hiveconf:Var} → $Var
+    s = s.replaceAll("""\$\{hiveconf:(\w+)\}""", """\$$1""")
+
+    // Rules 8/9/12/21/36: function-call rewrites (paren-aware).
+    s = rewriteReflect(s)
+    s = rewriteInstr(s)
+    s = rewriteSplitIndex(s)
+    s = rewriteMsToDate(s)
+
+    // Rule 13/27: canonical collect_max_one template block.
+    s = CollectMaxOneBlock.replaceAllIn(s, Regex.quoteReplacement(CollectMaxOneTarget))
+
+    // Rule 7: locate → position; rule 11: LCASE → LOWER; rule 10:
+    // hash → hashcode; rule 26: IF → IFF.
+    s = s.replaceAll("""(?i)\blocate\s*\(""", "position(")
+    s = s.replaceAll("""(?i)\bLCASE\s*\(""", "LOWER(")
+    s = s.replaceAll("""(?i)\bhash\s*\(""", "hashcode(")
+    s = s.replaceAll("""(?i)\bIF\s*\(""", "IFF(")
+
+    // Rule 14: UNIX_TIMESTAMP()*1000 → CURRENT_TIMESTAMP().
+    s = s.replaceAll("""(?i)\bunix_timestamp\s*\(\s*\)\s*\*\s*1000\b""", "CURRENT_TIMESTAMP()")
+
+    // Rule 34: RowModified + 1 → DATEADD(second, 1, RowModified).
+    s = """(?i)\b((?:\w+\.)?RowModified)\s*\+\s*1\b""".r
+      .replaceAllIn(s, m => Regex.quoteReplacement(s"DATEADD(second, 1, ${m.group(1)})"))
+
+    // Rules 1/5/28: INSERT [OVERWRITE] [INTO] TABLE udm_X →
+    // INSERT OVERWRITE INTO delta_stage_X (${columns:X::%1$s}); the dw
+    // entity is remembered for rules 15/16.
+    var dwEntity: Option[String] = None
+    s = """(?i)INSERT\s+(?:OVERWRITE\s+)?(?:INTO\s+)?TABLE\s+udm_(?!s_|pv_)(\w+)""".r
+      .replaceAllIn(s, m => {
+        val e = m.group(1)
+        if (dwEntity.isEmpty) dwEntity = Some(e)
+        Regex.quoteReplacement(
+          "INSERT OVERWRITE INTO delta_stage_" + e + " (${columns:" + e + "::%1$s})")
+      })
+
+    // Rule 4: udm_s_X → delta_udm_X (anywhere).
+    s = s.replaceAll("""(?i)\budm_s_(\w+)""", "delta_udm_$1")
+    // Rule 3: udm_pv_X in FROM/JOIN → PUBLIC.X.
+    s = s.replaceAll("""(?i)\b(FROM|JOIN)(\s+)udm_pv_(\w+)""", "$1$2PUBLIC.$3")
+    // Rule 2b: remaining udm_X in FROM/JOIN → PUBLIC.X.
+    s = s.replaceAll("""(?i)\b(FROM|JOIN)(\s+)udm_(\w+)""", "$1$2PUBLIC.$3")
+
+    // Rules 15/16: main scripts read the DW table through $MD5Source.
+    dwEntity.filter(_ => main).foreach { e =>
+      s = s.replaceAll(s"""(?i)\\b(LEFT\\s+OUTER\\s+JOIN)\\s+PUBLIC\\.$e\\b""",
+        "$1 TABLE(\\$MD5Source)")
+      if (!s.contains("SET MD5Source=")) {
+        s = s"-- Added MD5Source statement (main script pattern detected)\n" +
+          s"SET MD5Source='PUBLIC.$e';\n\n" + s
+      }
+    }
+    s
+  }
+}

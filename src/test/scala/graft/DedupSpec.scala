@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.queries.TextQueries
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = TextQueries.dupCorpus(spark, TestSpark.Sf0001).cache()
+
+  test("exactGroups finds exactly the injected %7 copies") {
+    val g = Dedup.exactGroups(corpus, "doc_id", "text")
+    val rows = g.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("group_size") == 2))
+    // every group is {id, id+100000}
+    assert(rows.forall { r =>
+      val ids = r.getAs[String]("member_ids").split(",").map(_.toLong)
+      ids(0) % 7 == 0 && ids(1) == ids(0) + 100000
+    })
+  }
+
+  test("ngramJaccard finds exact copies at J=1 and tail-variants above 0.5") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5, 10000)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("jaccard")))
+    // a < 100000 keeps copy-of-copy pairs (ids divisible by both 7 and 11,
+    // e.g. 100231↔200231) out of the exact-copy bucket.
+    val exact = pairs.filter { case (a, b, _) => a < 100000 && b == a + 100000 }
+    val tails = pairs.filter { case (a, b, _) => a < 100000 && b == a + 200000 }
+    assert(exact.nonEmpty && exact.forall(_._3 == 1.0))
+    assert(tails.nonEmpty && tails.forall(t => t._3 > 0.5 && t._3 < 1.0))
+  }
+
+  test("minhash LSH recalls most true near-dup pairs") {
+    val truth = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.7, 10000)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val cand = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val recall = truth.count(cand.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
+  }
+
+  test("simhash: identical docs collide at hamming 0; pairs are symmetric-free") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Int]("hamming")))
+    val exactCopies = pairs.filter { case (a, b, _) => a < 100000 && b == a + 100000 }
+    assert(exactCopies.nonEmpty && exactCopies.forall(_._3 == 0))
+    assert(pairs.forall { case (a, b, _) => a < b })
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HiveFunctions._
+import graft.functions.UrlDecode
+
+class HiveFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("splitPart matches SPLIT_PART semantics incl. out-of-range") {
+    val df = Seq("a_b_c").toDF("s").select(
+      splitPart($"s", "_", 1).as("p1"),
+      splitPart($"s", "_", 3).as("p3"),
+      splitPart($"s", "_", 9).as("oob"))
+    val r = df.collect().head
+    assert((r.getString(0), r.getString(1), r.getString(2)) == ("a", "c", ""))
+  }
+
+  test("findInSet is 1-based with 0 for absent") {
+    val df = Seq(("b", "a,b,c"), ("z", "a,b,c")).toDF("item", "csv")
+      .select(findInSet($"item", $"csv").as("pos"))
+    assert(df.as[Int].collect().toSeq == Seq(2, 0))
+  }
+
+  test("collectMaxOne picks value at max rank; null values rank 0; ties break high") {
+    val df = Seq(
+      ("k", Some("old"), 1L), ("k", Some("new"), 5L), ("k", None, 9L),
+      ("t", Some("x"), 3L), ("t", Some("y"), 3L)
+    ).toDF("k", "v", "ts")
+    val out = df.groupBy($"k").agg(collectMaxOne($"v", $"ts").as("v"))
+      .orderBy($"k").as[(String, String)].collect().toSeq
+    // "k": null at ts=9 ranks 0, so "new"@5 wins; "t": tie at 3 → max value "y".
+    assert(out == Seq(("k", "new"), ("t", "y")))
+  }
+
+  test("rowHash is null-aware and positional") {
+    val df = Seq((Some("a"), Some("b")), (None, Some("ab"))).toDF("x", "y")
+      .select(rowHash(Seq($"x", $"y")).as("h"))
+    val hs = df.as[String].collect()
+    assert(hs(0) != hs(1)) // "a|b" vs "NULL|ab"
+  }
+
+  test("decodeurl decodes percent-escapes and '+', keeps malformed input") {
+    UrlDecode.register(spark)
+    val df = Seq("a%20b+c", "100%interest", "%E2%82%AC").toDF("s")
+      .selectExpr("decodeurl(s) AS d")
+    assert(df.as[String].collect().toSeq == Seq("a b c", "100%interest", "€"))
+  }
+
+  test("msToDate truncates epoch millis to UTC date") {
+    val df = Seq(86400000L + 3600123L).toDF("ms").select(msToDate($"ms").as("d"))
+    assert(df.as[java.sql.Date].collect().head.toString == "1970-01-02")
+  }
+}

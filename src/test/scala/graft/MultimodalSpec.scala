@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val media =
+    Multimodal.mediaTable(Tables.load(spark, TestSpark.Sf0001, "documents")).cache()
+
+  test("media table carries binary payload + typed metadata") {
+    val r = media.orderBy($"doc_id").limit(1).collect().head
+    assert(r.getAs[Array[Byte]]("media").nonEmpty)
+    assert(Seq("image", "audio", "video").contains(r.getAs[String]("media_type")))
+    assert(r.getAs[Int]("n_frames") >= 1)
+  }
+
+  test("decode stub is deterministic and feature shape is fixed") {
+    val (c1, f1) = Multimodal.decodeStub("hello".getBytes)
+    val (c2, f2) = Multimodal.decodeStub("hello".getBytes)
+    assert(c1 == c2 && f1.toSeq == f2.toSeq && f1.length == 8)
+    assert(math.abs(f1.sum - 1.0f) < 1e-5) // normalized histogram
+  }
+
+  test("extractFeatures preserves rows without shuffling") {
+    val feats = Multimodal.extractFeatures(media.as[Multimodal.MediaRow])
+    assert(feats.count() == media.count())
+    assert(feats.rdd.getNumPartitions == media.rdd.getNumPartitions)
+  }
+
+  test("frame sampling emits ceil(n/stride) frames per video") {
+    val out = Multimodal.sampleFrames(media, stride = 2)
+      .groupBy($"doc_id", $"n_frames").agg(count(lit(1)).as("n"))
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("n") == (r.getAs[Int]("n_frames") + 1) / 2))
+  }
+}

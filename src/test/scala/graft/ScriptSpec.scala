@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.script._
+
+class ScriptSpec extends AnyFunSuite {
+
+  private val catalog = SchemaCatalog.inMemory(
+    "customer" -> Seq(
+      ColumnMeta("ID", 2, primaryKey = true),
+      ColumnMeta("Email", 2, primaryKey = false),
+      ColumnMeta("c_emailHash", 2, primaryKey = false),
+      ColumnMeta("Age", 1, primaryKey = false)))
+
+  private val expander = new ScriptExpander(catalog)
+
+  test("expands default template to the upper-cased column list") {
+    assert(expander.expand("SELECT ${columns:customer::%1$s} FROM t") ==
+      "SELECT ID, EMAIL, C_EMAILHASH, AGE FROM t")
+  }
+
+  test("applies exclusions and alias templates") {
+    assert(expander.expand("SELECT ${columns:customer:~c_emailHash,Age:c.%1$s AS %1$s} FROM t") ==
+      "SELECT c.ID AS ID, c.EMAIL AS EMAIL FROM t")
+  }
+
+  test("prefix fallback resolves physical-layer names; unknown patterns pass through") {
+    assert(expander.expand("${columns:udm_s_customer::%1$s}") == "ID, EMAIL, C_EMAILHASH, AGE")
+    assert(expander.expand("${columns:nosuch::%1$s}") == "${columns:nosuch::%1$s}")
+    assert(expander.expand("${notcolumns:customer}") == "${notcolumns:customer}")
+  }
+
+  test("type map and primary keys follow the reference metadata model") {
+    assert(catalog.columnsFor("customer").map(_.typeName) ==
+      Seq("STRING", "STRING", "STRING", "LONG"))
+    assert(catalog.primaryKeys("customer") == Seq("ID"))
+  }
+
+  private val C = HiveToSnowflakeConverter
+
+  test("converts the reference's non-main example (rules 1/4/5/9/28)") {
+    val in =
+      """INSERT INTO TABLE udm_customer
+        |SELECT ${columns:customer::c.%1$s AS %1$s}
+        |FROM (
+        |  SELECT ${columns:customer:~c_emailHash:c.%1$s AS %1$s}
+        |    ,CASE WHEN COALESCE(TRIM(Email),'') <> '' THEN reflect('org.apache.commons.codec.digest.DigestUtils', 'sha256Hex', lower(TRIM(Email)))
+        |       ELSE c_emailHash END AS c_emailHash
+        |  FROM udm_s_customer c
+        |) c;""".stripMargin
+    val out = C.convert(in)
+    assert(out.contains("INSERT OVERWRITE INTO delta_stage_customer (${columns:customer::%1$s})"))
+    assert(out.contains("SHA2_HEX(lower(TRIM(Email)))"))
+    assert(out.contains("FROM delta_udm_customer c"))
+    assert(!out.contains("SET MD5Source")) // not a main script
+  }
+
+  test("main script gets MD5Source injection and TABLE(\\$MD5Source) join (rules 15/16)") {
+    val in =
+      """INSERT INTO TABLE udm_c_currency
+        |SELECT 1 FROM (
+        |  SELECT map_keys (collect_max_one (COALESCE(x,''), RowModified))[0] AS x
+        |  FROM udm_s_c_currency
+        |) sparse
+        |LEFT OUTER JOIN udm_c_currency dw on sparse.ID = dw.ID;""".stripMargin
+    val out = C.convert(in)
+    assert(out.contains("SET MD5Source='PUBLIC.c_currency';"))
+    assert(out.contains("LEFT OUTER JOIN TABLE($MD5Source) dw"))
+    assert(out.contains("FROM delta_udm_c_currency"))
+  }
+
+  test("scalar-function rules 7/8/10/11/12/14/21/22/26/34/36") {
+    val cases = Seq(
+      "locate('a', x)" -> "position('a', x)",
+      "reflect(\"java.net.URLDecoder\", \"decode\", \"VALUE\",\"UTF-8\")" -> "decodeurl(\"VALUE\")",
+      "hash(v)" -> "hashcode(v)",
+      "LCASE(v)" -> "LOWER(v)",
+      "INSTR(v, '_')" -> "position('_', v)",
+      "unix_timestamp()*1000" -> "CURRENT_TIMESTAMP()",
+      "SPLIT(col,'_')[2]" -> "SPLIT_PART(col,'_',3)",
+      "${hiveconf:MyVar}" -> "$MyVar",
+      "IF(a,b,c)" -> "IFF(a,b,c)",
+      "sc.RowModified + 1" -> "DATEADD(second, 1, sc.RowModified)",
+      "to_date(from_unixtime(floor(ts/1000)))" -> "DATE(ts)")
+    cases.foreach { case (in, want) =>
+      val got = C.convert(in)
+      assert(got == want, s"convert($in) = $got, want $want")
+    }
+  }
+
+  test("rules 19/20/23: hint and SET stripping, tuple SET rewrite") {
+    assert(C.convert("SELECT /*+ MAPJOIN(t) */ 1") == "SELECT  1")
+    assert(C.convert("SET mapred.reduce.tasks=4;\nSELECT 1") == "SELECT 1")
+    assert(C.convert("SET  Vals = ('a', 'b');") == "SET  Vals = 'a,b';")
+  }
+
+  test("rule 13: canonical collect_max_one block rewrites to TO_NUMBER_CUSTOM form") {
+    val block =
+      """CASE WHEN map_values (collect_max_one (COALESCE(%1$s,''),CASE WHEN %1$s IS NULL then 0L else RowModified END))[0]= 0L THEN NULL
+        |     ELSE map_keys (collect_max_one (COALESCE(%1$s,''),CASE WHEN %1$s IS NULL then 0L else RowModified END))[0] END AS %1$s}""".stripMargin
+    val out = C.convert(block)
+    assert(out.contains("SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(RowModified)"))
+    assert(!out.contains("collect_max_one"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+                 (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+                 (Array(1.0f, 0.0f), Array(-1.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(Similarity.asDouble($"a"), Similarity.asDouble($"b")).as("c"))
+    val out = df.as[Double].collect()
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(math.abs(out(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per probe, self excluded") {
+    val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val probes = v.filter($"vec_id" % 100 === 0)
+    val out = Similarity.bruteForceTopK(probes, v, k = 5).cache()
+    val nProbes = probes.count()
+    assert(out.count() == nProbes * 5)
+    assert(out.filter($"vec_id" === $"query_id").count() == 0)
+    // ranks are 1..5 and cos_sim non-increasing within each probe
+    val byQ = out.orderBy($"query_id", $"rank")
+      .as[(Long, Int, Long, Double)].collect().groupBy(_._1)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._2).toSeq == (1 to 5))
+      assert(rows.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("LSH ANN: identical vectors share a bucket; results subset of corpus") {
+    val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val out = Similarity.lshTopK(v.filter($"vec_id" % 100 === 0), v, k = 5, planes = 8)
+    val rows = out.collect()
+    assert(rows.nonEmpty) // every probe at least finds *something* in its bucket
+    assert(rows.forall(_.getAs[Int]("rank") <= 5))
+  }
+
+  test("label-blocked near-dup pairs stay within block and above threshold") {
+    val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val out = Similarity.cosineNearDupPairs(v, "label", 0.3)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.3))
+    assert(rows.forall(r => r.getAs[Long]("id1") < r.getAs[Long]("id2")))
+  }
+}

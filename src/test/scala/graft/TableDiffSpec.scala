@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+class TableDiffSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, null.asInstanceOf[String], 40L)
+  ).toDF("id", "s", "v")
+
+  private def right = Seq(
+    (1L, "a", 10L),            // identical
+    (2L, "B", 20L),            // s differs
+    (4L, "d", 40L),            // null vs value
+    (5L, "e", 50L)             // right-only
+  ).toDF("id", "s", "v")
+
+  test("diff flags presence and fingerprint mismatch, null-aware") {
+    val d = TableDiff.diff(left, right, "id").orderBy("pk")
+    val rows = d.select("pk", "in_left", "in_right", "hash_mismatch").collect()
+    assert(rows.map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, true, true, false), (2L, true, true, true), (3L, true, false, false),
+        (4L, true, true, true), (5L, false, true, false)))
+  }
+
+  test("excluded columns don't affect the fingerprint") {
+    val d = TableDiff.diff(left, right, "id", exclude = Seq("s"))
+      .filter($"hash_mismatch").select("pk").as[Long].collect()
+    assert(d.isEmpty) // only v remains and v always matches
+  }
+
+  test("metrics row counts and capped samples") {
+    val m = TableDiff.metrics(left, right, "t", "id", sampleCap = 1).collect().head
+    assert(m.getAs[Long]("total_record_count_hive") == 4)
+    assert(m.getAs[Long]("total_record_count_sf") == 4)
+    assert(m.getAs[Long]("hive_only_count") == 1)
+    assert(m.getAs[Long]("sf_only_count") == 1)
+    assert(m.getAs[Long]("data_discrepancy_count") == 2)
+    assert(m.getAs[String]("data_discrepancy_pk_values") == "2") // capped at 1
+    assert(m.getAs[String]("hive_only_pk_values") == "3")
+  }
+
+  test("mismatch matrix yields only differing cells with NULL sentinel") {
+    val mm = TableDiff.mismatchMatrix(left, right, "id").orderBy("id", "column_name")
+    val rows = mm.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (2L, "s", "b", "B"),
+      (4L, "s", "NULL", "d")))
+  }
+
+  test("rollup groups by column with sorted distinct values") {
+    val roll = TableDiff.mismatchRollup(TableDiff.mismatchMatrix(left, right, "id")).collect()
+    assert(roll.length == 1)
+    val r = roll.head
+    assert(r.getAs[String]("column_name") == "s")
+    assert(r.getAs[String]("hive") == "NULL,b")
+    assert(r.getAs[String]("snowflake") == "B,d")
+    assert(r.getAs[String]("ids") == "2,4")
+    assert(r.getAs[Long]("n_cells") == 2)
+  }
+}
