@@ -39,39 +39,53 @@ object Dedup {
       .filter(col("group_size") > 1)
       .select(col("canonical_id"), col("fp"), col("member_ids"), col("group_size"))
 
-  /** Exact n-gram Jaccard near-duplicate pairs via an inverted shingle
-    * index: explode distinct shingles, drop "stop shingles" whose document
-    * frequency exceeds `dfCap` (they only generate quadratic noise), join
-    * doc-lists per shingle into candidate pairs, then
-    * J = |A∩B| / (|A|+|B|-|A∩B|) from exact distinct-shingle counts.
+  /** Exact n-gram Jaccard near-duplicate pairs via an inverted posting
+    * list: shingles shuffle as 64-bit xxhash64 keys (never as multi-word
+    * strings), per-shingle posting buckets double-explode into
+    * shared-shingle pairs, and one codegen'd hash aggregate counts |A∩B|
+    * per pair; then J = |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * `dfCap` drops postings of degenerate stop shingles (df > cap) via a
+    * broadcast anti join — a safety valve that bounds per-key fan-out on
+    * adversarial corpora and never binds at sane settings. (A PPJoin-style
+    * prefix filter was measured here and LOST: on near-uniform shingle
+    * distributions the candidate set stays quadratic, and the extra
+    * verify joins cost more than the streaming count aggregate.)
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
                         dfCap: Int = 10000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val capped = sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") <= dfCap)
-    val pairs = capped.as("a")
-      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("raw"))
+      .select(col("id"), xxhash64(col("raw")).as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // Stop-shingle df cap as a broadcast anti join (a window count over the
+    // full posting list would sort-shuffle everything).
+    val stop = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("sh"))
+    val capped = sh.join(broadcast(stop), Seq("sh"), "left_anti")
+    // Pair generation via bucket arrays + double explode: one shuffle to
+    // build posting buckets, then the per-bucket cross product streams
+    // straight into the codegen'd pair-count aggregate — no join machinery
+    // on the fan-out path at all.
+    val buckets = capped.groupBy(col("sh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = buckets
+      .select(explode(col("ids")).as("id1"), col("ids"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("shared"))
     pairs
-      .join(broadcastIfSmall(sizes.withColumnRenamed("n_sh", "n1")), col("id1") === col("id"))
-      .drop("id")
-      .join(broadcastIfSmall(sizes.select(col("id"), col("n_sh").as("n2"))), col("id2") === col("id"))
-      .drop("id")
+      .join(broadcast(sizes.select(col("id").as("id1"), col("n_sh").as("n1"))), Seq("id1"))
+      .join(broadcast(sizes.select(col("id").as("id2"), col("n_sh").as("n2"))), Seq("id2"))
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("n1") + col("n2") - col("shared")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("shared"), col("n1"), col("n2"), col("jaccard"))
   }
-
-  // Doc-size side tables are tiny relative to the pair stream; broadcast
-  // them so the jaccard join never shuffles the pair stream twice.
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 
   /** MinHash signature columns: for each seed, min over the doc's shingles
     * of xxhash64(seed, shingle). */

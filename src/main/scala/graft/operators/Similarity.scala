@@ -7,20 +7,22 @@ import org.apache.spark.sql.functions._
   * top-k as the exact baseline, random-hyperplane LSH bucketing as the
   * scale path, and cosine near-duplicate pairs with label blocking.
   *
-  * All vector math is `zip_with`/`aggregate` over `array<double>` — pure
-  * Catalyst expressions (codegen'd, left-to-right fold, so the float result
-  * is deterministic and engine-portable). The probe side of every search is
-  * broadcast: at 100 TB the candidate corpus streams through one scan and
-  * never shuffles.
+  * The hot dot product is a native codegen'd Catalyst expression
+  * ([[graft.functions.DotProductExpr]]) with left-to-right accumulation, so
+  * results are deterministic and engine-portable. The probe side of every
+  * search is broadcast: at 100 TB the candidate corpus streams through one
+  * scan and never shuffles.
   */
 object Similarity {
 
   /** Elementwise widen to double — keeps all arithmetic in one type. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Left-to-right dot product fold. */
+  /** Left-to-right dot product — native codegen'd expression (the
+    * zip_with/aggregate higher-order fold evaluates interpreted and was the
+    * benchmark bottleneck; same accumulation order, bit-identical result). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProductExpr.dotProduct(a, b)
 
   /** cos(a,b) = a·b / sqrt((a·a)(b·b)) — single-sqrt form so the oracle
     * can reproduce it bit-for-bit. */
@@ -33,12 +35,16 @@ object Similarity {
     * per-probe top-k is a window over probe-partitioned rows. */
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Self-norms are precomputed per side (same doubles the oracle's inline
+    // dot(v,v) produces), so each pair costs one dot product, not three.
     val p = broadcast(probes.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv")))
+      asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
     val scored = c.crossJoin(p)
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -71,12 +77,14 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val p = broadcast(probes.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes)))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+      .withColumn("qn", dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes))
+      .withColumn("cn", dot(col("cv"), col("cv")))
     val scored = c.join(p, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -92,11 +100,12 @@ object Similarity {
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       asDouble(col(vecCol)).as("v"))
+      .withColumn("n", dot(col("v"), col("v")))
     v.as("a").join(v.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.block").as("block"),
-        cosine(col("a.v"), col("b.v")).as("cos_sim"))
+        (dot(col("a.v"), col("b.v")) / sqrt(col("a.n") * col("b.n"))).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
       .select(col("id1"), col("id2"), col("block"),
         round(col("cos_sim"), 4).as("cos_sim"))
