@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.{DotProductExpr, UrlDecodeExpr}
+
+/** SparkSessionExtensions entry point: makes graft's custom Catalyst
+  * expressions available to pure-SQL users —
+  *   spark.sql.extensions=graft.GraftExtensions
+  * registers `decodeurl(s)` (reference converter rule 8's custom function)
+  * and `dot_product(a, b)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("decodeurl"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[UrlDecodeExpr].getName, "decodeurl"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          UrlDecodeExpr(Cast(exprs.head, StringType))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotProductExpr].getName, "dot_product"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          DotProductExpr(exprs(0), exprs(1))))
+  }
+}
+
+/** Canonical session factory for graft deployments: UTC, AQE, right-sized
+  * shuffle partitions, nanos-tolerant parquet reads, extensions installed. */
+object GraftSession {
+  def builder(master: String = "local[*]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+}

@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FunctionQueries.queries ++ TextQueries.queries ++
-      SimilarityQueries.queries ++ EventQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ EventQueries.queries ++
+      MultimodalQueries.queries ++ AnalyticsQueries.queries
 
   /** DuckDB-equivalent SQL per query key; keys absent here get the driver's
     * weaker rows-only check (non-SQL-expressible operators). */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ FunctionQueries.oracleSql ++ TextQueries.oracleSql ++
-      SimilarityQueries.oracleSql ++ EventQueries.oracleSql
+      SimilarityQueries.oracleSql ++ EventQueries.oracleSql ++
+      AnalyticsQueries.oracleSql
 }

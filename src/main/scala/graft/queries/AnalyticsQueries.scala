@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** General analytics over the star schema — the "plain Spark SQL batch
+  * query" capability the reference's north star calls for (its validation
+  * queries are ordinary filtered aggregates/joins over warehouse tables).
+  * Money math stays in integral cents so the DuckDB oracle hash-matches.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Pricing-summary shape: scan-heavy grouped aggregate with a pushed
+    // date filter (the TPC-H q1 pattern on our lineitem).
+    "q_pricing_summary" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          round(col("l_discount") * 100).cast("long").as("disc_c"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(col("price_c")).as("sum_price_cents"),
+          sum(col("price_c") * (lit(10000L) - col("disc_c") * 100)).as("sum_disc_price_scaled"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Star join with broadcast dimensions: revenue per nation/segment.
+    "q_star_join_agg" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val n = Tables.load(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(sum(col("price_c")).as("revenue_cents"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"), col("c_mktsegment"))
+    }),
+
+    // Top-N per group over a join: 3 highest-value orders per segment
+    // (WindowGroupLimit pushes the rank limit below the shuffle).
+    "q_topn_per_group" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val c = Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("price_c").desc, col("o_orderkey"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("c_mktsegment"), col("rank"), col("o_orderkey"), col("price_c"))
+        .orderBy(col("c_mktsegment"), col("rank"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  sum(price_c) AS sum_price_cents,
+        |  sum(price_c * (10000 - disc_c * 100)) AS sum_disc_price_scaled,
+        |  count(*) AS n_rows
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus, l_quantity,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00') t
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_star_join_agg" ->
+      """SELECT n_name, c_mktsegment,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, c_mktsegment
+        |ORDER BY n_name, c_mktsegment""".stripMargin,
+
+    "q_topn_per_group" ->
+      """SELECT c_mktsegment, CAST(rank AS INTEGER) AS rank, o_orderkey, price_c
+        |FROM (
+        |  SELECT c_mktsegment, o_orderkey, price_c,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY price_c DESC, o_orderkey) AS rank
+        |  FROM (
+        |    SELECT o_orderkey, o_custkey,
+        |      CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |    FROM orders) o
+        |  JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rank <= 3
+        |ORDER BY c_mktsegment, rank""".stripMargin
+  )
+}
