@@ -30,6 +30,22 @@ object EventQueries {
           col("n_events"), col("value_milli"), col("min_value"), col("max_value"))
         .orderBy(col("hour_start"), col("event_type"))),
 
+    // Semi-structured props parsing (log-analytics staple): typed JSON
+    // extraction via from_json, rolled up per event type.
+    "q_json_extract" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      events(s, dir)
+        .withColumn("k", from_json(col("props"), schema).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // Gap-based sessionization (30-min inactivity): lag → new-session flag
     // → running sum as session id → per-session rollup. One shuffle on
     // user_id; both windows and the groupBy share that partitioning.
@@ -59,6 +75,13 @@ object EventQueries {
         |  min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (
