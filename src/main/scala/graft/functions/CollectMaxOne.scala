@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator` form of the reference's `collect_max_one` UDAF
+  * (reference: tools/script_converter_tool.py rule 13) for Dataset users:
+  * the value carried by the max rank, with the reference's sentinel
+  * semantics (null value ranks 0) and a deterministic value tiebreak.
+  *
+  * The untyped/DataFrame path stays on
+  * [[HiveFunctions.collectMaxOne]] (a max-of-struct declarative aggregate:
+  * codegen'd, map-side combinable); this class is the type-safe equivalent
+  * for `KeyValueGroupedDataset.agg`. Buffer is (seen, rank, value) — O(1),
+  * merge-associative, so partial aggregation works across any partitioning.
+  */
+final class CollectMaxOne[V >: Null](implicit ord: Ordering[V],
+                                     bufEnc: Encoder[(Boolean, Long, V)],
+                                     outEnc: Encoder[V])
+    extends Aggregator[(V, Long), (Boolean, Long, V), V] {
+
+  override def zero: (Boolean, Long, V) = (false, Long.MinValue, null)
+
+  override def reduce(b: (Boolean, Long, V), in: (V, Long)): (Boolean, Long, V) =
+    merge(b, (true, if (in._1 == null) 0L else in._2, in._1))
+
+  override def merge(x: (Boolean, Long, V), y: (Boolean, Long, V)): (Boolean, Long, V) =
+    if (!x._1) y
+    else if (!y._1) x
+    else if (y._2 > x._2 || (y._2 == x._2 && ord.gt(y._3, x._3))) y
+    else x
+
+  override def finish(b: (Boolean, Long, V)): V = b._3
+  override def bufferEncoder: Encoder[(Boolean, Long, V)] = bufEnc
+  override def outputEncoder: Encoder[V] = outEnc
+}
+
+object CollectMaxOne {
+  /** String-valued instance (the reference's dominant case). */
+  def forString: TypedColumn[(String, Long), String] = {
+    implicit val bufEnc: Encoder[(Boolean, Long, String)] =
+      Encoders.tuple(Encoders.scalaBoolean, Encoders.scalaLong, Encoders.STRING)
+    new CollectMaxOne[String]()(Ordering[String], bufEnc, Encoders.STRING).toColumn
+  }
+}

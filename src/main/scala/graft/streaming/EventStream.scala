@@ -42,6 +42,15 @@ object EventStream {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("value_milli"), col("min_value"), col("max_value"))
 
+  /** Streaming exact dedup on event_id: state is bounded by the watermark
+    * (duplicates arriving later than `watermark` after the original are
+    * not suppressed — the at-least-once ingestion contract). */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful 30-min-gap sessionization: one SessionState per live user,
     * closed sessions emitted on gap or processing-time timeout. The batch
     * twin is q_sessionize. NOTE: within-batch events are sorted per user
