@@ -72,6 +72,31 @@ object SchemaCatalog {
     new SchemaCatalog(tables, cols)
   }
 
+  /** Load from reference-shaped CSV files (schema_table.csv /
+    * schema_column.csv) through the Spark CSV source — header-aware,
+    * quote-tolerant (the reference's availability column embeds quoted
+    * JSON), so real metadata exports load unchanged. */
+  def fromCsvFiles(spark: org.apache.spark.sql.SparkSession,
+                   tableCsvPath: String, columnCsvPath: String): SchemaCatalog = {
+    import org.apache.spark.sql.functions.col
+    val t = spark.read.option("header", "true").csv(tableCsvPath)
+      .select(col("name"), col("table_id")).collect()
+    val c = spark.read.option("header", "true").csv(columnCsvPath)
+      .select(col("tableId"), col("name"), col("type"), col("primary_key")).collect()
+    val tables = t.flatMap { r =>
+      Option(r.getString(0)).map(_.trim.toLowerCase).filter(_.nonEmpty)
+        .map(_ -> Option(r.getString(1)).getOrElse("").trim)
+    }.toMap
+    val cols = c.flatMap { r =>
+      val name = Option(r.getString(1)).getOrElse("").trim
+      if (name.isEmpty) None
+      else Some(Option(r.getString(0)).getOrElse("").trim -> ColumnMeta(name,
+        Option(r.getString(2)).getOrElse("").trim.toIntOption.getOrElse(-1),
+        Option(r.getString(3)).getOrElse("").trim == "1"))
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    new SchemaCatalog(tables, cols)
+  }
+
   /** In-memory catalog for tests / embedded use. */
   def inMemory(entries: (String, Seq[ColumnMeta])*): SchemaCatalog = {
     val ids = entries.map(_._1).zipWithIndex.map { case (n, i) => n.toLowerCase -> i.toString }

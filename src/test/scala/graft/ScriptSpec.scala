@@ -103,4 +103,23 @@ class ScriptSpec extends AnyFunSuite {
     assert(out.contains("SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(RowModified)"))
     assert(!out.contains("collect_max_one"))
   }
+
+  test("fromCsvFiles loads reference-shaped metadata through the CSV source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat")
+    val tPath = dir.resolve("schema_table.csv")
+    val cPath = dir.resolve("schema_column.csv")
+    java.nio.file.Files.writeString(tPath,
+      """table_id,active,display_name,immutable,name,partition_type,step,visible,tenant_id,display_resource_key,availability
+        |43,1,customer,,customer,NONE,default,1,0,$customer,[]
+        |""".stripMargin)
+    java.nio.file.Files.writeString(cPath,
+      """column_id,display_name,name,primary_key,primary_timestamp,type,tenant_id,tableId,availability,category,display_resource_key
+        |1,ID,ID,1,0,2,1089,43,"[""LOOKUP""]",,$id
+        |2,Age,Age,0,0,1,1089,43,null,,$age
+        |""".stripMargin)
+    val cat = SchemaCatalog.fromCsvFiles(TestSpark.spark, tPath.toString, cPath.toString)
+    assert(cat.primaryKeys("customer") == Seq("ID"))
+    assert(cat.columnsFor("udm_s_customer").map(c => (c.name, c.typeName)) ==
+      Seq(("ID", "STRING"), ("Age", "LONG")))
+  }
 }
