@@ -63,4 +63,26 @@ object TextAnalysis {
     * "rolling" handle for clustering truncated/extended variants. */
   def prefixFingerprint(text: Column, n: Int = 5): Column =
     md5(concat_ws(" ", slice(tokens(normalized(text)), 1, n)))
+
+  /** Overlapping character chunks for RAG/embedding pipelines — the
+    * reference chunks its corpus at size 500 / overlap 50 before embedding
+    * (reference: tools/rag_tool.py:38). Chunk i covers
+    * [i·(size-overlap), i·(size-overlap)+size); the last start is always
+    * < length. Declarative (sequence+transform) → chunking 100 TB is a
+    * shuffle-free scan. */
+  def chunk(text: Column, size: Int = 500, overlap: Int = 50): Column = {
+    require(size > overlap, "size must exceed overlap")
+    val stride = size - overlap
+    transform(
+      sequence(lit(0), floor((length(text) - 1) / stride).cast("long")),
+      i => text.substr((i * stride + 1).cast("int"), lit(size)))
+  }
+
+  /** Term-frequency keyword relevance: Σ weight(term) · tf(term) over
+    * whitespace tokens (the deterministic core of the reference's search
+    * tooling). */
+  def keywordScore(text: Column, weightedTerms: Seq[(String, Double)]): Column =
+    weightedTerms.map { case (term, w) =>
+      size(filter(tokens(text), t => t === term)).cast("double") * w
+    }.reduce(_ + _)
 }

@@ -73,6 +73,26 @@ object TextQueries {
         TA.prefixFingerprint(col("text"), 5).as("prefix_fp"))
         .orderBy(col("doc_id"))),
 
+    // RAG-prep chunking (reference rag_tool.py: size 500 / overlap 50).
+    "q_chunk_documents" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TA.chunk(col("text"), 500, 50)))
+        .toDF("doc_id", "chunk_idx", "chunk")
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Weighted TF keyword relevance, top 20 (search-tool analog).
+    "q_keyword_search" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.keywordScore(col("text"),
+            Seq("data" -> 1.0, "query" -> 1.0, "fast" -> 2.0)).as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)),
+
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(dupCorpus(s, dir), "doc_id", "text")
         .orderBy(col("canonical_id"))),
@@ -138,6 +158,26 @@ object TextQueries {
          |  md5($normSql) AS fp,
          |  md5(array_to_string(list_slice(string_split($normSql, ' '), 1, 5), ' ')) AS prefix_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_documents" ->
+      """SELECT doc_id,
+        |  CAST(i - 1 AS BIGINT) AS chunk_idx,
+        |  CAST(length(substring(text, (i - 1) * 450 + 1, 500)) AS BIGINT) AS chunk_len,
+        |  md5(substring(text, (i - 1) * 450 + 1, 500)) AS chunk_md5
+        |FROM (
+        |  SELECT doc_id, text, unnest(range(1, CAST(floor((length(text) - 1) / 450) AS BIGINT) + 2)) AS i
+        |  FROM documents) t
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_keyword_search" ->
+      """SELECT doc_id, score FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'data')) AS DOUBLE) * 1.0
+        |    + CAST(len(list_filter(string_split(text, ' '), t -> t = 'query')) AS DOUBLE) * 1.0
+        |    + CAST(len(list_filter(string_split(text, ' '), t -> t = 'fast')) AS DOUBLE) * 2.0 AS score
+        |  FROM documents) t
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_dedup_exact" ->
       s"""WITH $dupCorpusSql,
