@@ -30,6 +30,14 @@ object EventQueries {
           col("n_events"), col("value_milli"), col("min_value"), col("max_value"))
         .orderBy(col("hour_start"), col("event_type"))),
 
+    // Sketch-based profiling (HLL distinct + quantile sketches): approx
+    // values are engine-specific → rows-only; error bounds pinned in
+    // SketchesAndSinksSpec.
+    "q_sketch_profile" -> ((s, dir) =>
+      graft.operators.Sketches.profile(events(s, dir),
+          Seq(col("event_type")), col("value"), col("user_id"))
+        .orderBy(col("event_type"))),
+
     // Semi-structured props parsing (log-analytics staple): typed JSON
     // extraction via from_json, rolled up per event type.
     "q_json_extract" -> ((s, dir) => {

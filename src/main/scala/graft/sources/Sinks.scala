@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Parquet sink helpers encoding the layout decisions that matter at
+  * 100 TB: directory partitioning for partition pruning on read, and
+  * within-file sort for min/max page skipping on the sort key.
+  */
+object Sinks {
+
+  /** Write hive-style partitioned parquet: readers filtering on
+    * `partitionCols` prune whole directories before any I/O. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Write parquet sorted within partitions on `sortCols`: parquet
+    * row-group statistics then let scans skip pages for range predicates
+    * on those columns (poor man's clustering where bucketed metastore
+    * tables aren't available). */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  files: Int = 0): Unit = {
+    val base = if (files > 0) df.repartition(files) else df
+    base.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+import graft.sources.{Sinks, Tables}
+
+class SketchesAndSinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sketch profile: HLL within 5% of exact, quantiles ordered and in range") {
+    val e = Tables.load(spark, TestSpark.Sf0001, "events")
+    val prof = Sketches.profile(e, Seq($"event_type"), $"value", $"user_id")
+      .collect()
+    val exact = e.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("d")).as[(String, Long)].collect().toMap
+    assert(prof.nonEmpty)
+    prof.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val approx = r.getAs[Long]("approx_distinct").toDouble
+      assert(math.abs(approx - exact(et)) / exact(et) <= 0.05,
+        s"$et HLL off: $approx vs ${exact(et)}")
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p95"))
+      assert(r.getAs[Double]("p50") >= r.getAs[Double]("min_v"))
+      assert(r.getAs[Double]("p95") <= r.getAs[Double]("max_v"))
+    }
+  }
+
+  test("partitioned sink prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val e = Tables.load(spark, TestSpark.Sf0001, "events")
+    Sinks.writePartitioned(e, dir, Seq("event_type"))
+    val back = spark.read.parquet(dir).filter($"event_type" === "click")
+    assert(back.count() == e.filter($"event_type" === "click").count())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type)") ||
+      plan.contains("PartitionFilters"))
+  }
+
+  test("sorted sink round-trips with identical data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sort").toString
+    val e = Tables.load(spark, TestSpark.Sf0001, "events")
+    Sinks.writeSorted(e, dir, Seq("ts"), files = 2)
+    assert(spark.read.parquet(dir).count() == e.count())
+  }
+}
