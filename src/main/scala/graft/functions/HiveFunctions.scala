@@ -86,6 +86,20 @@ object HiveFunctions {
     max(struct(effRank.as("r"), value.as("v"))).getField("v")
   }
 
+  /** Snowflake-side `TO_NUMBER_CUSTOM(ts)` (converter rule 13's rewrite
+    * target): the timestamp as a fixed-width 13-digit epoch-millis string,
+    * so string ordering equals time ordering. */
+  def toNumberCustom(ts: Column): Column =
+    lpad(unix_millis(ts).cast("string"), 13, "0")
+
+  /** The reference's Snowflake argmax idiom
+    * `SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(ts), value)), 14)`
+    * (converter rule 13) — equivalent to [[collectMaxOne]] for string
+    * values (proven in HiveFunctionsSpec). Kept for drop-in parity;
+    * prefer collectMaxOne (typed, no string round-trip). */
+  def argmaxByConcat(value: Column, ts: Column): Column =
+    substring(max(concat(toNumberCustom(ts), value)), 14, Int.MaxValue)
+
   /** `reflect("java.net.URLDecoder", "decode", v [, "UTF-8"])` ≡ Snowflake
     * custom `decodeurl` (converter rule 8). Catalyst expression in
     * [[graft.functions.UrlDecode]]; this is the Column-facing wrapper. */

@@ -50,6 +50,18 @@ class HiveFunctionsSpec extends AnyFunSuite {
     assert(df.as[String].collect().toSeq == Seq("a b c", "100%interest", "€"))
   }
 
+  test("argmaxByConcat (reference's Snowflake rewrite) ≡ collectMaxOne on strings") {
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val a = e.groupBy($"user_id")
+      .agg(argmaxByConcat($"event_type", $"ts").as("v"))
+      .orderBy($"user_id").as[(Long, String)].collect().toSeq
+    val b = e.groupBy($"user_id")
+      .agg(collectMaxOne($"event_type", unix_millis($"ts")).as("v"))
+      .orderBy($"user_id").as[(Long, String)].collect().toSeq
+    assert(a == b)
+  }
+
   test("msToDate truncates epoch millis to UTC date") {
     val df = Seq(86400000L + 3600123L).toDF("ms").select(msToDate($"ms").as("d"))
     assert(df.as[java.sql.Date].collect().head.toString == "1970-01-02")

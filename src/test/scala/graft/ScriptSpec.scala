@@ -104,6 +104,20 @@ class ScriptSpec extends AnyFunSuite {
     assert(!out.contains("collect_max_one"))
   }
 
+  test("suggester helpers: file pairing, column search, context window") {
+    assert(ScriptSnippets.extractSuffix("nw_customer_PRE_300.hql", "nw_")
+      .contains("customer_PRE_300"))
+    assert(ScriptSnippets.matchFilePairs(
+      Seq("nw_customer_PRE_300.hql", "nw_orphan.hql", "readme.md"),
+      Seq("sf_dw_customer_PRE_300.sql", "sf_dw_other.sql")) ==
+      Seq(("nw_customer_PRE_300.hql", "sf_dw_customer_PRE_300.sql")))
+    assert(ScriptSnippets.findColumn("c_emailHash", "SELECT C_EMAILHASH FROM t"))
+    assert(!ScriptSnippets.findColumn("c_email", "SELECT c_emailHash FROM t"))
+    val sql = (1 to 10).map(i => s"line $i").updated(5, "SELECT target_col").mkString("\n")
+    val snip = ScriptSnippets.extractRelevantSql(sql, "target_col", contextLines = 2)
+    assert(snip == "line 4\nline 5\nSELECT target_col\nline 7\nline 8")
+  }
+
   test("fromCsvFiles loads reference-shaped metadata through the CSV source") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cat")
     val tPath = dir.resolve("schema_table.csv")
