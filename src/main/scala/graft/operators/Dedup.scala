@@ -55,22 +55,25 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
                         dfCap: Int = 10000): DataFrame = {
+    // Hashed postings are persisted: shingle generation (normalize + regex
+    // split + higher-order transform — interpreted, the expensive part) runs
+    // ONCE for the two consumers below instead of being recomputed from the
+    // text per consumer. The cached form is just (long, long) pairs —
+    // exactly what you'd materialize at 100 TB too. Spark's ContextCleaner
+    // reclaims the block once the plan is unreferenced.
     val sh = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("raw"))
       .select(col("id"), xxhash64(col("raw")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    // Stop-shingle df cap as a broadcast anti join (a window count over the
-    // full posting list would sort-shuffle everything).
-    val stop = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select(col("sh"))
-    val capped = sh.join(broadcast(stop), Seq("sh"), "left_anti")
     // Pair generation via bucket arrays + double explode: one shuffle to
-    // build posting buckets, then the per-bucket cross product streams
-    // straight into the codegen'd pair-count aggregate — no join machinery
-    // on the fan-out path at all.
-    val buckets = capped.groupBy(col("sh"))
+    // build posting buckets (the stop-shingle df cap is just a filter on
+    // bucket size — no separate df aggregate or anti join), then the
+    // per-bucket cross product streams straight into the codegen'd
+    // pair-count aggregate — no join machinery on the fan-out path at all.
+    val buckets = sh.groupBy(col("sh"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
     val pairs = buckets
       .select(explode(col("ids")).as("id1"), col("ids"))
       .select(col("id1"), explode(col("ids")).as("id2"))
