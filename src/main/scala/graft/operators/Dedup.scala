@@ -109,7 +109,11 @@ object Dedup {
                       minEstJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // Three consumers (banding + both sides of the estimation join) would
+    // each recompute the shingle explode + 16-way min aggregate; the
+    // signature table is numHashes longs per doc — persist it.
     val sig = minhashSignature(df, idCol, textCol, n, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
       xxhash64((lit(b) +: cols): _*).as(s"band_$b")
@@ -156,7 +160,9 @@ object Dedup {
     * with an exact popcount of the XOR. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // One long per doc; both sides of the band self-join read it.
     val sig = simhash(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
