@@ -94,6 +94,51 @@ object Similarity {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** IVF-style ANN: deterministic coarse centroids (every `corpusSize /
+    * nCentroids`-th vector by id order — at scale you'd plug in k-means
+    * iterations over the same assignment join), one-pass nearest-centroid
+    * assignment of the corpus, then exact cosine only against the probe's
+    * `nProbe` nearest centroid cells. Unlike hyperplane LSH, cell
+    * population adapts to the data distribution.
+    */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+    // Deterministic pseudo-random centroid sample: top-n by id hash is a
+    // distributed TakeOrdered (no global sort), broadcast everywhere.
+    val centroids = broadcast(
+      c.orderBy(xxhash64(col("vec_id"))).limit(nCentroids)
+        .select(col("vec_id").as("centroid_id"), col("cv").as("centv"),
+          col("cn").as("centn")))
+    def nearestCells(v: DataFrame, vec: String, norm: String, n: Int): DataFrame = {
+      val scored = v.crossJoin(centroids)
+        .withColumn("__sim", dot(col(vec), col("centv")) / sqrt(col(norm) * col("centn")))
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("__sim").desc, col("centroid_id"))
+      scored.withColumn("__cr", row_number().over(cw))
+        .filter(col("__cr") <= n)
+        .drop("centv", "centn", "__sim", "__cr")
+    }
+    val assigned = nearestCells(c, "cv", "cn", 1)
+    val p = probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", dot(col("qv"), col("qv")))
+      .withColumnRenamed("query_id", "vec_id")
+    val probeCells = broadcast(nearestCells(p, "qv", "qn", nProbe)
+      .withColumnRenamed("vec_id", "query_id"))
+    val scored = assigned.join(probeCells, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** Cosine near-duplicate pairs, blocked on a coarse partition column
     * (cluster label / shard) so the pair space is per-block, not corpus². */
   def cosineNearDupPairs(df: DataFrame, blockCol: String, minCos: Double,

@@ -29,6 +29,15 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-style ANN: adaptive centroid cells (rows-only; recall vs the
+    // exact baseline is pinned in SimilaritySpec).
+    "q_ann_ivf" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5,
+          nCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Label-blocked cosine near-duplicate pairs.
     "q_dedup_embedding" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),

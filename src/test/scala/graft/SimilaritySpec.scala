@@ -46,6 +46,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("rank") <= 5))
   }
 
+  test("IVF ANN: valid ranks, self excluded, decent recall vs brute force") {
+    val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val probes = v.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(probes, v, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(probes, v, k = 5, nCentroids = 16, nProbe = 4)
+      .collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("query_id")))
+    val got = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall") // random vectors: cells barely correlate with cosine, just sanity
+  }
+
   test("label-blocked near-dup pairs stay within block and above threshold") {
     val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
     val out = Similarity.cosineNearDupPairs(v, "label", 0.3)
