@@ -51,6 +51,20 @@ object AnalyticsQueries {
         .orderBy(col("n_name"), col("c_mktsegment"))
     }),
 
+    // Skew-salted join (Skew.saltedJoin): identical results to the plain
+    // join — the oracle proves it — while the shuffle key is (key, salt)
+    // so one hot user can't pin a reducer.
+    "q_salted_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 1000).cast("long").as("value_milli"))
+      val dim = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      graft.operators.Skew.saltedJoin(e, dim, "user_id", salts = 8,
+          saltSrc = col("event_id"))
+        .select(col("event_id"), col("user_id"), col("value_milli"), col("n_events"))
+        .orderBy(col("event_id"))
+    }),
+
     // Top-N per group over a join: 3 highest-value orders per segment
     // (WindowGroupLimit pushes the rank limit below the shuffle).
     "q_topn_per_group" -> ((s, dir) => {
@@ -95,6 +109,16 @@ object AnalyticsQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name, c_mktsegment
         |ORDER BY n_name, c_mktsegment""".stripMargin,
+
+    "q_salted_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS value_milli
+        |  FROM events),
+        |dim AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.value_milli, dim.n_events
+        |FROM e JOIN dim ON e.user_id = dim.user_id
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_topn_per_group" ->
       """SELECT c_mktsegment, CAST(rank AS INTEGER) AS rank, o_orderkey, price_c
