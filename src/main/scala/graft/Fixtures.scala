@@ -67,6 +67,26 @@ object Fixtures {
     kept.unionByName(injected)
   }
 
+  /** Portable lineitem projection with its natural composite key. */
+  def hiveLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      round(col("l_extendedprice") * 100).cast("long").as("l_price_cents"),
+      col("l_returnflag"))
+
+  /** SF-side lineitem: composite-keyed perturbation — rows with
+    * (10·orderkey + linenumber) % 59 == 0 dropped, quantity bumped on
+    * % 53 == 0. */
+  def sfLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val h = hiveLineitem(spark, dir)
+    val k = col("l_orderkey") * 10 + col("l_linenumber")
+    h.filter(k % 59 =!= 0).select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(k % 53 === 0, col("l_quantity") + 1).otherwise(col("l_quantity"))
+        .as("l_quantity"),
+      col("l_price_cents"), col("l_returnflag"))
+  }
+
   /** DuckDB WITH-clause fragments mirroring the Spark derivations above.
     * Composed into every oracle query that uses a fixture pair. */
   object Sql {
@@ -111,7 +131,24 @@ object Fixtures {
         |         c_mktsegment
         |  FROM hive_customer WHERE c_custkey % 47 = 0)""".stripMargin
 
+    val hiveLineitem: String =
+      """hive_lineitem AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS l_price_cents,
+        |         l_returnflag
+        |  FROM lineitem)""".stripMargin
+
+    val sfLineitem: String =
+      """sf_lineitem AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN (l_orderkey * 10 + l_linenumber) % 53 = 0
+        |              THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+        |         l_price_cents, l_returnflag
+        |  FROM hive_lineitem
+        |  WHERE (l_orderkey * 10 + l_linenumber) % 59 <> 0)""".stripMargin
+
     val ordersPair: String = s"WITH $hiveOrders,\n$sfOrders"
+    val lineitemPair: String = s"WITH $hiveLineitem,\n$sfLineitem"
     val bothPairs: String =
       s"WITH $hiveOrders,\n$sfOrders,\n$hiveCustomer,\n$sfCustomer"
   }

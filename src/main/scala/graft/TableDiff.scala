@@ -31,39 +31,60 @@ object TableDiff {
 
   /** Columns that participate in comparison: everything but the PK and the
     * excluded (audit) columns, in left-schema order. */
-  def compareCols(df: DataFrame, pk: String, exclude: Seq[String]): Seq[String] = {
-    val drop = (exclude :+ pk).map(_.toLowerCase).toSet
+  def compareCols(df: DataFrame, pks: Seq[String], exclude: Seq[String]): Seq[String] = {
+    val drop = (exclude ++ pks).map(_.toLowerCase).toSet
     df.columns.filterNot(c => drop.contains(c.toLowerCase)).toSeq
   }
 
-  /** Per-side prepared frame: (pk, fingerprint, compare columns). */
-  private def withHash(df: DataFrame, pk: String, cols: Seq[String], side: String): DataFrame =
-    df.select(
-      (col(pk).as("pk") +:
-        rowHash(cols.map(col)).as(s"${side}_hash") +:
-        cols.map(c => col(c).as(s"${side}_$c"))): _*)
+  def compareCols(df: DataFrame, pk: String, exclude: Seq[String]): Seq[String] =
+    compareCols(df, Seq(pk), exclude)
 
-  /** One full-outer join on PK with presence + fingerprint-mismatch flags.
-    * Output: pk, in_left, in_right, hash_mismatch, left_/right_ columns. */
-  def diff(left: DataFrame, right: DataFrame, pk: String,
-           exclude: Seq[String] = Nil): DataFrame = {
-    val cols = compareCols(left, pk, exclude)
-    val l = withHash(left, pk, cols, "left")
-    val r = withHash(right, pk, cols, "right")
-    l.join(r, Seq("pk"), "full_outer")
+  /** Single sortable key representation: the raw column for simple PKs,
+    * a ':'-joined string for composite PKs. */
+  private def pkExpr(pks: Seq[String]): Column =
+    if (pks.size == 1) col(pks.head)
+    else concat_ws(":", pks.map(c => col(c).cast("string")): _*)
+
+  /** Per-side prepared frame: (pk cols, fingerprint, compare columns). */
+  private def withHash(df: DataFrame, pks: Seq[String], cols: Seq[String], side: String): DataFrame =
+    df.select(
+      (pks.map(col) :+
+        rowHash(cols.map(col)).as(s"${side}_hash")) ++:
+        cols.map(c => col(c).as(s"${side}_$c")): _*)
+
+  /** One full-outer join on the PK (single or composite) with presence +
+    * fingerprint-mismatch flags. Output: `pk` (sortable key), the PK
+    * columns, in_left, in_right, hash_mismatch, left_/right_ columns. */
+  def diff(left: DataFrame, right: DataFrame, pks: Seq[String],
+           exclude: Seq[String]): DataFrame = {
+    val cols = compareCols(left, pks, exclude)
+    val l = withHash(left, pks, cols, "left")
+    val r = withHash(right, pks, cols, "right")
+    l.join(r, pks, "full_outer")
+      .withColumn("pk", pkExpr(pks))
       .withColumn("in_left", col("left_hash").isNotNull)
       .withColumn("in_right", col("right_hash").isNotNull)
       .withColumn("hash_mismatch",
         col("in_left") && col("in_right") && col("left_hash") =!= col("right_hash"))
   }
 
+  def diff(left: DataFrame, right: DataFrame, pk: String,
+           exclude: Seq[String] = Nil): DataFrame =
+    diff(left, right, Seq(pk), exclude)
+
   /** One `dw_data_metrics`-style row (reference: snowflake_tool.py:23-39):
     * total counts per side + sorted, capped samples of hive-only / sf-only /
     * data-discrepancy PK values (rendered as comma-joined strings so the row
     * is bounded and engine-portable). */
   def metrics(left: DataFrame, right: DataFrame, tableName: String, pk: String,
-              exclude: Seq[String] = Nil, sampleCap: Int = 100): DataFrame = {
-    val d = diff(left, right, pk, exclude)
+              exclude: Seq[String] = Nil, sampleCap: Int = 100): DataFrame =
+    metricsMulti(left, right, tableName, Seq(pk), exclude, sampleCap)
+
+  /** Composite-PK form of [[metrics]]. */
+  def metricsMulti(left: DataFrame, right: DataFrame, tableName: String,
+                   pks: Seq[String], exclude: Seq[String] = Nil,
+                   sampleCap: Int = 100): DataFrame = {
+    val d = diff(left, right, pks, exclude)
     def sample(flag: Column): Column =
       coalesce(
         concat_ws(",",
@@ -93,9 +114,14 @@ object TableDiff {
     * (data_matrix_tool.py:43) — bounded work no matter how bad the drift.
     */
   def mismatchMatrix(left: DataFrame, right: DataFrame, pk: String,
-                     exclude: Seq[String] = Nil, idCap: Int = 1000000): DataFrame = {
-    val cols = compareCols(left, pk, exclude)
-    val d = diff(left, right, pk, exclude).filter(col("hash_mismatch"))
+                     exclude: Seq[String] = Nil, idCap: Int = 1000000): DataFrame =
+    mismatchMatrixMulti(left, right, Seq(pk), exclude, idCap)
+
+  /** Composite-PK form of [[mismatchMatrix]]; `id` is the ':'-joined key. */
+  def mismatchMatrixMulti(left: DataFrame, right: DataFrame, pks: Seq[String],
+                          exclude: Seq[String] = Nil, idCap: Int = 1000000): DataFrame = {
+    val cols = compareCols(left, pks, exclude)
+    val d = diff(left, right, pks, exclude).filter(col("hash_mismatch"))
     val capped = d.orderBy(col("pk")).limit(idCap)
     val stackArgs = cols.map(c =>
       s"'$c', CAST(`left_$c` AS STRING), CAST(`right_$c` AS STRING)").mkString(", ")

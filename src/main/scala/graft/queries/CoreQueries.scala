@@ -173,6 +173,12 @@ object CoreQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // Composite-PK diff: lineitem's natural (orderkey, linenumber) key.
+    "q_composite_key_metrics" -> ((s, dir) =>
+      TableDiff.metricsMulti(Fixtures.hiveLineitem(s, dir),
+        Fixtures.sfLineitem(s, dir), "lineitem",
+        Seq("l_orderkey", "l_linenumber"))),
+
     "q_count_compare" -> ((s, dir) => {
       val h = Fixtures.hiveOrders(s, dir).groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("hive_n"))
@@ -320,6 +326,30 @@ object CoreQueries {
          |    ORDER BY for_ordering DESC, o_orderdate DESC, o_orderkey DESC) AS rn
          |  FROM b) t
          |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_composite_key_metrics" ->
+      s"""${Fixtures.Sql.lineitemPair},
+         |d AS (
+         |  SELECT coalesce(CAST(h.l_orderkey AS VARCHAR) || ':' || CAST(h.l_linenumber AS VARCHAR),
+         |                  CAST(s.l_orderkey AS VARCHAR) || ':' || CAST(s.l_linenumber AS VARCHAR)) AS pk,
+         |         h.l_orderkey IS NOT NULL AS in_left,
+         |         s.l_orderkey IS NOT NULL AS in_right,
+         |         (h.l_orderkey IS NOT NULL AND s.l_orderkey IS NOT NULL AND (
+         |            h.l_quantity IS DISTINCT FROM s.l_quantity OR
+         |            h.l_price_cents IS DISTINCT FROM s.l_price_cents OR
+         |            h.l_returnflag IS DISTINCT FROM s.l_returnflag)) AS mism
+         |  FROM hive_lineitem h FULL OUTER JOIN sf_lineitem s
+         |    ON h.l_orderkey = s.l_orderkey AND h.l_linenumber = s.l_linenumber)
+         |SELECT 'lineitem' AS table_name,
+         |  count(*) FILTER (WHERE in_left) AS total_record_count_hive,
+         |  count(*) FILTER (WHERE in_right) AS total_record_count_sf,
+         |  count(*) FILTER (WHERE in_left AND NOT in_right) AS hive_only_count,
+         |  count(*) FILTER (WHERE in_right AND NOT in_left) AS sf_only_count,
+         |  count(*) FILTER (WHERE mism) AS data_discrepancy_count,
+         |  coalesce(array_to_string(list_slice(list_sort(list(pk) FILTER (WHERE in_left AND NOT in_right)), 1, 100), ','), '') AS hive_only_pk_values,
+         |  coalesce(array_to_string(list_slice(list_sort(list(pk) FILTER (WHERE in_right AND NOT in_left)), 1, 100), ','), '') AS sf_only_pk_values,
+         |  coalesce(array_to_string(list_slice(list_sort(list(pk) FILTER (WHERE mism)), 1, 100), ','), '') AS data_discrepancy_pk_values
+         |FROM d""".stripMargin,
 
     "q_count_compare" ->
       s"""${Fixtures.Sql.ordersPair},
