@@ -24,11 +24,6 @@ import graft.functions.HiveFunctions.rowHash
   */
 object TableDiff {
 
-  /** Null-aware stringification used inside fingerprints and the matrix:
-    * COALESCE(CAST(c AS STRING),'NULL') — the reference's exact sentinel
-    * (script_converter_tool.py:169-170). */
-  private def str(c: Column): Column = coalesce(c.cast("string"), lit("NULL"))
-
   /** Columns that participate in comparison: everything but the PK and the
     * excluded (audit) columns, in left-schema order. */
   def compareCols(df: DataFrame, pks: Seq[String], exclude: Seq[String]): Seq[String] = {

@@ -195,6 +195,17 @@ object HiveToSnowflakeConverter {
     s = s.replaceAll("""(?i)\bhash\s*\(""", "hashcode(")
     s = s.replaceAll("""(?i)\bIF\s*\(""", "IFF(")
 
+    // Rule 29: temp-table ('tbl'-named) creates → CREATE OR REPLACE
+    // TEMPORARY TABLE.
+    s = s.replaceAll(
+      """(?i)\bCREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w*tbl\w*)""",
+      "CREATE OR REPLACE TEMPORARY TABLE $1")
+
+    // Rule 25: double-quoted string literals → single-quoted (skipped when
+    // the content itself contains a single quote).
+    s = """"([^"'\n]*)"""".r.replaceAllIn(s, m =>
+      Regex.quoteReplacement(s"'${m.group(1)}'"))
+
     // Rule 14: UNIX_TIMESTAMP()*1000 → CURRENT_TIMESTAMP().
     s = s.replaceAll("""(?i)\bunix_timestamp\s*\(\s*\)\s*\*\s*1000\b""", "CURRENT_TIMESTAMP()")
 

@@ -97,6 +97,28 @@ object SchemaCatalog {
     new SchemaCatalog(tables, cols)
   }
 
+  /** Tenant registry row (reference: resources/prod-gcp/tenant.csv —
+    * per-tenant mapper sizing used to plan pipeline resources). */
+  final case class TenantMeta(tenantId: String, active: Boolean,
+                              mapperCores: Int, mapperMemory: String,
+                              tenantName: String, mapperPod: String)
+
+  /** Parse reference-shaped tenant.csv lines
+    * (tenant_id,active,mapper_cores,mapper_memory,tenant_name,mapper_pod). */
+  def tenantsFromCsv(lines: Seq[String]): Map[String, TenantMeta] = {
+    val header = lines.head.split(",", -1).zipWithIndex.toMap
+    lines.tail.map(_.split(",", -1)).flatMap { r =>
+      val id = r(header("tenant_id")).trim
+      if (id.isEmpty) None
+      else Some(id -> TenantMeta(id,
+        r(header("active")).trim == "1",
+        r(header("mapper_cores")).trim.toIntOption.getOrElse(0),
+        r(header("mapper_memory")).trim,
+        r(header("tenant_name")).trim,
+        r(header("mapper_pod")).trim))
+    }.toMap
+  }
+
   /** In-memory catalog for tests / embedded use. */
   def inMemory(entries: (String, Seq[ColumnMeta])*): SchemaCatalog = {
     val ids = entries.map(_._1).zipWithIndex.map { case (n, i) => n.toLowerCase -> i.toString }

@@ -73,7 +73,8 @@ class ScriptSpec extends AnyFunSuite {
   test("scalar-function rules 7/8/10/11/12/14/21/22/26/34/36") {
     val cases = Seq(
       "locate('a', x)" -> "position('a', x)",
-      "reflect(\"java.net.URLDecoder\", \"decode\", \"VALUE\",\"UTF-8\")" -> "decodeurl(\"VALUE\")",
+      // rule 8 then rule 25 (double→single quotes) applies to the survivor
+      "reflect(\"java.net.URLDecoder\", \"decode\", \"VALUE\",\"UTF-8\")" -> "decodeurl('VALUE')",
       "hash(v)" -> "hashcode(v)",
       "LCASE(v)" -> "LOWER(v)",
       "INSTR(v, '_')" -> "position('_', v)",
@@ -93,6 +94,23 @@ class ScriptSpec extends AnyFunSuite {
     assert(C.convert("SELECT /*+ MAPJOIN(t) */ 1") == "SELECT  1")
     assert(C.convert("SET mapred.reduce.tasks=4;\nSELECT 1") == "SELECT 1")
     assert(C.convert("SET  Vals = ('a', 'b');") == "SET  Vals = 'a,b';")
+  }
+
+  test("rules 25/29: double-quote literals and temp-table creates") {
+    assert(C.convert("SELECT \"abc\" FROM t") == "SELECT 'abc' FROM t")
+    assert(C.convert("CREATE TABLE tmp_tbl_x AS SELECT 1") ==
+      "CREATE OR REPLACE TEMPORARY TABLE tmp_tbl_x AS SELECT 1")
+    assert(C.convert("CREATE TABLE customers AS SELECT 1") ==
+      "CREATE TABLE customers AS SELECT 1") // non-tbl names untouched
+  }
+
+  test("tenant registry parses reference-shaped tenant.csv") {
+    val t = SchemaCatalog.tenantsFromCsv(Seq(
+      "tenant_id,active,mapper_cores,mapper_memory,tenant_name,mapper_pod",
+      "1031,1,256,50g,Biglots(churn),pod_1031",
+      "1026,0,32,50g,Roots(churn),pod_1026"))
+    assert(t("1031").mapperCores == 256 && t("1031").active)
+    assert(!t("1026").active && t("1026").mapperPod == "pod_1026")
   }
 
   test("rule 13: canonical collect_max_one block rewrites to TO_NUMBER_CUSTOM form") {
