@@ -162,9 +162,60 @@ object HiveToSnowflakeConverter {
       """(?i)SUBSTRING\s*\(\s*MAX\s*\(\s*CONCAT\s*\(\s*RowModified""".r
         .findFirstIn(script).isDefined
 
+  /** Mask `--` comments with control-char placeholders no rule can touch
+    * (reference rule 6: commented lines pass through verbatim); returns the
+    * masked text and the restore function. String literals stay visible —
+    * several rules (8/9/23) legitimately parse quoted arguments. */
+  private def maskComments(s: String): (String, String => String) = {
+    val saved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.startsWith("--", i)) {
+        val end = s.indexOf('\n', i) match { case -1 => s.length; case e => e }
+        sb.append('\u0001').append(saved.length).append('\u0001')
+        saved += s.substring(i, end)
+        i = end
+      } else { sb.append(s(i)); i += 1 }
+    }
+    (sb.toString, masked => {
+      """\u0001(\d+)\u0001""".r.replaceAllIn(masked,
+        m => Regex.quoteReplacement(saved(m.group(1).toInt)))
+    })
+  }
+
+  /** Rule 25, quote-aware: rewrite double-quoted literals to single-quoted,
+    * never inside single-quoted context, and leave content bearing quotes,
+    * backslashes, or newlines alone (no safe rendering). */
+  private def rewriteDoubleQuoted(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' =>
+          val j = s.indexOf('\'', i + 1)
+          val end = if (j < 0) s.length else j + 1
+          sb.append(s.substring(i, end)); i = end
+        case '"' =>
+          val j = s.indexOf('"', i + 1)
+          if (j < 0) { sb.append(s.substring(i)); i = s.length }
+          else {
+            val content = s.substring(i + 1, j)
+            if (content.exists(c => c == '\'' || c == '\\' || c == '\n'))
+              sb.append(s.substring(i, j + 1))
+            else sb.append('\'').append(content).append('\'')
+            i = j + 1
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
   def convert(script: String): String = {
-    var s = script
-    val main = isMainScript(s)
+    val main = isMainScript(script)
+    val (masked, restore) = maskComments(script)
+    var s = masked
 
     // Rule 19: drop MAPJOIN hints; rule 20: drop mapred.reduce.tasks SETs.
     s = s.replaceAll("""(?i)/\*\+\s*MAPJOIN\s*\([^)]*\)\s*\*/""", "")
@@ -196,15 +247,14 @@ object HiveToSnowflakeConverter {
     s = s.replaceAll("""(?i)\bIF\s*\(""", "IFF(")
 
     // Rule 29: temp-table ('tbl'-named) creates → CREATE OR REPLACE
-    // TEMPORARY TABLE.
+    // TEMPORARY TABLE (schema-qualified names included).
     s = s.replaceAll(
-      """(?i)\bCREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w*tbl\w*)""",
+      """(?i)\bCREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.)?\w*tbl\w*)""",
       "CREATE OR REPLACE TEMPORARY TABLE $1")
 
-    // Rule 25: double-quoted string literals → single-quoted (skipped when
-    // the content itself contains a single quote).
-    s = """"([^"'\n]*)"""".r.replaceAllIn(s, m =>
-      Regex.quoteReplacement(s"'${m.group(1)}'"))
+    // Rule 25: double-quoted string literals → single-quoted (quote-aware
+    // scanner; comments are masked above).
+    s = rewriteDoubleQuoted(s)
 
     // Rule 14: UNIX_TIMESTAMP()*1000 → CURRENT_TIMESTAMP().
     s = s.replaceAll("""(?i)\bunix_timestamp\s*\(\s*\)\s*\*\s*1000\b""", "CURRENT_TIMESTAMP()")
@@ -241,6 +291,6 @@ object HiveToSnowflakeConverter {
           s"SET MD5Source='PUBLIC.$e';\n\n" + s
       }
     }
-    s
+    restore(s)
   }
 }

@@ -51,23 +51,36 @@ final class SchemaCatalog(tables: Map[String, String],
 
 object SchemaCatalog {
 
+  /** Naive-CSV rows as header-keyed maps: header cells trimmed, short rows
+    * padded with "", empty input → no rows. Shared by every lines-based
+    * loader here (quoted-field CSVs go through [[fromCsvFiles]] instead). */
+  private def csvRows(lines: Seq[String]): Seq[Map[String, String]] =
+    lines match {
+      case head +: tail =>
+        val header = head.split(",", -1).map(_.trim)
+        tail.map { line =>
+          val cells = line.split(",", -1)
+          header.zipWithIndex.map { case (h, i) =>
+            h -> (if (i < cells.length) cells(i).trim else "")
+          }.toMap
+        }
+      case _ => Seq.empty
+    }
+
   /** Build from CSV lines shaped like the reference's schema_table.csv
     * (table_id,...,name at index 4) and schema_column.csv
     * (column_id,display_name,name,primary_key,primary_timestamp,type,...,tableId). */
   def fromCsv(tableCsv: Seq[String], columnCsv: Seq[String]): SchemaCatalog = {
-    def cells(line: String): Array[String] = line.split(",", -1)
-    val tHeader = cells(tableCsv.head).zipWithIndex.toMap
-    val tables = tableCsv.tail.map(cells).flatMap { r =>
-      val name = r(tHeader("name")).trim.toLowerCase
-      if (name.nonEmpty) Some(name -> r(tHeader("table_id")).trim) else None
+    val tables = csvRows(tableCsv).flatMap { r =>
+      val name = r.getOrElse("name", "").toLowerCase
+      if (name.nonEmpty) Some(name -> r.getOrElse("table_id", "")) else None
     }.toMap
-    val cHeader = cells(columnCsv.head).zipWithIndex.toMap
-    val cols = columnCsv.tail.map(cells).flatMap { r =>
-      val name = r(cHeader("name")).trim
+    val cols = csvRows(columnCsv).flatMap { r =>
+      val name = r.getOrElse("name", "")
       if (name.isEmpty) None
-      else Some(r(cHeader("tableId")).trim -> ColumnMeta(name,
-        r(cHeader("type")).trim.toIntOption.getOrElse(-1),
-        r(cHeader("primary_key")).trim == "1"))
+      else Some(r.getOrElse("tableId", "") -> ColumnMeta(name,
+        r.getOrElse("type", "").toIntOption.getOrElse(-1),
+        r.getOrElse("primary_key", "") == "1"))
     }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
     new SchemaCatalog(tables, cols)
   }
@@ -105,19 +118,17 @@ object SchemaCatalog {
 
   /** Parse reference-shaped tenant.csv lines
     * (tenant_id,active,mapper_cores,mapper_memory,tenant_name,mapper_pod). */
-  def tenantsFromCsv(lines: Seq[String]): Map[String, TenantMeta] = {
-    val header = lines.head.split(",", -1).zipWithIndex.toMap
-    lines.tail.map(_.split(",", -1)).flatMap { r =>
-      val id = r(header("tenant_id")).trim
+  def tenantsFromCsv(lines: Seq[String]): Map[String, TenantMeta] =
+    csvRows(lines).flatMap { r =>
+      val id = r.getOrElse("tenant_id", "")
       if (id.isEmpty) None
       else Some(id -> TenantMeta(id,
-        r(header("active")).trim == "1",
-        r(header("mapper_cores")).trim.toIntOption.getOrElse(0),
-        r(header("mapper_memory")).trim,
-        r(header("tenant_name")).trim,
-        r(header("mapper_pod")).trim))
+        r.getOrElse("active", "") == "1",
+        r.getOrElse("mapper_cores", "").toIntOption.getOrElse(0),
+        r.getOrElse("mapper_memory", ""),
+        r.getOrElse("tenant_name", ""),
+        r.getOrElse("mapper_pod", "")))
     }.toMap
-  }
 
   /** In-memory catalog for tests / embedded use. */
   def inMemory(entries: (String, Seq[ColumnMeta])*): SchemaCatalog = {

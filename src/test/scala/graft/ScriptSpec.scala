@@ -104,6 +104,31 @@ class ScriptSpec extends AnyFunSuite {
       "CREATE TABLE customers AS SELECT 1") // non-tbl names untouched
   }
 
+  test("rule 6: comments pass through verbatim; rule 25 respects quote context") {
+    // Commented lines keep double quotes, function names, table refs.
+    val script = "-- expects \"prod\" config; see CREATE TABLE old_tbl note\nSELECT \"abc\" FROM t"
+    assert(C.convert(script) ==
+      "-- expects \"prod\" config; see CREATE TABLE old_tbl note\nSELECT 'abc' FROM t")
+    // Double quotes inside a single-quoted literal are untouched.
+    assert(C.convert("SELECT 'he said \"hi\"' FROM t") ==
+      "SELECT 'he said \"hi\"' FROM t")
+    // Escaped content is left alone rather than corrupted.
+    assert(C.convert("SELECT \"a\\'b\" FROM t") == "SELECT \"a\\'b\" FROM t")
+    // Schema-qualified temp tables convert too.
+    assert(C.convert("CREATE TABLE mydb.tmp_tbl AS SELECT 1") ==
+      "CREATE OR REPLACE TEMPORARY TABLE mydb.tmp_tbl AS SELECT 1")
+  }
+
+  test("tenantsFromCsv tolerates truncated rows, padded headers, empty input") {
+    assert(SchemaCatalog.tenantsFromCsv(Seq.empty).isEmpty)
+    val t = SchemaCatalog.tenantsFromCsv(Seq(
+      "tenant_id, active, mapper_cores, mapper_memory, tenant_name, mapper_pod",
+      "1031,1",
+      "1026,1,32,50g,Roots,pod_1026"))
+    assert(t("1031").mapperCores == 0 && t("1031").mapperPod == "")
+    assert(t("1026").mapperCores == 32)
+  }
+
   test("tenant registry parses reference-shaped tenant.csv") {
     val t = SchemaCatalog.tenantsFromCsv(Seq(
       "tenant_id,active,mapper_cores,mapper_memory,tenant_name,mapper_pod",
