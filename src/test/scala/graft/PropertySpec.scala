@@ -1,0 +1,83 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.script.HiveToSnowflakeConverter
+
+/** Property-based invariants for the driver-side/deterministic pieces
+  * (pure functions — no Spark session needed, so these run fast and wide).
+  * Generators are driven with fixed seeds (no scalatest-scalacheck bridge
+  * in the offline cache), so runs are reproducible. */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A], n: Int = 100)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private def forAll[A, B, C](g1: Gen[A], g2: Gen[B], g3: Gen[C])(f: (A, B, C) => Unit): Unit =
+    (0 until 100).foreach { i =>
+      for {
+        a <- g1.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- g2.apply(Gen.Parameters.default, Seed(i.toLong + 1000))
+        c <- g3.apply(Gen.Parameters.default, Seed(i.toLong + 2000))
+      } f(a, b, c)
+    }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+
+  test("converter is idempotent on already-converted function renames") {
+    forAll(word) { w =>
+      val once = HiveToSnowflakeConverter.convert(s"SELECT LOWER($w), position('a', $w)")
+      assert(HiveToSnowflakeConverter.convert(once) == once)
+    }
+  }
+
+  test("converter never touches comment lines") {
+    forAll(text) { t =>
+      val comment = s"-- $t \"quoted\" IF( hash( udm_customer"
+      val out = HiveToSnowflakeConverter.convert(s"$comment\nSELECT 1")
+      assert(out.startsWith(comment))
+    }
+  }
+
+  test("decode stub is pure and histogram-normalized for any payload") {
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val arr = bytes.toArray
+      val (c1, f1) = Multimodal.decodeStub(arr)
+      val (c2, f2) = Multimodal.decodeStub(arr)
+      assert(c1 == c2 && f1.toSeq == f2.toSeq)
+      if (arr.nonEmpty) assert(math.abs(f1.sum - 1.0f) < 1e-4)
+    }
+  }
+
+  test("CollectMaxOne buffer merge is commutative and associative") {
+    val agg = {
+      import org.apache.spark.sql.Encoders
+      implicit val bufEnc = Encoders.tuple(Encoders.scalaBoolean, Encoders.scalaLong, Encoders.STRING)
+      new graft.functions.CollectMaxOne[String]()(Ordering[String], bufEnc, Encoders.STRING)
+    }
+    val buf = for {
+      seen <- Gen.oneOf(true, false)
+      r <- Gen.choose(-100L, 100L)
+      v <- word
+    } yield if (seen) (true, r, v) else agg.zero
+    forAll(buf, buf, buf) { (a, b, c) =>
+      assert(agg.merge(a, b) == agg.merge(b, a))
+      assert(agg.merge(agg.merge(a, b), c) == agg.merge(a, agg.merge(b, c)))
+    }
+  }
+
+  test("script expander leaves scripts without patterns untouched") {
+    val catalog = graft.script.SchemaCatalog.inMemory(
+      "t" -> Seq(graft.script.ColumnMeta("A", 2, primaryKey = false)))
+    val exp = new graft.script.ScriptExpander(catalog)
+    forAll(text) { t =>
+      if (!t.contains("${")) assert(exp.expand(t) == t)
+    }
+  }
+}
