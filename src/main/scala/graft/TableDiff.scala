@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HiveFunctions.rowHash
+import graft.functions.HiveFunctions.rowHashSafe
 
 /** The discrepancy engine: Spark-native rebuild of the reference's
   * Snowflake-vs-Hive validation surface —
@@ -14,7 +14,7 @@ import graft.functions.HiveFunctions.rowHash
   *    tools/snowflake_tool.py:41-52).
   *
   * Scale design: the whole diff is ONE full-outer shuffle join on the PK.
-  * Row fingerprints (md5 over non-excluded columns) are computed map-side
+  * Row fingerprints (injective per-column md5 chain, rowHashSafe) are computed map-side
   * before the shuffle, so "is this row discrepant" is a single string
   * compare per matched key — never a per-column compare across 100 TB.
   * The per-column matrix is only unpivoted for rows already known to
@@ -44,7 +44,7 @@ object TableDiff {
   private def withHash(df: DataFrame, pks: Seq[String], cols: Seq[String], side: String): DataFrame =
     df.select(
       (pks.map(col) :+
-        rowHash(cols.map(col)).as(s"${side}_hash")) ++:
+        rowHashSafe(cols.map(col)).as(s"${side}_hash")) ++:
         cols.map(c => col(c).as(s"${side}_$c")): _*)
 
   /** One full-outer join on the PK (single or composite) with presence +
@@ -75,7 +75,10 @@ object TableDiff {
               exclude: Seq[String] = Nil, sampleCap: Int = 100): DataFrame =
     metricsMulti(left, right, tableName, Seq(pk), exclude, sampleCap)
 
-  /** Composite-PK form of [[metrics]]. */
+  /** Composite-PK form of [[metrics]]. Total per-side counts come from
+    * independent COUNT(*) scans like the reference's dw_data_metrics (a
+    * duplicate PK on one side would otherwise fan the full-outer join out
+    * and inflate the OTHER side's total). */
   def metricsMulti(left: DataFrame, right: DataFrame, tableName: String,
                    pks: Seq[String], exclude: Seq[String] = Nil,
                    sampleCap: Int = 100): DataFrame = {
@@ -87,16 +90,16 @@ object TableDiff {
             slice(sort_array(collect_list(when(flag, col("pk")))), 1, sampleCap),
             _.cast("string"))),
         lit(""))
-    d.agg(
-      count(when(col("in_left"), 1)).as("total_record_count_hive"),
-      count(when(col("in_right"), 1)).as("total_record_count_sf"),
+    val totals = left.agg(count(lit(1)).as("total_record_count_hive"))
+      .crossJoin(right.agg(count(lit(1)).as("total_record_count_sf")))
+    val flags = d.agg(
       count(when(col("in_left") && !col("in_right"), 1)).as("hive_only_count"),
       count(when(col("in_right") && !col("in_left"), 1)).as("sf_only_count"),
       count(when(col("hash_mismatch"), 1)).as("data_discrepancy_count"),
       sample(col("in_left") && !col("in_right")).as("hive_only_pk_values"),
       sample(col("in_right") && !col("in_left")).as("sf_only_pk_values"),
-      sample(col("hash_mismatch")).as("data_discrepancy_pk_values")
-    ).select(lit(tableName).as("table_name"), col("*"))
+      sample(col("hash_mismatch")).as("data_discrepancy_pk_values"))
+    totals.crossJoin(flags).select(lit(tableName).as("table_name"), col("*"))
   }
 
   /** Column-level mismatch matrix for fingerprint-mismatched keys

@@ -69,6 +69,14 @@ object HiveFunctions {
   def rowHash(cols: Seq[Column]): Column =
     md5(concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit("NULL"))): _*))
 
+  /** Injective row fingerprint: each column is hashed BEFORE joining, so a
+    * '|' inside a value or a literal 'NULL' string can never alias across
+    * columns or against the null sentinel (the reference's plain-concat
+    * pattern above has both collisions). This is what the discrepancy
+    * engine uses internally; [[rowHash]] stays for reference parity. */
+  def rowHashSafe(cols: Seq[Column]): Column =
+    md5(concat_ws("|", cols.map(c => coalesce(md5(c.cast("string")), lit("N"))): _*))
+
   /** Hive UDAF `collect_max_one(value, rank)` (converter rule 13): the value
     * paired with the max rank — i.e. per-column argmax. The reference's
     * Snowflake rewrite is `SUBSTRING(MAX(CONCAT(ts, val)), 14)`; in Spark

@@ -16,12 +16,16 @@ object Dedup {
 
   import TextAnalysis.{normalized, tokens}
 
-  /** Token n-gram shingles (distinct), e.g. n=3 word shingles. */
+  /** Token n-gram shingles (distinct), e.g. n=3 word shingles. Documents
+    * shorter than n tokens yield an empty set (guarded: Spark's
+    * sequence(1, 0) would descend to [1, 0] and slice(toks, 0, n) throws). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(normalized(text))
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact duplicate groups by canonical-text hash: one row per duplicated
@@ -59,8 +63,10 @@ object Dedup {
     // split + higher-order transform — interpreted, the expensive part) runs
     // ONCE for the two consumers below instead of being recomputed from the
     // text per consumer. The cached form is just (long, long) pairs —
-    // exactly what you'd materialize at 100 TB too. Spark's ContextCleaner
-    // reclaims the block once the plan is unreferenced.
+    // exactly what you'd materialize at 100 TB too. NOTE: DataFrame caches
+    // are pinned by the CacheManager until unpersist/clearCache — callers
+    // running many corpora in one session should spark.catalog.clearCache()
+    // between sweeps.
     val sh = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("raw"))
       .select(col("id"), xxhash64(col("raw")).as("sh"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.HiveFunctions.{collectMaxOne, rowHash}
+import graft.functions.HiveFunctions.{collectMaxOne, rowHashSafe}
 
 /** The reference's sparse→DW incremental-merge pipeline, Spark-native
   * (reference: tools/script_converter_tool.py:133-213 "example 2" and
@@ -61,7 +61,8 @@ object MergePipeline {
       (col(pk).as("__pk") +: sparse.columns.filterNot(_.equalsIgnoreCase(pk))
         .map(c => col(c).as(s"__s_$c")).toSeq): _*)
     val d = dw.select(
-      (col(pk).as("__pk") +: dwCols.map(c => col(c).as(s"__d_$c"))): _*)
+      (col(pk).as("__pk") +: dwCols.map(c => col(c).as(s"__d_$c"))) :+
+        lit(true).as("__dw_exists"): _*)
 
     def merged(c: String): Column =
       if (!sparseCols.contains(c.toLowerCase)) col(s"__d_$c")
@@ -71,9 +72,11 @@ object MergePipeline {
     val hashCols = dwCols.filterNot(c => excludeFromHash.exists(_.equalsIgnoreCase(c)))
     val joined = s.join(d, Seq("__pk"), "left_outer")
     joined
-      .withColumn("__new_hash", rowHash(hashCols.map(merged)))
-      .withColumn("__dw_hash", rowHash(hashCols.map(c => col(s"__d_$c"))))
-      .filter(col("__new_hash") =!= col("__dw_hash") || col("__dw_hash").isNull)
+      .withColumn("__new_hash", rowHashSafe(hashCols.map(merged)))
+      .withColumn("__dw_hash", rowHashSafe(hashCols.map(c => col(s"__d_$c"))))
+      // New-to-DW keys always survive (explicit marker: an all-NULL DW row
+      // would otherwise hash equal to an all-NULL merged row and be lost).
+      .filter(col("__dw_exists").isNull || col("__new_hash") =!= col("__dw_hash"))
       .select((col("__pk").as(pk) +: dwCols.map(c => merged(c).as(c))): _*)
   }
 }

@@ -29,6 +29,21 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** Shared tail of every ANN variant: drop self-matches, score with one
+    * dot product over precomputed norms, rank per probe, keep top k. */
+  private def scoreAndTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** Exact top-k by cosine for each probe vector. `probes` is expected to
     * be small (it is broadcast); `corpus` can be arbitrarily large — the
     * cross join is a broadcast-nested-loop over one corpus scan, and the
@@ -42,16 +57,7 @@ object Similarity {
       .withColumn("qn", dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", dot(col("cv"), col("cv")))
-    val scored = c.crossJoin(p)
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"),
-        round(col("cos_sim"), 4).as("cos_sim"))
+    scoreAndTopK(c.crossJoin(p), k)
   }
 
   /** Deterministic pseudo-random hyperplane component for plane p, dim i:
@@ -82,16 +88,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes))
       .withColumn("cn", dot(col("cv"), col("cv")))
-    val scored = c.join(p, Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"),
-        round(col("cos_sim"), 4).as("cos_sim"))
+    scoreAndTopK(c.join(p, Seq("bucket")), k)
   }
 
   /** IVF-style ANN: deterministic coarse centroids (every `corpusSize /
@@ -127,16 +124,7 @@ object Similarity {
       .withColumnRenamed("query_id", "vec_id")
     val probeCells = broadcast(nearestCells(p, "qv", "qn", nProbe)
       .withColumnRenamed("vec_id", "query_id"))
-    val scored = assigned.join(probeCells, Seq("centroid_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")))
-    val rw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"),
-        round(col("cos_sim"), 4).as("cos_sim"))
+    scoreAndTopK(assigned.join(probeCells, Seq("centroid_id")), k)
   }
 
   /** Cosine near-duplicate pairs, blocked on a coarse partition column

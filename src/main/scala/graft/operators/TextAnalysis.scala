@@ -73,9 +73,13 @@ object TextAnalysis {
   def chunk(text: Column, size: Int = 500, overlap: Int = 50): Column = {
     require(size > overlap, "size must exceed overlap")
     val stride = size - overlap
-    transform(
-      sequence(lit(0), floor((length(text) - 1) / stride).cast("long")),
-      i => text.substr((i * stride + 1).cast("int"), lit(size)))
+    // Empty/null text → no chunks (unguarded, sequence(0, -1) would
+    // descend and emit two spurious empty chunks).
+    when(length(text) >= 1,
+      transform(
+        sequence(lit(0), floor((length(text) - 1) / stride).cast("long")),
+        i => text.substr((i * stride + 1).cast("int"), lit(size))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Term-frequency keyword relevance: Σ weight(term) · tf(term) over

@@ -38,10 +38,11 @@ object CoreQueries {
        |          ${distinctAny(cols)}) AS mism
        |  FROM $hive h FULL OUTER JOIN $sf s ON h.$pk = s.$pk)""".stripMargin
 
-  private def metricsSelect(tableName: String, diffName: String): String =
+  private def metricsSelect(tableName: String, diffName: String,
+                            hiveTbl: String, sfTbl: String): String =
     s"""SELECT '$tableName' AS table_name,
-       |  count(*) FILTER (WHERE in_left) AS total_record_count_hive,
-       |  count(*) FILTER (WHERE in_right) AS total_record_count_sf,
+       |  (SELECT count(*) FROM $hiveTbl) AS total_record_count_hive,
+       |  (SELECT count(*) FROM $sfTbl) AS total_record_count_sf,
        |  count(*) FILTER (WHERE in_left AND NOT in_right) AS hive_only_count,
        |  count(*) FILTER (WHERE in_right AND NOT in_left) AS sf_only_count,
        |  count(*) FILTER (WHERE mism) AS data_discrepancy_count,
@@ -62,11 +63,11 @@ object CoreQueries {
        |${diffCte("d_customer", "hive_customer", "sf_customer", "c_custkey", customerCompareCols)},
        |${diffCte("d_region", "hive_region", "sf_region", "r_regionkey", Seq("r_name"))},
        |m AS (
-       |${metricsSelect("orders", "d_orders")}
+       |${metricsSelect("orders", "d_orders", "hive_orders", "sf_orders")}
        |UNION ALL
-       |${metricsSelect("customer", "d_customer")}
+       |${metricsSelect("customer", "d_customer", "hive_customer", "sf_customer")}
        |UNION ALL
-       |${metricsSelect("region", "d_region")}
+       |${metricsSelect("region", "d_region", "hive_region", "sf_region")}
        |)""".stripMargin
 
   // ---- Spark side --------------------------------------------------------
@@ -120,13 +121,22 @@ object CoreQueries {
           Fixtures.sfOrders(s, dir), "o_orderkey"))
         .orderBy(col("column_name"))),
 
-    "q_row_hash_diff" -> ((s, dir) =>
-      TableDiff.diff(Fixtures.hiveOrders(s, dir), Fixtures.sfOrders(s, dir),
-          "o_orderkey", exclude = Seq("o_orderdate"))
-        .filter(col("hash_mismatch"))
-        .select(col("pk").as("id"), col("left_hash").as("hive_hash"),
-          col("right_hash").as("sf_hash"))
-        .orderBy(col("id"))),
+    // Deliberately uses the reference's PLAIN md5-concat fingerprint
+    // (HiveFunctions.rowHash) so its cross-engine portability is what the
+    // oracle checks; the engine's internal mismatch hash is the injective
+    // rowHashSafe variant.
+    "q_row_hash_diff" -> ((s, dir) => {
+      import graft.functions.HiveFunctions.rowHash
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice_cents",
+        "o_orderpriority")
+      def hashed(df: DataFrame, hashName: String) =
+        df.select(col("o_orderkey"), rowHash(cols.map(col)).as(hashName))
+      hashed(Fixtures.hiveOrders(s, dir), "hive_hash")
+        .join(hashed(Fixtures.sfOrders(s, dir), "sf_hash"), Seq("o_orderkey"))
+        .filter(col("hive_hash") =!= col("sf_hash"))
+        .select(col("o_orderkey").as("id"), col("hive_hash"), col("sf_hash"))
+        .orderBy(col("id"))
+    }),
 
     "q_rank_dedup" -> ((s, dir) =>
       MergePipeline.rankDedup(Tables.load(s, dir, "events"),
@@ -230,7 +240,7 @@ object CoreQueries {
     "q_data_metrics" ->
       s"""${Fixtures.Sql.ordersPair},
          |${diffCte("d_orders", "hive_orders", "sf_orders", "o_orderkey", ordersCompareCols)}
-         |${metricsSelect("orders", "d_orders")}""".stripMargin,
+         |${metricsSelect("orders", "d_orders", "hive_orders", "sf_orders")}""".stripMargin,
 
     "q_metrics_filter" ->
       s"""$metricsUnionSql
@@ -340,16 +350,7 @@ object CoreQueries {
          |            h.l_returnflag IS DISTINCT FROM s.l_returnflag)) AS mism
          |  FROM hive_lineitem h FULL OUTER JOIN sf_lineitem s
          |    ON h.l_orderkey = s.l_orderkey AND h.l_linenumber = s.l_linenumber)
-         |SELECT 'lineitem' AS table_name,
-         |  count(*) FILTER (WHERE in_left) AS total_record_count_hive,
-         |  count(*) FILTER (WHERE in_right) AS total_record_count_sf,
-         |  count(*) FILTER (WHERE in_left AND NOT in_right) AS hive_only_count,
-         |  count(*) FILTER (WHERE in_right AND NOT in_left) AS sf_only_count,
-         |  count(*) FILTER (WHERE mism) AS data_discrepancy_count,
-         |  coalesce(array_to_string(list_slice(list_sort(list(pk) FILTER (WHERE in_left AND NOT in_right)), 1, 100), ','), '') AS hive_only_pk_values,
-         |  coalesce(array_to_string(list_slice(list_sort(list(pk) FILTER (WHERE in_right AND NOT in_left)), 1, 100), ','), '') AS sf_only_pk_values,
-         |  coalesce(array_to_string(list_slice(list_sort(list(pk) FILTER (WHERE mism)), 1, 100), ','), '') AS data_discrepancy_pk_values
-         |FROM d""".stripMargin,
+         |${metricsSelect("lineitem", "d", "hive_lineitem", "sf_lineitem")}""".stripMargin,
 
     "q_count_compare" ->
       s"""${Fixtures.Sql.ordersPair},

@@ -12,6 +12,17 @@ class DedupSpec extends AnyFunSuite {
 
   private lazy val corpus = TextQueries.dupCorpus(spark, TestSpark.Sf0001).cache()
 
+  test("shingles: docs shorter than n tokens yield empty sets, not a crash") {
+    val tiny = Seq((1L, "one two"), (2L, ""), (3L, "a b c d")).toDF("doc_id", "text")
+    val out = tiny.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .orderBy($"doc_id").collect()
+    assert(out(0).getSeq[String](1).isEmpty)
+    assert(out(1).getSeq[String](1).isEmpty)
+    assert(out(2).getSeq[String](1) == Seq("a b c", "b c d"))
+    // and the jaccard pipeline tolerates such docs end-to-end
+    assert(Dedup.ngramJaccardPairs(tiny, "doc_id", "text").count() == 0)
+  }
+
   test("exactGroups finds exactly the injected %7 copies") {
     val g = Dedup.exactGroups(corpus, "doc_id", "text")
     val rows = g.collect()

@@ -24,6 +24,14 @@ class MergePipelineSpec extends AnyFunSuite {
     assert(out == Seq((1L, "y", 2.0), (2L, "z", 3.0)))
   }
 
+  test("sparseDwMerge keeps a new-to-DW row even when its merged columns are all NULL") {
+    val dw = Seq((1L, "n1")).toDF("id", "name")
+    val sparse = Seq((9L, null.asInstanceOf[String])).toDF("id", "name")
+    val out = MergePipeline.sparseDwMerge(sparse, dw, "id")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((9L, null.asInstanceOf[String])))
+  }
+
   test("sparseDwMerge: changed rows survive, unchanged drop, new keys pass, preferDw wins") {
     val dw = Seq((1L, "n1", 100L, "2020"), (2L, "n2", 200L, "2021"), (3L, "n3", 300L, "2022"))
       .toDF("id", "name", "bal", "created")

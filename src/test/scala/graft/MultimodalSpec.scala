@@ -13,6 +13,16 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val media =
     Multimodal.mediaTable(Tables.load(spark, TestSpark.Sf0001, "documents")).cache()
 
+  test("chunk yields no chunks for empty text, one for short text") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, ""), (2L, "short"), (3L, "x" * 1000)).toDF("id", "t")
+      .select($"id", TextAnalysis.chunk($"t", 500, 50).as("c"))
+      .orderBy($"id").collect()
+    assert(df(0).getSeq[String](1).isEmpty)
+    assert(df(1).getSeq[String](1) == Seq("short"))
+    assert(df(2).getSeq[String](1).length == 3) // starts 0, 450, 900
+  }
+
   test("media table carries binary payload + typed metadata") {
     val r = media.orderBy($"doc_id").limit(1).collect().head
     assert(r.getAs[Array[Byte]]("media").nonEmpty)

@@ -51,6 +51,23 @@ class TableDiffSpec extends AnyFunSuite {
       (4L, "s", "NULL", "d")))
   }
 
+  test("fingerprint is injective: '|'-bearing and literal-'NULL' values don't alias") {
+    val l = Seq((1L, "a|b", "c"), (2L, "NULL", "x")).toDF("id", "s", "t")
+    val r = Seq((1L, "a", "b|c"), (2L, null.asInstanceOf[String], "x")).toDF("id", "s", "t")
+    val d = TableDiff.diff(l, r, "id").orderBy("pk")
+      .select("pk", "hash_mismatch").collect()
+    assert(d.map(x => (x.getLong(0), x.getBoolean(1))).toSeq ==
+      Seq((1L, true), (2L, true)))
+  }
+
+  test("metrics totals are per-table counts, immune to duplicate-PK fanout") {
+    val l = Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("id", "v") // dup pk=1
+    val r = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val m = TableDiff.metrics(l, r, "t", "id").collect().head
+    assert(m.getAs[Long]("total_record_count_hive") == 3)
+    assert(m.getAs[Long]("total_record_count_sf") == 2)
+  }
+
   test("rollup groups by column with sorted distinct values") {
     val roll = TableDiff.mismatchRollup(TableDiff.mismatchMatrix(left, right, "id")).collect()
     assert(roll.length == 1)
