@@ -42,6 +42,12 @@ object EventStream {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("value_milli"), col("min_value"), col("max_value"))
 
+  /** Stream-static enrichment: join the event stream against a (small)
+    * static dimension with an explicit broadcast — per micro-batch, the
+    * dimension never shuffles and the stream stays partition-local. */
+  def enrich(events: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), on, "left_outer")
+
   /** Streaming exact dedup on event_id: state is bounded by the watermark
     * (duplicates arriving later than `watermark` after the original are
     * not suppressed — the at-least-once ingestion contract). */

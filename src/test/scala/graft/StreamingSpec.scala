@@ -37,6 +37,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment joins every event to its user dimension") {
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = spark.readStream.schema(schema).parquet(stagedDir)
+    val dim = Tables.load(spark, TestSpark.Sf0001, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_total"))
+    val q = EventStream.enrich(stream, dim, Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table("enrich_out")
+    assert(out.count() == spark.read.parquet(stagedDir).count())
+    assert(out.filter($"n_total".isNull).count() == 0)
+  }
+
   test("stateful sessionize over a bounded stream equals the batch twin") {
     val schema = spark.read.parquet(stagedDir).schema
     val stream = spark.readStream.schema(schema).parquet(stagedDir)
