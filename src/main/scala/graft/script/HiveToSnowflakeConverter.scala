@@ -179,7 +179,7 @@ object HiveToSnowflakeConverter {
       } else { sb.append(s(i)); i += 1 }
     }
     (sb.toString, masked => {
-      """\u0001(\d+)\u0001""".r.replaceAllIn(masked,
+      ("\u0001" + """(\d+)""" + "\u0001").r.replaceAllIn(masked,
         m => Regex.quoteReplacement(saved(m.group(1).toInt)))
     })
   }
