@@ -110,17 +110,33 @@ object TableDiff {
     * row-explosion factor (#columns) only applies to actual discrepancies.
     * `idCap` mirrors the reference's `list_ids[:3]` probe cap
     * (data_matrix_tool.py:43) — bounded work no matter how bad the drift.
+    * The cap is SEMANTICS (bounded output), not an ordering: it is applied
+    * as a deterministic per-hash-bucket row_number limit, which stays fully
+    * parallel (a global orderBy+limit compiles to TakeOrderedAndProject and
+    * merges every partition's top-idCap rows through ONE task — a serial
+    * bottleneck when drift is large). Under the cap it drops nothing.
     */
   def mismatchMatrix(left: DataFrame, right: DataFrame, pk: String,
                      exclude: Seq[String] = Nil, idCap: Int = 1000000): DataFrame =
     mismatchMatrixMulti(left, right, Seq(pk), exclude, idCap)
+
+  /** Buckets for the deterministic cap: per-bucket limit = idCap/1024, so
+    * the capped set is ≤ idCap, stable across runs, and never single-task. */
+  private val CapBuckets = 1024
 
   /** Composite-PK form of [[mismatchMatrix]]; `id` is the ':'-joined key. */
   def mismatchMatrixMulti(left: DataFrame, right: DataFrame, pks: Seq[String],
                           exclude: Seq[String] = Nil, idCap: Int = 1000000): DataFrame = {
     val cols = compareCols(left, pks, exclude)
     val d = diff(left, right, pks, exclude).filter(col("hash_mismatch"))
-    val capped = d.orderBy(col("pk")).limit(idCap)
+    val perBucket = math.max(1, idCap / CapBuckets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(col("pk"))
+    val capped = d
+      .withColumn("__bkt", pmod(xxhash64(col("pk").cast("string")), lit(CapBuckets.toLong)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perBucket)
+      .drop("__bkt", "__rn")
     val stackArgs = cols.map(c =>
       s"'$c', CAST(`left_$c` AS STRING), CAST(`right_$c` AS STRING)").mkString(", ")
     capped
@@ -131,6 +147,23 @@ object TableDiff {
         coalesce(col("hive"), lit("NULL")).as("hive"),
         coalesce(col("snowflake"), lit("NULL")).as("snowflake"))
   }
+
+  /** Catalog-driven [[metricsMulti]]: primary keys AND audit-column
+    * exclusions come from schema metadata — the reference's operating mode
+    * (its mismatch proc ignores warehouse-configured excluded columns,
+    * snowflake_tool.py:41-52) rather than caller-supplied lists. */
+  def metricsForTable(left: DataFrame, right: DataFrame, tableName: String,
+                      catalog: graft.script.SchemaCatalog,
+                      sampleCap: Int = 100): DataFrame =
+    metricsMulti(left, right, tableName, catalog.primaryKeys(tableName),
+      catalog.excludedColumns(tableName), sampleCap)
+
+  /** Catalog-driven [[mismatchMatrixMulti]] (see [[metricsForTable]]). */
+  def mismatchMatrixForTable(left: DataFrame, right: DataFrame, tableName: String,
+                             catalog: graft.script.SchemaCatalog,
+                             idCap: Int = 1000000): DataFrame =
+    mismatchMatrixMulti(left, right, catalog.primaryKeys(tableName),
+      catalog.excludedColumns(tableName), idCap)
 
   /** Roll the matrix up by column (reference: data_matrix_tool.py:69-86):
     * sorted distinct hive/snowflake values + contributing ids, comma-joined

@@ -27,8 +27,16 @@ final class CollectMaxOne[V >: Null](implicit ord: Ordering[V],
   override def merge(x: (Boolean, Long, V), y: (Boolean, Long, V)): (Boolean, Long, V) =
     if (!x._1) y
     else if (!y._1) x
-    else if (y._2 > x._2 || (y._2 == x._2 && ord.gt(y._3, x._3))) y
+    else if (y._2 > x._2 || (y._2 == x._2 && gtNullsFirst(y._3, x._3))) y
     else x
+
+  /** Rank ties can legitimately carry null values (the rank-0 null
+    * sentinel), and Ordering[String].gt NPEs on null — treat null as
+    * smaller than every non-null value. */
+  private def gtNullsFirst(a: V, b: V): Boolean =
+    if (a == null) false
+    else if (b == null) true
+    else ord.gt(a, b)
 
   override def finish(b: (Boolean, Long, V)): V = b._3
   override def bufferEncoder: Encoder[(Boolean, Long, V)] = bufEnc

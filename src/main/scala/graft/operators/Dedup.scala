@@ -106,16 +106,19 @@ object Dedup {
   }
 
   /** MinHash+LSH candidate pairs: band the signature (`bands` bands of
-    * `numHashes/bands` rows), bucket-join per band on the band hash, dedup
-    * pairs, and attach the estimated Jaccard (fraction of agreeing minhash
-    * components). The shuffle key is (band, bandHash) — at 100 TB each
-    * bucket holds only near-colliding docs, never the corpus. */
+    * `numHashes/bands` rows), build posting buckets per (band, bandHash),
+    * dedup pairs, and attach the estimated Jaccard (fraction of agreeing
+    * minhash components). The shuffle key is (band, bandHash) — at 100 TB
+    * each bucket holds only near-colliding docs, never the corpus — and
+    * `bucketCap` bounds the per-bucket pair explode exactly like the
+    * Jaccard path's dfCap: a degenerate bucket (empty/boilerplate docs all
+    * sharing a band hash) is dropped instead of going O(bucket²). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      minEstJaccard: Double = 0.5): DataFrame = {
+                      minEstJaccard: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Three consumers (banding + both sides of the estimation join) would
+    // Two consumers (banding + both sides of the estimation join) would
     // each recompute the shingle explode + 16-way min aggregate; the
     // signature table is numHashes longs per doc — persist it.
     val sig = minhashSignature(df, idCol, textCol, n, numHashes)
@@ -128,12 +131,16 @@ object Dedup {
     val exploded = banded
       .select(col("id"), posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
       .toDF("id", "band", "bucket")
-    // Re-attach signatures for estimation after candidate generation.
-    val cand = exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    // Capped posting buckets + double explode (one shuffle, no join
+    // machinery on the fan-out path), mirroring ngramJaccardPairs.
+    val buckets = exploded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= bucketCap)
+    val cand = buckets
+      .select(explode(col("ids")).as("id1"), col("ids"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
     val est = (0 until numHashes)
       .map(i => when(col(s"s1.mh_$i") === col(s"s2.mh_$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / lit(numHashes.toDouble)
@@ -163,20 +170,24 @@ object Dedup {
 
   /** SimHash near-dup pairs: candidates from matching 16-bit band prefixes
     * (a hamming distance ≤ 3 pair must agree on ≥1 of 4 bands), verified
-    * with an exact popcount of the XOR. */
+    * with an exact popcount of the XOR. Capped posting buckets per
+    * (band, prefix) — same dfCap-style bound as the LSH/Jaccard paths, so
+    * a degenerate prefix bucket never explodes O(bucket²). The signature
+    * (one long) rides inside the posting struct, so verification needs no
+    * join at all. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    // One long per doc; both sides of the band self-join read it.
-    val sig = simhash(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("id"), col("simhash"),
+                   maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
+    val banded = simhash(df, idCol, textCol).select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .toDF("id", "simhash", "band", "bucket")
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= bucketCap)
+    buckets
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.simhash").as("sh1"), col("b.simhash").as("sh2")).distinct()
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))

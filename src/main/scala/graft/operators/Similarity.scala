@@ -91,12 +91,21 @@ object Similarity {
     scoreAndTopK(c.join(p, Seq("bucket")), k)
   }
 
-  /** IVF-style ANN: deterministic coarse centroids (every `corpusSize /
-    * nCentroids`-th vector by id order — at scale you'd plug in k-means
-    * iterations over the same assignment join), one-pass nearest-centroid
-    * assignment of the corpus, then exact cosine only against the probe's
-    * `nProbe` nearest centroid cells. Unlike hyperplane LSH, cell
-    * population adapts to the data distribution.
+  /** IVF-style ANN: deterministic coarse centroids (a hash-ordered
+    * TakeOrdered sample — at scale you'd plug in k-means iterations
+    * producing the same collected model), nearest-centroid assignment of
+    * the corpus, then exact cosine only against the probe's `nProbe`
+    * nearest centroid cells. Unlike hyperplane LSH, cell population adapts
+    * to the data distribution.
+    *
+    * Scale design: centroids are parameter-bounded MODEL data (nCentroids
+    * rows), collected driver-side exactly like a fitted k-means model and
+    * inlined as literals, so corpus assignment is a pure codegen'd
+    * `greatest`-of-structs argmax PROJECTION on the corpus scan — zero
+    * shuffle, zero join. (The previous form cross-joined centroids and
+    * ranked with a window partitioned by vec_id, which shuffled
+    * corpus×nCentroids rows — a 100 TB bottleneck for something that is
+    * per-row arithmetic.)
     */
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2,
@@ -104,26 +113,35 @@ object Similarity {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", dot(col("cv"), col("cv")))
     // Deterministic pseudo-random centroid sample: top-n by id hash is a
-    // distributed TakeOrdered (no global sort), broadcast everywhere.
-    val centroids = broadcast(
-      c.orderBy(xxhash64(col("vec_id"))).limit(nCentroids)
-        .select(col("vec_id").as("centroid_id"), col("cv").as("centv"),
-          col("cn").as("centn")))
-    def nearestCells(v: DataFrame, vec: String, norm: String, n: Int): DataFrame = {
-      val scored = v.crossJoin(centroids)
-        .withColumn("__sim", dot(col(vec), col("centv")) / sqrt(col(norm) * col("centn")))
-      val cw = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("__sim").desc, col("centroid_id"))
-      scored.withColumn("__cr", row_number().over(cw))
-        .filter(col("__cr") <= n)
-        .drop("centv", "centn", "__sim", "__cr")
-    }
-    val assigned = nearestCells(c, "cv", "cn", 1)
+    // distributed TakeOrdered (no global sort), tiny by construction.
+    val centRows = c.orderBy(xxhash64(col("vec_id"))).limit(nCentroids)
+      .select(col("vec_id"), col("cv"), col("cn")).collect()
+    // One struct per centroid: (sim, -centroid_id). Max of these = best
+    // sim, ties broken toward the SMALLEST centroid id (negid is larger).
+    def scoredStructs(vec: String, norm: String): Seq[Column] =
+      centRows.toSeq.map { r =>
+        val cid = r.getLong(0)
+        val cv = typedLit(r.getSeq[Double](1).toSeq)
+        val cn = r.getDouble(2)
+        struct(
+          (dot(col(vec), cv) / sqrt(col(norm) * lit(cn))).as("sim"),
+          lit(-cid).as("negid"))
+      }
+    // Corpus: single nearest cell via greatest() — codegen'd, map-side.
+    val assigned = c
+      .withColumn("__best", greatest(scoredStructs("cv", "cn"): _*))
+      .withColumn("centroid_id", -col("__best.negid"))
+      .drop("__best")
+    // Probes (broadcast-scale): top-nProbe cells by sorting the per-row
+    // centroid-score array — still a projection, no join.
     val p = probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", dot(col("qv"), col("qv")))
-      .withColumnRenamed("query_id", "vec_id")
-    val probeCells = broadcast(nearestCells(p, "qv", "qn", nProbe)
-      .withColumnRenamed("vec_id", "query_id"))
+    val probeCells = broadcast(
+      p.withColumn("__cells",
+          slice(reverse(array_sort(array(scoredStructs("qv", "qn"): _*))), 1, nProbe))
+        .withColumn("__cell", explode(col("__cells")))
+        .withColumn("centroid_id", -col("__cell.negid"))
+        .drop("__cells", "__cell"))
     scoreAndTopK(assigned.join(probeCells, Seq("centroid_id")), k)
   }
 

@@ -26,7 +26,7 @@ object AnalyticsQueries {
           round(col("l_discount") * 100).cast("long").as("disc_c"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
           sum(col("price_c")).as("sum_price_cents"),
           sum(col("price_c") * (lit(10000L) - col("disc_c") * 100)).as("sum_disc_price_scaled"),
           count(lit(1)).as("n_rows"))
@@ -41,8 +41,11 @@ object AnalyticsQueries {
       val c = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
       val n = Tables.load(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      // customer is fact-scaled (grows with sf) — no broadcast hint; AQE
+      // picks broadcast at small sf and shuffle join at scale. nation is a
+      // genuinely bounded dim (25 rows), so its hint is safe at any sf.
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"), col("c_mktsegment"))
         .agg(sum(col("price_c")).as("revenue_cents"),
@@ -74,7 +77,8 @@ object AnalyticsQueries {
       val c = Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("price_c").desc, col("o_orderkey"))
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // customer is fact-scaled: no forced broadcast (AQE decides).
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("c_mktsegment"), col("rank"), col("o_orderkey"), col("price_c"))
@@ -85,9 +89,9 @@ object AnalyticsQueries {
   val oracleSql: Map[String, String] = Map(
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |  sum(price_c) AS sum_price_cents,
-        |  sum(price_c * (10000 - disc_c * 100)) AS sum_disc_price_scaled,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(price_c * (10000 - disc_c * 100)) AS BIGINT) AS sum_disc_price_scaled,
         |  count(*) AS n_rows
         |FROM (
         |  SELECT l_returnflag, l_linestatus, l_quantity,
@@ -100,7 +104,7 @@ object AnalyticsQueries {
 
     "q_star_join_agg" ->
       """SELECT n_name, c_mktsegment,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  count(DISTINCT o_custkey) AS n_customers,
         |  count(*) AS n_lines
         |FROM lineitem

@@ -189,6 +189,32 @@ object CoreQueries {
         Fixtures.sfLineitem(s, dir), "lineitem",
         Seq("l_orderkey", "l_linenumber"))),
 
+    // Schema-driven audit-column exclusion (the reference's
+    // IGNORE_EXCLUDED_COL operating mode): both sides carry audit columns
+    // that DIFFER on every row (Batch, RowModified); the catalog marks
+    // them excluded, so the metrics must equal the plain q_data_metrics
+    // row — the oracle is exactly that, so any exclusion regression trips
+    // the hash compare.
+    "q_excluded_col_metrics" -> ((s, dir) => {
+      import graft.script.{ColumnMeta, SchemaCatalog}
+      val cat = SchemaCatalog.inMemory(
+        "orders" -> Seq(
+          ColumnMeta("o_orderkey", 1, primaryKey = true),
+          ColumnMeta("o_custkey", 1, primaryKey = false),
+          ColumnMeta("o_orderstatus", 2, primaryKey = false),
+          ColumnMeta("o_totalprice_cents", 1, primaryKey = false),
+          ColumnMeta("o_orderdate", 2, primaryKey = false),
+          ColumnMeta("o_orderpriority", 2, primaryKey = false),
+          ColumnMeta("Batch", 1, primaryKey = false),
+          ColumnMeta("RowModified", 2, primaryKey = false, primaryTimestamp = true)))
+      def withAudit(df: DataFrame, batch: Long, rm: String) =
+        df.withColumn("Batch", lit(batch)).withColumn("RowModified", lit(rm))
+      TableDiff.metricsForTable(
+        withAudit(Fixtures.hiveOrders(s, dir), 1L, "2020-01-01 00:00:00"),
+        withAudit(Fixtures.sfOrders(s, dir), 2L, "2021-06-06 12:00:00"),
+        "orders", cat)
+    }),
+
     "q_count_compare" -> ((s, dir) => {
       val h = Fixtures.hiveOrders(s, dir).groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("hive_n"))
@@ -351,6 +377,14 @@ object CoreQueries {
          |  FROM hive_lineitem h FULL OUTER JOIN sf_lineitem s
          |    ON h.l_orderkey = s.l_orderkey AND h.l_linenumber = s.l_linenumber)
          |${metricsSelect("lineitem", "d", "hive_lineitem", "sf_lineitem")}""".stripMargin,
+
+    // Audit columns are excluded by the schema catalog, so the oracle is
+    // the PLAIN orders metrics row: if exclusion breaks, every matched row
+    // becomes a discrepancy and the hash compare fails loudly.
+    "q_excluded_col_metrics" ->
+      s"""${Fixtures.Sql.ordersPair},
+         |${diffCte("d_orders", "hive_orders", "sf_orders", "o_orderkey", ordersCompareCols)}
+         |${metricsSelect("orders", "d_orders", "hive_orders", "sf_orders")}""".stripMargin,
 
     "q_count_compare" ->
       s"""${Fixtures.Sql.ordersPair},

@@ -79,14 +79,14 @@ object EventQueries {
     "q_event_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n_events,
-        |  sum(CAST(round(value * 1000) AS BIGINT)) AS value_milli,
+        |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli,
         |  min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -100,12 +100,12 @@ object EventQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
-        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,
-        |  sum(CAST(round(value * 1000) AS BIGINT)) AS value_milli
+        |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
   )
 }

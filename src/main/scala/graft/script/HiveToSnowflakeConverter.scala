@@ -156,6 +156,17 @@ object HiveToSnowflakeConverter {
       |                CAST(SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(RowModified),%1$s)),14) AS double) AS %1$s:
       |                CAST(SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(RowModified),%1$s)),14) AS double) AS %1$s""".stripMargin
 
+  /** Rule 27: the BARE argmax template block — already in
+    * `SUBSTRING(MAX(CONCAT(RowModified,…)))` spelling but without
+    * TO_NUMBER_CUSTOM (a real migration corpus contains both this and the
+    * rule-13 `collect_max_one` spelling; reference
+    * script_converter_tool.py:77-85). Head-matched on its unmistakable
+    * first template line, tail-anchored on the `decimal(18,4)` variant. */
+  private val BareArgmaxBlock: Regex =
+    ("""(?is)SUBSTRING\s*\(\s*MAX\s*\(\s*CONCAT\s*\(\s*RowModified\s*,\s*IFF?\s*\(\s*""" +
+      """COALESCE\s*\(\s*%1\$s\s*,\s*''\s*\).*?""" +
+      """AS\s+decimal\s*\(\s*18\s*,\s*4\s*\)\s*\)\s*AS\s+%1\$s(?=\s*[}:])""").r
+
   /** Detect a "main script" (rule 15): contains the argmax merge pattern. */
   def isMainScript(script: String): Boolean =
     script.contains("collect_max_one") ||
@@ -236,8 +247,10 @@ object HiveToSnowflakeConverter {
     s = rewriteSplitIndex(s)
     s = rewriteMsToDate(s)
 
-    // Rule 13/27: canonical collect_max_one template block.
+    // Rule 13: canonical collect_max_one template block.
     s = CollectMaxOneBlock.replaceAllIn(s, Regex.quoteReplacement(CollectMaxOneTarget))
+    // Rule 27: the bare CONCAT(RowModified,…) spelling of the same block.
+    s = BareArgmaxBlock.replaceAllIn(s, Regex.quoteReplacement(CollectMaxOneTarget))
 
     // Rule 7: locate → position; rule 11: LCASE → LOWER; rule 10:
     // hash → hashcode; rule 26: IF → IFF.
@@ -258,6 +271,14 @@ object HiveToSnowflakeConverter {
 
     // Rule 14: UNIX_TIMESTAMP()*1000 → CURRENT_TIMESTAMP().
     s = s.replaceAll("""(?i)\bunix_timestamp\s*\(\s*\)\s*\*\s*1000\b""", "CURRENT_TIMESTAMP()")
+
+    // Rule 32: strip the ms-epoch "* 1000" scaling from date columns
+    // (Snowflake dates aren't epoch-millis). Mechanical subset: qualified
+    // identifiers whose terminal name is date-like (contains "date", or is
+    // RowModified/RowCreated). Runs AFTER rule 14 so the
+    // UNIX_TIMESTAMP()*1000 special case wins.
+    s = """(?i)\b((?:\w+\.)*(?:\w*date\w*|RowModified|RowCreated))\s*\*\s*1000\b""".r
+      .replaceAllIn(s, m => Regex.quoteReplacement(m.group(1)))
 
     // Rule 34: RowModified + 1 → DATEADD(second, 1, RowModified).
     s = """(?i)\b((?:\w+\.)?RowModified)\s*\+\s*1\b""".r

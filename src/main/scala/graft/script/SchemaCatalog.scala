@@ -12,7 +12,8 @@ package graft.script
   * consulted while *generating* distributed plans; putting it in a
   * DataFrame would just add collect() round-trips.
   */
-final case class ColumnMeta(name: String, typeId: Int, primaryKey: Boolean) {
+final case class ColumnMeta(name: String, typeId: Int, primaryKey: Boolean,
+                            primaryTimestamp: Boolean = false) {
   /** Type-id mapping (reference: script_expansion_tool.py:55-65). */
   def typeName: String = ColumnMeta.TypeMap.getOrElse(typeId, "Unknown Type")
 }
@@ -47,9 +48,26 @@ final class SchemaCatalog(tables: Map[String, String],
 
   def primaryKeys(tableName: String): Seq[String] =
     columnsFor(tableName).filter(_.primaryKey).map(_.name)
+
+  /** Per-table audit-column exclusions — the reference's actual operating
+    * mode: its mismatch proc is COMPARE_MISMATCH_IGNORE_EXCLUDED_COL
+    * (reference: tools/snowflake_tool.py:41-52; exclusion list configured
+    * warehouse-side), and its merge scripts' md5 compares exclude the same
+    * audit set (`~TenantId,SourceSystemID,Source,Batch,RowCreated,
+    * RowModified,ID`). Here: the standard audit names present in the
+    * table, plus any primary_timestamp-flagged column. */
+  def excludedColumns(tableName: String): Seq[String] =
+    columnsFor(tableName).filter(c =>
+      SchemaCatalog.StandardAuditColumns.contains(c.name.toLowerCase) ||
+        c.primaryTimestamp).map(_.name)
 }
 
 object SchemaCatalog {
+
+  /** The reference's standard audit columns (lowercased), excluded from
+    * every data compare. */
+  val StandardAuditColumns: Set[String] =
+    Set("tenantid", "sourcesystemid", "source", "batch", "rowcreated", "rowmodified")
 
   /** Naive-CSV rows as header-keyed maps: header cells trimmed, short rows
     * padded with "", empty input → no rows. Shared by every lines-based
@@ -80,7 +98,8 @@ object SchemaCatalog {
       if (name.isEmpty) None
       else Some(r.getOrElse("tableId", "") -> ColumnMeta(name,
         r.getOrElse("type", "").toIntOption.getOrElse(-1),
-        r.getOrElse("primary_key", "") == "1"))
+        r.getOrElse("primary_key", "") == "1",
+        r.getOrElse("primary_timestamp", "") == "1"))
     }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
     new SchemaCatalog(tables, cols)
   }
@@ -95,7 +114,8 @@ object SchemaCatalog {
     val t = spark.read.option("header", "true").csv(tableCsvPath)
       .select(col("name"), col("table_id")).collect()
     val c = spark.read.option("header", "true").csv(columnCsvPath)
-      .select(col("tableId"), col("name"), col("type"), col("primary_key")).collect()
+      .select(col("tableId"), col("name"), col("type"), col("primary_key"),
+        col("primary_timestamp")).collect()
     val tables = t.flatMap { r =>
       Option(r.getString(0)).map(_.trim.toLowerCase).filter(_.nonEmpty)
         .map(_ -> Option(r.getString(1)).getOrElse("").trim)
@@ -105,7 +125,8 @@ object SchemaCatalog {
       if (name.isEmpty) None
       else Some(Option(r.getString(0)).getOrElse("").trim -> ColumnMeta(name,
         Option(r.getString(2)).getOrElse("").trim.toIntOption.getOrElse(-1),
-        Option(r.getString(3)).getOrElse("").trim == "1"))
+        Option(r.getString(3)).getOrElse("").trim == "1",
+        Option(r.getString(4)).getOrElse("").trim == "1"))
     }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
     new SchemaCatalog(tables, cols)
   }

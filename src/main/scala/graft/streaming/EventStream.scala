@@ -57,35 +57,56 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Stateful 30-min-gap sessionization: one SessionState per live user,
-    * closed sessions emitted on gap or processing-time timeout. The batch
-    * twin is q_sessionize. NOTE: within-batch events are sorted per user
-    * in-memory; at scale the trigger interval bounds that batch size. */
-  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[SessionOut] = {
+  /** Stateful 30-min-gap sessionization: one SessionState per live user.
+    * Sessions close (emit + state removed) either when a new event arrives
+    * past the gap, or on EVENT-TIME TIMEOUT: once the watermark passes
+    * `last + gap` the session can never be extended (later events would be
+    * beyond the gap anyway), so it is flushed and its state dropped. A user
+    * who goes silent therefore costs nothing after `watermark` — state is
+    * strictly bounded on an unbounded firehose, and final sessions are not
+    * silently lost. The batch twin is q_sessionize. NOTE: within-batch
+    * events are sorted per user in-memory; at scale the trigger interval
+    * bounds that batch size. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L,
+                 watermark: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           def emit(s: SessionState): Unit = out += SessionOut(
             userId, s.sessionId, s.nEvents, s.start, s.last, s.valueMilli)
-          sorted.foreach { e =>
-            val vm = math.round(e.value * 1000)
-            st match {
-              case null =>
-                st = SessionState(1L, e.ts, e.ts, 1L, vm)
-              case s if e.ts.getTime - s.last.getTime > gapMs =>
-                emit(s)
-                st = SessionState(s.sessionId + 1, e.ts, e.ts, 1L, vm)
-              case s =>
-                st = s.copy(last = e.ts, nEvents = s.nEvents + 1,
-                  valueMilli = s.valueMilli + vm)
+          if (state.hasTimedOut) {
+            // Watermark passed last+gap: no on-time event can extend this
+            // session any more — flush it and free the state.
+            state.getOption.foreach(emit)
+            state.remove()
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val vm = math.round(e.value * 1000)
+              st match {
+                case null =>
+                  st = SessionState(1L, e.ts, e.ts, 1L, vm)
+                case s if e.ts.getTime - s.last.getTime > gapMs =>
+                  emit(s)
+                  st = SessionState(s.sessionId + 1, e.ts, e.ts, 1L, vm)
+                case s =>
+                  st = s.copy(last = e.ts, nEvents = s.nEvents + 1,
+                    valueMilli = s.valueMilli + vm)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // Fire once the watermark passes the gap horizon; the max()
+              // keeps the timestamp legal if the watermark already moved.
+              state.setTimeoutTimestamp(
+                math.max(st.last.getTime + gapMs, state.getCurrentWatermarkMs + 1))
+            } else state.remove()
           }
-          if (st != null) state.update(st) else state.remove()
           out.iterator
       }
   }

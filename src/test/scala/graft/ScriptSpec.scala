@@ -147,6 +147,36 @@ class ScriptSpec extends AnyFunSuite {
     assert(!out.contains("collect_max_one"))
   }
 
+  test("rule 27: bare CONCAT(RowModified,…) argmax block rewrites to TO_NUMBER_CUSTOM form") {
+    // The reference's rule-27 source spelling (script_converter_tool.py:77-85):
+    // a script already in SUBSTRING(MAX(CONCAT(RowModified,…))) form but
+    // missing TO_NUMBER_CUSTOM.
+    val block =
+      """${columns:c_currency:~ID,RowCreated,RowModified,Batch:
+        |    SUBSTRING(MAX(CONCAT(RowModified,IF(COALESCE(%1$s,'') = '',NULL,%1$s))),14) AS %1$s:
+        |    CAST(CAST(SUBSTRING(MAX(CONCAT(RowModified,CAST(%1$s AS int))),14) AS int) AS boolean) AS %1$s:
+        |    SUBSTRING(MAX(CONCAT(RowModified,%1$s)),14) AS %1$s:
+        |    CAST(SUBSTRING(MAX(CONCAT(RowModified,%1$s)),14) AS double) AS %1$s:
+        |    CAST(SUBSTRING(MAX(CONCAT(RowModified,%1$s)),14) AS decimal(18,4)) AS %1$s
+        |}""".stripMargin
+    val out = C.convert(block)
+    assert(out.contains("SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(RowModified)"))
+    assert(!out.contains("CONCAT(RowModified,"))
+    assert(!out.contains("decimal(18,4)")) // target's 5th variant is double
+    // The bare spelling also marks a main script (rule 15 detection).
+    assert(C.isMainScript(block))
+  }
+
+  test("rule 32: date-column * 1000 scaling is stripped; rule 14 still wins") {
+    val out = C.convert(
+      "SELECT c_conversionDate * 1000 AS d1, sc.RowModified* 1000 AS d2,\n" +
+        "  amount * 1000 AS not_a_date, UNIX_TIMESTAMP()*1000 AS now_ms FROM t")
+    assert(out.contains("c_conversionDate AS d1"))
+    assert(out.contains("sc.RowModified AS d2"))
+    assert(out.contains("amount * 1000 AS not_a_date")) // non-date untouched
+    assert(out.contains("CURRENT_TIMESTAMP() AS now_ms"))
+  }
+
   test("suggester helpers: file pairing, column search, context window") {
     assert(ScriptSnippets.extractSuffix("nw_customer_PRE_300.hql", "nw_")
       .contains("customer_PRE_300"))

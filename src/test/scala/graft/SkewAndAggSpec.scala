@@ -23,6 +23,28 @@ class SkewAndAggSpec extends AnyFunSuite {
     assert(typed == Map("k" -> "new", "t" -> "y"))
   }
 
+  test("CollectMaxOne survives rank ties on null values (no NPE)") {
+    // Two null-valued rows per key: both rank 0 (the null sentinel), so
+    // buffers tie on rank with null values — the tiebreak must not NPE,
+    // and a non-null value at the same rank must win over null.
+    val data = Seq(
+      // a: two null values, both sentinel rank 0 → null/null rank tie.
+      ("a", null.asInstanceOf[String], 7L), ("a", null.asInstanceOf[String], 9L),
+      // b: null (rank 0) ties with a genuine rank-0 non-null → mixed tie.
+      ("b", null.asInstanceOf[String], 2L), ("b", "v", 0L),
+      // c: non-null rank 1 simply outranks the null sentinel.
+      ("c", null.asInstanceOf[String], 1L), ("c", "w", 1L))
+    val typed = data.toDS()
+      .repartition(4) // force cross-partition merges
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(CollectMaxOne.forString)
+      .collect().toMap
+    assert(typed("a") == null) // tie of nulls stays null, no NPE
+    assert(typed("b") == "v")  // non-null beats null at equal rank
+    assert(typed("c") == "w")  // rank 1 beats sentinel rank 0
+  }
+
   test("saltedJoin equals the plain join") {
     val events = Tables.load(spark, TestSpark.Sf0001, "events")
       .select($"event_id", $"user_id", $"value")

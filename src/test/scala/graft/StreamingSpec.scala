@@ -60,13 +60,19 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("sess_out").start()
     try { q.processAllAvailable() } finally q.stop()
 
-    // Append mode only emits CLOSED sessions; each user's last session is
-    // still open in state. Compare against the batch twin minus each
-    // user's final session.
+    // Append mode emits sessions closed by a gap, plus sessions flushed by
+    // event-time timeout once the final watermark (maxTs - 2h) passes their
+    // gap horizon (session_end + gap). A user's final session stays open
+    // only if it is younger than that horizon.
+    val gapMs = 1800000L
+    val wmMs = Tables.load(spark, TestSpark.Sf0001, "events")
+      .agg(max(unix_millis(col("ts").cast("timestamp")))).as[Long].head() -
+      2L * 3600 * 1000
     val batch = EventQueries.queries("q_sessionize")(spark, TestSpark.Sf0001)
       .withColumn("max_sid", max($"session_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy($"user_id")))
-      .filter($"session_id" < $"max_sid")
+      .filter($"session_id" < $"max_sid" ||
+        unix_millis($"session_end") + gapMs < wmMs)
       .select($"user_id", $"session_id", $"n_events", $"session_start",
         $"session_end", $"value_milli")
       .orderBy($"user_id", $"session_id")
@@ -77,5 +83,33 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
       .collect().toSeq
     assert(streamed == batch)
+  }
+
+  test("a silent user's session flushes on event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(src.toDS(), watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("flush_out").start()
+    try {
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      val t0 = 1000000000000L
+      src.addData(EventStream.Event(1L, ts(t0), 42L, "click", 1.0),
+        EventStream.Event(2L, ts(t0 + 60000L), 42L, "click", 2.0))
+      q.processAllAvailable()
+      // User 42's session is open; nothing emitted yet.
+      assert(spark.table("flush_out").count() == 0)
+      // A different user 3h later advances the watermark past 42's gap
+      // horizon (last + 30min): the session must flush WITHOUT any new
+      // event from user 42, and its state is dropped.
+      src.addData(EventStream.Event(3L, ts(t0 + 3L * 3600 * 1000), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("flush_out").as[EventStream.SessionOut].collect()
+      assert(rows.exists(r => r.user_id == 42L && r.n_events == 2L &&
+        r.value_milli == 3000L))
+      // User 7's own session is younger than the horizon: still open.
+      assert(!rows.exists(_.user_id == 7L))
+    } finally q.stop()
   }
 }

@@ -68,6 +68,28 @@ class TableDiffSpec extends AnyFunSuite {
     assert(m.getAs[Long]("total_record_count_sf") == 2)
   }
 
+  test("catalog-driven exclusions: audit noise is ignored, pks come from metadata") {
+    import graft.script.{ColumnMeta, SchemaCatalog}
+    val cat = SchemaCatalog.inMemory("t" -> Seq(
+      ColumnMeta("id", 1, primaryKey = true),
+      ColumnMeta("s", 2, primaryKey = false),
+      ColumnMeta("v", 1, primaryKey = false),
+      ColumnMeta("Batch", 1, primaryKey = false),
+      ColumnMeta("LastTouched", 2, primaryKey = false, primaryTimestamp = true)))
+    assert(cat.excludedColumns("t") == Seq("Batch", "LastTouched"))
+    import org.apache.spark.sql.functions.lit
+    val l = left.withColumn("Batch", lit(1L)).withColumn("LastTouched", lit("x"))
+    val r = right.withColumn("Batch", lit(2L)).withColumn("LastTouched", lit("y"))
+    // Same discrepancy counts as the audit-free diff: only 's' differs.
+    val m = TableDiff.metricsForTable(l, r, "t", cat).collect().head
+    assert(m.getAs[Long]("data_discrepancy_count") == 2)
+    val matrix = TableDiff.mismatchMatrixForTable(l, r, "t", cat).collect()
+    assert(matrix.map(_.getAs[String]("column_name")).toSet == Set("s"))
+    // Without the catalog exclusions the audit noise WOULD be discrepant.
+    val noisy = TableDiff.metrics(l, r, "t", "id").collect().head
+    assert(noisy.getAs[Long]("data_discrepancy_count") == 3) // every matched row
+  }
+
   test("rollup groups by column with sorted distinct values") {
     val roll = TableDiff.mismatchRollup(TableDiff.mismatchMatrix(left, right, "id")).collect()
     assert(roll.length == 1)

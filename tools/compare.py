@@ -42,6 +42,15 @@ for qdir in sorted(glob.glob(f"{outdir}/q_*")):
         print(f"{name:28s} COLUMN MISMATCH mine={list(a.columns)} ref={list(b.columns)}"); fails += 1; continue
     if len(a) != len(b):
         print(f"{name:28s} ROWCOUNT {len(a)} vs {len(b)}"); fails += 1; continue
+    # Driver parity: the driver hashes the pandas values dtype-sensitively
+    # across KINDS — int64 vs float64 (e.g. DuckDB HUGEINT from an uncast
+    # sum(BIGINT) materializing as float64) fails even when values agree.
+    # Same-kind width differences (int32 vs int64) hash identically, so
+    # only flag kind mismatches.
+    dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+          if a[c].dtype.kind != b[c].dtype.kind]
+    if dt:
+        print(f"{name:28s} DTYPE MISMATCH {dt} (driver hash would fail)"); fails += 1; continue
     bad = []
     for c in a.columns:
         if str(a[c].dtype) == "float64" or str(b[c].dtype) == "float64":
