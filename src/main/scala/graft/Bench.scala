@@ -23,7 +23,12 @@ object Bench {
       // without any write-path cost.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Dedup/similarity queries persist intermediate tables (postings,
+      // signatures); drop them so later queries aren't timed under
+      // accumulated cache/GC pressure from earlier ones.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

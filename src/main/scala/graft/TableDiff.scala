@@ -121,7 +121,9 @@ object TableDiff {
     mismatchMatrixMulti(left, right, Seq(pk), exclude, idCap)
 
   /** Buckets for the deterministic cap: per-bucket limit = idCap/1024, so
-    * the capped set is ≤ idCap, stable across runs, and never single-task. */
+    * the capped set is ≤ idCap (≤ 1024 when idCap is set below the bucket
+    * count — the cap is a work bound, not an exact quota), stable across
+    * runs, and never single-task. */
   private val CapBuckets = 1024
 
   /** Composite-PK form of [[mismatchMatrix]]; `id` is the ':'-joined key. */

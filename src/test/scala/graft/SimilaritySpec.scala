@@ -60,6 +60,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall") // random vectors: cells barely correlate with cosine, just sanity
   }
 
+  test("IVF centroid assignment is a projection: only the top-k window remains") {
+    val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val probes = v.filter($"vec_id" % 100 === 0)
+    val plan = Similarity.ivfTopK(probes, v, k = 5).queryExecution
+      .executedPlan.toString
+    // The corpus-side nearest-centroid argmax must NOT plan as a window
+    // (the old form shuffled corpus×nCentroids rows through a row_number
+    // window); the only Window left is scoreAndTopK's per-probe top-k.
+    // \b excludes WindowGroupLimit (the pushed partial top-k, which is fine).
+    assert("""\bWindow\b""".r.findAllIn(plan).length == 1, plan.take(2000))
+  }
+
   test("label-blocked near-dup pairs stay within block and above threshold") {
     val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
     val out = Similarity.cosineNearDupPairs(v, "label", 0.3)

@@ -90,6 +90,22 @@ class TableDiffSpec extends AnyFunSuite {
     assert(noisy.getAs[Long]("data_discrepancy_count") == 3) // every matched row
   }
 
+  test("mismatchMatrix cap never plans a global ordered merge") {
+    val plan = TableDiff.mismatchMatrix(left, right, "id", idCap = 100)
+      .queryExecution.executedPlan.toString
+    // The idCap is a per-hash-bucket limit: a TakeOrderedAndProject (from
+    // orderBy+limit) would merge every partition's top-idCap rows through
+    // one task at scale.
+    assert(!plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // The capped subset is deterministic across runs (hash-bucketed
+    // row_number over the unique pk, no partition-order dependence).
+    val a = TableDiff.mismatchMatrix(left, right, "id", idCap = 1)
+      .collect().map(_.toString).sorted.toSeq
+    val b = TableDiff.mismatchMatrix(left, right, "id", idCap = 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("rollup groups by column with sorted distinct values") {
     val roll = TableDiff.mismatchRollup(TableDiff.mismatchMatrix(left, right, "id")).collect()
     assert(roll.length == 1)
