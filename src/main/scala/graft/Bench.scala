@@ -3,7 +3,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Driver contract: bench runs at local[32]. (Round-1 defaulted to 4 —
+    // the driver doesn't set SPARK_GRAFT_CPUS, so BENCH_r01's 207.9s was
+    // a quarter-width run.)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,7 +25,8 @@ object Bench {
       // Catalyst prune unreferenced projections, faking scan-heavy timings)
       // without any write-path cost.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
       // Dedup/similarity queries persist intermediate tables (postings,
       // signatures); drop them so later queries aren't timed under

@@ -116,6 +116,10 @@ object Similarity {
     // distributed TakeOrdered (no global sort), tiny by construction.
     val centRows = c.orderBy(xxhash64(col("vec_id"))).limit(nCentroids)
       .select(col("vec_id"), col("cv"), col("cn")).collect()
+    // Degenerate corpus (< 2 centroids): cells are meaningless and
+    // greatest() needs ≥ 2 args — exact search is the cheap, correct path.
+    if (centRows.length < 2)
+      return bruteForceTopK(probes, corpus, k, idCol, vecCol)
     // One struct per centroid: (sim, -centroid_id). Max of these = best
     // sim, ties broken toward the SMALLEST centroid id (negid is larger).
     def scoredStructs(vec: String, norm: String): Seq[Column] =

@@ -64,7 +64,11 @@ object EventStream {
     * beyond the gap anyway), so it is flushed and its state dropped. A user
     * who goes silent therefore costs nothing after `watermark` — state is
     * strictly bounded on an unbounded firehose, and final sessions are not
-    * silently lost. The batch twin is q_sessionize. NOTE: within-batch
+    * silently lost. A user returning AFTER a timeout flush restarts
+    * numbering at session_id 1 (the alternative — remembering the counter
+    * forever — is exactly the unbounded state this timeout removes);
+    * (user_id, session_start) is the globally unique session key. The
+    * batch twin is q_sessionize. NOTE: within-batch
     * events are sorted per user in-memory; at scale the trigger interval
     * bounds that batch size. */
   def sessionize(events: Dataset[Event], gapMs: Long = 1800000L,

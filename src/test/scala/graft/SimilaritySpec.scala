@@ -72,6 +72,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert("""\bWindow\b""".r.findAllIn(plan).length == 1, plan.take(2000))
   }
 
+  test("IVF degrades to exact search on degenerate (0/1-vector) corpora") {
+    val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val probes = v.filter($"vec_id" % 100 === 0)
+    val one = v.filter($"vec_id" === 1)
+    // 1-vector corpus: every probe (≠ id 1) gets exactly that neighbor.
+    val rows = Similarity.ivfTopK(probes, one, k = 5).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("vec_id") == 1L))
+    // Empty corpus: empty result, no crash.
+    assert(Similarity.ivfTopK(probes, v.filter($"vec_id" < 0), k = 5).count() == 0)
+  }
+
   test("label-blocked near-dup pairs stay within block and above threshold") {
     val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
     val out = Similarity.cosineNearDupPairs(v, "label", 0.3)
