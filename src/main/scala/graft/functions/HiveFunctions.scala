@@ -113,8 +113,9 @@ object HiveFunctions {
     * [[graft.functions.UrlDecode]]; this is the Column-facing wrapper. */
   def decodeUrl(col: Column): Column = UrlDecode.decodeurl(col)
 
-  /** Deterministic string hash ("hashcode", converter rule 10): Java
-    * String.hashCode semantics via Spark's codegen'd hash — stable across
-    * JVMs/partitions, unlike Scala closure hashing. */
+  /** Deterministic string hash ("hashcode", converter rule 10): Spark's
+    * codegen'd Murmur3 hash — stable across JVMs/partitions. (Rule 10 maps
+    * Hive `hash` to Snowflake `hashcode`; neither side promises the other's
+    * exact values, only a stable deterministic hash.) */
   def hashcode(col: Column): Column = hash(col)
 }
