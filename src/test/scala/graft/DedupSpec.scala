@@ -56,6 +56,38 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
   }
 
+  test("LSH/SimHash bucket cap drops degenerate buckets, keeps real near-dups") {
+    // 30 identical boilerplate docs form one degenerate bucket per band
+    // (size 30 > cap 10): with no cap that is 435 pairs × 4 bands of
+    // explode; with the cap they are dropped wholesale. A genuinely
+    // near-duplicate pair (distinct text, one token changed) lives in
+    // buckets of size 2 and must survive.
+    val boiler = (0L until 30L).map(i => (i,
+      "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"))
+    val near = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog while the spark engine " +
+        "shuffles partitions across executors and joins the buckets deterministically"),
+      (1001L, "the quick brown fox jumps over the lazy dog while the spark engine " +
+        "shuffles partitions across executors and joins the buckets efficiently"))
+    // SimHash needs near-IDENTICAL docs (one token in 23 flips > 3 of 64
+    // bits): an exact-duplicate pair checks its cap-survival path.
+    val dup = Seq(
+      (2000L, "completely separate prose about columnar storage and vectorized reads"),
+      (2001L, "completely separate prose about columnar storage and vectorized reads"))
+    val df = (boiler ++ near ++ dup).toDF("doc_id", "text")
+    // 8 bands × 2 rows: per-band collision ≈ J², so a J≈0.9 pair agrees on
+    // ≥1 band with near-certainty (4×4 banding left this exact pair with
+    // zero matching bands on this hash draw).
+    val lsh = Dedup.minhashLshPairs(df, "doc_id", "text", bands = 8, bucketCap = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!lsh.exists { case (a, b) => a < 30 && b < 30 })
+    assert(lsh.contains((1000L, 1001L)))
+    val sim = Dedup.simhashPairs(df, "doc_id", "text", bucketCap = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!sim.exists { case (a, b) => a < 30 && b < 30 })
+    assert(sim.contains((2000L, 2001L)))
+  }
+
   test("simhash: identical docs collide at hamming 0; pairs are symmetric-free") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Int]("hamming")))
