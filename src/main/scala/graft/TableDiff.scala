@@ -168,13 +168,16 @@ object TableDiff {
       catalog.excludedColumns(tableName), idCap)
 
   /** Roll the matrix up by column (reference: data_matrix_tool.py:69-86):
-    * sorted distinct hive/snowflake values + contributing ids, comma-joined
-    * (the reference emits sorted lists; strings keep the row bounded). */
-  def mismatchRollup(matrix: DataFrame): DataFrame =
+    * sorted distinct hive/snowflake values + contributing ids, comma-joined.
+    * The id and value lists are capped at `listCap` (sorted-first-K) so a
+    * column discrepant on millions of rows still rolls up to a bounded
+    * row; `n_cells` stays exact. */
+  def mismatchRollup(matrix: DataFrame, listCap: Int = 1000): DataFrame =
     matrix.groupBy(col("column_name")).agg(
-      concat_ws(",", sort_array(collect_set(col("hive")))).as("hive"),
-      concat_ws(",", sort_array(collect_set(col("snowflake")))).as("snowflake"),
+      concat_ws(",", slice(sort_array(collect_set(col("hive"))), 1, listCap)).as("hive"),
+      concat_ws(",", slice(sort_array(collect_set(col("snowflake"))), 1, listCap)).as("snowflake"),
       concat_ws(",",
-        transform(sort_array(collect_set(col("id"))), _.cast("string"))).as("ids"),
+        transform(slice(sort_array(collect_set(col("id"))), 1, listCap),
+          _.cast("string"))).as("ids"),
       count(lit(1)).as("n_cells"))
 }

@@ -29,16 +29,21 @@ object Dedup {
   }
 
   /** Exact duplicate groups by canonical-text hash: one row per duplicated
-    * fingerprint with the surviving (min) id, the sorted member ids, and
-    * the group size. One shuffle on the 128-bit hash — never on the text
-    * itself, so 100 TB of documents shuffles only ids+hashes. */
-  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * fingerprint with the surviving (min) id, the sorted member ids capped
+    * at `memberCap` (a web corpus reliably has mega-groups — empty docs,
+    * boilerplate — and an unbounded id list would make those rows
+    * arbitrarily large; `group_size` stays exact), and the group size.
+    * One shuffle on the 128-bit hash — never on the text itself, so
+    * 100 TB of documents shuffles only ids+hashes. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String,
+                  memberCap: Int = 100): DataFrame =
     df.select(col(idCol).as("id"),
         TextAnalysis.docFingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("id")).as("canonical_id"),
         concat_ws(",",
-          transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("member_ids"),
+          transform(slice(sort_array(collect_list(col("id"))), 1, memberCap),
+            _.cast("string"))).as("member_ids"),
         count(lit(1)).as("group_size"))
       .filter(col("group_size") > 1)
       .select(col("canonical_id"), col("fp"), col("member_ids"), col("group_size"))

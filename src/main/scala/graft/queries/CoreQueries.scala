@@ -290,9 +290,9 @@ object CoreQueries {
       s"""${Fixtures.Sql.ordersPair},
          |$matrixCellsSql
          |SELECT column_name,
-         |  array_to_string(list_sort(list(DISTINCT hive)), ',') AS hive,
-         |  array_to_string(list_sort(list(DISTINCT snowflake)), ',') AS snowflake,
-         |  array_to_string(list_sort(list(DISTINCT id)), ',') AS ids,
+         |  array_to_string(list_slice(list_sort(list(DISTINCT hive)), 1, 1000), ',') AS hive,
+         |  array_to_string(list_slice(list_sort(list(DISTINCT snowflake)), 1, 1000), ',') AS snowflake,
+         |  array_to_string(list_slice(list_sort(list(DISTINCT id)), 1, 1000), ',') AS ids,
          |  count(*) AS n_cells
          |FROM cells WHERE differs
          |GROUP BY column_name ORDER BY column_name""".stripMargin,

@@ -184,7 +184,7 @@ object TextQueries {
          |g AS (
          |  SELECT md5($normSql) AS fp,
          |    min(doc_id) AS canonical_id,
-         |    array_to_string(list_sort(list(doc_id)), ',') AS member_ids,
+         |    array_to_string(list_slice(list_sort(list(doc_id)), 1, 100), ',') AS member_ids,
          |    count(*) AS group_size
          |  FROM corpus GROUP BY 1)
          |SELECT canonical_id, fp, member_ids, group_size FROM g
