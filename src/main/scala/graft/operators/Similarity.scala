@@ -105,7 +105,9 @@ object Similarity {
     * shuffle, zero join. (The previous form cross-joined centroids and
     * ranked with a window partitioned by vec_id, which shuffled
     * corpus×nCentroids rows — a 100 TB bottleneck for something that is
-    * per-row arithmetic.)
+    * per-row arithmetic.) The inlined-literal design assumes nCentroids is
+    * O(100s) — generated code grows with it; a much larger nlist would
+    * call for a broadcast-join assignment instead.
     */
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2,
