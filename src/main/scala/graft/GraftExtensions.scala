@@ -39,6 +39,9 @@ object GraftSession {
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // BoundedMinK udafs aggregate via ObjectHashAggregate; the default
+      // 128-group sort fallback is far too eager for <= K-element buffers.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
 }

@@ -24,6 +24,14 @@ import graft.functions.HiveFunctions.rowHashSafe
   */
 object TableDiff {
 
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+  }
+
   /** Columns that participate in comparison: everything but the PK and the
     * excluded (audit) columns, in left-schema order. */
   def compareCols(df: DataFrame, pks: Seq[String], exclude: Seq[String]): Seq[String] = {
@@ -83,13 +91,22 @@ object TableDiff {
                    pks: Seq[String], exclude: Seq[String] = Nil,
                    sampleCap: Int = 100): DataFrame = {
     val d = diff(left, right, pks, exclude)
-    def sample(flag: Column): Column =
-      coalesce(
-        concat_ws(",",
-          transform(
-            slice(sort_array(collect_list(when(flag, col("pk")))), 1, sampleCap),
-            _.cast("string"))),
-        lit(""))
+    // Sorted first-K sample via the bounded aggregate: the agg buffer
+    // holds ≤ sampleCap keys even when millions of rows match the flag
+    // (an unbounded collect_list sliced afterwards still materializes the
+    // full list in one task first). Integral pks keep numeric order;
+    // everything else samples in string order.
+    val pkIsIntegral = isIntegral(d.schema("pk").dataType)
+    def sample(flag: Column): Column = {
+      val arr =
+        if (pkIsIntegral)
+          graft.functions.BoundedMinK.minKLongs(
+            when(flag, col("pk")).cast("long"), sampleCap)
+        else
+          graft.functions.BoundedMinK.minKStrings(
+            when(flag, col("pk")).cast("string"), sampleCap)
+      coalesce(concat_ws(",", transform(arr, _.cast("string"))), lit(""))
+    }
     val totals = left.agg(count(lit(1)).as("total_record_count_hive"))
       .crossJoin(right.agg(count(lit(1)).as("total_record_count_sf")))
     val flags = d.agg(
@@ -120,10 +137,11 @@ object TableDiff {
                      exclude: Seq[String] = Nil, idCap: Int = 1000000): DataFrame =
     mismatchMatrixMulti(left, right, Seq(pk), exclude, idCap)
 
-  /** Buckets for the deterministic cap: per-bucket limit = idCap/1024, so
-    * the capped set is ≤ idCap (≤ 1024 when idCap is set below the bucket
-    * count — the cap is a work bound, not an exact quota), stable across
-    * runs, and never single-task. */
+  /** Max buckets for the deterministic cap. Actual buckets =
+    * min(CapBuckets, idCap), per-bucket limit = idCap/buckets, so the
+    * capped set is ALWAYS ≤ idCap and the cap work runs min(idCap, 1024)-
+    * way parallel (probe-style tiny caps serialize by construction — their
+    * output is tiny; large caps never funnel through one task). */
   private val CapBuckets = 1024
 
   /** Composite-PK form of [[mismatchMatrix]]; `id` is the ':'-joined key. */
@@ -131,11 +149,12 @@ object TableDiff {
                           exclude: Seq[String] = Nil, idCap: Int = 1000000): DataFrame = {
     val cols = compareCols(left, pks, exclude)
     val d = diff(left, right, pks, exclude).filter(col("hash_mismatch"))
-    val perBucket = math.max(1, idCap / CapBuckets)
+    val buckets = math.max(1, math.min(CapBuckets, idCap))
+    val perBucket = math.max(1, idCap / buckets)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bkt")).orderBy(col("pk"))
     val capped = d
-      .withColumn("__bkt", pmod(xxhash64(col("pk").cast("string")), lit(CapBuckets.toLong)))
+      .withColumn("__bkt", pmod(xxhash64(col("pk").cast("string")), lit(buckets.toLong)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perBucket)
       .drop("__bkt", "__rn")
@@ -169,15 +188,24 @@ object TableDiff {
 
   /** Roll the matrix up by column (reference: data_matrix_tool.py:69-86):
     * sorted distinct hive/snowflake values + contributing ids, comma-joined.
-    * The id and value lists are capped at `listCap` (sorted-first-K) so a
-    * column discrepant on millions of rows still rolls up to a bounded
-    * row; `n_cells` stays exact. */
-  def mismatchRollup(matrix: DataFrame, listCap: Int = 1000): DataFrame =
+    * The id and value lists are capped at `listCap` via the bounded
+    * distinct-first-K aggregate (buffer ≤ listCap — a column discrepant on
+    * millions of rows never materializes them all); `n_cells` stays
+    * exact. */
+  def mismatchRollup(matrix: DataFrame, listCap: Int = 1000): DataFrame = {
+    import graft.functions.BoundedMinK.{minKLongs, minKStrings}
+    // ids keep NUMERIC order when the pk is integral (matching the
+    // oracle's list_sort of a numeric column); strings sort as strings.
+    val ids =
+      if (isIntegral(matrix.schema("id").dataType))
+        transform(minKLongs(col("id").cast("long"), listCap, distinct = true),
+          _.cast("string"))
+      else
+        minKStrings(col("id").cast("string"), listCap, distinct = true)
     matrix.groupBy(col("column_name")).agg(
-      concat_ws(",", slice(sort_array(collect_set(col("hive"))), 1, listCap)).as("hive"),
-      concat_ws(",", slice(sort_array(collect_set(col("snowflake"))), 1, listCap)).as("snowflake"),
-      concat_ws(",",
-        transform(slice(sort_array(collect_set(col("id"))), 1, listCap),
-          _.cast("string"))).as("ids"),
+      concat_ws(",", minKStrings(col("hive"), listCap, distinct = true)).as("hive"),
+      concat_ws(",", minKStrings(col("snowflake"), listCap, distinct = true)).as("snowflake"),
+      concat_ws(",", ids).as("ids"),
       count(lit(1)).as("n_cells"))
+  }
 }

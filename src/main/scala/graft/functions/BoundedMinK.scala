@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded sorted-first-K aggregates: the K smallest non-null inputs in
+  * ascending order, optionally distinct.
+  *
+  * Result-equivalent to `slice(sort_array(collect_list(x)), 1, K)` (or
+  * `collect_set` for the distinct variant) with one crucial difference at
+  * 100 TB: the aggregation BUFFER never holds more than K elements, so a
+  * mega-group — millions of ids behind one fingerprint, a column
+  * discrepant on every row — cannot OOM an executor mid-aggregate the way
+  * an unbounded collect_list does before a post-hoc slice. Merge is a
+  * sorted insert capped at K, so partial (map-side) aggregation works
+  * under any partitioning.
+  */
+object BoundedMinK {
+
+  /** K smallest strings (UTF-16 order — identical to sort_array for the
+    * ASCII keys the engine produces). */
+  def minKStrings(c: Column, k: Int, distinct: Boolean = false): Column =
+    udaf(new BoundedMinStrings(k, distinct), Encoders.STRING).apply(c)
+
+  /** K smallest longs (numeric order). */
+  def minKLongs(c: Column, k: Int, distinct: Boolean = false): Column =
+    udaf(new BoundedMinLongs(k, distinct), Encoders.LONG).apply(c)
+}
+
+final class BoundedMinStrings(k: Int, distinct: Boolean)
+    extends Aggregator[String, Array[String], Array[String]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: Array[String] = Array.empty
+
+  private def insert(buf: Array[String], v: String): Array[String] = {
+    if (v == null) return buf
+    var lo = 0
+    var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf(mid).compareTo(v) < 0) lo = mid + 1 else hi = mid
+    }
+    if (distinct && lo < buf.length && buf(lo) == v) return buf
+    if (lo >= k) return buf // larger than the current K smallest
+    val out = new Array[String](math.min(buf.length + 1, k))
+    System.arraycopy(buf, 0, out, 0, lo)
+    out(lo) = v
+    System.arraycopy(buf, lo, out, lo + 1, out.length - lo - 1)
+    out
+  }
+
+  override def reduce(b: Array[String], a: String): Array[String] = insert(b, a)
+  override def merge(x: Array[String], y: Array[String]): Array[String] =
+    y.foldLeft(x)(insert)
+  override def finish(b: Array[String]): Array[String] = b
+  override def bufferEncoder: Encoder[Array[String]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[String]] = ExpressionEncoder()
+}
+
+final class BoundedMinLongs(k: Int, distinct: Boolean)
+    extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: Array[Long] = Array.empty
+
+  private def insert(buf: Array[Long], v: Long): Array[Long] = {
+    var lo = 0
+    var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf(mid) < v) lo = mid + 1 else hi = mid
+    }
+    if (distinct && lo < buf.length && buf(lo) == v) return buf
+    if (lo >= k) return buf
+    val out = new Array[Long](math.min(buf.length + 1, k))
+    System.arraycopy(buf, 0, out, 0, lo)
+    out(lo) = v
+    System.arraycopy(buf, lo, out, lo + 1, out.length - lo - 1)
+    out
+  }
+
+  override def reduce(b: Array[Long], a: java.lang.Long): Array[Long] =
+    if (a == null) b else insert(b, a.longValue())
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+    y.foldLeft(x)(insert)
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}

@@ -36,17 +36,25 @@ object Dedup {
     * One shuffle on the 128-bit hash — never on the text itself, so
     * 100 TB of documents shuffles only ids+hashes. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String,
-                  memberCap: Int = 100): DataFrame =
+                  memberCap: Int = 100): DataFrame = {
+    import graft.functions.BoundedMinK.{minKLongs, minKStrings}
+    // Bounded-buffer first-K members (≤ memberCap held at any point — a
+    // mega-group can't OOM the aggregate); numeric ids keep numeric order.
+    val members = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+        transform(minKLongs(col("id").cast("long"), memberCap), _.cast("string"))
+      case _ => minKStrings(col("id").cast("string"), memberCap)
+    }
     df.select(col(idCol).as("id"),
         TextAnalysis.docFingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("id")).as("canonical_id"),
-        concat_ws(",",
-          transform(slice(sort_array(collect_list(col("id"))), 1, memberCap),
-            _.cast("string"))).as("member_ids"),
+        concat_ws(",", members).as("member_ids"),
         count(lit(1)).as("group_size"))
       .filter(col("group_size") > 1)
       .select(col("canonical_id"), col("fp"), col("member_ids"), col("group_size"))
+  }
 
   /** Exact n-gram Jaccard near-duplicate pairs via an inverted posting
     * list: shingles shuffle as 64-bit xxhash64 keys (never as multi-word

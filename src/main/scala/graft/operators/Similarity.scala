@@ -116,22 +116,26 @@ object Similarity {
       .withColumn("cn", dot(col("cv"), col("cv")))
     // Deterministic pseudo-random centroid sample: top-n by id hash is a
     // distributed TakeOrdered (no global sort), tiny by construction.
-    val centRows = c.orderBy(xxhash64(col("vec_id"))).limit(nCentroids)
-      .select(col("vec_id"), col("cv"), col("cn")).collect()
+    // Null vectors are excluded (a null sampled centroid would NPE on the
+    // driver and score null against every row). Centroid identity is the
+    // ARRAY INDEX, not the source id — works for any id type and makes
+    // the tie-break (smallest index) type-agnostic.
+    val centRows = c.where(col("cv").isNotNull)
+      .orderBy(xxhash64(col("vec_id").cast("string"))).limit(nCentroids)
+      .select(col("cv"), col("cn")).collect()
     // Degenerate corpus (< 2 centroids): cells are meaningless and
     // greatest() needs ≥ 2 args — exact search is the cheap, correct path.
     if (centRows.length < 2)
       return bruteForceTopK(probes, corpus, k, idCol, vecCol)
-    // One struct per centroid: (sim, -centroid_id). Max of these = best
-    // sim, ties broken toward the SMALLEST centroid id (negid is larger).
+    // One struct per centroid: (sim, -index). Max of these = best sim,
+    // ties broken toward the SMALLEST index (negid is larger).
     def scoredStructs(vec: String, norm: String): Seq[Column] =
-      centRows.toSeq.map { r =>
-        val cid = r.getLong(0)
-        val cv = typedLit(r.getSeq[Double](1).toSeq)
-        val cn = r.getDouble(2)
+      centRows.toSeq.zipWithIndex.map { case (r, idx) =>
+        val cv = typedLit(r.getSeq[Double](0).toSeq)
+        val cn = r.getDouble(1)
         struct(
           (dot(col(vec), cv) / sqrt(col(norm) * lit(cn))).as("sim"),
-          lit(-cid).as("negid"))
+          lit(-idx).as("negid"))
       }
     // Corpus: single nearest cell via greatest() — codegen'd, map-side.
     val assigned = c

@@ -147,7 +147,7 @@ object HiveToSnowflakeConverter {
     * Snowflake `SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(RowModified),...)))`
     * form. Matched whitespace-insensitively on its unmistakable head. */
   private val CollectMaxOneBlock: Regex =
-    """(?is)CASE\s+WHEN\s+map_values\s*\(\s*collect_max_one\s*\(\s*COALESCE\s*\(%1\$s,''\).*?END\s+AS\s+%1\$s(?=\s*[}:])""".r
+    """(?is)CASE\s+WHEN\s+map_values\s*\(\s*collect_max_one\s*\(\s*COALESCE\s*\(%1\$s,''\)[^}]*?END\s+AS\s+%1\$s(?=\s*[}:])""".r
 
   private val CollectMaxOneTarget: String =
     """SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(RowModified),IFF(COALESCE(%1$s,'') = '',NULL,%1$s))),14) AS %1$s:
@@ -161,10 +161,13 @@ object HiveToSnowflakeConverter {
     * TO_NUMBER_CUSTOM (a real migration corpus contains both this and the
     * rule-13 `collect_max_one` spelling; reference
     * script_converter_tool.py:77-85). Head-matched on its unmistakable
-    * first template line, tail-anchored on the `decimal(18,4)` variant. */
+    * first template line, tail-anchored on the `decimal(18,4)` variant.
+    * The body is `[^}]*?` — template blocks never contain a brace — so a
+    * malformed block can never make the match scan past its enclosing
+    * `${...}` into later SQL. */
   private val BareArgmaxBlock: Regex =
     ("""(?is)SUBSTRING\s*\(\s*MAX\s*\(\s*CONCAT\s*\(\s*RowModified\s*,\s*IFF?\s*\(\s*""" +
-      """COALESCE\s*\(\s*%1\$s\s*,\s*''\s*\).*?""" +
+      """COALESCE\s*\(\s*%1\$s\s*,\s*''\s*\)[^}]*?""" +
       """AS\s+decimal\s*\(\s*18\s*,\s*4\s*\)\s*\)\s*AS\s+%1\$s(?=\s*[}:])""").r
 
   /** Detect a "main script" (rule 15): contains the argmax merge pattern. */
@@ -273,12 +276,22 @@ object HiveToSnowflakeConverter {
     s = s.replaceAll("""(?i)\bunix_timestamp\s*\(\s*\)\s*\*\s*1000\b""", "CURRENT_TIMESTAMP()")
 
     // Rule 32: strip the ms-epoch "* 1000" scaling from date columns
-    // (Snowflake dates aren't epoch-millis). Mechanical subset: qualified
-    // identifiers whose terminal name is date-like (contains "date", or is
-    // RowModified/RowCreated). Runs AFTER rule 14 so the
-    // UNIX_TIMESTAMP()*1000 special case wins.
-    s = """(?i)\b((?:\w+\.)*(?:\w*date\w*|RowModified|RowCreated))\s*\*\s*1000\b""".r
-      .replaceAllIn(s, m => Regex.quoteReplacement(m.group(1)))
+    // (Snowflake dates aren't epoch-millis). Mechanical subset — a
+    // misfire corrupts arithmetic by 1000×, so the test is conservative:
+    // the terminal name must be RowModified/RowCreated or contain a
+    // snake/camel TOKEN starting with "date" ("conversionDate",
+    // "date_added"); names where "date" is only an embedded substring
+    // ("update_count", "candidate", lowercase compounds like "orderdate")
+    // are left alone. Runs AFTER rule 14 so UNIX_TIMESTAMP()*1000 wins.
+    def dateLike(name: String): Boolean =
+      name.equalsIgnoreCase("rowmodified") || name.equalsIgnoreCase("rowcreated") ||
+        name.split('_').flatMap(_.split("(?=[A-Z])"))
+          .exists(_.toLowerCase.startsWith("date"))
+    s = """(?i)\b((?:\w+\.)*\w+)\s*\*\s*1000\b""".r.replaceAllIn(s, m => {
+      val ident = m.group(1)
+      if (dateLike(ident.split('.').last)) Regex.quoteReplacement(ident)
+      else Regex.quoteReplacement(m.group(0))
+    })
 
     // Rule 34: RowModified + 1 → DATEADD(second, 1, RowModified).
     s = """(?i)\b((?:\w+\.)?RowModified)\s*\+\s*1\b""".r

@@ -99,7 +99,15 @@ object EventStream {
                   emit(s)
                   st = SessionState(s.sessionId + 1, e.ts, e.ts, 1L, vm)
                 case s =>
-                  st = s.copy(last = e.ts, nEvents = s.nEvents + 1,
+                  // A cross-batch late (but within-watermark) event joins
+                  // the session without moving its bounds backwards: last
+                  // only advances, start only retreats — otherwise the
+                  // timeout horizon (last + gap) would regress and flush
+                  // the session early.
+                  st = s.copy(
+                    start = if (e.ts.getTime < s.start.getTime) e.ts else s.start,
+                    last = if (e.ts.getTime > s.last.getTime) e.ts else s.last,
+                    nEvents = s.nEvents + 1,
                     valueMilli = s.valueMilli + vm)
               }
             }

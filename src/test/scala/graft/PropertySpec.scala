@@ -30,6 +30,31 @@ class PropertySpec extends AnyFunSuite {
   private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
   private val text = Gen.listOf(word).map(_.mkString(" "))
 
+  test("BoundedMinK equals sort-take-K under arbitrary splits and merges") {
+    import graft.functions.{BoundedMinLongs, BoundedMinStrings}
+    val xsGen = Gen.listOf(Gen.chooseNum(-50L, 50L)) // narrow range → duplicates
+    val kGen = Gen.chooseNum(1, 12)
+    val cutGen = Gen.chooseNum(0, 100)
+    forAll(xsGen, kGen, cutGen) { (xs, k, cutPct) =>
+      val cut = xs.length * cutPct / 100
+      val (a, b) = xs.splitAt(cut)
+      def run(distinct: Boolean): List[Long] = {
+        val agg = new BoundedMinLongs(k, distinct)
+        val bufA = a.foldLeft(agg.zero)((buf, v) => agg.reduce(buf, v))
+        val bufB = b.foldLeft(agg.zero)((buf, v) => agg.reduce(buf, v))
+        agg.finish(agg.merge(bufA, bufB)).toList
+      }
+      assert(run(distinct = false) == xs.sorted.take(k))
+      assert(run(distinct = true) == xs.distinct.sorted.take(k))
+      val sAgg = new BoundedMinStrings(k, false)
+      val strs = xs.map(_.toString)
+      val got = strs.foldLeft(sAgg.zero)((buf, v) => sAgg.reduce(buf, v)).toList
+      assert(got == strs.sorted.take(k))
+      // nulls are skipped, never inserted
+      assert(sAgg.reduce(sAgg.zero, null).isEmpty)
+    }
+  }
+
   test("converter is idempotent on already-converted function renames") {
     forAll(word) { w =>
       val once = HiveToSnowflakeConverter.convert(s"SELECT LOWER($w), position('a', $w)")

@@ -170,11 +170,47 @@ class ScriptSpec extends AnyFunSuite {
   test("rule 32: date-column * 1000 scaling is stripped; rule 14 still wins") {
     val out = C.convert(
       "SELECT c_conversionDate * 1000 AS d1, sc.RowModified* 1000 AS d2,\n" +
+        "  date_added * 1000 AS d3,\n" +
         "  amount * 1000 AS not_a_date, UNIX_TIMESTAMP()*1000 AS now_ms FROM t")
     assert(out.contains("c_conversionDate AS d1"))
     assert(out.contains("sc.RowModified AS d2"))
+    assert(out.contains("date_added AS d3"))
     assert(out.contains("amount * 1000 AS not_a_date")) // non-date untouched
     assert(out.contains("CURRENT_TIMESTAMP() AS now_ms"))
+  }
+
+  test("rule 32 never corrupts names where 'date' is only an embedded substring") {
+    // 'update'/'candidate' END with the substring "date"; a naive
+    // contains-check strips their * 1000 and silently changes arithmetic
+    // by 1000x.
+    val out = C.convert(
+      "SELECT update_count * 1000 AS a, UpdateCount * 1000 AS b,\n" +
+        "  candidate_score * 1000 AS c, consolidated * 1000 AS d FROM t")
+    assert(out.contains("update_count * 1000 AS a"))
+    assert(out.contains("UpdateCount * 1000 AS b"))
+    assert(out.contains("candidate_score * 1000 AS c"))
+    assert(out.contains("consolidated * 1000 AS d"))
+  }
+
+  test("rule 27 match never scans past its template block's closing brace") {
+    // First block is MALFORMED (no decimal(18,4) tail); a later block has
+    // one. A dotall match would span both blocks plus the SQL between
+    // them; the brace-bounded body must leave the malformed block and the
+    // intervening SQL untouched.
+    val script =
+      """${columns:e:~ID:
+        |    SUBSTRING(MAX(CONCAT(RowModified,IF(COALESCE(%1$s,'') = '',NULL,%1$s))),14) AS %1$s:
+        |    CAST(SUBSTRING(MAX(CONCAT(RowModified,%1$s)),14) AS double) AS %1$s
+        |}
+        |,MIN(RowCreated) AS RowCreated
+        |,${columns:e:~ID:
+        |    SUBSTRING(MAX(CONCAT(RowModified,IF(COALESCE(%1$s,'') = '',NULL,%1$s))),14) AS %1$s:
+        |    CAST(SUBSTRING(MAX(CONCAT(RowModified,%1$s)),14) AS decimal(18,4)) AS %1$s
+        |}""".stripMargin
+    val out = C.convert(script)
+    assert(out.contains("MIN(RowCreated) AS RowCreated"))
+    // Malformed first block passes through (its IF got rule 26'd to IFF).
+    assert(out.contains("CONCAT(RowModified,IFF(COALESCE(%1$s,'') = '',NULL,%1$s))"))
   }
 
   test("suggester helpers: file pairing, column search, context window") {

@@ -85,6 +85,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("a cross-batch late event joins its session without regressing the bounds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(src.toDS(), watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_out").start()
+    try {
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      val t0 = 2000000000000L
+      // Batch 1: session last = t0 + 10min.
+      src.addData(EventStream.Event(1L, ts(t0 + 600000L), 42L, "click", 1.0))
+      q.processAllAvailable()
+      // Batch 2: a LATE event at t0 (within the 2h watermark). The session
+      // must absorb it with start ← t0 while last stays t0+10min — if last
+      // regressed to t0, the timeout horizon would be t0+30min and the
+      // flush below would split the session.
+      src.addData(EventStream.Event(2L, ts(t0), 42L, "click", 2.0))
+      q.processAllAvailable()
+      // Advance the watermark far enough to flush user 42.
+      src.addData(EventStream.Event(3L, ts(t0 + 6L * 3600 * 1000), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_out").as[EventStream.SessionOut].collect()
+        .filter(_.user_id == 42L)
+      assert(rows.length == 1) // ONE session, not split
+      assert(rows.head.n_events == 2L)
+      assert(rows.head.session_start.getTime == t0)
+      assert(rows.head.session_end.getTime == t0 + 600000L)
+    } finally q.stop()
+  }
+
   test("a silent user's session flushes on event-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -104,6 +104,10 @@ class TableDiffSpec extends AnyFunSuite {
     val b = TableDiff.mismatchMatrix(left, right, "id", idCap = 1)
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
+    // And small caps honor the contract: at most idCap distinct ids
+    // (buckets adapt down, they don't inflate the cap to 1024).
+    assert(TableDiff.mismatchMatrix(left, right, "id", idCap = 1)
+      .select("id").distinct().count() <= 1)
   }
 
   test("rollup groups by column with sorted distinct values") {
