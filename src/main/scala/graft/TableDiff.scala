@@ -24,14 +24,6 @@ import graft.functions.HiveFunctions.rowHashSafe
   */
 object TableDiff {
 
-  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case LongType | IntegerType | ShortType | ByteType => true
-      case _ => false
-    }
-  }
-
   /** Columns that participate in comparison: everything but the PK and the
     * excluded (audit) columns, in left-schema order. */
   def compareCols(df: DataFrame, pks: Seq[String], exclude: Seq[String]): Seq[String] = {
@@ -94,19 +86,14 @@ object TableDiff {
     // Sorted first-K sample via the bounded aggregate: the agg buffer
     // holds ≤ sampleCap keys even when millions of rows match the flag
     // (an unbounded collect_list sliced afterwards still materializes the
-    // full list in one task first). Integral pks keep numeric order;
-    // everything else samples in string order.
-    val pkIsIntegral = isIntegral(d.schema("pk").dataType)
-    def sample(flag: Column): Column = {
-      val arr =
-        if (pkIsIntegral)
-          graft.functions.BoundedMinK.minKLongs(
-            when(flag, col("pk")).cast("long"), sampleCap)
-        else
-          graft.functions.BoundedMinK.minKStrings(
-            when(flag, col("pk")).cast("string"), sampleCap)
-      coalesce(concat_ws(",", transform(arr, _.cast("string"))), lit(""))
-    }
+    // full list in one task first). Ordering follows the pk's native type
+    // order, matching the oracle.
+    val pkType = d.schema("pk").dataType
+    def sample(flag: Column): Column =
+      coalesce(
+        concat_ws(",", graft.functions.BoundedMinK.minKAsStrings(
+          when(flag, col("pk")), pkType, sampleCap)),
+        lit(""))
     val totals = left.agg(count(lit(1)).as("total_record_count_hive"))
       .crossJoin(right.agg(count(lit(1)).as("total_record_count_sf")))
     val flags = d.agg(
@@ -147,6 +134,7 @@ object TableDiff {
   /** Composite-PK form of [[mismatchMatrix]]; `id` is the ':'-joined key. */
   def mismatchMatrixMulti(left: DataFrame, right: DataFrame, pks: Seq[String],
                           exclude: Seq[String] = Nil, idCap: Int = 1000000): DataFrame = {
+    require(idCap > 0, "idCap must be positive")
     val cols = compareCols(left, pks, exclude)
     val d = diff(left, right, pks, exclude).filter(col("hash_mismatch"))
     val buckets = math.max(1, math.min(CapBuckets, idCap))
@@ -193,15 +181,11 @@ object TableDiff {
     * millions of rows never materializes them all); `n_cells` stays
     * exact. */
   def mismatchRollup(matrix: DataFrame, listCap: Int = 1000): DataFrame = {
-    import graft.functions.BoundedMinK.{minKLongs, minKStrings}
-    // ids keep NUMERIC order when the pk is integral (matching the
-    // oracle's list_sort of a numeric column); strings sort as strings.
-    val ids =
-      if (isIntegral(matrix.schema("id").dataType))
-        transform(minKLongs(col("id").cast("long"), listCap, distinct = true),
-          _.cast("string"))
-      else
-        minKStrings(col("id").cast("string"), listCap, distinct = true)
+    import graft.functions.BoundedMinK.{minKAsStrings, minKStrings}
+    // ids keep the id column's native type order (matching the oracle's
+    // list_sort); hive/snowflake cells are strings by construction.
+    val ids = minKAsStrings(col("id"), matrix.schema("id").dataType,
+      listCap, distinct = true)
     matrix.groupBy(col("column_name")).agg(
       concat_ws(",", minKStrings(col("hive"), listCap, distinct = true)).as("hive"),
       concat_ws(",", minKStrings(col("snowflake"), listCap, distinct = true)).as("snowflake"),

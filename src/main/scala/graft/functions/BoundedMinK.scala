@@ -19,14 +19,53 @@ import org.apache.spark.sql.functions.udaf
   */
 object BoundedMinK {
 
-  /** K smallest strings (UTF-16 order — identical to sort_array for the
-    * ASCII keys the engine produces). */
+  /** K smallest strings in CODE-POINT order — the order Spark's
+    * UTF8String binary sort and DuckDB's UTF-8 VARCHAR sort both use
+    * (plain Java compareTo is UTF-16 code-unit order, which ranks
+    * supplementary characters differently). */
   def minKStrings(c: Column, k: Int, distinct: Boolean = false): Column =
     udaf(new BoundedMinStrings(k, distinct), Encoders.STRING).apply(c)
 
   /** K smallest longs (numeric order). */
   def minKLongs(c: Column, k: Int, distinct: Boolean = false): Column =
     udaf(new BoundedMinLongs(k, distinct), Encoders.LONG).apply(c)
+
+  /** Sorted first-K keys rendered as an `array<string>`, ordered by the
+    * key's NATIVE type order (the order sort_array and the DuckDB oracle
+    * use): integral → numeric via the bounded long aggregate; fractional
+    * (double/float/decimal) → native sort_array + slice (bounded buffers
+    * can't hold them losslessly — correct ordering wins over the buffer
+    * bound for these rare key types); everything else → string order via
+    * the bounded string aggregate. One dispatch point so every sampler in
+    * the engine agrees. */
+  def minKAsStrings(c: Column, dt: org.apache.spark.sql.types.DataType, k: Int,
+                    distinct: Boolean = false): Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        transform(minKLongs(c.cast("long"), k, distinct), _.cast("string"))
+      case DoubleType | FloatType | _: DecimalType =>
+        val collected = if (distinct) collect_set(c) else collect_list(c)
+        transform(slice(sort_array(collected), 1, k), _.cast("string"))
+      case _ =>
+        minKStrings(c.cast("string"), k, distinct)
+    }
+  }
+
+  /** Code-point-order comparison (see [[minKStrings]]). */
+  private[functions] def cpCompare(a: String, b: String): Int = {
+    val la = a.length
+    val lb = b.length
+    var i = 0
+    while (i < la && i < lb) {
+      val cpa = a.codePointAt(i)
+      val cpb = b.codePointAt(i)
+      if (cpa != cpb) return Integer.compare(cpa, cpb)
+      i += Character.charCount(cpa)
+    }
+    Integer.compare(la - i, lb - i)
+  }
 }
 
 final class BoundedMinStrings(k: Int, distinct: Boolean)
@@ -41,7 +80,7 @@ final class BoundedMinStrings(k: Int, distinct: Boolean)
     var hi = buf.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (buf(mid).compareTo(v) < 0) lo = mid + 1 else hi = mid
+      if (BoundedMinK.cpCompare(buf(mid), v) < 0) lo = mid + 1 else hi = mid
     }
     if (distinct && lo < buf.length && buf(lo) == v) return buf
     if (lo >= k) return buf // larger than the current K smallest

@@ -37,15 +37,10 @@ object Dedup {
     * 100 TB of documents shuffles only ids+hashes. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String,
                   memberCap: Int = 100): DataFrame = {
-    import graft.functions.BoundedMinK.{minKLongs, minKStrings}
     // Bounded-buffer first-K members (≤ memberCap held at any point — a
-    // mega-group can't OOM the aggregate); numeric ids keep numeric order.
-    val members = df.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
-        transform(minKLongs(col("id").cast("long"), memberCap), _.cast("string"))
-      case _ => minKStrings(col("id").cast("string"), memberCap)
-    }
+    // mega-group can't OOM the aggregate); ids keep native-type order.
+    val members = graft.functions.BoundedMinK.minKAsStrings(
+      col("id"), df.schema(idCol).dataType, memberCap)
     df.select(col(idCol).as("id"),
         TextAnalysis.docFingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp"))

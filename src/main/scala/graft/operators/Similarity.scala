@@ -116,11 +116,13 @@ object Similarity {
       .withColumn("cn", dot(col("cv"), col("cv")))
     // Deterministic pseudo-random centroid sample: top-n by id hash is a
     // distributed TakeOrdered (no global sort), tiny by construction.
-    // Null vectors are excluded (a null sampled centroid would NPE on the
-    // driver and score null against every row). Centroid identity is the
+    // Null and zero-norm vectors are excluded from the sample: a null
+    // centroid NPEs on the driver, and a zero-norm one scores NaN against
+    // every row — NaN is Spark's ordering MAX, so greatest() would funnel
+    // the whole corpus into that single cell. Centroid identity is the
     // ARRAY INDEX, not the source id — works for any id type and makes
     // the tie-break (smallest index) type-agnostic.
-    val centRows = c.where(col("cv").isNotNull)
+    val centRows = c.where(col("cn") > 0)
       .orderBy(xxhash64(col("vec_id").cast("string"))).limit(nCentroids)
       .select(col("cv"), col("cn")).collect()
     // Degenerate corpus (< 2 centroids): cells are meaningless and

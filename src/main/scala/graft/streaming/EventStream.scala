@@ -98,6 +98,15 @@ object EventStream {
                 case s if e.ts.getTime - s.last.getTime > gapMs =>
                   emit(s)
                   st = SessionState(s.sessionId + 1, e.ts, e.ts, 1L, vm)
+                case s if s.start.getTime - e.ts.getTime > gapMs =>
+                  // Out-of-band late event: more than a gap OLDER than the
+                  // current session's start, so it cannot belong to it
+                  // (its own session closed before this one began — state
+                  // holds one live session per user). Emit it immediately
+                  // as a single-event session with sentinel id 0 rather
+                  // than gluing it on (which would retreat the session
+                  // bounds across a gap and corrupt the timeout horizon).
+                  out += SessionOut(userId, 0L, 1L, e.ts, e.ts, vm)
                 case s =>
                   // A cross-batch late (but within-watermark) event joins
                   // the session without moving its bounds backwards: last
@@ -116,7 +125,7 @@ object EventStream {
               // Fire once the watermark passes the gap horizon; the max()
               // keeps the timestamp legal if the watermark already moved.
               state.setTimeoutTimestamp(
-                math.max(st.last.getTime + gapMs, state.getCurrentWatermarkMs + 1))
+                math.max(st.last.getTime + gapMs, state.getCurrentWatermarkMs() + 1))
             } else state.remove()
           }
           out.iterator

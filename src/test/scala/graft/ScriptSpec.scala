@@ -170,11 +170,12 @@ class ScriptSpec extends AnyFunSuite {
   test("rule 32: date-column * 1000 scaling is stripped; rule 14 still wins") {
     val out = C.convert(
       "SELECT c_conversionDate * 1000 AS d1, sc.RowModified* 1000 AS d2,\n" +
-        "  date_added * 1000 AS d3,\n" +
+        "  date_added * 1000 AS d3, EVENT_DATE * 1000 AS d4,\n" +
         "  amount * 1000 AS not_a_date, UNIX_TIMESTAMP()*1000 AS now_ms FROM t")
     assert(out.contains("c_conversionDate AS d1"))
     assert(out.contains("sc.RowModified AS d2"))
     assert(out.contains("date_added AS d3"))
+    assert(out.contains("EVENT_DATE AS d4")) // ALL-CAPS segments must match too
     assert(out.contains("amount * 1000 AS not_a_date")) // non-date untouched
     assert(out.contains("CURRENT_TIMESTAMP() AS now_ms"))
   }

@@ -104,15 +104,24 @@ class StreamingSpec extends AnyFunSuite {
       // flush below would split the session.
       src.addData(EventStream.Event(2L, ts(t0), 42L, "click", 2.0))
       q.processAllAvailable()
+      // Batch 3: an out-of-band late event a full hour BEFORE the session
+      // start (older than start - gap, still within the watermark): it
+      // must NOT glue onto the session — it emits immediately as a
+      // single-event session with sentinel id 0.
+      src.addData(EventStream.Event(4L, ts(t0 - 3600000L), 42L, "click", 4.0))
+      q.processAllAvailable()
       // Advance the watermark far enough to flush user 42.
       src.addData(EventStream.Event(3L, ts(t0 + 6L * 3600 * 1000), 7L, "click", 1.0))
       q.processAllAvailable()
       val rows = spark.table("late_out").as[EventStream.SessionOut].collect()
         .filter(_.user_id == 42L)
-      assert(rows.length == 1) // ONE session, not split
-      assert(rows.head.n_events == 2L)
-      assert(rows.head.session_start.getTime == t0)
-      assert(rows.head.session_end.getTime == t0 + 600000L)
+      assert(rows.length == 2)
+      val orphan = rows.find(_.session_id == 0L).get
+      assert(orphan.n_events == 1L && orphan.session_start.getTime == t0 - 3600000L)
+      val main = rows.find(_.session_id != 0L).get
+      assert(main.n_events == 2L) // ONE session, not split
+      assert(main.session_start.getTime == t0)
+      assert(main.session_end.getTime == t0 + 600000L)
     } finally q.stop()
   }
 
