@@ -24,4 +24,13 @@ object Sinks {
     base.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Single-file headered CSV for REPORT-sized frames (metrics rows,
+    * rollups — the shape the reference posts to Slack/Jira). The
+    * coalesce(1) is deliberate and only safe because reports are bounded
+    * by construction (capped samples/lists); never use this for data
+    * tables. */
+  def writeCsvReport(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
 }

@@ -25,4 +25,27 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  /** CSV table load with an EXPLICIT schema — the reference's warehouse
+    * dumps arrive as headered CSV (tools/snowflake_tool.py:146-165 renders
+    * cursor results to CSV text). Schema inference is banned at scale: it
+    * costs an extra full pass over 100 TB and silently narrows types on
+    * skewed samples, so callers must pass the schema (usually from
+    * [[graft.script.SchemaCatalog]] metadata). FAILFAST so a malformed
+    * row surfaces as an error, not a silent null row. */
+  def loadCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** JSON-lines load with an EXPLICIT schema (same no-inference rule as
+    * [[loadCsv]]; a schema also lets Spark prune unreferenced fields
+    * during parsing). */
+  def loadJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
 }

@@ -45,4 +45,32 @@ class SketchesAndSinksSpec extends AnyFunSuite {
     Sinks.writeSorted(e, dir, Seq("ts"), files = 2)
     assert(spark.read.parquet(dir).count() == e.count())
   }
+
+  test("CSV and JSONL sources round-trip orders with an explicit schema") {
+    val orders = Tables.load(spark, TestSpark.Sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val csvDir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    orders.write.mode("overwrite").option("header", "true").csv(csvDir)
+    orders.write.mode("overwrite").json(jsonDir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, String, Double)].collect().toSet
+    val fromCsv = Tables.loadCsv(spark, csvDir, orders.schema)
+    val fromJson = Tables.loadJsonl(spark, jsonDir, orders.schema)
+    assert(fromCsv.schema == orders.schema) // explicit schema, no inference drift
+    assert(key(fromCsv) == key(orders))
+    assert(key(fromJson) == key(orders))
+  }
+
+  test("CSV report sink writes one bounded headered file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-report").toString
+    val m = TableDiff.metrics(Fixtures.hiveOrders(spark, TestSpark.Sf0001),
+      Fixtures.sfOrders(spark, TestSpark.Sf0001), "orders", "o_orderkey")
+    Sinks.writeCsvReport(m, dir)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 1)
+    assert(back.columns.toSet == m.columns.toSet)
+  }
 }
