@@ -14,6 +14,14 @@ object Bench {
     // Optional comma-separated subset filter for targeted perf iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // One untimed warmup run of the first query absorbs JVM/codegen/page-
+    // cache first-run costs (measured at 4-6s on whichever query goes
+    // first) so the per-query timings reflect steady state.
+    selected.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: fully materializes every output column (count() lets
