@@ -48,6 +48,30 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), on, "left_outer")
 
+  /** The reference's incremental operating loop, streaming-native: each
+    * micro-batch of sparse updates runs the full merge pipeline against
+    * the current DW table (rank-dedup is the caller's upstream concern;
+    * here: merge + changed-only gate, graft.operators.MergePipeline
+    * .sparseDwMerge) and APPENDS the changed rows to a delta-stage
+    * directory — exactly the reference's `INSERT OVERWRITE INTO
+    * delta_stage_X` model (script_converter_tool.py rules 1/5/28), where
+    * a downstream warehouse proc applies the staged deltas. Append-only
+    * parquet keeps the sink transactional without table-format machinery;
+    * dedup across re-delivered batches is the staged proc's job, as in
+    * the reference. Returns the started query; callers own its lifecycle. */
+  def stageDeltas(sparse: DataFrame, dw: DataFrame, pk: String,
+                  stagePath: String, checkpointPath: String,
+                  preferDw: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    sparse.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.MergePipeline.sparseDwMerge(batch.toDF(), dw, pk, preferDw)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(stagePath)
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup on event_id: state is bounded by the watermark
     * (duplicates arriving later than `watermark` after the original are
     * not suppressed — the at-least-once ingestion contract). */

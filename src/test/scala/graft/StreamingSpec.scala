@@ -85,6 +85,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stageDeltas: streamed micro-batch merges equal the batch merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dw = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "name", "v")
+    val src = MemoryStream[(Long, String, Long)]
+    val stage = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = EventStream.stageDeltas(
+      src.toDS().toDF("id", "name", "v"), dw, "id", stage, ckpt)
+    try {
+      src.addData((1L, "a", 10L))   // unchanged vs DW → filtered out
+      src.addData((2L, "B", 20L))   // changed → staged
+      src.addData((4L, "d", 40L))   // new key → staged
+      q.processAllAvailable()
+    } finally q.stop()
+    val staged = spark.read.parquet(stage)
+      .select($"id", $"name", $"v").as[(Long, String, Long)].collect().toSet
+    // Equal to the batch pipeline over the same sparse set.
+    val sparse = Seq((1L, "a", 10L), (2L, "B", 20L), (4L, "d", 40L))
+      .toDF("id", "name", "v")
+    val batch = graft.operators.MergePipeline.sparseDwMerge(sparse, dw, "id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(staged == batch)
+    assert(staged == Set((2L, "B", 20L), (4L, "d", 40L)))
+  }
+
   test("a cross-batch late event joins its session without regressing the bounds") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
