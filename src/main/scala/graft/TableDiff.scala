@@ -157,6 +157,24 @@ object TableDiff {
         coalesce(col("snowflake"), lit("NULL")).as("snowflake"))
   }
 
+  /** Per-ID mismatch probe — the reference's actual mismatch-proc call
+    * shape (`getMismatchQuery(table, id_val)`, snowflake_tool.py:41-52,
+    * invoked for ≤ 3 probe ids at data_matrix_tool.py:43). The id filter
+    * is applied BEFORE the join, so it pushes down to both parquet scans:
+    * probing a handful of keys reads a handful of row groups, not the
+    * table — a full diff for a 3-id probe would be a 100 TB-scale mistake. */
+  def mismatchProbe(left: DataFrame, right: DataFrame, pk: String,
+                    ids: Seq[Long], exclude: Seq[String] = Nil): DataFrame = {
+    require(ids.nonEmpty, "ids must be non-empty")
+    val keep = col(pk).isin(ids: _*)
+    // The probe input is already bounded by the id filter, so the matrix
+    // cap is vacuous here — and an exact small idCap would be wrong: the
+    // hash-bucketed cap is approximate (per-bucket limits), so two probe
+    // ids colliding into one bucket would silently drop one.
+    mismatchMatrixMulti(left.filter(keep), right.filter(keep), Seq(pk),
+      exclude, idCap = Int.MaxValue)
+  }
+
   /** Catalog-driven [[metricsMulti]]: primary keys AND audit-column
     * exclusions come from schema metadata — the reference's operating mode
     * (its mismatch proc ignores warehouse-configured excluded columns,

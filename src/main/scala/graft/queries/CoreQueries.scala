@@ -115,6 +115,13 @@ object CoreQueries {
           Fixtures.sfOrders(s, dir), "o_orderkey")
         .orderBy(col("id"), col("column_name"))),
 
+    // The reference's 3-id probe call shape: the id filter pushes to both
+    // scans, so this reads row groups, not tables.
+    "q_mismatch_probe" -> ((s, dir) =>
+      TableDiff.mismatchProbe(Fixtures.hiveOrders(s, dir),
+          Fixtures.sfOrders(s, dir), "o_orderkey", Seq(89L, 178L, 267L))
+        .orderBy(col("id"), col("column_name"))),
+
     "q_mismatch_rollup" -> ((s, dir) =>
       TableDiff.mismatchRollup(
         TableDiff.mismatchMatrix(Fixtures.hiveOrders(s, dir),
@@ -285,6 +292,13 @@ object CoreQueries {
          |$matrixCellsSql
          |SELECT id, column_name, hive, snowflake FROM cells
          |WHERE differs ORDER BY id, column_name""".stripMargin,
+
+    "q_mismatch_probe" ->
+      s"""${Fixtures.Sql.ordersPair},
+         |$matrixCellsSql
+         |SELECT id, column_name, hive, snowflake FROM cells
+         |WHERE differs AND id IN (89, 178, 267)
+         |ORDER BY id, column_name""".stripMargin,
 
     "q_mismatch_rollup" ->
       s"""${Fixtures.Sql.ordersPair},

@@ -110,6 +110,24 @@ class TableDiffSpec extends AnyFunSuite {
       .select("id").distinct().count() <= 1)
   }
 
+  test("mismatchProbe pushes the id filter into both parquet scans") {
+    val plan = TableDiff.mismatchProbe(
+        Fixtures.hiveOrders(spark, TestSpark.Sf0001),
+        Fixtures.sfOrders(spark, TestSpark.Sf0001),
+        "o_orderkey", Seq(89L, 178L, 267L))
+      .queryExecution.executedPlan.toString
+    // Probing 3 ids must read row groups, not the table: the In filter
+    // reaches the parquet source on every scan.
+    assert("In\\(o_orderkey".r.findAllIn(plan).length >= 2, plan.take(3000))
+    val rows = TableDiff.mismatchProbe(
+        Fixtures.hiveOrders(spark, TestSpark.Sf0001),
+        Fixtures.sfOrders(spark, TestSpark.Sf0001),
+        "o_orderkey", Seq(89L, 178L, 267L)).collect()
+    // %89 rows carry the price bump: each probed id mismatches on price.
+    assert(rows.map(_.getAs[Long]("id")).toSet == Set(89L, 178L, 267L))
+    assert(rows.forall(_.getAs[String]("column_name") == "o_totalprice_cents"))
+  }
+
   test("rollup groups by column with sorted distinct values") {
     val roll = TableDiff.mismatchRollup(TableDiff.mismatchMatrix(left, right, "id")).collect()
     assert(roll.length == 1)
