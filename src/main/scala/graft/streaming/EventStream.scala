@@ -81,6 +81,21 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup for ingest pipelines: drops any document
+    * whose canonical-text fingerprint ([[graft.operators.TextAnalysis
+    * .docFingerprint]]) was already seen within the watermark — the
+    * streaming twin of Dedup.exactGroups' duplicate detection. State is
+    * one 128-bit hash per distinct doc inside the watermark window; the
+    * text itself never enters state. */
+  def dedupStreamByContent(docs: DataFrame, tsCol: String, textCol: String,
+                           watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .withColumn("__fp", graft.operators.TextAnalysis.docFingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Stateful 30-min-gap sessionization: one SessionState per live user.
     * Sessions close (emit + state removed) either when a new event arrives
     * past the gap, or on EVENT-TIME TIMEOUT: once the watermark passes

@@ -57,6 +57,29 @@ class SkewAndAggSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("streaming content dedup drops same-text docs within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 3000000000000L
+    val q = EventStream.dedupStreamByContent(
+        src.toDS().toDF("doc_id", "ts", "text"), "ts", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdedup_out").start()
+    try {
+      src.addData(
+        (1L, ts(t0), "Same  Text"), // canonical form equals doc 2's
+        (2L, ts(t0 + 1000), "same text"),
+        (3L, ts(t0 + 2000), "different text"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("cdedup_out").select($"doc_id").as[Long].collect().toSet
+    assert(ids.size == 2)                  // one of {1,2} plus 3
+    assert(ids.contains(3L))
+    assert((ids - 3L).subsetOf(Set(1L, 2L)))
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
     val e = Tables.load(spark, TestSpark.Sf0001, "events")
