@@ -17,9 +17,10 @@ object Bench {
     // One untimed warmup run of the first query absorbs JVM/codegen/page-
     // cache first-run costs (measured at 4-6s on whichever query goes
     // first) so the per-query timings reflect steady state.
-    selected.headOption.foreach { case (_, fn) =>
+    selected.headOption.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
       spark.catalog.clearCache()
     }
     val results = selected.map { case (name, fn) =>

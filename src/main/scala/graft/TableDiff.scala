@@ -164,8 +164,11 @@ object TableDiff {
     * probing a handful of keys reads a handful of row groups, not the
     * table — a full diff for a 3-id probe would be a 100 TB-scale mistake. */
   def mismatchProbe(left: DataFrame, right: DataFrame, pk: String,
-                    ids: Seq[Long], exclude: Seq[String] = Nil): DataFrame = {
+                    ids: Seq[Any], exclude: Seq[String] = Nil): DataFrame = {
     require(ids.nonEmpty, "ids must be non-empty")
+    // Seq[Any]: ids must match the pk's type (string pks take string ids)
+    // — a numeric literal against a string pk would coerce the COLUMN and
+    // defeat the scan pushdown this probe exists for.
     val keep = col(pk).isin(ids: _*)
     // The probe input is already bounded by the id filter, so the matrix
     // cap is vacuous here — and an exact small idCap would be wrong: the

@@ -30,14 +30,23 @@ object BoundedMinK {
   def minKLongs(c: Column, k: Int, distinct: Boolean = false): Column =
     udaf(new BoundedMinLongs(k, distinct), Encoders.LONG).apply(c)
 
+  /** K smallest doubles (numeric order, NaN last like Spark's sort). */
+  def minKDoubles(c: Column, k: Int, distinct: Boolean = false): Column =
+    udaf(new BoundedMinDoubles(k, distinct), Encoders.DOUBLE).apply(c)
+
   /** Sorted first-K keys rendered as an `array<string>`, ordered by the
     * key's NATIVE type order (the order sort_array and the DuckDB oracle
-    * use): integral → numeric via the bounded long aggregate; fractional
-    * (double/float/decimal) → native sort_array + slice (bounded buffers
-    * can't hold them losslessly — correct ordering wins over the buffer
-    * bound for these rare key types); everything else → string order via
-    * the bounded string aggregate. One dispatch point so every sampler in
-    * the engine agrees. */
+    * use): integral → the bounded long aggregate; double/float → the
+    * bounded double aggregate; decimal → native sort_array + slice (the
+    * one type a primitive buffer can't hold losslessly — correct ordering
+    * wins over the buffer bound there, and decimal cast-to-string also
+    * renders scale-dependently so no string aggregate matches either);
+    * everything else → string order via the bounded string aggregate.
+    * One dispatch point so every sampler in the engine agrees.
+    *
+    * NOTE on rendering: double/float keys are rendered via Spark's
+    * double→string cast AFTER aggregation, identical to what the previous
+    * sort_array+slice+cast produced. */
   def minKAsStrings(c: Column, dt: org.apache.spark.sql.types.DataType, k: Int,
                     distinct: Boolean = false): Column = {
     import org.apache.spark.sql.functions._
@@ -45,7 +54,9 @@ object BoundedMinK {
     dt match {
       case LongType | IntegerType | ShortType | ByteType =>
         transform(minKLongs(c.cast("long"), k, distinct), _.cast("string"))
-      case DoubleType | FloatType | _: DecimalType =>
+      case DoubleType | FloatType =>
+        transform(minKDoubles(c.cast("double"), k, distinct), _.cast(dt).cast("string"))
+      case _: DecimalType =>
         val collected = if (distinct) collect_set(c) else collect_list(c)
         transform(slice(sort_array(collected), 1, k), _.cast("string"))
       case _ =>
@@ -97,6 +108,39 @@ final class BoundedMinStrings(k: Int, distinct: Boolean)
   override def finish(b: Array[String]): Array[String] = b
   override def bufferEncoder: Encoder[Array[String]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Array[String]] = ExpressionEncoder()
+}
+
+final class BoundedMinDoubles(k: Int, distinct: Boolean)
+    extends Aggregator[java.lang.Double, Array[Double], Array[Double]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: Array[Double] = Array.empty
+
+  private def insert(buf: Array[Double], v: Double): Array[Double] = {
+    var lo = 0
+    var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      // Total order with NaN last — matches Spark's sort_array ordering.
+      if (java.lang.Double.compare(buf(mid), v) < 0) lo = mid + 1 else hi = mid
+    }
+    if (distinct && lo < buf.length &&
+      java.lang.Double.compare(buf(lo), v) == 0) return buf
+    if (lo >= k) return buf
+    val out = new Array[Double](math.min(buf.length + 1, k))
+    System.arraycopy(buf, 0, out, 0, lo)
+    out(lo) = v
+    System.arraycopy(buf, lo, out, lo + 1, out.length - lo - 1)
+    out
+  }
+
+  override def reduce(b: Array[Double], a: java.lang.Double): Array[Double] =
+    if (a == null) b else insert(b, a.doubleValue())
+  override def merge(x: Array[Double], y: Array[Double]): Array[Double] =
+    y.foldLeft(x)(insert)
+  override def finish(b: Array[Double]): Array[Double] = b
+  override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
 }
 
 final class BoundedMinLongs(k: Int, distinct: Boolean)

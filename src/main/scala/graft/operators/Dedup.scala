@@ -38,7 +38,9 @@ object Dedup {
   def exactGroups(df: DataFrame, idCol: String, textCol: String,
                   memberCap: Int = 100): DataFrame = {
     // Bounded-buffer first-K members (≤ memberCap held at any point — a
-    // mega-group can't OOM the aggregate); ids keep native-type order.
+    // mega-group can't OOM the aggregate; the one exception is decimal
+    // ids, which fall back to a post-agg slice inside minKAsStrings);
+    // ids keep native-type order.
     val members = graft.functions.BoundedMinK.minKAsStrings(
       col("id"), df.schema(idCol).dataType, memberCap)
     df.select(col(idCol).as("id"),

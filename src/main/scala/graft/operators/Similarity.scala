@@ -122,7 +122,7 @@ object Similarity {
     // the whole corpus into that single cell. Centroid identity is the
     // ARRAY INDEX, not the source id — works for any id type and makes
     // the tie-break (smallest index) type-agnostic.
-    val centRows = c.where(col("cn") > 0)
+    val centRows = c.where(col("cn") > 0 && !isnan(col("cn")))
       .orderBy(xxhash64(col("vec_id").cast("string"))).limit(nCentroids)
       .select(col("cv"), col("cn")).collect()
     // Degenerate corpus (< 2 centroids): cells are meaningless and

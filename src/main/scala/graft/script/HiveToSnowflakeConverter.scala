@@ -283,15 +283,14 @@ object HiveToSnowflakeConverter {
     // "date_added"); names where "date" is only an embedded substring
     // ("update_count", "candidate", lowercase compounds like "orderdate")
     // are left alone. Runs AFTER rule 14 so UNIX_TIMESTAMP()*1000 wins.
-    // Tokenize per underscore segment; camel-split ONLY mixed-case
-    // segments (an ALL-CAPS segment like EVENT_DATE's "DATE" would
-    // otherwise shatter into single letters and never match).
+    // Tokenize per underscore segment; camel-split on lower→upper
+    // boundaries ONLY, which keeps capital runs together: loadDATE →
+    // [load, DATE], conversionDate → [conversion, Date], EVENT_DATE's
+    // "DATE" stays whole, UpdateCount → [Update, Count].
     def dateLike(name: String): Boolean =
       name.equalsIgnoreCase("rowmodified") || name.equalsIgnoreCase("rowcreated") ||
-        name.split('_').flatMap { seg =>
-          if (seg.exists(_.isUpper) && seg.exists(_.isLower)) seg.split("(?=[A-Z])")
-          else Array(seg)
-        }.exists(_.toLowerCase.startsWith("date"))
+        name.split('_').flatMap(_.split("(?<=[a-z0-9])(?=[A-Z])"))
+          .exists(_.toLowerCase.startsWith("date"))
     s = """(?i)\b((?:\w+\.)*\w+)\s*\*\s*1000\b""".r.replaceAllIn(s, m => {
       val ident = m.group(1)
       if (dateLike(ident.split('.').last)) Regex.quoteReplacement(ident)

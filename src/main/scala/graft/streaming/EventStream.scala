@@ -86,13 +86,18 @@ object EventStream {
     * .docFingerprint]]) was already seen within the watermark — the
     * streaming twin of Dedup.exactGroups' duplicate detection. State is
     * one 128-bit hash per distinct doc inside the watermark window; the
-    * text itself never enters state. */
+    * text itself never enters state. NULL-text rows (upstream parse
+    * failures) BYPASS dedup via a per-row unique fingerprint — a shared
+    * null key would silently discard every such row after the first,
+    * which is data loss, not deduplication. */
   def dedupStreamByContent(docs: DataFrame, tsCol: String, textCol: String,
                            watermark: String = "2 hours"): DataFrame =
     docs
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withWatermark(tsCol, watermark)
-      .withColumn("__fp", graft.operators.TextAnalysis.docFingerprint(col(textCol)))
+      .withColumn("__fp", coalesce(
+        graft.operators.TextAnalysis.docFingerprint(col(textCol)),
+        concat(lit("null-text-"), uuid())))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
@@ -106,8 +111,10 @@ object EventStream {
     * silently lost. A user returning AFTER a timeout flush restarts
     * numbering at session_id 1 (the alternative — remembering the counter
     * forever — is exactly the unbounded state this timeout removes);
-    * (user_id, session_start) is the globally unique session key. The
-    * batch twin is q_sessionize. NOTE: within-batch
+    * (user_id, session_start) uniquely keys every NON-sentinel session
+    * (session_id 0 rows are late fragments — see the out-of-band case
+    * below — and may repeat a start). The batch twin is q_sessionize.
+    * NOTE: within-batch
     * events are sorted per user in-memory; at scale the trigger interval
     * bounds that batch size. */
   def sessionize(events: Dataset[Event], gapMs: Long = 1800000L,
@@ -145,6 +152,12 @@ object EventStream {
                   // as a single-event session with sentinel id 0 rather
                   // than gluing it on (which would retreat the session
                   // bounds across a gap and corrupt the timeout horizon).
+                  // KNOWN divergence from the batch twin: several
+                  // out-of-band events that would batch-merge into one
+                  // historical session each emit their own sentinel row
+                  // (merging them would need a second open session per
+                  // user in state); downstream consumers should treat
+                  // session_id 0 rows as mergeable late fragments.
                   out += SessionOut(userId, 0L, 1L, e.ts, e.ts, vm)
                 case s =>
                   // A cross-batch late (but within-watermark) event joins

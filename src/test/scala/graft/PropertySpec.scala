@@ -52,6 +52,10 @@ class PropertySpec extends AnyFunSuite {
       assert(got == strs.sorted.take(k))
       // nulls are skipped, never inserted
       assert(sAgg.reduce(sAgg.zero, null).isEmpty)
+      val dAgg = new graft.functions.BoundedMinDoubles(k, false)
+      val ds = xs.map(_.toDouble / 4.0)
+      val gotD = ds.foldLeft(dAgg.zero)((buf, v) => dAgg.reduce(buf, v)).toList
+      assert(gotD == ds.sorted.take(k))
     }
   }
 

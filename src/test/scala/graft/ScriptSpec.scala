@@ -176,6 +176,8 @@ class ScriptSpec extends AnyFunSuite {
     assert(out.contains("sc.RowModified AS d2"))
     assert(out.contains("date_added AS d3"))
     assert(out.contains("EVENT_DATE AS d4")) // ALL-CAPS segments must match too
+    // Capital runs inside mixed-case names stay whole: loadDATE → [load, DATE].
+    assert(C.convert("SELECT loadDATE * 1000 AS d5 FROM t").contains("loadDATE AS d5"))
     assert(out.contains("amount * 1000 AS not_a_date")) // non-date untouched
     assert(out.contains("CURRENT_TIMESTAMP() AS now_ms"))
   }

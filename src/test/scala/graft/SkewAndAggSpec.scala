@@ -71,13 +71,17 @@ class SkewAndAggSpec extends AnyFunSuite {
       src.addData(
         (1L, ts(t0), "Same  Text"), // canonical form equals doc 2's
         (2L, ts(t0 + 1000), "same text"),
-        (3L, ts(t0 + 2000), "different text"))
+        (3L, ts(t0 + 2000), "different text"),
+        // Null texts (parse failures) must BYPASS dedup — distinct rows,
+        // not duplicates of each other.
+        (4L, ts(t0 + 3000), null.asInstanceOf[String]),
+        (5L, ts(t0 + 4000), null.asInstanceOf[String]))
       q.processAllAvailable()
     } finally q.stop()
     val ids = spark.table("cdedup_out").select($"doc_id").as[Long].collect().toSet
-    assert(ids.size == 2)                  // one of {1,2} plus 3
-    assert(ids.contains(3L))
-    assert((ids - 3L).subsetOf(Set(1L, 2L)))
+    assert(ids.size == 4)                  // one of {1,2} plus 3, 4, 5
+    assert(Set(3L, 4L, 5L).subsetOf(ids))
+    assert((ids -- Set(3L, 4L, 5L)).subsetOf(Set(1L, 2L)))
   }
 
   test("streaming dedup drops duplicate event_ids within the watermark") {
