@@ -27,7 +27,12 @@ object ExplainAudit {
         s"broadcasts=${n("BroadcastExchange")}",
         s"codegenNodes=${n("\\[codegen id : ")}",
         s"scans=${n("Scan parquet")}",
-        s"pushedFilters=${n("PushedFilters: \\[[^\\]]")}"
+        s"pushedFilters=${n("PushedFilters: \\[[^\\]]")}",
+        // Anti-pattern flags: a global ordered limit funnels every
+        // partition's top-K through one task; a cartesian product that
+        // isn't a broadcast NLJ is a scale bug.
+        s"takeOrdered=${n("TakeOrderedAndProject")}",
+        s"cartesian=${n("CartesianProduct")}"
       ).mkString(" ")
       println(f"$name%-26s $summary")
       if (sys.env.contains("SPARK_GRAFT_FULL_PLAN")) println(plan)
