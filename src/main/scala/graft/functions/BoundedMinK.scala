@@ -116,7 +116,10 @@ final class BoundedMinDoubles(k: Int, distinct: Boolean)
 
   override def zero: Array[Double] = Array.empty
 
-  private def insert(buf: Array[Double], v: Double): Array[Double] = {
+  private def insert(buf: Array[Double], v0: Double): Array[Double] = {
+    // Canonicalize -0.0 to 0.0: Spark's SQL ordering (and DuckDB's)
+    // treats them as equal; java.lang.Double.compare does not.
+    val v = if (v0 == 0.0d) 0.0d else v0
     var lo = 0
     var hi = buf.length
     while (lo < hi) {

@@ -284,12 +284,14 @@ object HiveToSnowflakeConverter {
     // ("update_count", "candidate", lowercase compounds like "orderdate")
     // are left alone. Runs AFTER rule 14 so UNIX_TIMESTAMP()*1000 wins.
     // Tokenize per underscore segment; camel-split on lower→upper
-    // boundaries ONLY, which keeps capital runs together: loadDATE →
-    // [load, DATE], conversionDate → [conversion, Date], EVENT_DATE's
-    // "DATE" stays whole, UpdateCount → [Update, Count].
+    // boundaries plus ACRONYM→Word boundaries, which keeps capital runs
+    // together while still splitting after them: loadDATE → [load, DATE],
+    // IDDate → [ID, Date], conversionDate → [conversion, Date],
+    // EVENT_DATE's "DATE" stays whole, UpdateCount → [Update, Count].
     def dateLike(name: String): Boolean =
       name.equalsIgnoreCase("rowmodified") || name.equalsIgnoreCase("rowcreated") ||
-        name.split('_').flatMap(_.split("(?<=[a-z0-9])(?=[A-Z])"))
+        name.split('_')
+          .flatMap(_.split("(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])"))
           .exists(_.toLowerCase.startsWith("date"))
     s = """(?i)\b((?:\w+\.)*\w+)\s*\*\s*1000\b""".r.replaceAllIn(s, m => {
       val ident = m.group(1)

@@ -87,19 +87,20 @@ object EventStream {
     * streaming twin of Dedup.exactGroups' duplicate detection. State is
     * one 128-bit hash per distinct doc inside the watermark window; the
     * text itself never enters state. NULL-text rows (upstream parse
-    * failures) BYPASS dedup via a per-row unique fingerprint — a shared
-    * null key would silently discard every such row after the first,
-    * which is data loss, not deduplication. */
+    * failures) are routed AROUND the stateful operator entirely — a
+    * shared null key would silently discard every such row after the
+    * first (data loss, not dedup), and a synthetic unique key would bloat
+    * the state store with never-matching entries for the whole window. */
   def dedupStreamByContent(docs: DataFrame, tsCol: String, textCol: String,
-                           watermark: String = "2 hours"): DataFrame =
-    docs
-      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+                           watermark: String = "2 hours"): DataFrame = {
+    val withTs = docs.withColumn(tsCol, col(tsCol).cast("timestamp"))
+    val deduped = withTs.filter(col(textCol).isNotNull)
       .withWatermark(tsCol, watermark)
-      .withColumn("__fp", coalesce(
-        graft.operators.TextAnalysis.docFingerprint(col(textCol)),
-        concat(lit("null-text-"), uuid())))
+      .withColumn("__fp", graft.operators.TextAnalysis.docFingerprint(col(textCol)))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+    deduped.unionByName(withTs.filter(col(textCol).isNull))
+  }
 
   /** Stateful 30-min-gap sessionization: one SessionState per live user.
     * Sessions close (emit + state removed) either when a new event arrives

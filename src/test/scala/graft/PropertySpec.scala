@@ -52,10 +52,24 @@ class PropertySpec extends AnyFunSuite {
       assert(got == strs.sorted.take(k))
       // nulls are skipped, never inserted
       assert(sAgg.reduce(sAgg.zero, null).isEmpty)
-      val dAgg = new graft.functions.BoundedMinDoubles(k, false)
-      val ds = xs.map(_.toDouble / 4.0)
-      val gotD = ds.foldLeft(dAgg.zero)((buf, v) => dAgg.reduce(buf, v)).toList
-      assert(gotD == ds.sorted.take(k))
+      // Doubles: same split+merge shape as the longs, plus NaN (sorts
+      // last, like Spark/DuckDB), -0.0 canonicalization, and distinct.
+      val ds = xs.map(_.toDouble / 4.0) ++
+        (if (xs.nonEmpty) Seq(Double.NaN, -0.0d, 0.0d) else Nil)
+      def runD(distinct: Boolean): List[Double] = {
+        val agg = new graft.functions.BoundedMinDoubles(k, distinct)
+        val (da, db) = ds.splitAt(cut)
+        val bufA = da.foldLeft(agg.zero)((buf, v) => agg.reduce(buf, v))
+        val bufB = db.foldLeft(agg.zero)((buf, v) => agg.reduce(buf, v))
+        agg.finish(agg.merge(bufA, bufB)).toList
+      }
+      val canon = ds.map(v => if (v == 0.0d) 0.0d else v)
+      def sortD(vs: List[Double]) = vs.sortWith { (a, b) =>
+        java.lang.Double.compare(a, b) < 0 } // NaN last, like Spark
+      assert(runD(distinct = false).map(java.lang.Double.doubleToLongBits) ==
+        sortD(canon.toList).take(k).map(java.lang.Double.doubleToLongBits))
+      assert(runD(distinct = true).map(java.lang.Double.doubleToLongBits) ==
+        sortD(canon.distinct.toList).take(k).map(java.lang.Double.doubleToLongBits))
     }
   }
 

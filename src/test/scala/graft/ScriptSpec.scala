@@ -178,6 +178,8 @@ class ScriptSpec extends AnyFunSuite {
     assert(out.contains("EVENT_DATE AS d4")) // ALL-CAPS segments must match too
     // Capital runs inside mixed-case names stay whole: loadDATE → [load, DATE].
     assert(C.convert("SELECT loadDATE * 1000 AS d5 FROM t").contains("loadDATE AS d5"))
+    // Acronym→Word boundary splits: IDDate → [ID, Date].
+    assert(C.convert("SELECT IDDate * 1000 AS d6 FROM t").contains("IDDate AS d6"))
     assert(out.contains("amount * 1000 AS not_a_date")) // non-date untouched
     assert(out.contains("CURRENT_TIMESTAMP() AS now_ms"))
   }
