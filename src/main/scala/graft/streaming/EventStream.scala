@@ -18,11 +18,18 @@ object EventStream {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
-  /** start/last keep the original micros-precision timestamps; gap math
-    * uses epoch millis (matching the batch twin's unix_millis truncation). */
-  final case class SessionState(sessionId: Long, start: java.sql.Timestamp,
+  /** One open session range; start/last keep the original
+    * micros-precision timestamps, gap math uses epoch millis (matching
+    * the batch twin's unix_millis truncation). */
+  final case class SessionRange(start: java.sql.Timestamp,
                                 last: java.sql.Timestamp,
                                 nEvents: Long, valueMilli: Long)
+
+  /** Per-user state: the next session ordinal to assign at flush time,
+    * plus ALL open sessions (sorted by start, pairwise separated by more
+    * than the gap). The list is bounded by the watermark: a session whose
+    * horizon (last + gap) the watermark has passed flushes and leaves. */
+  final case class MultiSessionState(nextId: Long, open: List[SessionRange])
 
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                               session_start: java.sql.Timestamp,
@@ -102,84 +109,72 @@ object EventStream {
     deduped.unionByName(withTs.filter(col(textCol).isNull))
   }
 
-  /** Stateful 30-min-gap sessionization: one SessionState per live user.
-    * Sessions close (emit + state removed) either when a new event arrives
-    * past the gap, or on EVENT-TIME TIMEOUT: once the watermark passes
-    * `last + gap` the session can never be extended (later events would be
-    * beyond the gap anyway), so it is flushed and its state dropped. A user
-    * who goes silent therefore costs nothing after `watermark` — state is
-    * strictly bounded on an unbounded firehose, and final sessions are not
-    * silently lost. A user returning AFTER a timeout flush restarts
-    * numbering at session_id 1 (the alternative — remembering the counter
-    * forever — is exactly the unbounded state this timeout removes);
-    * (user_id, session_start) uniquely keys every NON-sentinel session
-    * (session_id 0 rows are late fragments — see the out-of-band case
-    * below — and may repeat a start). The batch twin is q_sessionize.
-    * NOTE: within-batch
-    * events are sorted per user in-memory; at scale the trigger interval
-    * bounds that batch size. */
+  /** Stateful 30-min-gap sessionization, LIST-STATE form: each user holds
+    * ALL currently-open sessions (sorted, pairwise separated by more than
+    * the gap), so a late-but-within-watermark event lands in exactly the
+    * session it belongs to — including merging two sessions it bridges —
+    * and the streamed output matches the batch twin q_sessionize EXACTLY
+    * on every closed session.
+    *
+    * A session closes ONLY via event-time semantics: once the watermark
+    * passes its horizon (last + gap) no on-time event can extend or
+    * bridge it, so it flushes with the next chronological session_id and
+    * leaves state. (Closing eagerly when a newer event opens the next
+    * session — the classic single-session shortcut — is wrong under late
+    * data: a late event can still bridge the "closed" session.) Sessions
+    * therefore emit with the watermark's latency, and the emitted rows
+    * are always a chronological PREFIX of the batch twin's sessions.
+    *
+    * Scale: state per user = open sessions within the watermark horizon —
+    * at most ceil(watermark/gap)+1 ranges of 4 fields — and a flushed-out
+    * user costs nothing (state removed; a user returning after a full
+    * flush restarts numbering at 1, the alternative being an immortal
+    * per-user counter). NOTE: within-batch events are sorted per user
+    * in-memory; at scale the trigger interval bounds that batch size. */
   def sessionize(events: Dataset[Event], gapMs: Long = 1800000L,
                  watermark: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[MultiSessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          def emit(s: SessionState): Unit = out += SessionOut(
-            userId, s.sessionId, s.nEvents, s.start, s.last, s.valueMilli)
-          if (state.hasTimedOut) {
-            // Watermark passed last+gap: no on-time event can extend this
-            // session any more — flush it and free the state.
-            state.getOption.foreach(emit)
-            state.remove()
-          } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var st = state.getOption.orNull
-            sorted.foreach { e =>
+        (userId: Long, it: Iterator[Event], state: GroupState[MultiSessionState]) =>
+          val st = state.getOption.getOrElse(MultiSessionState(1L, Nil))
+          var open = st.open
+
+          // Absorb events: each event merges every session within gap of
+          // it (at most two — sessions are pairwise > gap apart, so an
+          // event can bridge only adjacent ones) or opens a new session
+          // in sorted position.
+          if (!state.hasTimedOut) {
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
               val vm = math.round(e.value * 1000)
-              st match {
-                case null =>
-                  st = SessionState(1L, e.ts, e.ts, 1L, vm)
-                case s if e.ts.getTime - s.last.getTime > gapMs =>
-                  emit(s)
-                  st = SessionState(s.sessionId + 1, e.ts, e.ts, 1L, vm)
-                case s if s.start.getTime - e.ts.getTime > gapMs =>
-                  // Out-of-band late event: more than a gap OLDER than the
-                  // current session's start, so it cannot belong to it
-                  // (its own session closed before this one began — state
-                  // holds one live session per user). Emit it immediately
-                  // as a single-event session with sentinel id 0 rather
-                  // than gluing it on (which would retreat the session
-                  // bounds across a gap and corrupt the timeout horizon).
-                  // KNOWN divergence from the batch twin: several
-                  // out-of-band events that would batch-merge into one
-                  // historical session each emit their own sentinel row
-                  // (merging them would need a second open session per
-                  // user in state); downstream consumers should treat
-                  // session_id 0 rows as mergeable late fragments.
-                  out += SessionOut(userId, 0L, 1L, e.ts, e.ts, vm)
-                case s =>
-                  // A cross-batch late (but within-watermark) event joins
-                  // the session without moving its bounds backwards: last
-                  // only advances, start only retreats — otherwise the
-                  // timeout horizon (last + gap) would regress and flush
-                  // the session early.
-                  st = s.copy(
-                    start = if (e.ts.getTime < s.start.getTime) e.ts else s.start,
-                    last = if (e.ts.getTime > s.last.getTime) e.ts else s.last,
-                    nEvents = s.nEvents + 1,
-                    valueMilli = s.valueMilli + vm)
-              }
+              val (before, rest) = open.span(s => s.last.getTime + gapMs < t)
+              val (touching, after) = rest.span(s => s.start.getTime - gapMs <= t)
+              val merged =
+                if (touching.isEmpty) SessionRange(e.ts, e.ts, 1L, vm)
+                else SessionRange(
+                  if (t < touching.head.start.getTime) e.ts else touching.head.start,
+                  if (t > touching.last.last.getTime) e.ts else touching.last.last,
+                  touching.map(_.nEvents).sum + 1L,
+                  touching.map(_.valueMilli).sum + vm)
+              open = before ++ (merged :: after)
             }
-            if (st != null) {
-              state.update(st)
-              // Fire once the watermark passes the gap horizon; the max()
-              // keeps the timestamp legal if the watermark already moved.
-              state.setTimeoutTimestamp(
-                math.max(st.last.getTime + gapMs, state.getCurrentWatermarkMs() + 1))
-            } else state.remove()
+          }
+
+          // Flush every session whose horizon the watermark has passed —
+          // they are a prefix of the sorted list, numbered chronologically.
+          val wmMs = state.getCurrentWatermarkMs()
+          val (closed, live) = open.span(s => s.last.getTime + gapMs < wmMs)
+          val out = closed.zipWithIndex.map { case (s, i) =>
+            SessionOut(userId, st.nextId + i, s.nEvents, s.start, s.last, s.valueMilli)
+          }
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(MultiSessionState(st.nextId + closed.size, live))
+            state.setTimeoutTimestamp(
+              math.max(live.head.last.getTime + gapMs, wmMs + 1))
           }
           out.iterator
       }

@@ -60,19 +60,16 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("sess_out").start()
     try { q.processAllAvailable() } finally q.stop()
 
-    // Append mode emits sessions closed by a gap, plus sessions flushed by
-    // event-time timeout once the final watermark (maxTs - 2h) passes their
-    // gap horizon (session_end + gap). A user's final session stays open
-    // only if it is younger than that horizon.
+    // Sessions emit ONLY once the final watermark (maxTs - 2h) passes
+    // their gap horizon (session_end + gap): the streamed rows are the
+    // exact chronological PREFIX of the batch twin's sessions — same
+    // session_ids, same bounds, same aggregates.
     val gapMs = 1800000L
     val wmMs = Tables.load(spark, TestSpark.Sf0001, "events")
       .agg(max(unix_millis(col("ts").cast("timestamp")))).as[Long].head() -
       2L * 3600 * 1000
     val batch = EventQueries.queries("q_sessionize")(spark, TestSpark.Sf0001)
-      .withColumn("max_sid", max($"session_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")))
-      .filter($"session_id" < $"max_sid" ||
-        unix_millis($"session_end") + gapMs < wmMs)
+      .filter(unix_millis($"session_end") + gapMs < wmMs)
       .select($"user_id", $"session_id", $"n_events", $"session_start",
         $"session_end", $"value_milli")
       .orderBy($"user_id", $"session_id")
@@ -132,9 +129,9 @@ class StreamingSpec extends AnyFunSuite {
       src.addData(EventStream.Event(2L, ts(t0), 42L, "click", 2.0))
       q.processAllAvailable()
       // Batch 3: an out-of-band late event a full hour BEFORE the session
-      // start (older than start - gap, still within the watermark): it
-      // must NOT glue onto the session — it emits immediately as a
-      // single-event session with sentinel id 0.
+      // start (older than start - gap, still within the watermark): the
+      // list state holds it as its OWN open session, ordered before the
+      // live one — exactly what the batch twin computes.
       src.addData(EventStream.Event(4L, ts(t0 - 3600000L), 42L, "click", 4.0))
       q.processAllAvailable()
       // Advance the watermark far enough to flush user 42.
@@ -143,12 +140,43 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.table("late_out").as[EventStream.SessionOut].collect()
         .filter(_.user_id == 42L)
       assert(rows.length == 2)
-      val orphan = rows.find(_.session_id == 0L).get
+      val orphan = rows.find(_.session_id == 1L).get // chronologically first
       assert(orphan.n_events == 1L && orphan.session_start.getTime == t0 - 3600000L)
-      val main = rows.find(_.session_id != 0L).get
+      val main = rows.find(_.session_id == 2L).get
       assert(main.n_events == 2L) // ONE session, not split
       assert(main.session_start.getTime == t0)
       assert(main.session_end.getTime == t0 + 600000L)
+    } finally q.stop()
+  }
+
+  test("a late event bridges two open sessions into one (batch-equivalent merge)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(src.toDS(), watermark = "4 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bridge_out").start()
+    try {
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      val t0 = 4000000000000L
+      // Two sessions 50 min apart (> 30 min gap): [t0] and [t0+50min].
+      src.addData(EventStream.Event(1L, ts(t0), 42L, "click", 1.0),
+        EventStream.Event(2L, ts(t0 + 50L * 60000), 42L, "click", 2.0))
+      q.processAllAvailable()
+      // A late event at t0+25min is within the gap of BOTH → they merge
+      // into one session, exactly as the batch twin would compute.
+      src.addData(EventStream.Event(3L, ts(t0 + 25L * 60000), 42L, "click", 4.0))
+      q.processAllAvailable()
+      // Flush via watermark.
+      src.addData(EventStream.Event(9L, ts(t0 + 12L * 3600 * 1000), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("bridge_out").as[EventStream.SessionOut].collect()
+        .filter(_.user_id == 42L)
+      assert(rows.length == 1)
+      assert(rows.head.session_id == 1L && rows.head.n_events == 3L)
+      assert(rows.head.session_start.getTime == t0)
+      assert(rows.head.session_end.getTime == t0 + 50L * 60000)
+      assert(rows.head.value_milli == 7000L)
     } finally q.stop()
   }
 
