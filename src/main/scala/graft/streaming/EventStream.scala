@@ -123,13 +123,17 @@ object EventStream {
     * session — the classic single-session shortcut — is wrong under late
     * data: a late event can still bridge the "closed" session.) Sessions
     * therefore emit with the watermark's latency, and the emitted rows
-    * are always a chronological PREFIX of the batch twin's sessions.
+    * are a chronological PREFIX of the batch twin's sessions for each
+    * user's continuous activity span.
     *
     * Scale: state per user = open sessions within the watermark horizon —
     * at most ceil(watermark/gap)+1 ranges of 4 fields — and a flushed-out
-    * user costs nothing (state removed; a user returning after a full
-    * flush restarts numbering at 1, the alternative being an immortal
-    * per-user counter). NOTE: within-batch events are sorted per user
+    * user costs nothing (state removed). The one deliberate divergence
+    * from batch numbering: a user returning after a FULL flush restarts
+    * at session_id 1 (the alternative is an immortal per-user counter —
+    * exactly the unbounded state the flush exists to free), so
+    * (user_id, session_start) is the durable unique session key across
+    * activity spans. NOTE: within-batch events are sorted per user
     * in-memory; at scale the trigger interval bounds that batch size. */
   def sessionize(events: Dataset[Event], gapMs: Long = 1800000L,
                  watermark: String = "2 hours"): Dataset[SessionOut] = {
@@ -149,14 +153,25 @@ object EventStream {
           if (!state.hasTimedOut) {
             it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val t = e.ts.getTime
-              val vm = math.round(e.value * 1000)
+              // Spark SQL round() semantics (HALF_UP on the double's
+              // canonical decimal rendering) — math.round differs on
+              // negative halves and would break value parity.
+              val vm = java.math.BigDecimal.valueOf(e.value * 1000)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
               val (before, rest) = open.span(s => s.last.getTime + gapMs < t)
               val (touching, after) = rest.span(s => s.start.getTime - gapMs <= t)
+              // Gap math is epoch-millis (matching the batch twin's
+              // unix_millis), but session bounds keep FULL timestamp
+              // precision: min/max via compareTo, so same-millisecond
+              // events with different micros still match batch min(ts)/
+              // max(ts) exactly.
               val merged =
                 if (touching.isEmpty) SessionRange(e.ts, e.ts, 1L, vm)
                 else SessionRange(
-                  if (t < touching.head.start.getTime) e.ts else touching.head.start,
-                  if (t > touching.last.last.getTime) e.ts else touching.last.last,
+                  if (e.ts.compareTo(touching.head.start) < 0) e.ts
+                  else touching.head.start,
+                  if (e.ts.compareTo(touching.last.last) > 0) e.ts
+                  else touching.last.last,
                   touching.map(_.nEvents).sum + 1L,
                   touching.map(_.valueMilli).sum + vm)
               open = before ++ (merged :: after)
