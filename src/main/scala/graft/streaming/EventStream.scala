@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming twins of the batch event operators (SURVEY.md §2
-  * #34): watermarked tumbling-window aggregation and stateful gap
-  * sessionization via flatMapGroupsWithState.
+  * #34): watermarked tumbling-window aggregation, list-state gap
+  * sessionization via flatMapGroupsWithState, watermarked dedup (by id
+  * and by content fingerprint), stream-static enrichment, and
+  * incremental delta staging.
   *
-  * Designed for an unbounded 100 TB/day firehose: state is bounded by the
-  * watermark (window agg) and by per-user session structs that emit and
-  * drop on gap timeout (sessionization) — nothing accumulates without
-  * bound.
+  * Designed for an unbounded 100 TB/day firehose: every stateful
+  * operator's state is bounded by the watermark — window panes close,
+  * dedup keys expire, and each user's open-session list flushes as the
+  * watermark passes its horizons — nothing accumulates without bound.
   */
 object EventStream {
 
