@@ -20,19 +20,26 @@ object ExplainAudit {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       def n(pat: String) = pat.r.findAllIn(plan).length
-      val exchanges = n("Exchange ") - n("Exchange SinglePartition")
+      // Formatted explain prints each node ONCE as a detail header
+      // "(id) NodeName" at line start; counting those (not substrings)
+      // avoids double-counting tree lines and BroadcastExchange matching
+      // "Exchange". SinglePartition appears on the node's Arguments line.
+      def node(nameRx: String) = n("""(?m)^\(\d+\) """ + nameRx + """\b""")
+      // Only Exchange nodes print a SinglePartition Arguments line (the
+      // header and Arguments are separated by Input/Output lines).
+      val singlePart = n("""(?m)^Arguments: SinglePartition""")
       val summary = Seq(
-        s"shuffles=$exchanges",
-        s"singlePart=${n("Exchange SinglePartition")}",
-        s"broadcasts=${n("BroadcastExchange")}",
+        s"shuffles=${node("Exchange") - singlePart}",
+        s"singlePart=$singlePart",
+        s"broadcasts=${node("BroadcastExchange")}",
         s"codegenNodes=${n("\\[codegen id : ")}",
-        s"scans=${n("Scan parquet")}",
+        s"scans=${node("Scan parquet")}",
         s"pushedFilters=${n("PushedFilters: \\[[^\\]]")}",
         // Anti-pattern flags: a global ordered limit funnels every
         // partition's top-K through one task; a cartesian product that
         // isn't a broadcast NLJ is a scale bug.
-        s"takeOrdered=${n("TakeOrderedAndProject")}",
-        s"cartesian=${n("CartesianProduct")}"
+        s"takeOrdered=${node("TakeOrderedAndProject")}",
+        s"cartesian=${node("CartesianProduct")}"
       ).mkString(" ")
       println(f"$name%-26s $summary")
       if (sys.env.contains("SPARK_GRAFT_FULL_PLAN")) println(plan)

@@ -24,8 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[DotProductExpr].getName, "dot_product"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          DotProductExpr(exprs(0), exprs(1))))
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          // Cast to array<double> like the DataFrame path's asDouble:
+          // DotProductExpr reads doubles out of ArrayData, so a float[]
+          // argument (the embeddings table!) would misread or throw.
+          import org.apache.spark.sql.types.{ArrayType, DoubleType}
+          val dbl = ArrayType(DoubleType)
+          DotProductExpr(Cast(exprs(0), dbl), Cast(exprs(1), dbl))
+        }))
   }
 }
 

@@ -45,6 +45,11 @@ object Dedup {
       col("id"), df.schema(idCol).dataType, memberCap)
     df.select(col(idCol).as("id"),
         TextAnalysis.docFingerprint(col(textCol)).as("fp"))
+      // Null texts (parse failures) share a null fingerprint; grouping
+      // them would report DISTINCT documents as one duplicate group and
+      // a canonical-id consumer would drop all but one — data loss, not
+      // dedup (same contract as EventStream.dedupStreamByContent).
+      .filter(col("fp").isNotNull)
       .groupBy(col("fp"))
       .agg(min(col("id")).as("canonical_id"),
         concat_ws(",", members).as("member_ids"),
@@ -59,9 +64,9 @@ object Dedup {
     * shared-shingle pairs, and one codegen'd hash aggregate counts |A∩B|
     * per pair; then J = |A∩B| / (|A|+|B|-|A∩B|).
     *
-    * `dfCap` drops postings of degenerate stop shingles (df > cap) via a
-    * broadcast anti join — a safety valve that bounds per-key fan-out on
-    * adversarial corpora and never binds at sane settings. (A PPJoin-style
+    * `dfCap` drops degenerate stop-shingle buckets (df > cap) via a size
+    * filter on the posting buckets — a safety valve that bounds per-key
+    * fan-out on adversarial corpora and never binds at sane settings. (A PPJoin-style
     * prefix filter was measured here and LOST: on near-uniform shingle
     * distributions the candidate set stays quadratic, and the extra
     * verify joins cost more than the streaming count aggregate.)
@@ -96,9 +101,13 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("shared"))
+    // No broadcast hint: sizes is CORPUS-cardinality (one row per doc) —
+    // forcing it over the wire dies at web scale on the broadcast ceiling.
+    // AQE broadcasts whichever side is actually small (usually the
+    // candidate pairs).
     pairs
-      .join(broadcast(sizes.select(col("id").as("id1"), col("n_sh").as("n1"))), Seq("id1"))
-      .join(broadcast(sizes.select(col("id").as("id2"), col("n_sh").as("n2"))), Seq("id2"))
+      .join(sizes.select(col("id").as("id1"), col("n_sh").as("n1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("n_sh").as("n2")), Seq("id2"))
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("n1") + col("n2") - col("shared")).cast("double"))

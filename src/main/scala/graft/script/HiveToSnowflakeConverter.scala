@@ -34,13 +34,17 @@ object HiveToSnowflakeConverter {
     None
   }
 
-  /** Split a call argument list at top-level commas. */
+  /** Split a call argument list at top-level commas (quote- and
+    * escape-aware: a backslash-escaped quote does not end its literal). */
   private def splitArgs(args: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var last = 0; var inStr: Option[Char] = None
+    var depth = 0; var last = 0; var inStr: Option[Char] = None; var esc = false
     args.zipWithIndex.foreach { case (c, i) =>
       inStr match {
-        case Some(q) => if (c == q) inStr = None
+        case Some(q) =>
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == q) inStr = None
         case None => c match {
           case '\'' | '"' => inStr = Some(c)
           case '(' | '[' => depth += 1
@@ -83,6 +87,58 @@ object HiveToSnowflakeConverter {
     if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
       s.substring(1, s.length - 1)
     else s
+
+  /** End index (exclusive) of the single-quoted literal starting at `i`
+    * (`s(i) == '\''`), honoring backslash escapes. */
+  private def literalEnd(s: String, i: Int): Int = {
+    var j = i + 1
+    while (j < s.length) {
+      s(j) match {
+        case '\\' => j += 2
+        case '\'' => return j + 1
+        case _ => j += 1
+      }
+    }
+    s.length
+  }
+
+  /** Apply `f` only to the code BETWEEN single-quoted literals — rename
+    * rules must never mutate user data inside string literals. (Rules
+    * that legitimately read quoted arguments — reflect, SET tuples — run
+    * before this is used.) */
+  private def mapOutsideLiterals(s: String)(f: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var segStart = 0
+    while (i < s.length) {
+      if (s(i) == '\'') {
+        sb.append(f(s.substring(segStart, i)))
+        val end = literalEnd(s, i)
+        sb.append(s.substring(i, end))
+        i = end
+        segStart = end
+      } else i += 1
+    }
+    sb.append(f(s.substring(segStart)))
+    sb.toString
+  }
+
+  /** Run `f` until it stops changing the text (bounded): paren-aware call
+    * rewrites only touch the OUTERMOST occurrence per scan, so a call
+    * nested inside another's arguments needs another pass. Replacement
+    * names (SPLIT_PART, position, DATE, decodeurl, SHA2_HEX) never
+    * re-match their source patterns, so this terminates. */
+  private def fixpoint(s: String, max: Int = 10)(f: String => String): String = {
+    var cur = s
+    var i = 0
+    while (i < max) {
+      val next = f(cur)
+      if (next == cur) return cur
+      cur = next
+      i += 1
+    }
+    cur
+  }
 
   /** Rules 8/9: `reflect('java.net.URLDecoder','decode',v[,'UTF-8'])` →
     * `decodeurl(v)`; `reflect('...DigestUtils','sha256Hex',v)` → `SHA2_HEX(v)`. */
@@ -185,7 +241,12 @@ object HiveToSnowflakeConverter {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
-      if (s.startsWith("--", i)) {
+      if (s(i) == '\'') {
+        // '--' inside a single-quoted literal is DATA, not a comment.
+        val end = literalEnd(s, i)
+        sb.append(s.substring(i, end))
+        i = end
+      } else if (s.startsWith("--", i)) {
         val end = s.indexOf('\n', i) match { case -1 => s.length; case e => e }
         sb.append('\u0001').append(saved.length).append('\u0001')
         saved += s.substring(i, end)
@@ -207,18 +268,25 @@ object HiveToSnowflakeConverter {
     while (i < s.length) {
       s(i) match {
         case '\'' =>
-          val j = s.indexOf('\'', i + 1)
-          val end = if (j < 0) s.length else j + 1
+          // Escape-aware: an escaped quote doesn't end the literal.
+          val end = literalEnd(s, i)
           sb.append(s.substring(i, end)); i = end
         case '"' =>
-          val j = s.indexOf('"', i + 1)
-          if (j < 0) { sb.append(s.substring(i)); i = s.length }
+          // Find the closing quote, skipping backslash-escaped ones.
+          var j = i + 1; var esc = false; var close = -1
+          while (j < s.length && close < 0) {
+            if (esc) esc = false
+            else if (s(j) == '\\') esc = true
+            else if (s(j) == '"') close = j
+            j += 1
+          }
+          if (close < 0) { sb.append(s.substring(i)); i = s.length }
           else {
-            val content = s.substring(i + 1, j)
+            val content = s.substring(i + 1, close)
             if (content.exists(c => c == '\'' || c == '\\' || c == '\n'))
-              sb.append(s.substring(i, j + 1))
+              sb.append(s.substring(i, close + 1))
             else sb.append('\'').append(content).append('\'')
-            i = j + 1
+            i = close + 1
           }
         case c => sb.append(c); i += 1
       }
@@ -244,11 +312,12 @@ object HiveToSnowflakeConverter {
     // Rule 22: ${hiveconf:Var} → $Var
     s = s.replaceAll("""\$\{hiveconf:(\w+)\}""", """\$$1""")
 
-    // Rules 8/9/12/21/36: function-call rewrites (paren-aware).
-    s = rewriteReflect(s)
-    s = rewriteInstr(s)
-    s = rewriteSplitIndex(s)
-    s = rewriteMsToDate(s)
+    // Rules 8/9/12/21/36: function-call rewrites (paren-aware), iterated
+    // to fixpoint so calls NESTED inside another call's arguments (e.g.
+    // SPLIT(SPLIT(c,' ')[0],'-')[1]) convert too.
+    s = fixpoint(s) { x =>
+      rewriteMsToDate(rewriteSplitIndex(rewriteInstr(rewriteReflect(x))))
+    }
 
     // Rule 13: canonical collect_max_one template block.
     s = CollectMaxOneBlock.replaceAllIn(s, Regex.quoteReplacement(CollectMaxOneTarget))
@@ -256,24 +325,25 @@ object HiveToSnowflakeConverter {
     s = BareArgmaxBlock.replaceAllIn(s, Regex.quoteReplacement(CollectMaxOneTarget))
 
     // Rule 7: locate → position; rule 11: LCASE → LOWER; rule 10:
-    // hash → hashcode; rule 26: IF → IFF.
-    s = s.replaceAll("""(?i)\blocate\s*\(""", "position(")
-    s = s.replaceAll("""(?i)\bLCASE\s*\(""", "LOWER(")
-    s = s.replaceAll("""(?i)\bhash\s*\(""", "hashcode(")
-    s = s.replaceAll("""(?i)\bIF\s*\(""", "IFF(")
-
-    // Rule 29: temp-table ('tbl'-named) creates → CREATE OR REPLACE
-    // TEMPORARY TABLE (schema-qualified names included).
-    s = s.replaceAll(
-      """(?i)\bCREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.)?\w*tbl\w*)""",
-      "CREATE OR REPLACE TEMPORARY TABLE $1")
+    // hash → hashcode; rule 26: IF → IFF; rule 29: temp-table creates.
+    // All literal-protected: 'run IF(x)' inside a string is user data.
+    s = mapOutsideLiterals(s) { seg =>
+      seg.replaceAll("""(?i)\blocate\s*\(""", "position(")
+        .replaceAll("""(?i)\bLCASE\s*\(""", "LOWER(")
+        .replaceAll("""(?i)\bhash\s*\(""", "hashcode(")
+        .replaceAll("""(?i)\bIF\s*\(""", "IFF(")
+        .replaceAll(
+          """(?i)\bCREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.)?\w*tbl\w*)""",
+          "CREATE OR REPLACE TEMPORARY TABLE $1")
+    }
 
     // Rule 25: double-quoted string literals → single-quoted (quote-aware
     // scanner; comments are masked above).
     s = rewriteDoubleQuoted(s)
 
     // Rule 14: UNIX_TIMESTAMP()*1000 → CURRENT_TIMESTAMP().
-    s = s.replaceAll("""(?i)\bunix_timestamp\s*\(\s*\)\s*\*\s*1000\b""", "CURRENT_TIMESTAMP()")
+    s = mapOutsideLiterals(s)(_.replaceAll(
+      """(?i)\bunix_timestamp\s*\(\s*\)\s*\*\s*1000\b""", "CURRENT_TIMESTAMP()"))
 
     // Rule 32: strip the ms-epoch "* 1000" scaling from date columns
     // (Snowflake dates aren't epoch-millis). Mechanical subset — a
@@ -293,34 +363,37 @@ object HiveToSnowflakeConverter {
         name.split('_')
           .flatMap(_.split("(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])"))
           .exists(_.toLowerCase.startsWith("date"))
-    s = """(?i)\b((?:\w+\.)*\w+)\s*\*\s*1000\b""".r.replaceAllIn(s, m => {
-      val ident = m.group(1)
-      if (dateLike(ident.split('.').last)) Regex.quoteReplacement(ident)
-      else Regex.quoteReplacement(m.group(0))
-    })
+    s = mapOutsideLiterals(s)(seg =>
+      """(?i)\b((?:\w+\.)*\w+)\s*\*\s*1000\b""".r.replaceAllIn(seg, m => {
+        val ident = m.group(1)
+        if (dateLike(ident.split('.').last)) Regex.quoteReplacement(ident)
+        else Regex.quoteReplacement(m.group(0))
+      }))
 
     // Rule 34: RowModified + 1 → DATEADD(second, 1, RowModified).
-    s = """(?i)\b((?:\w+\.)?RowModified)\s*\+\s*1\b""".r
-      .replaceAllIn(s, m => Regex.quoteReplacement(s"DATEADD(second, 1, ${m.group(1)})"))
+    s = mapOutsideLiterals(s)(seg =>
+      """(?i)\b((?:\w+\.)?RowModified)\s*\+\s*1\b""".r
+        .replaceAllIn(seg, m => Regex.quoteReplacement(s"DATEADD(second, 1, ${m.group(1)})")))
 
     // Rules 1/5/28: INSERT [OVERWRITE] [INTO] TABLE udm_X →
     // INSERT OVERWRITE INTO delta_stage_X (${columns:X::%1$s}); the dw
     // entity is remembered for rules 15/16.
     var dwEntity: Option[String] = None
-    s = """(?i)INSERT\s+(?:OVERWRITE\s+)?(?:INTO\s+)?TABLE\s+udm_(?!s_|pv_)(\w+)""".r
-      .replaceAllIn(s, m => {
-        val e = m.group(1)
-        if (dwEntity.isEmpty) dwEntity = Some(e)
-        Regex.quoteReplacement(
-          "INSERT OVERWRITE INTO delta_stage_" + e + " (${columns:" + e + "::%1$s})")
-      })
+    s = mapOutsideLiterals(s)(seg =>
+      """(?i)INSERT\s+(?:OVERWRITE\s+)?(?:INTO\s+)?TABLE\s+udm_(?!s_|pv_)(\w+)""".r
+        .replaceAllIn(seg, m => {
+          val e = m.group(1)
+          if (dwEntity.isEmpty) dwEntity = Some(e)
+          Regex.quoteReplacement(
+            "INSERT OVERWRITE INTO delta_stage_" + e + " (${columns:" + e + "::%1$s})")
+        }))
 
-    // Rule 4: udm_s_X → delta_udm_X (anywhere).
-    s = s.replaceAll("""(?i)\budm_s_(\w+)""", "delta_udm_$1")
-    // Rule 3: udm_pv_X in FROM/JOIN → PUBLIC.X.
-    s = s.replaceAll("""(?i)\b(FROM|JOIN)(\s+)udm_pv_(\w+)""", "$1$2PUBLIC.$3")
-    // Rule 2b: remaining udm_X in FROM/JOIN → PUBLIC.X.
-    s = s.replaceAll("""(?i)\b(FROM|JOIN)(\s+)udm_(\w+)""", "$1$2PUBLIC.$3")
+    // Rules 4/3/2b: physical-layer table renames (literal-protected).
+    s = mapOutsideLiterals(s) { seg =>
+      seg.replaceAll("""(?i)\budm_s_(\w+)""", "delta_udm_$1")
+        .replaceAll("""(?i)\b(FROM|JOIN)(\s+)udm_pv_(\w+)""", "$1$2PUBLIC.$3")
+        .replaceAll("""(?i)\b(FROM|JOIN)(\s+)udm_(\w+)""", "$1$2PUBLIC.$3")
+    }
 
     // Rules 15/16: main scripts read the DW table through $MD5Source.
     dwEntity.filter(_ => main).foreach { e =>

@@ -218,6 +218,28 @@ class ScriptSpec extends AnyFunSuite {
     assert(out.contains("CONCAT(RowModified,IFF(COALESCE(%1$s,'') = '',NULL,%1$s))"))
   }
 
+  test("nested same-name calls convert through the fixpoint pass") {
+    val out = C.convert("SELECT SPLIT(SPLIT(c,' ')[0],'-')[1] AS x FROM t")
+    assert(out.contains("SPLIT_PART(SPLIT_PART(c,' ',1),'-',2)"), out)
+    val out2 = C.convert("SELECT INSTR(SPLIT(c,'_')[0], 'a') AS y FROM t")
+    assert(out2.contains("position('a', SPLIT_PART(c,'_',1))"), out2)
+  }
+
+  test("lexer safety: '--' and function names inside string literals are data") {
+    // '--' inside a literal must not mask the rest of the line from rules.
+    val a = C.convert("WHERE note = 'see--note' AND flag = IF(x,1,0)")
+    assert(a.contains("'see--note'"))
+    assert(a.contains("IFF(x,1,0)"), a)
+    // Rename rules must not mutate literal content.
+    val b = C.convert("SELECT 'run IF(x) then hash(y)' AS doc, IF(a,b,c) AS e")
+    assert(b.contains("'run IF(x) then hash(y)'"), b)
+    assert(b.contains("IFF(a,b,c)"))
+    // A real comment still passes through verbatim.
+    val c = C.convert("-- keep IF( as is\nSELECT IF(a,b,c)")
+    assert(c.contains("-- keep IF( as is"))
+    assert(c.contains("IFF(a,b,c)"))
+  }
+
   test("suggester helpers: file pairing, column search, context window") {
     assert(ScriptSnippets.extractSuffix("nw_customer_PRE_300.hql", "nw_")
       .contains("customer_PRE_300"))
