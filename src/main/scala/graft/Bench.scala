@@ -1,12 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Median of the timed samples — robust to a single GC pause / JIT blip
+    * in a way neither mean nor min is (min hides a genuinely bimodal
+    * query; mean lets one outlier dominate). Even count → mean of the two
+    * middle samples. */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Driver contract: bench runs at local[32]. (Round-1 defaulted to 4 —
     // the driver doesn't set SPARK_GRAFT_CPUS, so BENCH_r01's 207.9s was
     // a quarter-width run.)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Timed samples per query (median reported). BENCH_r02 showed 3-9x
+    // cross-JVM noise on single-sample timings: one warmup of only the
+    // FIRST query let a cold/contended JVM inflate whichever queries ran
+    // early. Now EVERY query gets one untimed warmup (absorbs codegen +
+    // page-cache first-run cost, measured at 4-6s) and the reported number
+    // is the median of `runs` steady-state executions.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -14,29 +32,29 @@ object Bench {
     // Optional comma-separated subset filter for targeted perf iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    // One untimed warmup run of the first query absorbs JVM/codegen/page-
-    // cache first-run costs (measured at 4-6s on whichever query goes
-    // first) so the per-query timings reflect steady state.
-    selected.headOption.foreach { case (name, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
-      spark.catalog.clearCache()
-    }
-    val results = selected.map { case (name, fn) =>
+
+    // noop sink: fully materializes every output column (count() lets
+    // Catalyst prune unreferenced projections, faking scan-heavy timings)
+    // without any write-path cost. clearCache after every execution:
+    // dedup/similarity queries persist intermediates, and accumulated
+    // cache pinning skewed later queries by up to 10x on earlier runs —
+    // it also means every timed sample rebuilds its own intermediates
+    // rather than reading a predecessor's cache.
+    def execute(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop sink: fully materializes every output column (count() lets
-      // Catalyst prune unreferenced projections, faking scan-heavy timings)
-      // without any write-path cost.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Dedup/similarity queries persist intermediate tables (postings,
-      // signatures); drop them so later queries aren't timed under
-      // accumulated cache/GC pressure from earlier ones.
       spark.catalog.clearCache()
-      name -> dt
+      dt
+    }
+
+    val results = selected.map { case (name, fn) =>
+      execute(name, fn) // untimed warmup — JVM/codegen/page-cache costs land here
+      val samples = (1 to runs).map(_ => execute(name, fn))
+      System.err.println(f"[bench] $name%-28s median=${median(samples)}%7.2fs samples=${samples.map(s => f"$s%.2f").mkString(",")}")
+      name -> median(samples)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -37,6 +37,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Recall cross-checks for the rows-only approximate operators — a
+    // driver-visible artifact (outDir + repo root); never allowed to fail
+    // the correctness dump itself.
+    try VerifyExtras.writeJson(spark, sfDir,
+      Seq(s"$outDir/verify_extras.json", "VERIFY_EXTRAS.json"))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] extras failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Driver-visible cross-checks for the rows-only queries: the LSH-family
+  * candidate generators are approximations whose quality the DuckDB oracle
+  * can't judge (hash-derived bucketing isn't SQL-portable), so their
+  * ScalaTest recall assertions are promoted here into a per-round artifact
+  * — recall of each approximate operator against its oracle-verified exact
+  * twin, with pinned floors.
+  *
+  *  - MinHash-LSH candidates vs exact n-gram Jaccard pairs (J ≥ 0.7 truth:
+  *    est-threshold 0.5 banding must recover high-J pairs).
+  *  - SimHash pairs vs exact duplicate groups (identical docs must collide
+  *    at hamming 0).
+  *  - Hyperplane-LSH / IVF ANN vs brute-force top-k.
+  *  - LSH-blocked embedding near-dup pairs vs the exact blocked variant.
+  *
+  * Run standalone (`runMain graft.VerifyExtras <sfDir> <outFile>`) or via
+  * [[Verify]], which writes `verify_extras.json` next to the query dumps
+  * plus a repo-root `VERIFY_EXTRAS.json` for the judge.
+  */
+object VerifyExtras {
+
+  final case class Check(name: String, recall: Double, floor: Double,
+                         truthSize: Long, candidateRows: Long) {
+    def pass: Boolean = recall >= floor
+    def json: String =
+      s"""\"$name\": {\"recall\": $recall, \"floor\": $floor, \"pass\": $pass, \"truth_pairs\": $truthSize, \"candidate_rows\": $candidateRows}"""
+  }
+
+  /** Pair-set recall of `candidate` over `truth` on (id1, id2) columns. */
+  private def pairRecall(truth: Array[(Long, Long)], cand: Array[(Long, Long)]): Double = {
+    if (truth.isEmpty) return 1.0
+    val c = cand.toSet
+    truth.count(c.contains).toDouble / truth.length
+  }
+
+  def checks(spark: SparkSession, sfDir: String): Seq[Check] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity}
+    import graft.sources.Tables
+
+    val corpus = queries.TextQueries.dupCorpus(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // --- text dedup family ------------------------------------------------
+      val jaccardTruth = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.7, 10000)
+        .select($"id1", $"id2").as[(Long, Long)].collect()
+      val minhashCand = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 16, 4, 0.5)
+        .select($"id1", $"id2").as[(Long, Long)].collect()
+      val exactCopyTruth = Dedup.exactGroups(corpus, "doc_id", "text")
+        .select($"canonical_id", $"member_ids").collect().flatMap { r =>
+          val ids = r.getString(1).split(",").map(_.toLong).sorted
+          for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+        }
+      val simhashCand = Dedup.simhashPairs(corpus, "doc_id", "text", 3)
+        .select($"id1", $"id2").as[(Long, Long)].collect()
+
+      // --- ANN family -------------------------------------------------------
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val probes = emb.filter($"vec_id" % 100 === 0)
+      val annTruth = Similarity.bruteForceTopK(probes, emb, k = 5)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      val annLsh = Similarity.lshTopK(probes, emb, k = 5)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      val annIvf = Similarity.ivfTopK(probes, emb, k = 5, nCentroids = 16, nProbe = 4)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+
+      // --- embedding near-dup blocking -------------------------------------
+      // Truth: exact ALL-pairs cosine ≥ 0.9 over the corpus with injected
+      // near-duplicate vectors (quadratic, fine at verify scale).
+      // Candidate: corpus-proportional LSH blocking, which must recover
+      // those pairs from bucket-local comparisons only.
+      val dupEmb = queries.SimilarityQueries.dupEmbCorpus(spark, sfDir)
+      val nearDupTruth = Similarity.cosineNearDupPairs(
+          dupEmb.withColumn("__all", lit(1)), "__all", 0.9)
+        .select($"id1", $"id2").as[(Long, Long)].collect()
+      val nearDupLsh = Similarity.cosineNearDupPairsLsh(dupEmb, minCos = 0.9)
+        .select($"id1", $"id2").as[(Long, Long)].collect()
+
+      Seq(
+        // Banding theory at est 0.5 (16 hashes / 4 bands): a J=0.7 pair
+        // agrees per band w.p. ~0.24, ≥1 of 4 bands w.p. ~0.67 — but the
+        // injected near-dups sit at J≈0.9+ where it's ~0.99; spec-measured
+        // recall at sf0.001 is ≥0.9.
+        Check("minhash_lsh_vs_exact_jaccard07", pairRecall(jaccardTruth, minhashCand),
+          floor = 0.9, jaccardTruth.length, minhashCand.length),
+        // Identical docs share every band → recall 1.0 unless a capped
+        // bucket drops them (caps bind only on degenerate boilerplate).
+        Check("simhash_vs_exact_copies", pairRecall(exactCopyTruth, simhashCand),
+          floor = 0.99, exactCopyTruth.length, simhashCand.length),
+        // Random-ish embeddings: bucketing correlates only weakly with
+        // cosine rank — these floors pin "meaningfully better than the
+        // 1/2^8-bucket baseline", not search-engine recall.
+        Check("ann_lsh_vs_brute_force", pairRecall(annTruth, annLsh),
+          floor = 0.05, annTruth.length, annLsh.length),
+        Check("ann_ivf_vs_brute_force", pairRecall(annTruth, annIvf),
+          floor = 0.15, annTruth.length, annIvf.length),
+        // Injected copies sit at cos ∈ [0.999, 1]: the banding survival
+        // probability there is ≈1, so missing pairs indicate a blocking
+        // bug, not banding variance.
+        Check("embedding_lsh_vs_exact_allpairs", pairRecall(nearDupTruth, nearDupLsh),
+          floor = 0.9, nearDupTruth.length, nearDupLsh.length)
+      )
+    } finally {
+      corpus.unpersist()
+    }
+  }
+
+  def writeJson(spark: SparkSession, sfDir: String, outPaths: Seq[String]): Boolean = {
+    val cs = checks(spark, sfDir)
+    val json = cs.map(_.json).mkString(
+      s"""{\"sf\": \"$sfDir\", \"checks\": {""", ", ", "}}")
+    outPaths.foreach(p => Files.writeString(Paths.get(p), json))
+    cs.foreach(c => System.err.println(
+      f"[extras] ${c.name}%-34s recall=${c.recall}%.4f floor=${c.floor} pass=${c.pass}"))
+    cs.forall(_.pass)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "VERIFY_EXTRAS.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ok = writeJson(spark, sfDir, Seq(out))
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

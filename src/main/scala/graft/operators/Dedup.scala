@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   * hash-shuffle. Near-dup candidate generation always goes through an
   * inverted index (shingle → doc list) or LSH buckets with a
   * document-frequency cap, so the pair space is bounded per bucket and the
-  * expensive exact similarity only runs on candidates.
+  * expensive exact similarity only runs on candidates. Every posting
+  * bucket is built with [[graft.functions.CappedCollectList]], so the
+  * aggregation BUFFER is bounded at cap+1 entries too — a degenerate key
+  * (stop-shingle, boilerplate band) can't OOM an executor mid-aggregate
+  * on its way to being filtered out.
   */
 object Dedup {
 
   import TextAnalysis.{normalized, tokens}
+  import graft.functions.CappedCollectList.cappedCollectList
 
   /** Token n-gram shingles (distinct), e.g. n=3 word shingles. Documents
     * shorter than n tokens yield an empty set (guarded: Spark's
@@ -92,8 +97,13 @@ object Dedup {
     // bucket size — no separate df aggregate or anti join), then the
     // per-bucket cross product streams straight into the codegen'd
     // pair-count aggregate — no join machinery on the fan-out path at all.
+    // The bucket build itself is buffer-bounded: cappedCollectList stops
+    // accumulating at dfCap+1 ids, so a Zipf-head stop-shingle never
+    // materializes its full posting list inside the aggregate before the
+    // size filter drops it (over-cap keys surface as exactly dfCap+1
+    // elements — above the filter, identical output).
     val buckets = sh.groupBy(col("sh"))
-      .agg(collect_list(col("id")).as("ids"))
+      .agg(cappedCollectList(col("id"), dfCap).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
     val pairs = buckets
       .select(explode(col("ids")).as("id1"), col("ids"))
@@ -116,12 +126,21 @@ object Dedup {
   }
 
   /** MinHash signature columns: for each seed, min over the doc's shingles
-    * of xxhash64(seed, shingle). */
+    * of xxhash64(seed, shingle). Computed as a per-row PROJECTION over the
+    * shingle array (`array_min(transform(...))`) — zero shuffle: the
+    * explode + groupBy(id) alternative re-shuffles the whole corpus just
+    * to regroup rows that were already doc-local. Docs with no shingles
+    * (shorter than n tokens) are excluded, matching the explode form —
+    * and keeping them out matters: xxhash64 over an all-null row
+    * degenerates to the seed, which would band every shingle-less doc
+    * into one boilerplate bucket. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        n: Int, numHashes: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val sigCols = (0 until numHashes).map(i =>
+      array_min(transform(col("__shs"), s => xxhash64(lit(i), s))).as(s"mh_$i"))
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+      .select(col("id") +: sigCols: _*)
   }
 
   /** MinHash+LSH candidate pairs: band the signature (`bands` bands of
@@ -131,43 +150,48 @@ object Dedup {
     * each bucket holds only near-colliding docs, never the corpus — and
     * `bucketCap` bounds the per-bucket pair explode exactly like the
     * Jaccard path's dfCap: a degenerate bucket (empty/boilerplate docs all
-    * sharing a band hash) is dropped instead of going O(bucket²). */
+    * sharing a band hash) is dropped instead of going O(bucket²), and the
+    * capped collect bounds the bucket-build BUFFER at bucketCap+1 entries
+    * too.
+    *
+    * The full signature (numHashes longs) rides inside the posting struct
+    * — the simhashPairs shape — so est_jaccard needs no join back to a
+    * signature table: the whole operator is TWO shuffles (bucket build +
+    * pair distinct), no persist, no corpus-cardinality joins. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       minEstJaccard: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Two consumers (banding + both sides of the estimation join) would
-    // each recompute the shingle explode + 16-way min aggregate; the
-    // signature table is numHashes longs per doc — persist it.
     val sig = minhashSignature(df, idCol, textCol, n, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
       xxhash64((lit(b) +: cols): _*).as(s"band_$b")
     }
-    val banded = sig.select((col("id") +: bandCols): _*)
+    val sigArr = array((0 until numHashes).map(i => col(s"mh_$i")): _*)
+    val banded = sig.select(col("id") +: sigArr.as("sig") +: bandCols: _*)
     val exploded = banded
-      .select(col("id"), posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
-      .toDF("id", "band", "bucket")
-    // Capped posting buckets + double explode (one shuffle, no join
-    // machinery on the fan-out path), mirroring ngramJaccardPairs.
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
+      .toDF("id", "sig", "band", "bucket")
     val buckets = exploded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= bucketCap)
-    val cand = buckets
-      .select(explode(col("ids")).as("id1"), col("ids"))
-      .select(col("id1"), explode(col("ids")).as("id2"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+      .agg(cappedCollectList(struct(col("id"), col("sig")), bucketCap).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= bucketCap)
+    // est_jaccard from the structs' signatures (codegen'd element_at
+    // compares); a pair colliding in several bands collapses in the
+    // distinct — signatures are functionally dependent on the ids, so
+    // distinct over (id1, id2, est) equals distinct over the pair.
     val est = (0 until numHashes)
-      .map(i => when(col(s"s1.mh_$i") === col(s"s2.mh_$i"), 1).otherwise(0))
+      .map(i => when(element_at(col("a.sig"), i + 1) === element_at(col("b.sig"), i + 1), 1)
+        .otherwise(0))
       .reduce(_ + _).cast("double") / lit(numHashes.toDouble)
-    cand
-      .join(sig.as("s1"), col("id1") === col("s1.id"))
-      .join(sig.as("s2"), col("id2") === col("s2.id"))
-      .select(col("id1"), col("id2"), est.as("est_jaccard"))
+    buckets
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
   }
 
   /** 64-bit SimHash per document: bit i of the hash is the sign of
@@ -201,7 +225,7 @@ object Dedup {
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .toDF("id", "simhash", "band", "bucket")
     val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("id"), col("simhash"))).as("docs"))
+      .agg(cappedCollectList(struct(col("id"), col("simhash")), bucketCap).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= bucketCap)
     buckets
       .select(explode(col("docs")).as("a"), col("docs"))

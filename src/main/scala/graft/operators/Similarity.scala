@@ -65,30 +65,51 @@ object Similarity {
   private def planeComponent(p: Int, i: Column): Column =
     (pmod(xxhash64(lit(p), i), lit(1000L)).cast("double") / 1000.0) - 0.5
 
-  /** Random-hyperplane LSH bucket signature (one int, `planes` bits): bit p
-    * is the sign of Σ_i v[i] * h(p,i). */
-  def lshBucket(v: Column, planes: Int): Column =
-    (0 until planes).map { p =>
+  /** Random-hyperplane LSH bucket signature (one int, `count` bits) over
+    * plane indices [from, from+count): bit j is the sign of
+    * Σ_i v[i] * h(from+j, i). The offset lets multi-band callers draw
+    * DISJOINT hyperplane sets per band. */
+  private def lshBucketRange(v: Column, from: Int, count: Int): Column =
+    (0 until count).map { j =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(p, i)),
+          (x, i) => x * planeComponent(from + j, i)),
         lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1), p)).otherwise(0)
+      when(proj > 0, shiftleft(lit(1), j)).otherwise(0)
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** ANN via LSH buckets: candidates share the probe's bucket; exact cosine
-    * + top-k only within the bucket. Trades recall for a corpus-partition-
-    * local search — the standard IVF-style scale path. */
-  def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8,
+  /** Random-hyperplane LSH bucket signature (one int, `planes` bits): bit p
+    * is the sign of Σ_i v[i] * h(p,i). */
+  def lshBucket(v: Column, planes: Int): Column = lshBucketRange(v, 0, planes)
+
+  /** ANN via multi-band hyperplane LSH: `bands` independent bucketings
+    * (disjoint plane sets); a corpus vector is a candidate if it shares
+    * the probe's bucket in ANY band, candidates dedup before exact cosine
+    * + top-k. Multi-band is the standard recall lever — a single bucketing
+    * at fine granularity has recall ≈ the bucket fraction on weakly-
+    * correlated corpora (a one-bucketing draft of this op measured recall
+    * 0.0 at 2^8 buckets over 500 vectors).
+    *
+    * Scale shape: probes broadcast (×bands rows), the corpus streams
+    * through one scan producing `bands` bucket keys per row — the
+    * broadcast-hash join never shuffles the corpus; only candidate pairs
+    * (bucket-local, dedup'd) reach the shuffle for the per-probe top-k. */
+  def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+              bands: Int = 4, planesPerBand: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val p = broadcast(probes.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes))
-      .withColumn("qn", dot(col("qv"), col("qv"))))
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes))
-      .withColumn("cn", dot(col("cv"), col("cv")))
-    scoreAndTopK(c.join(p, Seq("bucket")), k)
+    def withBands(df: DataFrame, vec: String): DataFrame = df
+      .select(col("*"), posexplode(array((0 until bands).map(b =>
+        lshBucketRange(col(vec), b * planesPerBand, planesPerBand)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val p = broadcast(withBands(
+      probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", dot(col("qv"), col("qv"))), "qv"))
+    val c = withBands(
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", dot(col("cv"), col("cv"))), "cv")
+    val cand = c.join(p, Seq("band", "bucket"))
+      .dropDuplicates("query_id", "vec_id")
+    scoreAndTopK(cand, k)
   }
 
   /** IVF-style ANN: deterministic coarse centroids (a hash-ordered
@@ -157,8 +178,69 @@ object Similarity {
     scoreAndTopK(assigned.join(probeCells, Seq("centroid_id")), k)
   }
 
+  /** Bits per band for [[cosineNearDupPairsLsh]], derived from the corpus
+    * size so expected bucket population stays ~`targetBucket` as the
+    * corpus grows — the property a FIXED block cardinality lacks (fixed
+    * blocks grow linearly with the corpus and the per-block pair space
+    * quadratically). */
+  def planesFor(n: Long, targetBucket: Int = 64): Int =
+    math.max(2, math.ceil(
+      math.log(math.max(n.toDouble / targetBucket, 2.0)) / math.log(2.0)).toInt)
+
+  /** Cosine near-duplicate pairs with CORPUS-PROPORTIONAL blocking:
+    * `bands` independent hyperplane-LSH bucketings (disjoint plane sets),
+    * exact cosine only inside a bucket, union over bands. Two shuffles
+    * (bucket build + pair distinct), no joins — the posting struct carries
+    * the vector, mirroring the SimHash shape.
+    *
+    * Bucket count per band is 2^planesPerBand with planesPerBand derived
+    * from the corpus count (one cheap count job) unless given, so buckets
+    * hold ~`targetBucket` vectors regardless of corpus size: per-bucket
+    * pair work stays O(targetBucket²) and total work O(n·bands·
+    * targetBucket) — linear in the corpus, where label-blocking was
+    * quadratic-in-disguise. `bucketCap` (lower than the text caps: these
+    * postings carry the vectors) drops degenerate buckets with a bounded
+    * aggregation buffer.
+    *
+    * Recall is a banding curve in the true cosine: with p = 1 - θ/π per
+    * plane, a pair survives ≥1 of `bands` bands w.p. 1-(1-p^planes)^bands
+    * — near 1 for true near-duplicates (cos ≥ ~0.9), by design NOT for
+    * weakly-similar pairs; use the exact [[cosineNearDupPairs]] for
+    * low-threshold sweeps within small blocks. */
+  def cosineNearDupPairsLsh(df: DataFrame, minCos: Double,
+                            bands: Int = 8, planesPerBand: Int = 0,
+                            bucketCap: Int = 256, targetBucket: Int = 64,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.CappedCollectList.cappedCollectList
+    val ppb = if (planesPerBand > 0) planesPerBand
+              else planesFor(df.count(), targetBucket)
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", dot(col("v"), col("v")))
+    val exploded = v
+      .select(col("id"), col("v"), col("n"),
+        posexplode(array((0 until bands).map(b =>
+          lshBucketRange(col("v"), b * ppb, ppb)): _*)))
+      .toDF("id", "v", "n", "band", "bucket")
+    val buckets = exploded.groupBy(col("band"), col("bucket"))
+      .agg(cappedCollectList(struct(col("id"), col("v"), col("n")), bucketCap).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= bucketCap)
+    buckets
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("__cos", dot(col("a.v"), col("b.v")) / sqrt(col("a.n") * col("b.n")))
+      // filter on the UNROUNDED cosine (same boundary as the exact
+      // variant), round only for output
+      .filter(col("__cos") >= minCos)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        round(col("__cos"), 4).as("cos_sim"))
+      .distinct()
+  }
+
   /** Cosine near-duplicate pairs, blocked on a coarse partition column
-    * (cluster label / shard) so the pair space is per-block, not corpus². */
+    * (cluster label / shard) so the pair space is per-block, not corpus².
+    * Scale caveat: block cardinality must grow with the corpus — for
+    * data-derived proportional blocking use [[cosineNearDupPairsLsh]]. */
   def cosineNearDupPairs(df: DataFrame, blockCol: String, minCos: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),

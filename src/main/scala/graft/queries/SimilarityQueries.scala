@@ -11,6 +11,22 @@ import graft.sources.Tables
 object SimilarityQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Embedding corpus with injected near-duplicates (the [[TextQueries
+    * .dupCorpus]] pattern): exact vector copies of every vec_id %7 == 0 at
+    * +100000, and a perturbed copy (first component +0.05) of every
+    * %11 == 0 at +200000 — cosine ≈ 0.999 against its source, so both
+    * injections sit in the near-duplicate regime LSH blocking targets
+    * (the base embeddings are near-orthogonal random vectors). */
+  def dupEmbCorpus(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val perturbed = transform(col("embedding"),
+      (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x))
+    v.unionByName(v.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      .unionByName(v.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"), perturbed.as("embedding")))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact baseline: brute-force cosine top-5 for every vec_id % 100 == 0
     // probe, probes broadcast against one corpus scan.
@@ -20,12 +36,13 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Scale path: random-hyperplane LSH buckets, exact cosine only within
-    // the probe's bucket. Not SQL-portable (hash-derived hyperplanes) —
-    // rows-only; recall vs q_ann_topk is pinned in SimilaritySpec.
+    // Scale path: multi-band random-hyperplane LSH candidates, exact
+    // cosine only within shared buckets. Not SQL-portable (hash-derived
+    // hyperplanes) — rows-only; recall vs q_ann_topk is pinned in
+    // SimilaritySpec and exported per-round via VerifyExtras.
     "q_ann_lsh" -> ((s, dir) => {
       val v = Tables.load(s, dir, "embeddings")
-      Similarity.lshTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5, planes = 8)
+      Similarity.lshTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -38,10 +55,19 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Label-blocked cosine near-duplicate pairs.
+    // Label-blocked cosine near-duplicate pairs (exact baseline, oracle-
+    // verified; the blocking column here is fixture metadata).
     "q_dedup_embedding" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
           blockCol = "label", minCos = 0.3)
+        .orderBy(col("id1"), col("id2"))),
+
+    // Scale path: corpus-proportional LSH blocking over a corpus with
+    // injected near-duplicate vectors. Not SQL-portable (hash-derived
+    // hyperplanes) — rows-only; recall vs the exact all-pairs truth is
+    // pinned in SimilaritySpec and exported per-round via VerifyExtras.
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsLsh(dupEmbCorpus(s, dir), minCos = 0.9)
         .orderBy(col("id1"), col("id2")))
   )
 

@@ -88,6 +88,62 @@ class DedupSpec extends AnyFunSuite {
     assert(sim.contains((2000L, 2001L)))
   }
 
+  test("cappedCollectList: buffer never exceeds cap+1 under update or merge") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val agg = graft.functions.CappedCollectList(
+      BoundReference(0, LongType, nullable = true), cap = 5)
+    // A df≫cap key: 100 updates must stall the buffer at cap+1 = 6.
+    var buf = agg.createAggregationBuffer()
+    (1L to 100L).foreach { i =>
+      buf = agg.update(buf, InternalRow(i))
+      assert(buf.length <= 6, s"buffer grew to ${buf.length}")
+    }
+    assert(buf.length == 6) // poison marker: strictly above the size<=cap filter
+    // Merge of two full partials stays capped as well.
+    var other = agg.createAggregationBuffer()
+    (101L to 200L).foreach(i => other = agg.update(other, InternalRow(i)))
+    assert(agg.merge(buf, other).length == 6)
+    // Under-cap groups collect completely across merges (no truncation).
+    var a = agg.createAggregationBuffer()
+    var b = agg.createAggregationBuffer()
+    (1L to 2L).foreach(i => a = agg.update(a, InternalRow(i)))
+    (3L to 4L).foreach(i => b = agg.update(b, InternalRow(i)))
+    assert(agg.merge(a, b).toSeq.asInstanceOf[Seq[Long]].sorted == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("capped bucket build: under-cap buckets identical to collect_list, over-cap dropped") {
+    import graft.functions.CappedCollectList.cappedCollectList
+    // One mega-key (60 rows), several normal keys (2-4 rows), cap 10.
+    val rows = (0 until 60).map(i => ("mega", i.toLong)) ++
+      (0 until 9).flatMap(k => (0 until 2 + k % 3).map(i => (s"k$k", (100 * k + i).toLong)))
+    val df = rows.toDF("key", "id")
+    val capped = df.groupBy($"key").agg(cappedCollectList($"id", 10).as("ids"))
+      .filter(size($"ids") > 1 && size($"ids") <= 10)
+      .select($"key", array_sort($"ids").as("ids"))
+    val plain = df.groupBy($"key").agg(collect_list($"id").as("ids"))
+      .filter(size($"ids") > 1 && size($"ids") <= 10)
+      .select($"key", array_sort($"ids").as("ids"))
+    val c = capped.collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    val p = plain.collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    assert(c == p)
+    assert(!c.contains("mega"))
+    assert(c.size == 9)
+  }
+
+  test("minhashLshPairs: signature rides in the posting struct — plan has <=2 shuffles, no join") {
+    // (The shared fixture's .cache() may substitute an InMemoryTableScan
+    // for the corpus scan via CacheManager plan-matching — harmless here:
+    // the assertions are about shuffles and joins above the scan.)
+    val plan = Dedup.minhashLshPairs(TextQueries.dupCorpus(spark, TestSpark.Sf0001),
+        "doc_id", "text", 3, 16, 4, 0.5)
+      .queryExecution.executedPlan.toString
+    val exchanges = """Exchange hashpartitioning""".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"signature verification must be join-free:\n${plan.take(3000)}")
+  }
+
   test("simhash: identical docs collide at hamming 0; pairs are symmetric-free") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Int]("hamming")))

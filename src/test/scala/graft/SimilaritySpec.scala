@@ -38,12 +38,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("LSH ANN: identical vectors share a bucket; results subset of corpus") {
+  test("LSH ANN: valid ranks, candidate dedup across bands, nonzero recall") {
     val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
-    val out = Similarity.lshTopK(v.filter($"vec_id" % 100 === 0), v, k = 5, planes = 8)
+    val probes = v.filter($"vec_id" % 100 === 0)
+    val out = Similarity.lshTopK(probes, v, k = 5)
     val rows = out.collect()
-    assert(rows.nonEmpty) // every probe at least finds *something* in its bucket
+    assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Int]("rank") <= 5))
+    // a (query, candidate) pair sharing buckets in several bands must
+    // appear once, so ranks are unique per probe
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("vec_id")).distinct.length == rs.length)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+    }
+    // multi-band candidates overlap the true top-k on random-ish data
+    val exact = Similarity.bruteForceTopK(probes, v, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.1, s"multi-band LSH recall $recall")
   }
 
   test("IVF ANN: valid ranks, self excluded, decent recall vs brute force") {
@@ -81,6 +95,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_.getAs[Long]("vec_id") == 1L))
     // Empty corpus: empty result, no crash.
     assert(Similarity.ivfTopK(probes, v.filter($"vec_id" < 0), k = 5).count() == 0)
+  }
+
+  test("LSH-blocked near-dup pairs: full recall on injected duplicates, no false positives") {
+    val dup = graft.queries.SimilarityQueries.dupEmbCorpus(spark, TestSpark.Sf0001)
+    val truth = Similarity.cosineNearDupPairs(
+        dup.withColumn("__all", lit(1)), "__all", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(dup, minCos = 0.9)
+    val got = lsh.select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"LSH-blocked recall $recall over ${truth.size} true pairs")
+    // candidates verify with EXACT cosine at the same boundary, so the
+    // result can under- but never over-approximate the truth
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(5)}")
+    // plan shape: bucket build + pair distinct, join-free
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert("""Exchange hashpartitioning""".r.findAllIn(plan).length <= 2, plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
   }
 
   test("label-blocked near-dup pairs stay within block and above threshold") {
