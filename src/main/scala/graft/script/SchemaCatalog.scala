@@ -24,6 +24,24 @@ object ColumnMeta {
     3 -> "DOUBLE", 4 -> "BOOLEAN", 5 -> "DECIMAL")
 }
 
+/** Operating-mode configuration (reference: tools/snowflake_tool.py:14-20):
+  * TESTING resolves both logical schemas to the SANDBOX schema and appends
+  * an `_RK` suffix to physical table names (snowflake_tool.py:42, applied
+  * to both the table and its DELTA_STAGE twin in the mismatch-proc call);
+  * production resolves DW / DW_HIVE_INC with bare names. */
+final case class DwValidationConfig(mode: String = "TESTING") {
+  val testing: Boolean = mode == "TESTING"
+  val dwSchema: String = if (testing) "SANDBOX" else "DW"
+  val hiveSchema: String = if (testing) "SANDBOX" else "DW_HIVE_INC"
+  val tableSuffix: String = if (testing) "_RK" else ""
+  /** Physical (mode-suffixed) table name. */
+  def physicalName(table: String): String = s"$table$tableSuffix"
+  def dwTable(table: String): String = s"$dwSchema.${physicalName(table)}"
+  def hiveTable(table: String): String = s"$hiveSchema.${physicalName(table)}"
+  /** The mismatch proc's staged-delta twin (snowflake_tool.py:47). */
+  def deltaStageName(table: String): String = s"DELTA_STAGE_${physicalName(table)}"
+}
+
 final class SchemaCatalog(tables: Map[String, String],
                           columns: Map[String, Seq[ColumnMeta]]) {
 
@@ -33,12 +51,18 @@ final class SchemaCatalog(tables: Map[String, String],
 
   def tableId(tableName: String): Option[String] = {
     val n = tableName.trim.toLowerCase
-    tables.get(n).orElse {
-      FallbackPrefixes.collectFirst {
-        case p if n.startsWith(p) && tables.contains(n.stripPrefix(p)) =>
-          tables(n.stripPrefix(p))
+    // TESTING-mode physical names carry the _RK suffix
+    // ([[DwValidationConfig.tableSuffix]]); strip it like the layer
+    // prefixes so mode-suffixed names resolve to the logical table.
+    val candidates = n +: (if (n.endsWith("_rk")) Seq(n.dropRight(3)) else Nil)
+    candidates.view.flatMap { c =>
+      tables.get(c).orElse {
+        FallbackPrefixes.collectFirst {
+          case p if c.startsWith(p) && tables.contains(c.stripPrefix(p)) =>
+            tables(c.stripPrefix(p))
+        }
       }
-    }
+    }.headOption
   }
 
   def columnsFor(tableName: String): Seq[ColumnMeta] =

@@ -48,4 +48,29 @@ object Tables {
     spark.read.schema(schema)
       .option("mode", "FAILFAST")
       .json(path)
+
+  /** Bounded table preview — the reference's `fetch_table` (tools/
+    * snowflake_tool.py:152-158: `SELECT * FROM t LIMIT 10` → CSV), the
+    * triage tool an operator runs constantly. `limit(n)` plans as a
+    * LocalLimit directly over the scan: Spark stops consuming input once
+    * n rows are produced, so previewing a 100 TB table reads a handful of
+    * row groups, never the table. */
+  def preview(spark: SparkSession, dir: String, name: String, n: Int = 10): DataFrame =
+    load(spark, dir, name).limit(n)
+
+  /** Preview rendered as a headered CSV string — the reference tool's
+    * exact output shape. Driver-side by construction (n rows). */
+  def previewCsv(spark: SparkSession, dir: String, name: String, n: Int = 10): String = {
+    val df = preview(spark, dir, name, n)
+    def cell(v: Any): String = v match {
+      case null => ""
+      case other =>
+        val s = other.toString
+        if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
+    }
+    (df.columns.mkString(",") +:
+      df.collect().map(_.toSeq.map(cell).mkString(","))).mkString("\n")
+  }
 }

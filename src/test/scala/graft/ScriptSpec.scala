@@ -272,4 +272,28 @@ class ScriptSpec extends AnyFunSuite {
     assert(cat.columnsFor("udm_s_customer").map(c => (c.name, c.typeName)) ==
       Seq(("ID", "STRING"), ("Age", "LONG")))
   }
+
+  test("TESTING-mode config: SANDBOX schemas, _RK suffix, delta-stage twin (snowflake_tool.py:14-20,42)") {
+    val testing = DwValidationConfig()
+    assert(testing.testing)
+    assert(testing.dwSchema == "SANDBOX" && testing.hiveSchema == "SANDBOX")
+    assert(testing.physicalName("customer") == "customer_RK")
+    assert(testing.dwTable("customer") == "SANDBOX.customer_RK")
+    assert(testing.deltaStageName("customer") == "DELTA_STAGE_customer_RK")
+    val prod = DwValidationConfig("PRODUCTION")
+    assert(!prod.testing)
+    assert(prod.dwSchema == "DW" && prod.hiveSchema == "DW_HIVE_INC")
+    assert(prod.physicalName("customer") == "customer")
+    assert(prod.deltaStageName("customer") == "DELTA_STAGE_customer")
+  }
+
+  test("catalog resolves TESTING-mode _RK names like layer prefixes") {
+    val cat = SchemaCatalog.inMemory(
+      "customer" -> Seq(ColumnMeta("ID", 2, primaryKey = true)))
+    assert(cat.tableId("customer_RK") == cat.tableId("customer"))
+    assert(cat.tableId("customer_RK").nonEmpty)
+    assert(cat.tableId("udm_s_customer_rk") == cat.tableId("customer"))
+    assert(cat.primaryKeys("CUSTOMER_rk") == Seq("ID"))
+    assert(cat.tableId("nope_rk").isEmpty)
+  }
 }

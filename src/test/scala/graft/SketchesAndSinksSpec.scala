@@ -73,4 +73,21 @@ class SketchesAndSinksSpec extends AnyFunSuite {
     assert(back.count() == 1)
     assert(back.columns.toSet == m.columns.toSet)
   }
+
+  test("preview returns n rows; previewCsv renders the reference's headered-CSV shape") {
+    import graft.sources.Tables
+    val p = Tables.preview(spark, TestSpark.Sf0001, "region", 3)
+    assert(p.count() == 3)
+    assert(p.columns.sameElements(Tables.load(spark, TestSpark.Sf0001, "region").columns))
+    // the limit plans as a CollectLimit/LocalLimit over the scan — no
+    // shuffle, no full-table pass
+    val plan = p.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(500))
+    val csv = Tables.previewCsv(spark, TestSpark.Sf0001, "region", 3)
+    val lines = csv.split("\n")
+    assert(lines.length == 4) // header + 3 rows
+    assert(lines.head == p.columns.mkString(","))
+    // quoting: cells with commas/quotes are escaped CSV-style
+    assert(!lines.exists(_.isEmpty))
+  }
 }

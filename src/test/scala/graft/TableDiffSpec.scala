@@ -138,4 +138,19 @@ class TableDiffSpec extends AnyFunSuite {
     assert(r.getAs[String]("ids") == "2,4")
     assert(r.getAs[Long]("n_cells") == 2)
   }
+
+  test("metricsTable materializes the diff once; consumers read a LocalRelation") {
+    import graft.queries.CoreQueries
+    val t = CoreQueries.metricsTable(spark, TestSpark.Sf0001)
+    // the materialized table re-scans nothing: no file scans, no joins
+    val plan = t.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan.take(500))
+    assert(!plan.contains("FileScan") && !plan.contains("Join"), plan.take(500))
+    // identical rows to a fresh recomputation
+    val fresh = CoreQueries.metricsUnion(spark, TestSpark.Sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(t.collect().map(_.toString).sorted.toSeq == fresh)
+    // memoized per (session, dir): second call returns the same frame
+    assert(CoreQueries.metricsTable(spark, TestSpark.Sf0001) eq t)
+  }
 }
