@@ -22,16 +22,12 @@ object Dedup {
   import graft.functions.CappedCollectList.cappedCollectList
 
   /** Token n-gram shingles (distinct), e.g. n=3 word shingles. Documents
-    * shorter than n tokens yield an empty set (guarded: Spark's
-    * sequence(1, 0) would descend to [1, 0] and slice(toks, 0, n) throws). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(normalized(text))
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * shorter than n tokens yield an empty set. One codegen'd pass
+    * ([[graft.functions.ShinglesExpr]]) — the declarative
+    * transform+slice+concat_ws form evaluated an interpreted lambda per
+    * shingle and fell out of whole-stage codegen. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShinglesExpr.wordShingles(tokens(normalized(text)), n)
 
   /** Exact duplicate groups by canonical-text hash: one row per duplicated
     * fingerprint with the surviving (min) id, the sorted member ids capped
@@ -125,23 +121,36 @@ object Dedup {
       .select(col("id1"), col("id2"), col("shared"), col("n1"), col("n2"), col("jaccard"))
   }
 
-  /** MinHash signature columns: for each seed, min over the doc's shingles
-    * of xxhash64(seed, shingle). Computed as a per-row PROJECTION over the
-    * shingle array (`array_min(transform(...))`) — zero shuffle: the
-    * explode + groupBy(id) alternative re-shuffles the whole corpus just
-    * to regroup rows that were already doc-local. Docs with no shingles
-    * (shorter than n tokens) are excluded, matching the explode form —
-    * and keeping them out matters: xxhash64 over an all-null row
-    * degenerates to the seed, which would band every shingle-less doc
-    * into one boilerplate bucket. */
+  /** (id, sig: array<long>) MinHash signatures as a per-row PROJECTION —
+    * zero shuffle (the explode + groupBy(id) alternative re-shuffles the
+    * whole corpus just to regroup rows that were already doc-local), and
+    * one codegen'd pass over the shingles for all components
+    * ([[graft.functions.MinHashSigExpr]]) rather than numHashes
+    * interpreted higher-order folds.
+    *
+    * Deliberately UNFILTERED: docs with no shingles get an EMPTY sig. A
+    * `size > 0` pre-filter here would be pushed through the projection by
+    * substitution and evaluate the whole shingle pipeline twice per row
+    * (measured in the plan); instead [[minhashLshPairs]] lets empty-sig
+    * docs band into a constant per-band bucket whose pairs estimate to 0
+    * and never reach the output (null-text rows drop at the scan via the
+    * text IS NOT NULL pushdown). */
+  private def minhashSigArr(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, numHashes: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.MinHashSigExpr.minhashSig(
+          shingles(col(textCol), n), numHashes).as("sig"))
+
+  /** MinHash signature columns mh_0..mh_{numHashes-1}: for each seed, min
+    * over the doc's shingles of xxhash64(seed, shingle). Docs with no
+    * shingles are excluded (the explode+groupBy contract). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-                       n: Int, numHashes: Int): DataFrame = {
-    val sigCols = (0 until numHashes).map(i =>
-      array_min(transform(col("__shs"), s => xxhash64(lit(i), s))).as(s"mh_$i"))
-    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("__shs"))
-      .filter(size(col("__shs")) > 0)
-      .select(col("id") +: sigCols: _*)
-  }
+                       n: Int, numHashes: Int): DataFrame =
+    minhashSigArr(df, idCol, textCol, n, numHashes)
+      .filter(size(col("sig")) > 0)
+      .select(col("id") +:
+        (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
 
   /** MinHash+LSH candidate pairs: band the signature (`bands` bands of
     * `numHashes/bands` rows), build posting buckets per (band, bandHash),
@@ -163,13 +172,14 @@ object Dedup {
                       minEstJaccard: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignature(df, idCol, textCol, n, numHashes)
+    val sig = minhashSigArr(df, idCol, textCol, n, numHashes)
+    // Band hashes take the same component VALUES the mh_i-column form fed
+    // to xxhash64, so buckets are identical to the columnar formulation.
     val bandCols = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
+      val cols = (b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1))
       xxhash64((lit(b) +: cols): _*).as(s"band_$b")
     }
-    val sigArr = array((0 until numHashes).map(i => col(s"mh_$i")): _*)
-    val banded = sig.select(col("id") +: sigArr.as("sig") +: bandCols: _*)
+    val banded = sig.select(col("id") +: col("sig") +: bandCols: _*)
     val exploded = banded
       .select(col("id"), col("sig"),
         posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
@@ -188,28 +198,32 @@ object Dedup {
     buckets
       .select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+      // the size guard drops empty-sig (shingle-less) docs — placed HERE,
+      // above the aggregate barrier, so it can't be pushed into a second
+      // evaluation of the shingle pipeline; for any minEstJaccard > 0
+      // such pairs would die on the est filter anyway (est = 0)
+      .filter(col("a.id") < col("b.id") &&
+        size(col("a.sig")) > 0 && size(col("b.sig")) > 0)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .distinct()
   }
 
   /** 64-bit SimHash per document: bit i of the hash is the sign of
-    * Σ_tokens (±1 depending on bit i of xxhash64(token)). Computed as one
-    * aggregate over exploded tokens (64 declarative sums → single
-    * hash-aggregate pass, map-side combinable). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(tokens(normalized(col(textCol)))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i"))
-    val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val packed = (0 until 64).map(i =>
-      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("id"), packed.as("simhash"))
-  }
+    * Σ_tokens (±1 depending on bit i of xxhash64(token)). Computed as a
+    * per-row codegen'd PROJECTION over the token array
+    * ([[graft.functions.SimHash64Expr]]) — the explode + groupBy(id) +
+    * 64-sum formulation it replaces re-shuffled the whole corpus to
+    * regroup doc-local rows. Token-less docs are excluded, matching the
+    * explode form (which produced no rows for them). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // text IS NOT NULL ≡ the explode form's implicit doc filter (split
+    // of a non-null string is never empty), and it pushes into the scan
+    // instead of re-evaluating the tokenizer in a substituted predicate.
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.SimHash64Expr.simhash64(
+          tokens(normalized(col(textCol)))).as("simhash"))
 
   /** SimHash near-dup pairs: candidates from matching 16-bit band prefixes
     * (a hamming distance ≤ 3 pair must agree on ≥1 of 4 bands), verified

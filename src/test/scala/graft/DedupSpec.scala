@@ -144,6 +144,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"signature verification must be join-free:\n${plan.take(3000)}")
   }
 
+  test("native MinHash/SimHash expressions match their declarative twins bit-for-bit") {
+    import graft.operators.TextAnalysis
+    val docs = corpus.limit(60).cache()
+    // MinHash twin: explode + groupBy min of xxhash64(lit(i), sh)
+    val sh = docs.select($"doc_id".as("id"), explode(Dedup.shingles($"text", 3)).as("sh"))
+    val aggs = (0 until 16).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+    val expectedMh = sh.groupBy("id").agg(aggs.head, aggs.tail: _*).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    val gotMh = Dedup.minhashSignature(docs, "doc_id", "text", 3, 16).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    assert(expectedMh.nonEmpty && gotMh == expectedMh)
+    // SimHash twin: explode + groupBy 64 bit-sums + pack
+    val tok = docs.select($"doc_id".as("id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized($"text"))).as("w"))
+      .withColumn("h", xxhash64($"w"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i"))
+    val packed = (0 until 64).map(i =>
+      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val expectedSim = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"id", packed.as("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotSim = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expectedSim.nonEmpty && gotSim == expectedSim)
+    docs.unpersist()
+  }
+
   test("simhash: identical docs collide at hamming 0; pairs are symmetric-free") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Int]("hamming")))
