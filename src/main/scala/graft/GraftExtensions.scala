@@ -4,16 +4,45 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{DotProductExpr, UrlDecodeExpr}
+import graft.functions.{DotProductExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr, UrlDecodeExpr}
 
 /** SparkSessionExtensions entry point: makes graft's custom Catalyst
   * expressions available to pure-SQL users —
   *   spark.sql.extensions=graft.GraftExtensions
-  * registers `decodeurl(s)` (reference converter rule 8's custom function)
-  * and `dot_product(a, b)`.
+  * registers `decodeurl(s)` (reference converter rule 8's custom
+  * function), `dot_product(a, b)`, and the text-dedup primitives
+  * `word_shingles(toks, n)`, `minhash_sig(shs, k)`, `simhash64(toks)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Literal-int argument of a SQL call (shingle size, hash count). */
+  private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                     name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
+    val strArr = org.apache.spark.sql.types.ArrayType(StringType)
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ShinglesExpr].getName, "word_shingles"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          ShinglesExpr(Cast(exprs(0), strArr), intArg(exprs(1), "n"))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MinHashSigExpr].getName, "minhash_sig"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          MinHashSigExpr(Cast(exprs(0), strArr), intArg(exprs(1), "numHashes"))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SimHash64Expr].getName, "simhash64"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          SimHash64Expr(Cast(exprs.head, strArr))))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("decodeurl"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -13,4 +13,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(0) == "a b c")
     assert(r.getDouble(1) == 11.0)
   }
+
+  test("GraftExtensions exposes the text-dedup primitives to SQL") {
+    val spark = TestSpark.spark
+    val r = spark.sql(
+      """SELECT word_shingles(array('a','b','c','d'), 3) AS sh,
+        |       minhash_sig(array('x','y'), 4) AS sig,
+        |       simhash64(array('x','y')) AS sim""".stripMargin
+    ).collect().head
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    // parity with the Column-API expressions on the same inputs
+    import org.apache.spark.sql.functions._
+    import graft.functions.{MinHashSigExpr, SimHash64Expr}
+    val expected = spark.range(1).select(
+      MinHashSigExpr.minhashSig(typedLit(Seq("x", "y")), 4).as("sig"),
+      SimHash64Expr.simhash64(typedLit(Seq("x", "y"))).as("sim")).collect().head
+    assert(r.getSeq[Long](1) == expected.getSeq[Long](0))
+    assert(r.getLong(2) == expected.getLong(1))
+    // non-literal hash count is rejected, not silently misread
+    val err = intercept[Exception](
+      spark.sql("SELECT minhash_sig(array('x'), id + 1) FROM range(1)").collect())
+    assert(err.getMessage.contains("integer literal") ||
+      err.getCause != null && err.getCause.getMessage.contains("integer literal"))
+  }
 }
