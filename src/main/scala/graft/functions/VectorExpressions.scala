@@ -36,6 +36,78 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native random-hyperplane LSH bucket signature over an `array<double>`
+  * vector: bit j (0 ≤ j < count) is the sign of Σ_i v[i] * h(from+j, i),
+  * with the pseudo-random component h(p, i) =
+  * pmod(xxhash64(p, i), 1000)/1000 - 0.5 — bit-identical to the
+  * declarative `aggregate(zip_with(v, sequence(...), ...))` fold it
+  * replaces (same left-to-right accumulation, same strict `proj > 0`
+  * sign), which evaluated an interpreted lambda per dimension per plane:
+  * at 8 bands × 4 planes × 64 dims that was 2048 interpreted evals per
+  * row, the dominant cost of both LSH ANN and LSH-blocked near-dup
+  * bucketing. A null ELEMENT nulls the fold's projection, which the
+  * `proj > 0` sign reads as false — so any null-bearing vector lands in
+  * bucket 0 for every band; the native path reproduces exactly that. */
+case class LshBucketExpr(child: Expression, from: Int, count: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(count > 0 && count < 31, "count must be in [1, 30]")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "lsh_bucket"
+
+  override def nullSafeEval(v: Any): Any =
+    LshBucketExpr.bucket(v.asInstanceOf[ArrayData], from, count)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LshBucketExpr.bucket($c, $from, $count)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}
+
+object LshBucketExpr {
+  private final val Seed = 42L
+
+  /** h(p, i) — deterministic pseudo-random hyperplane component in
+    * [-0.5, 0.5): pmod(xxhash64(p, i), 1000)/1000 - 0.5 with p and i
+    * hashed as INTS (the declarative form's lit(p) and sequence elements
+    * are both IntegerType). */
+  private def planeComponent(p: Int, i: Int): Double = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(
+      i, org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(p, Seed))
+    val m = ((h % 1000L) + 1000L) % 1000L
+    m.toDouble / 1000.0 - 0.5
+  }
+
+  /** Shared by interpreted and generated paths. */
+  def bucket(v: ArrayData, from: Int, count: Int): Int = {
+    val n = v.numElements()
+    // A null element nulls every plane's fold → bucket 0 (see class doc).
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return 0
+      i += 1
+    }
+    var bits = 0
+    var j = 0
+    while (j < count) {
+      val p = from + j
+      var proj = 0.0
+      i = 0
+      while (i < n) {
+        proj += v.getDouble(i) * planeComponent(p, i)
+        i += 1
+      }
+      if (proj > 0) bits |= (1 << j)
+      j += 1
+    }
+    bits
+  }
+
+  def lshBucket(v: Column, from: Int, count: Int): Column =
+    GraftBridge.column(LshBucketExpr(GraftBridge.expression(v), from, count))
+}
+
 object DotProductExpr {
   /** Shared by interpreted and generated paths. */
   def dot(a: ArrayData, b: ArrayData): Double = {

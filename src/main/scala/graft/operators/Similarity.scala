@@ -68,8 +68,16 @@ object Similarity {
   /** Random-hyperplane LSH bucket signature (one int, `count` bits) over
     * plane indices [from, from+count): bit j is the sign of
     * Σ_i v[i] * h(from+j, i). The offset lets multi-band callers draw
-    * DISJOINT hyperplane sets per band. */
+    * DISJOINT hyperplane sets per band. Native codegen'd expression
+    * ([[graft.functions.LshBucketExpr]]); [[lshBucketDeclarative]] is the
+    * higher-order twin it is spec-proven bit-identical to. */
   private def lshBucketRange(v: Column, from: Int, count: Int): Column =
+    graft.functions.LshBucketExpr.lshBucket(v, from, count)
+
+  /** Declarative zip_with/aggregate formulation of [[lshBucketRange]] —
+    * kept as the parity oracle for the native expression (interpreted
+    * lambdas per dimension per plane; never used on the hot path). */
+  private[graft] def lshBucketDeclarative(v: Column, from: Int, count: Int): Column =
     (0 until count).map { j =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),

@@ -97,6 +97,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfTopK(probes, v.filter($"vec_id" < 0), k = 5).count() == 0)
   }
 
+  test("native LSH bucket expression matches the declarative fold bit-for-bit") {
+    val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select($"vec_id", Similarity.asDouble($"embedding").as("dv"))
+    val checked = v.select($"vec_id",
+        graft.functions.LshBucketExpr.lshBucket($"dv", 0, 8).as("native0"),
+        Similarity.lshBucketDeclarative($"dv", 0, 8).as("decl0"),
+        graft.functions.LshBucketExpr.lshBucket($"dv", 12, 4).as("native12"),
+        Similarity.lshBucketDeclarative($"dv", 12, 4).as("decl12"))
+      .filter($"native0" =!= $"decl0" || $"native12" =!= $"decl12")
+    assert(checked.count() == 0)
+    // null-bearing vectors land in bucket 0 under both formulations
+    val nulled = spark.sql("SELECT array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)) AS dv")
+    val r = nulled.select(
+      graft.functions.LshBucketExpr.lshBucket($"dv", 0, 8).as("n"),
+      Similarity.lshBucketDeclarative($"dv", 0, 8).as("d")).collect().head
+    assert(r.getInt(0) == 0 && r.getInt(1) == 0)
+  }
+
   test("LSH-blocked near-dup pairs: full recall on injected duplicates, no false positives") {
     val dup = graft.queries.SimilarityQueries.dupEmbCorpus(spark, TestSpark.Sf0001)
     val truth = Similarity.cosineNearDupPairs(
