@@ -89,4 +89,57 @@ object TextAnalysis {
     weightedTerms.map { case (term, w) =>
       size(filter(tokens(text), t => t === term)).cast("double") * w
     }.reduce(_ + _)
+
+  // --- repetition signals (Gopher-style quality rules) -------------------
+
+  /** Non-blank lines of a (possibly multi-line) document. */
+  def nonBlankLines(text: Column): Column =
+    filter(split(text, "\n"), l => trim(l) =!= lit(""))
+
+  /** Duplicate-line fraction: 1 − distinct/total over non-blank lines
+    * (0 for line-less docs) — the Gopher "duplicate line fraction" rule.
+    * Per-row array ops, no shuffle. */
+  def dupLineFrac(text: Column): Column = {
+    val ls = nonBlankLines(text)
+    when(size(ls) > 0,
+      lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Duplicate word-n-gram fraction: 1 − distinct n-grams / total n-grams
+    * over whitespace tokens (0 when the doc has fewer than n tokens) —
+    * the Gopher "duplicate n-gram fraction" family. Distinct n-grams come
+    * from the native one-pass [[graft.functions.ShinglesExpr]] (codegen'd;
+    * total n-gram count is just arithmetic on the token count). */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    require(n > 0, "n must be positive")
+    val toks = tokens(text)
+    val total = greatest(size(toks) - (n - 1), lit(0))
+    when(total > 0,
+      lit(1.0) - size(graft.functions.ShinglesExpr.wordShingles(toks, n)).cast("double") /
+        total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  // --- PII scrubbing ------------------------------------------------------
+
+  /** Email matcher. Deliberately backslash-free (char classes only) so the
+    * exact same pattern string runs identically under Java regex (Spark)
+    * and RE2 (DuckDB oracle) and survives JSON transport unescaped. */
+  val EmailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+
+  /** NNN-NNN-NNNN phone matcher (same backslash-free portability rule). */
+  val PhoneRe: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
+  /** Redact emails then phones with typed placeholders — the standard
+    * pre-training scrub pass. Global replace on both engines (Spark
+    * regexp_replace is global; the oracle passes the 'g' flag). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
 }

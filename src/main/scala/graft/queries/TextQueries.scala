@@ -37,6 +37,56 @@ object TextQueries {
       |  SELECT doc_id + 200000, concat(text, ' graft dedup tail marker')
       |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin
 
+  /** Multi-line corpus for the repetition signals: the raw single-line
+    * documents get a 40-char prefix echo appended as extra lines — twice
+    * for doc_id %3 == 0 (a known duplicated line), once otherwise (all
+    * lines distinct). `text` keeps the original for the n-gram signals.
+    * Same derivation in the oracle SQL. */
+  def repCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(col("doc_id"), col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat_ws("\n", col("text"),
+          substring(col("text"), 1, 40), substring(col("text"), 1, 40)))
+        .otherwise(concat_ws("\n", col("text"), substring(col("text"), 1, 40)))
+        .as("lined_text"))
+
+  private val repCorpusSql =
+    """rep AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN concat_ws(chr(10), text, substring(text, 1, 40), substring(text, 1, 40))
+      |      ELSE concat_ws(chr(10), text, substring(text, 1, 40)) END AS lined_text
+      |  FROM documents)""".stripMargin
+
+  /** PII-bearing corpus: deterministic email (%7) and NNN-NNN-NNNN phone
+    * (%13) injections appended to the raw text. Same derivation in the
+    * oracle SQL. */
+  def piiCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-0199"))).otherwise(lit(""))).as("text"))
+
+  // NOTE: this snippet is interpolated into oracle strings that apply
+  // .stripMargin AGAIN — no line here may start with '|' (e.g. a leading
+  // '||' concat operator) or the outer strip eats a pipe.
+  private val piiCorpusSql =
+    """pii AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0
+      |         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+      |         ELSE '' END AS text
+      |  FROM documents)""".stripMargin
+
   /** DuckDB spelling of TextAnalysis.normalized. */
   private val normSql = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
 
@@ -92,6 +142,29 @@ object TextQueries {
         .filter(col("score") > 0)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)),
+
+    // Gopher-style repetition signals: duplicate-line fraction over the
+    // multi-line corpus, duplicate-2/3-gram fractions over the raw text.
+    // One scan, zero shuffle (per-row array ops + native ShinglesExpr).
+    "q_text_repetition" -> ((s, dir) =>
+      repCorpus(s, dir).select(
+        col("doc_id"),
+        size(TA.nonBlankLines(col("lined_text"))).cast("long").as("n_lines"),
+        TA.dupLineFrac(col("lined_text")).as("dup_line_frac"),
+        TA.wsTokenCount(col("text")).cast("long").as("n_tokens"),
+        TA.dupNgramFrac(col("text"), 2).as("dup_2gram_frac"),
+        TA.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"))
+        .orderBy(col("doc_id"))),
+
+    // PII scrub pass: match counts + the redacted text's fingerprint.
+    // One scan, zero shuffle (regexp_count / regexp_replace are codegen'd).
+    "q_pii_scrub" -> ((s, dir) =>
+      piiCorpus(s, dir).select(
+        col("doc_id"),
+        TA.emailCount(col("text")).cast("long").as("n_emails"),
+        TA.phoneCount(col("text")).cast("long").as("n_phones"),
+        md5(TA.scrubPii(col("text"))).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))),
 
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(dupCorpus(s, dir), "doc_id", "text")
@@ -178,6 +251,41 @@ object TextQueries {
         |  FROM documents) t
         |WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_text_repetition" ->
+      s"""WITH $repCorpusSql,
+         |feat AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(lined_text, chr(10)), l -> trim(l) <> '') AS lines,
+         |    string_split(text, ' ') AS toks
+         |  FROM rep)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CASE WHEN len(lines) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+         |    ELSE 0.0 END AS dup_line_frac,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN greatest(len(toks) - 1, 0) > 0
+         |    THEN 1.0 - CAST(len(list_distinct([array_to_string(toks[i:i+1], ' ')
+         |           for i in range(1, greatest(len(toks) - 1, 0) + 1)])) AS DOUBLE)
+         |         / CAST(greatest(len(toks) - 1, 0) AS DOUBLE)
+         |    ELSE 0.0 END AS dup_2gram_frac,
+         |  CASE WHEN greatest(len(toks) - 2, 0) > 0
+         |    THEN 1.0 - CAST(len(list_distinct([array_to_string(toks[i:i+2], ' ')
+         |           for i in range(1, greatest(len(toks) - 2, 0) + 1)])) AS DOUBLE)
+         |         / CAST(greatest(len(toks) - 2, 0) AS DOUBLE)
+         |    ELSE 0.0 END AS dup_3gram_frac
+         |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      s"""WITH $piiCorpusSql
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(
+         |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '<EMAIL>', 'g'),
+         |        '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+         |FROM pii ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       s"""WITH $dupCorpusSql,

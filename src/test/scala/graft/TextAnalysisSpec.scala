@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{TextAnalysis => TA}
+import graft.queries.TextQueries
+
+/** Repetition signals (Gopher-style) and PII scrubbing — SURVEY.md §2
+  * rows 55/56. Handcrafted-value unit checks plus endpoint checks of the
+  * injected-corpus queries.
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dupLineFrac: duplicate and blank lines handled; line-less text is 0") {
+    val df = Seq(
+      (1L, "alpha\nbeta\nalpha"),       // 3 lines, 2 distinct -> 1/3
+      (2L, "alpha\n\n  \nbeta"),        // blanks dropped -> 0.0
+      (3L, ""),                         // no non-blank lines -> 0.0
+      (4L, "same\nsame\nsame\nsame")    // 4 lines, 1 distinct -> 0.75
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TA.dupLineFrac($"text").as("f"),
+        size(TA.nonBlankLines($"text")).as("n"))
+      .orderBy($"doc_id").collect()
+    assert(out(0).getDouble(1) === 1.0 - 2.0 / 3.0)
+    assert(out(1).getDouble(1) == 0.0 && out(1).getInt(2) == 2)
+    assert(out(2).getDouble(1) == 0.0 && out(2).getInt(2) == 0)
+    assert(out(3).getDouble(1) == 0.75)
+  }
+
+  test("dupNgramFrac: repeated n-grams counted; short docs are 0") {
+    val df = Seq(
+      (1L, "x y x y x"), // 2-grams: [x y, y x, x y, y x] -> 1 - 2/4 = 0.5
+      (2L, "a b c d"),   // all distinct -> 0.0
+      (3L, "solo")       // fewer than 2 tokens -> 0.0
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TA.dupNgramFrac($"text", 2).as("f2"),
+        TA.dupNgramFrac($"text", 3).as("f3"))
+      .orderBy($"doc_id").collect()
+    assert(out(0).getDouble(1) == 0.5)
+    // 3-grams of "x y x y x": [x y x, y x y, x y x] -> 1 - 2/3
+    assert(out(0).getDouble(2) === 1.0 - 2.0 / 3.0)
+    assert(out(1).getDouble(1) == 0.0 && out(1).getDouble(2) == 0.0)
+    assert(out(2).getDouble(1) == 0.0)
+  }
+
+  test("PII: counts match injections and the scrub removes every match") {
+    val df = Seq(
+      (1L, "reach me at bob@x.io or 555-123-4567 thanks"),
+      (2L, "two mails a@b.co c.d@e-f.org and no phone"),
+      (3L, "digits 12-345-6789 but no pii here")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TA.emailCount($"text").as("e"), TA.phoneCount($"text").as("p"),
+        TA.scrubPii($"text").as("s"))
+      .orderBy($"doc_id").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 1)
+    assert(out(0).getString(3) == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(1).getInt(1) == 2 && out(1).getInt(2) == 0)
+    assert(out(2).getInt(1) == 0 && out(2).getInt(2) == 0)
+    // scrubbed text never re-matches
+    val rescan = df.select(TA.scrubPii($"text").as("s"))
+      .select(TA.emailCount($"s").as("e"), TA.phoneCount($"s").as("p"))
+      .agg(sum($"e").as("e"), sum($"p").as("p")).head()
+    assert(rescan.getLong(0) == 0L && rescan.getLong(1) == 0L)
+  }
+
+  test("q_text_repetition: %3 docs carry the duplicated echo line") {
+    val out = TextQueries.queries("q_text_repetition")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val f = r.getAs[Double]("dup_line_frac")
+      if (id % 3 == 0) assert(f === 1.0 - 2.0 / 3.0, s"doc $id")
+      else assert(f == 0.0, s"doc $id")
+      // tiny vocabulary corpus: 2-gram repetition is strictly positive on
+      // any doc long enough, and fractions are well-formed
+      val f2 = r.getAs[Double]("dup_2gram_frac")
+      assert(f2 >= 0.0 && f2 < 1.0)
+    }
+  }
+
+  test("q_pii_scrub: counts follow the %7/%13 injections, scrub verified") {
+    val out = TextQueries.queries("q_pii_scrub")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_emails") == (if (id % 7 == 0) 1L else 0L), s"doc $id")
+      assert(r.getAs[Long]("n_phones") == (if (id % 13 == 0) 1L else 0L), s"doc $id")
+    }
+    // the scrubbed fingerprint differs from the raw-text fingerprint
+    // exactly on the PII-bearing docs
+    val pii = TextQueries.piiCorpus(spark, TestSpark.Sf0001)
+    val changed = pii.select($"doc_id",
+        (md5($"text") =!= md5(TA.scrubPii($"text"))).as("changed"))
+      .collect()
+    changed.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("changed") == (id % 7 == 0 || id % 13 == 0), s"doc $id")
+    }
+  }
+}
