@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
   *    at hamming 0).
   *  - Hyperplane-LSH / IVF ANN vs brute-force top-k.
   *  - LSH-blocked embedding near-dup pairs vs the exact blocked variant.
+  *  - HLL++ distinct counts and approximate quantiles vs exact twins
+  *    (accuracy, not recall — the sketches are the other oracle-less
+  *    family).
   *
   * Run standalone (`runMain graft.VerifyExtras <sfDir> <outFile>`) or via
   * [[Verify]], which writes `verify_extras.json` next to the query dumps
@@ -24,11 +27,12 @@ import org.apache.spark.sql.SparkSession
   */
 object VerifyExtras {
 
-  final case class Check(name: String, recall: Double, floor: Double,
-                         truthSize: Long, candidateRows: Long) {
-    def pass: Boolean = recall >= floor
+  final case class Check(name: String, value: Double, floor: Double,
+                         truthSize: Long, candidateRows: Long,
+                         metric: String = "recall") {
+    def pass: Boolean = value >= floor
     def json: String =
-      s"""\"$name\": {\"recall\": $recall, \"floor\": $floor, \"pass\": $pass, \"truth_pairs\": $truthSize, \"candidate_rows\": $candidateRows}"""
+      s"""\"$name\": {\"$metric\": $value, \"floor\": $floor, \"pass\": $pass, \"truth_pairs\": $truthSize, \"candidate_rows\": $candidateRows}"""
   }
 
   /** Pair-set recall of `candidate` over `truth` on (id1, id2) columns. */
@@ -105,10 +109,50 @@ object VerifyExtras {
         // bug, not banding variance.
         Check("embedding_lsh_vs_exact_allpairs", pairRecall(nearDupTruth, nearDupLsh),
           floor = 0.9, nearDupTruth.length, nearDupLsh.length)
-      )
+      ) ++ sketchChecks(spark, sfDir)
     } finally {
       corpus.unpersist()
     }
+  }
+
+  /** Sketch-vs-exact accuracy for q_sketch_profile's approximate
+    * aggregates (the other oracle-less family): worst-group relative
+    * error of the HLL++ distinct count and the approximate quantiles
+    * against their exact twins, reported as accuracy = 1 − err. The
+    * exact twins are verify-scale only — at 100 TB they are precisely
+    * the shuffles the sketches exist to avoid. */
+  private def sketchChecks(spark: SparkSession, sfDir: String): Seq[Check] = {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val approx = graft.operators.Sketches.profile(
+      ev, Seq(col("event_type")), col("value"), col("user_id"))
+    val exact = ev.groupBy(col("event_type")).agg(
+      countDistinct(col("user_id")).as("exact_distinct"),
+      expr("percentile(value, 0.5)").as("ep50"),
+      expr("percentile(value, 0.95)").as("ep95"))
+    val rows = approx.join(exact, Seq("event_type")).collect()
+    def num(v: Any): Double = v match {
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case d: Double => d
+      case f: Float => f.toDouble
+      case d: java.math.BigDecimal => d.doubleValue
+    }
+    def relErr(a: Double, e: Double): Double =
+      if (e == 0.0) math.abs(a) else math.abs(a - e) / math.abs(e)
+    val hllErr = rows.map(r =>
+      relErr(num(r.getAs[Any]("approx_distinct")), num(r.getAs[Any]("exact_distinct")))).max
+    val qErr = rows.flatMap(r => Seq(
+      relErr(num(r.getAs[Any]("p50")), num(r.getAs[Any]("ep50"))),
+      relErr(num(r.getAs[Any]("p95")), num(r.getAs[Any]("ep95"))))).max
+    Seq(
+      // rsd=0.05 HLL++: observed per-group error is a few percent.
+      Check("sketch_hll_distinct_accuracy", 1.0 - hllErr, floor = 0.9,
+        rows.length, rows.length, metric = "accuracy"),
+      // percentile_approx(accuracy=10000): rank error ≤ 1/10000; exact
+      // percentile interpolates between samples, so allow a small gap.
+      Check("sketch_quantile_accuracy", 1.0 - qErr, floor = 0.95,
+        rows.length, rows.length, metric = "accuracy"))
   }
 
   def writeJson(spark: SparkSession, sfDir: String, outPaths: Seq[String]): Boolean = {
@@ -117,7 +161,7 @@ object VerifyExtras {
       s"""{\"sf\": \"$sfDir\", \"checks\": {""", ", ", "}}")
     outPaths.foreach(p => Files.writeString(Paths.get(p), json))
     cs.foreach(c => System.err.println(
-      f"[extras] ${c.name}%-34s recall=${c.recall}%.4f floor=${c.floor} pass=${c.pass}"))
+      f"[extras] ${c.name}%-34s ${c.metric}=${c.value}%.4f floor=${c.floor} pass=${c.pass}"))
     cs.forall(_.pass)
   }
 

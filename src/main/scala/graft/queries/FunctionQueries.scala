@@ -65,8 +65,12 @@ object FunctionQueries {
           concat(lit("KENYA,"), col("n_name"))).as("self_pos"))
         .orderBy(col("n_nationkey"))),
 
-    // decodeurl custom Catalyst expression (rule 8) — rows-only check:
-    // DuckDB has no URL-decode, so correctness is pinned by ScalaTest.
+    // decodeurl custom Catalyst expression (rule 8). Oracle: the escape
+    // set in this query is fixed and p_brand is escape-free, so a literal
+    // replace-chain expansion reproduces URLDecoder exactly on this
+    // corpus (DuckDB 1.0 has no url_decode); the general decoder
+    // semantics (lenient malformed escapes, arbitrary input) stay pinned
+    // by ScalaTest.
     "q_decodeurl" -> ((s, dir) => {
       UrlDecode.register(s)
       Tables.load(s, dir, "part").select(
@@ -114,6 +118,15 @@ object FunctionQueries {
       """SELECT n_nationkey, n_name,
         |  CAST(coalesce(list_position(string_split('FRANCE,GERMANY,INDIA,CHINA', ','), n_name), 0) AS INTEGER) AS pos,
         |  CAST(coalesce(list_position(string_split(concat('KENYA,', n_name), ','), split_part(n_name, ' ', 1)), 0) AS INTEGER) AS self_pos
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // Literal expansion of the query's fixed escape set: %20->space,
+    // '+'->space (form-encoding), %2F->'/', %E2%82%AC->U+20AC (UTF-8
+    // multibyte) — exactly java.net.URLDecoder on this input.
+    "q_decodeurl" ->
+      """SELECT p_partkey,
+        |  replace(replace(replace(replace('a%20b+c%2Fd%E2%82%AC-' || p_brand,
+        |    '%E2%82%AC', chr(8364)), '%2F', '/'), '%20', ' '), '+', ' ') AS decoded
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }
