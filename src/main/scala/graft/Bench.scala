@@ -24,7 +24,9 @@ object Bench {
     // early. Now EVERY query gets one untimed warmup (absorbs codegen +
     // page-cache first-run cost, measured at 4-6s) and the reported number
     // is the median of `runs` steady-state executions.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // max(1): a zero/negative override would crash median() on an empty
+    // sample AFTER burning the warmup sweep.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

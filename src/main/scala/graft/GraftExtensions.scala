@@ -23,37 +23,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name must be an integer literal, got $other")
   }
 
+  /** Arity guard: a wrong-arg-count SQL call should name the function and
+    * its expected signature, not surface a bare IndexOutOfBoundsException
+    * from exprs(i). */
+  private def checkArity(fn: String, signature: String,
+                         exprs: Seq[_], expected: Int): Unit =
+    if (exprs.length != expected) throw new IllegalArgumentException(
+      s"$fn expects $expected argument(s): $fn($signature); got ${exprs.length}")
+
   override def apply(e: SparkSessionExtensions): Unit = {
     val strArr = org.apache.spark.sql.types.ArrayType(StringType)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[ShinglesExpr].getName, "word_shingles"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          ShinglesExpr(Cast(exprs(0), strArr), intArg(exprs(1), "n"))))
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          checkArity("word_shingles", "tokens, n", exprs, 2)
+          ShinglesExpr(Cast(exprs(0), strArr), intArg(exprs(1), "n"))
+        }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[MinHashSigExpr].getName, "minhash_sig"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          MinHashSigExpr(Cast(exprs(0), strArr), intArg(exprs(1), "numHashes"))))
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          checkArity("minhash_sig", "shingles, numHashes", exprs, 2)
+          MinHashSigExpr(Cast(exprs(0), strArr), intArg(exprs(1), "numHashes"))
+        }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[SimHash64Expr].getName, "simhash64"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          SimHash64Expr(Cast(exprs.head, strArr))))
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          checkArity("simhash64", "tokens", exprs, 1)
+          SimHash64Expr(Cast(exprs.head, strArr))
+        }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("decodeurl"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[UrlDecodeExpr].getName, "decodeurl"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          UrlDecodeExpr(Cast(exprs.head, StringType))))
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          checkArity("decodeurl", "s", exprs, 1)
+          UrlDecodeExpr(Cast(exprs.head, StringType))
+        }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[DotProductExpr].getName, "dot_product"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          checkArity("dot_product", "a, b", exprs, 2)
           // Cast to array<double> like the DataFrame path's asDouble:
           // DotProductExpr reads doubles out of ArrayData, so a float[]
           // argument (the embeddings table!) would misread or throw.

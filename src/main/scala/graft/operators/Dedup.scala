@@ -144,11 +144,19 @@ object Dedup {
 
   /** MinHash signature columns mh_0..mh_{numHashes-1}: for each seed, min
     * over the doc's shingles of xxhash64(seed, shingle). Docs with no
-    * shingles are excluded (the explode+groupBy contract). */
+    * shingles are excluded (the explode+groupBy contract) — via the CHEAP
+    * equivalent precondition `size(tokens) >= n` placed BELOW the sig
+    * projection: a `size(sig) > 0` filter above it would be pushed through
+    * by substitution and evaluate the whole shingle+MinHash pipeline twice
+    * per row (the exact double-evaluation minhashSigArr's doc describes).
+    * The token count re-tokenizes once, but never re-hashes. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        n: Int, numHashes: Int): DataFrame =
-    minhashSigArr(df, idCol, textCol, n, numHashes)
-      .filter(size(col("sig")) > 0)
+    df.filter(col(textCol).isNotNull &&
+        size(tokens(normalized(col(textCol)))) >= n)
+      .select(col(idCol).as("id"),
+        graft.functions.MinHashSigExpr.minhashSig(
+          shingles(col(textCol), n), numHashes).as("sig"))
       .select(col("id") +:
         (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
 

@@ -29,6 +29,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** Drop rows whose self-norm makes cosine undefined: zero vectors (and
+    * any NaN component) score NaN against EVERYTHING, and Spark orders NaN
+    * above every number — unguarded, one zero vector ranks first in every
+    * probe's top-k and `NaN >= minCos` admits spurious "near-duplicate"
+    * pairs. Zero/NaN-norm rows have no defined cosine neighbors, so
+    * excluding them is the only correct reading. (Same guard ivfTopK
+    * applies to its centroid sample.) */
+  private def droppingUndefinedNorms(df: DataFrame, normCol: String): DataFrame =
+    df.filter(col(normCol) > 0 && !isnan(col(normCol)))
+
   /** Shared tail of every ANN variant: drop self-matches, score with one
     * dot product over precomputed norms, rank per probe, keep top k. */
   private def scoreAndTopK(pairs: DataFrame, k: Int): DataFrame = {
@@ -52,11 +62,12 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // Self-norms are precomputed per side (same doubles the oracle's inline
     // dot(v,v) produces), so each pair costs one dot product, not three.
-    val p = broadcast(probes.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", dot(col("qv"), col("qv"))))
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", dot(col("cv"), col("cv")))
+    val p = broadcast(droppingUndefinedNorms(
+      probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", dot(col("qv"), col("qv"))), "qn"))
+    val c = droppingUndefinedNorms(
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", dot(col("cv"), col("cv"))), "cn")
     scoreAndTopK(c.crossJoin(p), k)
   }
 
@@ -109,12 +120,12 @@ object Similarity {
       .select(col("*"), posexplode(array((0 until bands).map(b =>
         lshBucketRange(col(vec), b * planesPerBand, planesPerBand)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val p = broadcast(withBands(
+    val p = broadcast(withBands(droppingUndefinedNorms(
       probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-        .withColumn("qn", dot(col("qv"), col("qv"))), "qv"))
-    val c = withBands(
+        .withColumn("qn", dot(col("qv"), col("qv"))), "qn"), "qv"))
+    val c = withBands(droppingUndefinedNorms(
       corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
-        .withColumn("cn", dot(col("cv"), col("cv"))), "cv")
+        .withColumn("cn", dot(col("cv"), col("cv"))), "cn"), "cv")
     val cand = c.join(p, Seq("band", "bucket"))
       .dropDuplicates("query_id", "vec_id")
     scoreAndTopK(cand, k)
@@ -141,17 +152,18 @@ object Similarity {
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", dot(col("cv"), col("cv")))
+    val c = droppingUndefinedNorms(
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", dot(col("cv"), col("cv"))), "cn")
     // Deterministic pseudo-random centroid sample: top-n by id hash is a
     // distributed TakeOrdered (no global sort), tiny by construction.
-    // Null and zero-norm vectors are excluded from the sample: a null
-    // centroid NPEs on the driver, and a zero-norm one scores NaN against
-    // every row — NaN is Spark's ordering MAX, so greatest() would funnel
-    // the whole corpus into that single cell. Centroid identity is the
-    // ARRAY INDEX, not the source id — works for any id type and makes
-    // the tie-break (smallest index) type-agnostic.
-    val centRows = c.where(col("cn") > 0 && !isnan(col("cn")))
+    // Null/zero-norm vectors are already excluded corpus-wide above (a
+    // null centroid would NPE on the driver; a zero-norm one scores NaN
+    // against every row — NaN is Spark's ordering MAX, so greatest()
+    // would funnel the whole corpus into that single cell). Centroid
+    // identity is the ARRAY INDEX, not the source id — works for any id
+    // type and makes the tie-break (smallest index) type-agnostic.
+    val centRows = c
       .orderBy(xxhash64(col("vec_id").cast("string"))).limit(nCentroids)
       .select(col("cv"), col("cn")).collect()
     // Degenerate corpus (< 2 centroids): cells are meaningless and
@@ -175,8 +187,9 @@ object Similarity {
       .drop("__best")
     // Probes (broadcast-scale): top-nProbe cells by sorting the per-row
     // centroid-score array — still a projection, no join.
-    val p = probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", dot(col("qv"), col("qv")))
+    val p = droppingUndefinedNorms(
+      probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", dot(col("qv"), col("qv"))), "qn")
     val probeCells = broadcast(
       p.withColumn("__cells",
           slice(reverse(array_sort(array(scoredStructs("qv", "qn"): _*))), 1, nProbe))
@@ -192,8 +205,11 @@ object Similarity {
     * blocks grow linearly with the corpus and the per-block pair space
     * quadratically). */
   def planesFor(n: Long, targetBucket: Int = 64): Int =
-    math.max(2, math.ceil(
-      math.log(math.max(n.toDouble / targetBucket, 2.0)) / math.log(2.0)).toInt)
+    // Clamped to LshBucketExpr's 30-bit signature ceiling — beyond that
+    // the operator runs with larger-than-target buckets (still bounded by
+    // bucketCap) rather than throwing after the count job.
+    math.min(30, math.max(2, math.ceil(
+      math.log(math.max(n.toDouble / targetBucket, 2.0)) / math.log(2.0)).toInt))
 
   /** Cosine near-duplicate pairs with CORPUS-PROPORTIONAL blocking:
     * `bands` independent hyperplane-LSH bucketings (disjoint plane sets),
@@ -222,8 +238,9 @@ object Similarity {
     import graft.functions.CappedCollectList.cappedCollectList
     val ppb = if (planesPerBand > 0) planesPerBand
               else planesFor(df.count(), targetBucket)
-    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("n", dot(col("v"), col("v")))
+    val v = droppingUndefinedNorms(
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("n", dot(col("v"), col("v"))), "n")
     val exploded = v
       .select(col("id"), col("v"), col("n"),
         posexplode(array((0 until bands).map(b =>
@@ -251,9 +268,10 @@ object Similarity {
     * data-derived proportional blocking use [[cosineNearDupPairsLsh]]. */
   def cosineNearDupPairs(df: DataFrame, blockCol: String, minCos: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      asDouble(col(vecCol)).as("v"))
-      .withColumn("n", dot(col("v"), col("v")))
+    val v = droppingUndefinedNorms(
+      df.select(col(blockCol).as("block"), col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v"))
+        .withColumn("n", dot(col("v"), col("v"))), "n")
     v.as("a").join(v.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),

@@ -30,7 +30,13 @@ object ColumnMeta {
   * to both the table and its DELTA_STAGE twin in the mismatch-proc call);
   * production resolves DW / DW_HIVE_INC with bare names. */
 final case class DwValidationConfig(mode: String = "TESTING") {
-  val testing: Boolean = mode == "TESTING"
+  // Mode is validated, not defaulted: an unrecognized string silently
+  // meaning "production" would fail unsafe in exactly the direction
+  // TESTING mode exists to prevent (a typo'd config targeting DW).
+  private val normalizedMode = mode.trim.toUpperCase
+  require(Set("TESTING", "PRODUCTION").contains(normalizedMode),
+    s"mode must be TESTING or PRODUCTION, got '$mode'")
+  val testing: Boolean = normalizedMode == "TESTING"
   val dwSchema: String = if (testing) "SANDBOX" else "DW"
   val hiveSchema: String = if (testing) "SANDBOX" else "DW_HIVE_INC"
   val tableSuffix: String = if (testing) "_RK" else ""

@@ -59,9 +59,19 @@ object Tables {
     load(spark, dir, name).limit(n)
 
   /** Preview rendered as a headered CSV string — the reference tool's
-    * exact output shape. Driver-side by construction (n rows). */
+    * exact output shape. Driver-side by construction (n rows). Nested
+    * columns (array/struct/map) render as JSON and binary as base64 —
+    * Row.toString would yield 'WrappedArray(...)'/'[B@...' cells. */
   def previewCsv(spark: SparkSession, dir: String, name: String, n: Int = 10): String = {
-    val df = preview(spark, dir, name, n)
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+    val raw = preview(spark, dir, name, n)
+    val df = raw.select(raw.schema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: StructType | _: MapType => to_json(col(f.name)).as(f.name)
+        case BinaryType => base64(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
     def cell(v: Any): String = v match {
       case null => ""
       case other =>

@@ -36,4 +36,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integer literal") ||
       err.getCause != null && err.getCause.getMessage.contains("integer literal"))
   }
+
+  test("wrong-arity SQL calls fail with a named-function arity error") {
+    val spark = TestSpark.spark
+    // missing second argument must NOT surface as a bare
+    // IndexOutOfBoundsException from exprs(1)
+    def msg(sql: String): String = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    }
+    assert(msg("SELECT word_shingles(array('a'))").contains("word_shingles expects 2"))
+    assert(msg("SELECT minhash_sig(array('a'))").contains("minhash_sig expects 2"))
+    assert(msg("SELECT dot_product(array(1.0D))").contains("dot_product expects 2"))
+    assert(msg("SELECT simhash64(array('a'), 1)").contains("simhash64 expects 1"))
+    assert(msg("SELECT decodeurl('a', 'b')").contains("decodeurl expects 1"))
+  }
 }

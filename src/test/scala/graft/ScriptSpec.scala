@@ -287,6 +287,15 @@ class ScriptSpec extends AnyFunSuite {
     assert(prod.deltaStageName("customer") == "DELTA_STAGE_customer")
   }
 
+  test("DwValidationConfig accepts case/space variants and rejects typos") {
+    assert(DwValidationConfig("testing").testing)
+    assert(!DwValidationConfig(" Production ").testing)
+    // an unrecognized mode must NOT silently mean production (that would
+    // fail unsafe toward DW) — it must refuse
+    intercept[IllegalArgumentException](DwValidationConfig("Test"))
+    intercept[IllegalArgumentException](DwValidationConfig(""))
+  }
+
   test("catalog resolves TESTING-mode _RK names like layer prefixes") {
     val cat = SchemaCatalog.inMemory(
       "customer" -> Seq(ColumnMeta("ID", 2, primaryKey = true)))

@@ -142,4 +142,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.3))
     assert(rows.forall(r => r.getAs[Long]("id1") < r.getAs[Long]("id2")))
   }
+
+  test("zero-norm and NaN vectors are excluded wherever cosine is undefined") {
+    // cos(zero, x) = 0/0 = NaN, and Spark orders NaN ABOVE every number:
+    // unguarded, vec 3 would pass `NaN >= minCos` into near-dup pairs and
+    // rank FIRST in every probe's top-k.
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.9f, 0.1f), "a"),
+      (3L, Array(0.0f, 0.0f), "a"),      // zero vector
+      (4L, Array(Float.NaN, 1.0f), "a")  // NaN component
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosineNearDupPairs(base, "label", 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.forall(!_.getAs[Double]("cos_sim").isNaN))
+    val lsh = Similarity.cosineNearDupPairsLsh(base, minCos = 0.5,
+      bands = 2, planesPerBand = 2, bucketCap = 10).collect()
+    assert(lsh.forall(r => Set(1L, 2L)(r.getAs[Long]("id1")) &&
+      Set(1L, 2L)(r.getAs[Long]("id2"))))
+    val ann = Similarity.bruteForceTopK(base, base, k = 3).collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall(r => r.getAs[Long]("vec_id") != 3L && r.getAs[Long]("vec_id") != 4L))
+    assert(ann.forall(r => r.getAs[Long]("query_id") != 3L && r.getAs[Long]("query_id") != 4L))
+    assert(ann.forall(!_.getAs[Double]("cos_sim").isNaN))
+  }
+
+  test("planesFor grows with the corpus but clamps at LshBucketExpr's 30-bit ceiling") {
+    assert(Similarity.planesFor(100) >= 2)
+    assert(Similarity.planesFor(1L << 20) < Similarity.planesFor(1L << 40))
+    assert(Similarity.planesFor(Long.MaxValue) == 30)
+  }
 }

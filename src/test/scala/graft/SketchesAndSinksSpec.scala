@@ -90,4 +90,13 @@ class SketchesAndSinksSpec extends AnyFunSuite {
     // quoting: cells with commas/quotes are escaped CSV-style
     assert(!lines.exists(_.isEmpty))
   }
+
+  test("previewCsv renders nested columns as JSON, not Row.toString") {
+    import graft.sources.Tables
+    val csv = Tables.previewCsv(spark, TestSpark.Sf0001, "embeddings", 3)
+    assert(!csv.contains("WrappedArray"), csv.take(300))
+    // the embedding array cell is a quoted JSON array (contains commas)
+    val firstDataLine = csv.split("\n")(1)
+    assert(firstDataLine.contains("\"["), firstDataLine.take(200))
+  }
 }
