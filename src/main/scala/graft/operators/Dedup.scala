@@ -59,6 +59,31 @@ object Dedup {
       .select(col("canonical_id"), col("fp"), col("member_ids"), col("group_size"))
   }
 
+  /** Incremental ingest gate: the documents of `newDf` that are (a) the
+    * canonical (min-id) representative of their in-batch fingerprint
+    * group and (b) not already present in `seenFps` — the standard
+    * "don't re-ingest what the corpus already holds" pass an append-only
+    * training pipeline runs per batch.
+    *
+    * Scale shape: the batch shuffles once on the 128-bit fingerprint
+    * (ids + hashes only, never text) for the in-batch canonicalization,
+    * then LEFT ANTI joins the historical fingerprint table on the same
+    * key. Both sides can be arbitrarily large — the anti join is a plain
+    * shuffled hash join on fp (AQE broadcasts a small `seenFps`), and at
+    * 100 TB the historical side is exactly the fingerprint column you
+    * would keep bucketed on fp so the join co-locates without a shuffle.
+    * Null-fingerprint rows (null text) are routed around like
+    * [[exactGroups]]. `seenFps` needs a `fp` column; duplicates in it are
+    * fine (anti-join semantics). */
+  def incrementalNew(newDf: DataFrame, seenFps: DataFrame,
+                     idCol: String, textCol: String): DataFrame =
+    newDf.select(col(idCol).as("id"),
+        TextAnalysis.docFingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
+      .groupBy(col("fp")).agg(min(col("id")).as("id"))
+      .join(seenFps.select(col("fp")), Seq("fp"), "left_anti")
+      .select(col("id"), col("fp"))
+
   /** Exact n-gram Jaccard near-duplicate pairs via an inverted posting
     * list: shingles shuffle as 64-bit xxhash64 keys (never as multi-word
     * strings), per-shingle posting buckets double-explode into

@@ -170,6 +170,17 @@ object TextQueries {
       Dedup.exactGroups(dupCorpus(s, dir), "doc_id", "text")
         .orderBy(col("canonical_id"))),
 
+    // Incremental ingest gate: the dupCorpus batch arrives after every
+    // even-id document was already ingested (their fingerprints form the
+    // historical `seen` table) — only new-and-batch-canonical docs pass.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val seen = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(TA.docFingerprint(col("text")).as("fp"))
+      Dedup.incrementalNew(dupCorpus(s, dir), seen, "doc_id", "text")
+        .orderBy(col("id"))
+    }),
+
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(dupCorpus(s, dir), "doc_id", "text",
           n = 3, minJaccard = 0.5, dfCap = 10000)
@@ -297,6 +308,17 @@ object TextQueries {
          |  FROM corpus GROUP BY 1)
          |SELECT canonical_id, fp, member_ids, group_size FROM g
          |WHERE group_size > 1 ORDER BY canonical_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""WITH $dupCorpusSql,
+         |seen AS (
+         |  SELECT DISTINCT md5($normSql) AS fp FROM documents WHERE doc_id % 2 = 0),
+         |batch AS (
+         |  SELECT md5($normSql) AS fp, min(doc_id) AS id
+         |  FROM corpus GROUP BY 1)
+         |SELECT id, fp FROM batch b
+         |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
+         |ORDER BY id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH $dupCorpusSql,

@@ -35,6 +35,27 @@ class DedupSpec extends AnyFunSuite {
     })
   }
 
+  test("incrementalNew admits only new, batch-canonical fingerprints") {
+    import graft.operators.TextAnalysis
+    val seen = Seq("alpha beta", "gone doc").toDF("text")
+      .select(TextAnalysis.docFingerprint($"text").as("fp"))
+    val batch = Seq(
+      (10L, "alpha beta"),              // already ingested -> dropped
+      (11L, "fresh content"),           // new -> kept
+      (12L, "fresh content"),           // batch duplicate -> collapsed into 11
+      (13L, null.asInstanceOf[String])  // null text -> routed around state
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(batch, seen, "doc_id", "text").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(11L))
+    // endpoint: every even-id RAW document is historical, so none returns
+    val q = TextQueries.queries("q_dedup_incremental")(spark, TestSpark.Sf0001)
+      .collect().map(_.getAs[Long]("id"))
+    assert(q.nonEmpty)
+    assert(!q.exists(id => id < 100000 && id % 2 == 0))
+    // tail-marker variants (+200000) carry NEW text -> present
+    assert(q.exists(_ >= 200000))
+  }
+
   test("ngramJaccard finds exact copies at J=1 and tail-variants above 0.5") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5, 10000)
       .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("jaccard")))
