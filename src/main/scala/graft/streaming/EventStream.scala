@@ -111,6 +111,35 @@ object EventStream {
     deduped.unionByName(withTs.filter(col(textCol).isNull))
   }
 
+  /** Streaming ingest gate — the streaming twin of
+    * [[graft.operators.Dedup.incrementalNew]]: content-dedup the document
+    * stream within the watermark (first arrival per fingerprint wins),
+    * then drop any doc whose fingerprint the HISTORICAL corpus already
+    * holds. Unlike [[dedupStreamByContent]], null-text rows are dropped,
+    * not routed around: this gate admits documents INTO a corpus, and an
+    * unfingerprintable document is not ingestable content (the batch
+    * operator makes the same call).
+    *
+    * The historical side joins as stream-static. Structured Streaming has
+    * no stream-static LEFT ANTI, so the gate is the equivalent left-outer
+    * + null-marker filter — same plan shape, supported form. No broadcast
+    * hint: at scale the historical fingerprint table is corpus-sized; the
+    * per-micro-batch join strategy (or a bucketed static side) decides.
+    * State: one 128-bit fp per in-window doc, exactly dedupStreamByContent;
+    * the static side holds no state at all. */
+  def ingestGate(docs: DataFrame, seenFps: DataFrame, tsCol: String,
+                 textCol: String, watermark: String = "2 hours"): DataFrame = {
+    val seen = seenFps.select(col("fp").as("__fp")).withColumn("__seen", lit(1))
+    docs.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .filter(col(textCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .withColumn("__fp", graft.operators.TextAnalysis.docFingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("__fp")
+      .join(seen, Seq("__fp"), "left_outer")
+      .filter(col("__seen").isNull)
+      .drop("__fp", "__seen")
+  }
+
   /** Stateful 30-min-gap sessionization, LIST-STATE form: each user holds
     * ALL currently-open sessions (sorted, pairwise separated by more than
     * the gap), so a late-but-within-watermark event lands in exactly the

@@ -84,6 +84,31 @@ class SkewAndAggSpec extends AnyFunSuite {
     assert((ids -- Set(3L, 4L, 5L)).subsetOf(Set(1L, 2L)))
   }
 
+  test("streaming ingestGate drops historical and in-stream duplicate content") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val seen = Seq("already ingested doc").toDF("text")
+      .select(TextAnalysis.docFingerprint($"text").as("fp"))
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 3000000000000L
+    val q = EventStream.ingestGate(
+        src.toDS().toDF("doc_id", "ts", "text"), seen, "ts", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_out").start()
+    try {
+      src.addData(
+        (1L, ts(t0), "Already  Ingested doc"),     // canonical fp in history
+        (2L, ts(t0 + 1000), "brand new content"),  // admitted
+        (3L, ts(t0 + 2000), "brand  NEW content"), // in-stream dup of 2
+        (4L, ts(t0 + 3000), null.asInstanceOf[String])) // unfingerprintable
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("gate_out").select($"doc_id").as[Long].collect().toSet
+    assert(ids.size == 1 && ids.subsetOf(Set(2L, 3L)))
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
     val e = Tables.load(spark, TestSpark.Sf0001, "events")
