@@ -35,7 +35,9 @@ object TableDiff {
     compareCols(df, Seq(pk), exclude)
 
   /** Single sortable key representation: the raw column for simple PKs,
-    * a ':'-joined string for composite PKs. */
+    * a ':'-joined string for composite PKs. (Safe only because [[diff]]
+    * excludes NULL-PK rows first — concat_ws silently drops NULL
+    * components, which would alias distinct partial keys.) */
   private def pkExpr(pks: Seq[String]): Column =
     if (pks.size == 1) col(pks.head)
     else concat_ws(":", pks.map(c => col(c).cast("string")): _*)
@@ -49,12 +51,21 @@ object TableDiff {
 
   /** One full-outer join on the PK (single or composite) with presence +
     * fingerprint-mismatch flags. Output: `pk` (sortable key), the PK
-    * columns, in_left, in_right, hash_mismatch, left_/right_ columns. */
+    * columns, in_left, in_right, hash_mismatch, left_/right_ columns.
+    *
+    * Rows with ANY NULL key component are excluded on both sides: a NULL
+    * key never matches in the join, so such a row would read as a
+    * one-sided discrepancy it isn't (the warehouse PK contract is
+    * non-null; the oracle's `pk IS NOT NULL` presence flags count these
+    * rows nowhere, and this filter is the plan-level equivalent — it also
+    * pushes to the scans). Table TOTALS in [[metricsMulti]] still count
+    * every row. */
   def diff(left: DataFrame, right: DataFrame, pks: Seq[String],
            exclude: Seq[String]): DataFrame = {
     val cols = compareCols(left, pks, exclude)
-    val l = withHash(left, pks, cols, "left")
-    val r = withHash(right, pks, cols, "right")
+    val pkNotNull = pks.map(col(_).isNotNull).reduce(_ && _)
+    val l = withHash(left.filter(pkNotNull), pks, cols, "left")
+    val r = withHash(right.filter(pkNotNull), pks, cols, "right")
     l.join(r, pks, "full_outer")
       .withColumn("pk", pkExpr(pks))
       .withColumn("in_left", col("left_hash").isNotNull)
@@ -118,17 +129,27 @@ object TableDiff {
     * as a deterministic per-hash-bucket row_number limit, which stays fully
     * parallel (a global orderBy+limit compiles to TakeOrderedAndProject and
     * merges every partition's top-idCap rows through ONE task — a serial
-    * bottleneck when drift is large). Under the cap it drops nothing.
+    * bottleneck when drift is large). The hash-bucketed cap is
+    * APPROXIMATE: a row drops only when its hash bucket alone exceeds the
+    * ceil(idCap/buckets) per-bucket share, so well under the cap nothing
+    * drops (uniform-hash bucket loads concentrate near total/buckets),
+    * and total output is bounded by idCap rounded up to bucket
+    * granularity. An exact global cap would reintroduce the single-task
+    * merge this design exists to avoid.
     */
   def mismatchMatrix(left: DataFrame, right: DataFrame, pk: String,
                      exclude: Seq[String] = Nil, idCap: Int = 1000000): DataFrame =
     mismatchMatrixMulti(left, right, Seq(pk), exclude, idCap)
 
   /** Max buckets for the deterministic cap. Actual buckets =
-    * min(CapBuckets, idCap), per-bucket limit = idCap/buckets, so the
-    * capped set is ALWAYS ≤ idCap and the cap work runs min(idCap, 1024)-
-    * way parallel (probe-style tiny caps serialize by construction — their
-    * output is tiny; large caps never funnel through one task). */
+    * min(CapBuckets, idCap), per-bucket limit = ceil(idCap/buckets) —
+    * ceil, not floor: floor quantization capped BELOW idCap (e.g.
+    * idCap=1500 over 1024 buckets gave 1 row/bucket = 1024 total) and
+    * dropped real rows while under the advertised cap. With ceil the
+    * bound is idCap rounded up to bucket granularity (≤ idCap+buckets-1),
+    * and the cap work runs min(idCap, 1024)-way parallel (probe-style
+    * tiny caps serialize by construction — their output is tiny; large
+    * caps never funnel through one task). */
   private val CapBuckets = 1024
 
   /** Composite-PK form of [[mismatchMatrix]]; `id` is the ':'-joined key. */
@@ -137,8 +158,15 @@ object TableDiff {
     require(idCap > 0, "idCap must be positive")
     val cols = compareCols(left, pks, exclude)
     val d = diff(left, right, pks, exclude).filter(col("hash_mismatch"))
+    // All non-PK columns excluded (e.g. a pure-key link table): no cells
+    // by construction — return the empty matrix instead of generating an
+    // unparseable `stack(0, )`.
+    if (cols.isEmpty)
+      return d.select(col("pk").as("id"), lit("").as("column_name"),
+        lit("").as("hive"), lit("").as("snowflake")).limit(0)
     val buckets = math.max(1, math.min(CapBuckets, idCap))
-    val perBucket = math.max(1, idCap / buckets)
+    // Long math: ceil over Int overflows for probe-style idCap=MaxValue.
+    val perBucket = ((idCap.toLong + buckets - 1) / buckets).toInt
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bkt")).orderBy(col("pk"))
     val capped = d
@@ -146,8 +174,13 @@ object TableDiff {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perBucket)
       .drop("__bkt", "__rn")
-    val stackArgs = cols.map(c =>
-      s"'$c', CAST(`left_$c` AS STRING), CAST(`right_$c` AS STRING)").mkString(", ")
+    // Names are spliced into stack() SQL: escape quote chars so an exotic
+    // (or hostile) source column name can't break or alter the expression.
+    val stackArgs = cols.map { c =>
+      val lbl = c.replace("'", "''")
+      val id = c.replace("`", "``")
+      s"'$lbl', CAST(`left_$id` AS STRING), CAST(`right_$id` AS STRING)"
+    }.mkString(", ")
     capped
       .select(col("pk").as("id"),
         expr(s"stack(${cols.size}, $stackArgs) AS (column_name, hive, snowflake)"))

@@ -6,7 +6,8 @@ import org.apache.spark.sql.expressions.Aggregator
 /** Typed `Aggregator` form of the reference's `collect_max_one` UDAF
   * (reference: tools/script_converter_tool.py rule 13) for Dataset users:
   * the value carried by the max rank, with the reference's sentinel
-  * semantics (null value ranks 0) and a deterministic value tiebreak.
+  * semantics (any non-null value beats a null value, at any rank) and a
+  * deterministic value tiebreak.
   *
   * The untyped/DataFrame path stays on
   * [[HiveFunctions.collectMaxOne]] (a max-of-struct declarative aggregate:
@@ -22,11 +23,17 @@ final class CollectMaxOne[V >: Null](implicit ord: Ordering[V],
   override def zero: (Boolean, Long, V) = (false, Long.MinValue, null)
 
   override def reduce(b: (Boolean, Long, V), in: (V, Long)): (Boolean, Long, V) =
-    merge(b, (true, if (in._1 == null) 0L else in._2, in._1))
+    merge(b, (true, in._2, in._1))
 
+  // A non-null value beats a null value REGARDLESS of rank (the rank-0
+  // sentinel this replaces was only minimal for positive ranks: a
+  // negative real rank would lose to the sentinel and null the result —
+  // HiveFunctions.collectMaxOne's has-value field, same fix); among
+  // non-null values, max rank with the larger value on ties.
   override def merge(x: (Boolean, Long, V), y: (Boolean, Long, V)): (Boolean, Long, V) =
     if (!x._1) y
     else if (!y._1) x
+    else if ((y._3 != null) != (x._3 != null)) { if (y._3 != null) y else x }
     else if (y._2 > x._2 || (y._2 == x._2 && gtNullsFirst(y._3, x._3))) y
     else x
 

@@ -19,13 +19,16 @@ object HiveFunctions {
 
   /** Hive `SPLIT(col, sep)[n]` (0-based) ≡ Snowflake
     * `SPLIT_PART(col, sep, n+1)` (converter rule 21). `part` is 1-based
-    * here, matching SPLIT_PART. Empty string when out of range. */
+    * here, matching SPLIT_PART. Empty string when out of range; NULL in →
+    * NULL out (both warehouses propagate NULL — an `''` for NULL input
+    * would corrupt fingerprints built over nullable columns). */
   def splitPart(col: Column, sep: String, part: Int): Column = {
     // element_at is 1-based; out-of-range raises under ANSI, so guard via
     // array size — keeps SPLIT_PART's "empty string past the end" contract.
     val arr = split(col, java.util.regex.Pattern.quote(sep))
     when(size(arr) >= part && lit(part) >= 1, element_at(arr, part))
-      .otherwise(lit(""))
+      .when(col.isNotNull, lit(""))
+    // no otherwise: NULL input falls through to NULL
   }
 
   /** Hive `LCASE` ≡ `LOWER` (converter rule 11). */
@@ -83,16 +86,19 @@ object HiveFunctions {
     * this is natively `max_by`, a single-pass declarative aggregate with
     * map-side partial aggregation (no string concat trick needed).
     *
-    * Matches the sentinel semantics of rule 13: rows with NULL value rank as
-    * 0 so any non-NULL value wins, and ties on rank resolve to the larger
-    * value (deterministic across retries/partitionings — plain max_by is
-    * tie-unstable, which would break verify reruns).
+    * Matches the sentinel semantics of rule 13 — a non-NULL value beats a
+    * NULL value regardless of rank — via an explicit has-value field
+    * rather than a rank-0 sentinel: a sentinel is only minimal until a
+    * real rank is NULL or negative, where struct(0, NULL) would beat
+    * struct(NULL/-3, 'a') and null out the aggregate (exactly what the
+    * Snowflake rewrite's MAX-over-CONCAT, which skips NULLs, never does).
+    * Ties on rank resolve to the larger value (deterministic across
+    * retries/partitionings — plain max_by is tie-unstable, which would
+    * break verify reruns); a NULL rank orders below every real rank.
     */
-  def collectMaxOne(value: Column, rank: Column): Column = {
-    val effRank = when(value.isNull, lit(0L)).otherwise(rank.cast("long"))
-    // Deterministic tiebreak: pack (rank, value) and take max of the struct.
-    max(struct(effRank.as("r"), value.as("v"))).getField("v")
-  }
+  def collectMaxOne(value: Column, rank: Column): Column =
+    max(struct(when(value.isNull, 0).otherwise(1).as("has"),
+      rank.cast("long").as("r"), value.as("v"))).getField("v")
 
   /** Snowflake-side `TO_NUMBER_CUSTOM(ts)` (converter rule 13's rewrite
     * target): the timestamp as a fixed-width 13-digit epoch-millis string,

@@ -23,9 +23,13 @@ object MergePipeline {
     * (reference: nw_customer_PRE_300.hql:21,43 — `rwn`/`Rank` pattern).
     * Callers must make `ord` a total order (unique tiebreak column) or the
     * surviving row is partition-order dependent. */
-  def rankDedup(df: DataFrame, keys: Seq[Column], ord: Seq[Column]): DataFrame =
+  def rankDedup(df: DataFrame, keys: Seq[Column], ord: Seq[Column]): DataFrame = {
+    // withColumn would silently REPLACE a caller's __rn and drop it below.
+    require(!df.columns.contains("__rn"),
+      "rankDedup uses __rn internally; rename the input's __rn column")
     df.withColumn("__rn", row_number().over(Window.partitionBy(keys: _*).orderBy(ord: _*)))
       .filter(col("__rn") === 1).drop("__rn")
+  }
 
   /** Per-column argmax roll-up: for each key, every value column resolves to
     * its value at max rank — the reference's repeated

@@ -19,6 +19,9 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
                  saltSrc: Column): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // withColumn would silently REPLACE a caller's __salt and drop it below.
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin uses __salt internally; rename the input's __salt column")
     val salted = big.withColumn("__salt", pmod(xxhash64(saltSrc), lit(salts.toLong)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))

@@ -28,7 +28,14 @@ object AnalyticsQueries {
         .agg(
           round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
           sum(col("price_c")).as("sum_price_cents"),
-          sum(col("price_c") * (lit(10000L) - col("disc_c") * 100)).as("sum_disc_price_scaled"),
+          // (100 - disc_c) percent scale, not basis points: disc_c is an
+          // integral percent, so the value is exact either way, and the
+          // 100x smaller per-row term (~1e9 for a 100k-dollar line) keeps
+          // the BIGINT group sum inside Long past sf~10^4 — the
+          // basis-point form wrapped (ansi off) around sf~200 while
+          // DuckDB's HUGEINT promotion didn't, diverging exactly when the
+          // number matters.
+          sum(col("price_c") * (lit(100L) - col("disc_c"))).as("sum_disc_price_scaled"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -91,7 +98,7 @@ object AnalyticsQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_cents,
-        |  CAST(sum(price_c * (10000 - disc_c * 100)) AS BIGINT) AS sum_disc_price_scaled,
+        |  CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_price_scaled,
         |  count(*) AS n_rows
         |FROM (
         |  SELECT l_returnflag, l_linestatus, l_quantity,

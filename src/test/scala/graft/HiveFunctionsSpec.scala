@@ -36,6 +36,34 @@ class HiveFunctionsSpec extends AnyFunSuite {
     assert(out == Seq(("k", "new"), ("t", "y")))
   }
 
+  test("collectMaxOne: non-null values beat null values at ANY rank") {
+    val df = Seq(
+      // a negative real rank must still beat the null-value row (the old
+      // rank-0 sentinel lost here and nulled the aggregate)
+      ("a", Some("v"), Some(-3L)), ("a", None, Some(7L)),
+      // a NULL rank on a real value still beats every null-value row
+      ("b", Some("x"), None), ("b", None, Some(7L)),
+      // an all-null group stays null
+      ("c", None, Some(1L)), ("c", None, Some(2L))
+    ).toDF("k", "v", "ts")
+    val out = df.groupBy($"k").agg(collectMaxOne($"v", $"ts").as("v"))
+      .orderBy($"k").as[(String, String)].collect().toSeq
+    assert(out == Seq(("a", "v"), ("b", "x"), ("c", null)))
+    // typed twin: same negative-rank case
+    val ds = Seq(("k", ("v", -3L)), ("k", (null.asInstanceOf[String], 7L))).toDS()
+    val typed = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.CollectMaxOne.forString).collect().toSeq
+    assert(typed == Seq(("k", "v")))
+  }
+
+  test("splitPart propagates NULL input (warehouse SPLIT_PART contract)") {
+    val df = Seq(Some("a_b"), None).toDF("s")
+      .select(splitPart($"s", "_", 1).as("p"), splitPart($"s", "_", 9).as("oob"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "a" && rows(0).getString(1) == "")
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+  }
+
   test("rowHash is null-aware and positional") {
     val df = Seq((Some("a"), Some("b")), (None, Some("ab"))).toDF("x", "y")
       .select(rowHash(Seq($"x", $"y")).as("h"))

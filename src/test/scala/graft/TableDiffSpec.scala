@@ -153,4 +153,52 @@ class TableDiffSpec extends AnyFunSuite {
     // memoized per (session, dir): second call returns the same frame
     assert(CoreQueries.metricsTable(spark, TestSpark.Sf0001) eq t)
   }
+
+  test("NULL-PK rows are excluded from presence flags, not miscounted one-sided") {
+    val l = Seq((Some(1L), "a"), (None, "ghost")).toDF("id", "s")
+    val r = Seq((Some(1L), "a")).toDF("id", "s")
+    // a NULL key never matches in the join — unfiltered it would read as
+    // a hive-only discrepancy it isn't (and diverge from the oracle's
+    // `pk IS NOT NULL` presence flags)
+    assert(TableDiff.diff(l, r, "id").count() == 1)
+    val m = TableDiff.metrics(l, r, "t", "id").collect().head
+    assert(m.getAs[Long]("total_record_count_hive") == 2L) // totals: every row
+    assert(m.getAs[Long]("hive_only_count") == 0L)
+    assert(m.getAs[String]("hive_only_pk_values") == "")
+  }
+
+  test("empty compare-column set yields an empty matrix, not a stack() parse error") {
+    val l = Seq((1L, "x")).toDF("id", "aud")
+    val r = Seq((1L, "y")).toDF("id", "aud")
+    val m = TableDiff.mismatchMatrix(l, r, "id", exclude = Seq("aud"))
+    assert(m.columns.toSeq == Seq("id", "column_name", "hive", "snowflake"))
+    assert(m.collect().isEmpty)
+  }
+
+  test("quote-bearing column names survive the stack() splice") {
+    val l = Seq((1L, "a")).toDF("id", "o'q")
+    val r = Seq((1L, "b")).toDF("id", "o'q")
+    val m = TableDiff.mismatchMatrix(l, r, "id").collect()
+    assert(m.length == 1 && m.head.getString(1) == "o'q")
+    assert(m.head.getString(2) == "a" && m.head.getString(3) == "b")
+  }
+
+  test("matrix cap is ceil-quantized: colliding keys survive idCap just above the bucket count") {
+    import org.apache.spark.sql.functions._
+    // find two keys sharing a 1024-bucket (the cap's hash space)
+    val buckets = spark.range(1, 400)
+      .select($"id", pmod(xxhash64($"id".cast("string")), lit(1024L)).as("b"))
+      .as[(Long, Long)].collect()
+    val (k1, k2) = {
+      val byB = buckets.groupBy(_._2).values.find(_.length >= 2).get
+      (byB(0)._1, byB(1)._1)
+    }
+    val l = Seq((k1, "a"), (k2, "a")).toDF("id", "s")
+    val r = Seq((k1, "b"), (k2, "b")).toDF("id", "s")
+    // idCap=1025 over 1024 buckets: floor quantization gave 1 row/bucket
+    // and silently dropped one of the colliding keys while under the cap
+    val ids = TableDiff.mismatchMatrix(l, r, "id", idCap = 1025)
+      .select($"id").as[Long].collect().toSet
+    assert(ids == Set(k1, k2))
+  }
 }
