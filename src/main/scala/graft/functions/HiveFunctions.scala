@@ -95,10 +95,16 @@ object HiveFunctions {
     * Ties on rank resolve to the larger value (deterministic across
     * retries/partitionings — plain max_by is tie-unstable, which would
     * break verify reruns); a NULL rank orders below every real rank.
+    *
+    * `rank` is used AS-IS (any orderable type): pass
+    * `struct(ts, event_id)` for composite ranks — packing a composite
+    * order into one long (`unix_millis*1e6 + id`) aliases across
+    * millisecond buckets as soon as ids reach the multiplier, silently
+    * selecting a non-latest row at scale.
     */
   def collectMaxOne(value: Column, rank: Column): Column =
     max(struct(when(value.isNull, 0).otherwise(1).as("has"),
-      rank.cast("long").as("r"), value.as("v"))).getField("v")
+      rank.as("r"), value.as("v"))).getField("v")
 
   /** Snowflake-side `TO_NUMBER_CUSTOM(ts)` (converter rule 13's rewrite
     * target): the timestamp as a fixed-width 13-digit epoch-millis string,

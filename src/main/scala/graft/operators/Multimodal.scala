@@ -67,9 +67,17 @@ object Multimodal {
   }
 
   /** Frame sampling: every `stride`-th frame index per video row —
-    * explode(sequence(...)), stays fully declarative/codegen'd. */
-  def sampleFrames(media: DataFrame, stride: Int = 2): DataFrame =
+    * explode(sequence(...)), stays fully declarative/codegen'd.
+    * Frame-less rows (n_frames ≤ 0 — corrupt/empty containers are normal
+    * metadata at scale) yield zero frames instead of failing the job on
+    * an illegal descending sequence (the chunk() guard pattern). */
+  def sampleFrames(media: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride > 0, "stride must be positive")
     media.filter(col("media_type") === "video")
       .select(col("doc_id"), col("n_frames"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+        explode(
+          when(col("n_frames") > 0,
+            sequence(lit(0), col("n_frames") - 1, lit(stride)))
+            .otherwise(array().cast("array<int>"))).as("frame_idx"))
+  }
 }

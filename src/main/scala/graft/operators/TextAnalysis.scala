@@ -85,10 +85,13 @@ object TextAnalysis {
   /** Term-frequency keyword relevance: Σ weight(term) · tf(term) over
     * whitespace tokens (the deterministic core of the reference's search
     * tooling). */
-  def keywordScore(text: Column, weightedTerms: Seq[(String, Double)]): Column =
+  def keywordScore(text: Column, weightedTerms: Seq[(String, Double)]): Column = {
+    require(weightedTerms.nonEmpty,
+      "keywordScore needs at least one weighted term")
     weightedTerms.map { case (term, w) =>
       size(filter(tokens(text), t => t === term)).cast("double") * w
     }.reduce(_ + _)
+  }
 
   // --- repetition signals (Gopher-style quality rules) -------------------
 

@@ -93,13 +93,25 @@ object CoreQueries {
     * recomputing three full-outer diffs per metrics lookup is exactly the
     * 100 TB mistake the persistent table exists to avoid. */
   private val metricsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  // synchronized: Map.getOrElseUpdate evaluates the thunk without a lock,
+  // so two concurrent first callers would each run the three full diffs.
+  // Driver-side metadata access — contention is nil, correctness matters.
   def metricsTable(s: SparkSession, dir: String): DataFrame =
-    metricsCache.getOrElseUpdate((s, dir), {
-      val u = metricsUnion(s, dir)
-      s.createDataFrame(java.util.Arrays.asList(u.collect(): _*), u.schema)
-    })
+    metricsCache.synchronized {
+      metricsCache.getOrElseUpdate((s, dir), {
+        val u = metricsUnion(s, dir)
+        s.createDataFrame(java.util.Arrays.asList(u.collect(): _*), u.schema)
+      })
+    }
+
+  /** Start a new validation round over `dir`: drop the memoized metrics
+    * so the next [[metricsTable]] call re-diffs current data (the
+    * reference re-writes dw_data_metrics per round; without this a
+    * long-lived session would serve stale metrics forever). */
+  def invalidateMetricsTable(s: SparkSession, dir: String): Unit =
+    metricsCache.synchronized { metricsCache.remove((s, dir)); () }
 
   val queries: Map[String, Q] = Map(
     "q_pk_diff_left_only" -> ((s, dir) =>
@@ -173,11 +185,13 @@ object CoreQueries {
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
         .orderBy(col("user_id"))),
 
+    // Composite rank as a STRUCT, not a packed long: unix_millis*1e6 +
+    // event_id aliases across millisecond buckets once event_ids reach
+    // 1e6 (any real event corpus), silently picking a non-latest row.
     "q_argmax_merge" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
-        .withColumn("r", unix_millis(col("ts")) * 1000000L + col("event_id"))
-      MergePipeline.argmaxMerge(e, col("user_id"), col("r"),
-          Seq("event_type", "value"))
+      MergePipeline.argmaxMerge(e, col("user_id"),
+          struct(col("ts"), col("event_id")), Seq("event_type", "value"))
         .orderBy(col("user_id"))
     }),
 
@@ -355,14 +369,16 @@ object CoreQueries {
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // DuckDB max_by has no struct rank; (ts, event_id) is a TOTAL order
+    // (event_id unique), so the per-column argmax equals the latest row —
+    // expressible as a window top-1.
     "q_argmax_merge" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_ms(ts) * 1000000 + event_id AS r,
-        |         event_type, value
-        |  FROM events)
-        |SELECT user_id, max_by(event_type, r) AS event_type,
-        |       max_by(value, r) AS value
-        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_sparse_dw_merge" ->
       s"""${Fixtures.Sql.ordersPair},

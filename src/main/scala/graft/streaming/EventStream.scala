@@ -102,6 +102,8 @@ object EventStream {
     * the state store with never-matching entries for the whole window. */
   def dedupStreamByContent(docs: DataFrame, tsCol: String, textCol: String,
                            watermark: String = "2 hours"): DataFrame = {
+    require(!docs.columns.contains("__fp"),
+      "dedupStreamByContent uses __fp internally; rename the input's __fp column")
     val withTs = docs.withColumn(tsCol, col(tsCol).cast("timestamp"))
     val deduped = withTs.filter(col(textCol).isNotNull)
       .withWatermark(tsCol, watermark)
@@ -129,6 +131,10 @@ object EventStream {
     * the static side holds no state at all. */
   def ingestGate(docs: DataFrame, seenFps: DataFrame, tsCol: String,
                  textCol: String, watermark: String = "2 hours"): DataFrame = {
+    // A caller __fp would be silently replaced; a caller __seen would make
+    // the post-join filter ambiguous. Refuse, like rankDedup/saltedJoin.
+    require(!docs.columns.contains("__fp") && !docs.columns.contains("__seen"),
+      "ingestGate uses __fp/__seen internally; rename those input columns")
     val seen = seenFps.select(col("fp").as("__fp")).withColumn("__seen", lit(1))
     docs.withColumn(tsCol, col(tsCol).cast("timestamp"))
       .filter(col(textCol).isNotNull)
@@ -184,11 +190,20 @@ object EventStream {
           if (!state.hasTimedOut) {
             it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val t = e.ts.getTime
-              // Spark SQL round() semantics (HALF_UP on the double's
-              // canonical decimal rendering) — math.round differs on
-              // negative halves and would break value parity.
-              val vm = java.math.BigDecimal.valueOf(e.value * 1000)
-                .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+              // Spark SQL round().cast(long) semantics, including the
+              // non-finite cases — math.round differs on negative halves,
+              // and BigDecimal.valueOf(NaN/Infinity) THROWS: one bad
+              // event would poison-pill the whole streaming query while
+              // the batch twin (round→cast) maps NaN→0 and ±Inf→Long
+              // extremes and keeps running. Finite overflow saturates
+              // like the cast as well.
+              val x = e.value * 1000
+              val vm =
+                if (x.isNaN) 0L
+                else if (x >= Long.MaxValue.toDouble) Long.MaxValue
+                else if (x <= Long.MinValue.toDouble) Long.MinValue
+                else java.math.BigDecimal.valueOf(x)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
               val (before, rest) = open.span(s => s.last.getTime + gapMs < t)
               val (touching, after) = rest.span(s => s.start.getTime - gapMs <= t)
               // Gap math is epoch-millis (matching the batch twin's

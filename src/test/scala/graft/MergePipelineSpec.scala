@@ -24,6 +24,19 @@ class MergePipelineSpec extends AnyFunSuite {
     assert(out == Seq((1L, "y", 2.0), (2L, "z", 3.0)))
   }
 
+  test("argmaxMerge with a struct rank: no packed-long aliasing at scale ids") {
+    import org.apache.spark.sql.functions.struct
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // The packed form unix_millis*1e6 + event_id ranked row A (ms=1,
+    // id=1,500,000 -> 2.5e6) ABOVE row B (ms=2, id=100 -> 2.0001e6)
+    // although B is later; the struct rank orders correctly.
+    val df = Seq((1L, ts(1L), 1500000L, "A"), (1L, ts(2L), 100L, "B"))
+      .toDF("k", "ts", "event_id", "v")
+    val out = MergePipeline.argmaxMerge(df, $"k",
+      struct($"ts", $"event_id"), Seq("v")).as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "B")))
+  }
+
   test("sparseDwMerge keeps a new-to-DW row even when its merged columns are all NULL") {
     val dw = Seq((1L, "n1")).toDF("id", "name")
     val sparse = Seq((9L, null.asInstanceOf[String])).toDF("id", "name")

@@ -50,4 +50,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.forall(r => r.getAs[Long]("n") == (r.getAs[Int]("n_frames") + 1) / 2))
   }
+
+  test("frame sampling: frame-less videos yield zero rows, not a sequence error") {
+    val m = Seq((1L, Array[Byte](1), "video", 64, 64, 0),   // corrupt: no frames
+                (2L, Array[Byte](2), "video", 64, 64, 3))
+      .toDF("doc_id", "media", "media_type", "width", "height", "n_frames")
+    val out = Multimodal.sampleFrames(m, stride = 2).collect()
+    assert(out.forall(_.getAs[Long]("doc_id") == 2L))
+    assert(out.length == 2) // frames 0, 2
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(m, stride = 0))
+  }
 }

@@ -26,6 +26,13 @@ class SketchesAndSinksSpec extends AnyFunSuite {
       assert(r.getAs[Double]("p50") >= r.getAs[Double]("min_v"))
       assert(r.getAs[Double]("p95") <= r.getAs[Double]("max_v"))
     }
+    // both quantiles come from ONE deduplicated sketch (per-quantile
+    // calls each built and merged their own QuantileSummaries buffer)
+    val plan = Sketches.profile(e, Seq($"event_type"), $"value", $"user_id")
+      .queryExecution.executedPlan.toString
+    assert("percentile_approx".r.findAllIn(plan).length
+      <= "approx_count_distinct".r.findAllIn(plan).length,
+      s"expected a single deduplicated percentile sketch:\n${plan.take(2000)}")
   }
 
   test("partitioned sink prunes partitions on read") {

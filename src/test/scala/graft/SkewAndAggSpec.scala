@@ -109,6 +109,32 @@ class SkewAndAggSpec extends AnyFunSuite {
     assert(ids.size == 1 && ids.subsetOf(Set(2L, 3L)))
   }
 
+  test("sessionize survives NaN/Infinite event values like the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[EventStream.Event]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 3100000000000L
+    val q = EventStream.sessionize(src.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nan_sess").start()
+    try {
+      // one NaN and one +Inf value inside the session: BigDecimal.valueOf
+      // would throw and poison-pill the query; batch semantics are NaN->0,
+      // +Inf->Long.MaxValue (sum then wraps like the batch sum would)
+      src.addData(
+        EventStream.Event(1L, ts(t0), 9L, "click", Double.NaN),
+        EventStream.Event(2L, ts(t0 + 1000), 9L, "click", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to flush the session
+      src.addData(EventStream.Event(3L, ts(t0 + 6L * 3600 * 1000), 9L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("nan_sess").as[EventStream.SessionOut].collect()
+      assert(rows.exists(r => r.user_id == 9L && r.n_events == 2L &&
+        r.value_milli == 2000L)) // NaN contributed 0, exactly like batch
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
     val e = Tables.load(spark, TestSpark.Sf0001, "events")

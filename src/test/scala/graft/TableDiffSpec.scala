@@ -152,6 +152,11 @@ class TableDiffSpec extends AnyFunSuite {
     assert(t.collect().map(_.toString).sorted.toSeq == fresh)
     // memoized per (session, dir): second call returns the same frame
     assert(CoreQueries.metricsTable(spark, TestSpark.Sf0001) eq t)
+    // a new validation round invalidates the memo and re-materializes
+    CoreQueries.invalidateMetricsTable(spark, TestSpark.Sf0001)
+    val t2 = CoreQueries.metricsTable(spark, TestSpark.Sf0001)
+    assert(!(t2 eq t))
+    assert(t2.collect().map(_.toString).sorted.toSeq == fresh)
   }
 
   test("NULL-PK rows are excluded from presence flags, not miscounted one-sided") {
