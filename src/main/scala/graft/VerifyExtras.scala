@@ -48,8 +48,13 @@ object VerifyExtras {
     import graft.operators.{Dedup, Similarity}
     import graft.sources.Tables
 
-    val corpus = queries.TextQueries.dupCorpus(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Each source frame feeds several collect actions (truth + candidate
+    // per family; three ANN variants over emb) — persist once per frame
+    // or every action re-derives it from parquet.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpus = queries.TextQueries.dupCorpus(spark, sfDir).persist(lvl)
+    val emb = Tables.load(spark, sfDir, "embeddings").persist(lvl)
+    val dupEmb = queries.SimilarityQueries.dupEmbCorpus(spark, sfDir).persist(lvl)
     try {
       // --- text dedup family ------------------------------------------------
       val jaccardTruth = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.7, 10000)
@@ -65,7 +70,6 @@ object VerifyExtras {
         .select($"id1", $"id2").as[(Long, Long)].collect()
 
       // --- ANN family -------------------------------------------------------
-      val emb = Tables.load(spark, sfDir, "embeddings")
       val probes = emb.filter($"vec_id" % 100 === 0)
       val annTruth = Similarity.bruteForceTopK(probes, emb, k = 5)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
@@ -79,7 +83,6 @@ object VerifyExtras {
       // near-duplicate vectors (quadratic, fine at verify scale).
       // Candidate: corpus-proportional LSH blocking, which must recover
       // those pairs from bucket-local comparisons only.
-      val dupEmb = queries.SimilarityQueries.dupEmbCorpus(spark, sfDir)
       val nearDupTruth = Similarity.cosineNearDupPairs(
           dupEmb.withColumn("__all", lit(1)), "__all", 0.9)
         .select($"id1", $"id2").as[(Long, Long)].collect()
@@ -111,7 +114,7 @@ object VerifyExtras {
           floor = 0.9, nearDupTruth.length, nearDupLsh.length)
       ) ++ sketchChecks(spark, sfDir)
     } finally {
-      corpus.unpersist()
+      corpus.unpersist(); emb.unpersist(); dupEmb.unpersist()
     }
   }
 

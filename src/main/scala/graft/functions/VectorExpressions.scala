@@ -104,8 +104,13 @@ object LshBucketExpr {
     bits
   }
 
+  /** Cast to array<double> like the SQL registration: the expression
+    * reads 8-byte doubles out of ArrayData, so an UNCAST float[] column
+    * (the embeddings table!) would misread under codegen. The cast is a
+    * no-op (eliminated) when the input is already array<double>. */
   def lshBucket(v: Column, from: Int, count: Int): Column =
-    GraftBridge.column(LshBucketExpr(GraftBridge.expression(v), from, count))
+    GraftBridge.column(LshBucketExpr(
+      GraftBridge.expression(v.cast("array<double>")), from, count))
 }
 
 object DotProductExpr {
@@ -121,7 +126,10 @@ object DotProductExpr {
     sum
   }
 
+  /** Cast to array<double> like the SQL registration (see
+    * [[LshBucketExpr.lshBucket]] — float[] input would misread). */
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProductExpr(
-      GraftBridge.expression(a), GraftBridge.expression(b)))
+      GraftBridge.expression(a.cast("array<double>")),
+      GraftBridge.expression(b.cast("array<double>"))))
 }

@@ -16,22 +16,78 @@ import scala.util.matching.Regex
 object HiveToSnowflakeConverter {
 
   /** Find the argument list of the call starting at `start` (index of the
-    * opening paren); returns (args, indexAfterCloseParen). */
+    * opening paren); returns (args, indexAfterCloseParen). Quote-aware
+    * like [[splitArgs]]: a paren inside a string argument (e.g.
+    * `INSTR(col, '(')`) is data, not call structure — counting it would
+    * close the span on the wrong paren and scramble the surrounding SQL. */
   private def spanArgs(s: String, start: Int): Option[(String, Int)] = {
     if (start >= s.length || s(start) != '(') return None
     var depth = 0
     var i = start
+    var inStr: Option[Char] = None
+    var esc = false
     while (i < s.length) {
-      s(i) match {
-        case '(' => depth += 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0) return Some((s.substring(start + 1, i), i + 1))
-        case _ =>
+      val c = s(i)
+      inStr match {
+        case Some(q) =>
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == q) inStr = None
+        case None => c match {
+          case '\'' | '"' => inStr = Some(c)
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) return Some((s.substring(start + 1, i), i + 1))
+          case _ =>
+        }
       }
       i += 1
     }
     None
+  }
+
+  /** Is position `pos` inside a (single- or double-) quoted literal?
+    * Used to keep the paren-aware call rewrites off literal content —
+    * `'see INSTR(a,b) docs'` is user data, not a call. */
+  private def inLiteral(s: String, pos: Int): Boolean = {
+    var i = 0
+    var inStr: Option[Char] = None
+    var esc = false
+    while (i < pos) {
+      val c = s(i)
+      inStr match {
+        case Some(q) =>
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == q) inStr = None
+        case None => if (c == '\'' || c == '"') inStr = Some(c)
+      }
+      i += 1
+    }
+    inStr.isDefined
+  }
+
+  /** End index (exclusive) of the quoted literal containing `pos` —
+    * where an in-literal match's scan must resume so the remainder keeps
+    * correct quote context (cutting mid-literal would make the rest of
+    * the literal look like code). */
+  private def literalSpanEnd(s: String, pos: Int): Int = {
+    var i = 0
+    var inStr: Option[Char] = None
+    var esc = false
+    while (i < s.length) {
+      val c = s(i)
+      inStr match {
+        case Some(q) =>
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == q) { if (i >= pos) return i + 1; inStr = None }
+        case None => if (c == '\'' || c == '"') inStr = Some(c)
+      }
+      i += 1
+    }
+    s.length
   }
 
   /** Split a call argument list at top-level commas (quote- and
@@ -59,17 +115,20 @@ object HiveToSnowflakeConverter {
   }
 
   /** Rewrite every `name(...)` call via `fn(args)`; `fn` returning None
-    * keeps the original call. Case-insensitive on `name`. */
+    * keeps the original call. Case-insensitive on `name`. A match whose
+    * name sits INSIDE a string literal is data, not a call — skipped. */
   private def rewriteCalls(s: String, name: String)(fn: Seq[String] => Option[String]): String = {
     val rx = new Regex("(?i)\\b" + name + "\\s*\\(")
     val sb = new StringBuilder
-    var pos = 0
     var m = rx.findFirstMatchIn(s)
     var cur = s
     while (m.isDefined) {
       val mm = m.get
       val open = mm.end - 1
-      spanArgs(cur, open) match {
+      if (inLiteral(cur, mm.start)) {
+        val end = literalSpanEnd(cur, mm.start)
+        sb.append(cur.substring(0, end)); cur = cur.substring(end)
+      } else spanArgs(cur, open) match {
         case Some((args, after)) =>
           val repl = fn(splitArgs(args))
           sb.append(cur.substring(0, mm.start))
@@ -102,18 +161,35 @@ object HiveToSnowflakeConverter {
     s.length
   }
 
-  /** Apply `f` only to the code BETWEEN single-quoted literals — rename
-    * rules must never mutate user data inside string literals. (Rules
-    * that legitimately read quoted arguments — reflect, SET tuples — run
-    * before this is used.) */
+  /** End index (exclusive) of the double-quoted literal starting at `i`
+    * (`s(i) == '"'`), honoring backslash escapes. */
+  private def doubleLiteralEnd(s: String, i: Int): Int = {
+    var j = i + 1
+    while (j < s.length) {
+      s(j) match {
+        case '\\' => j += 2
+        case '"' => return j + 1
+        case _ => j += 1
+      }
+    }
+    s.length
+  }
+
+  /** Apply `f` only to the code BETWEEN string literals — rename rules
+    * must never mutate user data inside literals. BOTH quote forms are
+    * literals here: Hive double-quoted strings are data too (rule 25
+    * converts them to single quotes AFTER the renames run, so an
+    * unprotected `"run IF(x)"` would first corrupt to `"run IFF(x)"`).
+    * (Rules that legitimately read quoted arguments — reflect, SET
+    * tuples — run before this is used.) */
   private def mapOutsideLiterals(s: String)(f: String => String): String = {
     val sb = new StringBuilder
     var i = 0
     var segStart = 0
     while (i < s.length) {
-      if (s(i) == '\'') {
+      if (s(i) == '\'' || s(i) == '"') {
         sb.append(f(s.substring(segStart, i)))
-        val end = literalEnd(s, i)
+        val end = if (s(i) == '\'') literalEnd(s, i) else doubleLiteralEnd(s, i)
         sb.append(s.substring(i, end))
         i = end
         segStart = end
@@ -167,6 +243,11 @@ object HiveToSnowflakeConverter {
     var m = rx.findFirstMatchIn(cur)
     while (m.isDefined) {
       val mm = m.get
+      if (inLiteral(cur, mm.start)) {
+        val end = literalSpanEnd(cur, mm.start)
+        sb.append(cur.substring(0, end)); cur = cur.substring(end)
+        m = rx.findFirstMatchIn(cur)
+      } else {
       spanArgs(cur, mm.end - 1) match {
         case Some((args, after)) =>
           val idxRx = """^\s*\[\s*(\d+)\s*\]""".r
@@ -182,6 +263,7 @@ object HiveToSnowflakeConverter {
         case None => sb.append(cur.substring(0, mm.end)); cur = cur.substring(mm.end)
       }
       m = rx.findFirstMatchIn(cur)
+      }
     }
     sb.append(cur).toString
   }
@@ -244,6 +326,12 @@ object HiveToSnowflakeConverter {
       if (s(i) == '\'') {
         // '--' inside a single-quoted literal is DATA, not a comment.
         val end = literalEnd(s, i)
+        sb.append(s.substring(i, end))
+        i = end
+      } else if (s(i) == '"') {
+        // same for double-quoted (Hive string) literals: masking "a--b"
+        // as a comment would shield the rest of the line from every rule
+        val end = doubleLiteralEnd(s, i)
         sb.append(s.substring(i, end))
         i = end
       } else if (s.startsWith("--", i)) {
@@ -399,7 +487,10 @@ object HiveToSnowflakeConverter {
     dwEntity.filter(_ => main).foreach { e =>
       s = s.replaceAll(s"""(?i)\\b(LEFT\\s+OUTER\\s+JOIN)\\s+PUBLIC\\.$e\\b""",
         "$1 TABLE(\\$MD5Source)")
-      if (!s.contains("SET MD5Source=")) {
+      // Word-boundary, case/whitespace-tolerant: `set MD5Source = '…'`
+      // is legal SQL and already provides the source — an exact-string
+      // contains() missed it and prepended a conflicting second SET.
+      if ("""(?i)\bSET\s+MD5Source\s*=""".r.findFirstIn(s).isEmpty) {
         s = s"-- Added MD5Source statement (main script pattern detected)\n" +
           s"SET MD5Source='PUBLIC.$e';\n\n" + s
       }

@@ -17,10 +17,18 @@ object Sinks {
   /** Write parquet sorted within partitions on `sortCols`: parquet
     * row-group statistics then let scans skip pages for range predicates
     * on those columns (poor man's clustering where bucketed metastore
-    * tables aren't available). */
+    * tables aren't available). When `files` is set, the repartition is BY
+    * RANGE on the sort key — round-robin repartition would hand every
+    * file a full-range sample, making each file's min/max span the whole
+    * domain and defeating the cross-file pruning this sink exists for;
+    * range partitioning gives disjoint per-file key ranges at the same
+    * shuffle cost. */
   def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
                   files: Int = 0): Unit = {
-    val base = if (files > 0) df.repartition(files) else df
+    require(sortCols.nonEmpty, "sortCols must be non-empty")
+    import org.apache.spark.sql.functions.col
+    val base =
+      if (files > 0) df.repartitionByRange(files, sortCols.map(col): _*) else df
     base.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write.mode("overwrite").parquet(path)
   }

@@ -225,6 +225,37 @@ class ScriptSpec extends AnyFunSuite {
     assert(out2.contains("position('a', SPLIT_PART(c,'_',1))"), out2)
   }
 
+  test("lexer safety: call rewrites, renames, and comments honor BOTH quote forms") {
+    import HiveToSnowflakeConverter.convert
+    // a quoted paren inside a call argument is data, not call structure
+    assert(convert("SELECT IF(INSTR(col,'(') > 0, 1, 0) FROM t")
+      == "SELECT IFF(position('(', col) > 0, 1, 0) FROM t")
+    // the paren-aware rewrites never fire inside string literals
+    assert(convert("SELECT 'see INSTR(a,b) docs' AS h FROM t")
+      == "SELECT 'see INSTR(a,b) docs' AS h FROM t")
+    assert(convert("SELECT 'x INSTR(a,b) y INSTR(c,d) z' FROM t")
+      == "SELECT 'x INSTR(a,b) y INSTR(c,d) z' FROM t")
+    // double-quoted Hive literals: renames don't corrupt the content,
+    // rule 25 still converts the quotes
+    assert(convert("SELECT \"run IF(x)\" AS doc FROM t")
+      == "SELECT 'run IF(x)' AS doc FROM t")
+    // '--' inside a double-quoted literal is data, not a comment — the
+    // rest of the line still converts
+    assert(convert("SELECT \"a--b\" AS x FROM udm_customer")
+      == "SELECT 'a--b' AS x FROM PUBLIC.customer")
+  }
+
+  test("rule 16 guard: an existing SET MD5Source in any legal spelling wins") {
+    import HiveToSnowflakeConverter.convert
+    val script =
+      """set MD5Source = 'DW.c_currency';
+        |SELECT collect_max_one(a, b) FROM x;
+        |INSERT OVERWRITE TABLE udm_currency SELECT 1;""".stripMargin
+    val out = convert(script)
+    assert(!out.contains("Added MD5Source"),
+      s"should not prepend a second SET:\n$out")
+  }
+
   test("lexer safety: '--' and function names inside string literals are data") {
     // '--' inside a literal must not mask the rest of the line from rules.
     val a = C.convert("WHERE note = 'see--note' AND flag = IF(x,1,0)")

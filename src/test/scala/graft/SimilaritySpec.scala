@@ -167,6 +167,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.forall(!_.getAs[Double]("cos_sim").isNaN))
   }
 
+  test("dot/cosine read float[] columns correctly (implicit array<double> cast)") {
+    // DotProductExpr reads 8-byte doubles out of ArrayData: an uncast
+    // float[] column (the embeddings table's type!) would misread under
+    // codegen. The Column wrappers now cast like the SQL registration.
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot($"a", $"b").as("d"),
+      Similarity.cosine($"a", $"b").as("c")).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 11.0 / math.sqrt(5.0 * 25.0)) < 1e-12)
+    // LSH bucket on raw float vectors equals the double-cast declarative twin
+    val v = Tables.load(spark, TestSpark.Sf0001, "embeddings").limit(20)
+    val cmp = v.select(
+      graft.functions.LshBucketExpr.lshBucket($"embedding", 0, 4).as("native"),
+      Similarity.lshBucketDeclarative(
+        Similarity.asDouble($"embedding"), 0, 4).as("twin")).collect()
+    assert(cmp.nonEmpty && cmp.forall(r => r.getInt(0) == r.getInt(1)))
+  }
+
   test("planesFor grows with the corpus but clamps at LshBucketExpr's 30-bit ceiling") {
     assert(Similarity.planesFor(100) >= 2)
     assert(Similarity.planesFor(1L << 20) < Similarity.planesFor(1L << 40))

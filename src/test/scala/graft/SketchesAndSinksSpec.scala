@@ -98,6 +98,30 @@ class SketchesAndSinksSpec extends AnyFunSuite {
     assert(!lines.exists(_.isEmpty))
   }
 
+  test("writeSorted with a file count gives files DISJOINT sort-key ranges") {
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    val df = spark.range(0, 10000).toDF("k")
+      .withColumn("v", col("k") * 2)
+    Sinks.writeSorted(df, dir, Seq("k"), files = 4)
+    // per-file [min,max] of the sort key must not overlap — round-robin
+    // repartition gave every file the full range, defeating min/max
+    // pruning across files
+    val spans = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map { f =>
+        val one = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("k")), max(col("k"))).head()
+        (one.getLong(0), one.getLong(1))
+      }.sortBy(_._1)
+    assert(spans.length > 1)
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, spans.mkString(","))
+      case _ =>
+    }
+    intercept[IllegalArgumentException](Sinks.writeSorted(df, dir, Seq.empty))
+  }
+
   test("previewCsv renders nested columns as JSON, not Row.toString") {
     import graft.sources.Tables
     val csv = Tables.previewCsv(spark, TestSpark.Sf0001, "embeddings", 3)
