@@ -42,26 +42,50 @@ object Bench {
     // cache pinning skewed later queries by up to 10x on earlier runs —
     // it also means every timed sample rebuilds its own intermediates
     // rather than reading a predecessor's cache.
-    def execute(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Returns None on failure: a failed query's near-zero time-to-throw
+    // must NOT enter the median — a broken build would bench FASTER than
+    // a working one, with exit 0 and no marker in the parsed output.
+    def execute(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      dt
+      if (ok) Some(dt) else None
     }
 
     val results = selected.map { case (name, fn) =>
       execute(name, fn) // untimed warmup — JVM/codegen/page-cache costs land here
       val samples = (1 to runs).map(_ => execute(name, fn))
-      System.err.println(f"[bench] $name%-28s median=${median(samples)}%7.2fs samples=${samples.map(s => f"$s%.2f").mkString(",")}")
-      name -> median(samples)
+      if (samples.forall(_.isDefined)) {
+        val med = median(samples.flatten)
+        System.err.println(f"[bench] $name%-28s median=$med%7.2fs samples=${samples.flatten.map(s => f"$s%.2f").mkString(",")}")
+        name -> Some(med)
+      } else name -> None
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }.toSeq.sorted
+    // Same escaping contract as Verify's oracle_sql.json writer: an
+    // unescaped quote/backslash in sfDir would invalidate the JSON line
+    // and zero the round's bench result at the driver's parse.
+    def j(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val qs = ok.map { case (k, v) => s"\"${j(k)}\":" + v }.mkString("{", ",", "}")
+    val errs =
+      if (failed.isEmpty) ""
+      else s""","errors":${failed.map(f => "\"" + j(f) + "\"").mkString("[", ",", "]")}"""
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"${j(sfDir)}"}""")
     spark.stop()
+    // No nonzero exit: the JSON line above is the contract and has
+    // already been emitted with the explicit "errors" marker.
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
   }
 }

@@ -45,11 +45,20 @@ object UrlDecode {
   def decodeurl(col: Column): Column =
     GraftBridge.column(UrlDecodeExpr(GraftBridge.expression(col.cast("string"))))
 
-  /** Register `decodeurl` for SQL use on a session. */
+  /** Register `decodeurl` for SQL use on a session. (GraftSession
+    * sessions already get it via GraftExtensions — this is for attaching
+    * to a foreign session.) */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "decodeurl",
-      exprs => UrlDecodeExpr(
-        org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, StringType)),
+      exprs => {
+        // Same arity contract as the GraftExtensions registration: a
+        // bare exprs.head would die with an unnamed NoSuchElementException
+        // on decodeurl() and silently IGNORE extra arguments.
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"decodeurl expects 1 argument: decodeurl(s); got ${exprs.length}")
+        UrlDecodeExpr(
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, StringType))
+      },
       "built-in")
 }

@@ -40,15 +40,19 @@ object Multimodal {
     * with e.g. a JNI image decode. Produces an 8-dim byte-histogram-ish
     * feature vector + checksum from the raw payload. */
   def decodeStub(bytes: Array[Byte]): (Long, Array[Float]) = {
+    // Null payload (a null source text encodes to NULL media) decodes
+    // like an empty one — the lenient-at-scale contract; an NPE here
+    // would fail the whole extractFeatures job on one bad row.
+    val b = if (bytes == null) Array.emptyByteArray else bytes
     var checksum = 1125899906842597L
     val hist = new Array[Float](8)
     var i = 0
-    while (i < bytes.length) {
-      checksum = 31 * checksum + bytes(i)
-      hist((bytes(i) & 0xFF) % 8) += 1.0f
+    while (i < b.length) {
+      checksum = 31 * checksum + b(i)
+      hist((b(i) & 0xFF) % 8) += 1.0f
       i += 1
     }
-    val n = math.max(bytes.length, 1).toFloat
+    val n = math.max(b.length, 1).toFloat
     (checksum, hist.map(_ / n))
   }
 
@@ -60,7 +64,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val (checksum, feats) = decodeStub(r.media)
-        MediaFeatures(r.doc_id, r.media_type, r.media.length, r.n_frames,
+        val nBytes = if (r.media == null) 0 else r.media.length
+        MediaFeatures(r.doc_id, r.media_type, nBytes, r.n_frames,
           checksum, feats)
       }
     }

@@ -71,8 +71,10 @@ object FunctionQueries {
     // corpus (DuckDB 1.0 has no url_decode); the general decoder
     // semantics (lenient malformed escapes, arbitrary input) stay pinned
     // by ScalaTest.
+    // (No register() call: the Column wrapper builds UrlDecodeExpr
+    // directly, and GraftSession sessions register the SQL function via
+    // GraftExtensions — mutating registry state here was dead weight.)
     "q_decodeurl" -> ((s, dir) => {
-      UrlDecode.register(s)
       Tables.load(s, dir, "part").select(
         col("p_partkey"),
         UrlDecode.decodeurl(

@@ -76,6 +76,11 @@ class HiveFunctionsSpec extends AnyFunSuite {
     val df = Seq("a%20b+c", "100%interest", "%E2%82%AC").toDF("s")
       .selectExpr("decodeurl(s) AS d")
     assert(df.as[String].collect().toSeq == Seq("a b c", "100%interest", "€"))
+    // register()'s arity contract matches the GraftExtensions path: a
+    // named error, not NoSuchElementException / a silently dropped arg
+    val err = intercept[Exception](spark.sql("SELECT decodeurl('a','b')").collect())
+    val msg = err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("decodeurl expects 1"))
   }
 
   test("argmaxByConcat (reference's Snowflake rewrite) ≡ collectMaxOne on strings") {

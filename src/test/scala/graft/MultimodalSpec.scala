@@ -30,6 +30,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_frames") >= 1)
   }
 
+  test("decode stub treats a null payload as empty (lenient-at-scale)") {
+    val (c0, f0) = Multimodal.decodeStub(null)
+    val (c1, f1) = Multimodal.decodeStub(Array.emptyByteArray)
+    assert(c0 == c1 && f0.toSeq == f1.toSeq)
+    val m = Seq((1L, null.asInstanceOf[Array[Byte]], "image", 64, 64, 1))
+      .toDF("doc_id", "media", "media_type", "width", "height", "n_frames")
+    val out = Multimodal.extractFeatures(m.as[Multimodal.MediaRow]).collect()
+    assert(out.length == 1 && out.head.n_bytes == 0)
+  }
+
   test("decode stub is deterministic and feature shape is fixed") {
     val (c1, f1) = Multimodal.decodeStub("hello".getBytes)
     val (c2, f2) = Multimodal.decodeStub("hello".getBytes)
