@@ -70,12 +70,7 @@ object Bench {
     // Same escaping contract as Verify's oracle_sql.json writer: an
     // unescaped quote/backslash in sfDir would invalidate the JSON line
     // and zero the round's bench result at the driver's parse.
-    def j(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    def j(s: String): String = JsonUtil.esc(s)
     val qs = ok.map { case (k, v) => s"\"${j(k)}\":" + v }.mkString("{", ",", "}")
     val errs =
       if (failed.isEmpty) ""

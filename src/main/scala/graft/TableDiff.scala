@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HiveFunctions.rowHashSafe
+import graft.functions.HiveFunctions.rowFingerprint
 
 /** The discrepancy engine: Spark-native rebuild of the reference's
   * Snowflake-vs-Hive validation surface —
@@ -14,9 +14,10 @@ import graft.functions.HiveFunctions.rowHashSafe
   *    tools/snowflake_tool.py:41-52).
   *
   * Scale design: the whole diff is ONE full-outer shuffle join on the PK.
-  * Row fingerprints (injective per-column md5 chain, rowHashSafe) are computed map-side
-  * before the shuffle, so "is this row discrepant" is a single string
-  * compare per matched key — never a per-column compare across 100 TB.
+  * Row fingerprints (128-bit two-lane xxhash64, rowFingerprint — codegen'd
+  * on raw column bytes, no string casts) are computed map-side before the
+  * shuffle, so "is this row discrepant" is one 16-byte struct compare per
+  * matched key — never a per-column compare across 100 TB.
   * The per-column matrix is only unpivoted for rows already known to
   * mismatch (a tiny subset), and PK sample arrays are capped at
   * `sampleCap`, so metrics rows stay O(1) regardless of input size
@@ -46,7 +47,7 @@ object TableDiff {
   private def withHash(df: DataFrame, pks: Seq[String], cols: Seq[String], side: String): DataFrame =
     df.select(
       (pks.map(col) :+
-        rowHashSafe(cols.map(col)).as(s"${side}_hash")) ++:
+        rowFingerprint(cols.map(col)).as(s"${side}_hash")) ++:
         cols.map(c => col(c).as(s"${side}_$c")): _*)
 
   /** One full-outer join on the PK (single or composite) with presence +

@@ -31,8 +31,10 @@ object VerifyExtras {
                          truthSize: Long, candidateRows: Long,
                          metric: String = "recall") {
     def pass: Boolean = value >= floor
-    def json: String =
-      s"""\"$name\": {\"$metric\": $value, \"floor\": $floor, \"pass\": $pass, \"truth_pairs\": $truthSize, \"candidate_rows\": $candidateRows}"""
+    def json: String = {
+      import JsonUtil.esc
+      s"""\"${esc(name)}\": {\"${esc(metric)}\": $value, \"floor\": $floor, \"pass\": $pass, \"truth_pairs\": $truthSize, \"candidate_rows\": $candidateRows}"""
+    }
   }
 
   /** Pair-set recall of `candidate` over `truth` on (id1, id2) columns. */
@@ -168,8 +170,10 @@ object VerifyExtras {
 
   def writeJson(spark: SparkSession, sfDir: String, outPaths: Seq[String]): Boolean = {
     val cs = checks(spark, sfDir)
+    // sfDir is user/driver-supplied: escape like Bench's JSON line, or a
+    // path with a quote/backslash invalidates the whole artifact.
     val json = cs.map(_.json).mkString(
-      s"""{\"sf\": \"$sfDir\", \"checks\": {""", ", ", "}}")
+      s"""{\"sf\": \"${JsonUtil.esc(sfDir)}\", \"checks\": {""", ", ", "}}")
     outPaths.foreach(p => Files.writeString(Paths.get(p), json))
     cs.foreach(c => System.err.println(
       f"[extras] ${c.name}%-34s ${c.metric}=${c.value}%.4f floor=${c.floor} pass=${c.pass}"))

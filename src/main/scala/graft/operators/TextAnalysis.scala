@@ -128,8 +128,12 @@ object TextAnalysis {
 
   /** Email matcher. Deliberately backslash-free (char classes only) so the
     * exact same pattern string runs identically under Java regex (Spark)
-    * and RE2 (DuckDB oracle) and survives JSON transport unescaped. */
-  val EmailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+    * and RE2 (DuckDB oracle) and survives JSON transport unescaped.
+    * Case-insensitivity is spelled as explicit A-Z ranges rather than a
+    * (?i) flag or \\w class for the same portability reason — scrubPii runs
+    * on RAW text, so 'User@Example.COM' must redact without a lowercase
+    * precondition. */
+  val EmailRe: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
 
   /** NNN-NNN-NNNN phone matcher (same backslash-free portability rule). */
   val PhoneRe: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"

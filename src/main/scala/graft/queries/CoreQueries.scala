@@ -95,11 +95,39 @@ object CoreQueries {
   private val metricsCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  // Sessions whose SparkContext already carries our eviction listener —
+  // without it, a long-lived driver cycling sessions would pin every
+  // stopped session's collected metrics rows (strong map keys) forever.
+  private val evictionHooked =
+    scala.collection.mutable.Set.empty[org.apache.spark.SparkContext]
+
+  private def hookEviction(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (evictionHooked.add(sc)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          metricsCache.synchronized {
+            metricsCache.filterInPlace { case ((sess, _), _) => sess.sparkContext ne sc }
+            evictionHooked.remove(sc); ()
+          }
+      })
+    }
+  }
+
   // synchronized: Map.getOrElseUpdate evaluates the thunk without a lock,
   // so two concurrent first callers would each run the three full diffs.
   // Driver-side metadata access — contention is nil, correctness matters.
+  //
+  // STALENESS CONTRACT: the memo is per (session, dir) and does NOT watch
+  // the files under `dir` — callers starting a new validation round over
+  // changed data must call [[invalidateMetricsTable]] first (the reference
+  // re-writes its persistent dw_data_metrics per round in the same way).
+  // Entries are evicted automatically when the owning session's
+  // application ends, so stopped sessions don't leak collected rows.
   def metricsTable(s: SparkSession, dir: String): DataFrame =
     metricsCache.synchronized {
+      hookEviction(s)
       metricsCache.getOrElseUpdate((s, dir), {
         val u = metricsUnion(s, dir)
         s.createDataFrame(java.util.Arrays.asList(u.collect(): _*), u.schema)
@@ -164,7 +192,7 @@ object CoreQueries {
     // Deliberately uses the reference's PLAIN md5-concat fingerprint
     // (HiveFunctions.rowHash) so its cross-engine portability is what the
     // oracle checks; the engine's internal mismatch hash is the injective
-    // rowHashSafe variant.
+    // xxhash64 rowFingerprint.
     "q_row_hash_diff" -> ((s, dir) => {
       import graft.functions.HiveFunctions.rowHash
       val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice_cents",

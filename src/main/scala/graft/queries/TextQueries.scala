@@ -291,11 +291,11 @@ object TextQueries {
     "q_pii_scrub" ->
       s"""WITH $piiCorpusSql
          |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '${TA.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TA.PhoneRe}')) AS BIGINT) AS n_phones,
          |  md5(regexp_replace(
-         |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '<EMAIL>', 'g'),
-         |        '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+         |        regexp_replace(text, '${TA.EmailRe}', '<EMAIL>', 'g'),
+         |        '${TA.PhoneRe}', '<PHONE>', 'g')) AS scrubbed_md5
          |FROM pii ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
@@ -315,7 +315,7 @@ object TextQueries {
          |  SELECT DISTINCT md5($normSql) AS fp FROM documents WHERE doc_id % 2 = 0),
          |batch AS (
          |  SELECT md5($normSql) AS fp, min(doc_id) AS id
-         |  FROM corpus GROUP BY 1)
+         |  FROM corpus WHERE md5($normSql) IS NOT NULL GROUP BY 1)
          |SELECT id, fp FROM batch b
          |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
          |ORDER BY id""".stripMargin,

@@ -71,6 +71,27 @@ class HiveFunctionsSpec extends AnyFunSuite {
     assert(hs(0) != hs(1)) // "a|b" vs "NULL|ab"
   }
 
+  test("rowFingerprint: equal rows agree; null position and value-shift disagree") {
+    // (x, NULL) vs (NULL, x) is the bare-xxhash64 null-skip alias the
+    // per-column position pre-hash exists to kill.
+    val df = Seq(
+      (1L, Some("a"), Some("b")),
+      (2L, Some("a"), Some("b")),  // identical payload to row 1
+      (3L, Some("a"), None),
+      (4L, None, Some("a")),       // null-skip alias of row 3 under bare xxhash64
+      (5L, Some("ab"), Some("")),  // concat alias of ("a","b") under plain concat
+      (6L, None, None)
+    ).toDF("id", "x", "y")
+      .select($"id", rowFingerprint(Seq($"x", $"y")).as("fp"))
+    val fp = df.orderBy($"id").collect().map(_.getStruct(1)).map(r => (r.getLong(0), r.getLong(1)))
+    assert(fp(0) == fp(1))
+    assert(Set(fp(0), fp(2), fp(3), fp(4), fp(5)).size == 5, "all distinct")
+    // zero compare columns: the constant fingerprint (all-excluded tables
+    // diff as present-and-matching, like md5('') before it)
+    val c = Seq(1, 2).toDF("id").select(rowFingerprint(Nil).as("fp")).collect()
+    assert(c(0).getStruct(0) == c(1).getStruct(0))
+  }
+
   test("decodeurl decodes percent-escapes and '+', keeps malformed input") {
     UrlDecode.register(spark)
     val df = Seq("a%20b+c", "100%interest", "%E2%82%AC").toDF("s")

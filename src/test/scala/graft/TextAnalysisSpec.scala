@@ -51,7 +51,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "reach me at bob@x.io or 555-123-4567 thanks"),
       (2L, "two mails a@b.co c.d@e-f.org and no phone"),
-      (3L, "digits 12-345-6789 but no pii here")
+      (3L, "digits 12-345-6789 but no pii here"),
+      // scrub runs on RAW text — mixed case must redact (round-3 ADVICE)
+      (4L, "write User@Example.COM today")
     ).toDF("doc_id", "text")
     val out = df.select($"doc_id",
         TA.emailCount($"text").as("e"), TA.phoneCount($"text").as("p"),
@@ -61,6 +63,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(0).getString(3) == "reach me at <EMAIL> or <PHONE> thanks")
     assert(out(1).getInt(1) == 2 && out(1).getInt(2) == 0)
     assert(out(2).getInt(1) == 0 && out(2).getInt(2) == 0)
+    assert(out(3).getInt(1) == 1 && out(3).getString(3) == "write <EMAIL> today")
     // scrubbed text never re-matches
     val rescan = df.select(TA.scrubPii($"text").as("s"))
       .select(TA.emailCount($"s").as("e"), TA.phoneCount($"s").as("p"))
