@@ -242,6 +242,59 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minOverlap` of a benchmark document's n-gram shingles — the
+    * eval-leakage scan every serious pre-training pipeline runs before
+    * shipping a corpus (a training doc that contains an eval question
+    * inflates the benchmark score without the model learning anything).
+    *
+    * Scale shape: the asymmetry is the whole design. The benchmark side
+    * (eval suites — thousands to ~10^5 docs) shingles, df-caps, and
+    * denormalizes its per-doc shingle count into a small table that is
+    * BROADCAST; the 100 TB corpus side then never shuffles its shingles
+    * at all — the map-side hash join + partial-aggregated count per
+    * (doc, bench) pair is the only data motion, and output is bounded by
+    * corpus-shingle-rows × benchDfCap.
+    *
+    * `benchDfCap` drops shingles appearing in more than that many
+    * BENCHMARK docs (boilerplate instructions like "choose the best
+    * answer") — computed on the tiny bench side, so the valve costs
+    * nothing. Overlap denominates by the benchmark doc's FULL distinct
+    * shingle count (pre-cap), so capping can only lower a score, never
+    * invent contamination. Production decontamination uses long shingles
+    * (n = 8..13 words), where boilerplate collisions vanish and the cap
+    * never binds; tests use n = 3 to exercise it.
+    *
+    * Rows where the corpus id equals the bench id are excluded (the
+    * benchmark drawn from the corpus itself would otherwise "contaminate"
+    * itself). Output: (doc_id, bench_id, shared, n_bench, overlap). */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, minOverlap: Double = 0.5,
+                         benchDfCap: Int = 100): DataFrame = {
+    def shingleRows(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), explode(shingles(col(textCol), n)).as("raw"))
+        .select(col(as), xxhash64(col("raw")).as("sh"))
+    val bsh = shingleRows(bench, "bench_id")
+    val bSizes = bsh.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
+    val bKeep = bsh.groupBy(col("sh")).agg(count(lit(1)).as("__bdf"))
+      .filter(col("__bdf") <= benchDfCap).select(col("sh"))
+    val bTable = bsh.join(bKeep, Seq("sh")).join(bSizes, Seq("bench_id"))
+    shingleRows(corpus, "doc_id")
+      .join(broadcast(bTable), Seq("sh"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      // shingles are distinct per doc on BOTH sides, so the per-pair row
+      // count IS |A ∩ B|; n_bench rides in the broadcast struct so no
+      // join back to the bench side is needed.
+      .groupBy(col("doc_id"), col("bench_id"), col("n_bench"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("overlap",
+        col("shared").cast("double") / col("n_bench").cast("double"))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("doc_id"), col("bench_id"), col("shared"),
+        col("n_bench"), col("overlap"))
+  }
+
   /** 64-bit SimHash per document: bit i of the hash is the sign of
     * Σ_tokens (±1 depending on bit i of xxhash64(token)). Computed as a
     * per-row codegen'd PROJECTION over the token array

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and train/valid/test splitting for training-data
+  * pipelines.
+  *
+  * Assignment is a pure per-row projection over a salted content hash —
+  * no shuffle, no RNG state, no `rand()` (whose per-task seeding makes
+  * reruns and engine ports disagree). The same (salt, id) lands in the
+  * same split on every run, on every engine with an md5 function, and
+  * after any repartitioning — the property training pipelines need so a
+  * re-run of a 100 TB split job is a no-op diff, and eval rows can be
+  * PROVEN disjoint from train rows years later from the id alone.
+  *
+  * The rank is the first 8 hex chars of `md5(salt ':' id)` compared as a
+  * STRING against quantized thresholds (frac · 2^32 rendered as 8 hex
+  * digits): lowercase-hex string order equals numeric order, so the
+  * split is exactly reproducible in any SQL engine without hex→int
+  * casts (which are not portable). Quantization error is ≤ 2^-32 per
+  * boundary.
+  */
+object Sampling {
+
+  /** 8-hex-char uniform rank in [0, 2^32) for (salt, id) — the portable
+    * random variate every operator here derives from. */
+  def hashRankHex(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 8)
+
+  /** `frac` as the 8-hex-digit threshold hashRankHex is compared to. */
+  private[graft] def thresholdHex(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction out of [0,1]: $frac")
+    // 2^32 exactly; frac=1.0 yields '100000000' (9 chars) which is
+    // string-greater than every 8-char rank — keeps everything, as asked.
+    val q = math.round(frac * 4294967296.0)
+    if (q >= 4294967296L) "100000000" else f"$q%08x"
+  }
+
+  /** Deterministic `frac` sample: keep rows whose rank falls below the
+    * threshold. Composable: samples at f1 < f2 with the same salt are
+    * NESTED (the f1 sample is a subset of the f2 sample), so growing a
+    * training subset never resamples what's already processed. */
+  def hashSample(df: DataFrame, idCol: String, frac: Double,
+                 salt: String = "graft"): DataFrame =
+    df.filter(hashRankHex(col(idCol), salt) < lit(thresholdHex(frac)))
+
+  /** The (name, upper-threshold-hex) ladder shared by [[splitColumn]] and
+    * any SQL mirror of it (e.g. the verification oracle): ONE place
+    * renders the cumulative bounds, so an engine port can't drift by a
+    * floating-point ulp in the cumulative sum. Excludes the last split,
+    * which is the CASE's ELSE arm. */
+  private[graft] def thresholdLadder(splits: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.init.zip(cum.init).map { case ((name, _), upper) =>
+      name -> thresholdHex(upper)
+    }
+  }
+
+  /** Split assignment column: fractions in declaration order, remainder
+    * to the last split. `splits` like Seq("train" -> 0.8, "valid" -> 0.1,
+    * "test" -> 0.1) (fractions must sum to ~1; the last split is the
+    * unconditional remainder so rounding never leaves a row unassigned). */
+  def splitColumn(id: Column, splits: Seq[(String, Double)],
+                  salt: String = "graft"): Column = {
+    val r = hashRankHex(id, salt)
+    val cases = thresholdLadder(splits).foldLeft(Option.empty[Column]) {
+      case (acc, (name, upperHex)) =>
+        val cond = r < lit(upperHex)
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }
+    cases.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+  }
+
+  /** The full train/valid/test assignment frame: id, rank_hex, split. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         splits: Seq[(String, Double)],
+                         salt: String = "graft"): DataFrame =
+    df.withColumn("rank_hex", hashRankHex(col(idCol), salt))
+      .withColumn("split", splitColumn(col(idCol), splits, salt))
+}

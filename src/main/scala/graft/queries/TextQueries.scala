@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.operators.{Dedup, Sampling, Vocab, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Queries #20-#23 and #27-#30 of SURVEY.md §2: text analysis and text
@@ -18,6 +18,17 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val qualityStops = Seq("the", "a")
+
+  /** The train/valid/test ladder q_train_test_split verifies; the oracle
+    * renders its thresholds from the SAME [[Sampling.thresholdLadder]]. */
+  private val splitSpec = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+
+  /** Stand-in eval suite for decontamination: the %7 documents (exactly
+    * the ids dupCorpus duplicates at +100000 — known leaked rows). */
+  def benchCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
 
   def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -196,7 +207,27 @@ object TextQueries {
 
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(dupCorpus(s, dir), "doc_id", "text", maxHamming = 3)
-        .orderBy(col("id1"), col("id2")))
+        .orderBy(col("id1"), col("id2"))),
+
+    // Deterministic salted-hash split: pure projection, reproducible on
+    // any engine with md5 (the oracle IS the reproducibility proof).
+    "q_train_test_split" -> ((s, dir) =>
+      Sampling.deterministicSplit(
+          Tables.load(s, dir, "documents").select(col("doc_id")),
+          "doc_id", splitSpec)
+        .orderBy(col("doc_id"))),
+
+    "q_vocab_topk" -> ((s, dir) =>
+      Vocab.vocabTopK(Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = 100)),
+
+    // Benchmark decontamination: the %7 documents stand in for an eval
+    // suite; dupCorpus's injected copies of exactly those docs are the
+    // leaked training rows the scan must find.
+    "q_contamination" -> ((s, dir) =>
+      Dedup.contaminationPairs(dupCorpus(s, dir), benchCorpus(s, dir),
+          "doc_id", "text", n = 3, minOverlap = 0.5)
+        .orderBy(col("doc_id"), col("bench_id")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -342,6 +373,59 @@ object TextQueries {
          |  JOIN sizes s1 ON pairs.id1 = s1.id
          |  JOIN sizes s2 ON pairs.id2 = s2.id)
          |SELECT id1, id2, shared, n1, n2, jaccard FROM j
-         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin
+         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    "q_train_test_split" -> {
+      // Thresholds render from the SAME ladder the Spark operator uses —
+      // the oracle match IS the cross-engine reproducibility proof.
+      val rExpr = "substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+      val cases = Sampling.thresholdLadder(splitSpec)
+        .map { case (name, hex) => s"WHEN $rExpr < '$hex' THEN '$name'" }
+        .mkString(" ")
+      s"""SELECT doc_id, $rExpr AS rank_hex,
+         |  CASE $cases ELSE '${splitSpec.last._1}' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_vocab_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         |s AS (SELECT token, count(*) AS n_occurrences,
+         |             count(DISTINCT doc_id) AS n_docs
+         |      FROM t GROUP BY token)
+         |SELECT token, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+         |       CAST(n_docs AS BIGINT) AS n_docs
+         |FROM s ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH $dupCorpusSql,
+         |ctokd AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(l[i:i+2], ' ')
+         |                   for i in range(1, greatest(len(l) - 2, 0) + 1)]) AS shs
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS l FROM corpus)),
+         |csh AS (SELECT doc_id, unnest(shs) AS sh FROM ctokd),
+         |btokd AS (
+         |  SELECT doc_id AS bench_id,
+         |    list_distinct([array_to_string(l[i:i+2], ' ')
+         |                   for i in range(1, greatest(len(l) - 2, 0) + 1)]) AS shs
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS l
+         |        FROM documents WHERE doc_id % 7 = 0)),
+         |bsh AS (SELECT bench_id, unnest(shs) AS sh FROM btokd),
+         |bsizes AS (SELECT bench_id, count(*) AS n_bench FROM bsh GROUP BY bench_id),
+         |bkeep AS (SELECT sh FROM bsh GROUP BY sh HAVING count(*) <= 100),
+         |bshk AS (SELECT bsh.bench_id, bsh.sh FROM bsh JOIN bkeep USING (sh)),
+         |pairs AS (
+         |  SELECT c.doc_id, b.bench_id, count(*) AS shared
+         |  FROM csh c JOIN bshk b ON c.sh = b.sh AND c.doc_id <> b.bench_id
+         |  GROUP BY 1, 2),
+         |o AS (
+         |  SELECT p.doc_id, p.bench_id, p.shared, s.n_bench,
+         |    CAST(p.shared AS DOUBLE) / CAST(s.n_bench AS DOUBLE) AS overlap
+         |  FROM pairs p JOIN bsizes s USING (bench_id))
+         |SELECT doc_id, bench_id, shared, n_bench, overlap FROM o
+         |WHERE overlap >= 0.5 ORDER BY doc_id, bench_id""".stripMargin
   )
 }

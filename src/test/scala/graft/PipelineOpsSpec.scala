@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sampling, Vocab}
+
+/** Sampling/split, vocabulary, and decontamination — the round-4
+  * training-pipeline operators (SURVEY §2 #58-#60). */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- deterministic split ----------------------------------------------
+
+  test("thresholdHex quantizes fractions to 8 hex digits, endpoints exact") {
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    assert(Sampling.thresholdHex(1.0) == "100000000") // > every 8-char rank
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    intercept[IllegalArgumentException](Sampling.thresholdHex(1.5))
+  }
+
+  test("hashRankHex matches an independent md5 (the portability contract)") {
+    val got = Seq(7L, 42L, 99L).toDF("id")
+      .select($"id", Sampling.hashRankHex($"id", "graft").as("r"))
+      .orderBy($"id").as[(Long, String)].collect()
+    def ref(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$id".getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    got.foreach { case (id, r) => assert(r == ref(id), s"id $id") }
+  }
+
+  test("deterministicSplit: total cover, rerun-stable, fractions in band") {
+    val ids = (1L to 10000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val a = Sampling.deterministicSplit(ids, "id", splits)
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(a.values.sum == 10000L)
+    assert(math.abs(a("train") - 8000L) < 300, s"train=${a("train")}")
+    assert(math.abs(a("valid") - 1000L) < 150, s"valid=${a("valid")}")
+    assert(math.abs(a("test") - 1000L) < 150, s"test=${a("test")}")
+    // rerun and repartition change nothing (no RNG state anywhere)
+    val b = Sampling.deterministicSplit(ids.repartition(7), "id", splits)
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Sampling.splitColumn($"id", Seq("a" -> 0.5, "b" -> 0.2)))
+  }
+
+  test("hashSample fractions are nested: f=0.2 sample ⊆ f=0.5 sample") {
+    val ids = (1L to 5000L).toDF("id")
+    val s02 = Sampling.hashSample(ids, "id", 0.2).as[Long].collect().toSet
+    val s05 = Sampling.hashSample(ids, "id", 0.5).as[Long].collect().toSet
+    assert(s02.subsetOf(s05))
+    assert(math.abs(s02.size - 1000) < 120 && math.abs(s05.size - 2500) < 160)
+    // different salt → a different (but still deterministic) subset
+    val alt = Sampling.hashSample(ids, "id", 0.2, salt = "other").as[Long].collect().toSet
+    assert(alt != s02)
+  }
+
+  // ---- vocabulary --------------------------------------------------------
+
+  test("tokenStats/vocabTopK: handcrafted counts, null/empty routed out") {
+    val df = Seq(
+      (1L, "a b a"), (2L, "b c"), (3L, null.asInstanceOf[String]), (4L, "")
+    ).toDF("doc_id", "text")
+    val stats = Vocab.tokenStats(df, "doc_id", "text")
+      .orderBy($"token").as[(String, Long, Long)].collect().toSeq
+    assert(stats == Seq(("a", 2L, 1L), ("b", 2L, 2L), ("c", 1L, 1L)))
+    // top-2 cut is deterministic: (n desc, token) puts a before b, drops c
+    val top = Vocab.vocabTopK(df, "doc_id", "text", 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top == Seq(("a", 2L, 1L), ("b", 2L, 2L)))
+  }
+
+  // ---- decontamination ---------------------------------------------------
+
+  test("contaminationPairs finds the leaked copy, excludes self, caps boilerplate") {
+    val bench = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (20L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),   // the bench doc itself
+      (99L, "alpha beta gamma delta epsilon zeta"),   // leaked exact copy
+      (98L, "alpha beta gamma delta unrelated tail"), // partial (2/4 shingles)
+      (97L, "completely different text with no overlap at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(corpus, bench, "doc_id", "text",
+        n = 3, minOverlap = 0.5)
+      .orderBy($"doc_id").collect()
+    // only the exact copy crosses 0.5 (98's overlap = 2/4 = 0.5 ≥ 0.5 too)
+    val byDoc = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(byDoc.keySet == Set(98L, 99L))
+    assert(byDoc(99L) == ((10L, 4L, 4L, 1.0)))
+    assert(byDoc(98L) == ((10L, 2L, 4L, 0.5)))
+    // self row (10, 10) must be absent even though it matches perfectly
+    assert(!out.exists(r => r.getLong(0) == 10L))
+
+    // benchDfCap: a shingle present in BOTH bench docs is boilerplate at
+    // cap=1 — a corpus doc made only of it no longer matches anything
+    val bench2 = Seq(
+      (1L, "choose the best answer alpha"),
+      (2L, "choose the best answer beta")
+    ).toDF("doc_id", "text")
+    val corpus2 = Seq((5L, "choose the best answer")).toDF("doc_id", "text")
+    val capped = Dedup.contaminationPairs(corpus2, bench2, "doc_id", "text",
+      n = 3, minOverlap = 0.1, benchDfCap = 1)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.contaminationPairs(corpus2, bench2, "doc_id", "text",
+      n = 3, minOverlap = 0.1, benchDfCap = 100)
+    assert(uncapped.count() == 2)
+  }
+}
