@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Temporal/range join operators Spark's optimizer has no native node for
+  * — both re-expressed as shapes Catalyst DOES optimize well (one
+  * hash-partitioned window pass; an equi-join on quantized cells) instead
+  * of the O(left × right-per-key) sort-merge range scans or nested-loop
+  * theta joins a naive translation produces.
+  */
+object Joins {
+
+  private val Reserved =
+    Seq("__k", "__ts", "__side", "__tie", "__l", "__r", "__c", "__fcell", "__rcell")
+
+  private def checkReserved(dfs: DataFrame*): Unit = {
+    val clash = dfs.flatMap(_.columns).filter(Reserved.contains)
+    require(clash.isEmpty, s"column(s) ${clash.mkString(",")} collide with " +
+      s"Joins temp columns (${Reserved.mkString(",")})")
+  }
+
+  /** As-of join: every left row picks the NEWEST right row with the same
+    * key and right time ≤ left time (ties on time are inclusive; among
+    * equal right times the greatest `tieBreak` wins, so the result is
+    * deterministic under any partitioning). Right rows with a NULL key or
+    * NULL time match nothing — SQL join semantics, not null-grouping.
+    *
+    * Shape: union both sides tagged, ONE shuffle on the key, one window
+    * pass carrying the latest right payload struct
+    * (`last(_, ignoreNulls)` over rows-unbounded-preceding), filter back
+    * to left rows. No join operator at all: the sort the window does is
+    * the same sort a merge join would do, but each left row reads the
+    * carried struct in O(1) instead of range-scanning its key's right
+    * rows — a popular key costs O(n log n) in its partition, never
+    * O(n·m). The payload rides as ONE struct so all carried fields come
+    * from the SAME right row (per-column `last(ignoreNulls)` would mix
+    * rows when a payload field is legitimately null).
+    *
+    * At 100 TB: both sides shuffle once on the key — the plan you would
+    * bucket for; a single hot key serializes its own partition only
+    * (salt by coarse time range and stitch across salt boundaries if one
+    * key dominates the corpus).
+    *
+    * Output: every left column, then `prefix`+time and `prefix`+payload
+    * columns (null when no right row precedes). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               payload: Seq[String], tieBreak: Option[String] = None,
+               prefix: String = "asof_"): DataFrame = {
+    checkReserved(left, right)
+    require(!payload.contains(time), s"payload already carries $time")
+    val rPay = struct((time +: payload).map(col): _*)
+    val lType = left.select(struct(left.columns.map(col): _*).as("s"))
+      .schema("s").dataType
+    val rType = right.select(rPay.as("s")).schema("s").dataType
+    val tieType = tieBreak.map(right.schema(_).dataType).getOrElse(LongType)
+    val lU = left.select(
+      col(key).as("__k"), col(time).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(tieType).as("__tie"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val rU = right
+      .filter(col(key).isNotNull && col(time).isNotNull)
+      .select(
+        col(key).as("__k"), col(time).as("__ts"), lit(0).as("__side"),
+        tieBreak.map(col(_).cast(tieType)).getOrElse(lit(null).cast(tieType)).as("__tie"),
+        lit(null).cast(lType).as("__l"),
+        rPay.as("__r"))
+    // Right rows sort BEFORE left rows at equal time (side 0 < 1) — the
+    // inclusive ≤ contract; equal-time LEFT rows all see the same carried
+    // value (every eligible right row sorts before both), so their
+    // relative order is irrelevant and the output is deterministic.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lU.unionByName(rU)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +:
+        (time +: payload).map(c => col(s"__c.$c").as(prefix + c)): _*)
+  }
+
+  /** Range (band) join: fact rows matched to every dimension range with
+    * `lo ≤ value < hi`, as an EQUI-join on quantized cells — each range
+    * replicates to the ⌈width/cellSize⌉ cells it covers, each fact
+    * computes its one cell, and the exact bounds post-filter inside the
+    * join condition. A theta join here is a nested loop (broadcast NLJ
+    * at best) — fine for a 10-row band table, quadratic death for a
+    * large one; the cell join is a plain shuffled/broadcast hash join
+    * whose only overhead is the dimension replication factor, which
+    * `cellSize` tunes (pick it near the typical range width: a few cells
+    * per range, one probe per fact). Empty ranges (lo ≥ hi) match
+    * nothing; facts with a NULL value match nothing (inner) or survive
+    * with null range columns (left_outer). Overlapping ranges yield one
+    * output row per covering range — relational semantics, not
+    * first-match. */
+  def rangeJoinBucketed(facts: DataFrame, valueCol: String,
+                        ranges: DataFrame, loCol: String, hiCol: String,
+                        cellSize: Double, joinType: String = "inner"): DataFrame = {
+    checkReserved(facts, ranges)
+    require(cellSize > 0, "cellSize must be positive")
+    require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"unsupported joinType $joinType (as-of/range joins are left-oriented)")
+    val f = facts.withColumn("__fcell",
+      floor(col(valueCol) / cellSize).cast("long"))
+    val r = ranges
+      .filter(col(loCol) < col(hiCol))
+      .withColumn("__rcell", explode(sequence(
+        floor(col(loCol) / cellSize).cast("long"),
+        // hi is EXCLUSIVE: a range ending exactly on a cell boundary does
+        // not cover that cell — ceil(hi/cell)-1 is its last covered cell
+        ceil(col(hiCol) / cellSize).cast("long") - 1)))
+    f.join(r,
+        f("__fcell") === r("__rcell") &&
+          f(valueCol) >= r(loCol) && f(valueCol) < r(hiCol),
+        joinType)
+      .drop("__fcell", "__rcell")
+  }
+}

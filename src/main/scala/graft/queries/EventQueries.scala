@@ -4,17 +4,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.operators.Joins
 import graft.sources.Tables
 
 /** Queries #32-#33 of SURVEY.md §2: batch twins of the streaming operators
-  * over `events` (event_id, ts, user_id, event_type, value, props). The
-  * live Structured Streaming versions are in graft.streaming.EventStream.
+  * over `events` (event_id, ts, user_id, event_type, value, props), plus
+  * the temporal/range join surface (#61-#62). The live Structured
+  * Streaming versions are in graft.streaming.EventStream.
   */
 object EventQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+
+  /** Value bands for the range join: log-ish widths like a real pricing /
+    * latency banding dimension; [0, 1000) covers the corpus domain. */
+  private val bands = Seq(
+    ("b0", 0.0, 1.0), ("b1", 1.0, 5.0), ("b2", 5.0, 10.0),
+    ("b3", 10.0, 50.0), ("b4", 50.0, 100.0), ("b5", 100.0, 250.0),
+    ("b6", 250.0, 500.0), ("b7", 500.0, 1000.0))
+
+  private val bandsSql: String =
+    "bands AS (SELECT band, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi FROM (VALUES " +
+      bands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ") +
+      ") t(band, lo, hi))"
 
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour window aggregation: the batch twin of the streaming
@@ -72,6 +86,35 @@ object EventQueries {
           max(col("ts")).as("session_end"),
           sum(round(col("value") * 1000).cast("long")).as("value_milli"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // As-of join: each view picks the user's newest purchase at-or-before
+    // its timestamp (the oracle is DuckDB's native ASOF LEFT JOIN).
+    "q_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Joins.asOfJoin(views, purchases, "user_id", "ts",
+          payload = Seq("event_id", "value"), tieBreak = Some("event_id"),
+          prefix = "purchase_")
+        .orderBy(col("event_id"))
+    }),
+
+    // Range join on quantized cells, rolled up per band (the rollup's
+    // count/id-checksum/value sum would expose any misassigned row).
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val b = bands.toDF("band", "lo", "hi")
+      Joins.rangeJoinBucketed(
+          events(s, dir).select(col("event_id"), col("value")),
+          "value", b, "lo", "hi", cellSize = 50.0)
+        .groupBy(col("band"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"),
+          sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+        .orderBy(col("band"))
     })
   )
 
@@ -106,6 +149,37 @@ object EventQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
-        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    // Purchases deduped per (user, ts) to the max event_id first: the
+    // Spark window picks exactly that row among equal-time purchases,
+    // while ASOF's own tie choice among duplicates is unspecified.
+    "q_asof_join" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'view'),
+        |p0 AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT * FROM p0
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id DESC) = 1)
+        |SELECT v.event_id, v.user_id, v.ts, v.value,
+        |  p.ts AS purchase_ts, p.event_id AS purchase_event_id,
+        |  p.value AS purchase_value
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.event_id""".stripMargin,
+
+    "q_range_join" ->
+      s"""WITH $bandsSql,
+         |j AS (
+         |  SELECT b.band, b.lo, b.hi, e.event_id, e.value
+         |  FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi)
+         |SELECT band, lo, hi, count(*) AS n_events,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+         |FROM j GROUP BY 1, 2, 3 ORDER BY band""".stripMargin
   )
 }

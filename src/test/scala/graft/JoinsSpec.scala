@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Joins
+
+class JoinsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin: newest-at-or-before, inclusive tie, max-tieBreak, left nulls") {
+    val left = Seq(
+      (1L, 10L, ts("2020-01-01 00:05:00"), 1.5),  // equals a purchase ts → inclusive
+      (2L, 10L, ts("2020-01-01 00:00:30"), 2.0),  // before every purchase → nulls
+      (3L, 10L, ts("2020-01-01 00:10:00"), 3.0),  // after tie pair → max event_id wins
+      (4L, 11L, ts("2020-01-01 01:00:00"), 4.0)   // key with no right rows
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (100L, 10L, ts("2020-01-01 00:01:00"), 9.0),
+      (101L, 10L, ts("2020-01-01 00:05:00"), 8.0),
+      (103L, 10L, ts("2020-01-01 00:07:00"), 7.0),  // tie on ts:
+      (102L, 10L, ts("2020-01-01 00:07:00"), 6.0)   //   103 > 102 → 103 wins
+    ).toDF("event_id", "user_id", "ts", "value")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val out = Joins.asOfJoin(left, right, "user_id", "ts",
+        payload = Seq("event_id", "value"), tieBreak = Some("event_id"),
+        prefix = "p_")
+      .orderBy($"event_id").collect()
+    assert(out.map(_.getAs[Any]("p_event_id")).toSeq == Seq(101L, null, 103L, null))
+    assert(out(0).getAs[Double]("p_value") == 8.0)
+    assert(out(2).getAs[Double]("p_value") == 7.0) // same row as 103, not mixed
+    assert(out(1).isNullAt(out(1).fieldIndex("p_ts")))
+    // left columns pass through untouched
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("asOfJoin: null right key/time match nothing; payload struct is atomic") {
+    val left = Seq((1L, 10L, ts("2020-01-01 02:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      (Some(10L), Some(ts("2020-01-01 01:00:00")), Some(5.0)),
+      (Some(10L), Some(ts("2020-01-01 01:30:00")), None), // newest has null payload
+      (None, Some(ts("2020-01-01 01:45:00")), Some(7.0)), // null key: ignored
+      (Some(10L), None, Some(8.0))                        // null time: ignored
+    ).toDF("k", "ts", "v")
+    val out = Joins.asOfJoin(left, right, "k", "ts", payload = Seq("v"),
+      prefix = "r_").collect()
+    assert(out.length == 1)
+    // the newest eligible row (01:30) wins WITH its null payload — a
+    // per-column last(ignoreNulls) would wrongly resurrect 5.0 from 01:00
+    assert(out(0).getAs[Timestamp]("r_ts") == ts("2020-01-01 01:30:00"))
+    assert(out(0).isNullAt(out(0).fieldIndex("r_v")))
+  }
+
+  test("asOfJoin refuses reserved column names") {
+    val df = Seq((1L, 2L)).toDF("__k", "x")
+    intercept[IllegalArgumentException](
+      Joins.asOfJoin(df, df, "__k", "x", payload = Nil))
+  }
+
+  test("rangeJoinBucketed: bounds half-open, cell-boundary exact, overlap duplicates") {
+    val facts = Seq((1L, 0.0), (2L, 49.9999), (3L, 50.0), (4L, 99.0),
+      (5L, 100.0), (6L, 250.0)).toDF("id", "v")
+    val ranges = Seq(
+      ("a", 0.0, 50.0),     // exactly one cell at cellSize=50
+      ("b", 50.0, 100.0),
+      ("o", 40.0, 60.0),    // overlaps a and b
+      ("empty", 10.0, 10.0) // lo == hi: matches nothing
+    ).toDF("band", "lo", "hi")
+    val out = Joins.rangeJoinBucketed(facts, "v", ranges, "lo", "hi", 50.0)
+      .select($"id", $"band").as[(Long, String)].collect().toSet
+    assert(out == Set(
+      1L -> "a", 2L -> "a", 2L -> "o", 3L -> "b", 3L -> "o", 4L -> "b"))
+    // 5 (v=100) is excluded by b's exclusive hi even though it shares the
+    // cell; 6 matches nothing. left_outer keeps both with null bands.
+    val lo = Joins.rangeJoinBucketed(facts, "v", ranges, "lo", "hi", 50.0,
+        joinType = "left_outer")
+      .filter($"band".isNull).select($"id").as[Long].collect().toSet
+    assert(lo == Set(5L, 6L))
+  }
+
+  test("rangeJoinBucketed matches a plain theta join on random data") {
+    val facts = (1L to 500L).toDF("id")
+      .withColumn("v", pmod(xxhash64($"id"), lit(10000L)).cast("double") / 10.0)
+    val ranges = Seq(("r1", 0.0, 100.0), ("r2", 100.0, 103.5),
+      ("r3", 103.5, 700.0), ("r4", 700.0, 1000.0)).toDF("band", "lo", "hi")
+    val bucketed = Joins.rangeJoinBucketed(facts, "v", ranges, "lo", "hi", 25.0)
+      .select($"id", $"band").as[(Long, String)].collect().toSet
+    val theta = facts.join(ranges, facts("v") >= ranges("lo") && facts("v") < ranges("hi"))
+      .select($"id", $"band").as[(Long, String)].collect().toSet
+    assert(bucketed == theta && bucketed.nonEmpty)
+  }
+}
