@@ -100,19 +100,18 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
                         dfCap: Int = 10000): DataFrame = {
-    // Hashed postings are persisted: shingle generation (normalize + regex
-    // split + higher-order transform — interpreted, the expensive part) runs
-    // ONCE for the two consumers below instead of being recomputed from the
-    // text per consumer. The cached form is just (long, long) pairs —
-    // exactly what you'd materialize at 100 TB too. NOTE: DataFrame caches
-    // are pinned by the CacheManager until unpersist/clearCache — callers
-    // running many corpora in one session should spark.catalog.clearCache()
-    // between sweeps.
+    // The doc's shingle-set size rides WITH every posting row (it's just
+    // size(array) in the same projection that explodes the array), so |A|
+    // and |B| are already in the bucket structs when pairs form — the
+    // minhash/simhash "signature rides in the posting struct" shape. The
+    // alternative (a groupBy(id) sizes table joined back per pair side)
+    // costs one corpus shuffle + TWO corpus-cardinality joins + a persist
+    // to share the shingle pass between consumers; this form has ONE
+    // consumer, so nothing re-computes and nothing pins the cache.
     val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("raw"))
-      .select(col("id"), xxhash64(col("raw")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+        shingles(col(textCol), n).as("arr"))
+      .select(col("id"), size(col("arr")).as("n_sh"), explode(col("arr")).as("raw"))
+      .select(struct(col("id"), col("n_sh")).as("doc"), xxhash64(col("raw")).as("sh"))
     // Pair generation via bucket arrays + double explode: one shuffle to
     // build posting buckets (the stop-shingle df cap is just a filter on
     // bucket size — no separate df aggregate or anti join), then the
@@ -124,21 +123,17 @@ object Dedup {
     // size filter drops it (over-cap keys surface as exactly dfCap+1
     // elements — above the filter, identical output).
     val buckets = sh.groupBy(col("sh"))
-      .agg(cappedCollectList(col("id"), dfCap).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
-    val pairs = buckets
-      .select(explode(col("ids")).as("id1"), col("ids"))
-      .select(col("id1"), explode(col("ids")).as("id2"))
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
+      .agg(cappedCollectList(col("doc"), dfCap).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= dfCap)
+    // (id, n_sh) is functionally dependent on id, so grouping by the four
+    // columns equals grouping by the pair — no join back for sizes.
+    buckets
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
       .agg(count(lit(1)).as("shared"))
-    // No broadcast hint: sizes is CORPUS-cardinality (one row per doc) —
-    // forcing it over the wire dies at web scale on the broadcast ceiling.
-    // AQE broadcasts whichever side is actually small (usually the
-    // candidate pairs).
-    pairs
-      .join(sizes.select(col("id").as("id1"), col("n_sh").as("n1")), Seq("id1"))
-      .join(sizes.select(col("id").as("id2"), col("n_sh").as("n2")), Seq("id2"))
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("n1") + col("n2") - col("shared")).cast("double"))
