@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Vocab, TextAnalysis => TA}
+import graft.operators.{Dedup, Packing, Sampling, Vocab, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Queries #20-#23 and #27-#30 of SURVEY.md §2: text analysis and text
@@ -227,7 +227,19 @@ object TextQueries {
     "q_contamination" -> ((s, dir) =>
       Dedup.contaminationPairs(dupCorpus(s, dir), benchCorpus(s, dir),
           "doc_id", "text", n = 3, minOverlap = 0.5)
-        .orderBy(col("doc_id"), col("bench_id")))
+        .orderBy(col("doc_id"), col("bench_id"))),
+
+    // Sequence packing: global token offsets in the deterministic
+    // shuffled concat order, 2048-token blocks.
+    "q_pack_sequences" -> ((s, dir) =>
+      Packing.sequenceOffsets(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"),
+              TA.wsTokenCount(col("text")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", maxTokens = 2048)
+        .select(col("doc_id"), col("n_tokens"), col("rank_hex"),
+          col("token_offset"), col("seq_first"), col("seq_last"))
+        .orderBy(col("doc_id")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -426,6 +438,27 @@ object TextQueries {
          |    CAST(p.shared AS DOUBLE) / CAST(s.n_bench AS DOUBLE) AS overlap
          |  FROM pairs p JOIN bsizes s USING (bench_id))
          |SELECT doc_id, bench_id, shared, n_bench, overlap FROM o
-         |WHERE overlap >= 0.5 ORDER BY doc_id, bench_id""".stripMargin
+         |WHERE overlap >= 0.5 ORDER BY doc_id, bench_id""".stripMargin,
+
+    // The single global window cumsum: the distributed two-phase prefix
+    // sum must equal it bit-for-bit (same total order: bucket prefix
+    // ordering is rank-prefix ordering).
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8) AS rank_hex
+        |  FROM documents
+        |  WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT *,
+        |    CAST(sum(n_tokens) OVER (ORDER BY rank_hex, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS token_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, rank_hex, token_offset,
+        |  CAST(floor(CAST(token_offset AS DOUBLE) / 2048) AS BIGINT) AS seq_first,
+        |  CAST(floor(CAST(token_offset + greatest(n_tokens, 1) - 1 AS DOUBLE) / 2048)
+        |    AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Sampling, Vocab}
+import graft.operators.{Dedup, Packing, Sampling, Vocab}
 
 /** Sampling/split, vocabulary, and decontamination — the round-4
   * training-pipeline operators (SURVEY §2 #58-#60). */
@@ -73,6 +73,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     val top = Vocab.vocabTopK(df, "doc_id", "text", 2)
       .as[(String, Long, Long)].collect().toSeq
     assert(top == Seq(("a", 2L, 1L), ("b", 2L, 2L)))
+  }
+
+  // ---- sequence packing --------------------------------------------------
+
+  test("sequenceOffsets: two-phase prefix sum == single global window, exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 500L).toDF("id")
+      .withColumn("n", pmod(xxhash64($"id"), lit(100L)))
+    val out = Packing.sequenceOffsets(docs, "id", "n", maxTokens = 64)
+      .select($"id", $"token_offset").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy($"rank_hex", $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs
+      .withColumn("rank_hex", Sampling.hashRankHex($"id", "pack"))
+      .withColumn("token_offset", sum($"n").over(w) - $"n")
+      .select($"id", $"token_offset").as[(Long, Long)].collect().toMap
+    assert(out == ref)
+    // conservation: offsets tile the token stream with no gap or overlap
+    val total = docs.agg(sum($"n")).as[Long].head()
+    assert(out.map { case (id, _) => id }.size == 500)
+    val withN = docs.select($"id", $"n").as[(Long, Long)].collect().toMap
+    assert(out.map { case (id, off) => off + withN(id) }.max == total)
+  }
+
+  test("sequenceOffsets: block spans, zero-token docs, null exclusion, guards") {
+    // force a known order: ids chosen so we only assert structural facts
+    val docs = Seq((1L, Some(25L)), (2L, Some(5L)), (3L, Some(0L)),
+      (4L, None)).toDF("id", "n")
+    val out = Packing.sequenceOffsets(docs, "id", "n", maxTokens = 10)
+      .select($"id", $"n", $"token_offset", $"seq_first", $"seq_last")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!out.contains(4L)) // unknown length cannot be placed
+    out.values.foreach { case (_, n, off, sf, sl) =>
+      assert(sf == off / 10)
+      assert(sl == (off + math.max(n, 1) - 1) / 10)
+      assert(sl >= sf)
+      if (n == 25L) assert(sl - sf >= 2) // a 25-token doc spans ≥3 blocks of 10
+      if (n == 0L) assert(sl == sf)      // zero-token doc sits in its start block
+    }
+    intercept[IllegalArgumentException](
+      Packing.sequenceOffsets(docs.withColumnRenamed("n", "__cum"), "id", "__cum", 10))
+    intercept[IllegalArgumentException](
+      Packing.sequenceOffsets(docs, "id", "n", 0))
   }
 
   // ---- decontamination ---------------------------------------------------
