@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25-style relevance scoring of a corpus against a query term set —
+  * the standard retrieval ranking (and the data-curation scorer for
+  * "documents similar to a seed set" mixture building).
+  *
+  * Scale shape: the corpus explodes tokens but FILTERS to the query terms
+  * in the same projection, so only matching (doc, term) rows — a ~|terms|
+  * fan-in, not the token stream — reach the one aggregation shuffle. The
+  * per-term document frequencies and the two corpus scalars (N, avgdl)
+  * are broadcast; nothing corpus-sized joins anything.
+  *
+  * Determinism discipline (the oracle hash-compares raw doubles):
+  *  - idf is the RATIO form (N − df + 0.5)/(df + 0.5) — same ranking
+  *    monotonicity as the log form, but add/mul/div are IEEE
+  *    correctly-rounded in every engine while ln() implementations
+  *    differ by ulps and would break cross-engine bit-parity. A caller
+  *    wanting the classic log-idf can apply ln() on top (monotone, so
+  *    the RANKING this operator exists for is unchanged).
+  *  - the per-doc score sums its term contributions in FIXED `terms`
+  *    order via one pivoted column per term (each pivot cell aggregates
+  *    exactly one row), never via a float sum whose association order
+  *    follows partitioning.
+  */
+object Relevance {
+
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct == terms, "terms must be distinct")
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    val docs = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val scalars = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms.map(t => t: Any): _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfTable = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val contrib =
+      ((col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(dfTable), Seq("token"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("contrib", contrib)
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, col("contrib"))).as(s"__c_$i")
+    }
+    val score: Column = terms.indices
+      .map(i => coalesce(col(s"__c_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    scored.groupBy(col("doc_id"))
+      .agg(pivots.head, (pivots.tail :+ count(lit(1)).as("n_terms_matched")): _*)
+      .select(col("doc_id"), score.as("score"), col("n_terms_matched"))
+  }
+}

@@ -31,10 +31,12 @@ object Sampling {
   /** `frac` as the 8-hex-digit threshold hashRankHex is compared to. */
   private[graft] def thresholdHex(frac: Double): String = {
     require(frac >= 0.0 && frac <= 1.0, s"fraction out of [0,1]: $frac")
-    // 2^32 exactly; frac=1.0 yields '100000000' (9 chars) which is
-    // string-greater than every 8-char rank — keeps everything, as asked.
+    // 2^32 exactly. frac=1.0 must be a STRING upper bound for every hex
+    // rank: 'g' > 'f' ≥ any rank char, so "g0000000" keeps everything.
+    // (A numeric-looking "100000000" would NOT: '1' < 'a' in string
+    // order, so ranks starting a-f would wrongly drop.)
     val q = math.round(frac * 4294967296.0)
-    if (q >= 4294967296L) "100000000" else f"$q%08x"
+    if (q >= 4294967296L) "g0000000" else f"$q%08x"
   }
 
   /** Deterministic `frac` sample: keep rows whose rank falls below the
@@ -44,6 +46,23 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, frac: Double,
                  salt: String = "graft"): DataFrame =
     df.filter(hashRankHex(col(idCol), salt) < lit(thresholdHex(frac)))
+
+  /** Stratified deterministic sample: per-stratum keep fractions (e.g.
+    * downsample the dominant language while keeping the tail whole — the
+    * standard pre-training mixture rebalance). Strata not in `fracs`
+    * (including NULL) use `defaultFrac`. Same rank as [[hashSample]], so
+    * per-stratum nesting holds and the whole pass is a shuffle-free
+    * filter over the scan. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fracs: Map[String, Double], defaultFrac: Double = 1.0,
+                       salt: String = "graft"): DataFrame = {
+    val thr = fracs.toSeq.sortBy(_._1)
+      .foldRight(lit(thresholdHex(defaultFrac)): Column) {
+        case ((stratum, f), acc) =>
+          when(col(strataCol) === stratum, lit(thresholdHex(f))).otherwise(acc)
+      }
+    df.filter(hashRankHex(col(idCol), salt) < thr)
+  }
 
   /** The (name, upper-threshold-hex) ladder shared by [[splitColumn]] and
     * any SQL mirror of it (e.g. the verification oracle): ONE place

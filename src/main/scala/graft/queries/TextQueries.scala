@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Packing, Sampling, Vocab, TextAnalysis => TA}
+import graft.operators.{Dedup, Packing, Relevance, Sampling, Vocab, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Queries #20-#23 and #27-#30 of SURVEY.md §2: text analysis and text
@@ -22,6 +22,13 @@ object TextQueries {
   /** The train/valid/test ladder q_train_test_split verifies; the oracle
     * renders its thresholds from the SAME [[Sampling.thresholdLadder]]. */
   private val splitSpec = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+
+  /** BM25 query terms (same lexicon as q_keyword_search). */
+  private val bm25Terms = Seq("data", "query", "fast")
+
+  /** Mixture rebalance for q_stratified_sample: halve the dominant
+    * language, keep the tail whole. */
+  private val strataFracs = Map("en" -> 0.5)
 
   /** Stand-in eval suite for decontamination: the %7 documents (exactly
     * the ids dupCorpus duplicates at +100000 — known leaked rows). */
@@ -228,6 +235,21 @@ object TextQueries {
       Dedup.contaminationPairs(dupCorpus(s, dir), benchCorpus(s, dir),
           "doc_id", "text", n = 3, minOverlap = 0.5)
         .orderBy(col("doc_id"), col("bench_id"))),
+
+    // BM25 relevance (ratio idf, fixed-order pivot summation — see
+    // Relevance scaladoc for the cross-engine float discipline).
+    "q_bm25_search" -> ((s, dir) =>
+      Relevance.bm25(Tables.load(s, dir, "documents"), "doc_id", "text",
+          bm25Terms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)),
+
+    // Per-stratum deterministic sampling (mixture rebalance by lang).
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang", strataFracs)
+        .orderBy(col("doc_id"))),
 
     // Sequence packing: global token offsets in the deterministic
     // shuffled concat order, 2048-token blocks.
@@ -439,6 +461,58 @@ object TextQueries {
          |  FROM pairs p JOIN bsizes s USING (bench_id))
          |SELECT doc_id, bench_id, shared, n_bench, overlap FROM o
          |WHERE overlap >= 0.5 ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Mirrors Relevance.bm25's expression SHAPE token for token: ratio
+    // idf, explicit parenthesization, non-exact double literals carried
+    // through CAST('…' AS DOUBLE) string parses (nearest-double both
+    // engines), per-term pivot cells summed in fixed terms order.
+    "q_bm25_search" -> {
+      val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+      def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+      val (k1, b) = (1.2, 0.75)
+      val contrib =
+        s"(((CAST(s.n_docs AS DOUBLE) - dft.df) + ${d(0.5)}) / (dft.df + ${d(0.5)}))" +
+          s" * (tf.tf * ${d(k1 + 1.0)})" +
+          s" / (tf.tf + ${d(k1)} * (${d(1.0 - b)} + ((${d(b)} * CAST(tf.dl AS DOUBLE)) / s.avgdl)))"
+      val pivotCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN token = '$t' THEN contrib END) AS c_$i"
+      }.mkString(",\n         ")
+      val score = bm25Terms.indices
+        .map(i => s"coalesce(c_$i, ${d(0.0)})")
+        .reduceLeft((a, x) => s"($a + $x)")
+      s"""WITH docs AS (
+         |  SELECT doc_id, len(string_split($normSql, ' ')) AS dl,
+         |         string_split($normSql, ' ') AS toks
+         |  FROM documents),
+         |s AS (SELECT count(*) AS n_docs,
+         |             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+         |tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM docs),
+         |tf AS (
+         |  SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM tok WHERE token IN ($termList) GROUP BY 1, 2, 3),
+         |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |c AS (
+         |  SELECT tf.doc_id, tf.token, $contrib AS contrib
+         |  FROM tf JOIN dft USING (token) CROSS JOIN s),
+         |p AS (
+         |  SELECT doc_id,
+         |         $pivotCols,
+         |         count(*) AS n_terms_matched
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, $score AS score,
+         |       CAST(n_terms_matched AS BIGINT) AS n_terms_matched
+         |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    "q_stratified_sample" -> {
+      val rExpr = "substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+      val cases = strataFracs.toSeq.sortBy(_._1)
+        .map { case (k, f) => s"WHEN lang = '$k' THEN '${Sampling.thresholdHex(f)}'" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $rExpr < CASE $cases ELSE '${Sampling.thresholdHex(1.0)}' END
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // The single global window cumsum: the distributed two-phase prefix
     // sum must equal it bit-for-bit (same total order: bucket prefix

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Packing, Sampling, Vocab}
+import graft.operators.{Dedup, Packing, Relevance, Sampling, Vocab}
 
 /** Sampling/split, vocabulary, and decontamination — the round-4
   * training-pipeline operators (SURVEY §2 #58-#60). */
@@ -15,9 +15,15 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("thresholdHex quantizes fractions to 8 hex digits, endpoints exact") {
     assert(Sampling.thresholdHex(0.0) == "00000000")
-    assert(Sampling.thresholdHex(1.0) == "100000000") // > every 8-char rank
+    // STRING-greater than every hex rank ("100000000" would sort below
+    // ranks starting a-f and silently drop them)
+    assert(Sampling.thresholdHex(1.0) == "g0000000")
     assert(Sampling.thresholdHex(0.5) == "80000000")
     intercept[IllegalArgumentException](Sampling.thresholdHex(1.5))
+    // behavioral endpoint check: frac=1.0 keeps EVERY row, 0.0 none
+    val ids = (1L to 200L).toDF("id")
+    assert(Sampling.hashSample(ids, "id", 1.0).count() == 200L)
+    assert(Sampling.hashSample(ids, "id", 0.0).count() == 0L)
   }
 
   test("hashRankHex matches an independent md5 (the portability contract)") {
@@ -58,6 +64,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     // different salt → a different (but still deterministic) subset
     val alt = Sampling.hashSample(ids, "id", 0.2, salt = "other").as[Long].collect().toSet
     assert(alt != s02)
+  }
+
+  test("stratifiedSample: per-stratum fractions, default keeps everything") {
+    val df = (1L to 4000L).toDF("id")
+      .withColumn("lang", when($"id" % 2 === 0, "en").otherwise(
+        when($"id" % 3 === 0, "fr").otherwise("zh")))
+    val out = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 0.5))
+    val counts = out.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val full = df.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(counts("fr") == full("fr") && counts("zh") == full("zh"))
+    assert(math.abs(counts("en") - full("en") / 2.0) < full("en") * 0.08)
+    // kept en rows are the en rows of the plain 0.5 hashSample (same rank)
+    val en = out.filter($"lang" === "en").select($"id").as[Long].collect().toSet
+    val plain = Sampling.hashSample(df.filter($"lang" === "en"), "id", 0.5)
+      .select($"id").as[Long].collect().toSet
+    assert(en == plain)
+    // a NULL stratum falls to the default fraction (keep all)
+    val withNull = df.withColumn("lang",
+      when($"id" <= 100, lit(null).cast("string")).otherwise($"lang"))
+    val n = Sampling.stratifiedSample(withNull, "id", "lang", Map("en" -> 0.0))
+      .filter($"lang".isNull).count()
+    assert(n == 100L)
+  }
+
+  // ---- BM25 --------------------------------------------------------------
+
+  test("bm25: hand-computed scores, tf saturation, rare-term weighting") {
+    val df = Seq(
+      (1L, "data data data x y z"),   // tf(data)=3, dl=6
+      (2L, "data x y z w q"),         // tf(data)=1, dl=6
+      (3L, "fast x y z w q"),         // the rare term
+      (4L, "x y z w q r")             // no match
+    ).toDF("doc_id", "text")
+    val out = Relevance.bm25(df, "doc_id", "text", Seq("data", "fast"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(!out.contains(4L))
+    // exact recomputation with the same double arithmetic
+    val (k1, b) = (1.2, 0.75)
+    val n = 4.0; val avgdl = 24.0 / 4.0
+    def contrib(tf: Double, dfT: Double, dl: Double) =
+      ((n - dfT + 0.5) / (dfT + 0.5)) * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    assert(out(1L)._1 == contrib(3.0, 2.0, 6.0))
+    assert(out(2L)._1 == contrib(1.0, 2.0, 6.0))
+    assert(out(3L)._1 == contrib(1.0, 1.0, 6.0))
+    assert(out(1L)._2 == 1L && out(3L)._2 == 1L)
+    // tf saturation: 3 occurrences beat 1, by less than 3x
+    assert(out(1L)._1 > out(2L)._1 && out(1L)._1 < 3.0 * out(2L)._1)
+    // rarer term (df=1) outscores the common one (df=2) at equal tf/dl
+    assert(out(3L)._1 > out(2L)._1)
   }
 
   // ---- vocabulary --------------------------------------------------------
