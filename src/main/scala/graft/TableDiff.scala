@@ -43,11 +43,13 @@ object TableDiff {
     if (pks.size == 1) col(pks.head)
     else concat_ws(":", pks.map(c => col(c).cast("string")): _*)
 
-  /** Per-side prepared frame: (pk cols, fingerprint, compare columns). */
+  /** Per-side prepared frame: (pk cols, fingerprint, compare columns).
+    * Schema-aware fingerprint: map-bearing columns hash via their string
+    * rendering (xxhash64 refuses MapType), everything else raw. */
   private def withHash(df: DataFrame, pks: Seq[String], cols: Seq[String], side: String): DataFrame =
     df.select(
       (pks.map(col) :+
-        rowFingerprint(cols.map(col)).as(s"${side}_hash")) ++:
+        rowFingerprint(df, cols).as(s"${side}_hash")) ++:
         cols.map(c => col(c).as(s"${side}_$c")): _*)
 
   /** One full-outer join on the PK (single or composite) with presence +

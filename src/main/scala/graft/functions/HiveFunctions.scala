@@ -110,6 +110,29 @@ object HiveFunctions {
       struct(xxhash64(pre: _*).as("h1"), xxhash64((lit(-1L) +: pre): _*).as("h2"))
     }
 
+  /** True iff the type contains a MapType anywhere — xxhash64 refuses
+    * those (maps are unordered, so their hash would be
+    * representation-dependent), where the old md5-over-cast-string chain
+    * accepted them. */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
+  /** Column prepared for [[rowFingerprint]]: map-bearing columns fall back
+    * to their string rendering (the legacy md5-chain behavior — stable
+    * per stored entry order, which is also what the old chain hashed);
+    * everything else hashes raw bytes under codegen. */
+  private[graft] def fingerprintInput(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    if (containsMap(dt)) c.cast("string") else c
+
+  /** Schema-aware [[rowFingerprint]]: use this form when the frame may
+    * carry map columns (generic warehouse tables do). */
+  def rowFingerprint(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Column =
+    rowFingerprint(cols.map(c => fingerprintInput(col(c), df.schema(c).dataType)))
+
   /** Hive UDAF `collect_max_one(value, rank)` (converter rule 13): the value
     * paired with the max rank — i.e. per-column argmax. The reference's
     * Snowflake rewrite is `SUBSTRING(MAX(CONCAT(ts, val)), 14)`; in Spark

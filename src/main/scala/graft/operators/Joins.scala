@@ -51,6 +51,13 @@ object Joins {
                prefix: String = "asof_"): DataFrame = {
     checkReserved(left, right)
     require(!payload.contains(time), s"payload already carries $time")
+    // a left column equal to a prefixed payload name would make the
+    // output schema carry two columns with one name — refuse up front
+    val outNames = (time +: payload).map(prefix + _)
+    val dup = left.columns.filter(outNames.contains)
+    require(dup.isEmpty,
+      s"left column(s) ${dup.mkString(",")} collide with prefixed payload " +
+        s"columns; pick a different prefix")
     val rPay = struct((time +: payload).map(col): _*)
     val lType = left.select(struct(left.columns.map(col): _*).as("s"))
       .schema("s").dataType

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.HiveFunctions.{collectMaxOne, rowFingerprint}
+import graft.functions.HiveFunctions.{collectMaxOne, fingerprintInput, rowFingerprint}
 
 /** The reference's sparse→DW incremental-merge pipeline, Spark-native
   * (reference: tools/script_converter_tool.py:133-213 "example 2" and
@@ -76,8 +76,12 @@ object MergePipeline {
     val hashCols = dwCols.filterNot(c => excludeFromHash.exists(_.equalsIgnoreCase(c)))
     val joined = s.join(d, Seq("__pk"), "left_outer")
     joined
-      .withColumn("__new_hash", rowFingerprint(hashCols.map(merged)))
-      .withColumn("__dw_hash", rowFingerprint(hashCols.map(c => col(s"__d_$c"))))
+      // fingerprintInput: hash map-bearing columns via their string
+      // rendering (xxhash64 refuses MapType; dw carries the column types)
+      .withColumn("__new_hash", rowFingerprint(hashCols.map(c =>
+        fingerprintInput(merged(c), dw.schema(c).dataType))))
+      .withColumn("__dw_hash", rowFingerprint(hashCols.map(c =>
+        fingerprintInput(col(s"__d_$c"), dw.schema(c).dataType))))
       // New-to-DW keys always survive (explicit marker: an all-NULL DW row
       // would otherwise hash equal to an all-NULL merged row and be lost).
       .filter(col("__dw_exists").isNull || col("__new_hash") =!= col("__dw_hash"))

@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** 8-hex-char uniform rank in [0, 2^32) for (salt, id) — the portable
-    * random variate every operator here derives from. */
+    * random variate every operator here derives from. Use integral or
+    * string ids: the hash keys on the STRING RENDERING, and float/
+    * timestamp renderings differ across engines (Spark "1.0E10" vs SQL
+    * "10000000000"), which would silently break cross-engine parity. */
   def hashRankHex(id: Column, salt: String): Column =
     substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 8)
 
@@ -94,10 +97,16 @@ object Sampling {
     cases.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
   }
 
-  /** The full train/valid/test assignment frame: id, rank_hex, split. */
+  /** The full train/valid/test assignment frame: id, rank_hex, split.
+    * NULL ids are EXCLUDED, not assigned: their rank is null, so every
+    * threshold compare is null and the CASE would fall through to the
+    * LAST split — silently polluting the eval set with exactly the rows
+    * whose identity is unknown. (hashSample/stratifiedSample already
+    * drop them: a null rank never passes the filter.) */
   def deterministicSplit(df: DataFrame, idCol: String,
                          splits: Seq[(String, Double)],
                          salt: String = "graft"): DataFrame =
-    df.withColumn("rank_hex", hashRankHex(col(idCol), salt))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("rank_hex", hashRankHex(col(idCol), salt))
       .withColumn("split", splitColumn(col(idCol), splits, salt))
 }

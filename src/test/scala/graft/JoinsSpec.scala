@@ -56,10 +56,16 @@ class JoinsSpec extends AnyFunSuite {
     assert(out(0).isNullAt(out(0).fieldIndex("r_v")))
   }
 
-  test("asOfJoin refuses reserved column names") {
+  test("asOfJoin refuses reserved column names and prefixed-name collisions") {
     val df = Seq((1L, 2L)).toDF("__k", "x")
     intercept[IllegalArgumentException](
       Joins.asOfJoin(df, df, "__k", "x", payload = Nil))
+    // left already carries the name the carried time column would get
+    val l = Seq((1L, ts("2020-01-01 00:00:00"), ts("2020-01-01 00:00:00")))
+      .toDF("k", "t", "p_t")
+    val r = Seq((1L, ts("2020-01-01 00:00:00"))).toDF("k", "t")
+    intercept[IllegalArgumentException](
+      Joins.asOfJoin(l, r, "k", "t", payload = Nil, prefix = "p_"))
   }
 
   test("rangeJoinBucketed: bounds half-open, cell-boundary exact, overlap duplicates") {

@@ -53,6 +53,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
     intercept[IllegalArgumentException](
       Sampling.splitColumn($"id", Seq("a" -> 0.5, "b" -> 0.2)))
+    // NULL ids are excluded, never silently assigned to the last split
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(1L)),
+        org.apache.spark.sql.Row(null.asInstanceOf[java.lang.Long]))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    assert(Sampling.deterministicSplit(withNull, "id", splits).count() == 1L)
   }
 
   test("hashSample fractions are nested: f=0.2 sample ⊆ f=0.5 sample") {

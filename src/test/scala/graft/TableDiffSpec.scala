@@ -32,6 +32,16 @@ class TableDiffSpec extends AnyFunSuite {
     assert(d.isEmpty) // only v remains and v always matches
   }
 
+  test("diff works on map-typed columns (xxhash64 refuses maps; string fallback)") {
+    val l = Seq((1L, Map("a" -> 1), "x"), (2L, Map("b" -> 2), "y"))
+      .toDF("id", "m", "s")
+    val r = Seq((1L, Map("a" -> 1), "x"), (2L, Map("b" -> 99), "y"))
+      .toDF("id", "m", "s")
+    val d = TableDiff.diff(l, r, "id").orderBy("pk")
+      .select("pk", "hash_mismatch").as[(Long, Boolean)].collect().toSeq
+    assert(d == Seq((1L, false), (2L, true)))
+  }
+
   test("metrics row counts and capped samples") {
     val m = TableDiff.metrics(left, right, "t", "id", sampleCap = 1).collect().head
     assert(m.getAs[Long]("total_record_count_hive") == 4)
