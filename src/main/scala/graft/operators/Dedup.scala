@@ -270,7 +270,12 @@ object Dedup {
     def shingleRows(df: DataFrame, as: String) =
       df.select(col(idCol).as(as), explode(shingles(col(textCol), n)).as("raw"))
         .select(col(as), xxhash64(col("raw")).as("sh"))
+    // Three consumers (sizes, df-cap, the broadcast table) would each
+    // re-scan and re-shingle the bench set; persist the bench-sized
+    // (long, long) rows once. Cache contract as in the LSH family:
+    // callers sweeping many corpora should clearCache() between runs.
     val bsh = shingleRows(bench, "bench_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bSizes = bsh.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
     val bKeep = bsh.groupBy(col("sh")).agg(count(lit(1)).as("__bdf"))
       .filter(col("__bdf") <= benchDfCap).select(col("sh"))
