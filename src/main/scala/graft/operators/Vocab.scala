@@ -43,4 +43,24 @@ object Vocab {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
   }
+
+  /** Corpus mixture report: per `dims` group (source, lang, …) the doc
+    * count, token count, and share of corpus tokens — the table a
+    * mixture-rebalance decision reads. One scan + one aggregation
+    * shuffle; the corpus total comes from an unpartitioned window over
+    * the GROUP rows (mixture dims are low-cardinality by definition —
+    * bounded model data, not a corpus funnel), and it sums LONGS, so the
+    * total is exact regardless of frame order. */
+  def mixtureReport(df: DataFrame, textCol: String, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "at least one mixture dimension")
+    require(!df.columns.contains("__tok"), "column __tok collides")
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    df.select(dims.map(col) :+
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("__tok"): _*)
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+      .withColumn("token_frac",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(w).cast("double"))
+  }
 }

@@ -244,6 +244,12 @@ object TextQueries {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)),
 
+    // The mixture table a rebalance decision reads (per source × lang).
+    "q_source_mix" -> ((s, dir) =>
+      Vocab.mixtureReport(Tables.load(s, dir, "documents"), "text",
+          Seq("source", "lang"))
+        .orderBy(col("source"), col("lang"))),
+
     // Per-stratum deterministic sampling (mixture rebalance by lang).
     "q_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(
@@ -503,6 +509,16 @@ object TextQueries {
          |       CAST(n_terms_matched AS BIGINT) AS n_terms_matched
          |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
+
+    "q_source_mix" ->
+      """WITH g AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+        |    AS token_frac
+        |FROM g ORDER BY source, lang""".stripMargin,
 
     "q_stratified_sample" -> {
       val rExpr = "substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)"

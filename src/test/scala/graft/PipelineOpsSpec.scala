@@ -140,6 +140,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top == Seq(("a", 2L, 1L), ("b", 2L, 2L)))
   }
 
+  test("mixtureReport: counts/token shares per group, fracs sum to 1") {
+    val df = Seq(
+      ("a", "en", "w x y"), ("a", "en", "z"), ("a", "fr", "u v"),
+      ("b", "en", "p q r s")
+    ).toDF("source", "lang", "text")
+    val out = Vocab.mixtureReport(df, "text", Seq("source", "lang"))
+      .orderBy($"source", $"lang")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", "en", 2L, 4L, 0.4), ("a", "fr", 1L, 2L, 0.2),
+      ("b", "en", 1L, 4L, 0.4)))
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-12)
+  }
+
   // ---- sequence packing --------------------------------------------------
 
   test("sequenceOffsets: two-phase prefix sum == single global window, exactly") {
