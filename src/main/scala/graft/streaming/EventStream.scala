@@ -146,6 +146,91 @@ object EventStream {
       .drop("__fp", "__seen")
   }
 
+  /** One right-side (state-change) record retained for as-of matching. */
+  final case class RightRec(ts: java.sql.Timestamp, event_id: Long, value: Double)
+
+  /** Per-key as-of state: retained rights (sorted by (ts, event_id)) and
+    * left rows buffered until the watermark proves no earlier right can
+    * still arrive. */
+  final case class AsOfState(rights: List[RightRec], lefts: List[Event])
+
+  final case class AsOfOut(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                           value: Double,
+                           asof_ts: Option[java.sql.Timestamp],
+                           asof_event_id: Option[Long],
+                           asof_value: Option[Double])
+
+  /** Streaming as-of enrich — the streaming twin of
+    * [[graft.operators.Joins.asOfJoin]]: every `leftType` event emits with
+    * the newest `rightType` event at-or-before its timestamp for the same
+    * user (ties inclusive, max event_id among equal times — identical to
+    * the batch operator, and the spec proves it).
+    *
+    * Why lefts BUFFER until the watermark passes their timestamp: an
+    * as-of answer is only final once no earlier-timestamped right can
+    * still arrive, and that is exactly what the watermark certifies —
+    * emitting on arrival would bind late-but-within-watermark rights to
+    * nothing (a batch/stream divergence the whole design exists to
+    * avoid). Output therefore trails by the watermark, like every
+    * append-mode stateful operator.
+    *
+    * State per key is bounded on the LEFT side by the watermark (buffered
+    * lefts flush as it advances) and on the RIGHT side by compaction to
+    * the newest right at-or-before the watermark plus the in-flight ones
+    * — the "current dimension state" plus its pending updates, at most
+    * watermark-horizon rights. A key's current right survives
+    * indefinitely (that IS as-of dimension semantics: the newest state
+    * change stays relevant forever); pipelines with unbounded hot-key
+    * churn but finite key relevance should wrap this with a TTL policy. */
+  def asOfEnrich(events: Dataset[Event], leftType: String, rightType: String,
+                 watermark: String = "2 hours"): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    def ltRec(a: RightRec, b: RightRec): Boolean = {
+      val c = a.ts.compareTo(b.ts); c < 0 || (c == 0 && a.event_id < b.event_id)
+    }
+    events
+      .filter(e => e.event_type == leftType || e.event_type == rightType)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[AsOfState]) =>
+          val st = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          var rights = st.rights
+          var lefts = st.lefts
+          if (!state.hasTimedOut) {
+            val (r, l) = it.toSeq.partition(_.event_type == rightType)
+            rights = (rights ++ r.map(e => RightRec(e.ts, e.event_id, e.value)))
+              .sortWith(ltRec)
+            lefts = lefts ++ l
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // Flush lefts STRICTLY below the watermark: any future right has
+          // ts ≥ watermark, so only a boundary tie could still arrive —
+          // strictness keeps the inclusive-tie contract exact.
+          val (done, pend) = lefts.partition(_.ts.getTime < wm)
+          val out = done.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val m = rights.filter(_.ts.compareTo(e.ts) <= 0).lastOption
+            AsOfOut(e.event_id, e.ts, userId, e.value,
+              m.map(_.ts), m.map(_.event_id), m.map(_.value))
+          }
+          // Compact rights: remaining/future lefts have ts ≥ watermark, so
+          // among rights below it only the NEWEST can ever answer again.
+          val (old, recent) = rights.partition(_.ts.getTime < wm)
+          val kept = old.lastOption.toList ++ recent
+          if (pend.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsOfState(kept, pend))
+            // Wake when the watermark passes the earliest pending left;
+            // rights-only state needs no wakeup (it flushes nothing).
+            if (pend.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(wm + 1, pend.map(_.ts.getTime).min + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Stateful 30-min-gap sessionization, LIST-STATE form: each user holds
     * ALL currently-open sessions (sorted, pairwise separated by more than
     * the gap), so a late-but-within-watermark event lands in exactly the

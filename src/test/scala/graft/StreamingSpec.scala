@@ -207,4 +207,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(!rows.exists(_.user_id == 7L))
     } finally q.stop()
   }
+
+  test("asOfEnrich: late rights bind, inclusive max-id ties, exact batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 2000000000000L
+    val src = MemoryStream[EventStream.Event]
+    val q = EventStream.asOfEnrich(src.toDS(), "view", "purchase",
+        watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_out").start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[EventStream.Event]
+    def add(e: EventStream.Event*): Unit = { all ++= e; src.addData(e: _*); q.processAllAvailable() }
+    try {
+      // Batch 1: a view with NO purchase yet, plus a purchase tie pair
+      // (equal ts, ids 103 < 105 — max id must win later).
+      add(EventStream.Event(1L, ts(t0 + 600000L), 42L, "view", 1.0),
+        EventStream.Event(103L, ts(t0 + 900000L), 42L, "purchase", 9.0),
+        EventStream.Event(105L, ts(t0 + 900000L), 42L, "purchase", 8.0))
+      assert(spark.table("asof_out").count() == 0) // buffered, not emitted
+      // Batch 2: a LATE purchase BEFORE view 1's ts (within watermark) —
+      // view 1 must bind to it, which is only possible because lefts
+      // buffer; plus views after the tie pair and at the exact tie ts.
+      add(EventStream.Event(100L, ts(t0), 42L, "purchase", 7.0),
+        EventStream.Event(2L, ts(t0 + 1200000L), 42L, "view", 2.0),
+        EventStream.Event(3L, ts(t0 + 900000L), 42L, "view", 3.0))
+      // Batch 3: far-future event advances the watermark past everything.
+      add(EventStream.Event(999L, ts(t0 + 12L * 3600 * 1000), 7L, "view", 0.0))
+      val got = spark.table("asof_out").as[EventStream.AsOfOut].collect()
+        .map(o => o.event_id -> ((o.asof_event_id, o.asof_value))).toMap
+      assert(got(1L) == (Some(100L), Some(7.0))) // bound to the LATE purchase
+      assert(got(2L) == (Some(105L), Some(8.0))) // max id at the tie ts
+      assert(got(3L) == (Some(105L), Some(8.0))) // inclusive at equal ts
+      // Exact batch parity over every emitted view (all views with ts
+      // below the final watermark).
+      val df = all.toSeq.toDF()
+      val views = df.filter($"event_type" === "view" && $"event_id" =!= 999L)
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val purchases = df.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id", $"value")
+      val batch = graft.operators.Joins.asOfJoin(views, purchases, "user_id",
+          "ts", payload = Seq("event_id", "value"),
+          tieBreak = Some("event_id"), prefix = "asof_")
+        .select($"event_id", $"asof_event_id", $"asof_value")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
 }
