@@ -295,6 +295,85 @@ object Dedup {
         col("n_bench"), col("overlap"))
   }
 
+  /** Connected components over an undirected near-dup pair graph —
+    * the step that turns pairwise candidates into DELETE LISTS: every
+    * doc in a component keeps/loses against one canonical representative
+    * (the component's min id), and transitive duplicates (A~B, B~C but
+    * A!~C under the threshold) still land in one cluster.
+    *
+    * Algorithm: min-label propagation. Every vertex starts labeled with
+    * its own id; each round takes the min of its label and its
+    * neighbors' labels; converged when nothing changes. Rounds needed =
+    * graph diameter — near-dup clusters are dense and tiny (copies of
+    * one document), so 2-4 rounds in practice; `maxIter` guards
+    * adversarial chains and THROWS rather than return a silently
+    * under-merged clustering. Convergence is detected by the SUM of all
+    * labels (labels only ever decrease, so an unchanged sum ⟺ a fixed
+    * point) — one cheap aggregate per round, no self-join diffing. The
+    * sum is computed in DECIMAL(38,0): corpus-scale id sums overflow a
+    * long, and a wrapped sum could fake convergence.
+    *
+    * Scale: each round is one join + one aggregate on (edge, label)
+    * rows, partitioned by vertex — the standard iterative-join CC (the
+    * large-star/small-star variant saves rounds on high-diameter web
+    * graphs; dedup graphs aren't that). Labels persist per round and
+    * unpersist as soon as the next round materializes. Only vertices
+    * that appear in `pairs` are returned (singletons are their own
+    * trivial cluster by definition). */
+  def connectedComponents(pairs: DataFrame, id1: String = "id1",
+                          id2: String = "id2", maxIter: Int = 20): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
+      .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+      .distinct().persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist(lvl)
+    // Option: an empty pair set sums to SQL NULL — None==None then reads
+    // as the (vacuously correct) fixed point instead of an NPE.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("__nc")).as("__nbr"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("__nbr")), Seq("id"))
+        .select(col("id"), least(col("comp"), col("__nbr")).as("comp"))
+        .persist(lvl)
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the bound; raise maxIter")
+    labels
+  }
+
+  /** Cluster summary over near-dup pairs: one row per component with the
+    * canonical (min) id, exact member count, and a sorted member sample
+    * capped at `memberCap` via the bounded aggregate (mega-cluster rows
+    * stay bounded, like [[exactGroups]]). */
+  def dedupClusters(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
+                    memberCap: Int = 100, maxIter: Int = 20): DataFrame = {
+    val cc = connectedComponents(pairs, id1, id2, maxIter)
+    val members = graft.functions.BoundedMinK.minKAsStrings(
+      col("id"), cc.schema("id").dataType, memberCap)
+    cc.groupBy(col("comp").as("component"))
+      .agg(count(lit(1)).as("n_members"),
+        concat_ws(",", members).as("member_ids"))
+      .select(col("component"), col("n_members"), col("member_ids"))
+  }
+
   /** 64-bit SimHash per document: bit i of the hash is the sign of
     * Σ_tokens (±1 depending on bit i of xxhash64(token)). Computed as a
     * per-row codegen'd PROJECTION over the token array

@@ -108,6 +108,33 @@ object TextQueries {
   /** DuckDB spelling of TextAnalysis.normalized. */
   private val normSql = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
 
+  /** Shared CTE chain deriving the exact n-gram Jaccard pair table `j`
+    * over the dup corpus — used by the pairs oracle and the clusters
+    * oracle (which closes over it transitively). Pre-stripped; safe to
+    * interpolate into outer stripMargin strings (no line starts with
+    * '|'). */
+  private val jaccardPairsCtes: String =
+    s"""$dupCorpusSql,
+       |tokd AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct([array_to_string(l[i:i+2], ' ')
+       |                   for i in range(1, greatest(len(l) - 2, 0) + 1)]) AS shs
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS l FROM corpus)),
+       |sh AS (SELECT id, unnest(shs) AS sh FROM tokd),
+       |keepsh AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 10000),
+       |shc AS (SELECT sh.id, sh.sh FROM sh JOIN keepsh USING (sh)),
+       |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+       |pairs AS (
+       |  SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT id1, id2, shared, s1.n_sh AS n1, s2.n_sh AS n2,
+       |    CAST(shared AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - shared AS DOUBLE) AS jaccard
+       |  FROM pairs
+       |  JOIN sizes s1 ON pairs.id1 = s1.id
+       |  JOIN sizes s2 ON pairs.id2 = s2.id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> ((s, dir) =>
       Tables.load(s, dir, "documents").select(
@@ -203,6 +230,14 @@ object TextQueries {
       Dedup.ngramJaccardPairs(dupCorpus(s, dir), "doc_id", "text",
           n = 3, minJaccard = 0.5, dfCap = 10000)
         .orderBy(col("id1"), col("id2"))),
+
+    // Pairs → clusters: connected components give each transitive
+    // duplicate group one canonical id (the delete-list step).
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(
+          Dedup.ngramJaccardPairs(dupCorpus(s, dir), "doc_id", "text",
+            n = 3, minJaccard = 0.5, dfCap = 10000))
+        .orderBy(col("component"))),
 
     // MinHash-LSH and SimHash aren't expressible in portable SQL —
     // rows-only here; recall/precision vs the exact Jaccard pairs is
@@ -392,28 +427,25 @@ object TextQueries {
          |ORDER BY id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      s"""WITH $dupCorpusSql,
-         |tokd AS (
-         |  SELECT doc_id AS id,
-         |    list_distinct([array_to_string(l[i:i+2], ' ')
-         |                   for i in range(1, greatest(len(l) - 2, 0) + 1)]) AS shs
-         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS l FROM corpus)),
-         |sh AS (SELECT id, unnest(shs) AS sh FROM tokd),
-         |keepsh AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 10000),
-         |shc AS (SELECT sh.id, sh.sh FROM sh JOIN keepsh USING (sh)),
-         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-         |pairs AS (
-         |  SELECT a.id AS id1, b.id AS id2, count(*) AS shared
-         |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
-         |  GROUP BY 1, 2),
-         |j AS (
-         |  SELECT id1, id2, shared, s1.n_sh AS n1, s2.n_sh AS n2,
-         |    CAST(shared AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - shared AS DOUBLE) AS jaccard
-         |  FROM pairs
-         |  JOIN sizes s1 ON pairs.id1 = s1.id
-         |  JOIN sizes s2 ON pairs.id2 = s2.id)
+      s"""WITH $jaccardPairsCtes
          |SELECT id1, id2, shared, n1, n2, jaccard FROM j
          |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    // Components via transitive closure (WITH RECURSIVE): fine at oracle
+    // scale, and exactly the fixed point min-label propagation reaches.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |p AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM p
+         |      UNION SELECT id2, id1 FROM p),
+         |reach AS (
+         |  (SELECT src, dst FROM e UNION SELECT src, src FROM e)
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+         |  array_to_string(list_slice(list_sort(list(id)), 1, 100), ',') AS member_ids
+         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
 
     "q_train_test_split" -> {
       // Thresholds render from the SAME ladder the Spark operator uses —

@@ -198,6 +198,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       Packing.sequenceOffsets(docs, "id", "n", 0))
   }
 
+  // ---- dedup clusters ----------------------------------------------------
+
+  test("connectedComponents/dedupClusters: transitive merge, separate clusters") {
+    // A~B, B~C (A!~C directly) must land in ONE cluster; (10,11) separate.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val clusters = Dedup.dedupClusters(pairs)
+      .orderBy($"component").as[(Long, Long, String)].collect().toSeq
+    assert(clusters == Seq((1L, 3L, "1,2,3"), (10L, 2L, "10,11")))
+    // empty pair set: no clusters, no crash
+    assert(Dedup.dedupClusters(pairs.limit(0)).count() == 0L)
+  }
+
+  test("connectedComponents throws instead of under-merging when maxIter binds") {
+    // a path 1-2-3-4-5 needs several propagation rounds; maxIter=1 cannot
+    // reach the fixed point and must THROW, never return a wrong answer
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id1", "id2")
+    intercept[IllegalStateException](
+      Dedup.connectedComponents(path, maxIter = 1))
+    val ok = Dedup.connectedComponents(path, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(1L))
+  }
+
   // ---- decontamination ---------------------------------------------------
 
   test("contaminationPairs finds the leaked copy, excludes self, caps boilerplate") {
