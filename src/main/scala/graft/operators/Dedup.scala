@@ -324,8 +324,14 @@ object Dedup {
                           id2: String = "id2", maxIter: Int = 20): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
-      .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+    // Both edge directions from ONE evaluation of `pairs` (explode of a
+    // two-struct array): a union of two selects would run the whole
+    // upstream candidate pipeline twice before the persist.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(id1).as("src"), col(id2).as("dst")),
+        struct(col(id2).as("src"), col(id1).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().persist(lvl)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist(lvl)
