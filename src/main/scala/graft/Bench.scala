@@ -56,12 +56,23 @@ object Bench {
       if (ok) Some(dt) else None
     }
 
-    val results = selected.map { case (name, fn) =>
-      execute(name, fn) // untimed warmup — JVM/codegen/page-cache costs land here
-      val samples = (1 to runs).map(_ => execute(name, fn))
-      if (samples.forall(_.isDefined)) {
-        val med = median(samples.flatten)
-        System.err.println(f"[bench] $name%-28s median=$med%7.2fs samples=${samples.flatten.map(s => f"$s%.2f").mkString(",")}")
+    // INTERLEAVED passes: one untimed warmup pass over every query, then
+    // `runs` full timed passes, median per query ACROSS passes. The r2/r3
+    // driver runs showed contention arriving in sustained multi-minute
+    // bursts: with per-query back-to-back samples, a burst inflates all
+    // of one query's samples (the median keeps the inflation); with
+    // pass-interleaved samples, a burst inflates one PASS and the
+    // cross-pass median rejects it. Same total work either way.
+    val order = selected.toSeq
+    order.foreach { case (name, fn) => execute(name, fn) } // warmup pass
+    val passes = (1 to runs).map { _ =>
+      order.map { case (name, fn) => name -> execute(name, fn) }.toMap
+    }
+    val results = order.map { case (name, _) =>
+      val samples = passes.flatMap(_(name))
+      if (samples.length == runs) {
+        val med = median(samples)
+        System.err.println(f"[bench] $name%-28s median=$med%7.2fs samples=${samples.map(s => f"$s%.2f").mkString(",")}")
         name -> Some(med)
       } else name -> None
     }
@@ -75,7 +86,7 @@ object Bench {
     val errs =
       if (failed.isEmpty) ""
       else s""","errors":${failed.map(f => "\"" + j(f) + "\"").mkString("[", ",", "]")}"""
-    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"${j(sfDir)}"}""")
     spark.stop()
     // No nonzero exit: the JSON line above is the contract and has

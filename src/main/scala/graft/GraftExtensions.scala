@@ -96,4 +96,10 @@ object GraftSession {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // The generated-class cache defaults to 100 entries; a workload
+      // cycling through this library's ~60-query surface evicts
+      // constantly and re-Janinos every plan (~40% wall-time overhead
+      // measured on interleaved sweeps). JVM-global, so it must be set
+      // before the first codegen compile.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
 }
