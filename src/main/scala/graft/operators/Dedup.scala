@@ -313,10 +313,16 @@ object Dedup {
     * sum is computed in DECIMAL(38,0): corpus-scale id sums overflow a
     * long, and a wrapped sum could fake convergence.
     *
-    * Scale: each round is one join + one aggregate on (edge, label)
+    * Scale: each round is ONE join + one aggregate on (edge, label)
     * rows, partitioned by vertex — the standard iterative-join CC (the
     * large-star/small-star variant saves rounds on high-diameter web
-    * graphs; dedup graphs aren't that). Labels persist per round and
+    * graphs; dedup graphs aren't that). The edge set carries SELF-LOOPS
+    * so a round is `min over the closed neighborhood` in a single
+    * aggregate: the naive form `least(own, min-over-neighbors)` joins
+    * the label table twice per round, which doubles the logical lineage
+    * every iteration — by round ~12 the plan tree is 4000× and merely
+    * RENDERING it for the SQL UI OOMs the driver. Single-reference
+    * rounds keep lineage linear in rounds. Labels persist per round and
     * unpersist as soon as the next round materializes. Only vertices
     * that appear in `pairs` are returned (singletons are their own
     * trivial cluster by definition). */
@@ -324,13 +330,17 @@ object Dedup {
                           id2: String = "id2", maxIter: Int = 20): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Both edge directions from ONE evaluation of `pairs` (explode of a
-    // two-struct array): a union of two selects would run the whole
-    // upstream candidate pipeline twice before the persist.
+    // Both edge directions PLUS self-loops from ONE evaluation of
+    // `pairs` (explode of a four-struct array): a union of selects would
+    // run the whole upstream candidate pipeline once per branch before
+    // the persist. Self-loops make each vertex its own neighbor, so the
+    // per-round update is a single closed-neighborhood min.
     val edges = pairs
       .select(explode(array(
         struct(col(id1).as("src"), col(id2).as("dst")),
-        struct(col(id2).as("src"), col(id1).as("dst")))).as("e"))
+        struct(col(id2).as("src"), col(id1).as("dst")),
+        struct(col(id1).as("src"), col(id1).as("dst")),
+        struct(col(id2).as("src"), col(id2).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().persist(lvl)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -343,12 +353,12 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges
+      // Self-loops put each vertex's own label in its neighborhood, so
+      // this min IS least(own label, neighbors' min) — `labels` is
+      // referenced exactly once per round (see scaladoc).
+      val next = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("__nc")).as("__nbr"))
-      val next = labels
-        .join(nbrMin.select(col("src").as("id"), col("__nbr")), Seq("id"))
-        .select(col("id"), least(col("comp"), col("__nbr")).as("comp"))
+        .groupBy(col("src").as("id")).agg(min(col("__nc")).as("comp"))
         .persist(lvl)
       val s = labelSum(next)
       labels.unpersist()

@@ -89,6 +89,32 @@ class JoinsSpec extends AnyFunSuite {
     assert(lo == Set(5L, 6L))
   }
 
+  test("asOfJoin equals an in-memory reference on random data with heavy ties") {
+    val rnd = new scala.util.Random(7)
+    val t0 = 1600000000000L
+    // 5 keys × 40 distinct seconds → many exact-time ties, both within
+    // and across sides
+    val lefts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, new Timestamp(t0 + rnd.nextInt(40) * 1000L), rnd.nextInt(100).toDouble))
+    val rights = (1001 to 1150).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, new Timestamp(t0 + rnd.nextInt(40) * 1000L), rnd.nextInt(100).toDouble))
+    val lDf = lefts.toDF("event_id", "k", "t", "v")
+    val rDf = rights.toDF("event_id", "k", "t", "v")
+      .select($"k", $"t", $"event_id", $"v")
+    val got = Joins.asOfJoin(lDf, rDf, "k", "t",
+        payload = Seq("event_id", "v"), tieBreak = Some("event_id"), prefix = "r_")
+      .select($"event_id", $"r_event_id", $"r_v").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val want = lefts.map { case (id, k, t, _) =>
+      val m = rights.filter(r => r._2 == k && !r._3.after(t))
+        .sortBy(r => (r._3.getTime, r._1)).lastOption
+      id -> (m.map(_._1), m.map(_._4))
+    }.toMap
+    assert(got == want)
+  }
+
   test("rangeJoinBucketed matches a plain theta join on random data") {
     val facts = (1L to 500L).toDF("id")
       .withColumn("v", pmod(xxhash64($"id"), lit(10000L)).cast("double") / 10.0)

@@ -213,6 +213,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.dedupClusters(pairs.limit(0)).count() == 0L)
   }
 
+  test("connectedComponents equals union-find on random graphs") {
+    def unionFind(vertices: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(vertices.map(v => v -> v).toSeq: _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      vertices.map(v => v -> find(v)).toMap
+    }
+    (0 until 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until 25 + rnd.nextInt(20)).map(_ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got == unionFind(verts, edges), s"seed $seed")
+    }
+  }
+
   test("connectedComponents throws instead of under-merging when maxIter binds") {
     // a path 1-2-3-4-5 needs several propagation rounds; maxIter=1 cannot
     // reach the fixed point and must THROW, never return a wrong answer
