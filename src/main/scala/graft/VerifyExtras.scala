@@ -79,6 +79,10 @@ object VerifyExtras {
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
       val annIvf = Similarity.ivfTopK(probes, emb, k = 5, nCentroids = 16, nProbe = 4)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      val fitCents = Similarity.kmeansFit(emb, k = 16, maxIter = 5)
+      val annIvfFit = Similarity.ivfTopK(probes, emb, k = 5, nProbe = 4,
+          centroids = fitCents)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
 
       // --- embedding near-dup blocking -------------------------------------
       // Truth: exact ALL-pairs cosine ≥ 0.9 over the corpus with injected
@@ -109,6 +113,12 @@ object VerifyExtras {
           floor = 0.05, annTruth.length, annLsh.length),
         Check("ann_ivf_vs_brute_force", pairRecall(annTruth, annIvf),
           floor = 0.15, annTruth.length, annIvf.length),
+        // Trained cells follow the data; on near-random embeddings the
+        // fit still centers cells on what structure exists, so the floor
+        // matches the sampled-centroid variant (it empirically clears it
+        // with margin).
+        Check("ann_ivf_fit_vs_brute_force", pairRecall(annTruth, annIvfFit),
+          floor = 0.15, annTruth.length, annIvfFit.length),
         // Injected copies sit at cos ∈ [0.999, 1]: the banding survival
         // probability there is ≈1, so missing pairs indicate a blocking
         // bug, not banding variance.

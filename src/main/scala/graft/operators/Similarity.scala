@@ -151,21 +151,30 @@ object Similarity {
     */
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids: Seq[Seq[Double]] = Nil): DataFrame = {
     val c = droppingUndefinedNorms(
       corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
         .withColumn("cn", dot(col("cv"), col("cv"))), "cn")
-    // Deterministic pseudo-random centroid sample: top-n by id hash is a
-    // distributed TakeOrdered (no global sort), tiny by construction.
-    // Null/zero-norm vectors are already excluded corpus-wide above (a
-    // null centroid would NPE on the driver; a zero-norm one scores NaN
-    // against every row — NaN is Spark's ordering MAX, so greatest()
-    // would funnel the whole corpus into that single cell). Centroid
-    // identity is the ARRAY INDEX, not the source id — works for any id
-    // type and makes the tie-break (smallest index) type-agnostic.
-    val centRows = c
-      .orderBy(xxhash64(col("vec_id").cast("string"))).limit(nCentroids)
-      .select(col("cv"), col("cn")).collect()
+    // Cell model: either caller-supplied FITTED centroids (see
+    // [[kmeansFit]] — zero/NaN-norm entries dropped, same guard as the
+    // sample path) or a deterministic pseudo-random sample: top-n by id
+    // hash is a distributed TakeOrdered (no global sort), tiny by
+    // construction. Null/zero-norm vectors are already excluded
+    // corpus-wide above (a null centroid would NPE on the driver; a
+    // zero-norm one scores NaN against every row — NaN is Spark's
+    // ordering MAX, so greatest() would funnel the whole corpus into
+    // that single cell). Centroid identity is the ARRAY INDEX, not the
+    // source id — works for any id type and makes the tie-break
+    // (smallest index) type-agnostic.
+    val centRows: Seq[(Seq[Double], Double)] =
+      if (centroids.nonEmpty)
+        centroids.map(v => v -> v.map(x => x * x).sum)
+          .filter { case (_, n) => n > 0 && !n.isNaN }
+      else c
+        .orderBy(xxhash64(col("vec_id").cast("string"))).limit(nCentroids)
+        .select(col("cv"), col("cn")).collect()
+        .toSeq.map(r => r.getSeq[Double](0).toSeq -> r.getDouble(1))
     // Degenerate corpus (< 2 centroids): cells are meaningless and
     // greatest() needs ≥ 2 args — exact search is the cheap, correct path.
     if (centRows.length < 2)
@@ -173,11 +182,9 @@ object Similarity {
     // One struct per centroid: (sim, -index). Max of these = best sim,
     // ties broken toward the SMALLEST index (negid is larger).
     def scoredStructs(vec: String, norm: String): Seq[Column] =
-      centRows.toSeq.zipWithIndex.map { case (r, idx) =>
-        val cv = typedLit(r.getSeq[Double](0).toSeq)
-        val cn = r.getDouble(1)
+      centRows.zipWithIndex.map { case ((cvec, cn), idx) =>
         struct(
-          (dot(col(vec), cv) / sqrt(col(norm) * lit(cn))).as("sim"),
+          (dot(col(vec), typedLit(cvec)) / sqrt(col(norm) * lit(cn))).as("sim"),
           lit(-idx).as("negid"))
       }
     // Corpus: single nearest cell via greatest() — codegen'd, map-side.
@@ -197,6 +204,85 @@ object Similarity {
         .withColumn("centroid_id", -col("__cell.negid"))
         .drop("__cells", "__cell"))
     scoreAndTopK(assigned.join(probeCells, Seq("centroid_id")), k)
+  }
+
+  /** Spherical k-means (Lloyd's) over the embedding column: returns `k`
+    * unit-norm centroid DIRECTIONS for [[ivfTopK]]'s `centroids`
+    * parameter. Cosine is scale-free, so the fit clusters unit vectors:
+    * assignment is a max-dot argmax and the per-cell optimum is the mean
+    * direction renormalized — the textbook spherical k-means update.
+    *
+    * Scale design (the reason this is a from-scratch loop and not a
+    * collect): each iteration is ONE pass over the persisted unit-vector
+    * projection — cell assignment is the same codegen'd
+    * greatest-of-structs PROJECTION ivfTopK uses (centroids inlined as
+    * literals, zero shuffle, zero join), and the update aggregates
+    * (count, Σ component_0..d-1) per cell with map-side partial
+    * aggregation, so the shuffle carries ≤ partitions × k × d partial
+    * values — model-sized, independent of corpus row count. Only the
+    * k×(d+1) aggregate rows ever reach the driver. Init is the same
+    * hash-ordered deterministic sample as ivfTopK's fallback, so
+    * fit-vs-sample comparisons hold the seed fixed.
+    *
+    * Empty cells keep their previous centroid (no respawn heuristic —
+    * deterministic and the standard IVF practice). Stops after `maxIter`
+    * rounds or when every centroid moves less than `tol` in cosine
+    * distance (1 − cos(old, new)). Cross-partition float summation makes
+    * the fitted components reproducible only up to ulps — fine for a
+    * MODEL (assignment margins dwarf ulps); anything hash-compared
+    * cross-engine must not embed them, which is why the fitted-IVF query
+    * is rows-only. */
+  def kmeansFit(corpus: DataFrame, k: Int, maxIter: Int = 10, tol: Double = 1e-6,
+                idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val c = droppingUndefinedNorms(
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", dot(col("cv"), col("cv"))), "cn")
+    val u = c.select(col("vec_id"),
+        transform(col("cv"), x => x / sqrt(col("cn"))).as("uv"))
+      .persist(lvl)
+    try {
+      var cents: IndexedSeq[IndexedSeq[Double]] = u
+        .orderBy(xxhash64(col("vec_id").cast("string"))).limit(k)
+        .select(col("uv")).collect()
+        .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      if (cents.length < 2) return cents.map(_.toSeq)
+      val dim = cents.head.length
+      var moved = Double.MaxValue
+      var iter = 0
+      while (iter < maxIter && moved > tol) {
+        // Same (sim, -index) struct trick as ivfTopK: max = best cell,
+        // ties to the smallest index. Unit vectors make dot ≡ cosine.
+        val cellCol = -greatest(cents.zipWithIndex.map { case (cvec, idx) =>
+          struct(dot(col("uv"), typedLit(cvec.toSeq)).as("sim"),
+            lit(-idx).as("negid"))
+        }: _*).getField("negid")
+        val sums = (0 until dim).map(i => sum(col("uv").getItem(i)).as(s"s$i"))
+        val rows = u.withColumn("__cell", cellCol)
+          .groupBy(col("__cell")).agg(count(lit(1)).as("n"), sums: _*)
+          .collect()
+        val next = cents.toArray
+        moved = 0.0
+        rows.foreach { r =>
+          val j = r.getInt(0)
+          val s = (0 until dim).map(i => r.getDouble(2 + i))
+          val nrm = math.sqrt(s.map(x => x * x).sum)
+          // A zero/NaN mean direction (perfectly cancelling cell) keeps
+          // the old centroid, like an empty cell.
+          if (nrm > 0 && !nrm.isNaN) {
+            val cand = s.map(_ / nrm)
+            val cos = cand.zip(cents(j)).map { case (a, b) => a * b }.sum
+            moved = math.max(moved, 1.0 - cos)
+            next(j) = cand
+          }
+        }
+        cents = next.toIndexedSeq
+        iter += 1
+      }
+      cents.map(_.toSeq)
+    } finally { u.unpersist(); () }
   }
 
   /** Bits per band for [[cosineNearDupPairsLsh]], derived from the corpus

@@ -55,6 +55,20 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF with a TRAINED cell model: spherical k-means centroids instead
+    // of the hash sample — cells follow the data distribution, so recall
+    // at equal nProbe dominates the sampled-centroid variant. Rows-only
+    // (cross-partition float sums make fitted components ulp-level
+    // nondeterministic); recall vs q_ann_topk pinned in SimilaritySpec
+    // and exported via VerifyExtras.
+    "q_ann_ivf_fit" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.kmeansFit(v, k = 16, maxIter = 5)
+      Similarity.ivfTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5,
+          nProbe = 4, centroids = cents)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Label-blocked cosine near-duplicate pairs (exact baseline, oracle-
     // verified; the blocking column here is fixture metadata).
     "q_dedup_embedding" -> ((s, dir) =>

@@ -74,6 +74,74 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall") // random vectors: cells barely correlate with cosine, just sanity
   }
 
+  /** Synthetic blob corpus: `perBlob` noisy copies of each of nBlobs
+    * near-orthogonal base directions in 8-dim — data with real cluster
+    * structure, unlike the random fixture embeddings. */
+  private def blobCorpus(nBlobs: Int, perBlob: Int, noise: Double, seed: Int = 11) = {
+    val rnd = new scala.util.Random(seed)
+    val dims = 8
+    val rows = for {
+      b <- 0 until nBlobs
+      i <- 0 until perBlob
+    } yield {
+      val v = Array.tabulate(dims)(d =>
+        (if (d == b) 1.0 else 0.0) + noise * rnd.nextGaussian())
+      ((b * perBlob + i).toLong, v.map(_.toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("kmeansFit recovers blob directions and never worsens the init objective") {
+    val df = blobCorpus(nBlobs = 4, perBlob = 50, noise = 0.08)
+    val fit = Similarity.kmeansFit(df, k = 8, maxIter = 10)
+    assert(fit.length == 8)
+    assert(fit.forall(c => math.abs(c.map(x => x * x).sum - 1.0) < 1e-9),
+      "centroids must be unit-norm")
+    // Every blob direction has a fitted centroid nearly on top of it.
+    (0 until 4).foreach { b =>
+      val best = fit.map(c => c(b) / math.sqrt(c.map(x => x * x).sum)).max
+      assert(best > 0.9, s"blob $b best centroid cosine $best")
+    }
+    // Lloyd's objective (avg cosine to the assigned cell) never drops
+    // below its value at the init sample — the monotonicity invariant.
+    def objective(cents: Seq[Seq[Double]]): Double = {
+      val data = df.select(Similarity.asDouble($"embedding")).as[Seq[Double]].collect()
+      data.map { v =>
+        val nv = math.sqrt(v.map(x => x * x).sum)
+        cents.map(c => v.zip(c).map { case (a, b) => a * b }.sum / nv).max
+      }.sum / data.length
+    }
+    // Init = the same deterministic hash-ordered sample kmeansFit starts
+    // from (k rows, unit-normalized driver-side).
+    val init = df.orderBy(xxhash64($"vec_id".cast("string"))).limit(8)
+      .select(Similarity.asDouble($"embedding")).as[Seq[Double]].collect()
+      .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq }.toSeq
+    assert(objective(fit) >= objective(init) - 1e-9)
+  }
+
+  test("fitted-centroid IVF: high recall on clustered data, edge cases guarded") {
+    val df = blobCorpus(nBlobs = 4, perBlob = 50, noise = 0.08)
+    val probes = df.filter($"vec_id" % 20 === 0)
+    val exact = Similarity.bruteForceTopK(probes, df, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val cents = Similarity.kmeansFit(df, k = 8, maxIter = 10)
+    val fit = Similarity.ivfTopK(probes, df, k = 5, nProbe = 2, centroids = cents)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(fit.contains).toDouble / exact.size
+    // On blobby data a trained cell model keeps neighbors together:
+    // near-perfect recall at nProbe=2 of 8 cells.
+    assert(recall >= 0.8, s"fitted-IVF recall $recall")
+    // Degenerate models: zero/NaN centroids are dropped; < 2 survivors
+    // falls back to exact search (same rule as a degenerate corpus).
+    val junk = Seq(Seq.fill(8)(0.0), Seq(Double.NaN) ++ Seq.fill(7)(0.0), cents.head)
+    val fb = Similarity.ivfTopK(probes, df, k = 5, centroids = junk)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(fb == exact, "one surviving centroid must mean exact fallback")
+    // k larger than the corpus: returns what exists, no crash.
+    val tiny = df.limit(3)
+    assert(Similarity.kmeansFit(tiny, k = 8, maxIter = 2).length == 3)
+  }
+
   test("IVF centroid assignment is a projection: only the top-k window remains") {
     val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
     val probes = v.filter($"vec_id" % 100 === 0)
