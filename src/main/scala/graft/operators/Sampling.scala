@@ -42,6 +42,83 @@ object Sampling {
     if (q >= 4294967296L) "g0000000" else f"$q%08x"
   }
 
+  /** [[thresholdHex]] as a COLUMN over a fraction computed in-engine —
+    * for data-dependent fractions (see [[mixtureRebalance]]) that a SQL
+    * twin must reproduce without Scala in the loop. floor(x + 0.5) is
+    * math.round's exact contract, spelled out because SQL round()
+    * half-rounding conventions differ across engines while floor does
+    * not; the ≥ 2^32 guard is the same string-endpoint rule ("g0000000")
+    * thresholdHex applies — lpad would TRUNCATE a 9-digit hex back into
+    * range and silently drop ~60% of rows. Fractions > 1 (e.g. by a
+    * float ulp on the binding stratum, where w·B/t reassociates t/w·w)
+    * land in the guard and keep everything, which is the intent. */
+  private[graft] def thresholdHexCol(frac: Column): Column = {
+    val q = floor(frac * lit(4294967296.0) + lit(0.5)).cast("long")
+    when(q >= 4294967296L, lit("g0000000"))
+      .otherwise(lpad(lower(hex(q)), 8, "0"))
+  }
+
+  /** Rebalance the corpus to target per-stratum token SHARES at the
+    * largest achievable size: budget B = min over targets of
+    * tokens_s / w_s, keep fraction frac_s = w_s · B / tokens_s (exactly
+    * 1 for the binding stratum — the scarce stratum is kept whole and
+    * everything else downsamples to match, the standard pre-training
+    * mixture construction). Rows are kept via the same salted rank as
+    * [[hashSample]]/[[stratifiedSample]], so rebalanced subsets nest
+    * across reruns and compose with splits.
+    *
+    * Strata outside `targets` (including NULL) are DROPPED — they have
+    * target share zero. A target stratum with no tokens makes the
+    * mixture unachievable at any size: B = 0 and the result is empty
+    * (strict by design — silently renormalizing over the remaining
+    * strata would ship a corpus with the wrong mixture).
+    *
+    * Scale shape: one column-pruned scan aggregates per-stratum token
+    * counts (map-side partials; ≤ |strata| rows out), the budget is an
+    * unpartitioned window over those MODEL-SIZED rows, and the keep
+    * filter is a broadcast join of the tiny per-stratum threshold table
+    * back onto the corpus scan — the corpus itself never shuffles.
+    * Everything (counts → budget → fraction → quantized hex threshold →
+    * md5 rank compare) is computed IN-ENGINE from add/mul/div and
+    * floor — IEEE correctly-rounded everywhere — so a SQL twin
+    * reproduces the row set bit-for-bit. */
+  def mixtureRebalance(df: DataFrame, idCol: String, strataCol: String,
+                       tokensCol: Column, targets: Seq[(String, Double)],
+                       salt: String = "graft"): DataFrame = {
+    require(targets.nonEmpty, "at least one target stratum")
+    require(targets.map(_._1).distinct.length == targets.length,
+      s"duplicate target stratum in ${targets.map(_._1)}")
+    targets.foreach { case (s, w) =>
+      require(w > 0, s"target weight for '$s' must be > 0, got $w") }
+    val wsum = targets.map(_._2).sum
+    require(math.abs(wsum - 1.0) < 1e-9, s"target weights must sum to 1, got $wsum")
+    Seq("__w", "__t", "__b", "__thr").foreach(c =>
+      require(!df.columns.contains(c), s"column $c collides with a rebalance internal"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF(strataCol, "__w")
+    // LEFT join from targets: a target stratum absent from the corpus
+    // must still contribute tokens=0 to the budget min (see scaladoc).
+    val counts = broadcast(tgt)
+      .join(df.groupBy(col(strataCol))
+          .agg(sum(tokensCol.cast("long")).as("__t")),
+        Seq(strataCol), "left")
+      .withColumn("__t", coalesce(col("__t"), lit(0L)))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val thresholds = counts
+      .withColumn("__b", min(col("__t").cast("double") / col("__w")).over(wAll))
+      // Zero-token stratum: keep fraction 0 by definition (and ANSI mode
+      // would throw on the 0-divisor double division; B is already 0 so
+      // the whole result is empty either way).
+      .withColumn("__thr", thresholdHexCol(when(col("__t") === 0L, lit(0.0))
+        .otherwise(col("__w") * col("__b") / col("__t").cast("double"))))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(thresholds), Seq(strataCol))
+      .filter(hashRankHex(col(idCol), salt) < col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic `frac` sample: keep rows whose rank falls below the
     * threshold. Composable: samples at f1 < f2 with the same salt are
     * NESTED (the f1 sample is a subset of the f2 sample), so growing a

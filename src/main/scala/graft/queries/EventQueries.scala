@@ -44,6 +44,19 @@ object EventQueries {
           col("n_events"), col("value_milli"), col("min_value"), col("max_value"))
         .orderBy(col("hour_start"), col("event_type"))),
 
+    // Day-over-day volume drift per event type — the temporal twin of
+    // q_count_compare and the monitor a discrepancy pipeline runs first
+    // (a migration that silently drops a feed shows up as a count-ratio
+    // cliff before any row-level diff). One aggregation shuffle collapses
+    // the corpus to (type, day) rows — BOUNDED model data (types × days)
+    // — and the lag window runs over those group rows, never the events.
+    // The drift flag compares integers (n vs 2·prev) so it is
+    // engine-exact; the ratio is one long/long division (IEEE-portable).
+    "q_count_drift" -> ((s, dir) =>
+      graft.operators.Monitoring.countDrift(events(s, dir),
+          Seq("event_type"), to_date(col("ts")))
+        .orderBy(col("event_type"), col("day"))),
+
     // Sketch-based profiling (HLL distinct + quantile sketches): approx
     // values are engine-specific → rows-only; error bounds pinned in
     // SketchesAndSinksSpec.
@@ -126,6 +139,21 @@ object EventQueries {
         |  min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_count_drift" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, day, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        |  FROM daily)
+        |SELECT event_type, day, n, prev_n,
+        |  CASE WHEN prev_n IS NULL THEN NULL
+        |    ELSE CAST(n AS DOUBLE) / CAST(prev_n AS DOUBLE) END AS ratio,
+        |  CAST(CASE WHEN prev_n IS NOT NULL AND (n > prev_n * 2 OR n * 2 < prev_n)
+        |    THEN 1 ELSE 0 END AS INTEGER) AS is_drift
+        |FROM lagged ORDER BY event_type, day""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

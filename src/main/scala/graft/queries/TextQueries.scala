@@ -30,6 +30,12 @@ object TextQueries {
     * language, keep the tail whole. */
   private val strataFracs = Map("en" -> 0.5)
 
+  /** Target token shares for q_mix_rebalance: equal parts of four
+    * languages (fr deliberately excluded — strata outside the target
+    * mixture are dropped). The weights are one-Scala-literal, rendered
+    * into BOTH engines from here. */
+  private val mixTargets = Seq("de" -> 0.25, "en" -> 0.25, "es" -> 0.25, "zh" -> 0.25)
+
   /** Stand-in eval suite for decontamination: the %7 documents (exactly
     * the ids dupCorpus duplicates at +100000 — known leaked rows). */
   def benchCorpus(s: SparkSession, dir: String): DataFrame =
@@ -290,6 +296,18 @@ object TextQueries {
       Sampling.stratifiedSample(
           Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
           "doc_id", "lang", strataFracs)
+        .orderBy(col("doc_id"))),
+
+    // Data-driven mixture rebalance: keep fractions computed IN-ENGINE
+    // from per-language token counts so the corpus lands on the target
+    // token shares at the largest achievable size (the scarce language
+    // binds and is kept whole).
+    "q_mix_rebalance" -> ((s, dir) =>
+      Sampling.mixtureRebalance(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              TA.wsTokenCount(col("text")).cast("long").as("n_tokens")),
+          "doc_id", "lang", col("n_tokens"), mixTargets)
         .orderBy(col("doc_id"))),
 
     // Sequence packing: global token offsets in the deterministic
@@ -560,6 +578,42 @@ object TextQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $rExpr < CASE $cases ELSE '${Sampling.thresholdHex(1.0)}' END
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // The oracle reproduces the WHOLE in-engine pipeline — counts →
+    // budget → fraction → quantized hex threshold → rank filter — from
+    // the same add/mul/div/floor primitives; weights round-trip through
+    // Double.toString (CAST('0.25' AS DOUBLE) — a bare 0.25 literal is
+    // DECIMAL in DuckDB and would change the arithmetic type).
+    "q_mix_rebalance" -> {
+      val vals = mixTargets
+        .map { case (s, w) => s"('$s', CAST('$w' AS DOUBLE))" }.mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |t(lang, w) AS (VALUES $vals),
+         |c AS (
+         |  SELECT t.lang, t.w,
+         |    COALESCE(CAST(sum(d.n_tokens) AS BIGINT), 0) AS tok
+         |  FROM t LEFT JOIN d ON d.lang = t.lang GROUP BY t.lang, t.w),
+         |f AS (
+         |  SELECT lang,
+         |    CASE WHEN tok = 0 THEN 0.0
+         |      ELSE w * (SELECT min(CAST(tok AS DOUBLE) / w) FROM c)
+         |        / CAST(tok AS DOUBLE) END AS frac
+         |  FROM c),
+         |thr AS (
+         |  SELECT lang,
+         |    CASE WHEN CAST(floor(frac * 4294967296.0 + 0.5) AS BIGINT) >= 4294967296
+         |      THEN 'g0000000'
+         |      ELSE printf('%08x', CAST(floor(frac * 4294967296.0 + 0.5) AS BIGINT))
+         |    END AS thr
+         |  FROM f)
+         |SELECT d.doc_id, d.lang, d.n_tokens
+         |FROM d JOIN thr ON d.lang = thr.lang
+         |WHERE substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     // The single global window cumsum: the distributed two-phase prefix

@@ -213,6 +213,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.dedupClusters(pairs.limit(0)).count() == 0L)
   }
 
+  test("mixtureRebalance: binding stratum whole, others exactly hashSample'd") {
+    // a: 100 docs × 1 token, b: 300 docs × 1 token; targets 50/50 →
+    // budget = min(100/0.5, 300/0.5) = 200 → frac_a = 1 (kept whole),
+    // frac_b = 0.5·200/300 = 1/3.
+    val df = ((1 to 100).map(i => (i.toLong, "a", 1L)) ++
+              (101 to 400).map(i => (i.toLong, "b", 1L)))
+      .toDF("id", "s", "tok")
+    val out = Sampling.mixtureRebalance(df, "id", "s", col("tok"),
+        Seq("a" -> 0.5, "b" -> 0.5))
+      .as[(Long, String, Long)].collect()
+    assert(out.count(_._2 == "a") == 100, "binding stratum must be kept whole")
+    // The b-side keep set must EQUAL hashSample at 1/3 — same salted
+    // rank, and 0.5·200/300 rounds to the same double as 1.0/3.0, so the
+    // in-engine threshold matches thresholdHex bit-for-bit.
+    val bExpected = Sampling.hashSample(df.filter($"s" === "b"), "id", 1.0 / 3.0)
+      .as[(Long, String, Long)].collect().toSet
+    assert(out.filter(_._2 == "b").toSet == bExpected)
+  }
+
+  test("mixtureRebalance: non-target/null strata dropped, absent target empties, bad weights refused") {
+    val df = Seq((1L, "a", 5L), (2L, "b", 5L), (3L, "c", 5L),
+        (4L, null.asInstanceOf[String], 5L))
+      .toDF("id", "s", "tok")
+    val kept = Sampling.mixtureRebalance(df, "id", "s", col("tok"),
+        Seq("a" -> 0.5, "b" -> 0.5))
+      .as[(Long, String, Long)].collect()
+    // both strata bind at equal counts → fracs are 1 → a,b whole; c/null gone
+    assert(kept.map(_._1).sorted.toSeq == Seq(1L, 2L))
+    // a target stratum absent from the data → budget 0 → empty corpus,
+    // never a silently renormalized mixture
+    assert(Sampling.mixtureRebalance(df, "id", "s", col("tok"),
+      Seq("a" -> 0.5, "zz" -> 0.5)).count() == 0L)
+    intercept[IllegalArgumentException](Sampling.mixtureRebalance(
+      df, "id", "s", col("tok"), Seq("a" -> 0.6, "b" -> 0.6)))
+    intercept[IllegalArgumentException](Sampling.mixtureRebalance(
+      df, "id", "s", col("tok"), Seq("a" -> 1.0, "a" -> 0.0)))
+    intercept[IllegalArgumentException](Sampling.mixtureRebalance(
+      df, "id", "s", col("tok"), Nil))
+  }
+
   test("connectedComponents equals union-find on random graphs") {
     def unionFind(vertices: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val parent = scala.collection.mutable.Map(vertices.map(v => v -> v).toSeq: _*)
