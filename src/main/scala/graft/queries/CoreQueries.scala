@@ -285,6 +285,44 @@ object CoreQueries {
         "orders", cat)
     }),
 
+    // ---- Incremental-validation triage (TableDiff scaladoc: the 100 TB
+    // path). The partition column is the order DATE rendered as a string
+    // (engine-portable; daily partitions are the classic warehouse
+    // layout). The raw timestamp is excluded from hashing/compare in
+    // favor of its string rendering, so no engine's timestamp-to-string
+    // quirks enter the checksum.
+    "q_partition_checksum" -> ((s, dir) =>
+      TableDiff.partitionChecksum(
+          withPart(Fixtures.hiveOrders(s, dir)),
+          withPart(Fixtures.sfOrders(s, dir)),
+          "o_part", Seq("o_orderkey"), exclude = Seq("o_orderdate"))
+        // Checksums ship as DIGIT STRINGS: DuckDB's pandas bridge reads
+        // DECIMAL(38,0) back as float64, which is lossy past 2^53 — the
+        // decimal-to-string rendering is exact and identical in both
+        // engines, so the hash compare checks the full 60-bit sums.
+        .withColumn("hive_checksum", col("hive_checksum").cast("string"))
+        .withColumn("sf_checksum", col("sf_checksum").cast("string"))
+        .orderBy(col("partition"))),
+
+    // Checksum triage → row diff over ONLY the flagged partitions: the
+    // IN-list of suspect dates is literal, so a partition-pruned layout
+    // reads only drifted files (PartitionDiffSpec proves the pruning on
+    // a partitioned parquet copy).
+    "q_targeted_diff" -> ((s, dir) =>
+      TableDiff.targetedDiff(
+          withPart(Fixtures.hiveOrders(s, dir)),
+          withPart(Fixtures.sfOrders(s, dir)),
+          "o_part", Seq("o_orderkey"), exclude = Seq("o_orderdate"))
+        .orderBy(col("pk"))),
+
+    // Consistent by-key 1/4 sample of both sides, diffed exactly: scaled
+    // counts are unbiased estimates of the full diff's counts from a
+    // quarter-size shuffle (the cheap "how bad is it" probe before
+    // committing to the full join).
+    "q_sampled_diff" -> ((s, dir) =>
+      TableDiff.sampledDiffEstimate(Fixtures.hiveOrders(s, dir),
+        Fixtures.sfOrders(s, dir), Seq("o_orderkey"))),
+
     "q_count_compare" -> ((s, dir) => {
       val h = Fixtures.hiveOrders(s, dir).groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("hive_n"))
@@ -300,7 +338,51 @@ object CoreQueries {
     })
   )
 
+  /** Daily-partition column for the triage queries: the order date as a
+    * portable string. */
+  private def withPart(df: DataFrame): DataFrame =
+    df.withColumn("o_part", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+
   // ---- Oracle SQL --------------------------------------------------------
+
+  /** DuckDB mirror of [[TableDiff.checksumTerm]] over unqualified column
+    * names: first 15 md5 hex chars of the injective row rendering, parsed
+    * as a 60-bit integer via the '0x' string cast. */
+  private def checksumTermSql(cols: Seq[String]): String = {
+    val parts = cols.map(c => s"coalesce(md5(CAST($c AS VARCHAR)), 'N')")
+      .mkString(", ")
+    s"CAST('0x' || substring(md5(concat_ws('|', $parts)), 1, 15) AS BIGINT)"
+  }
+
+  /** Hash columns of the partition-checksum queries: pk + compare columns
+    * minus the raw timestamp (see the Spark side). */
+  private val partHashCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice_cents",
+      "o_orderpriority")
+
+  /** Per-side partition summary + the joined status CTE, shared by the
+    * checksum and targeted-diff oracles. */
+  private val partSummarySql: String = {
+    def side(name: String, tbl: String) =
+      s"""$name AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS p, count(*) AS c,
+         |         CAST(sum(${checksumTermSql(partHashCols)}) AS DECIMAL(38,0)) AS ck
+         |  FROM $tbl GROUP BY 1)""".stripMargin
+    s"""${side("hsum", "hive_orders")},
+       |${side("ssum", "sf_orders")},
+       |psum AS (
+       |  SELECT coalesce(hsum.p, ssum.p) AS p,
+       |         coalesce(hsum.c, 0) AS hive_count,
+       |         coalesce(ssum.c, 0) AS sf_count,
+       |         CAST(coalesce(hsum.ck, 0) AS DECIMAL(38,0)) AS hive_checksum,
+       |         CAST(coalesce(ssum.ck, 0) AS DECIMAL(38,0)) AS sf_checksum,
+       |         CASE WHEN coalesce(ssum.c, 0) = 0 THEN 'sf_missing'
+       |              WHEN coalesce(hsum.c, 0) = 0 THEN 'hive_missing'
+       |              WHEN hsum.c <> ssum.c THEN 'count_drift'
+       |              WHEN hsum.ck <> ssum.ck THEN 'data_drift'
+       |              ELSE 'ok' END AS status
+       |  FROM hsum FULL OUTER JOIN ssum ON hsum.p = ssum.p)""".stripMargin
+  }
 
   private val matrixCellsSql: String = {
     val cells = ordersCompareCols.map { c =>
@@ -464,6 +546,66 @@ object CoreQueries {
       s"""${Fixtures.Sql.ordersPair},
          |${diffCte("d_orders", "hive_orders", "sf_orders", "o_orderkey", ordersCompareCols)}
          |${metricsSelect("orders", "d_orders", "hive_orders", "sf_orders")}""".stripMargin,
+
+    "q_partition_checksum" ->
+      s"""${Fixtures.Sql.ordersPair},
+         |$partSummarySql
+         |SELECT p AS "partition", hive_count, sf_count,
+         |       CAST(hive_checksum AS VARCHAR) AS hive_checksum,
+         |       CAST(sf_checksum AS VARCHAR) AS sf_checksum, status
+         |FROM psum ORDER BY p""".stripMargin,
+
+    "q_targeted_diff" -> {
+      val partCompare = Seq("o_custkey", "o_orderstatus",
+        "o_totalprice_cents", "o_orderpriority", "o_part")
+      def filteredSide(name: String, tbl: String) =
+        s"""$name AS (
+           |  SELECT *, strftime(o_orderdate, '%Y-%m-%d') AS o_part
+           |  FROM $tbl
+           |  WHERE strftime(o_orderdate, '%Y-%m-%d') IN
+           |        (SELECT p FROM psum WHERE status <> 'ok'))""".stripMargin
+      s"""${Fixtures.Sql.ordersPair},
+         |$partSummarySql,
+         |${filteredSide("hf", "hive_orders")},
+         |${filteredSide("sf", "sf_orders")},
+         |d AS (
+         |  SELECT coalesce(h.o_orderkey, s.o_orderkey) AS pk,
+         |         coalesce(h.o_part, s.o_part) AS "partition",
+         |         CASE WHEN s.o_orderkey IS NULL THEN 'hive_only'
+         |              WHEN h.o_orderkey IS NULL THEN 'sf_only'
+         |              WHEN ${distinctAny(partCompare)} THEN 'mismatch'
+         |         END AS status
+         |  FROM hf h FULL OUTER JOIN sf s ON h.o_orderkey = s.o_orderkey)
+         |SELECT pk, "partition", status FROM d
+         |WHERE status IS NOT NULL ORDER BY pk""".stripMargin
+    },
+
+    "q_sampled_diff" -> {
+      // thresholdHex(0.25) = "40000000"; salt "graftdiff" — must mirror
+      // sampledDiffEstimate's defaults exactly.
+      def keep(name: String, tbl: String) =
+        s"""$name AS (
+           |  SELECT * FROM $tbl
+           |  WHERE substring(md5('graftdiff' || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+           |        < '40000000')""".stripMargin
+      s"""${Fixtures.Sql.ordersPair},
+         |${keep("hk", "hive_orders")},
+         |${keep("sk", "sf_orders")},
+         |d AS (
+         |  SELECT h.o_orderkey IS NOT NULL AS in_left,
+         |         s.o_orderkey IS NOT NULL AS in_right,
+         |         (h.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL AND
+         |          ${distinctAny(ordersCompareCols)}) AS mism
+         |  FROM hk h FULL OUTER JOIN sk s ON h.o_orderkey = s.o_orderkey)
+         |SELECT count(*) AS sampled_keys,
+         |       count(*) FILTER (WHERE in_left AND NOT in_right) AS hive_only_sampled,
+         |       count(*) FILTER (WHERE in_right AND NOT in_left) AS sf_only_sampled,
+         |       count(*) FILTER (WHERE mism) AS mismatch_sampled,
+         |       count(*) FILTER (WHERE in_left AND NOT in_right) / 0.25 AS hive_only_est,
+         |       count(*) FILTER (WHERE in_right AND NOT in_left) / 0.25 AS sf_only_est,
+         |       count(*) FILTER (WHERE mism) / 0.25 AS mismatch_est
+         |FROM d""".stripMargin
+    },
 
     "q_count_compare" ->
       s"""${Fixtures.Sql.ordersPair},

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental-validation triage family (TableDiff.partitionChecksum /
+  * targetedDiff / sampledDiffEstimate): status semantics, order
+  * independence of the checksum, targeted ≡ full-diff-restricted, disk
+  * partition pruning, and sample-estimate consistency. */
+class PartitionDiffSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Six partitions exercising every status:
+  //  p1 clean, p2 cell mutated (same count), p3 row dropped on sf,
+  //  p4 absent on sf, p5 absent on hive, p6 same COUNT but a different
+  //  pk (add+drop — only the checksum can catch it).
+  private def hive = Seq(
+    (1L, "p1", 10L), (2L, "p1", 20L),
+    (3L, "p2", 30L), (4L, "p2", 40L),
+    (5L, "p3", 50L), (6L, "p3", 60L),
+    (7L, "p4", 70L),
+    (9L, "p6", 90L)
+  ).toDF("id", "part", "v")
+
+  private def sf = Seq(
+    (1L, "p1", 10L), (2L, "p1", 20L),
+    (3L, "p2", 31L), (4L, "p2", 40L),
+    (5L, "p3", 50L),
+    (8L, "p5", 80L),
+    (10L, "p6", 90L)
+  ).toDF("id", "part", "v")
+
+  test("partitionChecksum assigns every status correctly") {
+    val got = TableDiff.partitionChecksum(hive, sf, "part", Seq("id"))
+      .select("partition", "hive_count", "sf_count", "status")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("p1", 2L, 2L, "ok"),
+      ("p2", 2L, 2L, "data_drift"),
+      ("p3", 2L, 1L, "count_drift"),
+      ("p4", 1L, 0L, "sf_missing"),
+      ("p5", 0L, 1L, "hive_missing"),
+      ("p6", 1L, 1L, "data_drift"))) // same count, pk swapped: sum differs
+  }
+
+  test("checksum is independent of row order and partitioning") {
+    val base = TableDiff.partitionChecksum(hive, sf, "part", Seq("id"))
+      .select("partition", "hive_checksum", "sf_checksum")
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getDecimal(2)))
+      .sortBy(_._1).toSeq
+    val shuffled = TableDiff.partitionChecksum(
+        hive.repartition(7, col("v")).sortWithinPartitions(col("v").desc),
+        sf.repartition(3), "part", Seq("id"))
+      .select("partition", "hive_checksum", "sf_checksum")
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getDecimal(2)))
+      .sortBy(_._1).toSeq
+    assert(base == shuffled)
+  }
+
+  test("checksumTerm stays in [0, 2^60) — exact DECIMAL(38,0) sums for 10^18 rows") {
+    val terms = hive.select(TableDiff.checksumTerm(Seq(col("id"), col("v"))).as("t"))
+      .collect().map(_.getDecimal(0))
+    assert(terms.forall(t => t.signum() >= 0 &&
+      t.compareTo(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(60))) < 0))
+  }
+
+  test("fast (xxhash) checksum lane matches the portable lane's verdicts") {
+    def statuses(portable: Boolean) =
+      TableDiff.partitionChecksum(hive, sf, "part", Seq("id"), portable = portable)
+        .select("partition", "status").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(statuses(portable = true) == statuses(portable = false))
+    def targeted(portable: Boolean) =
+      TableDiff.targetedDiff(hive, sf, "part", Seq("id"), portable = portable)
+        .select("pk", "partition", "status").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(targeted(portable = true) == targeted(portable = false))
+    // Fast terms stay in the same non-negative 60-bit range.
+    val terms = hive.select(
+      TableDiff.checksumTermFast(hive, Seq("id", "v")).as("t"))
+      .collect().map(_.getDecimal(0))
+    assert(terms.forall(t => t.signum() >= 0 &&
+      t.compareTo(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(60))) < 0))
+  }
+
+  test("targetedDiff equals the full diff's discrepant rows") {
+    val targeted = TableDiff.targetedDiff(hive, sf, "part", Seq("id"))
+      .select("pk", "partition", "status")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val full = TableDiff.diff(hive, sf, "id")
+      .filter(!col("in_left") || !col("in_right") || col("hash_mismatch"))
+      .join(hive.select(col("id").as("pk"), col("part"))
+          .unionByName(sf.select(col("id").as("pk"), col("part"))).distinct(),
+        Seq("pk"))
+      .select(col("pk"),
+        col("part"),
+        when(col("in_left") && !col("in_right"), "hive_only")
+          .when(col("in_right") && !col("in_left"), "sf_only")
+          .otherwise("mismatch").as("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(targeted == full)
+    assert(targeted == Set(
+      (3L, "p2", "mismatch"), (6L, "p3", "hive_only"), (7L, "p4", "hive_only"),
+      (8L, "p5", "sf_only"), (9L, "p6", "hive_only"), (10L, "p6", "sf_only")))
+  }
+
+  test("targetedDiff on identical sides is empty (no suspect partitions)") {
+    assert(TableDiff.targetedDiff(hive, hive, "part", Seq("id")).count() == 0L)
+  }
+
+  test("targetedDiff prunes partitions on a partitioned parquet layout") {
+    val dir = java.nio.file.Files.createTempDirectory("pdiff").toString
+    hive.write.partitionBy("part").parquet(s"$dir/hive")
+    sf.write.partitionBy("part").parquet(s"$dir/sf")
+    val l = spark.read.parquet(s"$dir/hive")
+    val r = spark.read.parquet(s"$dir/sf")
+    val td = TableDiff.targetedDiff(l, r, "part", Seq("id"))
+    val rows = td.select("pk", "status").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(rows == Set((3L, "mismatch"), (6L, "hive_only"), (7L, "hive_only"),
+      (8L, "sf_only"), (9L, "hive_only"), (10L, "sf_only")))
+    // The suspect IN-list must reach the scans as PARTITION filters —
+    // file-level pruning, the whole point of the triage at 100 TB. The
+    // clean partition p1 must not appear in any scan's partition filter
+    // region of the executed plan.
+    val plan = td.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*part#[^\\]]*IN \\([^)]*\\)[^\\]]*\\]".r
+    val filters = pf.findAllIn(plan).toList
+    assert(filters.nonEmpty, s"no partition IN-filter in plan:\n$plan")
+    assert(filters.forall(f => !f.contains("p1")),
+      s"clean partition p1 not pruned:\n${filters.mkString("\n")}")
+  }
+
+  test("sampledDiffEstimate at frac=1 reproduces the full diff's counts") {
+    val row = TableDiff.sampledDiffEstimate(hive, sf, Seq("id"), frac = 1.0)
+      .collect().head
+    assert(row.getAs[Long]("hive_only_sampled") == 3L) // 6, 7, 9
+    assert(row.getAs[Long]("sf_only_sampled") == 2L)   // 8, 10
+    assert(row.getAs[Long]("mismatch_sampled") == 1L)  // 3
+    assert(row.getAs[Double]("mismatch_est") == 1.0)
+  }
+
+  test("sampledDiffEstimate equals the full diff restricted to sampled keys") {
+    import graft.operators.Sampling
+    val frac = 0.25
+    val l = Fixtures.hiveOrders(spark, TestSpark.Sf0001)
+    val r = Fixtures.sfOrders(spark, TestSpark.Sf0001)
+    val row = TableDiff.sampledDiffEstimate(l, r, Seq("o_orderkey"), frac = frac)
+      .collect().head
+    // Independent path: full diff, THEN restrict to the sampled ranks —
+    // by-key consistency means both orders of (sample, diff) agree.
+    val keep = Sampling.hashRankHex(col("pk").cast("string"), "graftdiff") <
+      lit(Sampling.thresholdHex(frac))
+    val full = TableDiff.diff(l, r, "o_orderkey").filter(keep)
+    val exp = full.agg(
+      count(when(col("in_left") && !col("in_right"), 1)),
+      count(when(col("in_right") && !col("in_left"), 1)),
+      count(when(col("hash_mismatch"), 1))).collect().head
+    assert(row.getAs[Long]("hive_only_sampled") == exp.getLong(0))
+    assert(row.getAs[Long]("sf_only_sampled") == exp.getLong(1))
+    assert(row.getAs[Long]("mismatch_sampled") == exp.getLong(2))
+    assert(row.getAs[Double]("hive_only_est") == exp.getLong(0) / frac)
+    // Scaled estimates should be in the neighborhood of the true counts
+    // (exactly 1/frac of an unbiased per-key Bernoulli sample).
+    val trueMism = TableDiff.diff(l, r, "o_orderkey")
+      .filter(col("hash_mismatch")).count()
+    assert(math.abs(row.getAs[Double]("mismatch_est") - trueMism) <=
+      4 * math.sqrt(trueMism / frac) + 8)
+  }
+}
