@@ -29,6 +29,44 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.ShinglesExpr.wordShingles(tokens(normalized(text)), n)
 
+  /** C4/CCNet-style cross-document LINE dedup — the boilerplate-removal
+    * pass of a web-corpus pipeline: any line occurring `minDf`+ times
+    * ACROSS the corpus (nav bars, cookie banners, copyright footers) is
+    * struck from every document; documents keep their surviving lines in
+    * original order, and documents left with zero lines are dropped
+    * (the standard C4 behavior).
+    *
+    * Scale shape: the duplicate-line census groups on `md5(line)` — a
+    * fixed 32-char key, so the count shuffle carries hashes + partial
+    * counts (map-side combined), never the (arbitrarily long) line
+    * bodies. The strike-out is a LEFT ANTI join against the common-hash
+    * set — boilerplate is heavy-hitter-shaped, so that set is tiny
+    * relative to the corpus and AQE broadcasts it in practice; the
+    * rebuild shuffles each document's kept lines once on the doc id, and
+    * the per-doc buffer is bounded by that document's own line count.
+    * Output: (idCol, n_lines, n_kept, text_out). */
+  def dropCommonLines(docs: DataFrame, idCol: String, textCol: String,
+                      minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (got $minDf): 1 would drop every line")
+    val split0 = split(col(textCol), "\n")
+    val lines = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), size(split0).cast("long").as("n_lines"),
+        posexplode(split0).as(Seq("pos", "line")))
+    val common = lines
+      .groupBy(md5(col("line")).as("lh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("lh"))
+    lines
+      .join(common, md5(col("line")) === common("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(first(col("n_lines")).as("n_lines"),
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text_out"))
+  }
+
   /** Exact duplicate groups by canonical-text hash: one row per duplicated
     * fingerprint with the surviving (min) id, the sorted member ids capped
     * at `memberCap` (a web corpus reliably has mega-groups — empty docs,

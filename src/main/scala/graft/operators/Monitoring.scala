@@ -24,6 +24,39 @@ object Monitoring {
     * period (no prior to compare against, which is not the same claim
     * as "no drift").
     */
+  /** Cumulative quality-filter funnel: how many rows survive each stage
+    * of a filter chain, in ONE pass. Stage `i`'s count applies stages
+    * `1..i` ANDed in declaration order — the report a pipeline owner
+    * reads to see which filter is eating the corpus before committing a
+    * 100 TB run to it.
+    *
+    * Scale shape: every stage is a conditional count inside a single
+    * global aggregate over one scan — no per-stage jobs, no shuffle
+    * beyond the 1-row final merge (map-side partials carry
+    * #stages+1 longs). The per-stage rows are unpivoted from that one
+    * row; `retention` = n_pass/total is a single long/long → double
+    * division, IEEE-identical in any engine. A NULL-valued condition
+    * counts as false (SQL FILTER semantics).
+    * Output: (stage_ord, stage, n_pass, retention). */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    require(stages.map(_._1).distinct.length == stages.length,
+      s"duplicate stage name in ${stages.map(_._1)}")
+    require(stages.forall(s => s._1.matches("[A-Za-z0-9_]+")),
+      "stage names must be [A-Za-z0-9_]+ (they are spliced into stack())")
+    val cum = stages.scanLeft(lit(true): Column)((acc, s) => acc && s._2).tail
+    val aggs = count(lit(1)).as("__total") +:
+      cum.zip(stages).map { case (c, (n, _)) => count(when(c, 1)).as(s"__s_$n") }
+    val stackArgs = (Seq("0", "'total'", "__total") +:
+      stages.zipWithIndex.map { case ((n, _), i) =>
+        Seq(s"${i + 1}", s"'$n'", s"__s_$n") }).map(_.mkString(", ")).mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__total"),
+        expr(s"stack(${stages.size + 1}, $stackArgs) AS (stage_ord, stage, n_pass)"))
+      .select(col("stage_ord"), col("stage"), col("n_pass"),
+        (col("n_pass") / col("__total")).as("retention"))
+  }
+
   def countDrift(df: DataFrame, dims: Seq[String], period: Column,
                  factor: Int = 2): DataFrame = {
     require(dims.nonEmpty, "at least one grouping dimension")

@@ -82,6 +82,29 @@ object TextQueries {
       |      ELSE concat_ws(chr(10), text, substring(text, 1, 40)) END AS lined_text
       |  FROM documents)""".stripMargin
 
+  /** Boilerplate-bearing multi-line corpus for cross-document line dedup:
+    * half the docs (%2) lead with a shared newsletter banner, every fifth
+    * ends with a shared copyright footer, and the raw text is the middle
+    * line. concat_ws skips the NULL CASE arms identically in both
+    * engines. */
+  def lineCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        when(col("doc_id") % 2 === 0, lit("Subscribe to our newsletter!")),
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("(c) 2024 Example Corp. All rights reserved.")))
+        .as("lined_text"))
+
+  private val lineCorpusSql =
+    """lined AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter!' END,
+      |    text,
+      |    CASE WHEN doc_id % 5 = 0 THEN '(c) 2024 Example Corp. All rights reserved.' END)
+      |    AS lined_text
+      |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+
   /** PII-bearing corpus: deterministic email (%7) and NNN-NNN-NNNN phone
     * (%13) injections appended to the raw text. Same derivation in the
     * oracle SQL. */
@@ -206,6 +229,28 @@ object TextQueries {
         TA.dupNgramFrac(col("text"), 2).as("dup_2gram_frac"),
         TA.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"))
         .orderBy(col("doc_id"))),
+
+    // Cross-document line dedup (C4/CCNet boilerplate removal): shared
+    // banner/footer lines struck from every doc, per-doc line order
+    // preserved. Count shuffle rides 32-char md5 keys, never line text.
+    "q_line_dedup" -> ((s, dir) =>
+      Dedup.dropCommonLines(lineCorpus(s, dir), "doc_id", "lined_text")
+        .orderBy(col("doc_id"))),
+
+    // Quality-filter funnel: per-stage survivor counts for the standard
+    // pre-training filter chain, one scan + one 1-row aggregate.
+    "q_filter_funnel" -> ((s, dir) => {
+      import graft.operators.Monitoring
+      val toks = TA.wsTokenCount(col("text"))
+      val wordLen = length(col("text")).cast("double") /
+        greatest(toks, lit(1)).cast("double")
+      Monitoring.filterFunnel(Tables.load(s, dir, "documents"), Seq(
+        "has_text" -> (length(col("text")) >= 1),
+        "min_tokens" -> (toks >= 20),
+        "english" -> (TA.langIdScore(col("text")) >= 0.02),
+        "word_len_band" -> (wordLen >= 3.0 && wordLen <= 10.0)))
+        .orderBy(col("stage_ord"))
+    }),
 
     // PII scrub pass: match counts + the redacted text's fingerprint.
     // One scan, zero shuffle (regexp_count / regexp_replace are codegen'd).
@@ -411,6 +456,51 @@ object TextQueries {
          |         / CAST(greatest(len(toks) - 2, 0) AS DOUBLE)
          |    ELSE 0.0 END AS dup_3gram_frac
          |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "q_line_dedup" ->
+      s"""WITH $lineCorpusSql,
+         |ls AS (SELECT doc_id, string_split(lined_text, chr(10)) AS arr FROM lined),
+         |pos AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS ord FROM ls),
+         |lines AS (SELECT doc_id, ord, arr[ord] AS line FROM pos),
+         |common AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 2),
+         |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM common)),
+         |outd AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         array_to_string(list(line ORDER BY ord), chr(10)) AS text_out
+         |  FROM kept GROUP BY doc_id)
+         |SELECT o.doc_id, CAST(len(l.arr) AS BIGINT) AS n_lines, o.n_kept, o.text_out
+         |FROM outd o JOIN ls l USING (doc_id)
+         |ORDER BY o.doc_id""".stripMargin,
+
+    "q_filter_funnel" -> {
+      val enScore =
+        """CAST(len(list_filter(string_split(text, ' '),
+          |        t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+          |    / CAST(len(string_split(text, ' ')) AS DOUBLE)""".stripMargin
+      s"""WITH f AS (
+         |  SELECT length(text) >= 1 AS c1,
+         |         len(string_split(text, ' ')) >= 20 AS c2,
+         |         $enScore >= 0.02 AS c3,
+         |         CAST(length(text) AS DOUBLE)
+         |           / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)
+         |           BETWEEN 3.0 AND 10.0 AS c4
+         |  FROM documents),
+         |agg AS (
+         |  SELECT count(*) AS total,
+         |         count(*) FILTER (WHERE c1) AS s1,
+         |         count(*) FILTER (WHERE c1 AND c2) AS s2,
+         |         count(*) FILTER (WHERE c1 AND c2 AND c3) AS s3,
+         |         count(*) FILTER (WHERE c1 AND c2 AND c3 AND c4) AS s4
+         |  FROM f)
+         |SELECT stage_ord, stage, n_pass, n_pass / (SELECT total FROM agg) AS retention
+         |FROM (
+         |  SELECT 0 AS stage_ord, 'total' AS stage, total AS n_pass FROM agg
+         |  UNION ALL SELECT 1, 'has_text', s1 FROM agg
+         |  UNION ALL SELECT 2, 'min_tokens', s2 FROM agg
+         |  UNION ALL SELECT 3, 'english', s3 FROM agg
+         |  UNION ALL SELECT 4, 'word_len_band', s4 FROM agg) t
+         |ORDER BY stage_ord""".stripMargin
+    },
 
     "q_pii_scrub" ->
       s"""WITH $piiCorpusSql

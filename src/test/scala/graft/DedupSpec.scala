@@ -201,4 +201,45 @@ class DedupSpec extends AnyFunSuite {
     assert(exactCopies.nonEmpty && exactCopies.forall(_._3 == 0))
     assert(pairs.forall { case (a, b, _) => a < b })
   }
+
+  test("dropCommonLines strikes corpus-common lines, keeps order, drops empty docs") {
+    val docs = Seq(
+      (1L, "BANNER\nalpha one\nFOOTER"),
+      (2L, "BANNER\nbeta two"),
+      (3L, "gamma three\nFOOTER"),
+      (4L, "BANNER\nFOOTER"),          // nothing survives → doc dropped
+      (5L, "delta five")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropCommonLines(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, "alpha one"),
+      (2L, 2L, 1L, "beta two"),
+      (3L, 2L, 1L, "gamma three"),
+      (5L, 1L, 1L, "delta five")))
+  }
+
+  test("dropCommonLines: within-doc repeats count toward the global df") {
+    // "dup" occurs twice in ONE doc and nowhere else → df=2 → dropped.
+    val docs = Seq((1L, "dup\nkeep\ndup"), (2L, "other")).toDF("doc_id", "text")
+    val out = Dedup.dropCommonLines(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 1L, "keep"), (2L, 1L, "other")))
+    // minDf=3 spares it (and multi-line order is preserved exactly).
+    val relaxed = Dedup.dropCommonLines(docs, "doc_id", "text", minDf = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(relaxed.toSeq == Seq((1L, "dup\nkeep\ndup"), (2L, "other")))
+    intercept[IllegalArgumentException](
+      Dedup.dropCommonLines(docs, "doc_id", "text", minDf = 1))
+  }
+
+  test("dropCommonLines ignores NULL-text rows") {
+    val docs = Seq((1L, Some("a\nb")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropCommonLines(docs, "doc_id", "text")
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L))
+  }
 }

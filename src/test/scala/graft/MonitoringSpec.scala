@@ -43,4 +43,33 @@ class MonitoringSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Monitoring.countDrift(rows.toDF("n", "d"), Seq("n"), col("d")))
   }
+
+  test("filterFunnel: cumulative stage counts, exact retention, NULL = fail") {
+    val df = Seq(
+      (1L, Some("long enough text"), 5),   // passes s1, fails s2
+      (2L, Some("good"), 50),              // passes all
+      (3L, Some(""), 50),                  // fails s1 (len 0) — s2 must not resurrect it
+      (4L, None: Option[String], 50),      // NULL text: len(null) null → fails s1
+      (5L, Some("also good"), 99)          // passes all
+    ).toDF("id", "text", "n")
+    val out = Monitoring.filterFunnel(df, Seq(
+      "has_text" -> (length($"text") >= 1),
+      "big_n" -> ($"n" >= 20)))
+      .orderBy($"stage_ord")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0, "total", 5L, 1.0),
+      (1, "has_text", 3L, 0.6),
+      (2, "big_n", 2L, 0.4)))
+  }
+
+  test("filterFunnel: rejects duplicate and non-identifier stage names") {
+    val df = Seq(1).toDF("x")
+    intercept[IllegalArgumentException](Monitoring.filterFunnel(df, Nil))
+    intercept[IllegalArgumentException](Monitoring.filterFunnel(df,
+      Seq("a" -> ($"x" > 0), "a" -> ($"x" > 1))))
+    intercept[IllegalArgumentException](Monitoring.filterFunnel(df,
+      Seq("bad name'" -> ($"x" > 0))))
+  }
 }
