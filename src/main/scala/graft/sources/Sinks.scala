@@ -33,6 +33,18 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Hive-native ORC sink, optionally hive-style partitioned — the
+    * reference's Hive side stores ORC, so warehouse parity needs the
+    * engine to WRITE the format Hive reads, with the same directory-
+    * pruning layout rules as the parquet sinks (ORC row-group stats give
+    * the equivalent min/max skipping). */
+  def writeOrc(df: DataFrame, path: String,
+               partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
   /** Single-file headered CSV for REPORT-sized frames (metrics rows,
     * rollups — the shape the reference posts to Slack/Jira). The
     * coalesce(1) is deliberate and only safe because reports are bounded

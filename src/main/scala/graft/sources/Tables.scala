@@ -49,6 +49,15 @@ object Tables {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** ORC table load — the format the reference's HIVE side actually
+    * stores (its HQL scripts run over ORC warehouse tables; the parquet
+    * loaders model the Snowflake/lake side). Spark's native ORC reader
+    * pushes filters and prunes columns exactly like parquet
+    * (spark.sql.orc.filterPushdown defaults on), so the diff engine runs
+    * unchanged over a genuine Hive layout. */
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Bounded table preview — the reference's `fetch_table` (tools/
     * snowflake_tool.py:152-158: `SELECT * FROM t LIMIT 10` → CSV), the
     * triage tool an operator runs constantly. `limit(n)` plans as a

@@ -122,6 +122,29 @@ class SketchesAndSinksSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sinks.writeSorted(df, dir, Seq.empty))
   }
 
+  test("ORC round-trip: partitioned layout prunes, filters push to the ORC scan") {
+    val dir = java.nio.file.Files.createTempDirectory("orcsink").toString
+    val df = Fixtures.hiveOrders(spark, TestSpark.Sf0001)
+      .withColumn("o_status_part", col("o_orderstatus"))
+    Sinks.writeOrc(df, dir, partitionCols = Seq("o_status_part"))
+    val back = Tables.loadOrc(spark, dir)
+    // Values survive the round-trip (modulo column order).
+    assert(back.count() == df.count())
+    val filtered = back.filter(col("o_status_part") === "F" &&
+      col("o_totalprice_cents") > 10000000L)
+    val expected = df.filter(col("o_status_part") === "F" &&
+      col("o_totalprice_cents") > 10000000L).count()
+    assert(filtered.count() == expected)
+    val plan = filtered.queryExecution.executedPlan.toString
+    // Directory pruning on the partition column...
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    assert("PartitionFilters: \\[[^\\]]*o_status_part".r.findFirstIn(plan).nonEmpty,
+      plan.take(2000))
+    // ...and row-group predicate pushdown on the data column.
+    assert("PushedFilters: \\[[^\\]]*o_totalprice_cents".r.findFirstIn(plan).nonEmpty,
+      plan.take(2000))
+  }
+
   test("previewCsv renders nested columns as JSON, not Row.toString") {
     import graft.sources.Tables
     val csv = Tables.previewCsv(spark, TestSpark.Sf0001, "embeddings", 3)
