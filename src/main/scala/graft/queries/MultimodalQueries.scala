@@ -19,9 +19,14 @@ object MultimodalQueries {
       val feats = Multimodal.extractFeatures(media.as[Multimodal.MediaRow]).toDF()
       val frames = Multimodal.sampleFrames(media, stride = 2)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled_frames"))
+      // Magic-byte sniff of the actual payload — rides the media scan
+      // (codegen'd byte-slice compares, no UDF).
+      val sniff = media.select(col("doc_id"),
+        Multimodal.sniffFormat(col("media")).as("format_sniffed"))
       feats.join(frames, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("media_type"), col("n_bytes"),
-          col("n_frames"), col("checksum"),
+        .join(sniff, Seq("doc_id"))
+        .select(col("doc_id"), col("media_type"), col("format_sniffed"),
+          col("n_bytes"), col("n_frames"), col("checksum"),
           element_at(col("features"), 1).as("feat_0"),
           coalesce(col("n_sampled_frames"), lit(0L)).as("n_sampled_frames"))
         .orderBy(col("doc_id"))

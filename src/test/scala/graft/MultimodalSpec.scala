@@ -47,6 +47,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f1.sum - 1.0f) < 1e-5) // normalized histogram
   }
 
+  test("sniffFormat recognizes real magic bytes, byte-slice only") {
+    def b(s: String) = s.getBytes("ISO-8859-1")
+    val payloads: Seq[(Long, Array[Byte], String)] = Seq(
+      (1L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 9), "png"),
+      (2L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte), "jpeg"),
+      (3L, b("GIF89a trailing"), "gif"),
+      (4L, b("RIFF1234WAVEfmt "), "wav"),
+      (5L, b("RIFF1234AVI LIST"), "avi"),
+      (6L, Array[Byte](0, 0, 0, 0x20) ++ b("ftypisom"), "mp4"),
+      (7L, b("ID3rest"), "mp3"),
+      (8L, Array[Byte](0xFF.toByte, 0xFB.toByte, 0x40), "mp3"),
+      (9L, b("%PDF-1.7"), "pdf"),
+      (10L, b("<html>not media"), "unknown"),
+      (11L, null, "unknown"),
+      (12L, Array[Byte]('R', 'I'), "unknown") // shorter than any magic
+    )
+    val got = payloads.map { case (id, bytes, _) => (id, bytes) }
+      .toDF("id", "media")
+      .select($"id", Multimodal.sniffFormat($"media").as("f"))
+      .orderBy($"id").collect().map(_.getString(1)).toSeq
+    assert(got == payloads.map(_._3))
+  }
+
+  test("mediaTable payloads sniff to the format their media_type claims") {
+    val got = media.select($"media_type",
+      Multimodal.sniffFormat($"media").as("f")).distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // NULL-text docs (if any) sniff unknown; every real payload must
+    // match its claimed container.
+    val real = got.filter(_._2 != "unknown")
+    assert(real == Set(("image", "png"), ("audio", "wav"), ("video", "mp4")))
+  }
+
   test("extractFeatures preserves rows without shuffling") {
     val feats = Multimodal.extractFeatures(media.as[Multimodal.MediaRow])
     assert(feats.count() == media.count())
