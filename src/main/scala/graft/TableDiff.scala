@@ -277,19 +277,63 @@ object TableDiff {
       .bitwiseAND(lit((1L << 60) - 1))).cast("decimal(38,0)")
   }
 
-  /** One side's per-partition summary: (partition, count, checksum). The
-    * checksum is a SUM of per-row terms — commutative, so the value is
-    * independent of row order, partitioning, and merge order (Spark's
-    * partial aggregation is free to combine in any order). */
-  private def partitionSummary(df: DataFrame, partCol: String,
-                               hashCols: Seq[String], prefix: String,
-                               portable: Boolean): DataFrame = {
+  /** One side's per-partition summary: (partition, n, checksum). The
+    * checksum is a SUM of per-row terms — commutative AND associative,
+    * so the value is independent of row order, partitioning, and merge
+    * order (Spark's partial aggregation combines freely), and summaries
+    * of disjoint row sets ADD ([[mergeChecksums]]): the production loop
+    * maintains this table incrementally per ingest batch instead of
+    * re-scanning 100 TB per validation round. */
+  def sideChecksums(df: DataFrame, partCol: String, pks: Seq[String],
+                    exclude: Seq[String] = Nil,
+                    portable: Boolean = true): DataFrame = {
+    val hashCols = pks ++ compareCols(df, pks :+ partCol, exclude)
     val term =
       if (portable) checksumTerm(hashCols.map(col))
       else checksumTermFast(df, hashCols)
-    df.groupBy(col(partCol).as(s"${prefix}_partition"))
-      .agg(count(lit(1)).as(s"${prefix}_count"),
-        sum(term).as(s"${prefix}_checksum"))
+    df.groupBy(col(partCol).as("partition"))
+      .agg(count(lit(1)).as("n"),
+        sum(term).cast("decimal(38,0)").as("checksum"))
+  }
+
+  /** Fold a new batch's [[sideChecksums]] into a running summary: counts
+    * and checksum sums add per partition (null-safe partition equality,
+    * so a NULL-partition bucket accumulates too). Appends only — a
+    * DELETE would subtract its rows' terms, which callers model by
+    * merging a summary built with negated terms. Associative and
+    * commutative, so any batch grouping/order yields the summary a full
+    * recompute would (spec-proven). */
+  def mergeChecksums(acc: DataFrame, delta: DataFrame): DataFrame =
+    acc.alias("a").join(delta.alias("d"),
+        col("a.partition") <=> col("d.partition"), "full_outer")
+      .select(
+        coalesce(col("a.partition"), col("d.partition")).as("partition"),
+        (coalesce(col("a.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("a.checksum"), lit(0).cast("decimal(38,0)")) +
+          coalesce(col("d.checksum"), lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("checksum"))
+
+  /** Join two side summaries into the per-partition status frame (the
+    * second half of [[partitionChecksum]]; exposed so incrementally
+    * maintained summaries get the same verdicts). */
+  def checksumStatus(hiveSummary: DataFrame, sfSummary: DataFrame): DataFrame = {
+    val l = hiveSummary.select(col("partition").as("hive_partition"),
+      col("n").as("hive_count"), col("checksum").as("hive_checksum"))
+    val r = sfSummary.select(col("partition").as("sf_partition"),
+      col("n").as("sf_count"), col("checksum").as("sf_checksum"))
+    l.join(r, l("hive_partition") <=> r("sf_partition"), "full_outer")
+      .select(
+        coalesce(col("hive_partition"), col("sf_partition")).as("partition"),
+        coalesce(col("hive_count"), lit(0L)).as("hive_count"),
+        coalesce(col("sf_count"), lit(0L)).as("sf_count"),
+        coalesce(col("hive_checksum"), lit(0).cast("decimal(38,0)")).as("hive_checksum"),
+        coalesce(col("sf_checksum"), lit(0).cast("decimal(38,0)")).as("sf_checksum"))
+      .withColumn("status",
+        when(col("sf_count") === 0L, lit("sf_missing"))
+          .when(col("hive_count") === 0L, lit("hive_missing"))
+          .when(col("hive_count") =!= col("sf_count"), lit("count_drift"))
+          .when(col("hive_checksum") =!= col("sf_checksum"), lit("data_drift"))
+          .otherwise(lit("ok")))
   }
 
   /** Per-partition triage compare: partition, per-side counts/checksums
@@ -309,22 +353,16 @@ object TableDiff {
   def partitionChecksum(left: DataFrame, right: DataFrame, partCol: String,
                         pks: Seq[String], exclude: Seq[String] = Nil,
                         portable: Boolean = true): DataFrame = {
-    val hashCols = pks ++ compareCols(left, pks :+ partCol, exclude)
-    val l = partitionSummary(left, partCol, hashCols, "hive", portable)
-    val r = partitionSummary(right, partCol, hashCols, "sf", portable)
-    l.join(r, l("hive_partition") <=> r("sf_partition"), "full_outer")
-      .select(
-        coalesce(col("hive_partition"), col("sf_partition")).as("partition"),
-        coalesce(col("hive_count"), lit(0L)).as("hive_count"),
-        coalesce(col("sf_count"), lit(0L)).as("sf_count"),
-        coalesce(col("hive_checksum"), lit(0).cast("decimal(38,0)")).as("hive_checksum"),
-        coalesce(col("sf_checksum"), lit(0).cast("decimal(38,0)")).as("sf_checksum"))
-      .withColumn("status",
-        when(col("sf_count") === 0L, lit("sf_missing"))
-          .when(col("hive_count") === 0L, lit("hive_missing"))
-          .when(col("hive_count") =!= col("sf_count"), lit("count_drift"))
-          .when(col("hive_checksum") =!= col("sf_checksum"), lit("data_drift"))
-          .otherwise(lit("ok")))
+    // Each side hashes ITS compare columns; drifted schemas would make
+    // the checksums structurally incomparable (every partition
+    // "data_drift") — fail loudly and point at the real gate.
+    val lc = compareCols(left, pks :+ partCol, exclude).map(_.toLowerCase)
+    val rc = compareCols(right, pks :+ partCol, exclude).map(_.toLowerCase)
+    require(lc == rc,
+      s"compare-column drift between sides ($lc vs $rc): run schemaDrift first")
+    checksumStatus(
+      sideChecksums(left, partCol, pks, exclude, portable),
+      sideChecksums(right, partCol, pks, exclude, portable))
   }
 
   /** Row-level diff restricted to the partitions [[partitionChecksum]]
@@ -362,6 +400,43 @@ object TableDiff {
         when(col("in_left") && !col("in_right"), lit("hive_only"))
           .when(col("in_right") && !col("in_left"), lit("sf_only"))
           .otherwise(lit("mismatch")).as("status"))
+  }
+
+  /** Schema drift between warehouse sides — the gate a migration
+    * validator runs BEFORE any data diff (a dropped or re-typed column
+    * fails here in milliseconds instead of surfacing as a million-row
+    * "discrepancy" after a 100 TB join; the reference models this same
+    * metadata in its schema catalog). Pure metadata: no job runs, the
+    * result is a LocalRelation built from the two schemas.
+    *
+    * Column names compare case-insensitively (warehouse convention);
+    * the reported spelling is the side that has the column (left wins
+    * when both do). Types compare by Catalyst `simpleString` — so
+    * decimal(10,2) vs decimal(12,2) IS drift, as it should be.
+    * Output: (column, hive_type, sf_type, status) with status in
+    * {ok, type_drift, hive_only, sf_only}, left-schema order first then
+    * right-only columns in right-schema order. */
+  def schemaDrift(left: DataFrame, right: DataFrame): DataFrame = {
+    val rTypes = right.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType.simpleString).toMap
+    val lNames = left.schema.fieldNames.map(_.toLowerCase).toSet
+    val fromLeft = left.schema.fields.map { f =>
+      val rt = rTypes.get(f.name.toLowerCase)
+      val lt = f.dataType.simpleString
+      val status = rt match {
+        case None => "hive_only"
+        case Some(t) if t == lt => "ok"
+        case Some(_) => "type_drift"
+      }
+      (f.name, lt, rt.orNull, status)
+    }
+    val fromRight = right.schema.fields
+      .filterNot(f => lNames.contains(f.name.toLowerCase))
+      .map(f => (f.name, null: String, f.dataType.simpleString, "sf_only"))
+    val spark = left.sparkSession
+    import spark.implicits._
+    (fromLeft ++ fromRight).toSeq
+      .toDF("column", "hive_type", "sf_type", "status")
   }
 
   /** Discrepancy-rate estimate from a consistent BY-KEY sample: both

@@ -133,6 +133,52 @@ class PartitionDiffSpec extends AnyFunSuite {
       s"clean partition p1 not pruned:\n${filters.mkString("\n")}")
   }
 
+  test("incremental checksum maintenance: batch-folded summaries equal the recompute") {
+    val whole = Fixtures.hiveOrders(spark, TestSpark.Sf0001)
+      .withColumn("part", date_format(col("o_orderdate"), "yyyy-MM"))
+    val full = TableDiff.sideChecksums(whole, "part", Seq("o_orderkey"),
+        exclude = Seq("o_orderdate"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      .sortBy(_._1).toSeq
+    // Three arbitrary disjoint batches (uneven, one empty-ish), folded in
+    // a different order than the data: the monoid must not care.
+    val batches = Seq(
+      whole.filter(col("o_orderkey") % 3 === 2),
+      whole.filter(col("o_orderkey") % 3 === 0),
+      whole.filter(col("o_orderkey") % 3 === 1))
+    val folded = batches
+      .map(b => TableDiff.sideChecksums(b, "part", Seq("o_orderkey"),
+        exclude = Seq("o_orderdate")))
+      .reduce(TableDiff.mergeChecksums)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      .sortBy(_._1).toSeq
+    assert(folded == full)
+    // And the maintained summaries feed the same status logic.
+    val status = TableDiff.checksumStatus(
+        batches.map(b => TableDiff.sideChecksums(b, "part", Seq("o_orderkey"),
+          exclude = Seq("o_orderdate"))).reduce(TableDiff.mergeChecksums),
+        TableDiff.sideChecksums(whole, "part", Seq("o_orderkey"),
+          exclude = Seq("o_orderdate")))
+      .select("status").distinct().collect().map(_.getString(0)).toSeq
+    assert(status == Seq("ok"))
+  }
+
+  test("partitionChecksum refuses drifted compare columns; schemaDrift reports them") {
+    val extra = sf.withColumn("audit_ts", lit("2024-01-01"))
+    intercept[IllegalArgumentException](
+      TableDiff.partitionChecksum(hive, extra, "part", Seq("id")))
+    val drift = TableDiff.schemaDrift(
+        hive.withColumn("only_left", lit(1)),
+        extra.withColumn("v", col("v").cast("int")))
+      .collect().map(r => (r.getString(0), r.getString(3))).toSeq
+    assert(drift == Seq(
+      ("id", "ok"), ("part", "ok"), ("v", "type_drift"),
+      ("only_left", "hive_only"), ("audit_ts", "sf_only")))
+    val types = TableDiff.schemaDrift(hive, extra)
+      .filter(col("column") === "v").collect().head
+    assert(types.getString(1) == "bigint" && types.getString(2) == "bigint")
+  }
+
   test("sampledDiffEstimate at frac=1 reproduces the full diff's counts") {
     val row = TableDiff.sampledDiffEstimate(hive, sf, Seq("id"), frac = 1.0)
       .collect().head
