@@ -81,6 +81,42 @@ object EventStream {
       }
       .start()
 
+  /** Continuous partition-checksum maintenance — the streaming half of
+    * TableDiff's incremental validation loop: each micro-batch's side
+    * summary (graft.TableDiff.sideChecksums — O(#partitions) rows, the
+    * batch never leaves its executors unaggregated) APPENDS to a
+    * summary-delta directory tagged with the batch id. Because the
+    * checksum is a monoid, the current summary is just the fold of the
+    * deltas ([[readChecksums]]), equal to a full recompute over
+    * everything ever ingested — the 100 TB table itself is never
+    * re-scanned. Returns the started query; callers own its lifecycle. */
+  def maintainChecksums(rows: DataFrame, partCol: String, pks: Seq[String],
+                        summaryPath: String, checkpointPath: String,
+                        exclude: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.TableDiff.sideChecksums(batch.toDF(), partCol, pks, exclude)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(summaryPath)
+        ()
+      }
+      .start()
+
+  /** Current summary from a [[maintainChecksums]] delta directory: drop
+    * re-delivered batch duplicates (a batch replayed after a failure
+    * appends IDENTICAL (batch, partition) rows — at-least-once made
+    * effectively-once by keying on the batch id), then fold. The scan is
+    * O(batches × partitions) summary rows — compact by rewriting the
+    * fold result when that grows. Feed two maintained summaries to
+    * graft.TableDiff.checksumStatus for the drift verdicts. */
+  def readChecksums(spark: SparkSession, summaryPath: String): DataFrame =
+    spark.read.parquet(summaryPath)
+      .dropDuplicates("__batch_id", "partition")
+      .groupBy("partition")
+      .agg(sum("n").as("n"),
+        sum("checksum").cast("decimal(38,0)").as("checksum"))
+
   /** Streaming exact dedup on event_id: state is bounded by the watermark
     * (duplicates arriving later than `watermark` after the original are
     * not suppressed — the at-least-once ingestion contract). */

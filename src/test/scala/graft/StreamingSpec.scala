@@ -109,6 +109,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(staged == Set((2L, "B", 20L), (4L, "d", 40L)))
   }
 
+  test("maintainChecksums: streamed summary equals a full recompute; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String, Long)]
+    val sumDir = java.nio.file.Files.createTempDirectory("graft-cksum").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cksum-ck").toString
+    val q = EventStream.maintainChecksums(
+      src.toDS().toDF("id", "part", "v"), "part", Seq("id"), sumDir, ckpt)
+    val all = Seq(
+      (1L, "p1", 10L), (2L, "p1", 20L), (3L, "p2", 30L),
+      (4L, "p2", 40L), (5L, "p3", 50L))
+    try {
+      src.addData(all(0), all(1)); q.processAllAvailable()
+      src.addData(all(2)); q.processAllAvailable()
+      src.addData(all(3), all(4)); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"partition", $"n", $"checksum".cast("string"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    val maintained = rows(EventStream.readChecksums(spark, sumDir))
+    val recomputed = rows(graft.TableDiff.sideChecksums(
+      all.toDF("id", "part", "v"), "part", Seq("id")))
+    assert(maintained == recomputed)
+    // A replayed batch appends identical (batch, partition) rows; the
+    // read-side dedup must keep the fold unchanged.
+    val existing = spark.read.parquet(sumDir)
+    existing.filter($"__batch_id" === 0L).write.mode("append").parquet(sumDir)
+    assert(rows(EventStream.readChecksums(spark, sumDir)) == recomputed)
+  }
+
   test("a cross-batch late event joins its session without regressing the bounds") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
