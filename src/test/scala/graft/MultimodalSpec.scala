@@ -80,6 +80,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(real == Set(("image", "png"), ("audio", "wav"), ("video", "mp4")))
   }
 
+  test("resizePlan preserves aspect ratio, never upscales, never hits zero") {
+    val m = Seq(
+      (1L, 640, 480),   // downscale: 256x192
+      (2L, 480, 640),   // portrait: 192x256
+      (3L, 100, 50),    // already small: untouched
+      (4L, 2560, 1),    // extreme strip: height clamps to 1
+      (5L, 256, 256)    // exactly maxSide: untouched
+    ).toDF("doc_id", "width", "height")
+    val out = Multimodal.resizePlan(m, maxSide = 256)
+      .select($"doc_id", $"out_width", $"out_height", $"resized")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getBoolean(3))).toSeq
+    assert(out == Seq(
+      (256, 192, true), (192, 256, true), (100, 50, false),
+      (256, 1, true), (256, 256, false)))
+    intercept[IllegalArgumentException](Multimodal.resizePlan(m, 0))
+  }
+
   test("extractFeatures preserves rows without shuffling") {
     val feats = Multimodal.extractFeatures(media.as[Multimodal.MediaRow])
     assert(feats.count() == media.count())
