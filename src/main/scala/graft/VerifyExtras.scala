@@ -95,7 +95,27 @@ object VerifyExtras {
       val nearDupLsh = Similarity.cosineNearDupPairsLsh(dupEmb, minCos = 0.9)
         .select($"id1", $"id2").as[(Long, Long)].collect()
 
+      // --- partition triage vs full diff ------------------------------
+      // The checksum triage must flag every partition holding a
+      // discrepancy (a miss is possible only via a 60-bit sum collision),
+      // so the targeted diff's row set must BE the full diff's. Driver-
+      // visible proof at verify scale, complementing PartitionDiffSpec.
+      val part = org.apache.spark.sql.functions.date_format($"o_orderdate", "yyyy-MM-dd")
+      val hp = Fixtures.hiveOrders(spark, sfDir).withColumn("o_part", part)
+      val sp = Fixtures.sfOrders(spark, sfDir).withColumn("o_part", part)
+      val fullDiscrepant = TableDiff.diff(hp, sp, Seq("o_orderkey"), Seq("o_orderdate"))
+        .filter(!$"in_left" || !$"in_right" || $"hash_mismatch")
+        .select($"pk").as[Long].collect().toSet
+      val targetedRows = TableDiff.targetedDiff(hp, sp, "o_part",
+          Seq("o_orderkey"), Seq("o_orderdate"))
+        .select($"pk").as[Long].collect()
+      val triageRecall =
+        if (fullDiscrepant.isEmpty) 1.0
+        else targetedRows.count(fullDiscrepant.contains).toDouble / fullDiscrepant.size
+
       Seq(
+        Check("targeted_diff_vs_full_diff", triageRecall, floor = 1.0,
+          fullDiscrepant.size.toLong, targetedRows.length.toLong),
         // Banding theory at est 0.5 (16 hashes / 4 bands): a J=0.7 pair
         // agrees per band w.p. ~0.24, ≥1 of 4 bands w.p. ~0.67 — but the
         // injected near-dups sit at J≈0.9+ where it's ~0.99; spec-measured

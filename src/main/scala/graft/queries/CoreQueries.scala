@@ -315,6 +315,17 @@ object CoreQueries {
           "o_part", Seq("o_orderkey"), exclude = Seq("o_orderdate"))
         .orderBy(col("pk"))),
 
+    // Schema-drift gate (metadata-only, no job): rows-only — DuckDB's
+    // type vocabulary can't mirror Catalyst simpleString, so the
+    // verdicts are pinned in PartitionDiffSpec instead. Fixture: one
+    // re-typed column + one sf-only audit column.
+    "q_schema_drift" -> ((s, dir) =>
+      TableDiff.schemaDrift(
+        Fixtures.hiveOrders(s, dir),
+        Fixtures.sfOrders(s, dir)
+          .withColumn("o_custkey", col("o_custkey").cast("int"))
+          .withColumn("audit_ts", lit("2024-01-01")))),
+
     // Consistent by-key 1/4 sample of both sides, diffed exactly: scaled
     // counts are unbiased estimates of the full diff's counts from a
     // quarter-size shuffle (the cheap "how bad is it" probe before
