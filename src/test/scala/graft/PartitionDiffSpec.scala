@@ -163,6 +163,37 @@ class PartitionDiffSpec extends AnyFunSuite {
     assert(status == Seq("ok"))
   }
 
+  test("randomized: fold == recompute and statuses survive repartitioning") {
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 500).map { i =>
+        (i.toLong, s"p${rnd.nextInt(9)}", rnd.nextLong(),
+          rnd.alphanumeric.take(rnd.nextInt(12)).mkString)
+      }
+      val df = rows.toDF("id", "part", "v", "s")
+      val full = TableDiff.sideChecksums(df, "part", Seq("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+        .sortBy(_._1).toSeq
+      // Random 3-way split, folded in shuffled order.
+      val assign = rows.map(_ => rnd.nextInt(3))
+      val batches = rnd.shuffle(List(0, 1, 2)).map { b =>
+        rows.zip(assign).collect { case (r, a) if a == b => r }.toDF("id", "part", "v", "s")
+      }
+      val folded = batches.map(TableDiff.sideChecksums(_, "part", Seq("id")))
+        .reduce(TableDiff.mergeChecksums)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+        .sortBy(_._1).toSeq
+      assert(folded == full, s"seed=$seed")
+      // Repartitioned input: identical summary (order independence).
+      val reparted = TableDiff.sideChecksums(
+          df.repartition(11, col("v")).sortWithinPartitions(col("s")),
+          "part", Seq("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+        .sortBy(_._1).toSeq
+      assert(reparted == full, s"seed=$seed")
+    }
+  }
+
   test("partitionChecksum refuses drifted compare columns; schemaDrift reports them") {
     val extra = sf.withColumn("audit_ts", lit("2024-01-01"))
     intercept[IllegalArgumentException](
