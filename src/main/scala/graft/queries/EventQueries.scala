@@ -57,6 +57,24 @@ object EventQueries {
           Seq("event_type"), to_date(col("ts")))
         .orderBy(col("event_type"), col("day"))),
 
+    // Rolling 7-day per-user activity features: a RANGE-frame window on
+    // epoch MILLIS (both engines truncate micros→millis identically;
+    // range peers at equal timestamps are included by SQL semantics in
+    // both). The summed value is integral millis so the rolling sum is
+    // engine-exact. One shuffle on user_id; the frame scan is linear
+    // per user (Spark's sliding range frame).
+    "q_rolling_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_millis(col("ts")))
+        .rangeBetween(-518400000L, 0) // [t − 6 days, t]
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(round(col("value") * 1000).cast("long")).over(w).as("value_milli_7d"))
+        .orderBy(col("event_id"))
+    }),
+
     // Sketch-based profiling (HLL distinct + quantile sketches): approx
     // values are engine-specific → rows-only; error bounds pinned in
     // SketchesAndSinksSpec.
@@ -139,6 +157,15 @@ object EventQueries {
         |  min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_7d,
+        |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS value_milli_7d
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS tms, value FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tms
+        |             RANGE BETWEEN 518400000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_count_drift" ->
       """WITH daily AS (
