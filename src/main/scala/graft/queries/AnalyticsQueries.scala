@@ -15,6 +15,20 @@ object AnalyticsQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Multi-level aggregate via ROLLUP: per-(status, priority) totals,
+    // per-status subtotals, and the grand total in ONE pass (Spark
+    // expands grouping sets map-side — no re-scan per level). NULLS
+    // FIRST is explicit: Spark's asc default is nulls-first while
+    // DuckDB's is nulls-last, and rollup rows are keyed by NULLs.
+    "q_rollup_agg" -> ((s, dir) =>
+      graft.Fixtures.hiveOrders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice_cents")).as("cents"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // Pricing-summary shape: scan-heavy grouped aggregate with a pushed
     // date filter (the TPC-H q1 pattern on our lineitem).
     "q_pricing_summary" -> ((s, dir) =>
@@ -94,6 +108,15 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_rollup_agg" ->
+      s"""${graft.Fixtures.Sql.ordersPair}
+         |SELECT o_orderstatus, o_orderpriority,
+         |       count(*) AS n,
+         |       CAST(sum(o_totalprice_cents) AS BIGINT) AS cents,
+         |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         |FROM hive_orders
+         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
