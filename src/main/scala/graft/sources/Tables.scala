@@ -49,6 +49,42 @@ object Tables {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** Lenient JSONL load with corrupt-record QUARANTINE — the production
+    * complement to [[loadJsonl]]'s FAILFAST: a 100 TB ingest always
+    * contains malformed rows, and the two wrong answers are failing the
+    * whole job on row 10^12 (FAILFAST) or silently nulling bad rows
+    * (default PERMISSIVE). This returns the well-formed rows AND routes
+    * the raw text of every malformed line to `quarantinePath` for
+    * offline triage, so the ingest is total AND nothing is lost.
+    *
+    * One read pass feeds both outputs via a persisted parse (the good/
+    * bad split is two filters over it, not two file scans; the persist
+    * is also what makes referencing _corrupt_record legal — Spark
+    * refuses corrupt-column-only projections over a raw scan). Returns
+    * the good rows; the quarantine write happens eagerly so callers
+    * can't drop it by never actioning a second frame. The parse stays
+    * cached for the caller's downstream actions — unpersist it via
+    * `spark.catalog.clearCache()` or a `.unpersist()` on the returned
+    * frame's cached ancestor when the ingest completes. */
+  def loadJsonlQuarantine(spark: SparkSession, path: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          quarantinePath: String): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not already contain _corrupt_record")
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+      .write.mode("overwrite").text(quarantinePath)
+    parsed.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+  }
+
   /** ORC table load — the format the reference's HIVE side actually
     * stores (its HQL scripts run over ORC warehouse tables; the parquet
     * loaders model the Snowflake/lake side). Spark's native ORC reader

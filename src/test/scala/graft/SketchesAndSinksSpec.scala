@@ -122,6 +122,32 @@ class SketchesAndSinksSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sinks.writeSorted(df, dir, Seq.empty))
   }
 
+  test("loadJsonlQuarantine: good rows pass, malformed lines land in quarantine") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("jsonlq")
+    val data = dir.resolve("in.jsonl")
+    java.nio.file.Files.writeString(data,
+      """{"id": 1, "name": "a"}
+        |{"id": 2, "name": "b"}
+        |{not json at all
+        |{"id": 3, "name": "c"}
+        |{"id": "not-a-number and unclosed
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val qdir = dir.resolve("quarantine").toString
+    val good = Tables.loadJsonlQuarantine(spark, data.toString, schema, qdir)
+    assert(good.orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!good.columns.contains("_corrupt_record"))
+    val quarantined = spark.read.text(qdir).collect().map(_.getString(0)).toSet
+    assert(quarantined == Set("{not json at all",
+      "{\"id\": \"not-a-number and unclosed"))
+    intercept[IllegalArgumentException](Tables.loadJsonlQuarantine(spark,
+      data.toString, schema.add("_corrupt_record", StringType), qdir))
+    spark.catalog.clearCache()
+  }
+
   test("ORC round-trip: partitioned layout prunes, filters push to the ORC scan") {
     val dir = java.nio.file.Files.createTempDirectory("orcsink").toString
     val df = Fixtures.hiveOrders(spark, TestSpark.Sf0001)
