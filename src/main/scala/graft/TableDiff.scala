@@ -286,8 +286,18 @@ object TableDiff {
     * re-scanning 100 TB per validation round. */
   def sideChecksums(df: DataFrame, partCol: String, pks: Seq[String],
                     exclude: Seq[String] = Nil,
-                    portable: Boolean = true): DataFrame = {
-    val hashCols = pks ++ compareCols(df, pks :+ partCol, exclude)
+                    portable: Boolean = true): DataFrame =
+    sideChecksumsOver(df, partCol,
+      pks ++ compareCols(df, pks :+ partCol, exclude), portable)
+
+  /** [[sideChecksums]] with the hash-column ORDER fixed by the caller:
+    * the per-row term hashes columns positionally, so the two sides of a
+    * compare must use the SAME ordering even when their schemas list the
+    * columns differently ([[partitionChecksum]] passes the left side's
+    * order to both). */
+  def sideChecksumsOver(df: DataFrame, partCol: String,
+                        hashCols: Seq[String],
+                        portable: Boolean = true): DataFrame = {
     val term =
       if (portable) checksumTerm(hashCols.map(col))
       else checksumTermFast(df, hashCols)
@@ -353,16 +363,21 @@ object TableDiff {
   def partitionChecksum(left: DataFrame, right: DataFrame, partCol: String,
                         pks: Seq[String], exclude: Seq[String] = Nil,
                         portable: Boolean = true): DataFrame = {
-    // Each side hashes ITS compare columns; drifted schemas would make
-    // the checksums structurally incomparable (every partition
-    // "data_drift") — fail loudly and point at the real gate.
-    val lc = compareCols(left, pks :+ partCol, exclude).map(_.toLowerCase)
-    val rc = compareCols(right, pks :+ partCol, exclude).map(_.toLowerCase)
-    require(lc == rc,
-      s"compare-column drift between sides ($lc vs $rc): run schemaDrift first")
+    require(!(exclude.map(_.toLowerCase).contains(partCol.toLowerCase)),
+      s"partition column $partCol must not be excluded")
+    // Drifted column SETS make the checksums structurally incomparable
+    // (every partition "data_drift") — fail loudly and point at the real
+    // gate. A mere ORDER difference between the schemas is fine: both
+    // sides hash in the LEFT side's column order (the term is
+    // positional).
+    val hashCols = pks ++ compareCols(left, pks :+ partCol, exclude)
+    val rc = compareCols(right, pks :+ partCol, exclude)
+    require(hashCols.map(_.toLowerCase).toSet ==
+        (pks.map(_.toLowerCase) ++ rc.map(_.toLowerCase)).toSet,
+      s"compare-column drift between sides ($hashCols vs $rc): run schemaDrift first")
     checksumStatus(
-      sideChecksums(left, partCol, pks, exclude, portable),
-      sideChecksums(right, partCol, pks, exclude, portable))
+      sideChecksumsOver(left, partCol, hashCols, portable),
+      sideChecksumsOver(right, partCol, hashCols, portable))
   }
 
   /** Row-level diff restricted to the partitions [[partitionChecksum]]
@@ -378,6 +393,8 @@ object TableDiff {
   def targetedDiff(left: DataFrame, right: DataFrame, partCol: String,
                    pks: Seq[String], exclude: Seq[String] = Nil,
                    maxSuspects: Int = 10000, portable: Boolean = true): DataFrame = {
+    require(!(exclude.map(_.toLowerCase).contains(partCol.toLowerCase)),
+      s"partition column $partCol must not be excluded (the output carries it)")
     val summary = partitionChecksum(left, right, partCol, pks, exclude, portable)
     val suspects = summary.filter(col("status") =!= "ok")
       .select(col("partition")).collect().map(_.get(0)).toSeq

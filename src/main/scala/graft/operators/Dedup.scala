@@ -53,12 +53,14 @@ object Dedup {
       .filter(col(textCol).isNotNull)
       .select(col(idCol), size(split0).cast("long").as("n_lines"),
         posexplode(split0).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line"))) // hash once, census + join reuse it
     val common = lines
-      .groupBy(md5(col("line")).as("lh")).agg(count(lit(1)).as("df"))
+      .groupBy(col("lh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .select(col("lh"))
+      .select(col("lh").as("common_lh"))
     lines
-      .join(common, md5(col("line")) === common("lh"), "left_anti")
+      .join(common, col("lh") === col("common_lh"), "left_anti")
+      .drop("lh")
       .groupBy(col(idCol))
       .agg(first(col("n_lines")).as("n_lines"),
         count(lit(1)).as("n_kept"),

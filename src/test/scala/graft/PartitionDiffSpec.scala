@@ -194,6 +194,20 @@ class PartitionDiffSpec extends AnyFunSuite {
     }
   }
 
+  test("partitionChecksum tolerates column-ORDER differences between sides") {
+    // Same columns, different schema order: both sides must hash in the
+    // left side's order, so identical data reads as all-ok.
+    val reordered = hive.select(col("v"), col("part"), col("id"))
+    val statuses = TableDiff.partitionChecksum(hive, reordered, "part", Seq("id"))
+      .select("status").distinct().collect().map(_.getString(0)).toSeq
+    assert(statuses == Seq("ok"))
+    intercept[IllegalArgumentException](
+      TableDiff.partitionChecksum(hive, sf, "part", Seq("id"),
+        exclude = Seq("part")))
+    intercept[IllegalArgumentException](
+      TableDiff.targetedDiff(hive, sf, "part", Seq("id"), exclude = Seq("part")))
+  }
+
   test("partitionChecksum refuses drifted compare columns; schemaDrift reports them") {
     val extra = sf.withColumn("audit_ts", lit("2024-01-01"))
     intercept[IllegalArgumentException](
