@@ -12,6 +12,31 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Key-skew diagnostic — the report you read BEFORE deciding a join
+    * needs [[saltedJoin]] (or AQE skew splitting): the `topK` heaviest
+    * keys with each key's row count, share of all rows, and skew factor
+    * (count ÷ mean-rows-per-key; ≫ 1 means that key's reducer is the
+    * straggler). One aggregation shuffle on the keys (map-side partials)
+    * collapses the corpus to per-key counts; the global totals are a
+    * 1-row aggregate broadcast back, and the top-K cut is the
+    * distributed small-K TakeOrdered. skew_factor is CAST(count AS
+    * DOUBLE) · n_keys / total in that exact operation order — two IEEE
+    * correctly-rounded ops, so an engine twin reproduces the doubles
+    * bit-for-bit. */
+  def keySkewReport(df: DataFrame, keys: Seq[String], topK: Int = 10): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    require(topK > 0, "topK must be positive")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(keys.map(col) ++ Seq(
+        col("n"),
+        (col("n") / col("total")).as("share"),
+        (col("n").cast("double") * col("n_keys") / col("total")).as("skew_factor")): _*)
+      .orderBy(col("n").desc +: keys.map(col): _*)
+      .limit(topK)
+  }
+
   /** Inner-join `big` (skewed) with `small` on `key`, salted `salts` ways.
     * `saltSrc` must be a deterministic per-row column on the big side
     * (e.g. a unique id) — hash-derived so reruns/retries salt identically.

@@ -29,6 +29,12 @@ object AnalyticsQueries {
         .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // Skew diagnostic: top-10 heaviest join keys with share and skew
+    // factor — what an operator reads before reaching for q_salted_join.
+    "q_key_skew" -> ((s, dir) =>
+      graft.operators.Skew.keySkewReport(
+        Tables.load(s, dir, "orders"), Seq("o_custkey"), topK = 10)),
+
     // Pricing-summary shape: scan-heavy grouped aggregate with a pushed
     // date filter (the TPC-H q1 pattern on our lineitem).
     "q_pricing_summary" -> ((s, dir) =>
@@ -108,6 +114,14 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_key_skew" ->
+      """WITH counts AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM counts)
+        |SELECT o_custkey, n, n / total AS share,
+        |       CAST(n AS DOUBLE) * n_keys / total AS skew_factor
+        |FROM counts, tot
+        |ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin,
+
     "q_rollup_agg" ->
       s"""${graft.Fixtures.Sql.ordersPair}
          |SELECT o_orderstatus, o_orderpriority,
