@@ -48,7 +48,26 @@ object Joins {
     * columns (null when no right row precedes). */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, time: String,
                payload: Seq[String], tieBreak: Option[String] = None,
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_"): DataFrame =
+    asOfCore(left, right, key, time, payload, tieBreak, prefix,
+      forward = false)
+
+  /** Forward as-of join: every left row picks the EARLIEST right row
+    * with the same key and right time ≥ left time — the attribution
+    * twin of [[asOfJoin]] ("which purchase follows this view"). Same
+    * inclusive-tie contract (a right row AT the left time matches; among
+    * equal right times the greatest `tieBreak` wins) and the same
+    * one-shuffle window shape, just scanned from the future backward. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      time: String, payload: Seq[String],
+                      tieBreak: Option[String] = None,
+                      prefix: String = "next_"): DataFrame =
+    asOfCore(left, right, key, time, payload, tieBreak, prefix,
+      forward = true)
+
+  private def asOfCore(left: DataFrame, right: DataFrame, key: String, time: String,
+               payload: Seq[String], tieBreak: Option[String],
+               prefix: String, forward: Boolean): DataFrame = {
     checkReserved(left, right)
     require(!payload.contains(time), s"payload already carries $time")
     // a left column equal to a prefixed payload name would make the
@@ -76,11 +95,16 @@ object Joins {
         lit(null).cast(lType).as("__l"),
         rPay.as("__r"))
     // Right rows sort BEFORE left rows at equal time (side 0 < 1) — the
-    // inclusive ≤ contract; equal-time LEFT rows all see the same carried
-    // value (every eligible right row sorts before both), so their
-    // relative order is irrelevant and the output is deterministic.
+    // inclusive-tie contract; equal-time LEFT rows all see the same
+    // carried value (every eligible right row sorts before both), so
+    // their relative order is irrelevant and the output is
+    // deterministic. Forward scans time DESCENDING (earliest eligible
+    // right is the last seen walking back from the future); tie order
+    // stays ascending so the max-tieBreak row is the carried one in
+    // both directions.
+    val tsOrd = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc_nulls_first)
+      .orderBy(tsOrd, col("__side").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lU.unionByName(rU)
       .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))

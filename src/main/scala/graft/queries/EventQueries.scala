@@ -133,6 +133,21 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of: each view picks the user's EARLIEST purchase
+    // at-or-after its timestamp (conversion attribution; oracle is
+    // DuckDB ASOF with the inequality flipped).
+    "q_asof_forward" -> ((s, dir) => {
+      val e = events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Joins.asOfJoinForward(views, purchases, "user_id", "ts",
+          payload = Seq("event_id", "value"), tieBreak = Some("event_id"),
+          prefix = "next_")
+        .orderBy(col("event_id"))
+    }),
+
     // Range join on quantized cells, rolled up per band (the rollup's
     // count/id-checksum/value sum would expose any misassigned row).
     "q_range_join" -> ((s, dir) => {
@@ -225,6 +240,26 @@ object EventQueries {
         |  p.value AS purchase_value
         |FROM v ASOF LEFT JOIN p
         |  ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.event_id""".stripMargin,
+
+    // Same tie-dedup as q_asof_join: among equal-time purchases the max
+    // event_id is the defined winner in both engines.
+    "q_asof_forward" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'view'),
+        |p0 AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT * FROM p0
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id DESC) = 1)
+        |SELECT v.event_id, v.user_id, v.ts, v.value,
+        |  p.ts AS next_ts, p.event_id AS next_event_id,
+        |  p.value AS next_value
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND v.ts <= p.ts
         |ORDER BY v.event_id""".stripMargin,
 
     "q_range_join" ->

@@ -39,6 +39,53 @@ class JoinsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("asOfJoinForward: earliest-at-or-after, inclusive tie, max-tieBreak, nulls") {
+    val left = Seq(
+      (1L, 10L, ts("2020-01-01 00:05:00"), 1.5),  // equals a purchase ts → inclusive
+      (2L, 10L, ts("2020-01-01 00:20:00"), 2.0),  // after every purchase → nulls
+      (3L, 10L, ts("2020-01-01 00:06:00"), 3.0),  // before tie pair → max event_id wins
+      (4L, 11L, ts("2020-01-01 01:00:00"), 4.0)   // key with no right rows
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (100L, 10L, ts("2020-01-01 00:01:00"), 9.0),
+      (101L, 10L, ts("2020-01-01 00:05:00"), 8.0),
+      (103L, 10L, ts("2020-01-01 00:07:00"), 7.0),  // tie on ts:
+      (102L, 10L, ts("2020-01-01 00:07:00"), 6.0)   //   103 > 102 → 103 wins
+    ).toDF("event_id", "user_id", "ts", "value")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val out = Joins.asOfJoinForward(left, right, "user_id", "ts",
+        payload = Seq("event_id", "value"), tieBreak = Some("event_id"))
+      .orderBy($"event_id").collect()
+    assert(out.map(_.getAs[Any]("next_event_id")).toSeq == Seq(101L, null, 103L, null))
+    assert(out(0).getAs[Double]("next_value") == 8.0)
+    assert(out(2).getAs[Double]("next_value") == 7.0) // atomic payload, not mixed
+    assert(out(1).isNullAt(out(1).fieldIndex("next_ts")))
+  }
+
+  test("asOfJoinForward equals an in-memory reference on random data") {
+    val rnd = new scala.util.Random(99)
+    val lrows = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(40).toLong))
+    val rrows = (1 to 200).map(i =>
+      (1000L + i, (rnd.nextInt(6) + 1).toLong, rnd.nextInt(40).toLong))
+    val l = lrows.toDF("event_id", "k", "t")
+    val r = rrows.map { case (id, k, t) => (k, t, id) }.toDF("k", "t", "rid")
+    val got = Joins.asOfJoinForward(l, r, "k", "t", payload = Seq("rid"),
+        tieBreak = Some("rid"))
+      .select($"event_id", $"next_rid").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)).map(_.asInstanceOf[Long])))
+      .toMap
+    lrows.foreach { case (id, k, t) =>
+      val eligible = rrows.filter(rr => rr._2 == k && rr._3 >= t)
+      val want = if (eligible.isEmpty) None
+        else {
+          val minT = eligible.map(_._3).min
+          Some(eligible.filter(_._3 == minT).map(_._1).max)
+        }
+      assert(got(id) == want, s"left=$id k=$k t=$t")
+    }
+  }
+
   test("asOfJoin: null right key/time match nothing; payload struct is atomic") {
     val left = Seq((1L, 10L, ts("2020-01-01 02:00:00"))).toDF("id", "k", "ts")
     val right = Seq(
