@@ -29,6 +29,33 @@ object AnalyticsQueries {
         .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // TPC-H q3 shape: three-way join with filters pushed to all scans,
+    // grouped revenue, top-10 by revenue. Revenue is exact integer
+    // micro-cents: price_cents × (100 − discount_pct) — no float sums,
+    // so the aggregate hash-matches cross-engine. Customer filter and
+    // date filters prune at the scans; AQE picks the join strategy.
+    "q_ship_priority" -> ((s, dir) => {
+      val cutoff = "1995-03-15"
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(cutoff))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit(cutoff))
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_microcents"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("rev_microcents")).as("revenue_microcents"))
+        .orderBy(col("revenue_microcents").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
     // Skew diagnostic: top-10 heaviest join keys with share and skew
     // factor — what an operator reads before reaching for q_salted_join.
     "q_key_skew" -> ((s, dir) =>
@@ -114,6 +141,20 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ship_priority" ->
+      """SELECT o.o_orderkey, o.o_orderdate,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_microcents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_microcents DESC, o.o_orderkey LIMIT 10""".stripMargin,
+
     "q_key_skew" ->
       """WITH counts AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM counts)
