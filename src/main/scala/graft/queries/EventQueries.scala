@@ -75,6 +75,21 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // EXACT per-group percentiles — the ground truth q_sketch_profile
+    // approximates. Both engines define quantiles by the same linear
+    // interpolation over the sorted group, so the doubles hash-match
+    // bit-for-bit. Exact percentile buffers the group's values (memory
+    // O(group)) — at 100 TB use the sketch; this is the verify-scale
+    // twin and the small-dimension profiling query.
+    "q_group_percentiles" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_value"),
+          percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.9)).as("p90"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))),
+
     // Sketch-based profiling (HLL distinct + quantile sketches): approx
     // values are engine-specific → rows-only; error bounds pinned in
     // SketchesAndSinksSpec.
@@ -172,6 +187,14 @@ object EventQueries {
         |  min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_group_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(value) AS min_value,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_rolling_window" ->
       """SELECT event_id, user_id,
