@@ -267,6 +267,90 @@ object EventStream {
       }
   }
 
+  final case class FwdOut(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                          value: Double,
+                          next_ts: Option[java.sql.Timestamp],
+                          next_event_id: Option[Long],
+                          next_value: Option[Double])
+
+  /** Streaming FORWARD as-of enrich — the streaming twin of
+    * [[graft.operators.Joins.asOfJoinForward]] under a bounded
+    * attribution horizon ("which purchase follows this view within N
+    * hours"): every `leftType` event emits with the EARLIEST `rightType`
+    * event in `[t, t + horizonMs]` for the same user (inclusive at both
+    * ends; max event_id among equal times — the batch tie contract).
+    *
+    * The horizon is what makes the forward direction streamable: with no
+    * bound a left could wait forever for a right that never comes. A
+    * left finalizes when the watermark strictly passes its best
+    * candidate's time (no earlier-in-window right can still arrive —
+    * and no equal-time higher-id one either, both would need ts < wm),
+    * or strictly passes t + horizon with no candidate (emits a
+    * null-match). State per key: pending lefts (bounded by
+    * horizon + watermark lateness) and rights compacted to those at-or-
+    * after min(earliest pending left, watermark) — everything older can
+    * answer no pending or future left. */
+  def forwardEnrich(events: Dataset[Event], leftType: String, rightType: String,
+                    horizonMs: Long,
+                    watermark: String = "2 hours"): Dataset[FwdOut] = {
+    import events.sparkSession.implicits._
+    require(horizonMs > 0, "horizonMs must be positive")
+    def ltRec(a: RightRec, b: RightRec): Boolean = {
+      val c = a.ts.compareTo(b.ts); c < 0 || (c == 0 && a.event_id < b.event_id)
+    }
+    events
+      .filter(e => e.event_type == leftType || e.event_type == rightType)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, FwdOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[AsOfState]) =>
+          val st = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          var rights = st.rights
+          var lefts = st.lefts
+          if (!state.hasTimedOut) {
+            val (r, l) = it.toSeq.partition(_.event_type == rightType)
+            rights = (rights ++ r.map(e => RightRec(e.ts, e.event_id, e.value)))
+              .sortWith(ltRec)
+            lefts = lefts ++ l
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // Best candidate: earliest right in [t, t+horizon]; among the
+          // equal-earliest, the max event_id (rights are (ts, id)-sorted,
+          // so the last of the first ts group).
+          def best(e: Event): Option[RightRec] = {
+            val inWin = rights.filter(r => r.ts.compareTo(e.ts) >= 0 &&
+              r.ts.getTime <= e.ts.getTime + horizonMs)
+            inWin.headOption.map(h => inWin.takeWhile(_.ts == h.ts).last)
+          }
+          val (done, pend) = lefts.partition { e =>
+            val b = best(e)
+            b.exists(_.ts.getTime < wm) || e.ts.getTime + horizonMs < wm
+          }
+          val out = done.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val m = best(e).filter(_.ts.getTime < wm)
+            FwdOut(e.event_id, e.ts, userId, e.value,
+              m.map(_.ts), m.map(_.event_id), m.map(_.value))
+          }
+          // Rights older than every pending left AND the watermark answer
+          // nothing again (future lefts have ts >= wm).
+          val floor = (pend.map(_.ts.getTime) :+ wm).min
+          val kept = rights.filter(_.ts.getTime >= floor)
+          if (pend.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsOfState(kept, pend))
+            if (pend.nonEmpty) {
+              // Wake when the watermark can finalize the earliest pending
+              // left: past its candidate's ts, or past its horizon end.
+              val wake = pend.map(e =>
+                best(e).map(_.ts.getTime).getOrElse(e.ts.getTime + horizonMs) + 1).min
+              state.setTimeoutTimestamp(math.max(wm + 1, wake))
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Stateful 30-min-gap sessionization, LIST-STATE form: each user holds
     * ALL currently-open sessions (sorted, pairwise separated by more than
     * the gap), so a late-but-within-watermark event lands in exactly the

@@ -239,6 +239,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("forwardEnrich: late earlier rights displace, horizon expiry emits null, batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 2000000000000L
+    val hour = 3600000L
+    val src = MemoryStream[EventStream.Event]
+    val q = EventStream.forwardEnrich(src.toDS(), "view", "purchase",
+        horizonMs = 4 * hour, watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fwd_out").start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[EventStream.Event]
+    def add(e: EventStream.Event*): Unit = { all ++= e; src.addData(e: _*); q.processAllAvailable() }
+    try {
+      // Batch 1: view 1 at t0, a purchase tie pair at t0+2h (ids 103<105
+      // — max id must win), view 4 whose 4h window [t0+3h, t0+7h] will
+      // hold NO purchase. Watermark after this trigger: t0+3h − 2h =
+      // t0+1h — nothing finalizes (view 1's candidate sits at t0+2h).
+      add(EventStream.Event(1L, ts(t0), 42L, "view", 1.0),
+        EventStream.Event(103L, ts(t0 + 2 * hour), 42L, "purchase", 9.0),
+        EventStream.Event(105L, ts(t0 + 2 * hour), 42L, "purchase", 8.0),
+        EventStream.Event(4L, ts(t0 + 3 * hour), 42L, "view", 4.0))
+      assert(spark.table("fwd_out").count() == 0) // nothing final yet
+      // Batch 2: a late-but-within-watermark purchase at t0+1.5h (the
+      // watermark sits at t0+1h; a row AT the boundary is dropped by the
+      // stateful input filter) — EARLIER than the tie pair; view 1 must
+      // bind to IT, not the pair (only possible because lefts wait for
+      // the watermark, not for the first match seen).
+      add(EventStream.Event(100L, ts(t0 + hour + 1800000L), 42L, "purchase", 7.0),
+        EventStream.Event(2L, ts(t0 + 2 * hour), 42L, "view", 2.0)) // equal-ts: inclusive
+      // Batch 3: far-future event advances the watermark past everything.
+      add(EventStream.Event(999L, ts(t0 + 80 * hour), 7L, "view", 0.0))
+      val got = spark.table("fwd_out").as[EventStream.FwdOut].collect()
+        .map(o => o.event_id -> ((o.next_event_id, o.next_value))).toMap
+      assert(got(1L) == (Some(100L), Some(7.0))) // late EARLIER right wins
+      assert(got(2L) == (Some(105L), Some(8.0))) // inclusive tie, max id
+      assert(got(4L) == (None, None))            // horizon expired → null
+      // Batch parity for every emitted view: asOfJoinForward with the
+      // horizon applied as a post-filter (all matches here are in-window).
+      val df = all.toSeq.toDF()
+      val views = df.filter($"event_type" === "view" && $"event_id" =!= 999L)
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val purchases = df.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id", $"value")
+      val batch = graft.operators.Joins.asOfJoinForward(views, purchases,
+          "user_id", "ts", payload = Seq("event_id", "value"),
+          tieBreak = Some("event_id"))
+        .select($"event_id", $"next_event_id", $"next_value")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("asOfEnrich: late rights bind, inclusive max-id ties, exact batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
