@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ValidationRound.TablePair
+
+class ValidationRoundSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("report: schema gate fails fast, clean triage skips the diff, drift diffs") {
+    val clean = Seq((1L, "p1", 10L), (2L, "p2", 20L)).toDF("id", "part", "v")
+    val driftedR = Seq((1L, "p1", 10L), (2L, "p2", 99L)).toDF("id", "part", "v")
+    val badSchema = clean.withColumn("v", col("v").cast("int"))
+    val out = ValidationRound.report(spark, Seq(
+        TablePair("t_clean", clean, clean, Seq("id"), partCol = Some("part")),
+        TablePair("t_drift", clean, driftedR, Seq("id"), partCol = Some("part")),
+        TablePair("t_schema", clean, badSchema, Seq("id"), partCol = Some("part")),
+        TablePair("t_nopart", clean, driftedR, Seq("id"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val c = out("t_clean")
+    assert(c.getString(1) == "clean" && c.getBoolean(2))
+    assert(c.getLong(3) == 2L && c.getLong(4) == 0L)      // partitions checked/drifted
+    assert(c.getLong(5) == 2L && c.getLong(6) == 2L)      // counts from triage
+    assert(c.getLong(9) == 0L)                            // no discrepancies
+
+    val d = out("t_drift")
+    assert(d.getString(1) == "diffed")
+    assert(d.getLong(3) == 2L && d.getLong(4) == 1L)      // one drifted partition
+    assert(d.getLong(9) == 1L)                            // id 2 mismatched
+    assert(d.getAs[String]("data_discrepancy_pk_values") == "2")
+
+    val s = out("t_schema")
+    assert(s.getString(1) == "schema_drift" && !s.getBoolean(2))
+    assert(s.getLong(5) == 0L)                            // nothing read
+
+    val n = out("t_nopart")
+    assert(n.getString(1) == "diffed")
+    assert(n.getLong(3) == 0L)                            // no triage declared
+    assert(n.getLong(9) == 1L)
+  }
+
+  test("report over the warehouse fixtures matches the metrics oracle queries") {
+    val dir = TestSpark.Sf0001
+    val out = ValidationRound.report(spark, Seq(
+        TablePair("orders", Fixtures.hiveOrders(spark, dir),
+          Fixtures.sfOrders(spark, dir), Seq("o_orderkey")),
+        TablePair("region",
+          graft.sources.Tables.load(spark, dir, "region"),
+          graft.sources.Tables.load(spark, dir, "region"), Seq("r_regionkey"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val m = queries.CoreQueries.queries("q_data_metrics")(spark, dir).head()
+    val o = out("orders")
+    assert(o.getString(1) == "diffed")
+    assert(o.getLong(5) == m.getAs[Long]("total_record_count_hive"))
+    assert(o.getLong(7) == m.getAs[Long]("hive_only_count"))
+    assert(o.getLong(9) == m.getAs[Long]("data_discrepancy_count"))
+    assert(o.getAs[String]("data_discrepancy_pk_values") ==
+      m.getAs[String]("data_discrepancy_pk_values"))
+    // The discrepancy-free control pair diffs (no partCol) to all-zeros.
+    val r = out("region")
+    assert(r.getLong(7) == 0L && r.getLong(8) == 0L && r.getLong(9) == 0L)
+  }
+}
