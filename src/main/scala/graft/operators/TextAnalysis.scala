@@ -99,6 +99,19 @@ object TextAnalysis {
   def nonBlankLines(text: Column): Column =
     filter(split(text, "\n"), l => trim(l) =!= lit(""))
 
+  /** WITHIN-document line dedup: keep each line's FIRST occurrence,
+    * preserving order (the C4 in-page pass — repeated nav blocks and
+    * chorus-style boilerplate inside one document; the cross-corpus
+    * twin is [[Dedup.dropCommonLines]]). A pure per-row array pipeline:
+    * filter-with-index keeps line i iff its first position is i — no
+    * shuffle, rides the scan. */
+  def dedupLinesWithin(text: Column): Column = {
+    val lines = split(text, "\n")
+    array_join(
+      filter(lines, (l, i) => array_position(lines, l) === (i + lit(1))),
+      "\n")
+  }
+
   /** Duplicate-line fraction: 1 − distinct/total over non-blank lines
     * (0 for line-less docs) — the Gopher "duplicate line fraction" rule.
     * Per-row array ops, no shuffle. */

@@ -230,6 +230,17 @@ object TextQueries {
         TA.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"))
         .orderBy(col("doc_id"))),
 
+    // WITHIN-document line dedup over the repetition corpus (%3 docs
+    // carry a duplicated line): first occurrence kept, order preserved,
+    // zero shuffle.
+    "q_dedup_doc_lines" -> ((s, dir) =>
+      repCorpus(s, dir).select(
+        col("doc_id"),
+        size(split(col("lined_text"), "\n")).cast("long").as("n_lines"),
+        size(array_distinct(split(col("lined_text"), "\n"))).cast("long").as("n_kept"),
+        TA.dedupLinesWithin(col("lined_text")).as("text_out"))
+        .orderBy(col("doc_id"))),
+
     // Cross-document line dedup (C4/CCNet boilerplate removal): shared
     // banner/footer lines struck from every doc, per-doc line order
     // preserved. Count shuffle rides 32-char md5 keys, never line text.
@@ -456,6 +467,17 @@ object TextQueries {
          |         / CAST(greatest(len(toks) - 2, 0) AS DOUBLE)
          |    ELSE 0.0 END AS dup_3gram_frac
          |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_doc_lines" ->
+      s"""WITH $repCorpusSql,
+         |ls AS (SELECT doc_id, string_split(lined_text, chr(10)) AS arr FROM rep)
+         |SELECT doc_id,
+         |  CAST(len(arr) AS BIGINT) AS n_lines,
+         |  CAST(len(list_distinct(arr)) AS BIGINT) AS n_kept,
+         |  array_to_string(
+         |    [x[1] FOR x IN list_zip(arr, generate_series(1, len(arr)))
+         |     IF list_position(arr, x[1]) = x[2]], chr(10)) AS text_out
+         |FROM ls ORDER BY doc_id""".stripMargin,
 
     "q_line_dedup" ->
       s"""WITH $lineCorpusSql,
