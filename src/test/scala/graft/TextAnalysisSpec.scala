@@ -30,6 +30,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3).getDouble(1) == 0.75)
   }
 
+  test("dedupLinesWithin: first occurrence kept in order; empty/all-dup edges") {
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb"),   // -> a b c
+      (2L, "same\nsame\nsame"), // -> same
+      (3L, ""),                 // single empty line survives
+      (4L, "only")              // untouched
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TA.dedupLinesWithin($"text").as("t"))
+      .orderBy($"doc_id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("a\nb\nc", "same", "", "only"))
+  }
+
   test("dupNgramFrac: repeated n-grams counted; short docs are 0") {
     val df = Seq(
       (1L, "x y x y x"), // 2-grams: [x y, y x, x y, y x] -> 1 - 2/4 = 0.5
