@@ -404,16 +404,27 @@ object TableDiff {
     val filtered =
       if (suspects.isEmpty) diff(left, right, pks, exclude).limit(0)
       else {
-        val keep = col(partCol).isin(suspects: _*)
+        // A drifted NULL-partition bucket must stay reachable: isin()
+        // never matches NULL (SQL three-valued logic), so the NULL
+        // suspect becomes an explicit isNull disjunct.
+        val nonNull = suspects.filter(_ != null)
+        val keepNonNull =
+          if (nonNull.isEmpty) lit(false) else col(partCol).isin(nonNull: _*)
+        val keep =
+          if (suspects.contains(null)) keepNonNull || col(partCol).isNull
+          else keepNonNull
         diff(left.filter(keep), right.filter(keep), pks, exclude)
       }
-    // partCol is a compare column inside the diff (never excluded here —
-    // it was removed from the exclusion of hashCols too), so both sides
-    // carry it; coalesce covers one-sided rows.
+    // partCol survives the diff either as a compare column (left_/right_
+    // prefixed) or — when it is itself part of the pk (daily partition
+    // inside a composite key) — as the pk's own output column.
+    val partOut =
+      if (pks.exists(_.equalsIgnoreCase(partCol))) col(partCol)
+      else coalesce(col(s"left_$partCol"), col(s"right_$partCol"))
     filtered
       .filter(!col("in_left") || !col("in_right") || col("hash_mismatch"))
       .select(col("pk"),
-        coalesce(col(s"left_$partCol"), col(s"right_$partCol")).as("partition"),
+        partOut.as("partition"),
         when(col("in_left") && !col("in_right"), lit("hive_only"))
           .when(col("in_right") && !col("in_left"), lit("sf_only"))
           .otherwise(lit("mismatch")).as("status"))

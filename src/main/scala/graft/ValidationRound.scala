@@ -53,16 +53,23 @@ object ValidationRound {
   def report(spark: SparkSession, pairs: Seq[TablePair],
              sampleCap: Int = 100): DataFrame = {
     val rows = pairs.map { p =>
-      val drifted = TableDiff.schemaDrift(p.left, p.right)
+      // The gate honors the pair's exclusions: a one-sided audit column
+      // the catalog already excludes (the reference's operating mode)
+      // must not permanently fail the pair as schema_drift.
+      val drifted = TableDiff.schemaDrift(
+          p.left.drop(p.exclude: _*), p.right.drop(p.exclude: _*))
         .filter(col("status") =!= "ok").count()
       if (drifted > 0)
         Row(p.name, "schema_drift", false, 0L, 0L, 0L, 0L, 0L, 0L, 0L, "", "", "")
       else {
         val triage = p.partCol.map { pc =>
+          // coalesce: an empty pair (not-yet-populated table) sums to
+          // NULL over zero partitions and must report clean, not NPE.
           TableDiff.partitionChecksum(p.left, p.right, pc, p.pks, p.exclude)
             .agg(count(lit(1)),
               count(when(col("status") =!= "ok", 1)),
-              sum(col("hive_count")), sum(col("sf_count"))).head()
+              coalesce(sum(col("hive_count")), lit(0L)),
+              coalesce(sum(col("sf_count")), lit(0L))).head()
         }
         val (nParts, nDrifted) =
           triage.map(t => (t.getLong(0), t.getLong(1))).getOrElse((0L, 0L))

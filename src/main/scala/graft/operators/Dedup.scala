@@ -53,7 +53,14 @@ object Dedup {
       .filter(col(textCol).isNotNull)
       .select(col(idCol), size(split0).cast("long").as("n_lines"),
         posexplode(split0).as(Seq("pos", "line")))
-      .withColumn("lh", md5(col("line"))) // hash once, census + join reuse it
+      // One shared projection defines lh for both consumers. The SOURCE
+      // is still read twice (census branch + probe branch — separate
+      // plan subtrees): deliberate, because the alternative single-pass
+      // form (a count window over lh) would shuffle every line BODY on
+      // lh, while the census branch here shuffles only 32-char hashes +
+      // partial counts and the re-read is a cheap columnar scan with
+      // column pruning.
+      .withColumn("lh", md5(col("line")))
     val common = lines
       .groupBy(col("lh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)

@@ -102,7 +102,11 @@ object Joins {
     // right is the last seen walking back from the future); tie order
     // stays ascending so the max-tieBreak row is the carried one in
     // both directions.
-    val tsOrd = if (forward) col("__ts").desc else col("__ts").asc
+    // desc defaults to NULLS LAST, which would park a null-time left at
+    // the partition END where it wrongly carries the earliest right —
+    // nulls-first keeps null-time lefts match-less in both directions
+    // (asc already defaults to nulls first).
+    val tsOrd = if (forward) col("__ts").desc_nulls_first else col("__ts").asc
     val w = Window.partitionBy(col("__k"))
       .orderBy(tsOrd, col("__side").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

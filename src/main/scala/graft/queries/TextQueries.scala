@@ -88,7 +88,12 @@ object TextQueries {
     * line. concat_ws skips the NULL CASE arms identically in both
     * engines. */
   def lineCorpus(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents").select(col("doc_id"),
+    // NULL-text docs are excluded to mirror the oracle: concat_ws SKIPS
+    // null args (never propagates), so without this filter a fetch-failed
+    // doc would enter the census as a banner-plus-empty-line document on
+    // the Spark side only.
+    Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
       concat_ws("\n",
         when(col("doc_id") % 2 === 0, lit("Subscribe to our newsletter!")),
         col("text"),

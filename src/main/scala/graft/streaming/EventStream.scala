@@ -339,13 +339,19 @@ object EventStream {
           if (pend.isEmpty && kept.isEmpty) state.remove()
           else {
             state.update(AsOfState(kept, pend))
-            if (pend.nonEmpty) {
-              // Wake when the watermark can finalize the earliest pending
-              // left: past its candidate's ts, or past its horizon end.
-              val wake = pend.map(e =>
-                best(e).map(_.ts.getTime).getOrElse(e.ts.getTime + horizonMs) + 1).min
-              state.setTimeoutTimestamp(math.max(wm + 1, wake))
-            }
+            val wake =
+              if (pend.nonEmpty)
+                // Finalize the earliest pending left: past its
+                // candidate's ts, or past its horizon end.
+                pend.map(e =>
+                  best(e).map(_.ts.getTime).getOrElse(e.ts.getTime + horizonMs) + 1).min
+              else
+                // Rights-only state: once the watermark passes the last
+                // right it can match no future left (future lefts have
+                // ts ≥ wm) — wake then so compaction clears the key
+                // instead of leaking churned keys' state forever.
+                kept.map(_.ts.getTime).max + 1
+            state.setTimeoutTimestamp(math.max(wm + 1, wake))
           }
           out.iterator
       }

@@ -86,6 +86,21 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoinForward: a null-time left matches nothing (desc nulls-first)") {
+    val left = Seq(
+      (1L, 10L, Some(ts("2020-01-01 00:05:00")), 1.0),
+      (2L, 10L, None: Option[Timestamp], 2.0) // null ts: must carry NO match
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((100L, 10L, ts("2020-01-01 00:06:00"), 9.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val out = Joins.asOfJoinForward(left, right, "user_id", "ts",
+        payload = Seq("event_id", "value"), tieBreak = Some("event_id"))
+      .orderBy($"event_id").collect()
+    assert(out(0).getAs[Any]("next_event_id") == 100L)
+    assert(out(1).getAs[Any]("next_event_id") == null)
+  }
+
   test("asOfJoin: null right key/time match nothing; payload struct is atomic") {
     val left = Seq((1L, 10L, ts("2020-01-01 02:00:00"))).toDF("id", "k", "ts")
     val right = Seq(

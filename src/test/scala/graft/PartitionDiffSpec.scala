@@ -224,6 +224,34 @@ class PartitionDiffSpec extends AnyFunSuite {
     assert(types.getString(1) == "bigint" && types.getString(2) == "bigint")
   }
 
+  test("targetedDiff reaches a drifted NULL-partition bucket") {
+    val l = Seq((1L, Some("p1"), 10L), (2L, None: Option[String], 20L))
+      .toDF("id", "part", "v")
+    val r = Seq((1L, Some("p1"), 10L), (2L, None: Option[String], 99L))
+      .toDF("id", "part", "v")
+    // Triage flags the NULL bucket...
+    val drifted = TableDiff.partitionChecksum(l, r, "part", Seq("id"))
+      .filter(col("status") =!= "ok").select("partition").collect()
+    assert(drifted.map(_.getString(0)).toSeq == Seq(null))
+    // ...and the targeted diff must FIND its row (isin(null) never
+    // matches — the null suspect needs the isNull disjunct).
+    val rows = TableDiff.targetedDiff(l, r, "part", Seq("id"))
+      .select("pk", "status").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(rows == Seq((2L, "mismatch")))
+  }
+
+  test("targetedDiff works when the partition column is part of the composite pk") {
+    val l = Seq(("d1", 1L, 10L), ("d1", 2L, 20L), ("d2", 3L, 30L))
+      .toDF("day", "seq", "v")
+    val r = Seq(("d1", 1L, 10L), ("d1", 2L, 21L), ("d2", 3L, 30L))
+      .toDF("day", "seq", "v")
+    val rows = TableDiff.targetedDiff(l, r, "day", Seq("day", "seq"))
+      .select("pk", "partition", "status").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSeq
+    assert(rows == Seq(("d1:2", "d1", "mismatch")))
+  }
+
   test("sampledDiffEstimate at frac=1 reproduces the full diff's counts") {
     val row = TableDiff.sampledDiffEstimate(hive, sf, Seq("id"), frac = 1.0)
       .collect().head

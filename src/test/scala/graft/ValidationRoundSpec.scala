@@ -42,6 +42,21 @@ class ValidationRoundSpec extends AnyFunSuite {
     assert(n.getLong(9) == 1L)
   }
 
+  test("report: excluded one-sided audit columns pass the gate; empty pairs don't NPE") {
+    val clean = Seq((1L, "p1", 10L)).toDF("id", "part", "v")
+    val withAudit = clean.withColumn("audit_ts", lit("2024-01-01"))
+    val empty = clean.limit(0)
+    val out = ValidationRound.report(spark, Seq(
+        TablePair("t_audit", clean, withAudit, Seq("id"),
+          exclude = Seq("audit_ts"), partCol = Some("part")),
+        TablePair("t_empty", empty, empty, Seq("id"), partCol = Some("part"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("t_audit")
+    assert(a.getString(1) == "clean" && a.getBoolean(2)) // gate honors exclude
+    val e = out("t_empty")
+    assert(e.getString(1) == "clean" && e.getLong(5) == 0L && e.getLong(6) == 0L)
+  }
+
   test("report over the warehouse fixtures matches the metrics oracle queries") {
     val dir = TestSpark.Sf0001
     val out = ValidationRound.report(spark, Seq(
