@@ -148,6 +148,21 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // NATIVE session_window sessionization — the built-in operator the
+    // lag/cumsum form (q_sessionize) hand-rolls, usable in batch AND
+    // streaming group-bys. Boundary semantics differ from q_sessionize
+    // by design: session_window's window is [ts, ts+gap) per event, so
+    // an event EXACTLY gap later starts a NEW session (the oracle's
+    // new-session condition is therefore >=, where q_sessionize uses >).
+    "q_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_horizon"), col("n_events"), col("value_milli"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // Forward as-of: each view picks the user's EARLIEST purchase
     // at-or-after its timestamp (conversion attribution; oracle is
     // DuckDB ASOF with the inequality flipped).
@@ -243,6 +258,26 @@ object EventQueries {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    // session_window horizon = last ts + gap; new-session on >= (see the
+    // Spark-side comment).
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_horizon,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     // Purchases deduped per (user, ts) to the max event_id first: the
     // Spark window picks exactly that row among equal-time purchases,
