@@ -150,10 +150,11 @@ object EventQueries {
 
     // NATIVE session_window sessionization — the built-in operator the
     // lag/cumsum form (q_sessionize) hand-rolls, usable in batch AND
-    // streaming group-bys. Boundary semantics differ from q_sessionize
-    // by design: session_window's window is [ts, ts+gap) per event, so
-    // an event EXACTLY gap later starts a NEW session (the oracle's
-    // new-session condition is therefore >=, where q_sessionize uses >).
+    // streaming group-bys. Boundary semantics MATCH q_sessionize: an
+    // event exactly gap after the previous one still MERGES (verified
+    // empirically and pinned in SessionWindowSpec — a review pass caught
+    // the opposite assumption here), so the oracle's new-session
+    // condition is the same strict >.
     "q_session_window" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -259,13 +260,13 @@ object EventQueries {
         |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
-    // session_window horizon = last ts + gap; new-session on >= (see the
-    // Spark-side comment).
+    // session_window horizon = last ts + gap; new-session on strict >
+    // (exact-gap events merge — see the Spark-side comment).
     "q_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
