@@ -235,6 +235,20 @@ object TextQueries {
         TA.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"))
         .orderBy(col("doc_id"))),
 
+    // Token-length histogram in power-of-two buckets — the distribution
+    // a packing/batching planner reads (bucket = floor(log2 n)+1 via
+    // length(bin(n)), identical in both engines). One scan, one shuffle
+    // of BUCKET-cardinality partials.
+    "q_length_histogram" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(TA.wsTokenCount(col("text")).cast("long").as("toks"))
+        .groupBy(length(bin(col("toks"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          min(col("toks")).as("min_tokens"),
+          max(col("toks")).as("max_tokens"))
+        .orderBy(col("bucket"))),
+
     // WITHIN-document line dedup over the repetition corpus (%3 docs
     // carry a duplicated line): first occurrence kept, order preserved,
     // zero shuffle.
@@ -472,6 +486,15 @@ object TextQueries {
          |         / CAST(greatest(len(toks) - 2, 0) AS DOUBLE)
          |    ELSE 0.0 END AS dup_3gram_frac
          |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "q_length_histogram" ->
+      """WITH t AS (SELECT len(string_split(text, ' ')) AS toks FROM documents)
+        |SELECT CAST(length(bin(toks)) AS BIGINT) AS bucket,
+        |       count(*) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |       CAST(min(toks) AS BIGINT) AS min_tokens,
+        |       CAST(max(toks) AS BIGINT) AS max_tokens
+        |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_dedup_doc_lines" ->
       s"""WITH $repCorpusSql,
