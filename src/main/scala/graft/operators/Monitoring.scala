@@ -57,6 +57,58 @@ object Monitoring {
         (col("n_pass") / col("__total")).as("retention"))
   }
 
+  /** Per-column profile: null count, exact distinct count, min/max (as
+    * strings — type-uniform across the unpivot) for each column, in ONE
+    * aggregation pass (Spark plans the multi-distinct via a single
+    * expand; at 100 TB swap the exact distinct for the HLL sketch —
+    * q_sketch_profile — this is the verify-scale/profiling-dimension
+    * form). Output: (column, n_nulls, n_distinct, min_s, max_s) in the
+    * given column order. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    require(cols.forall(c => c.matches("[A-Za-z0-9_]+")),
+      "column names must be [A-Za-z0-9_]+ (they are spliced into stack())")
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        // min/max on the NATIVE type, rendered after: a lexicographic
+        // min over string casts would rank "10" below "9".
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"$i, '$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(ord, column, n_nulls, n_distinct, min_s, max_s)"))
+      .drop("ord")
+  }
+
+  /** Column-profile COMPARE across warehouse sides — the reference's
+    * count-compare deepened to per-column health: null counts, distinct
+    * counts, and min/max per column on both sides, with drift flags. A
+    * column whose null count jumps or whose min/max window shifts is
+    * drifting even when row counts match — this is the profiling row a
+    * migration validator reads per table after the count compare.
+    * Output: one row per column with hive_/sf_ stats, null_drift and
+    * range_drift flags. */
+  def profileCompare(left: DataFrame, right: DataFrame,
+                     cols: Seq[String]): DataFrame = {
+    val l = columnProfile(left, cols)
+      .select(col("column"), col("n_nulls").as("hive_nulls"),
+        col("n_distinct").as("hive_distinct"),
+        col("min_s").as("hive_min"), col("max_s").as("hive_max"))
+    val r = columnProfile(right, cols)
+      .select(col("column"), col("n_nulls").as("sf_nulls"),
+        col("n_distinct").as("sf_distinct"),
+        col("min_s").as("sf_min"), col("max_s").as("sf_max"))
+    l.join(r, Seq("column"))
+      .withColumn("null_drift", col("hive_nulls") =!= col("sf_nulls"))
+      .withColumn("range_drift",
+        !(col("hive_min") <=> col("sf_min")) || !(col("hive_max") <=> col("sf_max")))
+  }
+
   def countDrift(df: DataFrame, dims: Seq[String], period: Column,
                  factor: Int = 2): DataFrame = {
     require(dims.nonEmpty, "at least one grouping dimension")

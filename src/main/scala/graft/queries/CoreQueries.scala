@@ -326,6 +326,15 @@ object CoreQueries {
           .withColumn("o_custkey", col("o_custkey").cast("int"))
           .withColumn("audit_ts", lit("2024-01-01")))),
 
+    // Per-column profile compare: null/distinct counts + native-typed
+    // min/max per column on both sides with drift flags — the per-column
+    // health row after the count compare.
+    "q_profile_compare" -> ((s, dir) =>
+      graft.operators.Monitoring.profileCompare(
+          Fixtures.hiveOrders(s, dir), Fixtures.sfOrders(s, dir),
+          Seq("o_custkey", "o_orderstatus", "o_totalprice_cents", "o_orderpriority"))
+        .orderBy(col("column"))),
+
     // Consistent by-key 1/4 sample of both sides, diffed exactly: scaled
     // counts are unbiased estimates of the full diff's counts from a
     // quarter-size shuffle (the cheap "how bad is it" probe before
@@ -589,6 +598,29 @@ object CoreQueries {
          |  FROM hf h FULL OUTER JOIN sf s ON h.o_orderkey = s.o_orderkey)
          |SELECT pk, "partition", status FROM d
          |WHERE status IS NOT NULL ORDER BY pk""".stripMargin
+    },
+
+    "q_profile_compare" -> {
+      val profCols =
+        Seq("o_custkey", "o_orderstatus", "o_totalprice_cents", "o_orderpriority")
+      def side(tbl: String) = (c: String) =>
+        s"""(SELECT count(*) FILTER (WHERE $c IS NULL) AS nn,
+           |  count(DISTINCT $c) AS nd,
+           |  CAST(min($c) AS VARCHAR) AS mn, CAST(max($c) AS VARCHAR) AS mx
+           |  FROM $tbl)""".stripMargin
+      val rows = profCols.map { c =>
+        s"""SELECT '$c' AS "column",
+           |  h.nn AS hive_nulls, h.nd AS hive_distinct,
+           |  h.mn AS hive_min, h.mx AS hive_max,
+           |  s.nn AS sf_nulls, s.nd AS sf_distinct,
+           |  s.mn AS sf_min, s.mx AS sf_max,
+           |  h.nn <> s.nn AS null_drift,
+           |  ((h.mn IS DISTINCT FROM s.mn) OR (h.mx IS DISTINCT FROM s.mx)) AS range_drift
+           |FROM ${side("hive_orders")(c)} h, ${side("sf_orders")(c)} s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""${Fixtures.Sql.ordersPair}
+         |$rows
+         |ORDER BY "column"""".stripMargin
     },
 
     "q_sampled_diff" -> {

@@ -64,6 +64,26 @@ class MonitoringSpec extends AnyFunSuite {
       (2, "big_n", 2L, 0.4)))
   }
 
+  test("columnProfile/profileCompare: nulls counted, native-order min/max, drift flags") {
+    val l = Seq((Some(9L), "a"), (Some(10L), "b"), (None, "b"))
+      .toDF("num", "s")
+    val prof = Monitoring.columnProfile(l, Seq("num", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    // native min(9,10)=9 — a lexicographic min over casts would say "10"
+    assert(prof("num") == (1L, 2L, "9", "10"))
+    assert(prof("s") == (0L, 2L, "a", "b"))
+    val r2 = Seq((Some(9L), "a"), (Some(11L), "b"), (Some(2L), "b"))
+      .toDF("num", "s")
+    val cmp = Monitoring.profileCompare(l, r2, Seq("num", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Boolean]("null_drift"), r.getAs[Boolean]("range_drift")))).toMap
+    assert(cmp("num") == (true, true))   // null count 1→0; range 9-10 → 2-11
+    assert(cmp("s") == (false, false))
+    intercept[IllegalArgumentException](Monitoring.columnProfile(l, Nil))
+    intercept[IllegalArgumentException](Monitoring.columnProfile(l, Seq("bad name")))
+  }
+
   test("filterFunnel: rejects duplicate and non-identifier stage names") {
     val df = Seq(1).toDF("x")
     intercept[IllegalArgumentException](Monitoring.filterFunnel(df, Nil))
