@@ -57,6 +57,45 @@ object Monitoring {
         (col("n_pass") / col("__total")).as("retention"))
   }
 
+  /** Data-quality constraint report — the integrity half of warehouse
+    * validation (parity says both sides agree; constraints say the data
+    * itself is well-formed). Three standard checks as (constraint,
+    * violations, pass) rows:
+    *  - `pk_not_null`: rows with any NULL key component;
+    *  - `pk_unique`: rows beyond the first per key (count − distinct,
+    *    over non-null keys — the nullable check is the line above);
+    *  - `fk_<child>_<parent>` per declared FK: non-null child keys with
+    *    no parent (LEFT ANTI count; the join broadcasts when the parent
+    *    is dimension-sized, and NULL FKs are the not-null check's
+    *    business, not a referential violation — SQL convention).
+    * Key checks are ONE aggregate over one scan; each FK is one anti
+    * join producing a single count. */
+  def constraintReport(df: DataFrame, pks: Seq[String],
+                       fks: Seq[(String, String, DataFrame, String)] = Nil): DataFrame = {
+    require(pks.nonEmpty, "at least one pk column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pkNull = pks.map(col(_).isNull).reduce(_ || _)
+    val key = if (pks.size == 1) col(pks.head).cast("string")
+      else concat_ws(":", pks.map(c => col(c).cast("string")): _*)
+    val keyAgg = df.agg(
+      count(when(pkNull, 1)).as("n_null"),
+      count(when(!pkNull, 1)).as("n"),
+      count_distinct(when(!pkNull, key)).as("nd")).head()
+    val keyRows = Seq(
+      ("pk_not_null", keyAgg.getLong(0)),
+      ("pk_unique", keyAgg.getLong(1) - keyAgg.getLong(2)))
+    val fkRows = fks.map { case (name, childKey, parent, parentKey) =>
+      val v = df.filter(col(childKey).isNotNull)
+        .join(parent.select(col(parentKey)).filter(col(parentKey).isNotNull),
+          col(childKey) === col(parentKey), "left_anti")
+        .count()
+      (name, v)
+    }
+    (keyRows ++ fkRows).toDF("constraint", "violations")
+      .withColumn("pass", col("violations") === 0L)
+  }
+
   /** Per-column profile: null count, exact distinct count, min/max (as
     * strings — type-uniform across the unpivot) for each column, in ONE
     * aggregation pass (Spark plans the multi-distinct via a single

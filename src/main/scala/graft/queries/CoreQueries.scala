@@ -326,6 +326,16 @@ object CoreQueries {
           .withColumn("o_custkey", col("o_custkey").cast("int"))
           .withColumn("audit_ts", lit("2024-01-01")))),
 
+    // Integrity constraints over a corpus with injected violations:
+    // pk uniqueness/non-null in one aggregate, FK coverage via one
+    // anti-join count per declared FK.
+    "q_constraint_check" -> ((s, dir) =>
+      graft.operators.Monitoring.constraintReport(
+          constraintCorpus(s, dir), Seq("o_orderkey"),
+          fks = Seq(("fk_orders_customer", "o_custkey",
+            Tables.load(s, dir, "customer"), "c_custkey")))
+        .orderBy(col("constraint"))),
+
     // Per-column profile compare: null/distinct counts + native-typed
     // min/max per column on both sides with drift flags — the per-column
     // health row after the count compare.
@@ -357,6 +367,22 @@ object CoreQueries {
         .orderBy(col("o_orderstatus"))
     })
   )
+
+  /** Constraint-violating corpus: hiveOrders with deterministic dup-pk
+    * (%500 re-appended), null-pk (%997 with the key nulled), and broken
+    * FK (%701 with custkey shifted out of customer, under fresh pks)
+    * injections. Same derivation in the oracle SQL. */
+  private def constraintCorpus(s: SparkSession, dir: String): DataFrame = {
+    val h = Fixtures.hiveOrders(s, dir)
+    val rest = Seq("o_custkey", "o_orderstatus", "o_totalprice_cents",
+      "o_orderdate", "o_orderpriority").map(col)
+    h.unionByName(h.filter(col("o_orderkey") % 500 === 0))
+      .unionByName(h.filter(col("o_orderkey") % 997 === 0)
+        .select(lit(null).cast("long").as("o_orderkey") +: rest: _*))
+      .unionByName(h.filter(col("o_orderkey") % 701 === 0)
+        .select((col("o_orderkey") + 300000000L).as("o_orderkey") +:
+          (col("o_custkey") + 90000000L).as("o_custkey") +: rest.tail: _*))
+  }
 
   /** Daily-partition column for the triage queries: the order date as a
     * portable string. */
@@ -599,6 +625,33 @@ object CoreQueries {
          |SELECT pk, "partition", status FROM d
          |WHERE status IS NOT NULL ORDER BY pk""".stripMargin
     },
+
+    "q_constraint_check" ->
+      s"""${Fixtures.Sql.ordersPair},
+         |cc AS (
+         |  SELECT * FROM hive_orders
+         |  UNION ALL SELECT * FROM hive_orders WHERE o_orderkey % 500 = 0
+         |  UNION ALL SELECT NULL, o_custkey, o_orderstatus, o_totalprice_cents,
+         |                   o_orderdate, o_orderpriority
+         |            FROM hive_orders WHERE o_orderkey % 997 = 0
+         |  UNION ALL SELECT o_orderkey + 300000000, o_custkey + 90000000,
+         |                   o_orderstatus, o_totalprice_cents, o_orderdate,
+         |                   o_orderpriority
+         |            FROM hive_orders WHERE o_orderkey % 701 = 0)
+         |SELECT "constraint", violations, violations = 0 AS pass FROM (
+         |  SELECT 'pk_not_null' AS "constraint",
+         |         (SELECT count(*) FILTER (WHERE o_orderkey IS NULL) FROM cc) AS violations
+         |  UNION ALL
+         |  SELECT 'pk_unique',
+         |         (SELECT count(*) - count(DISTINCT o_orderkey) FROM cc
+         |          WHERE o_orderkey IS NOT NULL)
+         |  UNION ALL
+         |  SELECT 'fk_orders_customer',
+         |         (SELECT count(*) FROM cc
+         |          WHERE o_custkey IS NOT NULL
+         |            AND o_custkey NOT IN (SELECT c_custkey FROM customer
+         |                                  WHERE c_custkey IS NOT NULL))) t
+         |ORDER BY "constraint"""".stripMargin,
 
     "q_profile_compare" -> {
       val profCols =

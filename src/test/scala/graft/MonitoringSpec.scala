@@ -84,6 +84,25 @@ class MonitoringSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Monitoring.columnProfile(l, Seq("bad name")))
   }
 
+  test("constraintReport: null/dup pks and FK misses counted exactly") {
+    val child = Seq(
+      (Some(1L), Some(10L)), (Some(2L), Some(20L)), (Some(2L), Some(10L)),
+      (None, Some(10L)),    // null pk — not a uniqueness violation
+      (Some(3L), Some(99L)), // fk miss
+      (Some(4L), None)       // null fk — not a referential violation
+    ).toDF("id", "parent_id")
+    val parent = Seq(10L, 20L).toDF("pid")
+    val out = Monitoring.constraintReport(child, Seq("id"),
+        fks = Seq(("fk_child_parent", "parent_id", parent, "pid")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out("pk_not_null") == (1L, false))
+    assert(out("pk_unique") == (1L, false))      // id=2 twice
+    assert(out("fk_child_parent") == (1L, false)) // 99 only
+    val clean = Monitoring.constraintReport(parent, Seq("pid"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(clean.forall(r => r._2 == 0L && r._3))
+  }
+
   test("filterFunnel: rejects duplicate and non-identifier stage names") {
     val df = Seq(1).toDF("x")
     intercept[IllegalArgumentException](Monitoring.filterFunnel(df, Nil))
