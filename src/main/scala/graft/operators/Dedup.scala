@@ -437,6 +437,27 @@ object Dedup {
       .select(col("component"), col("n_members"), col("member_ids"))
   }
 
+  /** Incremental cluster maintenance: fold a NEW batch's candidate
+    * pairs into an EXISTING (id, comp) labeling without reprocessing the
+    * old pairs — the ingest-loop form of [[connectedComponents]] (a
+    * daily batch must not re-run candidate generation over the whole
+    * corpus). Correctness: a labeling is a connectivity-preserving
+    * contraction of its pair graph (every member connects to its
+    * component root), so CC over {label edges} ∪ {new pairs} has exactly
+    * the components of CC over {old pairs} ∪ {new pairs}. The label
+    * edges are star graphs (diameter ≤ 2), so convergence stays at the
+    * NEW pairs' diameter — the work of a round is proportional to the
+    * labeling plus the delta, never the historical pair set.
+    * Canonical ids stay min-ids, so an untouched component keeps its
+    * label and only components the delta bridges relabel. */
+  def incrementalClusters(labels: DataFrame, newPairs: DataFrame,
+                          id1: String = "id1", id2: String = "id2",
+                          maxIter: Int = 20): DataFrame = {
+    val labelEdges = labels.select(col("id").as(id1), col("comp").as(id2))
+    connectedComponents(labelEdges.unionByName(
+      newPairs.select(col(id1), col(id2))), id1, id2, maxIter)
+  }
+
   /** 64-bit SimHash per document: bit i of the hash is the sign of
     * Σ_tokens (±1 depending on bit i of xxhash64(token)). Computed as a
     * per-row codegen'd PROJECTION over the token array

@@ -202,6 +202,27 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, _) => a < b })
   }
 
+  test("incrementalClusters equals a full recompute over old ∪ new pairs") {
+    // Old pairs: {1,2,3} and {10,11}; singleton-free labeling.
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(oldPairs)
+    // New batch: extends {1,2,3} with 4, BRIDGES the two old components
+    // via (3,10), and opens a fresh component {20,21}.
+    val newPairs = Seq((3L, 4L), (3L, 10L), (20L, 21L)).toDF("id1", "id2")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = norm(Dedup.incrementalClusters(labels, newPairs))
+    val full = norm(Dedup.connectedComponents(oldPairs.unionByName(newPairs)))
+    assert(inc == full)
+    assert(inc == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 1L), (11L, 1L), (20L, 20L), (21L, 20L)))
+    // An untouched component keeps its canonical label.
+    val inc2 = norm(Dedup.incrementalClusters(labels,
+      Seq((20L, 21L)).toDF("id1", "id2")))
+    assert(inc2 == Set((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)))
+  }
+
   test("dropCommonLines strikes corpus-common lines, keeps order, drops empty docs") {
     val docs = Seq(
       (1L, "BANNER\nalpha one\nFOOTER"),
