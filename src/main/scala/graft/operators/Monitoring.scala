@@ -76,19 +76,24 @@ object Monitoring {
     val spark = df.sparkSession
     import spark.implicits._
     val pkNull = pks.map(col(_).isNull).reduce(_ || _)
-    val key = if (pks.size == 1) col(pks.head).cast("string")
-      else concat_ws(":", pks.map(c => col(c).cast("string")): _*)
+    // Multi-column count_distinct, NOT a ':'-joined string: composite
+    // keys whose parts contain the delimiter would alias ("x:1","y") ==
+    // ("x","1:y") and fake a uniqueness violation. count_distinct skips
+    // rows with any NULL component — exactly the rows pk_not_null owns.
     val keyAgg = df.agg(
       count(when(pkNull, 1)).as("n_null"),
       count(when(!pkNull, 1)).as("n"),
-      count_distinct(when(!pkNull, key)).as("nd")).head()
+      count_distinct(col(pks.head), pks.tail.map(col): _*).as("nd")).head()
     val keyRows = Seq(
       ("pk_not_null", keyAgg.getLong(0)),
       ("pk_unique", keyAgg.getLong(1) - keyAgg.getLong(2)))
     val fkRows = fks.map { case (name, childKey, parent, parentKey) =>
-      val v = df.filter(col(childKey).isNotNull)
-        .join(parent.select(col(parentKey)).filter(col(parentKey).isNotNull),
-          col(childKey) === col(parentKey), "left_anti")
+      // Renamed probe/build keys: unqualified col(childKey)===col(parentKey)
+      // is AMBIGUOUS whenever both sides name the FK column identically
+      // (the common warehouse convention).
+      val v = df.select(col(childKey).as("__ck")).filter(col("__ck").isNotNull)
+        .join(parent.select(col(parentKey).as("__pk")).filter(col("__pk").isNotNull),
+          col("__ck") === col("__pk"), "left_anti")
         .count()
       (name, v)
     }

@@ -67,7 +67,11 @@ object EventQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"))
         .orderBy(unix_millis(col("ts")))
-        .rangeBetween(-518400000L, 0) // [t − 6 days, t]
+        // Trailing 7 days as the HALF-OPEN (t−7d, t]: range frames are
+        // inclusive at both ends, so the lower bound is 7d−1ms — the
+        // earlier [t−6d, t] spelling covered only 6 days of intraday
+        // history under a "7-day" name (review-pass catch).
+        .rangeBetween(-604799999L, 0)
       events(s, dir).select(
         col("event_id"), col("user_id"),
         count(lit(1)).over(w).as("n_7d"),
@@ -218,7 +222,7 @@ object EventQueries {
         |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS value_milli_7d
         |FROM (SELECT event_id, user_id, epoch_ms(ts) AS tms, value FROM events) t
         |WINDOW w AS (PARTITION BY user_id ORDER BY tms
-        |             RANGE BETWEEN 518400000 PRECEDING AND CURRENT ROW)
+        |             RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
     "q_count_drift" ->

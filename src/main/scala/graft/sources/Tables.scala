@@ -57,15 +57,14 @@ object Tables {
     * the raw text of every malformed line to `quarantinePath` for
     * offline triage, so the ingest is total AND nothing is lost.
     *
-    * One read pass feeds both outputs via a persisted parse (the good/
-    * bad split is two filters over it, not two file scans; the persist
-    * is also what makes referencing _corrupt_record legal — Spark
-    * refuses corrupt-column-only projections over a raw scan). Returns
-    * the good rows; the quarantine write happens eagerly so callers
-    * can't drop it by never actioning a second frame. The parse stays
-    * cached for the caller's downstream actions — unpersist it via
-    * `spark.catalog.clearCache()` or a `.unpersist()` on the returned
-    * frame's cached ancestor when the ingest completes. */
+    * The quarantine pass runs over a briefly-persisted parse (the
+    * persist is also what makes the corrupt-column-only projection
+    * legal — Spark refuses it over a raw scan) and the cache is
+    * released before returning, so an ingest loop over many files never
+    * accumulates cached parses. The returned good-rows frame re-parses
+    * on use — one extra pass, traded deliberately against an unbounded
+    * cache. The quarantine write happens eagerly so callers can't drop
+    * it by never actioning a second frame. */
   def loadJsonlQuarantine(spark: SparkSession, path: String,
                           schema: org.apache.spark.sql.types.StructType,
                           quarantinePath: String): DataFrame = {
@@ -78,9 +77,19 @@ object Tables {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    parsed.filter(col("_corrupt_record").isNotNull)
+    try parsed.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw"))
       .write.mode("overwrite").text(quarantinePath)
+    finally
+      // Release the cache immediately: the caller can't reach this
+      // function-local frame to unpersist it, and an ingest loop over
+      // many files would otherwise pin a cached copy of every parsed
+      // input for the session lifetime. The returned good-rows frame
+      // re-parses on use (one extra pass) — a deliberate trade against
+      // an unbounded cache; the persist's real job (making the
+      // corrupt-column projection legal + sharing the quarantine pass)
+      // is done by now.
+      parsed.unpersist()
     parsed.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
   }

@@ -92,16 +92,27 @@ object EventStream {
     * re-scanned. Returns the started query; callers own its lifecycle. */
   def maintainChecksums(rows: DataFrame, partCol: String, pks: Seq[String],
                         summaryPath: String, checkpointPath: String,
-                        exclude: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+                        exclude: Seq[String] = Nil,
+                        hashCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    // The checksum term is POSITIONAL over its hash columns. For a
+    // single maintained side that's self-consistent; but two summaries
+    // compared via checksumStatus must hash in the SAME column order
+    // (the batch partitionChecksum passes the left side's order to
+    // both), so pin the ordering ONCE here rather than deriving it per
+    // batch from each stream's own schema.
+    val pinned =
+      if (hashCols.nonEmpty) hashCols
+      else pks ++ graft.TableDiff.compareCols(rows, pks :+ partCol, exclude)
     rows.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.TableDiff.sideChecksums(batch.toDF(), partCol, pks, exclude)
+        graft.TableDiff.sideChecksumsOver(batch.toDF(), partCol, pinned)
           .withColumn("__batch_id", lit(batchId))
           .write.mode("append").parquet(summaryPath)
         ()
       }
       .start()
+  }
 
   /** Current summary from a [[maintainChecksums]] delta directory: drop
     * re-delivered batch duplicates (a batch replayed after a failure
@@ -109,7 +120,10 @@ object EventStream {
     * effectively-once by keying on the batch id), then fold. The scan is
     * O(batches × partitions) summary rows — compact by rewriting the
     * fold result when that grows. Feed two maintained summaries to
-    * graft.TableDiff.checksumStatus for the drift verdicts. */
+    * graft.TableDiff.checksumStatus for the drift verdicts — BOTH
+    * streams must have pinned the same `hashCols` order in
+    * [[maintainChecksums]] (the term is positional; schema-order-derived
+    * columns from differently-ordered sides would read as data_drift). */
   def readChecksums(spark: SparkSession, summaryPath: String): DataFrame =
     spark.read.parquet(summaryPath)
       .dropDuplicates("__batch_id", "partition")
@@ -185,6 +199,12 @@ object EventStream {
   /** One right-side (state-change) record retained for as-of matching. */
   final case class RightRec(ts: java.sql.Timestamp, event_id: Long, value: Double)
 
+  /** Shared (ts, event_id) ordering for retained rights — one definition
+    * for both as-of enrich directions so the tie contract can't diverge. */
+  private def rightOrd(a: RightRec, b: RightRec): Boolean = {
+    val c = a.ts.compareTo(b.ts); c < 0 || (c == 0 && a.event_id < b.event_id)
+  }
+
   /** Per-key as-of state: retained rights (sorted by (ts, event_id)) and
     * left rows buffered until the watermark proves no earlier right can
     * still arrive. */
@@ -221,9 +241,6 @@ object EventStream {
   def asOfEnrich(events: Dataset[Event], leftType: String, rightType: String,
                  watermark: String = "2 hours"): Dataset[AsOfOut] = {
     import events.sparkSession.implicits._
-    def ltRec(a: RightRec, b: RightRec): Boolean = {
-      val c = a.ts.compareTo(b.ts); c < 0 || (c == 0 && a.event_id < b.event_id)
-    }
     events
       .filter(e => e.event_type == leftType || e.event_type == rightType)
       .withWatermark("ts", watermark)
@@ -237,7 +254,7 @@ object EventStream {
           if (!state.hasTimedOut) {
             val (r, l) = it.toSeq.partition(_.event_type == rightType)
             rights = (rights ++ r.map(e => RightRec(e.ts, e.event_id, e.value)))
-              .sortWith(ltRec)
+              .sortWith(rightOrd)
             lefts = lefts ++ l
           }
           val wm = state.getCurrentWatermarkMs()
@@ -295,9 +312,6 @@ object EventStream {
                     watermark: String = "2 hours"): Dataset[FwdOut] = {
     import events.sparkSession.implicits._
     require(horizonMs > 0, "horizonMs must be positive")
-    def ltRec(a: RightRec, b: RightRec): Boolean = {
-      val c = a.ts.compareTo(b.ts); c < 0 || (c == 0 && a.event_id < b.event_id)
-    }
     events
       .filter(e => e.event_type == leftType || e.event_type == rightType)
       .withWatermark("ts", watermark)
@@ -311,7 +325,7 @@ object EventStream {
           if (!state.hasTimedOut) {
             val (r, l) = it.toSeq.partition(_.event_type == rightType)
             rights = (rights ++ r.map(e => RightRec(e.ts, e.event_id, e.value)))
-              .sortWith(ltRec)
+              .sortWith(rightOrd)
             lefts = lefts ++ l
           }
           val wm = state.getCurrentWatermarkMs()

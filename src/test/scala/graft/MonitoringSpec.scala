@@ -103,6 +103,23 @@ class MonitoringSpec extends AnyFunSuite {
     assert(clean.forall(r => r._2 == 0L && r._3))
   }
 
+  test("constraintReport: same-name FK columns and delimiter-bearing composite keys") {
+    // FK column named identically on both sides (the common warehouse
+    // convention) — an unqualified join condition would be ambiguous.
+    val child = Seq((1L, Some(10L)), (2L, Some(99L))).toDF("id", "customer_id")
+    val parent = Seq((10L, "a")).toDF("customer_id", "name")
+    val fk = Monitoring.constraintReport(child, Seq("id"),
+        fks = Seq(("fk", "customer_id", parent, "customer_id")))
+      .filter($"constraint" === "fk").collect().head
+    assert(fk.getLong(1) == 1L)
+    // Distinct composite keys whose parts contain ':' must NOT alias
+    // into a fake uniqueness violation ("x:1","y") vs ("x","1:y").
+    val tricky = Seq(("x:1", "y"), ("x", "1:y")).toDF("a", "b")
+    val uniq = Monitoring.constraintReport(tricky, Seq("a", "b"))
+      .filter($"constraint" === "pk_unique").collect().head
+    assert(uniq.getLong(1) == 0L && uniq.getBoolean(2))
+  }
+
   test("filterFunnel: rejects duplicate and non-identifier stage names") {
     val df = Seq(1).toDF("x")
     intercept[IllegalArgumentException](Monitoring.filterFunnel(df, Nil))
