@@ -339,7 +339,12 @@ object TableDiff {
         coalesce(col("hive_checksum"), lit(0).cast("decimal(38,0)")).as("hive_checksum"),
         coalesce(col("sf_checksum"), lit(0).cast("decimal(38,0)")).as("sf_checksum"))
       .withColumn("status",
-        when(col("sf_count") === 0L, lit("sf_missing"))
+        // Both-empty summary rows arise legitimately under the
+        // delete-via-negated-terms merge pattern (a partition fully
+        // deleted on both sides nets to n=0) — that is agreement, not a
+        // missing side.
+        when(col("hive_count") === 0L && col("sf_count") === 0L, lit("ok"))
+          .when(col("sf_count") === 0L, lit("sf_missing"))
           .when(col("hive_count") === 0L, lit("hive_missing"))
           .when(col("hive_count") =!= col("sf_count"), lit("count_drift"))
           .when(col("hive_checksum") =!= col("sf_checksum"), lit("data_drift"))

@@ -36,10 +36,16 @@ object Dedup {
     * original order, and documents left with zero lines are dropped
     * (the standard C4 behavior).
     *
+    * `minDf` is TRUE document frequency — distinct documents containing
+    * the line (the CCNet convention) — not occurrence count: a line
+    * repeated minDf+ times INSIDE one document is that document's own
+    * repetition (the within-doc pass's business), not corpus
+    * boilerplate, and striking it corpus-wide would over-delete.
+    *
     * Scale shape: the duplicate-line census groups on `md5(line)` — a
     * fixed 32-char key, so the count shuffle carries hashes + partial
-    * counts (map-side combined), never the (arbitrarily long) line
-    * bodies. The strike-out is a LEFT ANTI join against the common-hash
+    * doc-id sets collapsed map-side via partial count_distinct, never
+    * the (arbitrarily long) line bodies. The strike-out is a LEFT ANTI join against the common-hash
     * set — boilerplate is heavy-hitter-shaped, so that set is tiny
     * relative to the corpus and AQE broadcasts it in practice; the
     * rebuild shuffles each document's kept lines once on the doc id, and
@@ -62,7 +68,7 @@ object Dedup {
       // column pruning.
       .withColumn("lh", md5(col("line")))
     val common = lines
-      .groupBy(col("lh")).agg(count(lit(1)).as("df"))
+      .groupBy(col("lh")).agg(count_distinct(col(idCol)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("lh").as("common_lh"))
     lines

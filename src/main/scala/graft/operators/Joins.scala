@@ -105,7 +105,10 @@ object Joins {
     // desc defaults to NULLS LAST, which would park a null-time left at
     // the partition END where it wrongly carries the earliest right —
     // nulls-first keeps null-time lefts match-less in both directions
-    // (asc already defaults to nulls first).
+    // (asc already defaults to nulls first). This relies on rU above
+    // having FILTERED null-time right rows out: with them present, a
+    // null-ts right would sort inside the null group ahead of null-ts
+    // lefts (side 0 < 1) and hand them its payload.
     val tsOrd = if (forward) col("__ts").desc_nulls_first else col("__ts").asc
     val w = Window.partitionBy(col("__k"))
       .orderBy(tsOrd, col("__side").asc, col("__tie").asc_nulls_first)

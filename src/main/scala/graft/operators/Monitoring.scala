@@ -149,6 +149,10 @@ object Monitoring {
         col("min_s").as("sf_min"), col("max_s").as("sf_max"))
     l.join(r, Seq("column"))
       .withColumn("null_drift", col("hive_nulls") =!= col("sf_nulls"))
+      // distinct counts can diverge while nulls and min/max all match
+      // (values shuffled inside the same range) — flag it separately so
+      // a downstream filter on the drift flags can't miss it.
+      .withColumn("distinct_drift", col("hive_distinct") =!= col("sf_distinct"))
       .withColumn("range_drift",
         !(col("hive_min") <=> col("sf_min")) || !(col("hive_max") <=> col("sf_max")))
   }

@@ -668,6 +668,7 @@ object CoreQueries {
            |  s.nn AS sf_nulls, s.nd AS sf_distinct,
            |  s.mn AS sf_min, s.mx AS sf_max,
            |  h.nn <> s.nn AS null_drift,
+           |  h.nd <> s.nd AS distinct_drift,
            |  ((h.mn IS DISTINCT FROM s.mn) OR (h.mx IS DISTINCT FROM s.mx)) AS range_drift
            |FROM ${side("hive_orders")(c)} h, ${side("sf_orders")(c)} s""".stripMargin
       }.mkString("\nUNION ALL\n")

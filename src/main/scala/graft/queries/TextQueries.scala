@@ -512,7 +512,8 @@ object TextQueries {
          |ls AS (SELECT doc_id, string_split(lined_text, chr(10)) AS arr FROM lined),
          |pos AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS ord FROM ls),
          |lines AS (SELECT doc_id, ord, arr[ord] AS line FROM pos),
-         |common AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 2),
+         |common AS (SELECT line FROM lines
+         |           GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
          |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM common)),
          |outd AS (
          |  SELECT doc_id, count(*) AS n_kept,

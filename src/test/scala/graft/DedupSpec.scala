@@ -241,17 +241,26 @@ class DedupSpec extends AnyFunSuite {
       (5L, 1L, 1L, "delta five")))
   }
 
-  test("dropCommonLines: within-doc repeats count toward the global df") {
-    // "dup" occurs twice in ONE doc and nowhere else → df=2 → dropped.
-    val docs = Seq((1L, "dup\nkeep\ndup"), (2L, "other")).toDF("doc_id", "text")
+  test("dropCommonLines: minDf is DOCUMENT frequency, not occurrence count") {
+    // "dup" occurs twice in ONE doc and nowhere else → document
+    // frequency 1 → KEPT (within-doc repetition is the within-doc
+    // pass's business, not corpus boilerplate; counting occurrences
+    // would strike it corpus-wide and over-delete vs CCNet semantics).
+    val docs = Seq(
+      (1L, "dup\nkeep\ndup"),
+      (2L, "shared\nother"),
+      (3L, "shared\nthird")).toDF("doc_id", "text")
     val out = Dedup.dropCommonLines(docs, "doc_id", "text")
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
-    assert(out.toSeq == Seq((1L, 1L, "keep"), (2L, 1L, "other")))
-    // minDf=3 spares it (and multi-line order is preserved exactly).
+    // "shared" lives in docs 2 and 3 → df=2 → struck; order preserved.
+    assert(out.toSeq == Seq(
+      (1L, 3L, "dup\nkeep\ndup"), (2L, 1L, "other"), (3L, 1L, "third")))
+    // minDf=3 spares the 2-doc line too.
     val relaxed = Dedup.dropCommonLines(docs, "doc_id", "text", minDf = 3)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(3)))
-    assert(relaxed.toSeq == Seq((1L, "dup\nkeep\ndup"), (2L, "other")))
+    assert(relaxed.toSeq == Seq(
+      (1L, "dup\nkeep\ndup"), (2L, "shared\nother"), (3L, "shared\nthird")))
     intercept[IllegalArgumentException](
       Dedup.dropCommonLines(docs, "doc_id", "text", minDf = 1))
   }

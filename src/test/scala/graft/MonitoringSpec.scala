@@ -77,9 +77,19 @@ class MonitoringSpec extends AnyFunSuite {
       .toDF("num", "s")
     val cmp = Monitoring.profileCompare(l, r2, Seq("num", "s"))
       .collect().map(r => r.getString(0) ->
-        ((r.getAs[Boolean]("null_drift"), r.getAs[Boolean]("range_drift")))).toMap
-    assert(cmp("num") == (true, true))   // null count 1→0; range 9-10 → 2-11
-    assert(cmp("s") == (false, false))
+        ((r.getAs[Boolean]("null_drift"), r.getAs[Boolean]("distinct_drift"),
+          r.getAs[Boolean]("range_drift")))).toMap
+    // null count 1→0; distinct 2→3; range 9-10 → 2-11
+    assert(cmp("num") == (true, true, true))
+    assert(cmp("s") == (false, false, false))
+    // distinct_drift fires ALONE when values shuffle inside the same
+    // range with matching null counts — the case the other flags miss.
+    val l3 = Seq("a", "a", "z").toDF("s")
+    val r3 = Seq("a", "q", "z").toDF("s")
+    val only = Monitoring.profileCompare(l3, r3, Seq("s")).collect().head
+    assert(!only.getAs[Boolean]("null_drift"))
+    assert(only.getAs[Boolean]("distinct_drift"))
+    assert(!only.getAs[Boolean]("range_drift"))
     intercept[IllegalArgumentException](Monitoring.columnProfile(l, Nil))
     intercept[IllegalArgumentException](Monitoring.columnProfile(l, Seq("bad name")))
   }

@@ -163,6 +163,28 @@ class PartitionDiffSpec extends AnyFunSuite {
     assert(status == Seq("ok"))
   }
 
+  test("checksumStatus: a partition deleted on BOTH sides (n=0 after a " +
+      "negated-terms merge) is ok, not sf_missing") {
+    import spark.implicits._
+    // Summaries fold to zero on both sides for partition "gone" — the
+    // delete-via-negated-terms pattern; only "live" still has rows.
+    val zero = java.math.BigDecimal.ZERO
+    def sum(rows: Seq[(String, Long, java.math.BigDecimal)]) =
+      rows.toDF("partition", "n", "checksum")
+        .select(col("partition"), col("n"),
+          col("checksum").cast("decimal(38,0)").as("checksum"))
+    val h = sum(Seq(("gone", 0L, zero), ("live", 3L, java.math.BigDecimal.valueOf(77))))
+    val s = sum(Seq(("gone", 0L, zero), ("live", 3L, java.math.BigDecimal.valueOf(77))))
+    val st = TableDiff.checksumStatus(h, s)
+      .collect().map(r => r.getAs[String]("partition") -> r.getAs[String]("status")).toMap
+    assert(st == Map("gone" -> "ok", "live" -> "ok"))
+    // One-sided emptiness still reports the missing side.
+    val s2 = sum(Seq(("gone", 2L, java.math.BigDecimal.valueOf(5))))
+    val st2 = TableDiff.checksumStatus(h.filter(col("partition") === "gone"), s2)
+      .collect().map(r => r.getAs[String]("status")).toSeq
+    assert(st2 == Seq("hive_missing"))
+  }
+
   test("randomized: fold == recompute and statuses survive repartitioning") {
     for (seed <- Seq(7, 42, 1234)) {
       val rnd = new scala.util.Random(seed)
