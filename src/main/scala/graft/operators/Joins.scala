@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.LongType
 object Joins {
 
   private val Reserved =
-    Seq("__k", "__ts", "__side", "__tie", "__l", "__r", "__c", "__fcell", "__rcell")
+    Seq("__k", "__ts", "__side", "__tie", "__l", "__r", "__c", "__fcell", "__rcell",
+      "__b", "__cend", "__best", "__carry", "__c2")
 
   private def checkReserved(dfs: DataFrame*): Unit = {
     val clash = dfs.flatMap(_.columns).filter(Reserved.contains)
@@ -65,9 +66,12 @@ object Joins {
     asOfCore(left, right, key, time, payload, tieBreak, prefix,
       forward = true)
 
-  private def asOfCore(left: DataFrame, right: DataFrame, key: String, time: String,
-               payload: Seq[String], tieBreak: Option[String],
-               prefix: String, forward: Boolean): DataFrame = {
+  /** Shared tagged-union frame of both as-of cores: left rows carry their
+    * full row struct in `__l`, right rows their payload struct in `__r`;
+    * null-key/null-time right rows are filtered (they match nothing). */
+  private def asOfUnion(left: DataFrame, right: DataFrame, key: String,
+                        time: String, payload: Seq[String],
+                        tieBreak: Option[String], prefix: String): DataFrame = {
     checkReserved(left, right)
     require(!payload.contains(time), s"payload already carries $time")
     // a left column equal to a prefixed payload name would make the
@@ -94,6 +98,12 @@ object Joins {
         tieBreak.map(col(_).cast(tieType)).getOrElse(lit(null).cast(tieType)).as("__tie"),
         lit(null).cast(lType).as("__l"),
         rPay.as("__r"))
+    lU.unionByName(rU)
+  }
+
+  private def asOfCore(left: DataFrame, right: DataFrame, key: String, time: String,
+               payload: Seq[String], tieBreak: Option[String],
+               prefix: String, forward: Boolean): DataFrame = {
     // Right rows sort BEFORE left rows at equal time (side 0 < 1) — the
     // inclusive-tie contract; equal-time LEFT rows all see the same
     // carried value (every eligible right row sorts before both), so
@@ -113,11 +123,110 @@ object Joins {
     val w = Window.partitionBy(col("__k"))
       .orderBy(tsOrd, col("__side").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lU.unionByName(rU)
+    asOfUnion(left, right, key, time, payload, tieBreak, prefix)
       .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(col("__l.*") +:
         (time +: payload).map(c => col(s"__c.$c").as(prefix + c)): _*)
+  }
+
+  /** Hot-key-safe [[asOfJoin]]: identical semantics (spec-proven equal on
+    * random AND single-hot-key data), but the window partitions on
+    * (key, COARSE TIME BUCKET) instead of the key alone, then stitches
+    * across bucket boundaries. The plain as-of is the right default — one
+    * shuffle, one window — until one key dominates the corpus (Zipf-keyed
+    * user events at 100 TB): its whole row set then funnels through a
+    * single window task. Salting bounds every task at (key, bucket)
+    * granularity, so the worst task is one hot key's one time-slice.
+    *
+    * Stitch: a left row early in its bucket may need a right row from an
+    * EARLIER bucket. Each (key, bucket) reduces to ONE summary row — the
+    * bucket's final carried right payload — and a window over those
+    * summary rows (per key, ordered by bucket; O(#buckets) rows, model
+    * scale) computes each bucket's carry-in = the newest right payload of
+    * any strictly-earlier bucket. A left row's answer is its within-bucket
+    * carried value, else the bucket's carry-in. The bucket mapping is
+    * MONOTONE in time, so everything in an earlier bucket is strictly
+    * older than the bucket start — the inclusive-tie contract lives
+    * entirely within a bucket and is untouched.
+    *
+    * Cost vs unsalted: the per-bucket summary aggregate reuses the window
+    * pass's (key, bucket) partitioning (map-side, no extra data shuffle);
+    * the carry frame is summary-scale and joins back on the SAME
+    * partitioning keys. ~2 small extra exchanges buy the removal of the
+    * single-task hot-key ceiling.
+    *
+    * `bucket` maps the time column to a bucket id, monotone non-decreasing
+    * (e.g. [[millisBucket]]; floor(ts/width)); it must map NULL to NULL.
+    * Pick the width so a typical key has 10-1000 rows per bucket: too
+    * fine costs carry-window rows, too coarse re-creates the funnel. */
+  def asOfJoinSalted(left: DataFrame, right: DataFrame, key: String,
+                     time: String, payload: Seq[String],
+                     bucket: Column => Column,
+                     tieBreak: Option[String] = None,
+                     prefix: String = "asof_"): DataFrame =
+    asOfSaltedCore(left, right, key, time, payload, bucket, tieBreak, prefix,
+      forward = false)
+
+  /** Hot-key-safe [[asOfJoinForward]] — same salting + stitch as
+    * [[asOfJoinSalted]], scanned from the future backward. */
+  def asOfJoinForwardSalted(left: DataFrame, right: DataFrame, key: String,
+                            time: String, payload: Seq[String],
+                            bucket: Column => Column,
+                            tieBreak: Option[String] = None,
+                            prefix: String = "next_"): DataFrame =
+    asOfSaltedCore(left, right, key, time, payload, bucket, tieBreak, prefix,
+      forward = true)
+
+  /** Convenience bucket mapping for timestamp columns: epoch-millis
+    * divided into `widthMillis` slices (floor semantics — monotone, NULL
+    * in → NULL out). */
+  def millisBucket(widthMillis: Long): Column => Column = { ts =>
+    require(widthMillis > 0, s"bucket width must be positive: $widthMillis")
+    floor(unix_millis(ts) / widthMillis)
+  }
+
+  private def asOfSaltedCore(left: DataFrame, right: DataFrame, key: String,
+                             time: String, payload: Seq[String],
+                             bucket: Column => Column,
+                             tieBreak: Option[String], prefix: String,
+                             forward: Boolean): DataFrame = {
+    val all = asOfUnion(left, right, key, time, payload, tieBreak, prefix)
+      .withColumn("__b", bucket(col("__ts")))
+    // Same in-bucket ordering contract as the unsalted core (rights
+    // before lefts at equal time; max tieBreak carried); bucket order
+    // follows the scan direction. Null-time lefts have a NULL bucket:
+    // no right ever lands there (rights filter null time) and the carry
+    // join finds no NULL-bucket row, so they stay match-less.
+    val tsOrd = if (forward) col("__ts").desc_nulls_first else col("__ts").asc
+    val bOrd = if (forward) col("__b").desc else col("__b").asc
+    val ord = Seq(tsOrd, col("__side").asc, col("__tie").asc_nulls_first)
+    val part = Seq(col("__k"), col("__b"))
+    val wIn = Window.partitionBy(part: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Bucket-FINAL carried value on every row (same partitioning/sort —
+    // no extra shuffle): the one value the bucket contributes downstream.
+    val wEnd = Window.partitionBy(part: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val step = all
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(wIn))
+      .withColumn("__cend", last(col("__r"), ignoreNulls = true).over(wEnd))
+    // One summary row per (key, bucket) — __cend is constant within the
+    // group, and the groupBy reuses the window's partitioning. The carry
+    // window then runs over SUMMARY rows only: a key's cost is its
+    // bucket count, never its row count.
+    val wCarry = Window.partitionBy(col("__k")).orderBy(bOrd)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = step
+      .filter(col("__b").isNotNull)
+      .groupBy(col("__k"), col("__b")).agg(first(col("__cend")).as("__best"))
+      .withColumn("__carry", last(col("__best"), ignoreNulls = true).over(wCarry))
+      .select(col("__k"), col("__b"), col("__carry"))
+    step.join(carry, Seq("__k", "__b"), "left")
+      .filter(col("__side") === 1)
+      .withColumn("__c2", coalesce(col("__c"), col("__carry")))
+      .select(col("__l.*") +:
+        (time +: payload).map(c => col(s"__c2.$c").as(prefix + c)): _*)
   }
 
   /** Range (band) join: fact rows matched to every dimension range with

@@ -152,6 +152,23 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // SALTED as-of join — the hot-key-safe variant: identical semantics
+    // (same DuckDB ASOF oracle as q_asof_join), window partitioned on
+    // (user, 1-hour bucket) with cross-bucket carry stitching, so a
+    // Zipf-headed user never funnels through one window task.
+    "q_asof_salted" -> ((s, dir) => {
+      val e = events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Joins.asOfJoinSalted(views, purchases, "user_id", "ts",
+          payload = Seq("event_id", "value"),
+          bucket = Joins.millisBucket(3600000L),
+          tieBreak = Some("event_id"), prefix = "purchase_")
+        .orderBy(col("event_id"))
+    }),
+
     // NATIVE session_window sessionization — the built-in operator the
     // lag/cumsum form (q_sessionize) hand-rolls, usable in batch AND
     // streaming group-bys. Boundary semantics MATCH q_sessionize: an
@@ -288,6 +305,26 @@ object EventQueries {
     // Spark window picks exactly that row among equal-time purchases,
     // while ASOF's own tie choice among duplicates is unspecified.
     "q_asof_join" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'view'),
+        |p0 AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT * FROM p0
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id DESC) = 1)
+        |SELECT v.event_id, v.user_id, v.ts, v.value,
+        |  p.ts AS purchase_ts, p.event_id AS purchase_event_id,
+        |  p.value AS purchase_value
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.event_id""".stripMargin,
+
+    // The salted variant must produce byte-identical results to the
+    // plain as-of — one oracle text, two execution strategies.
+    "q_asof_salted" ->
       """WITH v AS (
         |  SELECT event_id, user_id, ts, value FROM events
         |  WHERE event_type = 'view'),

@@ -237,9 +237,22 @@ object EventStream {
     * watermark-horizon rights. A key's current right survives
     * indefinitely (that IS as-of dimension semantics: the newest state
     * change stays relevant forever); pipelines with unbounded hot-key
-    * churn but finite key relevance should wrap this with a TTL policy. */
+    * churn but finite key relevance should wrap this with a TTL policy.
+    *
+    * `maxPendingLefts` is the HARD per-key cap on buffered lefts — the
+    * backstop for a pathological hot key whose event rate ×
+    * watermark-lateness outruns memory (the watermark bounds state in
+    * TIME, not in rows). When it binds, the OLDEST pending lefts flush
+    * early with their best-known match — the documented shedding trade:
+    * a shed row can miss only a right arriving later-but-within-
+    * watermark for its timestamp, and the oldest rows have the least
+    * such exposure (they were closest to flushing anyway). Sized so the
+    * default never binds under sane rates; parity with the batch
+    * operator is exact whenever it does not bind. */
   def asOfEnrich(events: Dataset[Event], leftType: String, rightType: String,
-                 watermark: String = "2 hours"): Dataset[AsOfOut] = {
+                 watermark: String = "2 hours",
+                 maxPendingLefts: Int = 1 << 20): Dataset[AsOfOut] = {
+    require(maxPendingLefts > 0, "maxPendingLefts must be positive")
     import events.sparkSession.implicits._
     events
       .filter(e => e.event_type == leftType || e.event_type == rightType)
@@ -261,7 +274,14 @@ object EventStream {
           // Flush lefts STRICTLY below the watermark: any future right has
           // ts ≥ watermark, so only a boundary tie could still arrive —
           // strictness keeps the inclusive-tie contract exact.
-          val (done, pend) = lefts.partition(_.ts.getTime < wm)
+          val (ready, pendAll) = lefts.partition(_.ts.getTime < wm)
+          // Shedding path (see scaladoc): oldest over-cap lefts flush NOW
+          // with their best-known match instead of growing state.
+          val (shed, pend) =
+            if (pendAll.size <= maxPendingLefts) (Nil, pendAll)
+            else pendAll.sortBy(e => (e.ts.getTime, e.event_id))
+              .splitAt(pendAll.size - maxPendingLefts)
+          val done = ready ++ shed
           val out = done.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
             val m = rights.filter(_.ts.compareTo(e.ts) <= 0).lastOption
             AsOfOut(e.event_id, e.ts, userId, e.value,
@@ -306,12 +326,20 @@ object EventStream {
     * null-match). State per key: pending lefts (bounded by
     * horizon + watermark lateness) and rights compacted to those at-or-
     * after min(earliest pending left, watermark) — everything older can
-    * answer no pending or future left. */
+    * answer no pending or future left.
+    *
+    * `maxPendingLefts` is the same hard hot-key backstop as
+    * [[asOfEnrich]]'s: beyond it the OLDEST pending lefts flush early
+    * with their best-known candidate (which a later right inside their
+    * window could still have displaced — the documented shedding trade);
+    * exact batch parity holds whenever the cap does not bind. */
   def forwardEnrich(events: Dataset[Event], leftType: String, rightType: String,
                     horizonMs: Long,
-                    watermark: String = "2 hours"): Dataset[FwdOut] = {
+                    watermark: String = "2 hours",
+                    maxPendingLefts: Int = 1 << 20): Dataset[FwdOut] = {
     import events.sparkSession.implicits._
     require(horizonMs > 0, "horizonMs must be positive")
+    require(maxPendingLefts > 0, "maxPendingLefts must be positive")
     events
       .filter(e => e.event_type == leftType || e.event_type == rightType)
       .withWatermark("ts", watermark)
@@ -337,15 +365,24 @@ object EventStream {
               r.ts.getTime <= e.ts.getTime + horizonMs)
             inWin.headOption.map(h => inWin.takeWhile(_.ts == h.ts).last)
           }
-          val (done, pend) = lefts.partition { e =>
+          val (ready, pendAll) = lefts.partition { e =>
             val b = best(e)
             b.exists(_.ts.getTime < wm) || e.ts.getTime + horizonMs < wm
           }
-          val out = done.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
-            val m = best(e).filter(_.ts.getTime < wm)
-            FwdOut(e.event_id, e.ts, userId, e.value,
-              m.map(_.ts), m.map(_.event_id), m.map(_.value))
-          }
+          // Hot-key backstop (see scaladoc): oldest over-cap lefts emit
+          // their best-known candidate UNFILTERED by the watermark —
+          // finality is exactly what shedding gives up.
+          val (shed, pend) =
+            if (pendAll.size <= maxPendingLefts) (Nil, pendAll)
+            else pendAll.sortBy(e => (e.ts.getTime, e.event_id))
+              .splitAt(pendAll.size - maxPendingLefts)
+          val out = (ready.map(e => (e, true)) ++ shed.map(e => (e, false)))
+            .sortBy { case (e, _) => (e.ts.getTime, e.event_id) }
+            .map { case (e, fin) =>
+              val m = if (fin) best(e).filter(_.ts.getTime < wm) else best(e)
+              FwdOut(e.event_id, e.ts, userId, e.value,
+                m.map(_.ts), m.map(_.event_id), m.map(_.value))
+            }
           // Rights older than every pending left AND the watermark answer
           // nothing again (future lefts have ts >= wm).
           val floor = (pend.map(_.ts.getTime) :+ wm).min

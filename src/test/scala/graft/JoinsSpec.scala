@@ -177,6 +177,60 @@ class JoinsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("asOfJoinSalted equals asOfJoin on random AND hot-key data, any width") {
+    val rnd = new scala.util.Random(2025)
+    // Zipf-ish: key 1 owns ~80% of both sides — the hot-key shape the
+    // salted variant exists for — plus null keys/times on both sides
+    // and heavy exact-timestamp ties (40-slot time domain).
+    def key() = if (rnd.nextInt(10) < 8) 1L else (rnd.nextInt(5) + 2).toLong
+    val lefts = (1 to 600).map(i =>
+      (i.toLong, if (rnd.nextInt(50) == 0) null else java.lang.Long.valueOf(key()),
+        if (rnd.nextInt(50) == 0) null else java.lang.Long.valueOf(rnd.nextInt(40).toLong)))
+    val rights = (1 to 400).map(i =>
+      (1000L + i, if (rnd.nextInt(50) == 0) null else java.lang.Long.valueOf(key()),
+        if (rnd.nextInt(50) == 0) null else java.lang.Long.valueOf(rnd.nextInt(40).toLong)))
+    val l = lefts.toDF("event_id", "k", "t")
+    val r = rights.map { case (id, k, t) => (k, t, id) }.toDF("k", "t", "rid")
+    for (forward <- Seq(false, true)) {
+      val plain = (if (forward)
+          Joins.asOfJoinForward(l, r, "k", "t", Seq("rid"), Some("rid"), "m_")
+        else Joins.asOfJoin(l, r, "k", "t", Seq("rid"), Some("rid"), "m_"))
+        .select($"event_id", $"m_t", $"m_rid").collect()
+        .map(x => (x.getLong(0), x.get(1), x.get(2))).toSet
+      // width 1 (every instant its own bucket — maximal stitching),
+      // width 7 (several buckets), width 1000 (one bucket ≡ unsalted).
+      for (width <- Seq(1L, 7L, 1000L)) {
+        val bucket = (ts: org.apache.spark.sql.Column) => floor(ts / width)
+        val salted = (if (forward)
+            Joins.asOfJoinForwardSalted(l, r, "k", "t", Seq("rid"), bucket, Some("rid"), "m_")
+          else Joins.asOfJoinSalted(l, r, "k", "t", Seq("rid"), bucket, Some("rid"), "m_"))
+          .select($"event_id", $"m_t", $"m_rid").collect()
+          .map(x => (x.getLong(0), x.get(1), x.get(2))).toSet
+        assert(salted == plain, s"forward=$forward width=$width")
+      }
+    }
+  }
+
+  test("asOfJoinSalted carries across empty buckets and keeps ties in-bucket") {
+    // Key 10: right at t=5, lefts at t=5 (tie, same bucket), t=23 (two
+    // empty buckets between — carry must skip them), t=4 (before any
+    // right). Bucket width 10 → buckets 0,1,2.
+    val l = Seq((1L, 10L, 5L), (2L, 10L, 23L), (3L, 10L, 4L)).toDF("event_id", "k", "t")
+    val r = Seq((10L, 5L, 100L)).toDF("k", "t", "rid")
+    val out = Joins.asOfJoinSalted(l, r, "k", "t", Seq("rid"),
+        (ts: org.apache.spark.sql.Column) => floor(ts / 10), Some("rid"))
+      .orderBy($"event_id")
+      .collect().map(x => Option(x.getAs[Any]("asof_rid")))
+    assert(out.toSeq == Seq(Some(100L), Some(100L), None))
+    // millisBucket helper on a timestamp column is floor(epochMs/width).
+    val lt = Seq((1L, 10L, ts("2020-01-01 00:05:00"))).toDF("event_id", "k", "t")
+    val rt = Seq((10L, ts("2020-01-01 00:01:00"), 7L)).toDF("k", "t", "rid")
+    val o2 = Joins.asOfJoinSalted(lt, rt, "k", "t", Seq("rid"),
+        Joins.millisBucket(60000L), Some("rid"))
+      .collect().map(_.getAs[Any]("asof_rid"))
+    assert(o2.toSeq == Seq(7L))
+  }
+
   test("rangeJoinBucketed matches a plain theta join on random data") {
     val facts = (1L to 500L).toDF("id")
       .withColumn("v", pmod(xxhash64($"id"), lit(10000L)).cast("double") / 10.0)

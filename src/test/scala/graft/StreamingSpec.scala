@@ -295,6 +295,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asOfEnrich: maxPendingLefts sheds the OLDEST lefts early with " +
+      "their best-known match; untouched keys stay exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 2000000000000L
+    val src = MemoryStream[EventStream.Event]
+    val q = EventStream.asOfEnrich(src.toDS(), "view", "purchase",
+        watermark = "2 hours", maxPendingLefts = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_shed").start()
+    def add(e: EventStream.Event*): Unit = { src.addData(e: _*); q.processAllAvailable() }
+    try {
+      // 4 views for hot user 42 inside the watermark horizon (none ready
+      // to flush), one purchase before them all. Cap=2 → the 2 OLDEST
+      // views (1, 2) shed immediately, carrying the best-known purchase;
+      // views 3, 4 stay buffered.
+      add(EventStream.Event(100L, ts(t0), 42L, "purchase", 7.0),
+        EventStream.Event(1L, ts(t0 + 60000L), 42L, "view", 1.0),
+        EventStream.Event(2L, ts(t0 + 120000L), 42L, "view", 2.0),
+        EventStream.Event(3L, ts(t0 + 180000L), 42L, "view", 3.0),
+        EventStream.Event(4L, ts(t0 + 240000L), 42L, "view", 4.0))
+      val first = spark.table("asof_shed").as[EventStream.AsOfOut].collect()
+      assert(first.map(_.event_id).toSet == Set(1L, 2L))
+      assert(first.forall(_.asof_event_id.contains(100L)))
+      // Watermark passes everything → the kept views flush exactly.
+      add(EventStream.Event(999L, ts(t0 + 12L * 3600 * 1000), 7L, "view", 0.0))
+      val all = spark.table("asof_shed").as[EventStream.AsOfOut].collect()
+      assert(all.map(_.event_id).toSet == Set(1L, 2L, 3L, 4L))
+      assert(all.forall(_.asof_event_id.contains(100L)))
+    } finally q.stop()
+  }
+
   test("asOfEnrich: late rights bind, inclusive max-id ties, exact batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
