@@ -52,12 +52,14 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rs.map(_.getAs[Long]("vec_id")).distinct.length == rs.length)
       assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
     }
-    // multi-band candidates overlap the true top-k on random-ish data
+    // multi-probe candidates overlap the true top-k on random-ish data
+    // (bare 4×4 banding measured ~0.24 recall; margin-ordered multi-probe
+    // has to clear a retrieval-grade floor)
     val exact = Similarity.bruteForceTopK(probes, v, k = 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = exact.count(got.contains).toDouble / exact.size
-    assert(recall >= 0.1, s"multi-band LSH recall $recall")
+    assert(recall >= 0.5, s"multi-probe LSH recall $recall")
   }
 
   test("IVF ANN: valid ranks, self excluded, decent recall vs brute force") {
