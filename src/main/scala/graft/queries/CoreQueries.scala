@@ -141,7 +141,44 @@ object CoreQueries {
   def invalidateMetricsTable(s: SparkSession, dir: String): Unit =
     metricsCache.synchronized { metricsCache.remove((s, dir)); () }
 
+  /** Deterministic store path for [[MetricsStore]] under this `dir` —
+    * wiped and rebuilt per invocation so verify/bench runs reproduce. */
+  private def historyStorePath(dir: String): String = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_metrics_store_" + Integer.toHexString(dir.hashCode))
+    def del(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles).toSeq.flatten.foreach(del)
+      x.delete(); ()
+    }
+    del(f)
+    f.getPath
+  }
+
   val queries: Map[String, Q] = Map(
+    // Persistent validation HISTORY (the reference's dw_data_metrics is
+    // a persisted table queried across rounds — db-setup.sql:63-76):
+    // two deterministic rounds appended to a parquet store, then the
+    // round-over-round drift report read back FROM DISK. Round 1 = the
+    // standard fixture pairs (discrepancies present); round 2 = orders
+    // fixed (both sides identical), customer dropped from the
+    // validation set, nation newly added — exercising improved / flat /
+    // disappeared / appeared in one report.
+    "q_metrics_history" -> ((s, dir) => {
+      import graft.MetricsStore
+      val store = historyStorePath(dir)
+      val region = Tables.load(s, dir, "region")
+      val nation = Tables.load(s, dir, "nation")
+      MetricsStore.appendMetrics(metricsUnion(s, dir), store, roundId = 1L)
+      val fixedOrders = Fixtures.hiveOrders(s, dir)
+      MetricsStore.appendMetrics(
+        TableDiff.metrics(fixedOrders, fixedOrders, "orders", "o_orderkey")
+          .unionByName(TableDiff.metrics(region, region, "region", "r_regionkey"))
+          .unionByName(TableDiff.metrics(nation, nation, "nation", "n_nationkey")),
+        store, roundId = 2L)
+      MetricsStore.metricsDrift(s, store, prevRound = 1L, currRound = 2L)
+        .orderBy(col("table_name"))
+    }),
+
     "q_pk_diff_left_only" -> ((s, dir) =>
       Fixtures.hiveOrders(s, dir).join(Fixtures.sfOrders(s, dir),
           Seq("o_orderkey"), "left_anti")
@@ -449,6 +486,53 @@ object CoreQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Round 1 = the metrics union (m); round 2 = orders fixed (both
+    // sides the hive frame → zero discrepancies), region re-validated,
+    // nation appeared, customer dropped. Counts only — ROW_CREATED
+    // stamps are excluded from drift by design.
+    "q_metrics_history" -> {
+      val cnt = Seq("total_record_count_hive", "total_record_count_sf",
+        "hive_only_count", "sf_only_count", "data_discrepancy_count")
+      val coalesced = cnt.flatMap(c => Seq(
+        s"CAST(coalesce(p.$c, 0) AS BIGINT) AS prev_$c",
+        s"CAST(coalesce(c.$c, 0) AS BIGINT) AS curr_$c")).mkString(",\n    ")
+      s"""$metricsUnionSql,
+         |curr AS (
+         |  SELECT 'orders' AS table_name,
+         |    (SELECT count(*) FROM hive_orders) AS total_record_count_hive,
+         |    (SELECT count(*) FROM hive_orders) AS total_record_count_sf,
+         |    0 AS hive_only_count, 0 AS sf_only_count, 0 AS data_discrepancy_count
+         |  UNION ALL
+         |  SELECT 'region', (SELECT count(*) FROM region),
+         |    (SELECT count(*) FROM region), 0, 0, 0
+         |  UNION ALL
+         |  SELECT 'nation', (SELECT count(*) FROM nation),
+         |    (SELECT count(*) FROM nation), 0, 0, 0),
+         |j AS (
+         |  SELECT coalesce(p.table_name, c.table_name) AS table_name,
+         |    $coalesced
+         |  FROM m p FULL OUTER JOIN curr c ON p.table_name = c.table_name),
+         |d AS (
+         |  SELECT *,
+         |    CAST((curr_hive_only_count + curr_sf_only_count + curr_data_discrepancy_count)
+         |       - (prev_hive_only_count + prev_sf_only_count + prev_data_discrepancy_count)
+         |      AS BIGINT) AS delta_discrepancies
+         |  FROM j)
+         |SELECT *,
+         |  CASE
+         |    WHEN prev_total_record_count_hive + prev_total_record_count_sf = 0
+         |     AND curr_total_record_count_hive + curr_total_record_count_sf > 0
+         |      THEN 'appeared'
+         |    WHEN curr_total_record_count_hive + curr_total_record_count_sf = 0
+         |     AND prev_total_record_count_hive + prev_total_record_count_sf > 0
+         |      THEN 'disappeared'
+         |    WHEN delta_discrepancies < 0 THEN 'improved'
+         |    WHEN delta_discrepancies > 0 THEN 'regressed'
+         |    ELSE 'flat' END AS trend
+         |FROM d
+         |ORDER BY table_name""".stripMargin
+    },
+
     "q_pk_diff_left_only" ->
       s"""${Fixtures.Sql.ordersPair}
          |SELECT h.o_orderkey FROM hive_orders h
