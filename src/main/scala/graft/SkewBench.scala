@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Joins}
+import graft.sources.Tables
+
+/** Adversarial-distribution stress bench: the same operator shapes the
+  * headline bench times, run over a UNIFORM input and over a deterministic
+  * worst-case skew of the same size — a Zipf-headed event stream (one user
+  * absorbs ~30% of all events) and a boilerplate-heavy corpus (a shared
+  * banner paragraph on 90% of documents, the stop-shingle / common-line
+  * regime dedup caps were built for).
+  *
+  * At warehouse scale these are the distributions that kill naive plans:
+  * a hot key funnels an entire window/join through one task; a universal
+  * shingle turns banded LSH buckets into the cross-product of the corpus.
+  * The bounded/salted paths (CappedCollectList posting caps, df-cap
+  * valves, asOfJoinSalted's bucket-stitched window) exist precisely so a
+  * skewed input degrades smoothly — this main MEASURES that, per pair,
+  * as `skew_over_uniform` wall-clock ratios.
+  *
+  * Output: one JSON object (stdout + SPARK_GRAFT_SKEW_OUT file, default
+  * SKEW_BENCH.json) — per pair {uniform_sec, skew_sec, ratio}, plus the
+  * skew shape stats (hot-key share, banner share) so the artifact is
+  * self-describing.
+  */
+object SkewBench {
+
+  /** Hot user 0 absorbs ~30% of all events (Zipf head); remaining rows
+    * keep their original uniform user. Same row count, same columns. */
+  def zipfEvents(e: DataFrame): DataFrame =
+    e.withColumn("user_id",
+      when(col("event_id") % 10 < 3, lit(0L)).otherwise(col("user_id")))
+
+  /** Shared banner paragraph prepended to 90% of documents — every banner
+    * line is a corpus-wide common line and every banner shingle a
+    * stop-shingle. */
+  val Banner: String =
+    "this website uses cookies to improve your browsing experience\n" +
+      "all rights reserved copyright notice terms of service apply\n" +
+      "subscribe to our newsletter for the latest updates and offers"
+
+  def boilerDocs(d: DataFrame): DataFrame =
+    d.withColumn("text",
+      when(col("doc_id") % 10 =!= 0, concat(lit(Banner + "\n"), col("text")))
+        .otherwise(col("text")))
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val events = Tables.load(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+
+    // ---- operator shapes (identical to the SparkEntry headline queries,
+    // parameterized by input frame) ----
+    def asof(e: DataFrame): DataFrame = {
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Joins.asOfJoin(views, purchases, "user_id", "ts",
+        payload = Seq("event_id", "value"), tieBreak = Some("event_id"),
+        prefix = "purchase_")
+    }
+    def asofSalted(e: DataFrame): DataFrame = {
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Joins.asOfJoinSalted(views, purchases, "user_id", "ts",
+        payload = Seq("event_id", "value"),
+        bucket = Joins.millisBucket(3600000L),
+        tieBreak = Some("event_id"), prefix = "purchase_")
+    }
+    def sessionize(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = e
+        .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(w)))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+    }
+    def rolling(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_millis(col("ts"))).rangeBetween(-604799999L, 0)
+      e.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(round(col("value") * 1000).cast("long")).over(w).as("value_milli_7d"))
+    }
+    // The df-cap valve must be CORPUS-PROPORTIONAL to bind: q_dedup's
+    // fixed 10000 never triggers at bench sf, so a 90%-df banner shingle
+    // would generate C(0.9n, 2) candidate pairs — the exact quadratic
+    // blow-up the valve exists to prevent. 10% of the corpus is the
+    // operating-scale setting (a shingle in >10% of documents carries no
+    // dedup signal); both arms use the same cap for a fair ratio.
+    val nDocs = docs.count()
+    val dfCap = math.max(50L, nDocs / 10L).toInt
+    def minhash(d: DataFrame): DataFrame =
+      Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, minEstJaccard = 0.5)
+    def jaccard(d: DataFrame): DataFrame =
+      Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, minJaccard = 0.5, dfCap = dfCap)
+    def simhash(d: DataFrame): DataFrame =
+      Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+    def lineDedup(d: DataFrame): DataFrame =
+      Dedup.dropCommonLines(d.select(col("doc_id"),
+        col("text").as("lined_text")), "doc_id", "lined_text")
+
+    val pairs: Seq[(String, DataFrame => DataFrame, DataFrame, DataFrame)] = Seq(
+      ("asof_join", asof, events, zipfEvents(events)),
+      ("asof_join_salted", asofSalted, events, zipfEvents(events)),
+      ("sessionize", sessionize, events, zipfEvents(events)),
+      ("rolling_window", rolling, events, zipfEvents(events)),
+      ("minhash_lsh", minhash, docs, boilerDocs(docs)),
+      ("ngram_jaccard", jaccard, docs, boilerDocs(docs)),
+      ("simhash", simhash, docs, boilerDocs(docs)),
+      ("line_dedup", lineDedup, docs, boilerDocs(docs)))
+
+    def time(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
+    }
+
+    // warmup pass then interleaved timed passes (Bench methodology)
+    pairs.foreach { case (_, fn, u, z) => time(fn(u)); time(fn(z)) }
+    val samples = (1 to runs).map { _ =>
+      pairs.map { case (name, fn, u, z) => name -> (time(fn(u)), time(fn(z))) }.toMap
+    }
+
+    val hotShare = {
+      val total = events.count().toDouble
+      zipfEvents(events).filter(col("user_id") === 0L).count() / total
+    }
+    def f(d: Double): String = f"$d%.3f"
+    val rows = pairs.map { case (name, _, _, _) =>
+      val u = median(samples.map(_(name)._1))
+      val z = median(samples.map(_(name)._2))
+      s""""$name":{"uniform_sec":${f(u)},"skew_sec":${f(z)},"ratio":${f(z / u)}}"""
+    }
+    val json = s"""{"sf":"${JsonUtil.esc(sfDir)}","hot_user_share":${f(hotShare)},""" +
+      s""""banner_doc_share":0.9,"pairs":{${rows.mkString(",")}}}"""
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "SKEW_BENCH.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[skewbench] could not write $outPath: ${e.getMessage}") }
+    spark.stop()
+  }
+}

@@ -13,7 +13,11 @@ con = duckdb.connect()
 con.execute("SET TimeZone='UTC'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # Driver dirs hold flat per-table files; ScaleUp output is a directory
+    # of part files per table (the realistic multi-file layout).
+    path = f"{sfdir}/{t}.parquet"
+    src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
