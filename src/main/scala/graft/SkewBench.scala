@@ -117,6 +117,15 @@ object SkewBench {
     // dedup signal); both arms use the same cap for a fair ratio.
     val nDocs = docs.count()
     val dfCap = math.max(50L, nDocs / 10L).toInt
+    // The hot-key-safe rolling form (same output contract as rolling):
+    // cum-diff over (key, day-bucket) prefix sums + salted as-of lookup.
+    def rollingCumdiff(e: DataFrame): DataFrame =
+      graft.operators.Windows.rollingTrailing(
+        e.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        key = "user_id", ts = "ts", tie = "event_id",
+        sumExpr = round(col("value") * 1000).cast("long"),
+        spanMillis = 604800000L, bucketWidthMillis = 86400000L,
+        cntAlias = "n_7d", sumAlias = "value_milli_7d")
     def minhash(d: DataFrame): DataFrame =
       Dedup.minhashLshPairs(d, "doc_id", "text",
         n = 3, numHashes = 16, bands = 4, minEstJaccard = 0.5)
@@ -134,6 +143,7 @@ object SkewBench {
       ("asof_join_salted", asofSalted, events, zipfEvents(events)),
       ("sessionize", sessionize, events, zipfEvents(events)),
       ("rolling_window", rolling, events, zipfEvents(events)),
+      ("rolling_window_cumdiff", rollingCumdiff, events, zipfEvents(events)),
       ("minhash_lsh", minhash, docs, boilerDocs(docs)),
       ("ngram_jaccard", jaccard, docs, boilerDocs(docs)),
       ("simhash", simhash, docs, boilerDocs(docs)),

@@ -79,6 +79,27 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // HOT-KEY-SAFE rolling window — identical contract (same DuckDB
+    // oracle as q_rolling_window), computed as a cumulative DIFFERENCE
+    // over (user, day-bucket) two-phase prefix sums + a salted as-of
+    // lookup of cum(t−7d], instead of a per-user sliding RANGE frame.
+    // Spark's sliding frame re-aggregates its buffer every time the
+    // lower bound moves (no retraction): a Zipf-headed user measured
+    // 23× wall-clock degradation at sf0.1 (SKEW_BENCH.json); the
+    // cum-diff form is frame-recompute-free and never gives one task
+    // more than one key's one time slice.
+    "q_rolling_salted" -> ((s, dir) =>
+      graft.operators.Windows.rollingTrailing(
+          events(s, dir).select(col("event_id"), col("user_id"), col("ts"),
+            col("value")),
+          key = "user_id", ts = "ts", tie = "event_id",
+          sumExpr = round(col("value") * 1000).cast("long"),
+          spanMillis = 604800000L, bucketWidthMillis = 86400000L,
+          cntAlias = "n_7d", sumAlias = "value_milli_7d")
+        .select(col("event_id"), col("user_id"), col("n_7d"),
+          col("value_milli_7d"))
+        .orderBy(col("event_id"))),
+
     // EXACT per-group percentiles — the ground truth q_sketch_profile
     // approximates. Both engines define quantiles by the same linear
     // interpolation over the sorted group, so the doubles hash-match
@@ -234,6 +255,17 @@ object EventQueries {
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_7d,
+        |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS value_milli_7d
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS tms, value FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tms
+        |             RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // Same contract, different plan: the salted cum-diff form must hash-
+    // match the range-frame oracle exactly.
+    "q_rolling_salted" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_7d,
         |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS value_milli_7d
