@@ -98,18 +98,19 @@ object MetricsStore {
       coalesce(col(s"curr_$cn"), lit(0L)).as(s"curr_$cn")))
     val disc = Seq("hive_only_count", "sf_only_count", "data_discrepancy_count")
     def tot(tag: String) = disc.map(cn => col(s"${tag}_$cn")).reduce(_ + _)
-    joined.select(cols: _*)
+    // appeared/disappeared judge PRESENCE in the round (the in_prev /
+    // in_curr flags the full-outer join nulls out on the absent side) —
+    // a record-count proxy would misread a legitimately-empty-but-
+    // validated pair (0 rows both sides) as absent.
+    joined.select(cols :+ col("in_prev") :+ col("in_curr"): _*)
       .withColumn("delta_discrepancies", tot("curr") - tot("prev"))
       .withColumn("trend",
-        when(col("prev_total_record_count_hive") + col("prev_total_record_count_sf") === 0L
-            && col("curr_total_record_count_hive") + col("curr_total_record_count_sf") > 0L,
-          lit("appeared"))
-          .when(col("curr_total_record_count_hive") + col("curr_total_record_count_sf") === 0L
-            && col("prev_total_record_count_hive") + col("prev_total_record_count_sf") > 0L,
-            lit("disappeared"))
+        when(col("in_prev").isNull && col("in_curr").isNotNull, lit("appeared"))
+          .when(col("in_curr").isNull && col("in_prev").isNotNull, lit("disappeared"))
           .when(col("delta_discrepancies") < 0L, lit("improved"))
           .when(col("delta_discrepancies") > 0L, lit("regressed"))
           .otherwise(lit("flat")))
+      .drop("in_prev", "in_curr")
   }
 
   /** Round-over-round CHECKSUM drift for one table: which partitions

@@ -130,6 +130,13 @@ object ScaleUp {
     val Array(srcDir, dstDir, factorS) = args
     val factor = factorS.toInt
     require(factor >= 1 && factor.toLong * KeyStride < Long.MaxValue / 4)
+    // The letter rotation has period 26: replica r and r+26 would carry
+    // byte-identical text under different ids, giving every document an
+    // exact cross-replica twin — the quadratic near-dup blow-up the
+    // rotation exists to prevent. Refuse rather than silently alias.
+    require(factor <= 26,
+      s"factor $factor > 26 aliases the per-replica letter rotation " +
+        "(period 26); compose two runs (e.g. x10 then x10) instead")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -167,7 +167,10 @@ object SkewBench {
       val total = events.count().toDouble
       zipfEvents(events).filter(col("user_id") === 0L).count() / total
     }
-    def f(d: Double): String = f"$d%.3f"
+    // Locale-pinned: the f"" interpolator honours the JVM default locale,
+    // and a comma-decimal locale would corrupt the JSON artifact.
+    def f(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val rows = pairs.map { case (name, _, _, _) =>
       val u = median(samples.map(_(name)._1))
       val z = median(samples.map(_(name)._2))

@@ -142,10 +142,14 @@ object CoreQueries {
     metricsCache.synchronized { metricsCache.remove((s, dir)); () }
 
   /** Deterministic store path for [[MetricsStore]] under this `dir` —
-    * wiped and rebuilt per invocation so verify/bench runs reproduce. */
+    * wiped and rebuilt per invocation so verify/bench runs reproduce.
+    * Keyed by PROCESS as well as dir: two JVMs verifying the same sfDir
+    * concurrently must not wipe each other's store mid-read (the query's
+    * output is path-independent, so the pid costs no determinism). */
   private def historyStorePath(dir: String): String = {
     val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_metrics_store_" + Integer.toHexString(dir.hashCode))
+      "graft_metrics_store_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode))
     def del(x: java.io.File): Unit = {
       if (x.isDirectory) Option(x.listFiles).toSeq.flatten.foreach(del)
       x.delete(); ()
@@ -510,7 +514,9 @@ object CoreQueries {
          |    (SELECT count(*) FROM nation), 0, 0, 0),
          |j AS (
          |  SELECT coalesce(p.table_name, c.table_name) AS table_name,
-         |    $coalesced
+         |    $coalesced,
+         |    p.table_name IS NOT NULL AS in_prev,
+         |    c.table_name IS NOT NULL AS in_curr
          |  FROM m p FULL OUTER JOIN curr c ON p.table_name = c.table_name),
          |d AS (
          |  SELECT *,
@@ -518,14 +524,10 @@ object CoreQueries {
          |       - (prev_hive_only_count + prev_sf_only_count + prev_data_discrepancy_count)
          |      AS BIGINT) AS delta_discrepancies
          |  FROM j)
-         |SELECT *,
+         |SELECT * EXCLUDE (in_prev, in_curr),
          |  CASE
-         |    WHEN prev_total_record_count_hive + prev_total_record_count_sf = 0
-         |     AND curr_total_record_count_hive + curr_total_record_count_sf > 0
-         |      THEN 'appeared'
-         |    WHEN curr_total_record_count_hive + curr_total_record_count_sf = 0
-         |     AND prev_total_record_count_hive + prev_total_record_count_sf > 0
-         |      THEN 'disappeared'
+         |    WHEN NOT in_prev AND in_curr THEN 'appeared'
+         |    WHEN NOT in_curr AND in_prev THEN 'disappeared'
          |    WHEN delta_discrepancies < 0 THEN 'improved'
          |    WHEN delta_discrepancies > 0 THEN 'regressed'
          |    ELSE 'flat' END AS trend

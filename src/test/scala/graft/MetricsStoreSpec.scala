@@ -58,17 +58,24 @@ class MetricsStoreSpec extends AnyFunSuite {
     val prev = Seq(
       mrow("gone", 10L, 10L, 1L, 0L, 0L),
       mrow("worse", 10L, 10L, 0L, 0L, 1L),
-      mrow("same", 10L, 10L, 0L, 0L, 2L)).toDF(cols: _*)
+      mrow("same", 10L, 10L, 0L, 0L, 2L),
+      // Validated while genuinely EMPTY (0 rows both sides): presence
+      // in the round, not record counts, decides appeared/disappeared.
+      mrow("empty_then_full", 0L, 0L, 0L, 0L, 0L)).toDF(cols: _*)
     val curr = Seq(
       mrow("worse", 10L, 10L, 2L, 1L, 1L),
       mrow("same", 10L, 10L, 1L, 1L, 0L),
-      mrow("fresh", 5L, 5L, 0L, 0L, 0L)).toDF(cols: _*)
+      mrow("fresh", 5L, 5L, 0L, 0L, 0L),
+      mrow("empty_then_full", 8L, 8L, 0L, 0L, 0L),
+      mrow("now_empty", 0L, 0L, 0L, 0L, 0L)).toDF(cols: _*)
     MetricsStore.appendMetrics(prev, store, 1L)
     MetricsStore.appendMetrics(curr, store, 2L)
     val trends = MetricsStore.metricsDrift(spark, store, 1L, 2L)
       .select("table_name", "trend").as[(String, String)].collect().toMap
     assert(trends == Map("gone" -> "disappeared", "worse" -> "regressed",
-      "same" -> "flat", "fresh" -> "appeared"))
+      "same" -> "flat", "fresh" -> "appeared",
+      // both validated in both rounds regardless of emptiness
+      "empty_then_full" -> "flat", "now_empty" -> "appeared"))
   }
 
   test("checksum history: per-partition round-over-round drift without " +

@@ -58,6 +58,37 @@ class WindowsSpec extends AnyFunSuite {
     Seq(600000L, Span, 1L).foreach(check(df, _))
   }
 
+  test("signed summands: peer-group cums carry the last SIGNED sum, not the max") {
+    // Within one millisecond the running sum rises then falls (+5, -3):
+    // a max() over peers would freeze the high-water 5; the contract is
+    // the full peer-group sum 2 for both rows and for later lookups.
+    val base = 1700000000000L
+    val df = Seq.tabulate(200) { i =>
+      val ts = new java.sql.Timestamp(base + (i % 40).toLong * 60000L)
+      val v = if (i % 2 == 0) 5L else -3L
+      (i.toLong, ts, (i % 5).toLong, v)
+    }.toDF("id", "ts", "user", "v")
+    Seq(600000L, Span, 1L).foreach(check(df, _))
+  }
+
+  test("null summands: all-null prefixes don't poison later sums; all-null frames are null") {
+    val base = 1700000000000L
+    val df = Seq(
+      (1L, new java.sql.Timestamp(base), 1L, Some(5L)),
+      // bucket 2 opens with nulls — local running sum must not go null
+      (2L, new java.sql.Timestamp(base + 1200001L), 1L, None),
+      (3L, new java.sql.Timestamp(base + 1200002L), 1L, Some(7L)),
+      // a user whose every summand is null: sums stay null, counts don't
+      (4L, new java.sql.Timestamp(base), 2L, None),
+      (5L, new java.sql.Timestamp(base + 1000L), 2L, None)
+    ).toDF("id", "ts", "user", "v")
+    Seq(600000L, Span, 1L).foreach(check(df, _))
+    val byUser2 = fast(df, 600000L).filter($"user" === 2L)
+      .orderBy("id").select("n", "s").collect().toSeq
+    assert(byUser2.map(_.getLong(0)) === Seq(1L, 2L))
+    assert(byUser2.forall(_.isNullAt(1)), "all-null frames must sum to SQL-null")
+  }
+
   test("rows with no trailing history get their own-peer-group counts only") {
     val df = Seq(
       (1L, new java.sql.Timestamp(1700000000000L), 1L, 5L),
