@@ -17,28 +17,37 @@ import org.apache.spark.sql.functions._
   * the sf0.1 event stream (SKEW_BENCH.json, rolling_window).
   *
   * [[rollingTrailing]] computes the identical result as a DIFFERENCE OF
-  * CUMULATIVE aggregates: roll(t] = cum(t] − cum(t−span], where
+  * CUMULATIVE aggregates, roll(t] = cum(t] − cum(t−span], in ONE pass:
+  *   - every input row contributes itself (weight 1) AND a zero-weight
+  *     PROBE row at t−span to one unioned stream, so the probe's running
+  *     cum IS cum(t−span] — no self-as-of-join, no recomputation of the
+  *     cum pipeline per branch (a previous formulation that fetched
+  *     cum(t−span] with [[Joins.asOfJoinSalted]] against a compacted cum
+  *     series planned 16 shuffles / 8 scans because every branch of the
+  *     self-join re-derived the prefix sums; this one plans 5 shuffles /
+  *     3 scans, none over more than 2n rows);
   *   - cum is a distributed two-phase prefix sum over (key, time-bucket)
-  *     partitions (local running sums + one summary row per (key,
-  *     bucket) carried across buckets — the Packing.pack prefix-sum
-  *     shape), so no task ever owns more than one key's one time slice
-  *     and every frame is the O(1)-per-row UnboundedPreceding kind;
-  *   - cum(t−span] is fetched with the SALTED as-of join
-  *     ([[Joins.asOfJoinSalted]]) against the per-(key, ms) compacted
-  *     cum series, which is hot-key-safe by the same bucketing.
+  *     partitions (local running sums + one carry row per (key, bucket)
+  *     — the Packing.pack prefix-sum shape), so no task ever owns more
+  *     than one key's one time slice and every frame is the
+  *     O(1)-per-row UnboundedPreceding kind;
+  *   - probe and source row reunite in a 2-row-per-id window (the id is
+  *     unique, so this shuffle is skew-free by construction).
   *
   * Range-frame peer semantics are preserved exactly: all rows sharing
   * (key, ms) carry the FULL cum through their millisecond (the range
   * frame includes every peer at the current timestamp, wherever the row
-  * sits in tie order).
+  * sits in tie order), and probes sort AFTER the real rows of their
+  * millisecond so cum(t−span] includes every row at exactly t−span —
+  * which the half-open frame (t−span, t] excludes.
   *
   * Timestamps must be non-null (a null ts has no trailing range; filter
-  * upstream). Summands may be signed and may be null: the running cums
-  * carry the last peer's SIGNED sum (an ordered last, not a max), and a
-  * frame holding zero non-null summands yields a null sum exactly like
-  * the native range frame. `bucketWidthMillis` tunes the salt granularity the same
-  * way as [[Joins.asOfJoinSalted]]: aim for 10–1000 rows of a typical
-  * key per bucket.
+  * upstream). Summands may be signed and may be null: zero-weight probes
+  * and null summands are invisible to the running sums, and a frame
+  * holding zero non-null summands yields a null sum exactly like the
+  * native range frame. `bucketWidthMillis` tunes the salt granularity
+  * the same way as [[Joins.asOfJoinSalted]]: aim for 10–1000 rows of a
+  * typical key per bucket.
   */
 object Windows {
 
@@ -64,94 +73,92 @@ object Windows {
                       sumAlias: String = "sum_span"): DataFrame = {
     require(spanMillis > 0, s"span must be positive: $spanMillis")
     require(bucketWidthMillis > 0, s"bucket width must be positive: $bucketWidthMillis")
-    val reserved = Seq("__ms", "__b", "__cc", "__cs", "__cn", "__ccf",
-      "__csf", "__cnf", "__pms", "__tc", "__ts2", "__tn", "__cum_cc",
-      "__cum_cs", "__cum_cn", "__scc", "__scs", "__scn",
-      "__prior___pms", "__prior___scc", "__prior___scs", "__prior___scn")
+    val reserved = Seq("__ms", "__b", "__p", "__w", "__sv", "__cc", "__cs",
+      "__cn", "__ccf", "__csf", "__cnf", "__cum_cc", "__cum_cs", "__cum_cn",
+      "__pcc", "__pcs", "__pcn")
     reserved.foreach { r =>
       require(!df.columns.contains(r), s"column $r collides with rollingTrailing internals")
     }
     val ms = unix_millis(col(ts))
-    val rows = df.withColumn("__ms", ms)
+    // Real rows (weight 1, live summand) + zero-weight probes at t−span.
+    // Probes carry only (key, tie); unionByName null-fills the rest.
+    val real = df.withColumn("__ms", ms)
+      .withColumn("__p", lit(0))
+      .withColumn("__w", lit(1L))
+      .withColumn("__sv", sumExpr)
+    val probe = df.select(col(key), col(tie),
+        (ms - spanMillis).as("__ms"),
+        lit(1).as("__p"), lit(0L).as("__w"))
+    val u = real.unionByName(probe, allowMissingColumns = true)
       .withColumn("__b", floor(col("__ms") / bucketWidthMillis))
 
     // Phase 1: local running aggregates within (key, bucket) — the cheap
-    // UnboundedPreceding frame (incremental, never re-aggregated), plus
-    // the bucket totals on every row via the same-partitioning
-    // unbounded frame (no extra exchange).
-    val ord = Seq(col("__ms").asc, col(tie).asc)
+    // UnboundedPreceding frame (incremental, never re-aggregated).
+    // Probes order AFTER real rows of the same millisecond (__p asc):
+    // their running cum then includes every row at exactly t−span.
+    // Weighted count + null-skipping sum make probes transparent; the
+    // non-null-summand count rides along so the output can re-null sums
+    // whose frame holds no non-null summand (sum-over-window is SQL-null
+    // there, and cum differences would otherwise read 0).
+    val ord = Seq(col("__ms").asc, col("__p").asc, col(tie).asc)
     val wLoc = Window.partitionBy(col(key), col("__b")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy(col(key), col("__b")).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // Sums are coalesced to 0 and a NON-NULL-summand count rides along:
-    // sum-over-window is SQL-null when the frame holds no non-null
-    // summand, so an all-null prefix would otherwise poison every later
-    // cum in the bucket (null + carry = null). The output re-nulls sums
-    // whose frame has zero non-null summands, matching the range frame.
-    val local = rows
-      .withColumn("__cc", count(lit(1)).over(wLoc))
-      .withColumn("__cs", coalesce(sum(sumExpr).over(wLoc), lit(0L)))
-      .withColumn("__cn", count(sumExpr).over(wLoc))
-      .withColumn("__tc", count(lit(1)).over(wTot))
-      .withColumn("__ts2", coalesce(sum(sumExpr).over(wTot), lit(0L)))
-      .withColumn("__tn", count(sumExpr).over(wTot))
+    val local = u
+      .withColumn("__cc", coalesce(sum(col("__w")).over(wLoc), lit(0L)))
+      .withColumn("__cs", coalesce(sum(col("__sv")).over(wLoc), lit(0L)))
+      .withColumn("__cn", count(col("__sv")).over(wLoc))
 
-    // Phase 2: one summary row per (key, bucket); the carry window runs
-    // over summary rows only (a key's cost is its bucket count).
+    // Phase 2: one carry row per (key, bucket) — bucket totals partial-
+    // aggregate map-side, and the cross-bucket prefix window runs over
+    // carry rows only (a key's cost is its bucket count, not its rows).
     val wCarry = Window.partitionBy(col(key)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = local.groupBy(col(key), col("__b"))
-      .agg(first(col("__tc")).as("__tc"), first(col("__ts2")).as("__ts2"),
-        first(col("__tn")).as("__tn"))
+    val carry = u.groupBy(col(key), col("__b"))
+      .agg(sum(col("__w")).as("__w"),
+        coalesce(sum(col("__sv")), lit(0L)).as("__sv"),
+        count(col("__sv")).as("__cn"))
       .select(col(key), col("__b"),
-        coalesce(sum(col("__tc")).over(wCarry), lit(0L)).as("__cum_cc"),
-        coalesce(sum(col("__ts2")).over(wCarry), lit(0L)).as("__cum_cs"),
-        coalesce(sum(col("__tn")).over(wCarry), lit(0L)).as("__cum_cn"))
+        coalesce(sum(col("__w")).over(wCarry), lit(0L)).as("__cum_cc"),
+        coalesce(sum(col("__sv")).over(wCarry), lit(0L)).as("__cum_cs"),
+        coalesce(sum(col("__cn")).over(wCarry), lit(0L)).as("__cum_cn"))
 
     // Global cums; then the FULL-millisecond cum on every row (range
     // peers at equal ts are all included — same (key, bucket)
     // partitioning, so this window adds a sort, not a shuffle). The
-    // full-ms value is the LAST peer's cum in tie order — counts are
-    // monotone within a millisecond so max() works for them, but a
-    // signed summand's running sum is not, hence the ordered last().
-    val wMs = Window.partitionBy(col(key), col("__b"), col("__ms"))
+    // full-ms value is the LAST row's cum in (__p, tie) order — probes
+    // are transparent (they add 0), so last-over-all equals the last
+    // real peer's SIGNED cum; a max() would freeze the high-water mark
+    // of a signed running sum.
     val wMsOrd = Window.partitionBy(col(key), col("__b"), col("__ms"))
-      .orderBy(col("__cc").asc)
+      .orderBy(col("__p").asc, col(tie).asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = local.join(carry, Seq(key, "__b"))
       .withColumn("__cc", col("__cc") + col("__cum_cc"))
       .withColumn("__cs", col("__cs") + col("__cum_cs"))
       .withColumn("__cn", col("__cn") + col("__cum_cn"))
-      .withColumn("__ccf", max(col("__cc")).over(wMs))
+      .withColumn("__ccf", last(col("__cc")).over(wMsOrd))
       .withColumn("__csf", last(col("__cs")).over(wMsOrd))
-      .withColumn("__cnf", max(col("__cn")).over(wMs))
-      .drop("__tc", "__ts2", "__tn", "__cum_cc", "__cum_cs", "__cum_cn")
+      .withColumn("__cnf", last(col("__cn")).over(wMsOrd))
+      .drop("__cum_cc", "__cum_cs", "__cum_cn")
 
-    // cum(t−span]: newest compacted cum row at-or-before the probe
-    // time, via the hot-key-safe as-of join. The compacted series has
-    // one row per (key, ms) — model-scale relative to the row count —
-    // carrying the full-millisecond cums (max_by picks the last peer's
-    // signed sum; __cc is unique within (key, ms)).
-    val series = cum.groupBy(col(key), col("__ms").as("__pms"))
-      .agg(max(col("__cc")).as("__scc"),
-        max_by(col("__cs"), col("__cc")).as("__scs"),
-        max(col("__cn")).as("__scn"))
-    // __b is one of Joins' reserved internals — shed it before the as-of
-    val probes = cum.drop("__b").withColumn("__pms", col("__ms") - spanMillis)
-    val looked = Joins.asOfJoinSalted(probes, series, key, "__pms",
-      payload = Seq("__scc", "__scs", "__scn"),
-      bucket = c => floor(c / bucketWidthMillis),
-      tieBreak = None, prefix = "__prior_")
-
-    looked
-      .withColumn(cntAlias, col("__ccf") - coalesce(col("__prior___scc"), lit(0L)))
+    // Reunite each row with its probe: exactly two rows per id, so the
+    // id-window shuffle is skew-free however hot the key is. The probe
+    // contributes its OWN running cum (cum at-or-before t−span), the
+    // real row its full-millisecond cum.
+    val wTie = Window.partitionBy(col(tie))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def fromProbe(c: String) = max(when(col("__p") === 1, col(c))).over(wTie)
+    cum
+      .withColumn("__pcc", fromProbe("__cc"))
+      .withColumn("__pcs", fromProbe("__cs"))
+      .withColumn("__pcn", fromProbe("__cn"))
+      .filter(col("__p") === 0)
+      .withColumn(cntAlias, col("__ccf") - coalesce(col("__pcc"), lit(0L)))
       // A frame with zero non-null summands sums to SQL-null, not 0.
       .withColumn(sumAlias,
-        when(col("__cnf") - coalesce(col("__prior___scn"), lit(0L)) > 0L,
-          col("__csf") - coalesce(col("__prior___scs"), lit(0L))))
-      .drop("__ms", "__b", "__cc", "__cs", "__cn", "__ccf", "__csf",
-        "__cnf", "__pms",
-        "__prior___pms", "__prior___scc", "__prior___scs", "__prior___scn")
+        when(col("__cnf") - coalesce(col("__pcn"), lit(0L)) > 0L,
+          col("__csf") - coalesce(col("__pcs"), lit(0L))))
+      .drop("__ms", "__b", "__p", "__w", "__sv", "__cc", "__cs", "__cn",
+        "__ccf", "__csf", "__cnf", "__pcc", "__pcs", "__pcn")
   }
 }

@@ -81,13 +81,14 @@ object EventQueries {
 
     // HOT-KEY-SAFE rolling window — identical contract (same DuckDB
     // oracle as q_rolling_window), computed as a cumulative DIFFERENCE
-    // over (user, day-bucket) two-phase prefix sums + a salted as-of
-    // lookup of cum(t−7d], instead of a per-user sliding RANGE frame.
-    // Spark's sliding frame re-aggregates its buffer every time the
-    // lower bound moves (no retraction): a Zipf-headed user measured
-    // 23× wall-clock degradation at sf0.1 (SKEW_BENCH.json); the
-    // cum-diff form is frame-recompute-free and never gives one task
-    // more than one key's one time slice.
+    // over (user, day-bucket) two-phase prefix sums with cum(t−7d]
+    // read off a zero-weight probe row merged into the same stream,
+    // instead of a per-user sliding RANGE frame. Spark's sliding frame
+    // re-aggregates its buffer every time the lower bound moves (no
+    // retraction): a Zipf-headed user measured 18-24× wall-clock
+    // degradation at sf0.1 (SKEW_BENCH.json); the cum-diff form is
+    // frame-recompute-free and never gives one task more than one
+    // key's one time slice.
     "q_rolling_salted" -> ((s, dir) =>
       graft.operators.Windows.rollingTrailing(
           events(s, dir).select(col("event_id"), col("user_id"), col("ts"),
