@@ -408,6 +408,120 @@ object EventStream {
       }
   }
 
+  /** Per-key rolling state: the retained event records (sorted by
+    * (ts, event_id)) and the watermark below which rows were already
+    * emitted — retained rows double as emission queue AND trailing-frame
+    * history, so the marker is what prevents re-emission. */
+  final case class RollState(recs: List[RightRec], emittedBelow: Long)
+
+  final case class RollOut(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                           value: Double, n_span: Long, value_milli_span: Long)
+
+  /** Streaming trailing-window features — the streaming twin of
+    * [[graft.operators.Windows.rollingTrailing]] (and of the batch
+    * queries q_rolling_window / q_rolling_salted): every event emits with
+    * the count and integral-milli sum of the SAME user's events in the
+    * half-open frame (t − span, t] — equal-timestamp peers included,
+    * exactly the RANGE-frame contract.
+    *
+    * Why rows BUFFER until the watermark strictly passes their
+    * timestamp: the trailing aggregate is only final once no event ≤ t
+    * can still arrive, which is what the watermark certifies — emitting
+    * on arrival would undercount late-but-within-watermark peers (the
+    * batch/stream divergence these twins exist to avoid). Output trails
+    * by the watermark, like every append-mode stateful operator here.
+    *
+    * State per key is the span + watermark horizon IN TIME (rows older
+    * than watermark − span can sit in no future frame and evict; an
+    * idle key self-cleans via an event-time wakeup at last + span), and
+    * the per-flush aggregates are computed over the time-sorted retained
+    * array with prefix sums + binary-searched frame bounds — O(log n)
+    * per emitted row, no per-row frame re-aggregation (the naive range
+    * frame's O(n·f) hot-key pathology, measured 18-24× at sf0.1 in
+    * SKEW_BENCH.json, is exactly what this avoids).
+    *
+    * `maxRetained` is the HARD per-key row cap — the backstop for a
+    * pathological hot key whose event rate × (span + lateness) outruns
+    * memory. When it binds the OLDEST retained rows drop first (they
+    * leave the span soonest); a dropped row that was still awaiting
+    * emission flushes IMMEDIATELY with its best-known frame, so no row
+    * is ever lost, and subsequent frames can UNDERCOUNT at their
+    * trailing edge — the documented shedding trade; parity with the
+    * batch operator is exact whenever the cap does not bind. */
+  def rollingEnrich(events: Dataset[Event], spanMs: Long,
+                    watermark: String = "2 hours",
+                    maxRetained: Int = 1 << 20): Dataset[RollOut] = {
+    require(spanMs > 0, "spanMs must be positive")
+    require(maxRetained > 0, "maxRetained must be positive")
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RollState, RollOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[RollState]) =>
+          val st = state.getOption.getOrElse(RollState(Nil, Long.MinValue))
+          var recs = st.recs
+          if (!state.hasTimedOut) {
+            recs = (recs ++ it.map(e => RightRec(e.ts, e.event_id, e.value)))
+              .sortWith(rightOrd)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // Emit rows the watermark has STRICTLY passed and the previous
+          // flushes have not (emitted rows stay retained as history for
+          // later frames — emittedBelow is the don't-repeat marker).
+          val ready = recs.filter(r =>
+            r.ts.getTime < wm && r.ts.getTime >= st.emittedBelow)
+          val arr = recs.toArray
+          val times = arr.map(_.ts.getTime)
+          val pref = new Array[Long](arr.length + 1)
+          var i = 0
+          while (i < arr.length) {
+            pref(i + 1) = pref(i) + math.round(arr(i).value * 1000); i += 1
+          }
+          // First index with time > t (times are sorted ascending).
+          def ub(t: Long): Int = {
+            var lo = 0; var hi = times.length
+            while (lo < hi) {
+              val m = (lo + hi) >>> 1
+              if (times(m) <= t) lo = m + 1 else hi = m
+            }
+            lo
+          }
+          def roll(e: RightRec): RollOut = {
+            val t = e.ts.getTime
+            val hiI = ub(t); val loI = ub(t - spanMs)
+            RollOut(e.event_id, e.ts, userId, e.value,
+              (hiI - loI).toLong, pref(hiI) - pref(loI))
+          }
+          // Evict history no future frame can reach: future rows have
+          // ts ≥ wm, their frames open at > ts − span ≥ wm − span.
+          val keptAll = recs.filter(_.ts.getTime > wm - spanMs)
+          // Hot-key backstop (see scaladoc): newest-first survival, and
+          // any dropped row still awaiting emission flushes NOW with its
+          // best-known frame instead of vanishing.
+          val (dropped, kept) =
+            if (keptAll.size <= maxRetained) (Nil, keptAll)
+            else keptAll.splitAt(keptAll.size - maxRetained)
+          val shed = dropped.filter(r =>
+            r.ts.getTime >= wm && r.ts.getTime >= st.emittedBelow)
+          val out = (ready ++ shed).map(roll)
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(RollState(kept, math.max(st.emittedBelow, wm)))
+            val pendMin = kept.collectFirst {
+              case r if r.ts.getTime >= wm => r.ts.getTime
+            }
+            // Wake to flush the earliest pending row, or — history-only
+            // state — when the last row leaves the span horizon so the
+            // key's state clears instead of leaking forever.
+            val wake = pendMin.map(_ + 1)
+              .getOrElse(kept.last.ts.getTime + spanMs + 1)
+            state.setTimeoutTimestamp(math.max(wm + 1, wake))
+          }
+          out.sortBy(o => (o.ts.getTime, o.event_id)).iterator
+      }
+  }
+
   /** Stateful 30-min-gap sessionization, LIST-STATE form: each user holds
     * ALL currently-open sessions (sorted, pairwise separated by more than
     * the gap), so a late-but-within-watermark event lands in exactly the

@@ -295,6 +295,92 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rollingEnrich: trailing frames equal the batch twin — late " +
+      "in-watermark peers included, equal-ts peer groups exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 2000000000000L
+    val span = 3600000L // 1 hour
+    val src = MemoryStream[EventStream.Event]
+    val q = EventStream.rollingEnrich(src.toDS(), spanMs = span,
+        watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("roll_out").start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[EventStream.Event]
+    def add(e: EventStream.Event*): Unit = { all ++= e; src.addData(e: _*); q.processAllAvailable() }
+    try {
+      // Batch 1: an equal-ts peer pair (ids 1, 2 at t0 — the range frame
+      // includes BOTH for both) and a row 10 min later.
+      add(EventStream.Event(1L, ts(t0), 42L, "view", 1.0),
+        EventStream.Event(2L, ts(t0), 42L, "view", 2.0),
+        EventStream.Event(3L, ts(t0 + 600000L), 42L, "view", 3.0))
+      assert(spark.table("roll_out").count() == 0) // buffered, not emitted
+      // Batch 2: a LATE row BETWEEN earlier rows (within watermark) that
+      // must appear in id 3's frame — only possible because rows buffer
+      // until the watermark finalizes their frame — plus a row 90 min in
+      // whose frame everything at t0..t0+10min has already expired.
+      add(EventStream.Event(4L, ts(t0 + 300000L), 42L, "view", 4.0),
+        EventStream.Event(5L, ts(t0 + 5400000L), 42L, "view", 5.0))
+      // Batch 3: far-future event advances the watermark past everything.
+      add(EventStream.Event(999L, ts(t0 + 12L * 3600 * 1000), 7L, "view", 0.0))
+      val got = spark.table("roll_out").as[EventStream.RollOut].collect()
+        .map(o => o.event_id -> ((o.n_span, o.value_milli_span))).toMap
+      assert(got == Map(
+        1L -> ((2L, 3000L)), 2L -> ((2L, 3000L)), // mutual equal-ts peers
+        4L -> ((3L, 7000L)),                      // late row sees 1, 2
+        3L -> ((4L, 10000L)),                     // ...and 3 sees the late 4
+        5L -> ((1L, 5000L))))                     // everything else expired
+      // Exact batch parity via the hot-key-safe batch operator.
+      val df = all.toSeq.toDF()
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val batch = graft.operators.Windows.rollingTrailing(df,
+          key = "user_id", ts = "ts", tie = "event_id",
+          sumExpr = round($"value" * 1000).cast("long"),
+          spanMillis = span, bucketWidthMillis = 600000L,
+          cntAlias = "n_span", sumAlias = "value_milli_span")
+        .select($"event_id", $"n_span", $"value_milli_span")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == got.keys.map(k => k -> batch(k)).toMap)
+    } finally q.stop()
+  }
+
+  test("rollingEnrich: maxRetained sheds the OLDEST rows — pending " +
+      "dropped rows still emit (best-known frame), later frames undercount") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 2000000000000L
+    val src = MemoryStream[EventStream.Event]
+    val q = EventStream.rollingEnrich(src.toDS(), spanMs = 3600000L,
+        watermark = "2 hours", maxRetained = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("roll_shed").start()
+    def add(e: EventStream.Event*): Unit = { src.addData(e: _*); q.processAllAvailable() }
+    try {
+      // 4 rows inside the watermark horizon (none ready to flush).
+      // Cap=2 → ids 1, 2 drop from state but EMIT now with the frames
+      // known at shed time (computed over all four rows — exact here).
+      add(EventStream.Event(1L, ts(t0), 42L, "view", 1.0),
+        EventStream.Event(2L, ts(t0 + 60000L), 42L, "view", 2.0),
+        EventStream.Event(3L, ts(t0 + 120000L), 42L, "view", 3.0),
+        EventStream.Event(4L, ts(t0 + 180000L), 42L, "view", 4.0))
+      val first = spark.table("roll_shed").as[EventStream.RollOut].collect()
+        .map(o => o.event_id -> ((o.n_span, o.value_milli_span))).toMap
+      assert(first == Map(1L -> ((1L, 1000L)), 2L -> ((2L, 3000L))))
+      // Watermark passes everything → kept rows flush, with frames over
+      // the SURVIVING history only: the shed rows are gone, so ids 3, 4
+      // UNDERCOUNT (true frames would be n=3 and n=4) — the documented
+      // shedding trade.
+      add(EventStream.Event(999L, ts(t0 + 12L * 3600 * 1000), 7L, "view", 0.0))
+      val got = spark.table("roll_shed").as[EventStream.RollOut].collect()
+        .map(o => o.event_id -> ((o.n_span, o.value_milli_span))).toMap
+      assert(got == Map(1L -> ((1L, 1000L)), 2L -> ((2L, 3000L)),
+        3L -> ((1L, 3000L)), 4L -> ((2L, 7000L))))
+    } finally q.stop()
+  }
+
   test("asOfEnrich: maxPendingLefts sheds the OLDEST lefts early with " +
       "their best-known match; untouched keys stay exact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
