@@ -137,6 +137,73 @@ object Dedup {
       .join(seenFps.select(col("fp")), Seq("fp"), "left_anti")
       .select(col("id"), col("fp"))
 
+  /** [[incrementalNew]] with a BLOOM-FILTER pre-gate on the historical
+    * side — the standard 100 TB trick for "most batch rows are new":
+    * definite-miss rows (the overwhelming majority at typical dup rates)
+    * never touch the `seenFps` table at all, and only PROBABLE hits
+    * (true dups + an `fpp` sliver of false positives) reach the exact
+    * anti-join, so the expensive verification join's probe side shrinks
+    * from |batch| to ~dupRate·|batch|. The result is spec-proven (and
+    * oracle-verified) IDENTICAL to [[incrementalNew]]: a Bloom filter
+    * has NO false negatives, so every row it passes unverified is
+    * genuinely unseen, and every row it flags is re-checked exactly.
+    *
+    * The filter itself is ONE map-side-combinable aggregate over the
+    * seen fingerprints (Spark's native `BloomFilterAggregate` — the
+    * expression behind its runtime join filters; numBits sized from
+    * `fpp` by the textbook m = −n·ln(p)/ln²2), collected to the driver
+    * as a MODEL-SCALE artifact (numBits/8 bytes — the same bounded
+    * collect as the IVF centroid model) and inlined as a literal into
+    * the codegen'd `might_contain` gate. Bit-OR makes the filter a
+    * MONOID: a production deployment appends per-batch blooms and folds
+    * them exactly like
+    * [[graft.streaming.EventStream.maintainChecksums]] folds checksum
+    * summaries, so steady-state gating needs no `seenFps` scan at all —
+    * only confirmed-hit verification does. An EMPTY seen side yields a
+    * null bloom: the gate degrades to the plain exact operator
+    * (first-batch ingest passes everything; verified by spec).
+    *
+    * Spark caps the aggregate at 4M expected items / 67M bits per
+    * filter by default — beyond that, shard the seen side and OR the
+    * verdicts (or raise the caps); the gate stays correct under ANY
+    * undersizing, it just verifies more rows exactly. */
+  def incrementalNewBloom(newDf: DataFrame, seenFps: DataFrame,
+                          idCol: String, textCol: String,
+                          expectedItems: Long = 1000000L,
+                          fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bfRow = seenFps.select(col("fp"))
+      .agg(GraftBridge.column(new BloomFilterAggregate(
+          GraftBridge.expression(xxhash64(col("fp"))),
+          Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression()).as("__bf"))
+      .head()
+    if (bfRow.isNullAt(0)) return incrementalNew(newDf, seenFps, idCol, textCol)
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      Literal(bfRow.getAs[Array[Byte]](0), BinaryType),
+      GraftBridge.expression(xxhash64(col("fp")))))
+    val fps = newDf.select(col(idCol).as("id"),
+        TextAnalysis.docFingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
+      .withColumn("__maybe", mightContain)
+    // The gate splits BEFORE canonicalization — a fingerprint group's
+    // rows all share one bloom verdict, so per-group min-id is intact on
+    // both sides and the two groupBys partition the original shuffle.
+    val misses = fps.filter(!col("__maybe"))
+      .groupBy(col("fp")).agg(min(col("id")).as("id"))
+    val hits = fps.filter(col("__maybe"))
+      .groupBy(col("fp")).agg(min(col("id")).as("id"))
+      .join(seenFps.select(col("fp")), Seq("fp"), "left_anti")
+    misses.unionByName(hits).select(col("id"), col("fp"))
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs via an inverted posting
     * list: shingles shuffle as 64-bit xxhash64 keys (never as multi-word
     * strings), per-shingle posting buckets double-explode into

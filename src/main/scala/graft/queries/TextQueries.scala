@@ -307,6 +307,19 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // Same gate with the BLOOM pre-filter: definite-miss rows never
+    // touch the seen table, probable hits verify exactly — output is
+    // IDENTICAL (a bloom has no false negatives), so it shares
+    // q_dedup_incremental's oracle and must hash-match it.
+    "q_dedup_incremental_bloom" -> ((s, dir) => {
+      val seen = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(TA.docFingerprint(col("text")).as("fp"))
+      Dedup.incrementalNewBloom(dupCorpus(s, dir), seen, "doc_id", "text",
+          expectedItems = 100000L, fpp = 0.01)
+        .orderBy(col("id"))
+    }),
+
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(dupCorpus(s, dir), "doc_id", "text",
           n = 3, minJaccard = 0.5, dfCap = 10000)
@@ -575,6 +588,19 @@ object TextQueries {
          |WHERE group_size > 1 ORDER BY canonical_id""".stripMargin,
 
     "q_dedup_incremental" ->
+      s"""WITH $dupCorpusSql,
+         |seen AS (
+         |  SELECT DISTINCT md5($normSql) AS fp FROM documents WHERE doc_id % 2 = 0),
+         |batch AS (
+         |  SELECT md5($normSql) AS fp, min(doc_id) AS id
+         |  FROM corpus WHERE md5($normSql) IS NOT NULL GROUP BY 1)
+         |SELECT id, fp FROM batch b
+         |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
+         |ORDER BY id""".stripMargin,
+
+    // The bloom gate is exact by construction — same oracle, must
+    // hash-match the ungated form.
+    "q_dedup_incremental_bloom" ->
       s"""WITH $dupCorpusSql,
          |seen AS (
          |  SELECT DISTINCT md5($normSql) AS fp FROM documents WHERE doc_id % 2 = 0),

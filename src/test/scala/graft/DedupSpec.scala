@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
 import graft.queries.TextQueries
+import graft.sources.Tables
 
 class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -54,6 +55,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!q.exists(id => id < 100000 && id % 2 == 0))
     // tail-marker variants (+200000) carry NEW text -> present
     assert(q.exists(_ >= 200000))
+  }
+
+  test("incrementalNewBloom == incrementalNew: well-sized, undersized " +
+      "(false-positive-heavy), and EMPTY-seen blooms all stay exact") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val seen = docs.filter($"doc_id" % 2 === 0)
+      .select(TextAnalysis.docFingerprint($"text").as("fp"))
+    val batch = docs.limit(300)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").as[Long].collect().sorted.toSeq
+    val exact = ids(Dedup.incrementalNew(batch, seen, "doc_id", "text"))
+    // Well-sized bloom: most rows skip the seen join, result identical.
+    assert(ids(Dedup.incrementalNewBloom(batch, seen, "doc_id", "text",
+      expectedItems = 1000L, fpp = 0.01)) == exact)
+    // Grossly undersized bloom (8 expected items for ~250 fps): nearly
+    // every row false-positives into the verify join — still exact,
+    // because the bloom has no false NEGATIVES and hits re-check.
+    assert(ids(Dedup.incrementalNewBloom(batch, seen, "doc_id", "text",
+      expectedItems = 8L, fpp = 0.5)) == exact)
+    // Empty seen side: bloom_filter_agg returns a null filter; the gate
+    // must pass everything (first-batch ingest), not drop everything.
+    val emptySeen = seen.filter(lit(false))
+    assert(ids(Dedup.incrementalNewBloom(batch, emptySeen, "doc_id", "text")) ==
+      ids(Dedup.incrementalNew(batch, emptySeen, "doc_id", "text")))
   }
 
   test("ngramJaccard finds exact copies at J=1 and tail-variants above 0.5") {
