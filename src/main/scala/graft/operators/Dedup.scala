@@ -189,17 +189,19 @@ object Dedup {
     val mightContain = GraftBridge.column(BloomFilterMightContain(
       Literal(bfRow.getAs[Array[Byte]](0), BinaryType),
       GraftBridge.expression(xxhash64(col("fp")))))
-    val fps = newDf.select(col(idCol).as("id"),
+    // Gate AFTER the in-batch canonicalization: the bloom verdict is a
+    // function of fp alone, so testing the aggregated (fp, min-id) rows
+    // is output-identical while scanning and fingerprinting the batch
+    // ONCE, shuffling once (the two branches' identical aggregates share
+    // the exchange), and evaluating might_contain once per DISTINCT fp
+    // instead of once per raw row.
+    val canon = newDf.select(col(idCol).as("id"),
         TextAnalysis.docFingerprint(col(textCol)).as("fp"))
       .filter(col("fp").isNotNull)
+      .groupBy(col("fp")).agg(min(col("id")).as("id"))
       .withColumn("__maybe", mightContain)
-    // The gate splits BEFORE canonicalization — a fingerprint group's
-    // rows all share one bloom verdict, so per-group min-id is intact on
-    // both sides and the two groupBys partition the original shuffle.
-    val misses = fps.filter(!col("__maybe"))
-      .groupBy(col("fp")).agg(min(col("id")).as("id"))
-    val hits = fps.filter(col("__maybe"))
-      .groupBy(col("fp")).agg(min(col("id")).as("id"))
+    val misses = canon.filter(!col("__maybe"))
+    val hits = canon.filter(col("__maybe"))
       .join(seenFps.select(col("fp")), Seq("fp"), "left_anti")
     misses.unionByName(hits).select(col("id"), col("fp"))
   }

@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   *     cum(t−span] with [[Joins.asOfJoinSalted]] against a compacted cum
   *     series planned 16 shuffles / 8 scans because every branch of the
   *     self-join re-derived the prefix sums; this one plans 5 shuffles /
-  *     3 scans, none over more than 2n rows);
+  *     4 scans — real + probe branches and the carry's re-read — none
+  *     over more than 2n rows);
   *   - cum is a distributed two-phase prefix sum over (key, time-bucket)
   *     partitions (local running sums + one carry row per (key, bucket)
   *     — the Packing.pack prefix-sum shape), so no task ever owns more
@@ -141,11 +142,13 @@ object Windows {
       .withColumn("__cnf", last(col("__cn")).over(wMsOrd))
       .drop("__cum_cc", "__cum_cs", "__cum_cn")
 
-    // Reunite each row with its probe: exactly two rows per id, so the
-    // id-window shuffle is skew-free however hot the key is. The probe
-    // contributes its OWN running cum (cum at-or-before t−span), the
-    // real row its full-millisecond cum.
-    val wTie = Window.partitionBy(col(tie))
+    // Reunite each row with its probe: exactly two rows per (key, id),
+    // so this window shuffle is skew-free however hot the key is. The
+    // probe contributes its OWN running cum (cum at-or-before t−span),
+    // the real row its full-millisecond cum. Partitioning includes the
+    // KEY so tie values only need to be unique per key (per-key
+    // sequence numbers are a legitimate tie column).
+    val wTie = Window.partitionBy(col(key), col(tie))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def fromProbe(c: String) = max(when(col("__p") === 1, col(c))).over(wTie)
     cum

@@ -408,6 +408,23 @@ object EventStream {
       }
   }
 
+  /** value × 1000 with Spark SQL `round(...).cast("long")` semantics,
+    * including the non-finite cases — `math.round` differs on NEGATIVE
+    * halves (floor(x+0.5) = −2 where SQL HALF_UP = −3 at −2.5), and
+    * `BigDecimal.valueOf(NaN/Infinity)` THROWS: one bad event would
+    * poison-pill a streaming query while the batch twins (round→cast)
+    * map NaN→0 and ±Inf→Long extremes and keep running. Finite overflow
+    * saturates like the cast as well. Shared by every streaming twin
+    * that must hash-match a batch integral-milli sum. */
+  private def sqlRoundMillis(value: Double): Long = {
+    val x = value * 1000
+    if (x.isNaN) 0L
+    else if (x >= Long.MaxValue.toDouble) Long.MaxValue
+    else if (x <= Long.MinValue.toDouble) Long.MinValue
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
+
   /** Per-key rolling state: the retained event records (sorted by
     * (ts, event_id)) and the watermark below which rows were already
     * emitted — retained rows double as emission queue AND trailing-frame
@@ -471,28 +488,6 @@ object EventStream {
           // later frames — emittedBelow is the don't-repeat marker).
           val ready = recs.filter(r =>
             r.ts.getTime < wm && r.ts.getTime >= st.emittedBelow)
-          val arr = recs.toArray
-          val times = arr.map(_.ts.getTime)
-          val pref = new Array[Long](arr.length + 1)
-          var i = 0
-          while (i < arr.length) {
-            pref(i + 1) = pref(i) + math.round(arr(i).value * 1000); i += 1
-          }
-          // First index with time > t (times are sorted ascending).
-          def ub(t: Long): Int = {
-            var lo = 0; var hi = times.length
-            while (lo < hi) {
-              val m = (lo + hi) >>> 1
-              if (times(m) <= t) lo = m + 1 else hi = m
-            }
-            lo
-          }
-          def roll(e: RightRec): RollOut = {
-            val t = e.ts.getTime
-            val hiI = ub(t); val loI = ub(t - spanMs)
-            RollOut(e.event_id, e.ts, userId, e.value,
-              (hiI - loI).toLong, pref(hiI) - pref(loI))
-          }
           // Evict history no future frame can reach: future rows have
           // ts ≥ wm, their frames open at > ts − span ≥ wm − span.
           val keptAll = recs.filter(_.ts.getTime > wm - spanMs)
@@ -504,7 +499,33 @@ object EventStream {
             else keptAll.splitAt(keptAll.size - maxRetained)
           val shed = dropped.filter(r =>
             r.ts.getTime >= wm && r.ts.getTime >= st.emittedBelow)
-          val out = (ready ++ shed).map(roll)
+          // The sorted-array + prefix-sum machinery is only worth
+          // building when something actually emits — a no-emit trigger
+          // on a near-cap hot key must not allocate O(state) arrays.
+          val out = if (ready.isEmpty && shed.isEmpty) Nil else {
+            val arr = recs.toArray
+            val times = arr.map(_.ts.getTime)
+            val pref = new Array[Long](arr.length + 1)
+            var i = 0
+            while (i < arr.length) {
+              pref(i + 1) = pref(i) + sqlRoundMillis(arr(i).value); i += 1
+            }
+            // First index with time > t (times are sorted ascending).
+            def ub(t: Long): Int = {
+              var lo = 0; var hi = times.length
+              while (lo < hi) {
+                val m = (lo + hi) >>> 1
+                if (times(m) <= t) lo = m + 1 else hi = m
+              }
+              lo
+            }
+            (ready ++ shed).map { e =>
+              val t = e.ts.getTime
+              val hiI = ub(t); val loI = ub(t - spanMs)
+              RollOut(e.event_id, e.ts, userId, e.value,
+                (hiI - loI).toLong, pref(hiI) - pref(loI))
+            }
+          }
           if (kept.isEmpty) state.remove()
           else {
             state.update(RollState(kept, math.max(st.emittedBelow, wm)))
@@ -566,20 +587,7 @@ object EventStream {
           if (!state.hasTimedOut) {
             it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val t = e.ts.getTime
-              // Spark SQL round().cast(long) semantics, including the
-              // non-finite cases — math.round differs on negative halves,
-              // and BigDecimal.valueOf(NaN/Infinity) THROWS: one bad
-              // event would poison-pill the whole streaming query while
-              // the batch twin (round→cast) maps NaN→0 and ±Inf→Long
-              // extremes and keeps running. Finite overflow saturates
-              // like the cast as well.
-              val x = e.value * 1000
-              val vm =
-                if (x.isNaN) 0L
-                else if (x >= Long.MaxValue.toDouble) Long.MaxValue
-                else if (x <= Long.MinValue.toDouble) Long.MinValue
-                else java.math.BigDecimal.valueOf(x)
-                  .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+              val vm = sqlRoundMillis(e.value)
               val (before, rest) = open.span(s => s.last.getTime + gapMs < t)
               val (touching, after) = rest.span(s => s.start.getTime - gapMs <= t)
               // Gap math is epoch-millis (matching the batch twin's

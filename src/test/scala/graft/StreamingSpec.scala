@@ -319,8 +319,11 @@ class StreamingSpec extends AnyFunSuite {
       // Batch 2: a LATE row BETWEEN earlier rows (within watermark) that
       // must appear in id 3's frame — only possible because rows buffer
       // until the watermark finalizes their frame — plus a row 90 min in
-      // whose frame everything at t0..t0+10min has already expired.
-      add(EventStream.Event(4L, ts(t0 + 300000L), 42L, "view", 4.0),
+      // whose frame everything at t0..t0+10min has already expired. The
+      // late row's value is a NEGATIVE HALF (−0.0025 → −2.5 milli): SQL
+      // round() gives −3 where math.round gives −2, so parity here pins
+      // the shared sqlRoundMillis conversion.
+      add(EventStream.Event(4L, ts(t0 + 300000L), 42L, "view", -0.0025),
         EventStream.Event(5L, ts(t0 + 5400000L), 42L, "view", 5.0))
       // Batch 3: far-future event advances the watermark past everything.
       add(EventStream.Event(999L, ts(t0 + 12L * 3600 * 1000), 7L, "view", 0.0))
@@ -328,8 +331,8 @@ class StreamingSpec extends AnyFunSuite {
         .map(o => o.event_id -> ((o.n_span, o.value_milli_span))).toMap
       assert(got == Map(
         1L -> ((2L, 3000L)), 2L -> ((2L, 3000L)), // mutual equal-ts peers
-        4L -> ((3L, 7000L)),                      // late row sees 1, 2
-        3L -> ((4L, 10000L)),                     // ...and 3 sees the late 4
+        4L -> ((3L, 2997L)),                      // late row sees 1, 2 (−3)
+        3L -> ((4L, 5997L)),                      // ...and 3 sees the late 4
         5L -> ((1L, 5000L))))                     // everything else expired
       // Exact batch parity via the hot-key-safe batch operator.
       val df = all.toSeq.toDF()

@@ -89,6 +89,22 @@ class WindowsSpec extends AnyFunSuite {
     assert(byUser2.forall(_.isNullAt(1)), "all-null frames must sum to SQL-null")
   }
 
+  test("tie values need only PER-KEY uniqueness — per-key sequence numbers work") {
+    // Two users share the identical id sequence 0..99: the reunite
+    // window must partition by (key, tie), or one user's probe cum
+    // leaks into the other's rows.
+    val base = 1700000000000L
+    val df = Seq.tabulate(200) { i =>
+      val user = (i / 100).toLong
+      val seq = (i % 100).toLong // duplicated across users
+      val ts = new java.sql.Timestamp(base + (i % 37).toLong * 120000L)
+      (seq, ts, user, (i % 5).toLong * 7L)
+    }.toDF("id", "ts", "user", "v")
+    val a = naive(df).orderBy("user", "id").collect().toSeq
+    val b = fast(df, 600000L).orderBy("user", "id").collect().toSeq
+    assert(a === b, "per-key-duplicate tie values diverged from the range frame")
+  }
+
   test("rows with no trailing history get their own-peer-group counts only") {
     val df = Seq(
       (1L, new java.sql.Timestamp(1700000000000L), 1L, 5L),
