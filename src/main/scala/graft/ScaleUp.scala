@@ -134,9 +134,13 @@ object ScaleUp {
     // byte-identical text under different ids, giving every document an
     // exact cross-replica twin — the quadratic near-dup blow-up the
     // rotation exists to prevent. Refuse rather than silently alias.
+    // (Composing two runs does NOT evade this: total rotations r1+r2
+    // repeat across replica pairs AND key offsets (r1+r2)·stride
+    // collide, producing duplicate PKs — scale the SOURCE sf instead,
+    // or extend rotateText to seeded alphabet permutations.)
     require(factor <= 26,
       s"factor $factor > 26 aliases the per-replica letter rotation " +
-        "(period 26); compose two runs (e.g. x10 then x10) instead")
+        "(period 26); scale up from a larger source sf instead")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false").getOrCreate()

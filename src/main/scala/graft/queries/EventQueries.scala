@@ -85,7 +85,7 @@ object EventQueries {
     // read off a zero-weight probe row merged into the same stream,
     // instead of a per-user sliding RANGE frame. Spark's sliding frame
     // re-aggregates its buffer every time the lower bound moves (no
-    // retraction): a Zipf-headed user measured 18-24× wall-clock
+    // retraction): a Zipf-headed user measured 18-26× wall-clock
     // degradation at sf0.1 (SKEW_BENCH.json); the cum-diff form is
     // frame-recompute-free and never gives one task more than one
     // key's one time slice.

@@ -454,7 +454,7 @@ object EventStream {
     * the per-flush aggregates are computed over the time-sorted retained
     * array with prefix sums + binary-searched frame bounds — O(log n)
     * per emitted row, no per-row frame re-aggregation (the naive range
-    * frame's O(n·f) hot-key pathology, measured 18-24× at sf0.1 in
+    * frame's O(n·f) hot-key pathology, measured 18-26× at sf0.1 in
     * SKEW_BENCH.json, is exactly what this avoids).
     *
     * `maxRetained` is the HARD per-key row cap — the backstop for a
