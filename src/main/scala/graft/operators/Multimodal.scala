@@ -37,17 +37,20 @@ object Multimodal {
     // linters treat the whole SOURCE FILE as binary.
     val wavMagic = Array[Byte]('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E')
     val mp4Magic = Array[Byte](0, 0, 0, 0x20) ++ "ftypisom".getBytes("ISO-8859-1")
+    // pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    // doc_id would feed element_at index 0 (ANSI throw) or a negative
+    // index (silent wrap from the array end).
     docs.select(
       col("doc_id"),
       concat(
         element_at(array(lit(pngMagic), lit(wavMagic), lit(mp4Magic)),
-          (col("doc_id") % 3 + 1).cast("int")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
         encode(col("text"), "UTF-8")).as("media"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      (col("doc_id") % 640 + 32).cast("int").as("width"),
-      (col("doc_id") % 480 + 32).cast("int").as("height"),
-      (col("doc_id") % 16 + 1).cast("int").as("n_frames"))
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      (pmod(col("doc_id"), lit(640)) + 32).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(480)) + 32).cast("int").as("height"),
+      (pmod(col("doc_id"), lit(16)) + 1).cast("int").as("n_frames"))
   }
 
   /** Container-format sniffing from MAGIC BYTES — real multimodal
@@ -123,12 +126,21 @@ object Multimodal {
     require(maxSide > 0, "maxSide must be positive")
     val w = col("width").cast("double")
     val h = col("height").cast("double")
-    val scale = least(lit(1.0), lit(maxSide.toDouble) / greatest(w, h))
+    // Degenerate dims (0×0 or negative — corrupt/empty container
+    // metadata is normal at scale, see sampleFrames) must not reach the
+    // division: ANSI mode turns maxSide/0 into a job-killing
+    // DIVIDE_BY_ZERO, and a negative max would fabricate an upscale.
+    // Such rows get a null plan and resized=false — triage, don't crash.
+    val planable = greatest(w, h) > 0.0
+    val scale = when(planable,
+      least(lit(1.0), lit(maxSide.toDouble) / greatest(w, h)))
+    // when() at the OUTPUT too: greatest(1, NULL) would otherwise
+    // resurrect a degenerate row's plan as 1×1.
     media.withColumn("out_width",
-        greatest(lit(1), round(w * scale).cast("int")))
+        when(planable, greatest(lit(1), round(w * scale).cast("int"))))
       .withColumn("out_height",
-        greatest(lit(1), round(h * scale).cast("int")))
-      .withColumn("resized", scale < 1.0)
+        when(planable, greatest(lit(1), round(h * scale).cast("int"))))
+      .withColumn("resized", coalesce(scale < 1.0, lit(false)))
   }
 
   /** Frame sampling: every `stride`-th frame index per video row —

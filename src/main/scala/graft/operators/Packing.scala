@@ -34,12 +34,16 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  private val Reserved = Seq("__rank", "__bkt", "__cum", "__tot", "__off")
+  private val Reserved = Seq("__rank", "__bkt", "__cum", "__tot", "__off",
+    "rank_hex", "token_offset", "seq_first", "seq_last")
 
   /** Adds `rank_hex`, `token_offset`, `seq_first`, `seq_last` to `df`.
     * `nTokensCol` must be a non-negative numeric column (precomputed token
-    * counts — any tokenizer); rows with a NULL count are excluded (a doc
-    * of unknown length cannot be placed without shifting every successor).
+    * counts — any tokenizer); rows with a NULL count OR a NULL id are
+    * excluded — an unknown length can't be placed without shifting every
+    * successor, and a NULL id hashes to a NULL rank whose bucket would
+    * silently drop the row from the equi-join while its tokens still
+    * shifted every real bucket's offset (corpus-wide misalignment).
     * seq_first/seq_last divide via double floor — exact below 2^52 total
     * tokens, i.e. any corpus that fits in zettabytes. */
   def sequenceOffsets(df: DataFrame, idCol: String, nTokensCol: String,
@@ -47,9 +51,9 @@ object Packing {
     require(maxTokens > 0, "maxTokens must be positive")
     val clash = df.columns.filter(Reserved.contains)
     require(clash.isEmpty, s"column(s) ${clash.mkString(",")} collide with " +
-      s"Packing temp columns (${Reserved.mkString(",")})")
+      s"Packing temp/output columns (${Reserved.mkString(",")})")
     val n = col(nTokensCol).cast("long")
-    val r = df.filter(n.isNotNull)
+    val r = df.filter(n.isNotNull && col(idCol).isNotNull)
       .withColumn("__rank", Sampling.hashRankHex(col(idCol), salt))
       .withColumn("__bkt", substring(col("__rank"), 1, 2))
     val wLocal = Window.partitionBy(col("__bkt"))

@@ -30,15 +30,32 @@ object Relevance {
   def bm25(df: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    require(terms.distinct == terms, "terms must be distinct")
+    // Terms canonicalize through the SAME pipeline the document tokens
+    // do (lowercase + whitespace collapse — TextAnalysis.normalized):
+    // a caller's "Apple" must match the lowercased token stream, not
+    // silently score zero everywhere. A term that canonicalizes to
+    // multiple tokens (or none) can never match a single token — reject
+    // loudly rather than return all-zero scores.
+    val canon = terms.map(t =>
+      t.toLowerCase(java.util.Locale.ROOT).trim.replaceAll(" +", " "))
+    require(canon.forall(t => t.nonEmpty && !t.contains(' ')),
+      s"each term must canonicalize to ONE non-empty token; got: " +
+        terms.mkString("[", ", ", "]"))
+    require(canon.distinct == canon,
+      "terms must be distinct after canonicalization")
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
-    val docs = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+    // NULL-text docs (fetch failures — normal at scale) are excluded
+    // from the corpus ENTIRELY: they can't match a term, and a null dl
+    // would silently drop out of sum(dl) while count(*) kept them,
+    // deflating avgdl and inflating n_docs — biasing every score.
+    val docs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
     val scalars = docs.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = docs
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
-      .filter(col("token").isin(terms.map(t => t: Any): _*))
+      .filter(col("token").isin(canon.map(t => t: Any): _*))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfTable = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -51,10 +68,10 @@ object Relevance {
       .join(broadcast(dfTable), Seq("token"))
       .crossJoin(broadcast(scalars))
       .withColumn("contrib", contrib)
-    val pivots = terms.zipWithIndex.map { case (t, i) =>
+    val pivots = canon.zipWithIndex.map { case (t, i) =>
       sum(when(col("token") === t, col("contrib"))).as(s"__c_$i")
     }
-    val score: Column = terms.indices
+    val score: Column = canon.indices
       .map(i => coalesce(col(s"__c_$i"), lit(0.0)))
       .reduceLeft(_ + _)
     scored.groupBy(col("doc_id"))

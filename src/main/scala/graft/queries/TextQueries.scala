@@ -706,7 +706,7 @@ object TextQueries {
       s"""WITH docs AS (
          |  SELECT doc_id, len(string_split($normSql, ' ')) AS dl,
          |         string_split($normSql, ' ') AS toks
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |s AS (SELECT count(*) AS n_docs,
          |             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
          |tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM docs),

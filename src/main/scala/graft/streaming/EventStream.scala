@@ -38,14 +38,21 @@ object EventStream {
                               session_end: java.sql.Timestamp, value_milli: Long)
 
   /** Hourly tumbling-window counts/sums per event type; late data beyond
-    * the watermark is dropped, bounding state. Mirrors q_event_window_agg. */
+    * the watermark is dropped, bounding state. Mirrors q_event_window_agg
+    * — with one deliberate divergence: the milli conversion is try_cast,
+    * because under Spark's ANSI default a single NaN/±Inf/overflow value
+    * would throw CAST_OVERFLOW in the micro-batch, and a streaming query
+    * replays the same batch from its checkpoint forever (a permanent
+    * poison pill, where the batch job fails once, visibly). try_cast
+    * turns such a value into a NULL the sum skips; finite in-range
+    * values hash-match the batch twin exactly. */
   def windowAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 1000).cast("long")).as("value_milli"),
+        sum(expr("try_cast(round(value * 1000) AS BIGINT)")).as("value_milli"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .select(col("w.start").as("hour_start"), col("event_type"),
@@ -408,14 +415,19 @@ object EventStream {
       }
   }
 
-  /** value × 1000 with Spark SQL `round(...).cast("long")` semantics,
-    * including the non-finite cases — `math.round` differs on NEGATIVE
-    * halves (floor(x+0.5) = −2 where SQL HALF_UP = −3 at −2.5), and
-    * `BigDecimal.valueOf(NaN/Infinity)` THROWS: one bad event would
-    * poison-pill a streaming query while the batch twins (round→cast)
-    * map NaN→0 and ±Inf→Long extremes and keep running. Finite overflow
-    * saturates like the cast as well. Shared by every streaming twin
-    * that must hash-match a batch integral-milli sum. */
+  /** value × 1000 with Spark SQL `round(...)` HALF_UP semantics on the
+    * finite range — `math.round` differs on NEGATIVE halves
+    * (floor(x+0.5) = −2 where SQL HALF_UP = −3 at −2.5) — and GRACEFUL
+    * non-finite handling: `BigDecimal.valueOf(NaN/Infinity)` THROWS,
+    * and under Spark's ANSI default the batch round→cast ALSO throws on
+    * NaN/±Inf/overflow — acceptable for a batch job that fails once and
+    * visibly, fatal for a streaming query that would replay the same
+    * poisoned micro-batch from its checkpoint forever. So the streaming
+    * side maps NaN→0 and saturates ±Inf/overflow to the Long extremes
+    * and keeps running; on finite in-range values (everything a spec or
+    * oracle compares) it is bit-identical to the batch expression.
+    * Shared by every typed streaming twin that must hash-match a batch
+    * integral-milli sum. */
   private def sqlRoundMillis(value: Double): Long = {
     val x = value * 1000
     if (x.isNaN) 0L

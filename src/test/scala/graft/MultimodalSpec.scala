@@ -96,6 +96,16 @@ class MultimodalSpec extends AnyFunSuite {
       (256, 192, true), (192, 256, true), (100, 50, false),
       (256, 1, true), (256, 256, false)))
     intercept[IllegalArgumentException](Multimodal.resizePlan(m, 0))
+    // Degenerate dims (0×0 / negative — corrupt container metadata) get
+    // a NULL plan instead of an ANSI DIVIDE_BY_ZERO killing the job.
+    val bad = Seq((9L, 0, 0), (10L, -4, -3), (11L, 640, 480))
+      .toDF("doc_id", "width", "height")
+    val planned = Multimodal.resizePlan(bad, maxSide = 256)
+      .orderBy($"doc_id").collect()
+    assert(planned(0).isNullAt(planned(0).fieldIndex("out_width")))
+    assert(!planned(0).getAs[Boolean]("resized"))
+    assert(planned(1).isNullAt(planned(1).fieldIndex("out_height")))
+    assert(planned(2).getAs[Int]("out_width") == 256) // healthy row intact
   }
 
   test("extractFeatures preserves rows without shuffling") {

@@ -125,6 +125,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L)._1 > out(2L)._1)
   }
 
+  test("bm25: terms canonicalize like tokens; null-text docs excluded from scalars") {
+    val df = Seq(
+      (1L, "data data data x y z"),
+      (2L, "data x y z w q"),
+      (3L, "fast x y z w q"),
+      (4L, "x y z w q r"),
+      (5L, null.asInstanceOf[String]), // fetch-failed doc
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // Uppercase caller terms must match the lowercased token stream and
+    // score identically to canonical terms; null-text rows must not
+    // inflate n_docs or deflate avgdl (scores equal the 4-doc corpus).
+    val canonical = Relevance.bm25(df.filter($"doc_id" <= 4L), "doc_id",
+        "text", Seq("data", "fast"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cased = Relevance.bm25(df, "doc_id", "text", Seq("Data", "FAST"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cased == canonical)
+    // A term that canonicalizes to several tokens can never match — loud
+    // rejection, not silent zeros; same for post-canonical duplicates.
+    intercept[IllegalArgumentException](
+      Relevance.bm25(df, "doc_id", "text", Seq("two words")))
+    intercept[IllegalArgumentException](
+      Relevance.bm25(df, "doc_id", "text", Seq("data", "DATA")))
+  }
+
   // ---- vocabulary --------------------------------------------------------
 
   test("tokenStats/vocabTopK: handcrafted counts, null/empty routed out") {
@@ -196,6 +222,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       Packing.sequenceOffsets(docs.withColumnRenamed("n", "__cum"), "id", "__cum", 10))
     intercept[IllegalArgumentException](
       Packing.sequenceOffsets(docs, "id", "n", 0))
+    // Output-name collisions refuse instead of silently overwriting.
+    intercept[IllegalArgumentException](
+      Packing.sequenceOffsets(docs.withColumn("token_offset", lit(0L)),
+        "id", "n", 10))
+  }
+
+  test("sequenceOffsets: NULL-id docs are excluded, not silently dropped " +
+      "after shifting every offset") {
+    val base = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("id", "n")
+    val withNull = Seq((Option(1L), 10L), (Option(2L), 10L),
+      (Option(3L), 10L), (Option.empty[Long], 1000L)).toDF("id", "n")
+    def offs(df: org.apache.spark.sql.DataFrame) =
+      Packing.sequenceOffsets(df, "id", "n", maxTokens = 64)
+        .select($"id", $"token_offset").as[(Long, Long)].collect().toMap
+    // A null-id doc can't be addressed by the loader; its 1000 tokens
+    // must not shift anyone (pre-fix they shifted every bucket after
+    // the null rank while the row itself vanished in the equi-join).
+    assert(offs(withNull) == offs(base))
   }
 
   // ---- dedup clusters ----------------------------------------------------

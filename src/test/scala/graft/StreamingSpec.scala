@@ -295,6 +295,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowAgg survives NaN/Infinity poison events (try_cast) instead " +
+      "of replaying a failed micro-batch forever") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 2000000000000L
+    val src = MemoryStream[EventStream.Event]
+    val q = EventStream.windowAgg(src.toDS().toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("win_poison").start()
+    try {
+      src.addData(
+        EventStream.Event(1L, ts(t0), 1L, "view", 1.0),
+        EventStream.Event(2L, ts(t0 + 1000L), 1L, "view", Double.NaN),
+        EventStream.Event(3L, ts(t0 + 2000L), 1L, "view", Double.PositiveInfinity))
+      q.processAllAvailable() // would throw CAST_OVERFLOW without try_cast
+      val row = spark.table("win_poison").collect().head
+      assert(row.getAs[Long]("n_events") == 3L)
+      assert(row.getAs[Long]("value_milli") == 1000L) // poison values skipped
+    } finally q.stop()
+  }
+
   test("rollingEnrich: trailing frames equal the batch twin — late " +
       "in-watermark peers included, equal-ts peer groups exact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
