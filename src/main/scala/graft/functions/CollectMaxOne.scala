@@ -51,10 +51,22 @@ final class CollectMaxOne[V >: Null](implicit ord: Ordering[V],
 }
 
 object CollectMaxOne {
+  /** Code-POINT string order (UTF-8 byte order), not Ordering[String]'s
+    * UTF-16 code-unit order: the untyped twin resolves value ties with
+    * Spark's max(struct(...)), which compares UTF8String bytes, and the
+    * two orders disagree exactly where BoundedMinK documents — a BMP
+    * char in U+E000..U+FFFF vs a surrogate pair (code unit 0xD800 <
+    * 0xFFFF but code point > U+FFFF). Same group, same rank tie, the
+    * two paths must pick the same row. */
+  private val codePointOrder: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** String-valued instance (the reference's dominant case). */
   def forString: TypedColumn[(String, Long), String] = {
     implicit val bufEnc: Encoder[(Boolean, Long, String)] =
       Encoders.tuple(Encoders.scalaBoolean, Encoders.scalaLong, Encoders.STRING)
-    new CollectMaxOne[String]()(Ordering[String], bufEnc, Encoders.STRING).toColumn
+    new CollectMaxOne[String]()(codePointOrder, bufEnc, Encoders.STRING).toColumn
   }
 }

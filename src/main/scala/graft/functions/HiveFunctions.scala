@@ -23,10 +23,16 @@ object HiveFunctions {
     * NULL out (both warehouses propagate NULL — an `''` for NULL input
     * would corrupt fingerprints built over nullable columns). */
   def splitPart(col: Column, sep: String, part: Int): Column = {
+    // part < 1 has no Hive SPLIT()[n] counterpart (n = part−1 would be
+    // negative) — Snowflake raises for 0 and means LAST-element for
+    // negatives; silently returning '' for every row would corrupt any
+    // fingerprint built over the column. Refuse loudly at build time.
+    require(part >= 1, s"part must be >= 1 (got $part): negative " +
+      "SPLIT_PART indexing is not supported; index from the front")
     // element_at is 1-based; out-of-range raises under ANSI, so guard via
     // array size — keeps SPLIT_PART's "empty string past the end" contract.
     val arr = split(col, java.util.regex.Pattern.quote(sep))
-    when(size(arr) >= part && lit(part) >= 1, element_at(arr, part))
+    when(size(arr) >= part, element_at(arr, part))
       .when(col.isNotNull, lit(""))
     // no otherwise: NULL input falls through to NULL
   }

@@ -11,19 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object Monitoring {
 
-  /** Per-(dims, period) row counts with the previous period's count, the
-    * count ratio, and a drift flag when volume more than `factor`-folds
-    * up or down.
-    *
-    * Scale shape: one aggregation shuffle collapses the corpus to
-    * (dims, period) group rows — bounded model data (dim cardinality ×
-    * periods), so the lag window runs over group rows, never corpus
-    * rows. The drift flag compares integers (`n` vs `factor·prev`) and
-    * is engine-exact; `ratio` is a single long/long division — IEEE
-    * correctly-rounded, portable — and NULL for each group's first
-    * period (no prior to compare against, which is not the same claim
-    * as "no drift").
-    */
   /** Cumulative quality-filter funnel: how many rows survive each stage
     * of a filter chain, in ONE pass. Stage `i`'s count applies stages
     * `1..i` ANDed in declaration order — the report a pipeline owner
@@ -157,6 +144,19 @@ object Monitoring {
         !(col("hive_min") <=> col("sf_min")) || !(col("hive_max") <=> col("sf_max")))
   }
 
+  /** Per-(dims, period) row counts with the previous period's count, the
+    * count ratio, and a drift flag when volume more than `factor`-folds
+    * up or down.
+    *
+    * Scale shape: one aggregation shuffle collapses the corpus to
+    * (dims, period) group rows — bounded model data (dim cardinality ×
+    * periods), so the lag window runs over group rows, never corpus
+    * rows. The drift flag compares integers (`n` vs `factor·prev`) and
+    * is engine-exact; `ratio` is a single long/long division — IEEE
+    * correctly-rounded, portable — and NULL for each group's first
+    * period (no prior to compare against, which is not the same claim
+    * as "no drift").
+    */
   def countDrift(df: DataFrame, dims: Seq[String], period: Column,
                  factor: Int = 2): DataFrame = {
     require(dims.nonEmpty, "at least one grouping dimension")

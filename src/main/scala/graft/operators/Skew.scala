@@ -26,6 +26,13 @@ object Skew {
   def keySkewReport(df: DataFrame, keys: Seq[String], topK: Int = 10): DataFrame = {
     require(keys.nonEmpty, "at least one key column")
     require(topK > 0, "topK must be positive")
+    // A key named like an output column would alias the count aggregate
+    // (AMBIGUOUS_REFERENCE at the totals step) — refuse loudly, the same
+    // guard countDrift applies.
+    val clash = keys.toSet.intersect(Set("n", "total", "n_keys", "share", "skew_factor"))
+    require(clash.isEmpty,
+      s"key column(s) ${clash.mkString(",")} collide with keySkewReport " +
+        "output columns (n, total, n_keys, share, skew_factor); rename them")
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
     val totals = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(totals))

@@ -308,11 +308,16 @@ object HiveToSnowflakeConverter {
       """COALESCE\s*\(\s*%1\$s\s*,\s*''\s*\)[^}]*?""" +
       """AS\s+decimal\s*\(\s*18\s*,\s*4\s*\)\s*\)\s*AS\s+%1\$s(?=\s*[}:])""").r
 
-  /** Detect a "main script" (rule 15): contains the argmax merge pattern. */
-  def isMainScript(script: String): Boolean =
-    script.contains("collect_max_one") ||
+  /** Detect a "main script" (rule 15): contains the argmax merge pattern.
+    * Classification reads COMMENT-MASKED text: a commented-out legacy
+    * `collect_max_one` line must not flip a non-main script into the
+    * main-script rewrite path (spurious SET MD5Source + join redirect). */
+  def isMainScript(script: String): Boolean = {
+    val (masked, _) = maskComments(script)
+    masked.contains("collect_max_one") ||
       """(?i)SUBSTRING\s*\(\s*MAX\s*\(\s*CONCAT\s*\(\s*RowModified""".r
-        .findFirstIn(script).isDefined
+        .findFirstIn(masked).isDefined
+  }
 
   /** Mask `--` comments with control-char placeholders no rule can touch
     * (reference rule 6: commented lines pass through verbatim); returns the
@@ -391,11 +396,30 @@ object HiveToSnowflakeConverter {
     s = s.replaceAll("""(?i)/\*\+\s*MAPJOIN\s*\([^)]*\)\s*\*/""", "")
     s = s.replaceAll("""(?im)^\s*SET\s+mapred\.reduce\.tasks\s*=[^;]*;\s*$\n?""", "")
 
-    // Rule 23: SET Var = ('a','b'); → SET Var = 'a,b';
-    s = """(?im)^(\s*SET\s+\w+\s*=\s*)\(([^)]*)\)\s*;""".r.replaceAllIn(s, m => {
-      val items = splitArgs(m.group(2)).map(stripQuotes)
-      Regex.quoteReplacement(s"${m.group(1)}'${items.mkString(",")}';")
-    })
+    // Rule 23: SET Var = ('a','b'); → SET Var = 'a,b'; — the tuple body
+    // is found with the QUOTE-AWARE paren scanner, not [^)]*: an item
+    // containing ')' (SET Codes = ('a)b','c');) must not truncate the
+    // scan and silently skip the conversion.
+    s = {
+      val head = """(?im)^(\s*SET\s+\w+\s*=\s*)\(""".r
+      val sb = new StringBuilder; var last = 0
+      for (m <- head.findAllMatchIn(s) if m.start >= last) {
+        spanArgs(s, m.end - 1) match {
+          case Some((inside, after)) =>
+            val rest = s.drop(after)
+            val semi = """^\s*;""".r.findFirstMatchIn(rest)
+            if (semi.isDefined) {
+              val items = splitArgs(inside).map(stripQuotes)
+              sb.append(s.substring(last, m.start))
+                .append(m.group(1)).append('\'')
+                .append(items.mkString(",")).append("';")
+              last = after + semi.get.end
+            }
+          case None =>
+        }
+      }
+      sb.append(s.substring(last)); sb.toString
+    }
 
     // Rule 22: ${hiveconf:Var} → $Var
     s = s.replaceAll("""\$\{hiveconf:(\w+)\}""", """\$$1""")
@@ -484,9 +508,12 @@ object HiveToSnowflakeConverter {
     }
 
     // Rules 15/16: main scripts read the DW table through $MD5Source.
+    // Literal-protected like every other rename rule — the join phrase
+    // inside a string literal is user DATA, not a join to rewrite.
     dwEntity.filter(_ => main).foreach { e =>
-      s = s.replaceAll(s"""(?i)\\b(LEFT\\s+OUTER\\s+JOIN)\\s+PUBLIC\\.$e\\b""",
-        "$1 TABLE(\\$MD5Source)")
+      s = mapOutsideLiterals(s)(_.replaceAll(
+        s"""(?i)\\b(LEFT\\s+OUTER\\s+JOIN)\\s+PUBLIC\\.$e\\b""",
+        "$1 TABLE(\\$MD5Source)"))
       // Word-boundary, case/whitespace-tolerant: `set MD5Source = '…'`
       // is legal SQL and already provides the source — an exact-string
       // contains() missed it and prepended a conflicting second SET.

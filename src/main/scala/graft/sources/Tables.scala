@@ -57,14 +57,20 @@ object Tables {
     * the raw text of every malformed line to `quarantinePath` for
     * offline triage, so the ingest is total AND nothing is lost.
     *
-    * The quarantine pass runs over a briefly-persisted parse (the
-    * persist is also what makes the corrupt-column-only projection
-    * legal — Spark refuses it over a raw scan) and the cache is
-    * released before returning, so an ingest loop over many files never
-    * accumulates cached parses. The returned good-rows frame re-parses
-    * on use — one extra pass, traded deliberately against an unbounded
-    * cache. The quarantine write happens eagerly so callers can't drop
-    * it by never actioning a second frame. */
+    * JSONL is line-delimited, so the ingest reads the file as TEXT and
+    * parses each line with `from_json` carrying a corrupt-record field —
+    * semantically the per-line parse `spark.read.json` does
+    * (multiLine=false, same JacksonParser), but free of the JSON file
+    * reader's corrupt-column-only-projection restriction, which an
+    * earlier persist-based formulation only dodged circumstantially
+    * (it failed in fresh sessions). No persist, no cache to leak across
+    * an ingest loop; blank lines are skipped like the native reader.
+    * The quarantine write happens eagerly so callers can't drop it by
+    * never actioning a second frame, and it APPENDS — the documented
+    * usage is an ingest loop over many files sharing one quarantine
+    * directory, where overwrite would silently destroy every earlier
+    * file's triage set ("nothing is lost" is the whole contract; a
+    * replayed ingest can duplicate quarantine rows — at-least-once). */
   def loadJsonlQuarantine(spark: SparkSession, path: String,
                           schema: org.apache.spark.sql.types.StructType,
                           quarantinePath: String): DataFrame = {
@@ -72,26 +78,18 @@ object Tables {
       "schema must not already contain _corrupt_record")
     val withCorrupt = schema.add("_corrupt_record",
       org.apache.spark.sql.types.StringType)
-    val parsed = spark.read.schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try parsed.filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw"))
-      .write.mode("overwrite").text(quarantinePath)
-    finally
-      // Release the cache immediately: the caller can't reach this
-      // function-local frame to unpersist it, and an ingest loop over
-      // many files would otherwise pin a cached copy of every parsed
-      // input for the session lifetime. The returned good-rows frame
-      // re-parses on use (one extra pass) — a deliberate trade against
-      // an unbounded cache; the persist's real job (making the
-      // corrupt-column projection legal + sharing the quarantine pass)
-      // is done by now.
-      parsed.unpersist()
-    parsed.filter(col("_corrupt_record").isNull)
-      .drop("_corrupt_record")
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record")
+    def parsedLines = spark.read.text(path)
+      .filter(trim(col("value")) =!= "")
+      .withColumn("__j", from_json(col("value"), withCorrupt, opts))
+    parsedLines
+      .filter(col("__j._corrupt_record").isNotNull)
+      .select(col("value").as("raw"))
+      .write.mode("append").text(quarantinePath)
+    parsedLines
+      .filter(col("__j._corrupt_record").isNull)
+      .select(schema.fieldNames.map(f => col(s"__j.$f").as(f)).toSeq: _*)
   }
 
   /** ORC table load — the format the reference's HIVE side actually
@@ -134,7 +132,10 @@ object Tables {
           "\"" + s.replace("\"", "\"\"") + "\""
         else s
     }
-    (df.columns.mkString(",") +:
+    // Header cells go through the same escaping as data cells — a
+    // renamed column containing ',' or '"' would otherwise desync the
+    // header's column count from the rows.
+    (df.columns.map(cell(_)).mkString(",") +:
       df.collect().map(_.toSeq.map(cell).mkString(","))).mkString("\n")
   }
 }

@@ -17,6 +17,10 @@ class HiveFunctionsSpec extends AnyFunSuite {
       splitPart($"s", "_", 9).as("oob"))
     val r = df.collect().head
     assert((r.getString(0), r.getString(1), r.getString(2)) == ("a", "c", ""))
+    // part < 1 (Snowflake's negative last-element indexing) is refused
+    // loudly — silently returning '' would corrupt fingerprints.
+    intercept[IllegalArgumentException](splitPart($"s", "_", 0))
+    intercept[IllegalArgumentException](splitPart($"s", "_", -1))
   }
 
   test("findInSet is 1-based with 0 for absent") {

@@ -245,6 +245,36 @@ class ScriptSpec extends AnyFunSuite {
       == "SELECT 'a--b' AS x FROM PUBLIC.customer")
   }
 
+  test("main-script classification ignores commented-out argmax patterns") {
+    val in =
+      """-- legacy: map_keys (collect_max_one (COALESCE(x,''), RowModified))[0]
+        |INSERT INTO TABLE udm_customer
+        |SELECT 1 FROM udm_s_customer
+        |LEFT OUTER JOIN udm_customer dw on 1=1;""".stripMargin
+    assert(!C.isMainScript(in))
+    val out = C.convert(in)
+    assert(!out.contains("SET MD5Source")) // the comment must not flip it
+    assert(!out.contains("TABLE($MD5Source)"))
+  }
+
+  test("rules 15/16 join rewrite is literal-protected") {
+    val in =
+      """INSERT INTO TABLE udm_c_currency
+        |SELECT map_keys (collect_max_one (COALESCE(x,''), RowModified))[0] AS x,
+        |  'fix LEFT OUTER JOIN PUBLIC.c_currency later' AS note
+        |FROM udm_s_c_currency
+        |LEFT OUTER JOIN udm_c_currency dw on 1=1;""".stripMargin
+    val out = C.convert(in)
+    assert(out.contains("LEFT OUTER JOIN TABLE($MD5Source) dw"))
+    // the string literal's join phrase is DATA and stays verbatim
+    assert(out.contains("'fix LEFT OUTER JOIN PUBLIC.c_currency later'"))
+  }
+
+  test("rule 23 tuple collapse is quote-aware: items containing ')' convert") {
+    val out = C.convert("SET Codes = ('a)b','c');\nSELECT 1;")
+    assert(out.contains("SET Codes = 'a)b,c';"))
+  }
+
   test("rule 16 guard: an existing SET MD5Source in any legal spelling wins") {
     import HiveToSnowflakeConverter.convert
     val script =

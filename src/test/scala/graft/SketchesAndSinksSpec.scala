@@ -145,6 +145,14 @@ class SketchesAndSinksSpec extends AnyFunSuite {
       "{\"id\": \"not-a-number and unclosed"))
     intercept[IllegalArgumentException](Tables.loadJsonlQuarantine(spark,
       data.toString, schema.add("_corrupt_record", StringType), qdir))
+    // An ingest LOOP shares one quarantine dir: a second file's bad rows
+    // must APPEND — overwrite would destroy the first file's triage set.
+    val data2 = dir.resolve("in2.jsonl")
+    java.nio.file.Files.writeString(data2,
+      "{\"id\": 9, \"name\": \"z\"}\n{second bad line\n")
+    Tables.loadJsonlQuarantine(spark, data2.toString, schema, qdir).count()
+    val afterLoop = spark.read.text(qdir).collect().map(_.getString(0)).toSet
+    assert(afterLoop == quarantined + "{second bad line")
     spark.catalog.clearCache()
   }
 

@@ -45,6 +45,28 @@ class SkewAndAggSpec extends AnyFunSuite {
     assert(typed("c") == "w")  // rank 1 beats sentinel rank 0
   }
 
+  test("typed CollectMaxOne breaks value ties in CODE-POINT order like the untyped twin") {
+    // U+FFFF (one code unit 0xFFFF) vs U+10000 (surrogate pair, lead
+    // 0xD800): UTF-16 code-unit order says U+FFFF is larger; Spark's
+    // max(struct) compares UTF8String bytes — code-point order — and
+    // picks U+10000. Both paths must pick the same winner.
+    val hi = "𐀀" // U+10000
+    val lo = "￿"       // U+FFFF
+    val data = Seq(("k", lo, 5L), ("k", hi, 5L))
+    val typed = data.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(CollectMaxOne.forString).collect().toMap
+    val untyped = data.toDF("k", "v", "r").groupBy($"k")
+      .agg(graft.functions.HiveFunctions.collectMaxOne($"v", $"r").as("v"))
+      .as[(String, String)].collect().toMap
+    assert(typed("k") == hi && untyped("k") == hi)
+  }
+
+  test("keySkewReport refuses key columns that collide with its outputs") {
+    val df = Seq((1L, 2L)).toDF("n", "total")
+    intercept[IllegalArgumentException](Skew.keySkewReport(df, Seq("n")))
+    intercept[IllegalArgumentException](Skew.keySkewReport(df, Seq("total")))
+  }
+
   test("saltedJoin equals the plain join") {
     val events = Tables.load(spark, TestSpark.Sf0001, "events")
       .select($"event_id", $"user_id", $"value")
