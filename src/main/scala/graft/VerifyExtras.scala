@@ -95,6 +95,33 @@ object VerifyExtras {
       val nearDupLsh = Similarity.cosineNearDupPairsLsh(dupEmb, minCos = 0.9)
         .select($"id1", $"id2").as[(Long, Long)].collect()
 
+      // --- SemDeDup drop-set recall -----------------------------------
+      // Truth: connected components over the exact all-pairs cosine
+      // truth (driver-side union-find — pair counts are verify-scale);
+      // a vector is a TRUE drop iff it is not its component's minimum.
+      // Candidate: semDedup's keep=false set. Cell blocking loses only
+      // cross-cell pairs, and near-identical vectors share an argmax
+      // cell, so the floor is the embedding-LSH family's 0.9.
+      val semTrueDrops: Set[Long] = {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        nearDupTruth.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+            parent(hi) = lo }
+        }
+        nearDupTruth.flatMap(p => Seq(p._1, p._2)).toSet
+          .filter(id => find(id) != id)
+      }
+      val semDrops = Similarity.semDedup(dupEmb, minCos = 0.9, k = 16)
+        .filter(!$"keep").select($"id").as[Long].collect()
+      val semRecall =
+        if (semTrueDrops.isEmpty) 1.0
+        else semDrops.count(semTrueDrops.contains).toDouble / semTrueDrops.size
+
       // --- partition triage vs full diff ------------------------------
       // The checksum triage must flag every partition holding a
       // discrepancy (a miss is possible only via a 60-bit sum collision),
@@ -143,7 +170,11 @@ object VerifyExtras {
         // probability there is ≈1, so missing pairs indicate a blocking
         // bug, not banding variance.
         Check("embedding_lsh_vs_exact_allpairs", pairRecall(nearDupTruth, nearDupLsh),
-          floor = 0.9, nearDupTruth.length, nearDupLsh.length)
+          floor = 0.9, nearDupTruth.length, nearDupLsh.length),
+        // Exact copies share their source's argmax cell deterministically;
+        // only the perturbed injections can straddle a cell boundary.
+        Check("semdedup_drops_vs_exact_allpairs", semRecall,
+          floor = 0.9, semTrueDrops.size.toLong, semDrops.length.toLong)
       ) ++ sketchChecks(spark, sfDir)
     } finally {
       corpus.unpersist(); emb.unpersist(); dupEmb.unpersist()

@@ -389,6 +389,75 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup-style SEMANTIC dedup: k-means cells as the blocking
+    * structure, exact cosine inside each cell, connected components over
+    * the above-threshold pairs, one canonical keeper (min id) per
+    * component — the embedding-space analog of the text family's
+    * pairs→clusters→keep-list pipeline, after the SemDeDup recipe
+    * (cluster the corpus, prune within-cluster semantic duplicates;
+    * arXiv:2303.09540). Two deliberate departures from the paper, both
+    * for determinism: the keeper is the component's MIN id (the whole
+    * dedup family's convention — the paper's "farthest from centroid"
+    * heuristic depends on ulp-level fitted components), and pruning goes
+    * through connected components so transitive duplicates share one
+    * keeper instead of pairwise-greedy pruning whose result depends on
+    * visit order.
+    *
+    * Scale shape: the fit is [[kmeansFit]] (one pass per Lloyd round,
+    * model-sized aggregates); cell assignment is the same codegen'd
+    * greatest-of-structs PROJECTION as [[ivfTopK]] — zero shuffle on the
+    * corpus; the in-cell pair join shuffles the corpus ONCE on the cell
+    * id. Per-cell pair work is O(cell²) BY CONTRACT — `k` must scale
+    * with the corpus (k ≈ n / targetCell, the paper runs 50k clusters
+    * for LAION) exactly as [[planesFor]] scales the LSH variant's
+    * bucket count; this operator trades [[cosineNearDupPairsLsh]]'s
+    * banding-recall curve for data-adaptive cells with NO per-pair
+    * recall loss inside a cell. Cross-cell true pairs are the
+    * approximation loss (near-identical vectors assign to the same
+    * argmax cell except exactly at a cell boundary).
+    *
+    * Output: one row per surviving input vector — (id, cell,
+    * component, keep); `component` is the canonical id (its own id for
+    * singletons), `keep` marks the component minimum. Zero/NaN-norm
+    * vectors are excluded like the rest of the family. Caller cache
+    * contract as [[Dedup.contaminationPairs]]: the assigned projection
+    * is persisted for its three consumers; sweep callers should
+    * `clearCache()` between corpora. */
+  def semDedup(df: DataFrame, minCos: Double = 0.9, k: Int = 16,
+               maxIter: Int = 5, idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               centroids: Seq[Seq[Double]] = Nil, maxCcIter: Int = 20): DataFrame = {
+    val v = droppingUndefinedNorms(
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("n", dot(col("v"), col("v"))), "n")
+    val centRows: Seq[(Seq[Double], Double)] =
+      (if (centroids.nonEmpty) centroids
+       else kmeansFit(df, k, maxIter, idCol = idCol, vecCol = vecCol))
+        .map(c => c -> c.map(x => x * x).sum)
+        .filter { case (_, n) => n > 0 && !n.isNaN }
+    // < 2 usable centroids (degenerate/tiny corpus): one cell, exact
+    // all-pairs — the ivfTopK fallback rule.
+    val cellCol =
+      if (centRows.length < 2) lit(0)
+      else -greatest(centRows.zipWithIndex.map { case ((cvec, cn), idx) =>
+        struct((dot(col("v"), typedLit(cvec)) / sqrt(col("n") * lit(cn))).as("sim"),
+          lit(-idx).as("negid"))
+      }: _*).getField("negid")
+    val assigned = v.withColumn("cell", cellCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      // filter on the UNROUNDED cosine, like the near-dup pair family
+      .filter(dot(col("a.v"), col("b.v")) / sqrt(col("a.n") * col("b.n")) >= minCos)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val cc = Dedup.connectedComponents(pairs, maxIter = maxCcIter)
+    assigned.select(col("id"), col("cell"))
+      .join(cc.select(col("id"), col("comp")), Seq("id"), "left_outer")
+      .select(col("id"), col("cell"),
+        coalesce(col("comp"), col("id")).as("component"))
+      .withColumn("keep", col("component") === col("id"))
+  }
+
   /** Cosine near-duplicate pairs, blocked on a coarse partition column
     * (cluster label / shard) so the pair space is per-block, not corpus².
     * Scale caveat: block cardinality must grow with the corpus — for

@@ -76,6 +76,17 @@ object SimilarityQueries {
           blockCol = "label", minCos = 0.3)
         .orderBy(col("id1"), col("id2"))),
 
+    // SemDeDup-style semantic dedup: k-means cells block the corpus, exact
+    // in-cell cosine pairs -> connected components -> one min-id keeper
+    // per component. Rows-only (the fitted cell model is ulp-level
+    // nondeterministic cross-engine); drop-set recall vs the exact
+    // all-pairs truth is pinned in SimilaritySpec and exported per-round
+    // via VerifyExtras.
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(dupEmbCorpus(s, dir), minCos = 0.9, k = 16,
+          maxIter = 5)
+        .orderBy(col("id"))),
+
     // Scale path: corpus-proportional LSH blocking over a corpus with
     // injected near-duplicate vectors. Not SQL-portable (hash-derived
     // hyperplanes) — rows-only; recall vs the exact all-pairs truth is

@@ -256,6 +256,71 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cmp.nonEmpty && cmp.forall(r => r.getInt(0) == r.getInt(1)))
   }
 
+  test("semDedup: injected exact copies drop, canonical minimum kept once per component") {
+    val dup = graft.queries.SimilarityQueries.dupEmbCorpus(spark, TestSpark.Sf0001)
+    val out = Similarity.semDedup(dup, minCos = 0.9, k = 16).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // Every surviving input vector gets exactly one row.
+    assert(rows.length == rows.map(_.getAs[Long]("id")).distinct.length)
+    // An exact copy has the IDENTICAL vector as its source, so its argmax
+    // cell matches deterministically: every +100000 injection must be a
+    // drop whose component is the (smaller) source id.
+    val exactCopies = rows.filter(_.getAs[Long]("id") >= 100000L)
+      .filter(_.getAs[Long]("id") < 200000L)
+    assert(exactCopies.nonEmpty)
+    exactCopies.foreach { r =>
+      assert(!r.getAs[Boolean]("keep"), s"copy ${r.getAs[Long]("id")} kept")
+      assert(r.getAs[Long]("component") == r.getAs[Long]("id") - 100000L)
+    }
+    // Component invariant: exactly one keeper per component, and it is
+    // the component's minimum member (which labels the component).
+    rows.groupBy(_.getAs[Long]("component")).foreach { case (comp, members) =>
+      val keepers = members.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length == 1, s"component $comp has ${keepers.length} keepers")
+      assert(keepers.head.getAs[Long]("id") == comp)
+      assert(members.map(_.getAs[Long]("id")).min == comp)
+    }
+    // Perturbed injections (+200000, cos≈0.999) can straddle a cell
+    // boundary only at an argmax tie — recall stays near-total.
+    val perturbed = rows.filter(_.getAs[Long]("id") >= 200000L)
+    assert(perturbed.nonEmpty)
+    val droppedFrac = perturbed.count(!_.getAs[Boolean]("keep")).toDouble / perturbed.length
+    assert(droppedFrac >= 0.9, s"perturbed-copy drop fraction $droppedFrac")
+    out.unpersist()
+  }
+
+  test("semDedup edge cases: undefined norms excluded, tiny corpus single-cell exact") {
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.02f)),   // cos vs 1 ≈ 0.9998 — duplicate
+      (3L, Array(0.0f, 1.0f)),     // orthogonal — singleton
+      (4L, Array(0.0f, 0.0f)),     // zero vector: excluded
+      (5L, Array(Float.NaN, 1.0f)) // NaN: excluded
+    ).toDF("vec_id", "embedding")
+    // 3 usable rows < k: kmeansFit returns < 2 centroids is impossible
+    // here (3 survivors), but cells are tiny — correctness must not
+    // depend on the cell count, so run both a fitted and a forced
+    // single-cell pass and demand the same verdicts.
+    val fitted = Similarity.semDedup(base, minCos = 0.9, k = 2, maxIter = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("component"), r.getAs[Boolean]("keep"))).toMap
+    val single = Similarity.semDedup(base.limit(1), minCos = 0.9, k = 2)
+      .collect()
+    assert(single.length == 1 && single.head.getAs[Boolean]("keep"))
+    assert(!fitted.contains(4L) && !fitted.contains(5L), "undefined norms must be excluded")
+    assert(fitted(3L) == (3L, true), "orthogonal vector is its own keeper")
+    // 1 and 2 are duplicates IF they share a cell (near-identical
+    // directions do unless k-means splits them — with k=2 over {dir-x
+    // ×2, dir-y} the x-blob shares a cell); verify the verdict pair is
+    // consistent either way: same component ⇒ 2 dropped, else both kept.
+    if (fitted(2L)._1 == 1L) assert(fitted(2L)._2 == false && fitted(1L) == (1L, true))
+    else assert(fitted(1L)._2 && fitted(2L)._2)
+    // Empty corpus: empty output, no crash.
+    assert(Similarity.semDedup(base.filter($"vec_id" < 0), minCos = 0.9, k = 2)
+      .count() == 0)
+  }
+
   test("planesFor grows with the corpus but clamps at LshBucketExpr's 30-bit ceiling") {
     assert(Similarity.planesFor(100) >= 2)
     assert(Similarity.planesFor(1L << 20) < Similarity.planesFor(1L << 40))
