@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary statistics and training (SURVEY.md §2
+  * #93): the adjacent-symbol-pair frequency table a BPE tokenizer trainer
+  * reads at every merge step, and the iterative merge loop itself.
+  *
+  * Scale design — the reason this is tractable at 100 TB: BPE statistics
+  * are functions of the WORD-FREQUENCY table, not the corpus (a word
+  * contributes its pair positions × its corpus count). So the corpus is
+  * touched exactly ONCE — one token explode + one hash aggregate down to
+  * (token, n) vocab-scale rows — and everything after (pair counting,
+  * every one of the `numMerges` fit iterations) runs over that table,
+  * whose size is the vocabulary's, independent of corpus row count. This
+  * is the same collapse the standard single-node trainers (the
+  * sentencepiece/GPT-2 lineage) rely on, done as one Spark aggregation.
+  *
+  * Tokenization matches [[TextAnalysis.tokens]] over
+  * [[TextAnalysis.normalized]] text (the whole text family's contract);
+  * symbols start as single CHARACTERS of each token — the standard
+  * character-level init. Merges never cross token boundaries.
+  */
+object Bpe {
+
+  import TextAnalysis.{normalized, tokens}
+
+  /** (token, n) corpus word-frequency table — the single corpus-scale
+    * pass. Null texts drop at the scan; empty tokens (double spaces are
+    * already collapsed by normalization) are excluded. */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(normalized(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  /** Character-level adjacent pair stats over the corpus — the table the
+    * FIRST merge decision reads, and a vocabulary diagnostic in its own
+    * right (which character bigrams dominate the corpus): one row per
+    * (left_sym, right_sym) with the total adjacent-occurrence count
+    * (weighted by word frequency) and the number of distinct token types
+    * containing the pair. Tokens shorter than 2 characters have no pairs.
+    *
+    * Plan shape: the corpus-scale word-frequency aggregate, then a
+    * vocab-scale position explode + one more hash aggregate — the pair
+    * explode never sees corpus cardinality. */
+  def pairStats(df: DataFrame, textCol: String): DataFrame = {
+    val pairsCol = transform(sequence(lit(1), length(col("token")) - 1),
+      i => struct(col("token").substr(i, lit(1)).as("left_sym"),
+        col("token").substr(i + 1, lit(1)).as("right_sym")))
+    wordFreq(df, textCol)
+      .filter(length(col("token")) >= 2)
+      .select(col("token"), col("n"), explode(pairsCol).as("p"))
+      .groupBy(col("p.left_sym").as("left_sym"), col("p.right_sym").as("right_sym"))
+      .agg(sum(col("n")).cast("long").as("n_occurrences"),
+        count_distinct(col("token")).as("n_token_types"))
+  }
+
+  /** Adjacent (l, r) symbol pairs of a symbol array (callers guard
+    * size ≥ 2 — `sequence(0, -1)` would step DOWNWARD, not come out
+    * empty). */
+  private def adjacentPairs(syms: Column): Column =
+    transform(sequence(lit(0), size(syms) - 2),
+      i => struct(element_at(syms, i + 1).as("l"),
+        element_at(syms, i + 2).as("r")))
+
+  /** One merge rule applied greedily LEFT-TO-RIGHT, non-overlapping — the
+    * standard BPE application order ("aaaa" under (a,a) → [aa, aa], never
+    * [a, aa, a]): a fold whose accumulator is the merged prefix; the
+    * just-merged symbol `l+r` differs from `l`, so an overlapping second
+    * merge can't fire. The empty-accumulator branch comes FIRST so the
+    * last-element probe never indexes an empty array (ANSI would throw). */
+  private[graft] def mergeAdjacent(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) === 0, array(s))
+          .when(element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Train `numMerges` BPE merge rules over the corpus: each round counts
+    * adjacent symbol pairs across the (persisted, vocab-scale) word table
+    * — weighted by word frequency, ties broken deterministically by
+    * (count desc, left, right) — merges the winner everywhere, and
+    * records the rule. Stops early when no pair occurs at least
+    * `minPairCount` times (every word fully merged, or the tail is
+    * noise). Returns the rules in application order.
+    *
+    * Each iteration is a vocab-scale explode + aggregate + top-1
+    * TakeOrdered (driver sees ONE row per round) and a vocab-scale
+    * re-projection under the fold above — corpus row count never appears
+    * after the initial word-frequency pass. The word table persists per
+    * round and unpersists as soon as the next round materializes, like
+    * [[Dedup.connectedComponents]]' label chain. */
+  def fit(df: DataFrame, textCol: String, numMerges: Int,
+          minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var words = wordFreq(df, textCol)
+      .select(split(col("token"), "").as("syms"), col("n"))
+      .persist(lvl)
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    try {
+      while (rules.length < numMerges && !done) {
+        val top = words.filter(size(col("syms")) >= 2)
+          .select(col("n"), explode(adjacentPairs(col("syms"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("n")).cast("long").as("cnt"))
+          .filter(col("cnt") >= minPairCount)
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (l, r) = (top.head.getString(0), top.head.getString(1))
+          rules += ((l, r))
+          val next = words
+            .select(mergeAdjacent(col("syms"), l, r).as("syms"), col("n"))
+            .persist(lvl)
+          next.count() // materialize before dropping the parent
+          words.unpersist()
+          words = next
+        }
+      }
+      rules.toSeq
+    } finally { words.unpersist(); () }
+  }
+
+  /** Segment one token column under `rules` (applied in training order) —
+    * the application half of the tokenizer: a per-row projection chaining
+    * one [[mergeAdjacent]] fold per rule, no shuffle. */
+  def segment(token: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(split(token, "")) { case (syms, (l, r)) =>
+      mergeAdjacent(syms, l, r)
+    }
+}

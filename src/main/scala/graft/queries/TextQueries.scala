@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Packing, Relevance, Sampling, Vocab, TextAnalysis => TA}
+import graft.operators.{Bpe, Dedup, Packing, Relevance, Sampling, Vocab, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Queries #20-#23 and #27-#30 of SURVEY.md §2: text analysis and text
@@ -357,6 +357,14 @@ object TextQueries {
       Vocab.vocabTopK(Tables.load(s, dir, "documents"), "doc_id", "text",
         k = 100)),
 
+    // BPE trainer's first read: corpus-weighted adjacent character-pair
+    // stats computed off the vocab-scale word-frequency table (the corpus
+    // is scanned once; the pair explode never sees corpus cardinality).
+    "q_bpe_pairs" -> ((s, dir) =>
+      Bpe.pairStats(Tables.load(s, dir, "documents"), "text")
+        .orderBy(col("n_occurrences").desc, col("left_sym"), col("right_sym"))
+        .limit(50)),
+
     // Benchmark decontamination: the %7 documents stand in for an eval
     // suite; dupCorpus's injected copies of exactly those docs are the
     // leaked training rows the scan must find.
@@ -655,6 +663,22 @@ object TextQueries {
          |SELECT token, CAST(n_occurrences AS BIGINT) AS n_occurrences,
          |       CAST(n_docs AS BIGINT) AS n_docs
          |FROM s ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT token, count(*) AS n FROM toks
+         |      WHERE length(token) > 0 GROUP BY token),
+         |pos AS (SELECT token, n,
+         |          unnest(generate_series(1, length(token) - 1)) AS i
+         |        FROM w WHERE length(token) >= 2),
+         |p AS (SELECT substring(token, i, 1) AS left_sym,
+         |        substring(token, i + 1, 1) AS right_sym, n, token FROM pos)
+         |SELECT left_sym, right_sym, CAST(sum(n) AS BIGINT) AS n_occurrences,
+         |       CAST(count(DISTINCT token) AS BIGINT) AS n_token_types
+         |FROM p GROUP BY left_sym, right_sym
+         |ORDER BY n_occurrences DESC, left_sym, right_sym LIMIT 50""".stripMargin,
 
     "q_contamination" ->
       s"""WITH $dupCorpusSql,

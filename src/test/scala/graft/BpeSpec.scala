@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pairStats counts corpus-weighted adjacent pairs and token types") {
+    // "aaab" appears 3x (one doc has it twice), "ab" 2x; the tail doc is
+    // null text (must drop, not crash).
+    val df = Seq(
+      (1L, "aaab ab"),
+      (2L, "aaab  aaab"), // double space: normalization collapses it
+      (3L, "ab"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val rows = Bpe.pairStats(df, "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // (a,a): 2 positions in "aaab" x3 occurrences = 6, in 1 token type.
+    assert(rows(("a", "a")) == (6L, 1L))
+    // (a,b): 1 position in "aaab" x3 + 1 in "ab" x2 = 5, 2 token types.
+    assert(rows(("a", "b")) == (5L, 2L))
+    assert(rows.size == 2)
+  }
+
+  test("mergeAdjacent is greedy left-to-right, non-overlapping") {
+    val df = Seq("aaaa", "aaa", "ab", "a", "").toDF("t")
+    val out = df.select(Bpe.mergeAdjacent(split($"t", ""), "a", "a").as("m"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("aa", "aa"))
+    assert(out(1) == Seq("aa", "a"))
+    assert(out(2) == Seq("a", "b"))
+    assert(out(3) == Seq("a"))
+    assert(out(4) == Seq(""))  // split("") of "" yields one empty symbol
+  }
+
+  test("fit learns deterministic merges; segment applies them in order") {
+    // Hand-computed: pair counts start (a,a)=6, (a,b)=5 -> merge (a,a).
+    // Then "aaab"=[aa,a,b] x3, "ab"=[a,b] x2: (aa,a)=3, (a,b)=5 -> merge
+    // (a,b). Then "aaab"=[aa,ab] x3, "ab"=[ab] x2: (aa,ab)=3 -> merge.
+    val df = Seq((1L, "aaab ab"), (2L, "aaab aaab"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val rules = Bpe.fit(df, "text", numMerges = 5)
+    assert(rules == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    // Early stop: only 3 learnable merges exist at minPairCount=2.
+    val seg = Seq("aaab", "ab", "aab", "ba").toDF("t")
+      .select(Bpe.segment($"t", rules).as("s")).as[Seq[String]].collect()
+    assert(seg(0) == Seq("aaab"))      // full merge chain
+    assert(seg(1) == Seq("ab"))
+    assert(seg(2) == Seq("aa", "b"))   // (a,a) then no (a,b) adjacency left
+    assert(seg(3) == Seq("b", "a"))    // no rule fires
+  }
+
+  test("fit on degenerate corpora: empty, all single-char tokens") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bpe.fit(empty, "text", numMerges = 3).isEmpty)
+    val single = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    assert(Bpe.fit(single, "text", numMerges = 3).isEmpty)
+  }
+}
