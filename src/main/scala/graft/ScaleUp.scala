@@ -18,15 +18,20 @@ import graft.sources.Tables
   *     exactly the source's, and replicas never join to each other.
   *     `nation`/`region` (and their FK columns) are genuine dimensions and
   *     stay fixed.
-  *   - Document text is passed through a per-replica letter ROTATION
-  *     (translate over [a-z] and [A-Z], digits/punct/whitespace fixed).
-  *     The map is injective on tokens and length-preserving, so within a
-  *     replica every dedup/quality/packing statistic (shingle sets,
-  *     Jaccard, line census, token counts, length histograms) is exactly
-  *     the source corpus's — while ACROSS replicas token sets are disjoint,
-  *     so near-duplicate structure grows linearly instead of the
-  *     quadratic blow-up naive text copying would cause (every doc would
-  *     gain factor-1 exact twins; pair outputs would grow factor²).
+  *   - Document text is passed through a per-replica letter PERMUTATION
+  *     (a seeded Fisher-Yates shuffle of [a-z], applied case-preserving
+  *     via translate; digits/punct/whitespace fixed). The map is
+  *     injective on tokens and length-preserving, so within a replica
+  *     every dedup/quality/packing statistic (shingle sets, Jaccard,
+  *     line census, token counts, length histograms) is exactly the
+  *     source corpus's — while ACROSS replicas token images collide only
+  *     when two independent permutations agree on every character of a
+  *     token (≈26^-len, negligible beyond 1-2 chars), so near-duplicate
+  *     structure grows linearly instead of the quadratic blow-up naive
+  *     text copying would cause (every doc would gain factor-1 exact
+  *     twins; pair outputs would grow factor²). An earlier letter
+  *     ROTATION had period 26 and capped the factor; permutations
+  *     support factor 100 (sf0.1 → sf10) in one run.
   *   - Embeddings get a per-replica ±1 sign mask (deterministic in
   *     (replica, dim)). Multiplying by ±1 is IEEE-exact, and
   *     dot(s∘x, s∘y) = dot(x, y) term-for-term, so within-replica cosine
@@ -49,17 +54,43 @@ object ScaleUp {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
 
-  /** Per-replica injective letter rotation; identity for replica 0.
+  /** Seeded Fisher-Yates permutation of [a-z] for a replica; identity
+    * for replica 0. splitmix64 drives the draws, so the permutation is a
+    * pure function of the replica index — distinct replicas get
+    * independent permutations (two agreeing entirely has probability
+    * 1/26! ≈ 2.5e-27; per-character agreement is 1/26, which is what
+    * bounds cross-replica token collisions). */
+  def permutationFor(replica: Int): String =
+    if (replica == 0) Lower
+    else {
+      val arr = Lower.toCharArray
+      var state = replica.toLong * 0x9E3779B97F4A7C15L
+      def next(): Long = {
+        state += 0x9E3779B97F4A7C15L
+        var z = state
+        z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      var i = arr.length - 1
+      while (i >= 1) {
+        val j = java.lang.Math.floorMod(next(), (i + 1).toLong).toInt
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      new String(arr)
+    }
+
+  /** Per-replica injective letter permutation; identity for replica 0.
     * Case classes are preserved (tokenizers and regex character classes
     * see identical structure), token lengths are preserved (n_chars,
     * length histograms, packing offsets all carry over unchanged). */
-  def rotateText(c: Column, replica: Int): Column = {
-    val r = ((replica % 26) + 26) % 26
-    if (r == 0) c
-    else translate(c, Lower + Upper,
-      Lower.substring(r) + Lower.substring(0, r) +
-        Upper.substring(r) + Upper.substring(0, r))
-  }
+  def permuteText(c: Column, replica: Int): Column =
+    if (replica == 0) c
+    else {
+      val p = permutationFor(replica)
+      translate(c, Lower + Upper, p + p.toUpperCase)
+    }
 
   /** Deterministic ±1 mask for (replica, dim): splitmix64-style bit mix so
     * neighbouring replicas decorrelate. Replica 0 is all +1 (identity). */
@@ -102,7 +133,7 @@ object ScaleUp {
       case "events" => df.select(offset("event_id", r), col("ts"),
         offset("user_id", r), col("event_type"), col("value"), col("props"))
       case "documents" => df.select(offset("doc_id", r),
-        rotateText(col("text"), r).as("text"), col("lang"), col("source"),
+        permuteText(col("text"), r).as("text"), col("lang"), col("source"),
         col("n_chars"))
       case "embeddings" => df.select(offset("vec_id", r),
         flipSigns(col("embedding"), r, embDim).as("embedding"), col("label"))
@@ -130,17 +161,12 @@ object ScaleUp {
     val Array(srcDir, dstDir, factorS) = args
     val factor = factorS.toInt
     require(factor >= 1 && factor.toLong * KeyStride < Long.MaxValue / 4)
-    // The letter rotation has period 26: replica r and r+26 would carry
-    // byte-identical text under different ids, giving every document an
-    // exact cross-replica twin — the quadratic near-dup blow-up the
-    // rotation exists to prevent. Refuse rather than silently alias.
-    // (Composing two runs does NOT evade this: total rotations r1+r2
-    // repeat across replica pairs AND key offsets (r1+r2)·stride
-    // collide, producing duplicate PKs — scale the SOURCE sf instead,
-    // or extend rotateText to seeded alphabet permutations.)
-    require(factor <= 26,
-      s"factor $factor > 26 aliases the per-replica letter rotation " +
-        "(period 26); scale up from a larger source sf instead")
+    // Seeded permutations alias only at probability 1/26! per replica
+    // pair, so large single-run factors are safe. COMPOSING runs is
+    // still refused by construction elsewhere: a second run over stepped
+    // output would collide key offsets ((r1+r2)·stride repeats across
+    // replica pairs, producing duplicate PKs) — always scale from the
+    // ORIGINAL source directory in one run.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false").getOrCreate()

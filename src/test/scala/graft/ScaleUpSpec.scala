@@ -33,27 +33,43 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(scaledJoin === factor * base)
   }
 
-  test("rotateText is injective, length-preserving, shingle-structure-preserving") {
+  test("permuteText is injective, length-preserving, shingle-structure-preserving") {
+    // Every replica's permutation is a BIJECTION of [a-z] (injectivity of
+    // the text map), and replica 0 is the identity.
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    assert(ScaleUp.permutationFor(0) == alphabet)
+    Seq(1, 3, 27, 99).foreach { r =>
+      val p = ScaleUp.permutationFor(r)
+      assert(p.sorted == alphabet, s"replica $r permutation not a bijection: $p")
+      assert(p != alphabet, s"replica $r permutation degenerated to identity")
+    }
+    // Distinct replicas draw distinct permutations (1/26! to collide) —
+    // including ABOVE the old rotation's period-26 ceiling.
+    val perms = (0 to 100).map(ScaleUp.permutationFor)
+    assert(perms.distinct.length == perms.length)
     val docs = Tables.load(spark, sf, "documents").limit(50)
       .select($"doc_id", $"text")
     val both = docs.select($"doc_id", $"text",
-      ScaleUp.rotateText($"text", 3).as("rot"))
+      ScaleUp.permuteText($"text", 3).as("rot"))
     // length preserved row-by-row
     assert(both.filter(length($"rot") =!= length($"text")).count() === 0)
     // shingle-set size preserved (tokenization sees identical structure)
     def sh(c: org.apache.spark.sql.Column) =
       size(ShinglesExpr.wordShingles(split(lower(c), "\\s+"), 3))
     assert(both.filter(sh($"rot") =!= sh($"text")).count() === 0)
-    // rotation is invertible: rotating 3 then 23 more (26 total) restores
+    // the permutation is invertible: translating back through it restores
+    val p3 = ScaleUp.permutationFor(3)
     val round = both.select($"text",
-      ScaleUp.rotateText(ScaleUp.rotateText($"text", 3), 23).as("back"))
+      translate($"rot", p3 + p3.toUpperCase,
+        alphabet + alphabet.toUpperCase).as("back"))
     assert(round.filter($"back" =!= $"text").count() === 0)
     // cross-replica disjointness: an all-letter text shares no shingles
-    // with its rotation
+    // with its permuted image (a shared shingle needs three consecutive
+    // tokens fixed by the permutation)
     val t = Seq("the quick brown fox jumps over the lazy dog again").toDF("text")
     val inter = t.select(size(array_intersect(
       ShinglesExpr.wordShingles(split($"text", " "), 3),
-      ShinglesExpr.wordShingles(split(ScaleUp.rotateText($"text", 1), " "), 3)
+      ShinglesExpr.wordShingles(split(ScaleUp.permuteText($"text", 1), " "), 3)
     )).as("n")).head().getInt(0)
     assert(inter === 0)
   }
