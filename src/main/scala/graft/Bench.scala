@@ -31,9 +31,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Optional comma-separated subset filter for targeted perf iteration.
+    // Optional comma-separated subset filter for targeted perf iteration,
+    // and an exclusion list (SPARK_GRAFT_SKIP) for large-sf runs: a few
+    // queries are QUADRATIC-BY-CONTRACT verify-scale baselines (exact
+    // brute-force/all-pairs truths whose scale-path twins are in the
+    // suite); excluded names are recorded in the JSON's "skipped" field
+    // so a selective bench is visible in the artifact, never silent.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) && !skip.contains(n) }
 
     // noop sink: fully materializes every output column (count() lets
     // Catalyst prune unreferenced projections, faking scan-heavy timings)
@@ -87,7 +94,10 @@ object Bench {
       if (failed.isEmpty) ""
       else s""","errors":${failed.map(f => "\"" + j(f) + "\"").mkString("[", ",", "]")}"""
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"${j(sfDir)}"}"""
+    val skipped =
+      if (skip.isEmpty) ""
+      else s""","skipped":${skip.toSeq.sorted.map(s => "\"" + j(s) + "\"").mkString("[", ",", "]")}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs$skipped,"sf":"${j(sfDir)}"}"""
     println(json)
     // ALSO write the full JSON to a file: the driver captures stdout with
     // a bounded tail, and BENCH_r04's embedded result was truncated

@@ -423,6 +423,18 @@ object Similarity {
     * contract as [[Dedup.contaminationPairs]]: the assigned projection
     * is persisted for its three consumers; sweep callers should
     * `clearCache()` between corpora. */
+  /** Cell count for [[semDedup]], derived from corpus size so cells hold
+    * ~`targetCell` vectors as the corpus grows — the k ∝ n contract that
+    * keeps per-cell pair work bounded (the [[planesFor]] analog).
+    * Clamped at `maxCells` because assignment inlines k×d centroid
+    * literals into generated code (the [[ivfTopK]] note): past the
+    * clamp, cell population grows linearly with the corpus again, so a
+    * corpus beyond ~maxCells×targetCell vectors calls for a
+    * broadcast-join assignment variant before leaning on the clamp. */
+  def cellsFor(n: Long, targetCell: Int = 1000, maxCells: Int = 256): Int =
+    math.min(maxCells,
+      math.max(16, math.ceil(n.toDouble / targetCell).toInt)).toInt
+
   def semDedup(df: DataFrame, minCos: Double = 0.9, k: Int = 16,
                maxIter: Int = 5, idCol: String = "vec_id",
                vecCol: String = "embedding",

@@ -42,7 +42,14 @@ object SimilarityQueries {
     // SimilaritySpec and exported per-round via VerifyExtras.
     "q_ann_lsh" -> ((s, dir) => {
       val v = Tables.load(s, dir, "embeddings")
-      Similarity.lshTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5)
+      // Bucket granularity scales with the corpus (fixed 2^4 buckets/band
+      // would make per-bucket candidate volume quadratic at sf10);
+      // multi-probe widens with the plane count to hold recall. The
+      // max(4, _) floor keeps small-sf behavior (and the pinned
+      // VERIFY_EXTRAS recall) exactly as before.
+      val planes = math.max(4, Similarity.planesFor(v.count(), targetBucket = 512))
+      Similarity.lshTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5,
+          bands = 4, planesPerBand = planes, nProbe = math.min(planes + 1, 8))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -50,8 +57,10 @@ object SimilarityQueries {
     // exact baseline is pinned in SimilaritySpec).
     "q_ann_ivf" -> ((s, dir) => {
       val v = Tables.load(s, dir, "embeddings")
+      // Cell count scales with the corpus (cellsFor) so per-cell probe
+      // volume stays ~targetCell; 16 cells at verify scales, unchanged.
       Similarity.ivfTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5,
-          nCentroids = 16, nProbe = 4)
+          nCentroids = Similarity.cellsFor(v.count()), nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -63,7 +72,8 @@ object SimilarityQueries {
     // and exported via VerifyExtras.
     "q_ann_ivf_fit" -> ((s, dir) => {
       val v = Tables.load(s, dir, "embeddings")
-      val cents = Similarity.kmeansFit(v, k = 16, maxIter = 5)
+      val cents = Similarity.kmeansFit(v, k = Similarity.cellsFor(v.count()),
+        maxIter = 5)
       Similarity.ivfTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5,
           nProbe = 4, centroids = cents)
         .orderBy(col("query_id"), col("rank"))
@@ -82,10 +92,14 @@ object SimilarityQueries {
     // nondeterministic cross-engine); drop-set recall vs the exact
     // all-pairs truth is pinned in SimilaritySpec and exported per-round
     // via VerifyExtras.
-    "q_semdedup" -> ((s, dir) =>
-      Similarity.semDedup(dupEmbCorpus(s, dir), minCos = 0.9, k = 16,
-          maxIter = 5)
-        .orderBy(col("id"))),
+    "q_semdedup" -> ((s, dir) => {
+      val corpus = dupEmbCorpus(s, dir)
+      // k scales with the corpus (cellsFor) so per-cell pair work stays
+      // ~targetCell² at any sf — a fixed k would go quadratic at sf10.
+      val k = Similarity.cellsFor(corpus.count())
+      Similarity.semDedup(corpus, minCos = 0.9, k = k, maxIter = 5)
+        .orderBy(col("id"))
+    }),
 
     // Scale path: corpus-proportional LSH blocking over a corpus with
     // injected near-duplicate vectors. Not SQL-portable (hash-derived
