@@ -113,6 +113,142 @@ object LshBucketExpr {
       GraftBridge.expression(v.cast("array<double>")), from, count))
 }
 
+/** Centroid model for [[CellAssignExpr]]/[[CellTopExpr]]: the fitted cell
+  * directions plus their precomputed self-norms. Lives in the expression as
+  * one REFERENCE OBJECT (ctx.addReferenceObj), so generated code is O(1) in
+  * the cell count — the previous `greatest`-of-structs assignment emitted
+  * one dot-product call + struct + comparison per cell into the generated
+  * source, which forced a hard clamp (~256 cells) on [[graft.operators
+  * .Similarity.cellsFor]] well below what the k ∝ corpus contract wants at
+  * sf ≥ 100. The per-row cost is the same k×d multiply-adds either way;
+  * only the code size changed. */
+final case class CellModel(cents: Array[Array[Double]], norms: Array[Double])
+    extends Serializable {
+  require(cents.length == norms.length,
+    s"cents/norms length mismatch: ${cents.length} vs ${norms.length}")
+  require(cents.nonEmpty, "CellModel needs at least one centroid")
+  def k: Int = cents.length
+}
+
+object CellModel {
+  /** From (vector, self-norm) rows, the [[graft.operators.Similarity]]
+    * centroid representation. */
+  def apply(rows: Seq[(Seq[Double], Double)]): CellModel =
+    CellModel(rows.map(_._1.toArray).toArray, rows.map(_._2).toArray)
+}
+
+/** Nearest-centroid cell id: argmax over cells of
+  * `dot(v, c_i) / sqrt(n * cn_i)` with ties to the SMALLEST index —
+  * bit-identical to the declarative
+  * `-greatest(struct(sim, -i)…).getField("negid")` form it replaces
+  * (same left-to-right dot accumulation, same Spark double ordering where
+  * -0.0 == 0.0 and NaN is greatest). `norm` is the row's precomputed
+  * self-norm (pass lit(1.0) for unit vectors — x/sqrt(1.0) is exact). */
+case class CellAssignExpr(left: Expression, right: Expression, model: CellModel)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "cell_assign"
+
+  override def nullSafeEval(v: Any, n: Any): Any =
+    CellAssignExpr.best(v.asInstanceOf[ArrayData], n.asInstanceOf[Double], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("cellModel", model, classOf[CellModel].getName)
+    defineCodeGen(ctx, ev, (v, n) => s"graft.functions.CellAssignExpr.best($v, $n, $m)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CellAssignExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CellAssignExpr {
+  /** Spark SQL's double ordering (SQLOrderingUtil): -0.0 == 0.0, NaN
+    * greatest — the ordering `greatest` applies to the sim field. */
+  private def cmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** Same contract as [[DotProductExpr.dot]] against a dense centroid:
+    * min-length iteration, null vector elements contribute 0. */
+  private def dotDense(v: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) sum += v.getDouble(i) * c(i)
+      i += 1
+    }
+    sum
+  }
+
+  private[functions] def sim(v: ArrayData, n: Double, m: CellModel, i: Int): Double =
+    dotDense(v, m.cents(i)) / math.sqrt(n * m.norms(i))
+
+  /** Shared by interpreted and generated paths. */
+  def best(v: ArrayData, n: Double, m: CellModel): Int = {
+    var bestIdx = 0
+    var bestSim = sim(v, n, m, 0)
+    var i = 1
+    while (i < m.k) {
+      val s = sim(v, n, m, i)
+      if (cmp(s, bestSim) > 0) { bestSim = s; bestIdx = i }
+      i += 1
+    }
+    bestIdx
+  }
+
+  /** Top-`nProbe` cell ids ordered (sim desc, index asc) — the order the
+    * declarative `slice(reverse(array_sort(array(struct(sim, -i)…))), 1,
+    * nProbe)` form produces. */
+  def top(v: ArrayData, n: Double, m: CellModel, nProbe: Int): ArrayData = {
+    val sims = Array.tabulate(m.k)(i => sim(v, n, m, i))
+    val idx = Array.range(0, m.k)
+    // Full index sort (k is model-scale; this runs per PROBE row only).
+    val sorted = idx.sortWith { (a, b) =>
+      val c = cmp(sims(a), sims(b))
+      if (c != 0) c > 0 else a < b
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sorted.take(math.min(nProbe, m.k)))
+  }
+
+  def cellAssign(v: Column, norm: Column, model: CellModel): Column =
+    GraftBridge.column(CellAssignExpr(
+      GraftBridge.expression(v.cast("array<double>")),
+      GraftBridge.expression(norm.cast("double")), model))
+}
+
+/** Top-`nProbe` nearest cells for the probe side of an IVF search — an
+  * `array<int>` of cell ids ordered (sim desc, index asc). Same model
+  * reference-object design as [[CellAssignExpr]]. */
+case class CellTopExpr(left: Expression, right: Expression, model: CellModel,
+                       nProbe: Int) extends BinaryExpression {
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "cell_top"
+
+  override def nullSafeEval(v: Any, n: Any): Any =
+    CellAssignExpr.top(v.asInstanceOf[ArrayData], n.asInstanceOf[Double], model, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("cellModel", model, classOf[CellModel].getName)
+    defineCodeGen(ctx, ev,
+      (v, n) => s"graft.functions.CellAssignExpr.top($v, $n, $m, $nProbe)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CellTopExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CellTopExpr {
+  def cellTop(v: Column, norm: Column, model: CellModel, nProbe: Int): Column =
+    GraftBridge.column(CellTopExpr(
+      GraftBridge.expression(v.cast("array<double>")),
+      GraftBridge.expression(norm.cast("double")), model, nProbe))
+}
+
 object DotProductExpr {
   /** Shared by interpreted and generated paths. */
   def dot(a: ArrayData, b: ArrayData): Double = {

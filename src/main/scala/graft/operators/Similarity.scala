@@ -39,12 +39,22 @@ object Similarity {
   private def droppingUndefinedNorms(df: DataFrame, normCol: String): DataFrame =
     df.filter(col(normCol) > 0 && !isnan(col(normCol)))
 
-  /** Shared tail of every ANN variant: drop self-matches, score with one
-    * dot product over precomputed norms, rank per probe, keep top k. */
-  private def scoreAndTopK(pairs: DataFrame, k: Int): DataFrame = {
-    val scored = pairs
+  /** Scoring half of every ANN variant: drop self-matches, score with one
+    * dot product over precomputed norms, and — critically for scale —
+    * PROJECT AWAY THE VECTORS in the same map-side stage. Every shuffle
+    * downstream of this point (candidate dedup, the per-probe top-k
+    * window) moves (query_id, vec_id, cos_sim) rows of a few dozen bytes
+    * instead of rows dragging two 64-dim vectors (~1 KB): at sf10 the LSH
+    * variant's ~25M candidate rows were two ~25 GB exchanges before this
+    * split, ~1 GB after. */
+  private def scorePairs(pairs: DataFrame): DataFrame =
+    pairs
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn"))).as("cos_sim"))
+
+  /** Ranking half: per-probe top-k over already-narrow scored rows. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -53,6 +63,9 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"),
         round(col("cos_sim"), 4).as("cos_sim"))
   }
+
+  private def scoreAndTopK(pairs: DataFrame, k: Int): DataFrame =
+    topK(scorePairs(pairs), k)
 
   /** Exact top-k by cosine for each probe vector. `probes` is expected to
     * be small (it is broadcast); `corpus` can be arbitrarily large — the
@@ -167,9 +180,13 @@ object Similarity {
       .select(col("*"), posexplode(array((0 until bands).map(b =>
         lshBucketRange(col("cv"), b * planesPerBand, planesPerBand)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = c.join(p, Seq("band", "bucket"))
+    // Score BEFORE the candidate dedup: cos_sim is a deterministic
+    // function of the (query, vector) pair, so dropDuplicates over scored
+    // rows is set-identical to scoring after dedup — but the dedup
+    // exchange now carries ~24-byte rows instead of both vectors.
+    val cand = scorePairs(c.join(p, Seq("band", "bucket")))
       .dropDuplicates("query_id", "vec_id")
-    scoreAndTopK(cand, k)
+    topK(cand, k)
   }
 
   /** IVF-style ANN: deterministic coarse centroids (a hash-ordered
@@ -181,14 +198,15 @@ object Similarity {
     *
     * Scale design: centroids are parameter-bounded MODEL data (nCentroids
     * rows), collected driver-side exactly like a fitted k-means model and
-    * inlined as literals, so corpus assignment is a pure codegen'd
-    * `greatest`-of-structs argmax PROJECTION on the corpus scan — zero
-    * shuffle, zero join. (The previous form cross-joined centroids and
-    * ranked with a window partitioned by vec_id, which shuffled
-    * corpus×nCentroids rows — a 100 TB bottleneck for something that is
-    * per-row arithmetic.) The inlined-literal design assumes nCentroids is
-    * O(100s) — generated code grows with it; a much larger nlist would
-    * call for a broadcast-join assignment instead.
+    * shipped as ONE reference object inside the native
+    * [[graft.functions.CellAssignExpr]], so corpus assignment is a pure
+    * codegen'd argmax PROJECTION on the corpus scan — zero shuffle, zero
+    * join, and generated code that is O(1) in nCentroids (an earlier form
+    * inlined one `greatest`-of-structs branch per cell, which capped
+    * usable nlist at ~256; before that, a cross-join + window shuffled
+    * corpus×nCentroids rows — a 100 TB bottleneck for per-row
+    * arithmetic). nlist is bounded only by the k×d model size and the
+    * k×d per-row assignment cost now.
     */
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2,
@@ -216,36 +234,51 @@ object Similarity {
         .orderBy(xxhash64(col("vec_id").cast("string"))).limit(nCentroids)
         .select(col("cv"), col("cn")).collect()
         .toSeq.map(r => r.getSeq[Double](0).toSeq -> r.getDouble(1))
-    // Degenerate corpus (< 2 centroids): cells are meaningless and
-    // greatest() needs ≥ 2 args — exact search is the cheap, correct path.
+    // Degenerate corpus (< 2 centroids): cells are meaningless — exact
+    // search is the cheap, correct path.
     if (centRows.length < 2)
       return bruteForceTopK(probes, corpus, k, idCol, vecCol)
-    // One struct per centroid: (sim, -index). Max of these = best sim,
-    // ties broken toward the SMALLEST index (negid is larger).
-    def scoredStructs(vec: String, norm: String): Seq[Column] =
-      centRows.zipWithIndex.map { case ((cvec, cn), idx) =>
-        struct(
-          (dot(col(vec), typedLit(cvec)) / sqrt(col(norm) * lit(cn))).as("sim"),
-          lit(-idx).as("negid"))
-      }
-    // Corpus: single nearest cell via greatest() — codegen'd, map-side.
-    val assigned = c
-      .withColumn("__best", greatest(scoredStructs("cv", "cn"): _*))
-      .withColumn("centroid_id", -col("__best.negid"))
-      .drop("__best")
-    // Probes (broadcast-scale): top-nProbe cells by sorting the per-row
-    // centroid-score array — still a projection, no join.
+    val model = graft.functions.CellModel(centRows)
+    // Corpus: single nearest cell via the native CellAssignExpr — a
+    // codegen'd map-side projection whose generated code is O(1) in the
+    // cell count (the model rides as one reference object; the previous
+    // greatest-of-structs form emitted one dot call per cell into the
+    // generated source, which is why cellsFor clamped at 256 cells).
+    val assigned = c.withColumn("centroid_id",
+      graft.functions.CellAssignExpr.cellAssign(col("cv"), col("cn"), model))
+    // Probes (broadcast-scale): top-nProbe cells, still a projection.
     val p = droppingUndefinedNorms(
       probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
         .withColumn("qn", dot(col("qv"), col("qv"))), "qn")
     val probeCells = broadcast(
-      p.withColumn("__cells",
-          slice(reverse(array_sort(array(scoredStructs("qv", "qn"): _*))), 1, nProbe))
-        .withColumn("__cell", explode(col("__cells")))
-        .withColumn("centroid_id", -col("__cell.negid"))
-        .drop("__cells", "__cell"))
+      p.withColumn("centroid_id", explode(
+        graft.functions.CellTopExpr.cellTop(col("qv"), col("qn"), model, nProbe))))
     scoreAndTopK(assigned.join(probeCells, Seq("centroid_id")), k)
   }
+
+  /** Declarative greatest-of-structs twin of [[graft.functions
+    * .CellAssignExpr]] — the parity oracle for the native expression (one
+    * generated dot call + struct per cell; never on the hot path). Ties
+    * break to the smallest index via the (sim, -idx) struct max. */
+  private[graft] def bestCellDeclarative(vec: Column, norm: Column,
+      centRows: Seq[(Seq[Double], Double)]): Column =
+    -(greatest(centRows.zipWithIndex.map { case ((cvec, cn), idx) =>
+      struct((dot(vec, typedLit(cvec)) / sqrt(norm * lit(cn))).as("sim"),
+        lit(-idx).as("negid"))
+    }: _*).getField("negid"))
+
+  /** Declarative twin of [[graft.functions.CellTopExpr]]: top-nProbe cell
+    * ids ordered (sim desc, index asc) via sort-and-reverse over the
+    * per-cell score structs. Parity oracle only. */
+  private[graft] def topCellsDeclarative(vec: Column, norm: Column,
+      centRows: Seq[(Seq[Double], Double)], nProbe: Int): Column =
+    transform(
+      slice(reverse(array_sort(array(centRows.zipWithIndex.map {
+        case ((cvec, cn), idx) =>
+          struct((dot(vec, typedLit(cvec)) / sqrt(norm * lit(cn))).as("sim"),
+            lit(-idx).as("negid"))
+      }: _*))), 1, nProbe),
+      s => -s.getField("negid"))
 
   /** Spherical k-means (Lloyd's) over the embedding column: returns `k`
     * unit-norm centroid DIRECTIONS for [[ivfTopK]]'s `centroids`
@@ -294,12 +327,14 @@ object Similarity {
       var moved = Double.MaxValue
       var iter = 0
       while (iter < maxIter && moved > tol) {
-        // Same (sim, -index) struct trick as ivfTopK: max = best cell,
-        // ties to the smallest index. Unit vectors make dot ≡ cosine.
-        val cellCol = -greatest(cents.zipWithIndex.map { case (cvec, idx) =>
-          struct(dot(col("uv"), typedLit(cvec.toSeq)).as("sim"),
-            lit(-idx).as("negid"))
-        }: _*).getField("negid")
+        // Native CellAssignExpr argmax (ties to the smallest index). Unit
+        // vectors make dot ≡ cosine; unit model norms make the shared
+        // dot/sqrt(n·cn) formula collapse to dot/1.0, which is bit-exact
+        // dot — identical to the plain-dot declarative form.
+        val model = graft.functions.CellModel(
+          cents.map(_.toArray).toArray, Array.fill(cents.length)(1.0))
+        val cellCol = graft.functions.CellAssignExpr.cellAssign(
+          col("uv"), lit(1.0), model)
         val sums = (0 until dim).map(i => sum(col("uv").getItem(i)).as(s"s$i"))
         val rows = u.withColumn("__cell", cellCol)
           .groupBy(col("__cell")).agg(count(lit(1)).as("n"), sums: _*)
@@ -426,12 +461,19 @@ object Similarity {
   /** Cell count for [[semDedup]], derived from corpus size so cells hold
     * ~`targetCell` vectors as the corpus grows — the k ∝ n contract that
     * keeps per-cell pair work bounded (the [[planesFor]] analog).
-    * Clamped at `maxCells` because assignment inlines k×d centroid
-    * literals into generated code (the [[ivfTopK]] note): past the
-    * clamp, cell population grows linearly with the corpus again, so a
-    * corpus beyond ~maxCells×targetCell vectors calls for a
-    * broadcast-join assignment variant before leaning on the clamp. */
-  def cellsFor(n: Long, targetCell: Int = 1000, maxCells: Int = 256): Int =
+    *
+    * The clamp history matters for the scale story: assignment used to
+    * inline k×d centroid literals into generated code, which forced
+    * maxCells=256 — past the clamp, cell population grew linearly with
+    * the corpus again (quadratic pair work in disguise). With the
+    * [[graft.functions.CellAssignExpr]] reference-object model the
+    * generated code is O(1) in k, so the ceiling is now just the
+    * per-row assignment cost (k×d multiply-adds) and the driver-side
+    * model size (k×d doubles — 4096×64 ≈ 2 MB, broadcast like any
+    * fitted model). 4096 cells × targetCell 1000 covers a ~4M-vector
+    * corpus at contract; beyond that, raise maxCells explicitly (cost
+    * grows linearly) or shard the corpus. */
+  def cellsFor(n: Long, targetCell: Int = 1000, maxCells: Int = 4096): Int =
     math.min(maxCells,
       math.max(16, math.ceil(n.toDouble / targetCell).toInt)).toInt
 
@@ -451,10 +493,8 @@ object Similarity {
     // all-pairs — the ivfTopK fallback rule.
     val cellCol =
       if (centRows.length < 2) lit(0)
-      else -greatest(centRows.zipWithIndex.map { case ((cvec, cn), idx) =>
-        struct((dot(col("v"), typedLit(cvec)) / sqrt(col("n") * lit(cn))).as("sim"),
-          lit(-idx).as("negid"))
-      }: _*).getField("negid")
+      else graft.functions.CellAssignExpr.cellAssign(col("v"), col("n"),
+        graft.functions.CellModel(centRows))
     val assigned = v.withColumn("cell", cellCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = assigned.as("a").join(assigned.as("b"),

@@ -185,6 +185,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getInt(0) == 0 && r.getInt(1) == 0)
   }
 
+  test("native cell assignment matches the declarative greatest-of-structs form bit-for-bit") {
+    import graft.functions.{CellAssignExpr, CellModel, CellTopExpr}
+    val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select($"vec_id", Similarity.asDouble($"embedding").as("dv"))
+      .withColumn("n", Similarity.dot($"dv", $"dv"))
+      .filter($"n" > 0)
+    // Centroids from the corpus itself, plus an exact DUPLICATE centroid
+    // (indices 0 and 1 identical) so the smallest-index tie-break is
+    // actually exercised: every row's best-cell sim ties between 0 and 1.
+    val base = v.orderBy($"vec_id").limit(7).select($"dv", $"n")
+      .collect().map(r => r.getSeq[Double](0).toSeq -> r.getDouble(1)).toSeq
+    val centRows = base.head +: base
+    val model = CellModel(centRows)
+    val mismatch = v.select(
+        CellAssignExpr.cellAssign($"dv", $"n", model).as("native"),
+        Similarity.bestCellDeclarative($"dv", $"n", centRows).as("decl"),
+        CellTopExpr.cellTop($"dv", $"n", model, 4).as("nativeTop"),
+        Similarity.topCellsDeclarative($"dv", $"n", centRows, 4).as("declTop"))
+      .filter($"native" =!= $"decl" || $"nativeTop" =!= $"declTop")
+    assert(mismatch.count() == 0)
+    // The duplicate-centroid tie resolves to index 0 whenever cell 0/1 wins.
+    val best = v.select(CellAssignExpr.cellAssign($"dv", $"n", model).as("c"))
+      .as[Int].collect()
+    assert(!best.contains(1) && best.contains(0))
+    // nProbe beyond k truncates to k distinct cells, ordered sim-desc.
+    val topAll = v.limit(1).select(
+      CellTopExpr.cellTop($"dv", $"n", model, 100).as("t")).as[Seq[Int]].collect().head
+    assert(topAll.length == centRows.length && topAll.distinct.length == topAll.length)
+  }
+
   test("LSH-blocked near-dup pairs: full recall on injected duplicates, no false positives") {
     val dup = graft.queries.SimilarityQueries.dupEmbCorpus(spark, TestSpark.Sf0001)
     val truth = Similarity.cosineNearDupPairs(
