@@ -78,4 +78,45 @@ object Relevance {
       .agg(pivots.head, (pivots.tail :+ count(lit(1)).as("n_terms_matched")): _*)
       .select(col("doc_id"), score.as("score"), col("n_terms_matched"))
   }
+
+  /** Per-document top TF-IDF terms — deterministic keyword extraction
+    * (the per-doc signature a topical-mixture or seed-expansion pass
+    * reads; [[bm25]] answers "score docs against MY terms", this answers
+    * "what are each doc's OWN distinguishing terms").
+    *
+    * idf is the smoothed RATIO form (N+1)/(df+1) — finite for
+    * every-doc terms, same ranking monotonicity as the classic
+    * ln-smoothed idf, and (the [[bm25]] discipline) built only from
+    * IEEE correctly-rounded add/div/mul so the raw double scores
+    * hash-match cross-engine. score = tf · idf with tf exact in double
+    * (corpus docs are ≪ 2^53 tokens).
+    *
+    * Scale shape: one corpus pass to doc-level TF (map-side combine);
+    * document frequencies aggregate the TF table (vocab-scale output);
+    * N is one broadcast scalar; the TF↔df join shuffles TF rows by
+    * token; the final top-N is a per-doc window over TF-cardinality
+    * rows. Nothing corpus-sized is collected or broadcast. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topN: Int = 3): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+    val scalars = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfTable, Seq("token"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("score", col("tf").cast("double") *
+        ((col("n_docs").cast("double") + lit(1.0)) /
+          (col("df_docs").cast("double") + lit(1.0))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("rank"), col("token").as("term"),
+        col("tf"), col("df_docs"), col("score"))
+  }
 }

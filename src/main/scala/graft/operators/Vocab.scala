@@ -44,6 +44,55 @@ object Vocab {
       .limit(k)
   }
 
+  /** Per-document unigram language-model surprisal — the KenLM-style
+    * perplexity quality filter (CCNet's selection signal) reduced to its
+    * deterministic unigram core: each token t costs ln(total/n_t) nats
+    * (its corpus self-information), and a document scores the AVERAGE
+    * cost of its token stream. High-average docs are rare-token soup
+    * (mojibake, id dumps), low-average docs are stopword boilerplate —
+    * the two tails a perplexity band-pass filter trims.
+    *
+    * Cross-engine float discipline (the oracle hash-compares the
+    * output): ln() differs by ulps across libms, so each DISTINCT
+    * token's surprisal is rounded ONCE to 6 decimals and frozen as
+    * DECIMAL(18,6) — a vocab-scale set of values where a sub-ulp libm
+    * disagreement would have to land within ~1e-15 of a rounding
+    * boundary to diverge. The per-doc accumulation is then an EXACT
+    * decimal sum (integer-scaled, order-free — a raw double sum would
+    * follow partition order), and the average is ONE IEEE division of
+    * bit-identical operands.
+    *
+    * Scale shape: one corpus pass collapses to doc-level TF with
+    * map-side combine; the vocab aggregate and the corpus total (a
+    * window over VOCAB rows — the [[mixtureReport]] scalar pattern) are
+    * vocab-scale; the TF↔vocab price join shuffles TF rows by token.
+    * At 100 TB the TF table is the corpus's distinct (doc, token) pairs
+    * — already far smaller than the token stream — and the join can
+    * broadcast instead whenever the priced vocab fits. */
+  def docSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("n_t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val priced = vocab
+      .withColumn("__total", sum(col("n_t")).over(w))
+      .withColumn("surprisal",
+        round(log(col("__total").cast("double") / col("n_t").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .select(col("token"), col("surprisal"))
+    tf.join(priced, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("surprisal") * col("tf")).as("__sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__sum").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_surprisal"))
+  }
+
   /** Corpus mixture report: per `dims` group (source, lang, …) the doc
     * count, token count, and share of corpus tokens — the table a
     * mixture-rebalance decision reads. One scan + one aggregation

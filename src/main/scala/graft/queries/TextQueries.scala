@@ -357,6 +357,20 @@ object TextQueries {
       Vocab.vocabTopK(Tables.load(s, dir, "documents"), "doc_id", "text",
         k = 100)),
 
+    // Unigram LM surprisal — the perplexity quality filter's
+    // deterministic core (per-token ln(total/n_t) frozen as DECIMAL at
+    // vocab scale, exact decimal doc sums; see Vocab.docSurprisal).
+    "q_unigram_logprob" -> ((s, dir) =>
+      Vocab.docSurprisal(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Per-doc top TF-IDF terms (smoothed ratio idf — no ln, raw doubles
+    // hash-match cross-engine like q_bm25_search).
+    "q_tfidf_terms" -> ((s, dir) =>
+      Relevance.tfidfTopTerms(Tables.load(s, dir, "documents"), "doc_id",
+          "text", topN = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // BPE trainer's first read: corpus-weighted adjacent character-pair
     // stats computed off the vocab-scale word-frequency table (the corpus
     // is scanned once; the pair explode never sees corpus cardinality).
@@ -663,6 +677,48 @@ object TextQueries {
          |SELECT token, CAST(n_occurrences AS BIGINT) AS n_occurrences,
          |       CAST(n_docs AS BIGINT) AS n_docs
          |FROM s ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    "q_unigram_logprob" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks WHERE length(token) > 0 GROUP BY doc_id, token),
+         |vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n_t
+         |          FROM tf GROUP BY token),
+         |total AS (SELECT CAST(sum(n_t) AS BIGINT) AS total FROM vocab),
+         |priced AS (
+         |  SELECT token,
+         |    CAST(round(ln(CAST(total AS DOUBLE) / CAST(n_t AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS surprisal
+         |  FROM vocab CROSS JOIN total)
+         |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(p.surprisal * tf.tf) AS DOUBLE)
+         |    / CAST(CAST(sum(tf.tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+         |FROM tf JOIN priced p USING (token)
+         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks WHERE length(token) > 0 GROUP BY doc_id, token),
+         |dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+         |        FROM tf GROUP BY token),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dfs.df_docs,
+         |    CAST(tf.tf AS DOUBLE) *
+         |      ((CAST(n.n_docs AS DOUBLE) + 1.0) /
+         |       (CAST(dfs.df_docs AS DOUBLE) + 1.0)) AS score
+         |  FROM tf JOIN dfs USING (token) CROSS JOIN n),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, token) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, token AS term, tf, df_docs, score
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_bpe_pairs" ->
       s"""WITH toks AS (

@@ -166,6 +166,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top == Seq(("a", 2L, 1L), ("b", 2L, 2L)))
   }
 
+  test("docSurprisal: hand-computed decimal-frozen surprisal, null/empty docs absent") {
+    val df = Seq(
+      (1L, "a a b"), (2L, "b c"), (3L, null.asInstanceOf[String]), (4L, "")
+    ).toDF("doc_id", "text")
+    // vocab: a:2 b:2 c:1, total 5. Per-token surprisal frozen at 6dp.
+    val sA = BigDecimal(math.log(5.0 / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val sC = BigDecimal(math.log(5.0 / 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val out = Vocab.docSurprisal(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    val avg1 = (sA * 3).toDouble / 3.0        // a,a,b — all surprisal sA
+    val avg2 = (sA + sC).toDouble / 2.0       // b,c
+    assert(out == Seq((1L, 3L, avg1), (2L, 2L, avg2)))
+    // rare-token doc is more surprising than the common-token doc
+    assert(avg2 > avg1)
+  }
+
+  test("tfidfTopTerms: hand-computed ratio-idf scores, rank cut, ties by term") {
+    val df = Seq(
+      (1L, "a a b x"), (2L, "a c x"), (3L, "x y"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // N=3 docs with tokens; df: a=2 b=1 c=1 x=3 y=1.
+    def idf(dfT: Long) = (3.0 + 1.0) / (dfT.toDouble + 1.0)
+    def score(tf: Long, dfT: Long) = tf.toDouble * idf(dfT)
+    val out = Relevance.tfidfTopTerms(df, "doc_id", "text", topN = 3)
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // doc1: a 2·(4/3)≈2.67 > b 2.0 > x 1.0
+    assert(out(1L) == Seq(
+      (1L, 1, "a", 2L, 2L, score(2, 2)),
+      (1L, 2, "b", 1L, 1L, score(1, 1)),
+      (1L, 3, "x", 1L, 3L, score(1, 3))))
+    // doc2: c 2.0 > a 4/3 > x 1.0; doc3: y 2.0 > x 1.0 (only 2 terms)
+    assert(out(2L).map(t => (t._3, t._6)) ==
+      Seq(("c", score(1, 1)), ("a", score(1, 2)), ("x", score(1, 3))))
+    assert(out(3L).map(_._3) == Seq("y", "x"))
+    // equal-score tie breaks by term string: b and c both score 2.0 in a
+    // doc containing both once
+    val tie = Relevance.tfidfTopTerms(
+      Seq((1L, "b c"), (2L, "q r"), (3L, "q r")).toDF("doc_id", "text"),
+      "doc_id", "text", topN = 2)
+      .filter($"doc_id" === 1L).orderBy($"rank")
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+    assert(tie.map(_._3).toSeq == Seq("b", "c"))
+  }
+
   test("mixtureReport: counts/token shares per group, fracs sum to 1") {
     val df = Seq(
       ("a", "en", "w x y"), ("a", "en", "z"), ("a", "fr", "u v"),
