@@ -222,6 +222,34 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Ordered conversion funnel view→click→purchase: step i counts users
+    // whose first qualifying event is STRICTLY AFTER their step-(i−1)
+    // time (presence alone overcounts). Bounded one-row-per-step report.
+    "q_event_funnel" -> ((s, dir) => {
+      val e = events(s, dir)
+      graft.operators.Cohorts.funnel(e, "user_id", "ts", Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+        .orderBy(col("step"))
+    }),
+
+    // Weekly cohort retention matrix: cohort = week of first activity,
+    // cells = distinct active users per (cohort, week offset), retention
+    // = cell / cohort size (the offset-0 cell).
+    "q_retention_cohort" -> ((s, dir) =>
+      graft.operators.Cohorts.retention(events(s, dir), "user_id", "ts",
+          bucketTrunc = date_trunc("week", _), bucketDays = 7)
+        .orderBy(col("cohort_bucket"), col("bucket_offset"))),
+
+    // SCD type-2 history build: per-user event_type runs collapsed to
+    // [valid_from, valid_to) version intervals, open on the current one
+    // — the dimension-history construction a migration validates.
+    "q_scd2_build" -> ((s, dir) =>
+      graft.operators.Cohorts.scd2(events(s, dir), "user_id", "ts",
+          attrCol = "event_type", tieCol = "event_id")
+        .orderBy(col("user_id"), col("version"))),
+
     // Range join on quantized cells, rolled up per band (the rollup's
     // count/id-checksum/value sum would expose any misassigned row).
     "q_range_join" -> ((s, dir) => {
@@ -394,6 +422,79 @@ object EventQueries {
         |FROM v ASOF LEFT JOIN p
         |  ON v.user_id = p.user_id AND v.ts <= p.ts
         |ORDER BY v.event_id""".stripMargin,
+
+    "q_event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |n AS (
+        |  SELECT 1 AS step, 'view' AS step_name, count(*) AS n_entities FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT CAST(step AS INT) AS step, step_name,
+        |  CAST(n_entities AS BIGINT) AS n_entities,
+        |  CAST(n_entities AS DOUBLE) /
+        |    CAST(max(CASE WHEN step = 1 THEN n_entities END) OVER () AS DOUBLE)
+        |    AS pct_of_entry
+        |FROM n ORDER BY step""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH active AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS bucket,
+        |    count(*) AS __n
+        |  FROM events GROUP BY 1, 2),
+        |cohort AS (
+        |  SELECT user_id, min(bucket) AS cohort_bucket FROM active GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort_bucket,
+        |    CAST(datediff('day', c.cohort_bucket, a.bucket) / 7 AS INT)
+        |      AS bucket_offset,
+        |    count(*) AS n_entities
+        |  FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT cohort_bucket, bucket_offset,
+        |  CAST(n_entities AS BIGINT) AS n_entities,
+        |  CAST(n_entities AS DOUBLE) /
+        |    CAST(max(CASE WHEN bucket_offset = 0 THEN n_entities END)
+        |      OVER (PARTITION BY cohort_bucket) AS DOUBLE) AS retention
+        |FROM cells ORDER BY cohort_bucket, bucket_offset""".stripMargin,
+
+    // Run values are equal within a version by construction, so the
+    // oracle's min(attr) picks the same value Spark's first() does
+    // (including an all-null run).
+    "q_scd2_build" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN row_number() OVER w = 1 THEN 1
+        |         WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+        |         THEN 0 ELSE 1 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ver
+        |  FROM flagged),
+        |versions AS (
+        |  SELECT user_id, ver AS version, min(event_type) AS attr_value,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT user_id, version, attr_value, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |    AS valid_to,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY version) IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM versions ORDER BY user_id, version""".stripMargin,
 
     "q_range_join" ->
       s"""WITH $bandsSql,
