@@ -575,4 +575,46 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
   }
+
+  /** Cross-document duplicated-SPAN report — the diagnostic core of
+    * exact substring deduplication (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" pass), at k-token
+    * granularity: for every doc with ≥ k tokens, how many of its k-token
+    * spans also occur in at least `minDocs − 1` OTHER documents. A high
+    * fraction marks boilerplate/templated text that document-level
+    * near-dup misses (the duplicated region hides inside otherwise
+    * distinct pages); within-document repetition is q_text_repetition's
+    * business and deliberately does NOT count here (df is distinct-doc).
+    *
+    * Scale shape: spans are md5'd to fixed 32-char keys map-side (the
+    * line-dedup census discipline — span TEXT never shuffles); the
+    * (span, doc) collapse runs FIRST so the df census and the
+    * fraction join see distinct pairs, never the positional stream; both
+    * aggregates are two-counter buffers. Three bounded shuffles:
+    * (span, doc) collapse → span census → census join back to pairs.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, minDocs: Int = 2): DataFrame = {
+    require(k > 0, "span length must be positive")
+    require(minDocs >= 2, "minDocs below 2 marks every span duplicated")
+    val toks = filter(tokens(normalized(col(textCol))), t => length(t) > 0)
+    val pairs = df
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - k + 1),
+        i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k)))))).as("g"))
+      .groupBy(col("g"), col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"))
+    val census = pairs.groupBy(col("g"))
+      .agg(count(lit(1)).as("gram_docs"))
+    pairs.join(census, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_pos")).as("n_spans"),
+        sum(when(col("gram_docs") >= minDocs, col("n_pos")).otherwise(0L))
+          .as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .as("dup_fraction"))
+  }
 }

@@ -93,6 +93,44 @@ object Vocab {
           .as("avg_surprisal"))
   }
 
+  /** SpaceSaving capacity for a corpus of `n` docs: the `planesFor`/
+    * `cellsFor` analog — sized so the sketch runs EXACT (capacity ≥
+    * distinct keys) at verify scales, where the oracle can hash-compare
+    * it against true counts, while staying a bounded buffer. At
+    * production scale the caller fixes the capacity to its memory budget
+    * instead and accepts the SpaceSaving ε = N/m error contract
+    * ([[graft.functions.SpaceSavingAgg]]). */
+  def capacityFor(n: Long, perDoc: Int = 4, floor: Int = 4096,
+                  cap: Int = 1 << 20): Int =
+    math.min(cap.toLong, math.max(floor.toLong, n / perDoc)).toInt
+
+  /** Top-K heavy-hitter TOKEN PAIRS (bigrams) via the bounded-buffer
+    * SpaceSaving aggregate — the scale path for "what co-occurrences
+    * dominate the corpus" where the exact pair table is the key-space
+    * blowup ([[tokenStats]] squared). One corpus pass feeds per-partition
+    * m-entry buffers; partials merge to a single model-scale summary row
+    * (m entries, like the IVF centroid collect), exploded and cut to K
+    * by (count desc, pair asc). */
+  def heavyHitterBigrams(df: DataFrame, idCol: String, textCol: String,
+                         m: Int, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = filter(
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))),
+      t => length(t) > 0)
+    val grams = df
+      .select(toks.as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(2))))).as("pair"))
+    grams
+      .agg(graft.functions.SpaceSaving.spaceSaving(col("pair"), m).as("__hh"))
+      .select(explode(col("__hh")).as("h"))
+      .select(col("h.item").as("pair"), col("h.est_count"), col("h.max_err"))
+      .orderBy(col("est_count").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Corpus mixture report: per `dims` group (source, lang, …) the doc
     * count, token count, and share of corpus tokens — the table a
     * mixture-rebalance decision reads. One scan + one aggregation

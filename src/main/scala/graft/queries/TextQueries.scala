@@ -371,6 +371,25 @@ object TextQueries {
           "text", topN = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // Cross-doc duplicated 6-token spans — the exact-substring-dedup
+    // diagnostic (within-doc repetition is q_text_repetition's business;
+    // this census is distinct-doc). Span text never shuffles (md5 keys).
+    "q_span_dedup" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.load(s, dir, "documents"), "doc_id",
+          "text", k = 6)
+        .orderBy(col("doc_id"))),
+
+    // Heavy-hitter bigrams via the bounded-buffer SpaceSaving sketch.
+    // Capacity derives from the corpus (capacityFor ≥ distinct pairs at
+    // verify scales → the sketch runs in its EXACT regime and the oracle
+    // hash-compares it against true counts); the approximate regime's
+    // guarantees are pinned in SpaceSavingSpec on a Zipf fixture.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Vocab.heavyHitterBigrams(d, "doc_id", "text",
+        m = Vocab.capacityFor(d.count()), k = 20)
+    }),
+
     // BPE trainer's first read: corpus-weighted adjacent character-pair
     // stats computed off the vocab-scale word-frequency table (the corpus
     // is scanned once; the pair explode never sees corpus cardinality).
@@ -665,6 +684,43 @@ object TextQueries {
          |  CASE $cases ELSE '${splitSpec.last._1}' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_span_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS arr
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 5)) AS i
+         |  FROM toks WHERE len(arr) >= 6),
+         |grams AS (
+         |  SELECT doc_id, md5(array_to_string(arr[i:i+5], ' ')) AS g FROM pos),
+         |pairs AS (SELECT g, doc_id, count(*) AS n_pos FROM grams GROUP BY 1, 2),
+         |census AS (SELECT g, count(*) AS gram_docs FROM pairs GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, CAST(sum(n_pos) AS BIGINT) AS n_spans,
+         |    CAST(sum(CASE WHEN gram_docs >= 2 THEN n_pos ELSE 0 END) AS BIGINT)
+         |      AS n_dup_spans
+         |  FROM pairs JOIN census USING (g) GROUP BY 1)
+         |SELECT doc_id, n_spans, n_dup_spans,
+         |  CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_fraction
+         |FROM per ORDER BY doc_id""".stripMargin,
+
+    // Exact-regime oracle: capacityFor ≥ distinct bigrams at verify
+    // scales, so the sketch's counts ARE the true counts and max_err 0.
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split($normSql, ' '), t -> len(t) > 0)
+         |    AS arr
+         |  FROM documents),
+         |pos AS (
+         |  SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
+         |  FROM toks WHERE len(arr) >= 2),
+         |g AS (SELECT array_to_string(arr[i:i+1], ' ') AS pair FROM pos),
+         |c AS (SELECT pair, count(*) AS est_count FROM g GROUP BY 1)
+         |SELECT pair, CAST(est_count AS BIGINT) AS est_count,
+         |  CAST(0 AS BIGINT) AS max_err
+         |FROM c ORDER BY est_count DESC, pair LIMIT 20""".stripMargin,
 
     "q_vocab_topk" ->
       s"""WITH toks AS (
