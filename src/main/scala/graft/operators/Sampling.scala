@@ -174,6 +174,151 @@ object Sampling {
     cases.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
   }
 
+  private val WsReserved = Seq("__rank", "__bkt", "__cum", "__tot", "__off",
+    "__w_total", "stream_offset", "n_copies")
+
+  /** Weighted SYSTEMATIC sample (probability-proportional-to-size, Madow
+    * 1949): draw `k` selection points evenly spaced over the cumulative
+    * weight stream `[0, W)` — point j sits at j·W/k — and give each row
+    * `n_copies` = points falling inside its weight interval. The stream
+    * order is the salted md5 rank (see [[hashRankHex]]), so the draw is a
+    * pure function of (salt, ids, weights): reproducible across reruns,
+    * engines, and partitionings, like every sampler here. This is the
+    * mixture-construction primitive the plain [[hashSample]] can't
+    * express: rows are drawn by TOKEN mass, not row count, every row with
+    * weight > W/k is GUARANTEED in (deterministic inclusion of heavy
+    * docs), n_copies > 1 means the doc repeats in the sampled stream
+    * (epoch weighting), and Σ n_copies = k exactly — the sample hits the
+    * token budget on the nose, no variance.
+    *
+    * Exactness: n_copies = ceil(hi·k/W) − ceil(lo·k/W) computed in
+    * DECIMAL(38,0) ceil-division (ceil(a/b) = floor((a+b−1)/b), floor via
+    * subtract-pmod so no rounded decimal division ever feeds a floor —
+    * a scale-6 quotient HALF_UP-rounds values within 5e-7 of an integer
+    * UP across it, which a double or naive decimal divide would turn
+    * into an off-by-one copy). hi·k at 100 TB (2.5e13 tokens × 1e6
+    * points ≈ 2.5e19) overflows LONG; decimal(38,0) has 19 digits of
+    * headroom. Any SQL engine reproduces with integer floor-division.
+    *
+    * Scale shape: the cumulative stream is the [[Packing]] two-phase
+    * distributed prefix sum (256 rank-prefix buckets, per-bucket windows,
+    * one 256-row offset frame broadcast back) — no global-window funnel;
+    * W rides the same model-sized frame. Rows with NULL id, NULL weight,
+    * or weight ≤ 0 are excluded (a zero-weight row has an empty interval
+    * and can never be drawn; NULLs would shift every successor — the
+    * [[Packing.sequenceOffsets]] rationale). */
+  def weightedSystematicSample(df: DataFrame, idCol: String,
+                               weightCol: String, k: Long,
+                               salt: String = "wsample"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val clash = df.columns.filter(WsReserved.contains)
+    require(clash.isEmpty, s"column(s) ${clash.mkString(",")} collide with " +
+      s"weightedSystematicSample temp/output columns")
+    val w = col(weightCol).cast("long")
+    val r = df.filter(col(idCol).isNotNull && w.isNotNull && w > 0)
+      .withColumn("__rank", hashRankHex(col(idCol), salt))
+      .withColumn("__bkt", substring(col("__rank"), 1, 2))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(col("__rank"), col(idCol))
+      .rowsBetween(Long.MinValue, 0)
+    val wBuckets = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bkt")).rowsBetween(Long.MinValue, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val offsets = r.groupBy(col("__bkt")).agg(sum(w).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wBuckets), lit(0L)))
+      .withColumn("__w_total", sum(col("__tot")).over(wAll))
+      .select(col("__bkt"), col("__off"), col("__w_total"))
+    val dec = "decimal(38,0)"
+    // #points j∈[0,k) with j·W/k < c, i.e. ceil(c·k/W), all-integer.
+    def pointsBelow(c: Column, tot: Column): Column = {
+      val x = c.cast(dec) * lit(k) + tot.cast(dec) - lit(1)
+      ((x - pmod(x, tot.cast(dec))) / tot.cast(dec)).cast("long")
+    }
+    r.withColumn("__cum", sum(w).over(wLocal))
+      .join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("stream_offset", col("__off") + col("__cum") - w)
+      .withColumn("n_copies",
+        pointsBelow(col("stream_offset") + w, col("__w_total")) -
+          pointsBelow(col("stream_offset"), col("__w_total")))
+      .filter(col("n_copies") > 0)
+      .drop("__rank", "__bkt", "__cum", "__off", "__w_total")
+  }
+
+  private val QrReserved = Seq("__score", "__bkt", "__cnt", "__lcum",
+    "__tot", "__off", "__n")
+
+  /** Per-group quantile rank (SQL `cume_dist`: rows-with-score-≤-mine /
+    * group size) WITHOUT the per-group sort funnel: raw quality scores
+    * are not comparable across sources — each source has its own score
+    * distribution — so "keep the best 30% of every source" must
+    * threshold the within-group QUANTILE, not the raw score. The naive
+    * form (`cume_dist().over(partitionBy(group).orderBy(score))`) drags
+    * a whole group through ONE task — the hot-key funnel, since real
+    * corpora have a dominant source.
+    *
+    * Distributed form (the [[Packing]] prefix-sum discipline, adapted to
+    * VALUE-ordered buckets because quantiles need a monotone order, not
+    * a hash order):
+    *  1. collapse rows to distinct (group, score) counts — map-side
+    *     combinable, and ties collapse so peers share one row;
+    *  2. quantize score into `buckets` monotone ranges of
+    *     [minScore, maxScore] (out-of-range clamps to the end buckets —
+    *     still order-preserving); per-(group, bucket) prefix counts run
+    *     in parallel windows;
+    *  3. per-(group, bucket) totals → running offsets + group size via
+    *     windows over the #groups×buckets model-scale frame;
+    *  4. price each distinct score: pctl = (offset + local cum) / n —
+    *     one IEEE division of exact longs, bit-identical on any engine —
+    *     and join back to rows on (group, score).
+    * Spec-proven equal to the naive window form. Worst case is a
+    * DEGENERATE score distribution (all mass in one bucket): the funnel
+    * is then the group's distinct-score cardinality in that bucket —
+    * still never the row count, which the collapse already absorbed.
+    *
+    * Rows with NULL/NaN scores or NULL group keys are EXCLUDED (NaN
+    * would rank above every real score in Spark but below none in
+    * standard SQL; a NULL group is dropped by the equi-join back). */
+  def groupQuantileRank(df: DataFrame, scoreCol: String, byCols: Seq[String],
+                        minScore: Double, maxScore: Double,
+                        buckets: Int = 256,
+                        outCol: String = "pctl"): DataFrame = {
+    require(byCols.nonEmpty, "at least one group column")
+    require(maxScore > minScore, "maxScore must exceed minScore")
+    require(buckets >= 2, "need at least 2 buckets")
+    val clash = df.columns.filter((QrReserved :+ outCol).contains)
+    require(clash.isEmpty, s"column(s) ${clash.mkString(",")} collide with " +
+      s"groupQuantileRank temp/output columns")
+    val W = org.apache.spark.sql.expressions.Window
+    val by = byCols.map(col)
+    val s = col(scoreCol).cast("double")
+    val rows = df
+      .filter(s.isNotNull && !isnan(s) && byCols.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__score", s)
+      .withColumn("__bkt", least(greatest(
+          floor((col("__score") - minScore) / (maxScore - minScore) * buckets),
+          lit(0.0)), lit((buckets - 1).toDouble)).cast("int"))
+    val dist = rows.groupBy(by :+ col("__bkt") :+ col("__score"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val wLocal = W.partitionBy(by :+ col("__bkt"): _*).orderBy(col("__score"))
+      .rowsBetween(Long.MinValue, 0)
+    val wOff = W.partitionBy(by: _*).orderBy(col("__bkt"))
+      .rowsBetween(Long.MinValue, -1)
+    val wN = W.partitionBy(by: _*).rowsBetween(Long.MinValue, Long.MaxValue)
+    val offs = dist.groupBy(by :+ col("__bkt"): _*).agg(sum(col("__cnt")).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__tot")).over(wN))
+      .select(by :+ col("__bkt") :+ col("__off") :+ col("__n"): _*)
+    val priced = dist
+      .withColumn("__lcum", sum(col("__cnt")).over(wLocal))
+      .join(offs, byCols :+ "__bkt")
+      .withColumn(outCol,
+        (col("__off") + col("__lcum")).cast("double") / col("__n").cast("double"))
+      .select(by :+ col("__score") :+ col(outCol): _*)
+    rows.join(priced, byCols :+ "__score")
+      .drop("__score", "__bkt")
+  }
+
   /** The full train/valid/test assignment frame: id, rank_hex, split.
     * NULL ids are EXCLUDED, not assigned: their rank is null, so every
     * threshold compare is null and the CASE would fall through to the

@@ -441,6 +441,33 @@ object TextQueries {
 
     // Sequence packing: global token offsets in the deterministic
     // shuffled concat order, 2048-token blocks.
+    // Weighted SYSTEMATIC sample: docs drawn by token mass over the
+    // deterministic salted stream; Σ n_copies = k exactly, docs heavier
+    // than W/k guaranteed in, n_copies > 1 = epoch weighting. The
+    // ceil-division arithmetic is all-integer (DECIMAL(38,0) in Spark,
+    // floor-division in the oracle) so the row set hash-matches.
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSystematicSample(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"),
+              TA.wsTokenCount(col("text")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", k = 200)
+        .select(col("doc_id"), col("n_tokens"), col("stream_offset"),
+          col("n_copies"))
+        .orderBy(col("doc_id"))),
+
+    // Within-source quantile calibration of the quality score: cume_dist
+    // computed via the distributed two-phase form (no per-group sort
+    // funnel — see groupQuantileRank), oracle is the naive SQL window.
+    "q_quantile_norm" -> ((s, dir) =>
+      Sampling.groupQuantileRank(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              TA.qualityScore(col("text"), qualityStops).as("quality")),
+          "quality", Seq("source"), minScore = 0.0, maxScore = 1.0)
+        .select(col("doc_id"), col("source"), col("quality"), col("pctl"))
+        .orderBy(col("doc_id"))),
+
     "q_pack_sequences" -> ((s, dir) =>
       Packing.sequenceOffsets(
           Tables.load(s, dir, "documents")
@@ -922,6 +949,44 @@ object TextQueries {
     // The single global window cumsum: the distributed two-phase prefix
     // sum must equal it bit-for-bit (same total order: bucket prefix
     // ordering is rank-prefix ordering).
+    "q_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS r
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY r, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+        |  FROM t),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS w FROM t),
+        |s AS (
+        |  SELECT doc_id, n_tokens, hi - n_tokens AS stream_offset,
+        |    ((hi * 200 + w - 1) // w)
+        |      - (((hi - n_tokens) * 200 + w - 1) // w) AS n_copies
+        |  FROM c, tot)
+        |SELECT doc_id, n_tokens, CAST(stream_offset AS BIGINT) AS stream_offset,
+        |  CAST(n_copies AS BIGINT) AS n_copies
+        |FROM s WHERE n_copies > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_quantile_norm" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |     + least((CAST(stop_cnt AS DOUBLE) / CAST(toks AS DOUBLE)) * 10.0, 1.0)
+        |     + CASE WHEN (CAST(length(text) AS DOUBLE) / CAST(greatest(toks, 1) AS DOUBLE)) >= 3.0
+        |             AND (CAST(length(text) AS DOUBLE) / CAST(greatest(toks, 1) AS DOUBLE)) <= 10.0
+        |            THEN 1.0 ELSE 0.5 END) / 3.0 AS quality
+        |  FROM (
+        |    SELECT doc_id, source, text,
+        |      len(string_split(text, ' ')) AS toks,
+        |      len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS stop_cnt
+        |    FROM documents WHERE text IS NOT NULL) t)
+        |SELECT doc_id, source, quality,
+        |  cume_dist() OVER (PARTITION BY source ORDER BY quality) AS pctl
+        |FROM q ORDER BY doc_id""".stripMargin,
+
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

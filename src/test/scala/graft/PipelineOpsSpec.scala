@@ -418,4 +418,125 @@ class PipelineOpsSpec extends AnyFunSuite {
       n = 3, minOverlap = 0.1, benchDfCap = 100)
     assert(uncapped.count() == 2)
   }
+
+  // ---- weighted systematic sample ---------------------------------------
+
+  /** Exact BigInt reference for the k-point systematic draw in the salted
+    * order — the single-stream formulation the distributed operator must
+    * reproduce bit-for-bit. */
+  private def naiveWs(rows: Seq[(Long, Long)], k: Long,
+                      salt: String = "wsample"): Map[Long, (Long, Long)] = {
+    def rank(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$salt:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    }
+    val ordered = rows.filter(_._2 > 0).sortBy { case (id, _) => (rank(id), id) }
+    val total = BigInt(ordered.map(_._2).sum)
+    def ceilDiv(a: BigInt): BigInt = (a * k + total - 1) / total
+    var cum = BigInt(0)
+    ordered.flatMap { case (id, w) =>
+      val lo = cum; cum += w
+      val n = (ceilDiv(cum) - ceilDiv(lo)).toLong
+      if (n > 0) Some(id -> (lo.toLong, n)) else None
+    }.toMap
+  }
+
+  test("weightedSystematicSample: copies sum to k, heavy rows guaranteed, bounds hold") {
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 400L).map(i => (i, 1L + rng.nextInt(50).toLong))
+    val df = rows.toDF("id", "w").repartition(7)
+    val k = 60L
+    val out = Sampling.weightedSystematicSample(df, "id", "w", k)
+      .select($"id", $"stream_offset", $"n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = rows.map(_._2).sum.toDouble
+    assert(out.map(_._3).sum == k, "copies must sum to exactly k")
+    // every row with w > W/k is guaranteed present
+    val sampled = out.map(_._1).toSet
+    rows.filter(_._2 > total / k).foreach { case (id, w) =>
+      assert(sampled.contains(id), s"heavy row $id (w=$w) must be sampled") }
+    // n_copies within [floor(w·k/W), ceil(w·k/W)]
+    val wById = rows.toMap
+    out.foreach { case (id, _, n) =>
+      val exact = wById(id) * k / total
+      assert(n >= math.floor(exact).toLong && n <= math.ceil(exact).toLong,
+        s"row $id copies $n outside [floor,ceil] of $exact")
+    }
+    // bit-equal to the exact single-stream reference
+    assert(out.map(t => t._1 -> (t._2, t._3)).toMap == naiveWs(rows, k))
+    // partitioning cannot move the draw
+    val out2 = Sampling.weightedSystematicSample(df.repartition(31), "id", "w", k)
+      .select($"id", $"stream_offset", $"n_copies")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out2 == out.map(t => t._1 -> (t._2, t._3)).toMap)
+  }
+
+  test("weightedSystematicSample: k > W upsamples (epochs), still sums to k") {
+    val rows = Seq((1L, 3L), (2L, 1L), (3L, 6L))
+    val out = Sampling.weightedSystematicSample(rows.toDF("id", "w"), "id", "w", 25L)
+      .select($"id", $"n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.values.sum == 25L)
+    assert(out.keySet == Set(1L, 2L, 3L), "k > W must include every row")
+    assert(out == naiveWs(rows, 25L).map { case (id, (_, n)) => id -> n })
+  }
+
+  test("weightedSystematicSample: null/zero weights and null ids excluded") {
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(5L)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Long]),
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(0L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(9L))
+    ).toDF("id", "w")
+    val out = Sampling.weightedSystematicSample(df, "id", "w", 4L)
+      .select($"id", $"n_copies").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    assert(out.map(_.getLong(1)).sum == 4L)
+    intercept[IllegalArgumentException](
+      Sampling.weightedSystematicSample(df.withColumnRenamed("w", "n_copies"),
+        "id", "n_copies", 4L))
+  }
+
+  // ---- group quantile rank ----------------------------------------------
+
+  test("groupQuantileRank equals the naive cume_dist window, ties included") {
+    val rng = new scala.util.Random(11)
+    val rows = (1L to 600L).map { i =>
+      // coarse grid forces plenty of ties; three skewed groups
+      (i, s"g${i % 3}", math.floor(rng.nextDouble() * 40) / 40.0)
+    }
+    val df = rows.toDF("id", "g", "score").repartition(9)
+    val got = Sampling.groupQuantileRank(df, "score", Seq("g"), 0.0, 1.0)
+      .select($"id", $"pctl").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score")
+    val naive = df.withColumn("pctl", cume_dist().over(w))
+      .select($"id", $"pctl").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == naive, "distributed cume_dist must equal the window form bit-for-bit")
+  }
+
+  test("groupQuantileRank: degenerate one-value group, out-of-range clamping, exclusions") {
+    // all-equal scores → every row is its own peer group's last: pctl 1.0
+    val flat = (1L to 50L).map(i => (i, "g", 0.25)).toDF("id", "g", "score")
+    val out = Sampling.groupQuantileRank(flat, "score", Seq("g"), 0.0, 1.0)
+    assert(out.select($"pctl").as[Double].collect().forall(_ == 1.0))
+    // out-of-range scores clamp into end buckets but stay correctly ranked
+    val wide = Seq((1L, "g", -5.0), (2L, "g", 0.5), (3L, "g", 99.0), (4L, "g", -7.0))
+      .toDF("id", "g", "score")
+    val got = Sampling.groupQuantileRank(wide, "score", Seq("g"), 0.0, 1.0)
+      .select($"id", $"pctl").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(1L -> 0.5, 2L -> 0.75, 3L -> 1.0, 4L -> 0.25))
+    // NaN / null scores and null groups are excluded
+    val dirty = Seq(
+      (1L, "g", 0.5), (2L, "g", Double.NaN),
+      (3L, null.asInstanceOf[String], 0.9)
+    ).toDF("id", "g", "score")
+    val kept = Sampling.groupQuantileRank(dirty, "score", Seq("g"), 0.0, 1.0)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
 }
