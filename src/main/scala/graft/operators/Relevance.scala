@@ -79,6 +79,57 @@ object Relevance {
       .select(col("doc_id"), score.as("score"), col("n_terms_matched"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of
+    * ranked retrieval lists: fused(d) = Σ_r 1/(k + rank_r(d)), the
+    * standard way to combine heterogeneous rankers (BM25 + keyword +
+    * ANN) whose raw scores are not on a common scale — only RANKS
+    * enter, so no per-ranker calibration is needed. k (classically 60)
+    * damps the head so one ranker's #1 can't drown broad agreement.
+    *
+    * Determinism discipline: the fused score is a FIXED expression tree
+    * — per-ranker rank columns materialize via the join, and the
+    * 1/(k+rank) terms add in `rankings` declaration order — so every
+    * arithmetic step is an IEEE correctly-rounded op on bit-identical
+    * operands, never a float aggregation whose association order
+    * follows partitioning. A doc absent from a ranker contributes
+    * exactly 0.0 (its rank column is SQL-null in the output).
+    *
+    * Scale shape: ranker outputs are top-N lists (model-scale — the
+    * caller cuts them with orderBy+limit = TakeOrderedAndProject), so
+    * the outer-join chain is N-row frames; with corpus-sized rankings
+    * it degrades gracefully to hash joins on the doc key. Rows with a
+    * NULL doc id or NULL rank are rejected loudly — a null rank would
+    * silently contribute 0 while LOOKING ranked.
+    *
+    * @param rankings (name, frame) pairs; each frame has `docCol` and
+    *                 `rankCol` (1-based). Output carries one
+    *                 `rank_<name>` column per ranker.
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], docCol: String,
+              rankCol: String, kRrf: Int = 60,
+              scoreAlias: String = "rrf_score"): DataFrame = {
+    require(rankings.size >= 2, "need at least two rankings to fuse")
+    require(kRrf >= 0, s"kRrf must be non-negative: $kRrf")
+    val names = rankings.map(_._1)
+    require(names.distinct == names, s"ranking names must be distinct: $names")
+    val sides = rankings.map { case (name, r) =>
+      require(r.columns.contains(docCol) && r.columns.contains(rankCol),
+        s"ranking '$name' must have columns $docCol and $rankCol")
+      // The null check rides the rank VALUE path (the one column the
+      // fusion always reads), so projection pruning can't elide it.
+      val rk = when(col(docCol).isNull || col(rankCol).isNull,
+          raise_error(lit(s"ranking '$name' has a null $docCol or $rankCol row"))
+            .cast("long"))
+        .otherwise(col(rankCol).cast("long"))
+      r.select(col(docCol), rk.as(s"rank_$name"))
+    }
+    val joined = sides.reduceLeft((a, b) => a.join(b, Seq(docCol), "full_outer"))
+    val score = names
+      .map(n => coalesce(lit(1.0) / (lit(kRrf.toDouble) + col(s"rank_$n")), lit(0.0)))
+      .reduceLeft(_ + _)
+    joined.withColumn(scoreAlias, score)
+  }
+
   /** Per-document top TF-IDF terms — deterministic keyword extraction
     * (the per-doc signature a topical-mixture or seed-expansion pass
     * reads; [[bm25]] answers "score docs against MY terms", this answers

@@ -93,6 +93,48 @@ object Vocab {
           .as("avg_surprisal"))
   }
 
+  /** Per-document token Shannon entropy (nats) — the within-doc
+    * diversity quality signal, complementing [[docSurprisal]] (which
+    * prices tokens by CORPUS rarity): low entropy flags repetitive
+    * boilerplate / keyword-stuffing (few tokens dominate), maximal
+    * entropy (= ln n_tokens) flags id dumps where every token is
+    * unique. H = ln(total) − (Σ tf·ln tf)/total over the doc's own
+    * token distribution — the algebraic form whose inputs survive the
+    * cross-engine float discipline:
+    *
+    * ln() differs by ulps across libms, so ln(tf) and ln(total) are
+    * rounded ONCE to 6 decimals and frozen as DECIMAL(18,6) (the
+    * [[docSurprisal]] freeze — a libm disagreement would have to land
+    * within ~1e-15 of a rounding boundary to diverge). The numerator
+    * total·ln(total)₆ − Σ tf·ln(tf)₆ is then EXACT decimal arithmetic
+    * (order-free), and the entropy is ONE IEEE division of
+    * bit-identical operands — raw doubles hash-match cross-engine.
+    *
+    * Scale shape: one corpus pass to doc-level TF with map-side
+    * combine (the [[tokenStats]] first level); everything after is one
+    * per-doc aggregation — no vocab join, no second pass. Docs with an
+    * EMPTY token stream (null text upstream, all-whitespace) have no
+    * TF rows and are absent from the output; a doc of one repeated
+    * token has H = 0 exactly (ln cancels — the decimal freeze keeps
+    * this identity, a raw-double pipeline would leak ulps). */
+  def docEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec = "decimal(18,6)"
+    def ln6(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")), 6).cast(dec)
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * ln6(col("tf"))).as("__s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") * ln6(col("n_tokens")) - col("__s")).cast("double") /
+          col("n_tokens").cast("double")).as("entropy"))
+  }
+
   /** SpaceSaving capacity for a corpus of `n` docs: the `planesFor`/
     * `cellsFor` analog — sized so the sketch runs EXACT (capacity ≥
     * distinct keys) at verify scales, where the oracle can hash-compare

@@ -101,6 +101,25 @@ object EventQueries {
           col("value_milli_7d"))
         .orderBy(col("event_id"))),
 
+    // Dense daily resample of per-user purchase value with forward
+    // fill (last-observation-carried-forward): the sparse purchase
+    // stream (~0.4 events/user/day, so most grid cells are gaps)
+    // becomes one row per (user, day) carrying the last known daily
+    // spend. Raw events collapse to (user, day) aggregates in ONE
+    // shuffle before any grid work; the grid is bounded by the time
+    // RANGE (≤ 30 buckets/user here), never the event count, and the
+    // fill frame is the O(1)-per-row UnboundedPreceding kind.
+    "q_gap_fill" -> ((s, dir) =>
+      graft.operators.GapFill.resample(
+          events(s, dir).filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("value")),
+          key = "user_id", ts = "ts",
+          sumExpr = round(col("value") * 1000).cast("long"),
+          bucketMillis = 86400000L)
+        .select(col("user_id"), col("bucket_ms"), col("n_bucket"),
+          col("sum_bucket"), col("filled_sum"))
+        .orderBy(col("user_id"), col("bucket_ms"))),
+
     // EXACT per-group percentiles — the ground truth q_sketch_profile
     // approximates. Both engines define quantiles by the same linear
     // interpolation over the sorted group, so the doubles hash-match
@@ -302,6 +321,24 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY tms
         |             RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS b, count(*) AS n,
+        |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b FROM s),
+        |f AS (
+        |  SELECT g.user_id, g.b, coalesce(e.n, 0) AS n_bucket,
+        |    e.v AS sum_bucket,
+        |    last_value(e.v IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+        |  FROM g LEFT JOIN e ON g.user_id = e.user_id AND g.b = e.b)
+        |SELECT user_id, CAST(b * 86400000 AS BIGINT) AS bucket_ms,
+        |  CAST(n_bucket AS BIGINT) AS n_bucket, sum_bucket, filled_sum
+        |FROM f ORDER BY user_id, bucket_ms""".stripMargin,
 
     "q_count_drift" ->
       """WITH daily AS (

@@ -142,6 +142,47 @@ object TextQueries {
   /** DuckDB spelling of TextAnalysis.normalized. */
   private val normSql = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
 
+  /** The full BM25 top-20 oracle query (shared: q_bm25_search runs it
+    * directly, q_rrf_fusion nests it as the first ranker's derived
+    * table). Pre-stripped; no line starts with '|'. */
+  private val bm25OracleSql: String = {
+    val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val (k1, b) = (1.2, 0.75)
+    val contrib =
+      s"(((CAST(s.n_docs AS DOUBLE) - dft.df) + ${d(0.5)}) / (dft.df + ${d(0.5)}))" +
+        s" * (tf.tf * ${d(k1 + 1.0)})" +
+        s" / (tf.tf + ${d(k1)} * (${d(1.0 - b)} + ((${d(b)} * CAST(tf.dl AS DOUBLE)) / s.avgdl)))"
+    val pivotCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN token = '$t' THEN contrib END) AS c_$i"
+    }.mkString(",\n       ")
+    val score = bm25Terms.indices
+      .map(i => s"coalesce(c_$i, ${d(0.0)})")
+      .reduceLeft((a, x) => s"($a + $x)")
+    s"""WITH docs AS (
+       |  SELECT doc_id, len(string_split($normSql, ' ')) AS dl,
+       |         string_split($normSql, ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (SELECT count(*) AS n_docs,
+       |             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+       |tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM docs),
+       |tf AS (
+       |  SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM tok WHERE token IN ($termList) GROUP BY 1, 2, 3),
+       |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |c AS (
+       |  SELECT tf.doc_id, tf.token, $contrib AS contrib
+       |  FROM tf JOIN dft USING (token) CROSS JOIN s),
+       |p AS (
+       |  SELECT doc_id,
+       |       $pivotCols,
+       |       count(*) AS n_terms_matched
+       |  FROM c GROUP BY doc_id)
+       |SELECT doc_id, $score AS score,
+       |       CAST(n_terms_matched AS BIGINT) AS n_terms_matched
+       |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** Shared CTE chain deriving the exact n-gram Jaccard pair table `j`
     * over the dup corpus — used by the pairs oracle and the clusters
     * oracle (which closes over it transitively). Pre-stripped; safe to
@@ -363,6 +404,39 @@ object TextQueries {
     "q_unigram_logprob" -> ((s, dir) =>
       Vocab.docSurprisal(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // Per-doc token Shannon entropy — the within-doc diversity signal
+    // (docSurprisal prices corpus rarity; this flags boilerplate /
+    // keyword-stuffing lows and id-dump highs). Same DECIMAL(18,6)
+    // ln-freeze + exact decimal numerator + one IEEE division, so the
+    // raw doubles hash-match the oracle.
+    "q_token_entropy" -> ((s, dir) =>
+      Vocab.docEntropy(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Reciprocal-rank fusion of the BM25 and weighted-keyword top-20s
+    // over the same lexicon — rank-only combination (no score
+    // calibration), fused score a FIXED two-term expression tree of
+    // IEEE ops. Each ranker is cut by TakeOrderedAndProject before the
+    // single-partition row_number prices its ≤20 rows.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val w20 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      def ranked(r: DataFrame): DataFrame =
+        r.orderBy(col("score").desc, col("doc_id")).limit(20)
+          .withColumn("rank", row_number().over(w20))
+          .select(col("doc_id"), col("rank"))
+      val docs = Tables.load(s, dir, "documents")
+      val bm = ranked(Relevance.bm25(docs, "doc_id", "text", bm25Terms))
+      val kw = ranked(docs.select(col("doc_id"),
+          TA.keywordScore(col("text"),
+            Seq("data" -> 1.0, "query" -> 1.0, "fast" -> 2.0)).as("score"))
+        .filter(col("score") > 0))
+      Relevance.rrfFuse(Seq("bm25" -> bm, "kw" -> kw), "doc_id", "rank")
+        .select(col("doc_id"), col("rank_bm25"), col("rank_kw"),
+          col("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
 
     // Per-doc top TF-IDF terms (smoothed ratio idf — no ln, raw doubles
     // hash-match cross-engine like q_bm25_search).
@@ -803,6 +877,24 @@ object TextQueries {
          |SELECT doc_id, rank, token AS term, tf, df_docs, score
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    "q_token_entropy" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks WHERE length(token) > 0 GROUP BY doc_id, token),
+         |d AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    sum(tf * CAST(round(ln(CAST(tf AS DOUBLE)), 6)
+         |              AS DECIMAL(18,6))) AS s
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  CAST(n_tokens * CAST(round(ln(CAST(n_tokens AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) - s AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE) AS entropy
+         |FROM d ORDER BY doc_id""".stripMargin,
+
     "q_bpe_pairs" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split($normSql, ' ')) AS token
@@ -852,43 +944,34 @@ object TextQueries {
     // idf, explicit parenthesization, non-exact double literals carried
     // through CAST('…' AS DOUBLE) string parses (nearest-double both
     // engines), per-term pivot cells summed in fixed terms order.
-    "q_bm25_search" -> {
-      val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
-      def d(x: Double) = s"CAST('$x' AS DOUBLE)"
-      val (k1, b) = (1.2, 0.75)
-      val contrib =
-        s"(((CAST(s.n_docs AS DOUBLE) - dft.df) + ${d(0.5)}) / (dft.df + ${d(0.5)}))" +
-          s" * (tf.tf * ${d(k1 + 1.0)})" +
-          s" / (tf.tf + ${d(k1)} * (${d(1.0 - b)} + ((${d(b)} * CAST(tf.dl AS DOUBLE)) / s.avgdl)))"
-      val pivotCols = bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"sum(CASE WHEN token = '$t' THEN contrib END) AS c_$i"
-      }.mkString(",\n         ")
-      val score = bm25Terms.indices
-        .map(i => s"coalesce(c_$i, ${d(0.0)})")
-        .reduceLeft((a, x) => s"($a + $x)")
-      s"""WITH docs AS (
-         |  SELECT doc_id, len(string_split($normSql, ' ')) AS dl,
-         |         string_split($normSql, ' ') AS toks
-         |  FROM documents WHERE text IS NOT NULL),
-         |s AS (SELECT count(*) AS n_docs,
-         |             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
-         |tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM docs),
-         |tf AS (
-         |  SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf
-         |  FROM tok WHERE token IN ($termList) GROUP BY 1, 2, 3),
-         |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         |c AS (
-         |  SELECT tf.doc_id, tf.token, $contrib AS contrib
-         |  FROM tf JOIN dft USING (token) CROSS JOIN s),
-         |p AS (
-         |  SELECT doc_id,
-         |         $pivotCols,
-         |         count(*) AS n_terms_matched
-         |  FROM c GROUP BY doc_id)
-         |SELECT doc_id, $score AS score,
-         |       CAST(n_terms_matched AS BIGINT) AS n_terms_matched
-         |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
+    "q_bm25_search" -> bm25OracleSql,
+
+    // Both rankers nest as derived tables (DuckDB allows WITH inside a
+    // subquery); ranks are row_number over the SAME (score desc,
+    // doc_id) order the rankers themselves are cut by, and the fused
+    // score repeats the Spark side's fixed two-term expression.
+    "q_rrf_fusion" ->
+      s"""WITH ra AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25
+         |  FROM ($bm25OracleSql) bm),
+         |rb AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank_kw
+         |  FROM (
+         |    SELECT doc_id, score FROM (
+         |      SELECT doc_id,
+         |        CAST(len(list_filter(string_split(text, ' '), t -> t = 'data')) AS DOUBLE) * 1.0
+         |        + CAST(len(list_filter(string_split(text, ' '), t -> t = 'query')) AS DOUBLE) * 1.0
+         |        + CAST(len(list_filter(string_split(text, ' '), t -> t = 'fast')) AS DOUBLE) * 2.0 AS score
+         |      FROM documents) t
+         |    WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20) kw)
+         |SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         |  ra.rank_bm25, rb.rank_kw,
+         |  (coalesce(1.0 / (60.0 + CAST(ra.rank_bm25 AS DOUBLE)), 0.0)
+         |   + coalesce(1.0 / (60.0 + CAST(rb.rank_kw AS DOUBLE)), 0.0)) AS rrf_score
+         |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+         |ORDER BY rrf_score DESC, doc_id""".stripMargin,
 
     "q_source_mix" ->
       """WITH g AS (
