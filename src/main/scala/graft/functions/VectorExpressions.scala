@@ -79,6 +79,28 @@ object LshBucketExpr {
     m.toDouble / 1000.0 - 0.5
   }
 
+  /** Memoized hyperplane rows: h(p, 0..dim-1) is a pure function of the
+    * plane index, and the corpus scan calls [[bucket]] once per row per
+    * band — recomputing two xxhash64 rounds per (plane, dim) per ROW put
+    * ~2×planes×dim hash evaluations on the hot scan (at sf10 that is
+    * ~10⁹ hash calls for the ANN corpus side alone). Each executor
+    * computes a plane's component row once and reuses it; the map is
+    * tiny (planes × dim doubles) and values are deterministic, so a
+    * racing putIfAbsent is benign. Rows longer than the cached dim
+    * extend the cache; shorter rows read a prefix. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
+  private def planeRow(p: Int, dim: Int): Array[Double] = {
+    val cached = planeCache.get(p)
+    if (cached != null && cached.length >= dim) cached
+    else {
+      val row = Array.tabulate(math.max(dim, 64))(planeComponent(p, _))
+      planeCache.put(p, row)
+      row
+    }
+  }
+
   /** Shared by interpreted and generated paths. */
   def bucket(v: ArrayData, from: Int, count: Int): Int = {
     val n = v.numElements()
@@ -91,11 +113,11 @@ object LshBucketExpr {
     var bits = 0
     var j = 0
     while (j < count) {
-      val p = from + j
+      val h = planeRow(from + j, n)
       var proj = 0.0
       i = 0
       while (i < n) {
-        proj += v.getDouble(i) * planeComponent(p, i)
+        proj += v.getDouble(i) * h(i)
         i += 1
       }
       if (proj > 0) bits |= (1 << j)

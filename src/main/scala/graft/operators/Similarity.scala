@@ -305,17 +305,38 @@ object Similarity {
     * the fitted components reproducible only up to ulps — fine for a
     * MODEL (assignment margins dwarf ulps); anything hash-compared
     * cross-engine must not embed them, which is why the fitted-IVF query
-    * is rows-only. */
+    * is rows-only.
+    *
+    * `maxFitRows` bounds the TRAINING SET, not the corpus: with cell
+    * count k ∝ n (the [[cellsFor]] contract) a full-corpus fit costs
+    * n×k×d per Lloyd round — O(n²d/targetCell), the term that made the
+    * fitted family the sf10 bench's heavy tail. Training on a bounded
+    * deterministic sample is the standard IVF practice (FAISS trains
+    * coarse quantizers on ~256 points per centroid); the sample is a
+    * modulus filter on the id hash (`xxhash64(id) mod stride == 0`) —
+    * fully distributed, no TakeOrdered funnel, and stride 1 (n ≤
+    * maxFitRows) is EXACTLY the previous behavior. Assignment of the
+    * full corpus stays exact and happens once, outside the fit. */
   def kmeansFit(corpus: DataFrame, k: Int, maxIter: Int = 10, tol: Double = 1e-6,
-                idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                maxFitRows: Int = 1 << 16): Seq[Seq[Double]] = {
     require(k >= 2, s"k must be >= 2, got $k")
-    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    require(maxIter >= 1, s"maxIter >= 1, got $maxIter")
+    require(maxFitRows >= k, s"maxFitRows ($maxFitRows) must be >= k ($k)")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val c = droppingUndefinedNorms(
       corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
         .withColumn("cn", dot(col("cv"), col("cv"))), "cn")
-    val u = c.select(col("vec_id"),
+    val uFull = c.select(col("vec_id"),
         transform(col("cv"), x => x / sqrt(col("cn"))).as("uv"))
+    // One count job to size the stride; the expected sample n/stride lands
+    // in (maxFitRows/2, maxFitRows]. Hash-modulus keeps the sample a
+    // deterministic function of the ids alone (partitioning-independent).
+    val n = uFull.count()
+    val stride = math.max(1L, math.ceil(n.toDouble / maxFitRows).toLong)
+    val u = (if (stride == 1L) uFull
+             else uFull.filter(
+               pmod(xxhash64(col("vec_id").cast("string")), lit(stride)) === 0))
       .persist(lvl)
     try {
       var cents: IndexedSeq[IndexedSeq[Double]] = u

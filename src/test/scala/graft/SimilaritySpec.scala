@@ -121,6 +121,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(objective(fit) >= objective(init) - 1e-9)
   }
 
+  test("kmeansFit maxFitRows: capped fit == uncapped fit over the same modulus sample") {
+    val df = blobCorpus(nBlobs = 4, perBlob = 100, noise = 0.08)
+    // n=400, cap=100 -> stride 4: the training set is the hash-modulus
+    // quarter of the corpus. The capped fit must equal running the
+    // UNCAPPED fit directly on that subset (same init order, same Lloyd
+    // rounds over the same rows) — the sample is a pure pre-filter.
+    val capped = Similarity.kmeansFit(df, k = 8, maxIter = 10, maxFitRows = 100)
+    val subset = df.filter(
+      pmod(xxhash64($"vec_id".cast("string")), lit(4L)) === 0)
+    val direct = Similarity.kmeansFit(subset, k = 8, maxIter = 10)
+    assert(capped == direct, "modulus sample must be a pure pre-filter")
+    // And a quarter-sample of 4 well-separated blobs still recovers all
+    // blob directions — the reason sample-fitting is sound at scale.
+    (0 until 4).foreach { b =>
+      val best = capped.map(c => c(b)).max
+      assert(best > 0.9, s"blob $b best capped-fit centroid component $best")
+    }
+    // cap >= n: stride 1, bit-identical to the unbounded fit.
+    val full = Similarity.kmeansFit(df, k = 8, maxIter = 10)
+    assert(Similarity.kmeansFit(df, k = 8, maxIter = 10, maxFitRows = 400) == full)
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansFit(df, k = 8, maxFitRows = 4)
+    }
+  }
+
   test("fitted-centroid IVF: high recall on clustered data, edge cases guarded") {
     val df = blobCorpus(nBlobs = 4, perBlob = 50, noise = 0.08)
     val probes = df.filter($"vec_id" % 20 === 0)
