@@ -77,7 +77,7 @@ object VerifyExtras {
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
       val annLsh = Similarity.lshTopK(probes, emb, k = 5)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
-      val annIvf = Similarity.ivfTopK(probes, emb, k = 5, nCentroids = 16, nProbe = 4)
+      val annIvf = Similarity.ivfTopK(probes, emb, k = 5, nCentroids = 16, nProbe = 6)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
       val fitCents = Similarity.kmeansFit(emb, k = 16, maxIter = 5)
       val annIvfFit = Similarity.ivfTopK(probes, emb, k = 5, nProbe = 4,
@@ -158,14 +158,17 @@ object VerifyExtras {
         // regression to bare banding (0.24) fails loudly.
         Check("ann_lsh_vs_brute_force", pairRecall(annTruth, annLsh),
           floor = 0.6, annTruth.length, annLsh.length),
+        // Static sampled-centroid IVF at nProbe=6 (the q_ann_ivf config):
+        // measured 0.68 on the near-random fixture — the floor pins
+        // usable retrieval (a regression to the old nProbe=4 config's
+        // 0.40 fails loudly).
         Check("ann_ivf_vs_brute_force", pairRecall(annTruth, annIvf),
-          floor = 0.15, annTruth.length, annIvf.length),
+          floor = 0.4, annTruth.length, annIvf.length),
         // Trained cells follow the data; on near-random embeddings the
-        // fit still centers cells on what structure exists, so the floor
-        // matches the sampled-centroid variant (it empirically clears it
-        // with margin).
+        // fit still centers cells on what structure exists (measured
+        // 0.72 at nProbe=4, fewer probes than the static path needs).
         Check("ann_ivf_fit_vs_brute_force", pairRecall(annTruth, annIvfFit),
-          floor = 0.15, annTruth.length, annIvfFit.length),
+          floor = 0.4, annTruth.length, annIvfFit.length),
         // Injected copies sit at cos ∈ [0.999, 1]: the banding survival
         // probability there is ≈1, so missing pairs indicate a blocking
         // bug, not banding variance.

@@ -85,9 +85,12 @@ object LshBucketExpr {
     * ~2×planes×dim hash evaluations on the hot scan (at sf10 that is
     * ~10⁹ hash calls for the ANN corpus side alone). Each executor
     * computes a plane's component row once and reuses it; the map is
-    * tiny (planes × dim doubles) and values are deterministic, so a
-    * racing putIfAbsent is benign. Rows longer than the cached dim
-    * extend the cache; shorter rows read a prefix. */
+    * tiny (planes × dim doubles) and values are deterministic — a race
+    * only costs a duplicate computation, never a wrong value. The merge
+    * keeps the LONGEST row (a plain put could let a short row replace a
+    * longer cached one under a mixed-dim race, re-triggering
+    * recomputation on later long-dim calls). Rows longer than the
+    * cached dim extend the cache; shorter rows read a prefix. */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
 
@@ -96,7 +99,8 @@ object LshBucketExpr {
     if (cached != null && cached.length >= dim) cached
     else {
       val row = Array.tabulate(math.max(dim, 64))(planeComponent(p, _))
-      planeCache.put(p, row)
+      planeCache.merge(p, row,
+        (a, b) => if (a.length >= b.length) a else b)
       row
     }
   }

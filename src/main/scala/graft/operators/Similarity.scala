@@ -294,9 +294,12 @@ object Similarity {
     * (count, Σ component_0..d-1) per cell with map-side partial
     * aggregation, so the shuffle carries ≤ partitions × k × d partial
     * values — model-sized, independent of corpus row count. Only the
-    * k×(d+1) aggregate rows ever reach the driver. Init is the same
-    * hash-ordered deterministic sample as ivfTopK's fallback, so
-    * fit-vs-sample comparisons hold the seed fixed.
+    * k×(d+1) aggregate rows ever reach the driver. At stride 1 (n ≤
+    * maxFitRows) the init is the same hash-ordered deterministic sample
+    * as ivfTopK's fallback, so fit-vs-sample comparisons hold the seed
+    * fixed; at stride > 1 the init is the k min-hash rows OF THE MODULUS
+    * SAMPLE (still deterministic, but a different draw than the
+    * full-corpus sample).
     *
     * Empty cells keep their previous centroid (no respawn heuristic —
     * deterministic and the standard IVF practice). Stops after `maxIter`
@@ -322,7 +325,12 @@ object Similarity {
                 maxFitRows: Int = 1 << 16): Seq[Seq[Double]] = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(maxIter >= 1, s"maxIter >= 1, got $maxIter")
-    require(maxFitRows >= k, s"maxFitRows ($maxFitRows) must be >= k ($k)")
+    // 2×k, not k: the expected modulus-sample size is only n/stride ∈
+    // (maxFitRows/2, maxFitRows], so a cap of exactly k could draw fewer
+    // than k training rows and silently deliver fewer than k centroids.
+    // The init-shortfall fallback below catches the residual variance.
+    require(maxFitRows >= 2 * k,
+      s"maxFitRows ($maxFitRows) must be >= 2*k (k=$k)")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val c = droppingUndefinedNorms(
       corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
@@ -334,15 +342,26 @@ object Similarity {
     // deterministic function of the ids alone (partitioning-independent).
     val n = uFull.count()
     val stride = math.max(1L, math.ceil(n.toDouble / maxFitRows).toLong)
-    val u = (if (stride == 1L) uFull
+    var u = (if (stride == 1L) uFull
              else uFull.filter(
                pmod(xxhash64(col("vec_id").cast("string")), lit(stride)) === 0))
       .persist(lvl)
+    def collectInit(d: DataFrame): IndexedSeq[IndexedSeq[Double]] = d
+      .orderBy(xxhash64(col("vec_id").cast("string"))).limit(k)
+      .select(col("uv")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
     try {
-      var cents: IndexedSeq[IndexedSeq[Double]] = u
-        .orderBy(xxhash64(col("vec_id").cast("string"))).limit(k)
-        .select(col("uv")).collect()
-        .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      var cents = collectInit(u)
+      // Modulus-sample variance guard: the expected sample size is in
+      // (maxFitRows/2, maxFitRows] but the draw is binomial — if it
+      // cannot even seed k centroids, retrain on the full corpus
+      // (recovers exact stride-1 semantics instead of silently fitting
+      // fewer cells than asked).
+      if (stride > 1L && cents.length < k) {
+        u.unpersist()
+        u = uFull.persist(lvl)
+        cents = collectInit(u)
+      }
       if (cents.length < 2) return cents.map(_.toSeq)
       val dim = cents.head.length
       var moved = Double.MaxValue

@@ -59,8 +59,14 @@ object SimilarityQueries {
       val v = Tables.load(s, dir, "embeddings")
       // Cell count scales with the corpus (cellsFor) so per-cell probe
       // volume stays ~targetCell; 16 cells at verify scales, unchanged.
+      // nProbe=6: sampled (unfitted) centroids make unbalanced Voronoi
+      // cells, so the static path needs a wider probe than the fitted
+      // variant to reach usable recall — measured 0.40 at nProbe=4 vs
+      // 0.68 at nProbe=6 on the near-random verify fixture (fitted cells
+      // reach 0.72 at nProbe=4). Probe cost stays model-scale: nProbe
+      // candidate cells per probe regardless of corpus size.
       Similarity.ivfTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5,
-          nCentroids = Similarity.cellsFor(v.count()), nProbe = 4)
+          nCentroids = Similarity.cellsFor(v.count()), nProbe = 6)
         .orderBy(col("query_id"), col("rank"))
     }),
 

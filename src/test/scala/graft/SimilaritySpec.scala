@@ -67,13 +67,16 @@ class SimilaritySpec extends AnyFunSuite {
     val probes = v.filter($"vec_id" % 100 === 0)
     val exact = Similarity.bruteForceTopK(probes, v, k = 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(probes, v, k = 5, nCentroids = 16, nProbe = 4)
+    val ivf = Similarity.ivfTopK(probes, v, k = 5, nCentroids = 16, nProbe = 6)
       .collect()
     assert(ivf.nonEmpty)
     assert(ivf.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("query_id")))
     val got = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = exact.count(got.contains).toDouble / exact.size
-    assert(recall >= 0.2, s"IVF recall $recall") // random vectors: cells barely correlate with cosine, just sanity
+    // nProbe=6 (the q_ann_ivf config): sampled centroids need a wider
+    // probe than fitted cells — measured 0.68 at sf0.01; 0.4 pins usable
+    // retrieval on the near-random fixture.
+    assert(recall >= 0.4, s"IVF recall $recall")
   }
 
   /** Synthetic blob corpus: `perBlob` noisy copies of each of nBlobs
@@ -131,7 +134,16 @@ class SimilaritySpec extends AnyFunSuite {
     val subset = df.filter(
       pmod(xxhash64($"vec_id".cast("string")), lit(4L)) === 0)
     val direct = Similarity.kmeansFit(subset, k = 8, maxIter = 10)
-    assert(capped == direct, "modulus sample must be a pure pre-filter")
+    // Component-wise tolerance, not ==: the two fits build different
+    // physical plans over the same rows, and cross-partition float
+    // summation makes fitted components reproducible only up to ulps
+    // (the module contract) — bit-exact equality could flake under a
+    // different partition count.
+    def centsClose(a: Seq[Seq[Double]], b: Seq[Seq[Double]], tol: Double = 1e-12): Boolean =
+      a.length == b.length && a.zip(b).forall { case (x, y) =>
+        x.length == y.length &&
+          x.zip(y).forall { case (p, q) => math.abs(p - q) <= tol } }
+    assert(centsClose(capped, direct), "modulus sample must be a pure pre-filter")
     // And a quarter-sample of 4 well-separated blobs still recovers all
     // blob directions — the reason sample-fitting is sound at scale.
     (0 until 4).foreach { b =>
@@ -140,7 +152,7 @@ class SimilaritySpec extends AnyFunSuite {
     }
     // cap >= n: stride 1, bit-identical to the unbounded fit.
     val full = Similarity.kmeansFit(df, k = 8, maxIter = 10)
-    assert(Similarity.kmeansFit(df, k = 8, maxIter = 10, maxFitRows = 400) == full)
+    assert(centsClose(Similarity.kmeansFit(df, k = 8, maxIter = 10, maxFitRows = 400), full))
     intercept[IllegalArgumentException] {
       Similarity.kmeansFit(df, k = 8, maxFitRows = 4)
     }
