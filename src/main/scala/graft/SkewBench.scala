@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Joins}
+import graft.operators.{Dedup, Joins, Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /** Adversarial-distribution stress bench: the same operator shapes the
@@ -137,6 +137,36 @@ object SkewBench {
     def lineDedup(d: DataFrame): DataFrame =
       Dedup.dropCommonLines(d.select(col("doc_id"),
         col("text").as("lined_text")), "doc_id", "lined_text")
+    // q_span_dedup shape: the banner's 6-token spans appear in 90% of
+    // docs — the duplicated-span census's worst case (its (span, doc)
+    // collapse + two-counter buffers exist for exactly this regime).
+    def spanDedup(d: DataFrame): DataFrame =
+      Dedup.duplicatedSpans(d, "doc_id", "text", k = 6)
+    // q_weighted_sample shape over token mass. Skew arm: every 10th doc
+    // carries 1000x weight (a few docs absorb ~99% of the token stream)
+    // — stresses the DECIMAL prefix-sum + epoch-upsampling path, which
+    // must stay flat because the per-row work is rank arithmetic, never
+    // a per-heavy-doc loop.
+    val tokDocs = docs.select(col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    val zipfTok = tokDocs.withColumn("n_tokens",
+      when(col("doc_id") % 10 === 0, col("n_tokens") * 1000L)
+        .otherwise(col("n_tokens")))
+    def wsample(d: DataFrame): DataFrame =
+      Sampling.weightedSystematicSample(d, "doc_id", "n_tokens", k = 200)
+    // q_quantile_norm shape. Skew arm: one source absorbs 90% of docs —
+    // the hot GROUP that funnels a naive per-group sort window through
+    // one task; the two-phase bucketed form's cost is per-(group,
+    // bucket), so it must degrade smoothly.
+    val docsFull = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+    val qualDocs = docsFull.select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("quality"))
+    val hotSrcDocs = qualDocs.withColumn("source",
+      when(col("doc_id") % 10 =!= 0, lit("hot_source")).otherwise(col("source")))
+    def qnorm(d: DataFrame): DataFrame =
+      Sampling.groupQuantileRank(d, "quality", Seq("source"),
+        minScore = 0.0, maxScore = 1.0)
 
     val pairs: Seq[(String, DataFrame => DataFrame, DataFrame, DataFrame)] = Seq(
       ("asof_join", asof, events, zipfEvents(events)),
@@ -147,7 +177,10 @@ object SkewBench {
       ("minhash_lsh", minhash, docs, boilerDocs(docs)),
       ("ngram_jaccard", jaccard, docs, boilerDocs(docs)),
       ("simhash", simhash, docs, boilerDocs(docs)),
-      ("line_dedup", lineDedup, docs, boilerDocs(docs)))
+      ("line_dedup", lineDedup, docs, boilerDocs(docs)),
+      ("span_dedup", spanDedup, docs, boilerDocs(docs)),
+      ("weighted_sample", wsample, tokDocs, zipfTok),
+      ("quantile_norm", qnorm, qualDocs, hotSrcDocs))
 
     def time(df: => DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -36,11 +36,15 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Recall cross-checks for the rows-only approximate operators — a
     // driver-visible artifact (outDir + repo root); never allowed to fail
-    // the correctness dump itself.
-    try VerifyExtras.writeJson(spark, sfDir,
-      Seq(s"$outDir/verify_extras.json", "VERIFY_EXTRAS.json"))
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] extras failed: ${e.getMessage}") }
+    // the correctness dump itself. SPARK_GRAFT_SKIP_EXTRAS=1 elides them:
+    // the extras' exact twins (brute-force ANN, all-pairs cosine) are
+    // verify-scale by contract — at sf10 a subset correctness run would
+    // otherwise stall on truths the operators exist to avoid computing.
+    if (!sys.env.get("SPARK_GRAFT_SKIP_EXTRAS").contains("1"))
+      try VerifyExtras.writeJson(spark, sfDir,
+        Seq(s"$outDir/verify_extras.json", "VERIFY_EXTRAS.json"))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] extras failed: ${e.getMessage}") }
     spark.stop()
   }
 }

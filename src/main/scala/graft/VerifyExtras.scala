@@ -221,6 +221,18 @@ object VerifyExtras {
     val hllErr = rows.toSeq.flatMap(err(_, "approx_distinct", "exact_distinct")).maxOption
     val qErr = rows.toSeq.flatMap(r =>
       err(r, "p50", "ep50") ++ err(r, "p95", "ep95")).maxOption
+    // q_profile_sketch's estimates vs the exact column profile (worst
+    // column): the operator-level twin of the HLL check above — same
+    // sketch, but through the profile stack/unpivot path.
+    val profCols = Seq("o_custkey", "o_orderstatus", "o_totalprice_cents",
+      "o_orderpriority")
+    val h = Fixtures.hiveOrders(spark, sfDir)
+    val profExact = graft.operators.Monitoring.columnProfile(h, profCols)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val profEst = graft.operators.Monitoring.columnProfileSketch(h, profCols)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val profErr = profCols.map(c =>
+      relErr(profEst(c).toDouble, math.max(profExact(c), 1L).toDouble)).max
     // rsd=0.05 HLL++: observed per-group error is a few percent.
     hllErr.map(e => Check("sketch_hll_distinct_accuracy", 1.0 - e, floor = 0.9,
       rows.length, rows.length, metric = "accuracy")).toSeq ++
@@ -229,7 +241,9 @@ object VerifyExtras {
       // value-space delta with no code change, so the floor is a loose
       // sanity bound (observed ≈0.99 at sf0.01, ≈0.96 at sf0.001).
       qErr.map(e => Check("sketch_quantile_accuracy", 1.0 - e, floor = 0.85,
-        rows.length, rows.length, metric = "accuracy")).toSeq
+        rows.length, rows.length, metric = "accuracy")).toSeq ++
+      Seq(Check("profile_sketch_distinct_accuracy", 1.0 - profErr, floor = 0.85,
+        profCols.length, profCols.length, metric = "accuracy"))
   }
 
   def writeJson(spark: SparkSession, sfDir: String, outPaths: Seq[String]): Boolean = {

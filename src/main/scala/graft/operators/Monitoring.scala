@@ -116,6 +116,67 @@ object Monitoring {
       .drop("ord")
   }
 
+  /** [[columnProfile]]'s 100 TB form: the exact multi-distinct (one
+    * Expand branch per profiled column — a 4× scan-width blow-up at 4
+    * columns, the q_profile_compare sf10 tail) swaps for HLL++
+    * `approx_count_distinct`, a plain single-pass aggregate: no Expand,
+    * one scan at native width, mergeable partials. Null counts and
+    * native-typed min/max stay exact — only the distinct count is an
+    * estimate (rsd default 0.05; deterministic for a given value set,
+    * order-insensitive register max-merge). */
+  def columnProfileSketch(df: DataFrame, cols: Seq[String],
+                          rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    require(cols.forall(c => c.matches("[A-Za-z0-9_]+")),
+      "column names must be [A-Za-z0-9_]+ (they are spliced into stack())")
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"$i, '$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(ord, column, n_nulls, n_distinct, min_s, max_s)"))
+      .drop("ord")
+  }
+
+  /** [[profileCompare]] over sketched profiles — the scale path for the
+    * per-column health row. null_drift and range_drift stay exact
+    * (their inputs are exact); distinct_drift compares ESTIMATES, so it
+    * fires on relative divergence beyond `distinctTol` instead of bare
+    * inequality — two sides holding different same-cardinality value
+    * sets legitimately produce slightly different register sets, and a
+    * bare != would flag sketch noise as drift. The tol should sit a
+    * bit above the sketch rsd (estimates of the SAME value set are
+    * identical; of equal-cardinality different sets, within ~rsd each
+    * of truth). Rows-only by nature: HLL register layouts aren't
+    * SQL-portable — accuracy vs the exact profile is pinned in
+    * MonitoringSpec and exported per-round via VerifyExtras. */
+  def profileCompareSketch(left: DataFrame, right: DataFrame,
+                           cols: Seq[String], rsd: Double = 0.05,
+                           distinctTol: Double = 0.15): DataFrame = {
+    val l = columnProfileSketch(left, cols, rsd)
+      .select(col("column"), col("n_nulls").as("hive_nulls"),
+        col("n_distinct").as("hive_distinct"),
+        col("min_s").as("hive_min"), col("max_s").as("hive_max"))
+    val r = columnProfileSketch(right, cols, rsd)
+      .select(col("column"), col("n_nulls").as("sf_nulls"),
+        col("n_distinct").as("sf_distinct"),
+        col("min_s").as("sf_min"), col("max_s").as("sf_max"))
+    l.join(r, Seq("column"))
+      .withColumn("null_drift", col("hive_nulls") =!= col("sf_nulls"))
+      .withColumn("distinct_drift",
+        abs(col("hive_distinct") - col("sf_distinct")).cast("double") >
+          lit(distinctTol) * greatest(col("hive_distinct"), col("sf_distinct"))
+            .cast("double"))
+      .withColumn("range_drift",
+        !(col("hive_min") <=> col("sf_min")) || !(col("hive_max") <=> col("sf_max")))
+  }
+
   /** Column-profile COMPARE across warehouse sides — the reference's
     * count-compare deepened to per-column health: null counts, distinct
     * counts, and min/max per column on both sides, with drift flags. A

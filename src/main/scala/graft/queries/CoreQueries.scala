@@ -386,6 +386,18 @@ object CoreQueries {
           Seq("o_custkey", "o_orderstatus", "o_totalprice_cents", "o_orderpriority"))
         .orderBy(col("column"))),
 
+    // The same per-column health row on the 100 TB path: HLL++ distinct
+    // estimates instead of the exact multi-distinct (whose Expand
+    // multiplies the scan width per profiled column — the q_profile_
+    // compare sf10 tail). Rows-only: HLL estimates aren't SQL-portable;
+    // estimate accuracy vs the exact profile is pinned in MonitoringSpec
+    // and exported per-round via VerifyExtras.
+    "q_profile_sketch" -> ((s, dir) =>
+      graft.operators.Monitoring.profileCompareSketch(
+          Fixtures.hiveOrders(s, dir), Fixtures.sfOrders(s, dir),
+          Seq("o_custkey", "o_orderstatus", "o_totalprice_cents", "o_orderpriority"))
+        .orderBy(col("column"))),
+
     // Consistent by-key 1/4 sample of both sides, diffed exactly: scaled
     // counts are unbiased estimates of the full diff's counts from a
     // quarter-size shuffle (the cheap "how bad is it" probe before

@@ -94,6 +94,43 @@ class MonitoringSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Monitoring.columnProfile(l, Seq("bad name")))
   }
 
+  test("profileCompareSketch: exact flags preserved, estimate accuracy, no sketch-noise drift") {
+    // Identical sides: every flag false — the sketch is deterministic
+    // for a given value set, so estimate equality is exact here.
+    val base = Fixtures.hiveOrders(spark, TestSpark.Sf0001)
+      .select($"o_custkey", $"o_orderstatus", $"o_totalprice_cents")
+    val same = Monitoring.profileCompareSketch(base, base,
+        Seq("o_custkey", "o_orderstatus", "o_totalprice_cents"))
+      .collect()
+    assert(same.length == 3)
+    assert(same.forall(r => !r.getAs[Boolean]("null_drift") &&
+      !r.getAs[Boolean]("distinct_drift") && !r.getAs[Boolean]("range_drift")))
+    // Estimate accuracy vs the exact profile: rsd=0.05 HLL++ lands
+    // within a few percent per column at sf0.01 cardinalities.
+    val exact = Monitoring.columnProfile(base,
+        Seq("o_custkey", "o_orderstatus", "o_totalprice_cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val est = Monitoring.columnProfileSketch(base,
+        Seq("o_custkey", "o_orderstatus", "o_totalprice_cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    exact.foreach { case (c, e) =>
+      val rel = math.abs(est(c) - e).toDouble / math.max(e, 1L)
+      assert(rel <= 0.15, s"column $c: exact=$e est=${est(c)} relErr=$rel")
+    }
+    // Exact sub-flags agree with the exact variant on drifted fixtures
+    // (null/range inputs are exact in both forms).
+    val h = Fixtures.hiveOrders(spark, TestSpark.Sf0001)
+    val s2 = Fixtures.sfOrders(spark, TestSpark.Sf0001)
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice_cents")
+    val exFlags = Monitoring.profileCompare(h, s2, cols).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Boolean]("null_drift"),
+        r.getAs[Boolean]("range_drift")))).toMap
+    val skFlags = Monitoring.profileCompareSketch(h, s2, cols).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Boolean]("null_drift"),
+        r.getAs[Boolean]("range_drift")))).toMap
+    assert(exFlags == skFlags)
+  }
+
   test("constraintReport: null/dup pks and FK misses counted exactly") {
     val child = Seq(
       (Some(1L), Some(10L)), (Some(2L), Some(20L)), (Some(2L), Some(10L)),
