@@ -7,6 +7,9 @@ import duckdb, pandas as pd, numpy as np
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
+# optional: write a CORRECTNESS_r{N}-style JSON artifact
+jsonout = sys.argv[3] if len(sys.argv) > 3 else None
+report = {}
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 con = duckdb.connect()
@@ -30,22 +33,34 @@ def norm(df):
             df[c] = df[c].astype("float64")
     return df.reset_index(drop=True)
 
+def record(name, mine_rows, oracle_rows, rows_m, schema_m, hash_m, err):
+    report[name] = {"rows_match": rows_m, "schema_match": schema_m,
+                    "hash_match": hash_m, "spark_rows": mine_rows,
+                    "oracle_rows": oracle_rows, "err": err}
+
 fails = 0
 for qdir in sorted(glob.glob(f"{outdir}/q_*")):
     name = os.path.basename(qdir)
     mine = pd.read_parquet(qdir)
     if name not in oracle:
         print(f"{name:28s} rows-only: {len(mine)} rows {'OK' if len(mine)>0 else 'EMPTY!'}")
+        record(name, len(mine), None, None, None, None, "no_oracle")
         continue
     try:
         ref = con.execute(oracle[name]).fetchdf()
     except Exception as e:
-        print(f"{name:28s} ORACLE SQL ERROR: {str(e)[:150]}"); fails += 1; continue
+        print(f"{name:28s} ORACLE SQL ERROR: {str(e)[:150]}"); fails += 1
+        record(name, len(mine), None, None, None, None, f"oracle_sql: {str(e)[:150]}")
+        continue
     a, b = norm(mine), norm(ref)
     if list(a.columns) != list(b.columns):
-        print(f"{name:28s} COLUMN MISMATCH mine={list(a.columns)} ref={list(b.columns)}"); fails += 1; continue
+        print(f"{name:28s} COLUMN MISMATCH mine={list(a.columns)} ref={list(b.columns)}"); fails += 1
+        record(name, len(a), len(b), len(a) == len(b), False, None, None)
+        continue
     if len(a) != len(b):
-        print(f"{name:28s} ROWCOUNT {len(a)} vs {len(b)}"); fails += 1; continue
+        print(f"{name:28s} ROWCOUNT {len(a)} vs {len(b)}"); fails += 1
+        record(name, len(a), len(b), False, True, None, None)
+        continue
     # Driver parity: the driver hashes the pandas values dtype-sensitively
     # across KINDS — int64 vs float64 (e.g. DuckDB HUGEINT from an uncast
     # sum(BIGINT) materializing as float64) fails even when values agree.
@@ -54,7 +69,9 @@ for qdir in sorted(glob.glob(f"{outdir}/q_*")):
     dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
           if a[c].dtype.kind != b[c].dtype.kind]
     if dt:
-        print(f"{name:28s} DTYPE MISMATCH {dt} (driver hash would fail)"); fails += 1; continue
+        print(f"{name:28s} DTYPE MISMATCH {dt} (driver hash would fail)"); fails += 1
+        record(name, len(a), len(b), True, True, False, f"dtype: {dt}")
+        continue
     bad = []
     for c in a.columns:
         if str(a[c].dtype) == "float64" or str(b[c].dtype) == "float64":
@@ -67,7 +84,12 @@ for qdir in sorted(glob.glob(f"{outdir}/q_*")):
     if bad:
         fails += 1
         print(f"{name:28s} VALUE MISMATCH {len(bad)} cols; first: col={bad[0][0]} row={bad[0][1]} mine={bad[0][2]!r} ref={bad[0][3]!r}")
+        record(name, len(a), len(b), True, True, False, None)
     else:
         print(f"{name:28s} OK ({len(a)} rows)")
+        record(name, len(a), len(b), True, True, True, None)
+if jsonout:
+    with open(jsonout, "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
 print("FAILURES:", fails)
 sys.exit(1 if fails else 0)
