@@ -586,12 +586,20 @@ object Dedup {
     * distinct pages); within-document repetition is q_text_repetition's
     * business and deliberately does NOT count here (df is distinct-doc).
     *
-    * Scale shape: spans are md5'd to fixed 32-char keys map-side (the
-    * line-dedup census discipline — span TEXT never shuffles); the
-    * (span, doc) collapse runs FIRST so the df census and the
-    * fraction join see distinct pairs, never the positional stream; both
-    * aggregates are two-counter buffers. Three bounded shuffles:
-    * (span, doc) collapse → span census → census join back to pairs.
+    * Scale shape: spans are hashed to fixed 128-bit keys map-side — a
+    * struct of two seed-independent xxhash64 longs (the output is
+    * per-doc COUNTS over span equality, so any collision-free key is
+    * semantically identical to hashing the text itself; two 64-bit
+    * lanes put the corpus-wide collision odds at ~n²/2¹²⁹ where one
+    * 64-bit lane would already court a hash-parity break at ~10⁸
+    * distinct spans — and 16 bytes of longs beat both the 32-char md5
+    * hex AND md5's per-span crypto cost, which was the query's sf10
+    * bottleneck). Span TEXT never shuffles — the line-dedup census
+    * discipline. The (span, doc) collapse runs FIRST so the df census
+    * and the fraction join see distinct pairs, never the positional
+    * stream; both aggregates are two-counter buffers. Three bounded
+    * shuffles: (span, doc) collapse → span census → census join back
+    * to pairs.
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int, minDocs: Int = 2): DataFrame = {
@@ -603,7 +611,13 @@ object Dedup {
       .filter(size(col("__toks")) >= k)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("__toks")) - k + 1),
-        i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k)))))).as("g"))
+        i => {
+          // Hash the token ARRAY slice directly (xxhash64 chains
+          // per-element hashes, so ["ab","c"] vs ["a","bc"] cannot
+          // collide structurally) — no intermediate concat allocation.
+          val s = slice(col("__toks"), i, lit(k))
+          struct(xxhash64(s), xxhash64(s, lit(1)))
+        })).as("g"))
       .groupBy(col("g"), col("doc_id"))
       .agg(count(lit(1)).as("n_pos"))
     val census = pairs.groupBy(col("g"))
