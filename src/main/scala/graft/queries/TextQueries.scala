@@ -447,7 +447,9 @@ object TextQueries {
 
     // Cross-doc duplicated 6-token spans — the exact-substring-dedup
     // diagnostic (within-doc repetition is q_text_repetition's business;
-    // this census is distinct-doc). Span text never shuffles (md5 keys).
+    // this census is distinct-doc). Span text never shuffles (128-bit
+    // xxhash64 keys; the oracle's md5 twin agrees because both are
+    // collision-free and only counts are compared).
     "q_span_dedup" -> ((s, dir) =>
       Dedup.duplicatedSpans(Tables.load(s, dir, "documents"), "doc_id",
           "text", k = 6)
