@@ -96,6 +96,35 @@ class SimilaritySpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("kmeansFit init-shortfall: a sample too thin to seed k falls back to the full corpus") {
+    // Adversarial ids: n=400 with maxFitRows=16 gives stride 25, and the
+    // ids are chosen so only 3 of 400 satisfy the modulus draw — the
+    // sample cannot seed k=8 centroids, so the fit must retrain on the
+    // full corpus (stride-1 semantics) instead of silently fitting 3.
+    val base = blobCorpus(nBlobs = 4, perBlob = 100, noise = 0.08)
+    val stride = 25L
+    val pool = spark.range(0, 20000)
+      .select($"id", pmod(xxhash64($"id".cast("string")), lit(stride)).as("h"))
+    val eligible = pool.filter($"h" === 0).select($"id").as[Long].head(3)
+    val filler = pool.filter($"h" =!= 0).select($"id").as[Long].head(397)
+    val newIds = (eligible ++ filler).toIndexedSeq
+    val vecs = base.orderBy($"vec_id")
+      .select(Similarity.asDouble($"embedding")).as[Seq[Double]].collect()
+    val remapped = vecs.zipWithIndex
+      .map { case (v, i) => (newIds(i), v.map(_.toFloat).toArray) }
+      .toSeq.toDF("vec_id", "embedding")
+    // Sanity: the modulus sample really is 3 rows (< k).
+    assert(remapped.filter(
+      pmod(xxhash64($"vec_id".cast("string")), lit(stride)) === 0).count() == 3L)
+    val capped = Similarity.kmeansFit(remapped, k = 8, maxIter = 10, maxFitRows = 16)
+    val full = Similarity.kmeansFit(remapped, k = 8, maxIter = 10)
+    assert(capped.length == 8, s"fallback must still deliver k centroids, got ${capped.length}")
+    // Fallback ≡ the uncapped fit (same init draw, same Lloyd rounds over
+    // the same rows), up to cross-partition float-sum ulps.
+    assert(capped.length == full.length && capped.zip(full).forall {
+      case (a, b) => a.zip(b).forall { case (p, q) => math.abs(p - q) <= 1e-12 } })
+  }
+
   test("kmeansFit recovers blob directions and never worsens the init objective") {
     val df = blobCorpus(nBlobs = 4, perBlob = 50, noise = 0.08)
     val fit = Similarity.kmeansFit(df, k = 8, maxIter = 10)
