@@ -159,11 +159,13 @@ object VerifyExtras {
         Check("ann_lsh_vs_brute_force", pairRecall(annTruth, annLsh),
           floor = 0.6, annTruth.length, annLsh.length),
         // Static sampled-centroid IVF at nProbe=6 (the q_ann_ivf config):
-        // measured 0.68 on the near-random fixture — the floor pins
-        // usable retrieval (a regression to the old nProbe=4 config's
-        // 0.40 fails loudly).
+        // measured 0.68 on the near-random fixture. The floor sits at
+        // 0.5 — strictly ABOVE the old nProbe=4 config's measured 0.40
+        // (pass is value >= floor, so a floor AT the known-bad value
+        // would let the exact regression it exists to catch slip
+        // through) and below the measured value with variance headroom.
         Check("ann_ivf_vs_brute_force", pairRecall(annTruth, annIvf),
-          floor = 0.4, annTruth.length, annIvf.length),
+          floor = 0.5, annTruth.length, annIvf.length),
         // Trained cells follow the data; on near-random embeddings the
         // fit still centers cells on what structure exists (measured
         // 0.72 at nProbe=4, fewer probes than the static path needs).

@@ -615,8 +615,14 @@ object Dedup {
           // Hash the token ARRAY slice directly (xxhash64 chains
           // per-element hashes, so ["ab","c"] vs ["a","bc"] cannot
           // collide structurally) — no intermediate concat allocation.
+          // The salt lane puts the salt FIRST: multi-arg xxhash64
+          // chains with the running hash as seed, so xxhash64(s, 1)
+          // would be a pure function of xxhash64(s) (lane-1 collisions
+          // would imply lane-2 collisions, silently reducing the key
+          // to 64 bits); xxhash64(1, s) re-hashes the slice under a
+          // genuinely different seed.
           val s = slice(col("__toks"), i, lit(k))
-          struct(xxhash64(s), xxhash64(s, lit(1)))
+          struct(xxhash64(s), xxhash64(lit(1), s))
         })).as("g"))
       .groupBy(col("g"), col("doc_id"))
       .agg(count(lit(1)).as("n_pos"))

@@ -88,20 +88,19 @@ object Monitoring {
       .withColumn("pass", col("violations") === 0L)
   }
 
-  /** Per-column profile: null count, exact distinct count, min/max (as
-    * strings — type-uniform across the unpivot) for each column, in ONE
-    * aggregation pass (Spark plans the multi-distinct via a single
-    * expand; at 100 TB swap the exact distinct for the HLL sketch —
-    * q_sketch_profile — this is the verify-scale/profiling-dimension
-    * form). Output: (column, n_nulls, n_distinct, min_s, max_s) in the
-    * given column order. */
-  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** Shared profile builder: one aggregation pass producing
+    * (column, n_nulls, n_distinct, min_s, max_s) rows in the given
+    * column order, parameterized by the distinct aggregate (exact
+    * count_distinct vs HLL++ approx) so the exact and sketch paths
+    * cannot diverge in shape. */
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinctAgg: Column => Column): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
     require(cols.forall(c => c.matches("[A-Za-z0-9_]+")),
       "column names must be [A-Za-z0-9_]+ (they are spliced into stack())")
     val aggs = cols.flatMap { c =>
       Seq(count(when(col(c).isNull, 1)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
+        distinctAgg(col(c)).as(s"__nd_$c"),
         // min/max on the NATIVE type, rendered after: a lexicographic
         // min over string casts would rank "10" below "9".
         min(col(c)).cast("string").as(s"__mn_$c"),
@@ -116,6 +115,36 @@ object Monitoring {
       .drop("ord")
   }
 
+  /** Shared compare scaffold over per-side profiles: hive_/sf_ renames,
+    * the equi-join on column, and the exact null/range drift flags;
+    * `distinctDrift` supplies the (exact or tolerance-gated) distinct
+    * comparison. */
+  private def compareProfiles(l0: DataFrame, r0: DataFrame,
+      distinctDrift: (Column, Column) => Column): DataFrame = {
+    val l = l0.select(col("column"), col("n_nulls").as("hive_nulls"),
+      col("n_distinct").as("hive_distinct"),
+      col("min_s").as("hive_min"), col("max_s").as("hive_max"))
+    val r = r0.select(col("column"), col("n_nulls").as("sf_nulls"),
+      col("n_distinct").as("sf_distinct"),
+      col("min_s").as("sf_min"), col("max_s").as("sf_max"))
+    l.join(r, Seq("column"))
+      .withColumn("null_drift", col("hive_nulls") =!= col("sf_nulls"))
+      .withColumn("distinct_drift",
+        distinctDrift(col("hive_distinct"), col("sf_distinct")))
+      .withColumn("range_drift",
+        !(col("hive_min") <=> col("sf_min")) || !(col("hive_max") <=> col("sf_max")))
+  }
+
+  /** Per-column profile: null count, exact distinct count, min/max (as
+    * strings — type-uniform across the unpivot) for each column, in ONE
+    * aggregation pass (Spark plans the multi-distinct via a single
+    * expand; at 100 TB swap the exact distinct for the HLL sketch —
+    * q_sketch_profile — this is the verify-scale/profiling-dimension
+    * form). Output: (column, n_nulls, n_distinct, min_s, max_s) in the
+    * given column order. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, count_distinct(_))
+
   /** [[columnProfile]]'s 100 TB form: the exact multi-distinct (one
     * Expand branch per profiled column — a 4× scan-width blow-up at 4
     * columns, the q_profile_compare sf10 tail) swaps for HLL++
@@ -125,24 +154,8 @@ object Monitoring {
     * estimate (rsd default 0.05; deterministic for a given value set,
     * order-insensitive register max-merge). */
   def columnProfileSketch(df: DataFrame, cols: Seq[String],
-                          rsd: Double = 0.05): DataFrame = {
-    require(cols.nonEmpty, "at least one column to profile")
-    require(cols.forall(c => c.matches("[A-Za-z0-9_]+")),
-      "column names must be [A-Za-z0-9_]+ (they are spliced into stack())")
-    val aggs = cols.flatMap { c =>
-      Seq(count(when(col(c).isNull, 1)).as(s"__nn_$c"),
-        approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
-    }
-    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
-      s"$i, '$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c"
-    }.mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(ord, column, n_nulls, n_distinct, min_s, max_s)"))
-      .drop("ord")
-  }
+                          rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, approx_count_distinct(_, rsd))
 
   /** [[profileCompare]] over sketched profiles — the scale path for the
     * per-column health row. null_drift and range_drift stay exact
@@ -158,24 +171,11 @@ object Monitoring {
     * MonitoringSpec and exported per-round via VerifyExtras. */
   def profileCompareSketch(left: DataFrame, right: DataFrame,
                            cols: Seq[String], rsd: Double = 0.05,
-                           distinctTol: Double = 0.15): DataFrame = {
-    val l = columnProfileSketch(left, cols, rsd)
-      .select(col("column"), col("n_nulls").as("hive_nulls"),
-        col("n_distinct").as("hive_distinct"),
-        col("min_s").as("hive_min"), col("max_s").as("hive_max"))
-    val r = columnProfileSketch(right, cols, rsd)
-      .select(col("column"), col("n_nulls").as("sf_nulls"),
-        col("n_distinct").as("sf_distinct"),
-        col("min_s").as("sf_min"), col("max_s").as("sf_max"))
-    l.join(r, Seq("column"))
-      .withColumn("null_drift", col("hive_nulls") =!= col("sf_nulls"))
-      .withColumn("distinct_drift",
-        abs(col("hive_distinct") - col("sf_distinct")).cast("double") >
-          lit(distinctTol) * greatest(col("hive_distinct"), col("sf_distinct"))
-            .cast("double"))
-      .withColumn("range_drift",
-        !(col("hive_min") <=> col("sf_min")) || !(col("hive_max") <=> col("sf_max")))
-  }
+                           distinctTol: Double = 0.15): DataFrame =
+    compareProfiles(
+      columnProfileSketch(left, cols, rsd), columnProfileSketch(right, cols, rsd),
+      (a, b) => abs(a - b).cast("double") >
+        lit(distinctTol) * greatest(a, b).cast("double"))
 
   /** Column-profile COMPARE across warehouse sides — the reference's
     * count-compare deepened to per-column health: null counts, distinct
@@ -184,26 +184,16 @@ object Monitoring {
     * drifting even when row counts match — this is the profiling row a
     * migration validator reads per table after the count compare.
     * Output: one row per column with hive_/sf_ stats, null_drift and
-    * range_drift flags. */
+    * range_drift flags.
+    *
+    * distinct counts can diverge while nulls and min/max all match
+    * (values shuffled inside the same range) — distinct_drift is a
+    * separate exact flag so a downstream filter on the drift flags
+    * can't miss it. */
   def profileCompare(left: DataFrame, right: DataFrame,
-                     cols: Seq[String]): DataFrame = {
-    val l = columnProfile(left, cols)
-      .select(col("column"), col("n_nulls").as("hive_nulls"),
-        col("n_distinct").as("hive_distinct"),
-        col("min_s").as("hive_min"), col("max_s").as("hive_max"))
-    val r = columnProfile(right, cols)
-      .select(col("column"), col("n_nulls").as("sf_nulls"),
-        col("n_distinct").as("sf_distinct"),
-        col("min_s").as("sf_min"), col("max_s").as("sf_max"))
-    l.join(r, Seq("column"))
-      .withColumn("null_drift", col("hive_nulls") =!= col("sf_nulls"))
-      // distinct counts can diverge while nulls and min/max all match
-      // (values shuffled inside the same range) — flag it separately so
-      // a downstream filter on the drift flags can't miss it.
-      .withColumn("distinct_drift", col("hive_distinct") =!= col("sf_distinct"))
-      .withColumn("range_drift",
-        !(col("hive_min") <=> col("sf_min")) || !(col("hive_max") <=> col("sf_max")))
-  }
+                     cols: Seq[String]): DataFrame =
+    compareProfiles(columnProfile(left, cols), columnProfile(right, cols),
+      (a, b) => a =!= b)
 
   /** Per-(dims, period) row counts with the previous period's count, the
     * count ratio, and a drift flag when volume more than `factor`-folds

@@ -353,13 +353,17 @@ object Similarity {
     try {
       var cents = collectInit(u)
       // Modulus-sample variance guard: the expected sample size is in
-      // (maxFitRows/2, maxFitRows] but the draw is binomial — if it
-      // cannot even seed k centroids, retrain on the full corpus
-      // (recovers exact stride-1 semantics instead of silently fitting
-      // fewer cells than asked).
+      // (maxFitRows/2, maxFitRows] but the draw is binomial (and an
+      // adversarial id set can starve it entirely) — if it cannot even
+      // seed k centroids, retrain on the maxFitRows MIN-HASH rows of
+      // the corpus instead. That draw is deterministic, guaranteed
+      // min(n, maxFitRows) ≥ 2k rows, and STILL bounded by maxFitRows
+      // — a full-corpus retrain here would silently reinstate the
+      // O(n²d/targetCell) Lloyd cost this parameter exists to cap.
       if (stride > 1L && cents.length < k) {
         u.unpersist()
-        u = uFull.persist(lvl)
+        u = uFull.orderBy(xxhash64(col("vec_id").cast("string")))
+          .limit(maxFitRows).persist(lvl)
         cents = collectInit(u)
       }
       if (cents.length < 2) return cents.map(_.toSeq)

@@ -74,9 +74,10 @@ class SimilaritySpec extends AnyFunSuite {
     val got = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = exact.count(got.contains).toDouble / exact.size
     // nProbe=6 (the q_ann_ivf config): sampled centroids need a wider
-    // probe than fitted cells — measured 0.68 at sf0.01; 0.4 pins usable
-    // retrieval on the near-random fixture.
-    assert(recall >= 0.4, s"IVF recall $recall")
+    // probe than fitted cells — measured 0.68 at sf0.01. Floor 0.5:
+    // strictly above the old nProbe=4 config's measured 0.40, so the
+    // exact regression this pins cannot pass on the >= boundary.
+    assert(recall >= 0.5, s"IVF recall $recall")
   }
 
   /** Synthetic blob corpus: `perBlob` noisy copies of each of nBlobs
@@ -117,11 +118,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(remapped.filter(
       pmod(xxhash64($"vec_id".cast("string")), lit(stride)) === 0).count() == 3L)
     val capped = Similarity.kmeansFit(remapped, k = 8, maxIter = 10, maxFitRows = 16)
-    val full = Similarity.kmeansFit(remapped, k = 8, maxIter = 10)
     assert(capped.length == 8, s"fallback must still deliver k centroids, got ${capped.length}")
-    // Fallback ≡ the uncapped fit (same init draw, same Lloyd rounds over
-    // the same rows), up to cross-partition float-sum ulps.
-    assert(capped.length == full.length && capped.zip(full).forall {
+    // The fallback trains on the maxFitRows MIN-HASH rows (still
+    // bounded — NOT a silent full-corpus retrain): it must equal the
+    // uncapped fit over exactly that 16-row subset, up to float-sum
+    // ulps.
+    val minHash16 = remapped.orderBy(xxhash64($"vec_id".cast("string"))).limit(16)
+    val direct = Similarity.kmeansFit(minHash16, k = 8, maxIter = 10)
+    assert(capped.length == direct.length && capped.zip(direct).forall {
       case (a, b) => a.zip(b).forall { case (p, q) => math.abs(p - q) <= 1e-12 } })
   }
 
