@@ -122,6 +122,20 @@ object VerifyExtras {
         if (semTrueDrops.isEmpty) 1.0
         else semDrops.count(semTrueDrops.contains).toDouble / semTrueDrops.size
 
+      // --- kNN graph vs brute-force graph -----------------------------
+      // Truth: every vector's exact top-3 (all-vectors brute force —
+      // quadratic, verify-scale only). Candidate: the LSH bucket
+      // self-join graph at the q_knn_graph granularity. Edges here are
+      // mostly WEAKLY-similar neighbors (the banding curve's hard case,
+      // unlike the near-dup checks above), so the floor sits at usable-
+      // graph level, not near-1.
+      val knnTruth = Similarity.bruteForceTopK(emb, emb, k = 3)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      val knnPlanes = math.max(4, Similarity.planesFor(emb.count(), targetBucket = 512))
+      val knnCand = Similarity.knnGraphLsh(emb, k = 3, bands = 8,
+          planesPerBand = knnPlanes)
+        .select($"id", $"neighbor_id").as[(Long, Long)].collect()
+
       // --- partition triage vs full diff ------------------------------
       // The checksum triage must flag every partition holding a
       // discrepancy (a miss is possible only via a 60-bit sum collision),
@@ -179,7 +193,15 @@ object VerifyExtras {
         // Exact copies share their source's argmax cell deterministically;
         // only the perturbed injections can straddle a cell boundary.
         Check("semdedup_drops_vs_exact_allpairs", semRecall,
-          floor = 0.9, semTrueDrops.size.toLong, semDrops.length.toLong)
+          floor = 0.9, semTrueDrops.size.toLong, semDrops.length.toLong),
+        // Whole-corpus graph edges are dominated by weakly-similar
+        // neighbors where banding recall is intrinsically below the
+        // near-dup checks' ~1.0 (measured 0.70 at 8 bands on the
+        // near-random sf0.01 fixture; exact-copy edges recover ≥0.95 —
+        // pinned in SimilaritySpec). Floor 0.4: above any broken-
+        // bucketing regime, with variance headroom under the measure.
+        Check("knn_graph_vs_brute_force", pairRecall(knnTruth, knnCand),
+          floor = 0.4, knnTruth.length, knnCand.length)
       ) ++ sketchChecks(spark, sfDir)
     } finally {
       corpus.unpersist(); emb.unpersist(); dupEmb.unpersist()

@@ -637,4 +637,77 @@ object Dedup {
         (col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
           .as("dup_fraction"))
   }
+
+  /** Exact substring deduplication APPLIED — [[duplicatedSpans]] is the
+    * census, this is the removal pass (the Lee et al. 2021 pipeline's
+    * second half): every token covered by a k-token span that occurs in
+    * ≥ `minDocs` distinct documents is struck from every document; the
+    * survivors rebuild in original order, and documents left with zero
+    * tokens are dropped (the [[dropCommonLines]] convention). Token
+    * position p is covered iff ANY duplicated span starts in
+    * [p−k+1, p] — overlapping duplicated spans merge into one struck
+    * region, exactly the reference algorithm's behavior.
+    *
+    * Scale shape: the span census is [[duplicatedSpans]]' — spans
+    * travel as 128-bit xxhash64 struct keys, span TEXT never shuffles,
+    * df is distinct-doc. Covered POSITIONS (ints) explode from the
+    * duplicated starts and anti-join the doc's position stream (ints
+    * both sides); each doc's kept positions collapse to ONE sorted
+    * int array whose size is bounded by that document's own token
+    * count, and the rebuild is a map-side `element_at` projection
+    * after a single doc-keyed join — document text flows through
+    * exactly one join shuffle, everything else moving is hashes and
+    * ints. (The no-extra-shuffle alternative — probing a covered-set
+    * array per token with `array_contains` — is O(tokens × covered)
+    * per document, quadratic on a fully-boilerplate page; the
+    * anti-join form stays linear.)
+    *
+    * Output: (doc_id, n_tokens, n_kept, text_out) — text_out is the
+    * kept tokens of the NORMALIZED token stream space-joined (the
+    * census tokenization; original whitespace/casing is not
+    * reconstructible from struck spans and no published implementation
+    * tries). */
+  def strikeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, minDocs: Int = 2): DataFrame = {
+    require(k > 0, "span length must be positive")
+    require(minDocs >= 2, "minDocs below 2 strikes every span")
+    val toks = filter(tokens(normalized(col(textCol))), t => length(t) > 0)
+    val base = df
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val starts = base
+      .filter(size(col("__toks")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - k + 1),
+        i => {
+          // Same two-lane span key as duplicatedSpans (salt-first second
+          // lane — see the census scaladoc for why the order matters).
+          val s = slice(col("__toks"), i, lit(k))
+          struct(i.as("i"), struct(xxhash64(s), xxhash64(lit(1), s)).as("g"))
+        })).as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
+    // Distinct-doc census (within-doc repetition alone must not strike —
+    // the duplicatedSpans contract), kept as the duplicated-key set.
+    val dupKeys = starts.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("gram_docs"))
+      .filter(col("gram_docs") >= minDocs)
+      .select(col("g"))
+    val covered = starts.join(dupKeys, Seq("g"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .distinct()
+    val positions = base
+      .select(col("doc_id"), explode(sequence(lit(1), size(col("__toks")))).as("p"))
+    val keptPos = positions
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(col("p"))).as("__kp"))
+    // Inner join: fully-covered documents have no kept positions and are
+    // dropped, like dropCommonLines drops emptied documents.
+    base.join(keptPos, Seq("doc_id"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        col("n_kept"),
+        array_join(transform(col("__kp"), p => element_at(col("__toks"), p)), " ")
+          .as("text_out"))
+  }
 }

@@ -228,4 +228,51 @@ object Monitoring {
           (col("n") > col("prev_n") * factor || col("n") * factor < col("prev_n")))
           .cast("int"))
   }
+
+  /** Robust per-group anomaly flags over periodic counts —
+    * [[countDrift]]'s distributional upgrade. The lag-ratio monitor
+    * compares each period only to its PREDECESSOR, so a spike that
+    * persists flags once and then becomes the new baseline, and one
+    * global `factor` is wrong across groups with different volatility.
+    * This flags each period whose count deviates from its group's
+    * MEDIAN by more than `nMads` × MAD (median absolute deviation) —
+    * the standard robust outlier rule: median and MAD barely move when
+    * the outliers themselves enter the frame, where a mean/stddev
+    * z-score drags its own baseline toward the spike it should flag.
+    * A group whose MAD is 0 (over half its periods share one count)
+    * degrades to flagging ANY deviating period; exactly-constant
+    * groups stay quiet (strict `>` on a 0 deviation).
+    *
+    * Cross-engine float discipline: counts are longs; median and MAD
+    * come from the linear-interpolation percentile both engines define
+    * identically over the same values (the q_group_percentiles
+    * discipline), and the deviation is one IEEE subtraction of those
+    * bit-identical doubles — raw doubles hash-match the oracle.
+    *
+    * Scale shape: the event stream collapses to (dims, period) count
+    * rows in ONE aggregation; medians are two more aggregations over
+    * GROUP rows (bounded by dim cardinality × periods, never the event
+    * count — the exact-percentile buffer is O(periods-per-group)),
+    * joined back model-scale. */
+  def countAnomaly(df: DataFrame, dims: Seq[String], period: Column,
+                   nMads: Double = 3.0): DataFrame = {
+    require(dims.nonEmpty, "at least one grouping dimension")
+    require(nMads > 0, s"nMads must be positive, got $nMads")
+    Seq("day", "n", "med", "mad", "deviation", "is_anomaly").foreach(c =>
+      require(!dims.contains(c), s"dimension '$c' collides with an output column"))
+    val daily = df
+      .groupBy(dims.map(col) :+ period.as("day"): _*)
+      .agg(count(lit(1)).as("n"))
+    val meds = daily.groupBy(dims.map(col): _*)
+      .agg(percentile(col("n"), lit(0.5)).as("med"))
+    val withDev = daily.join(meds, dims)
+      .withColumn("deviation", abs(col("n").cast("double") - col("med")))
+    val mads = withDev.groupBy(dims.map(col): _*)
+      .agg(percentile(col("deviation"), lit(0.5)).as("mad"))
+    withDev.join(mads, dims)
+      .withColumn("is_anomaly",
+        (col("deviation") > col("mad") * nMads).cast("int"))
+      .select((dims.map(col) ++ Seq(col("day"), col("n"), col("med"),
+        col("mad"), col("deviation"), col("is_anomaly"))): _*)
+  }
 }

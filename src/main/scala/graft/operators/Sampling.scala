@@ -144,6 +144,43 @@ object Sampling {
     df.filter(hashRankHex(col(idCol), salt) < thr)
   }
 
+  /** Bounded per-group EXEMPLAR sample: the `k` rows with the smallest
+    * salted-md5 ranks in each group — the fixed-size "show me k docs per
+    * source" draw (debug panels, eval sheets, per-stratum spot checks),
+    * complementing [[stratifiedSample]]'s fraction-based thinning (a
+    * fraction of a mega-group is still mega; an exemplar panel is k rows
+    * whatever the group holds). Deterministic and engine-portable: the
+    * rank string is `md5(salt:id)` extended by the zero-padded id and
+    * the raw id, so ordering is total (no ties to break) and any
+    * md5-capable engine selects the exact same rows.
+    *
+    * Scale shape: ONE aggregation whose per-group buffer is bounded at
+    * k rank strings ([[graft.functions.BoundedMinK]] — sorted capped
+    * insert, map-side combinable), then a model-scale explode. The
+    * window alternative — row_number over (group, rank) — sorts every
+    * group's FULL row set to keep k; this never holds more than k.
+    * Output: (groupCol, rn, idCol), rn = 1..≤k in rank order. */
+  def groupExemplars(df: DataFrame, idCol: String, groupCol: String,
+                     k: Int, salt: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(idCol != groupCol, "id and group columns must differ")
+    // Three ':'-joined fields: the md5 rank orders; the zero-padded id
+    // totalizes the order under an (astronomically unlikely) md5
+    // collision; the RAW id decodes back without un-padding (lpad
+    // corrupts a leading '-', so negative ids decode from field 3).
+    val idStr = col(idCol).cast("string")
+    val rank = concat(md5(concat(lit(salt), lit(":"), idStr)),
+      lit(":"), lpad(idStr, 20, "0"), lit(":"), idStr)
+    df.filter(col(idCol).isNotNull)
+      .select(col(groupCol), rank.as("__r"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.BoundedMinK.minKStrings(col("__r"), k).as("__rs"))
+      .select(col(groupCol), posexplode(col("__rs")).as(Seq("__p", "__r")))
+      .select(col(groupCol), (col("__p") + 1).as("rn"),
+        element_at(split(col("__r"), ":"), 3)
+          .cast(df.schema(idCol).dataType).as(idCol))
+  }
+
   /** The (name, upper-threshold-hex) ladder shared by [[splitColumn]] and
     * any SQL mirror of it (e.g. the verification oracle): ONE place
     * renders the cumulative bounds, so an engine port can't drift by a

@@ -468,6 +468,74 @@ object Similarity {
       .distinct()
   }
 
+  /** k-NEAREST-NEIGHBOR GRAPH over the whole corpus — every vector's
+    * top-k cosine neighbors, the structure semantic-clustering /
+    * graph-dedup / label-propagation pipelines build first. The ANN
+    * family's [[lshTopK]] answers a FEW broadcast probes; here every
+    * vector is a probe, so the probe side can never broadcast — the
+    * right shape is [[cosineNearDupPairsLsh]]'s bucket self-join:
+    * `bands` independent hyperplane bucketings (disjoint plane sets),
+    * per-bucket all-pairs DIRECTED candidates, per-vector top-k.
+    *
+    * Scale shape: two shuffles (bucket build + candidate dedup) plus a
+    * window whose partitions are BOUNDED — each vector's candidate set
+    * is ≤ bands × bucketCap rows, so the per-vector top-k never sorts
+    * more than that whatever the corpus size. Plane count per band
+    * derives from the corpus count ([[planesFor]]) so buckets hold
+    * ~`targetBucket` vectors at any scale: total candidate work is
+    * O(n · bands · targetBucket), linear in the corpus where a brute
+    * graph is quadratic.
+    *
+    * Recall is the banding curve in the true cosine — near 1 for
+    * near-duplicate edges, lower for weakly-similar neighbors (the
+    * multi-probe lever doesn't compose with a self-join: probing
+    * neighbor buckets would need a probe→posting JOIN, which is
+    * [[lshTopK]]; `bands` is this operator's recall knob). Measured
+    * against the brute-force graph in SimilaritySpec and exported
+    * per-round via VerifyExtras.
+    *
+    * Output: (id, rank, neighbor_id, cos_sim) — directed; rank 1..≤k
+    * (a vector sharing no bucket with anything yields no rows). */
+  def knnGraphLsh(df: DataFrame, k: Int,
+                  bands: Int = 8, planesPerBand: Int = 0,
+                  bucketCap: Int = 256, targetBucket: Int = 64,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.CappedCollectList.cappedCollectList
+    require(k > 0, "k must be positive")
+    val ppb = if (planesPerBand > 0) planesPerBand
+              else planesFor(df.count(), targetBucket)
+    val v = droppingUndefinedNorms(
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("n", dot(col("v"), col("v"))), "n")
+    val exploded = v
+      .select(col("id"), col("v"), col("n"),
+        posexplode(array((0 until bands).map(b =>
+          lshBucketRange(col("v"), b * ppb, ppb)): _*)))
+      .toDF("id", "v", "n", "band", "bucket")
+    val buckets = exploded.groupBy(col("band"), col("bucket"))
+      .agg(cappedCollectList(struct(col("id"), col("v"), col("n")), bucketCap).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= bucketCap)
+    // Directed pairs (both orientations — each side of an edge needs the
+    // other as a candidate); cos computed before the dedup so the
+    // distinct exchange carries narrow scored rows, not vector pairs
+    // (identical arithmetic per shared bucket → identical bits, so
+    // dropDuplicates over scored rows is set-identical).
+    val cand = buckets
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("neighbor_id"),
+        (dot(col("a.v"), col("b.v")) / sqrt(col("a.n") * col("b.n"))).as("cos_sim"))
+      .dropDuplicates("id", "neighbor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** SemDeDup-style SEMANTIC dedup: k-means cells as the blocking
     * structure, exact cosine inside each cell, connected components over
     * the above-threshold pairs, one canonical keeper (min id) per

@@ -93,6 +93,59 @@ object Vocab {
           .as("avg_surprisal"))
   }
 
+  /** Per-document BIGRAM language-model surprisal — [[docSurprisal]]'s
+    * next-order step (the KenLM ladder's n=2 rung): each adjacent token
+    * pair (w1, w2) costs ln(n(w1·)/n(w1 w2)) nats — the conditional
+    * self-information −ln p(w2|w1) under the corpus bigram MLE — and a
+    * document scores the AVERAGE over its bigram stream. The unigram
+    * filter prices token RARITY; this prices token ORDER: word salad
+    * built from common tokens (scrambled text, keyword stuffing) scores
+    * high where the unigram filter waves it through, and boilerplate
+    * scores near zero (its bigrams are corpus-frequent in exactly that
+    * order). Documents with fewer than 2 tokens have no bigrams and are
+    * absent from the output.
+    *
+    * Cross-engine float discipline (the oracle hash-compares raw
+    * doubles): identical to [[docSurprisal]] — each DISTINCT bigram's
+    * cost is rounded once to 6 decimals and frozen as DECIMAL(18,6) at
+    * vocab scale, per-doc accumulation is an exact order-free decimal
+    * sum, the average is one IEEE division of bit-identical operands.
+    *
+    * Scale shape: one corpus pass collapses to per-doc bigram TF with
+    * map-side combine; the pair table (distinct corpus bigrams) and its
+    * left-marginal are vocab-scale aggregates of it; the price join
+    * shuffles TF rows by bigram. The bigram vocab is larger than the
+    * unigram one but still far below the token stream — and the
+    * conditional denominator n(w1·) is the PAIR table's own marginal
+    * (one more vocab-scale aggregate), never a second corpus pass. */
+  def docBigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val arr = org.apache.spark.sql.functions.filter(
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))),
+      t => length(t) > 0)
+    val bg = df.select(col(idCol).as("doc_id"), arr.as("__a"))
+      .filter(size(col("__a")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__a")) - 1),
+        i => struct(element_at(col("__a"), i).as("w1"),
+          element_at(col("__a"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val pair = bg.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("n_pair"))
+    val left = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_left"))
+    val priced = pair.join(left, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(log(col("n_left").cast("double") / col("n_pair").cast("double")), 6)
+          .cast("decimal(18,6)").as("surprisal"))
+    bg.join(priced, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("surprisal") * col("tf")).as("__sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__sum").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_surprisal"))
+  }
+
   /** Per-document token Shannon entropy (nats) — the within-doc
     * diversity quality signal, complementing [[docSurprisal]] (which
     * prices tokens by CORPUS rarity): low entropy flags repetitive

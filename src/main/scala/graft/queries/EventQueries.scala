@@ -57,6 +57,18 @@ object EventQueries {
           Seq("event_type"), to_date(col("ts")))
         .orderBy(col("event_type"), col("day"))),
 
+    // Robust anomaly flags on the same daily counts — countDrift's
+    // distributional upgrade: each day is compared to the group's
+    // MEDIAN ± 3·MAD instead of just its predecessor (a persisting
+    // spike flags every day it persists; volatility is per-group, not
+    // one global factor). Median/MAD are the linear-interpolation
+    // percentile both engines define identically over (type, day)
+    // GROUP rows — bounded model data — so the raw doubles hash-match.
+    "q_count_anomaly" -> ((s, dir) =>
+      graft.operators.Monitoring.countAnomaly(events(s, dir),
+          Seq("event_type"), to_date(col("ts")))
+        .orderBy(col("event_type"), col("day"))),
+
     // Rolling 7-day per-user activity features: a RANGE-frame window on
     // epoch MILLIS (both engines truncate micros→millis identically;
     // range peers at equal timestamps are included by SQL semantics in
@@ -354,6 +366,27 @@ object EventQueries {
         |  CAST(CASE WHEN prev_n IS NOT NULL AND (n > prev_n * 2 OR n * 2 < prev_n)
         |    THEN 1 ELSE 0 END AS INTEGER) AS is_drift
         |FROM lagged ORDER BY event_type, day""".stripMargin,
+
+    "q_count_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |meds AS (
+        |  SELECT event_type, quantile_cont(n, 0.5) AS med
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.event_type, d.day, d.n, d.med,
+        |    abs(CAST(d.n AS DOUBLE) - d.med) AS deviation
+        |  FROM (SELECT daily.*, m.med FROM daily
+        |        JOIN meds m USING (event_type)) d),
+        |mads AS (
+        |  SELECT event_type, quantile_cont(deviation, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n, d.med, m.mad, d.deviation,
+        |  CAST(CASE WHEN d.deviation > m.mad * 3.0 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS is_anomaly
+        |FROM dev d JOIN mads m USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

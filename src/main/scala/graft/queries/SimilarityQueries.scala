@@ -113,7 +113,20 @@ object SimilarityQueries {
     // pinned in SimilaritySpec and exported per-round via VerifyExtras.
     "q_dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.cosineNearDupPairsLsh(dupEmbCorpus(s, dir), minCos = 0.9)
-        .orderBy(col("id1"), col("id2")))
+        .orderBy(col("id1"), col("id2"))),
+
+    // k-NN GRAPH over the whole corpus (every vector a probe — the
+    // structure clustering/graph-dedup pipelines build first): LSH
+    // bucket self-join, per-vector top-3 from bounded candidate sets
+    // (≤ bands × bucketCap each). Not SQL-portable (hash-derived
+    // hyperplanes) — rows-only; edge recall vs the brute-force graph
+    // is pinned in SimilaritySpec and exported via VerifyExtras.
+    "q_knn_graph" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+      val planes = math.max(4, Similarity.planesFor(v.count(), targetBucket = 512))
+      Similarity.knnGraphLsh(v, k = 3, bands = 8, planesPerBand = planes)
+        .orderBy(col("id"), col("rank"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -455,6 +455,36 @@ object TextQueries {
           "text", k = 6)
         .orderBy(col("doc_id"))),
 
+    // Exact substring dedup APPLIED — the census's removal half (Lee et
+    // al. 2021): tokens covered by any cross-doc duplicated 6-token span
+    // are struck from every doc, survivors rebuild in order, emptied
+    // docs drop. Span text never shuffles (the census's 128-bit keys);
+    // doc text flows through exactly one join shuffle for the rebuild.
+    "q_span_strike" -> ((s, dir) =>
+      Dedup.strikeDuplicatedSpans(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 6)
+        .orderBy(col("doc_id"))),
+
+    // Bigram-LM surprisal — the unigram perplexity filter's next-order
+    // rung: prices token ORDER (word salad scores high on common tokens
+    // the unigram filter waves through). Same DECIMAL(18,6) ln-freeze +
+    // exact decimal doc sums + one IEEE division, so raw doubles
+    // hash-match the oracle.
+    "q_bigram_logprob" -> ((s, dir) =>
+      Vocab.docBigramSurprisal(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Bounded per-source exemplar panel: the k=5 smallest salted-md5
+    // ranks per source via the BoundedMinK aggregate — ≤ k rank strings
+    // buffered per group, map-side combinable; no per-group sort, no
+    // window funnel. The rank string totalizes the order (md5 ‖ padded
+    // id), so both engines select the exact same rows.
+    "q_group_sample" -> ((s, dir) =>
+      Sampling.groupExemplars(Tables.load(s, dir, "documents"),
+          "doc_id", "source", k = 5)
+        .orderBy(col("source"), col("rn"))),
+
     // Heavy-hitter bigrams via the bounded-buffer SpaceSaving sketch.
     // Capacity derives from the corpus (capacityFor ≥ distinct pairs at
     // verify scales → the sketch runs in its EXACT regime and the oracle
@@ -808,6 +838,86 @@ object TextQueries {
          |SELECT doc_id, n_spans, n_dup_spans,
          |  CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_fraction
          |FROM per ORDER BY doc_id""".stripMargin,
+
+    // Same span pipeline as q_span_dedup's oracle through the census,
+    // then covered positions → anti-join → ordered rebuild. The md5
+    // gram key is the engine-side xxhash64 struct's collision-free twin
+    // (only coverage/counts compare, never the key).
+    "q_span_strike" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS arr
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 5)) AS i
+         |  FROM toks WHERE len(arr) >= 6),
+         |grams AS (
+         |  SELECT doc_id, i, md5(array_to_string(arr[i:i+5], ' ')) AS g FROM pos),
+         |census AS (
+         |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS gd
+         |                 FROM grams GROUP BY 1) WHERE gd >= 2),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT doc_id, unnest(generate_series(i, i + 5)) AS p
+         |    FROM grams JOIN census USING (g))),
+         |allpos AS (
+         |  SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS p
+         |  FROM toks WHERE len(arr) > 0),
+         |kept AS (
+         |  SELECT a.doc_id, a.arr, a.p FROM allpos a
+         |  LEFT JOIN covered c ON a.doc_id = c.doc_id AND a.p = c.p
+         |  WHERE c.p IS NULL),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list(arr[p] ORDER BY p), ' ') AS text_out
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.arr) AS BIGINT) AS n_tokens,
+         |  per.n_kept, per.text_out
+         |FROM toks t JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_logprob" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS arr
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+         |  FROM toks WHERE len(arr) >= 2),
+         |bg AS (
+         |  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM pos GROUP BY 1, 2, 3),
+         |pair AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS n_pair
+         |         FROM bg GROUP BY 1, 2),
+         |lft AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left
+         |        FROM pair GROUP BY 1),
+         |priced AS (
+         |  SELECT p.w1, p.w2,
+         |    CAST(round(ln(CAST(l.n_left AS DOUBLE) / CAST(p.n_pair AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS surprisal
+         |  FROM pair p JOIN lft l USING (w1))
+         |SELECT bg.doc_id, CAST(sum(bg.tf) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(p.surprisal * bg.tf) AS DOUBLE)
+         |    / CAST(CAST(sum(bg.tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+         |FROM bg JOIN priced p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // The window form IS the oracle — the engine's bounded-buffer
+    // BoundedMinK draw must equal the full per-group sort's first 5.
+    "q_group_sample" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    md5('graft:' || CAST(doc_id AS VARCHAR)) || ':' ||
+        |      lpad(CAST(doc_id AS VARCHAR), 20, '0') || ':' ||
+        |      CAST(doc_id AS VARCHAR) AS rk
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |w AS (
+        |  SELECT source, doc_id, rk,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY rk)
+        |      AS INTEGER) AS rn
+        |  FROM r)
+        |SELECT source, rn, doc_id FROM w WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin,
 
     // Exact-regime oracle: capacityFor ≥ distinct bigrams at verify
     // scales, so the sketch's counts ARE the true counts and max_err 0.

@@ -175,4 +175,46 @@ class MonitoringSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Monitoring.filterFunnel(df,
       Seq("bad name'" -> ($"x" > 0))))
   }
+
+  test("countAnomaly: spike flags against the group median, baseline days don't") {
+    // A: five ~10-count days and one 100-count day. med = 10, deviations
+    // (0,0,0,0,0,90) → MAD = 0 → every deviating day flags, the spike
+    // included; the flat days stay quiet (strict > on 0).
+    // B: counts 8,10,12,14,16 → med 12, deviations (4,2,0,2,4) → MAD = 2,
+    // bar 6 → nothing flags (max deviation 4).
+    val rows =
+      (1 to 5).flatMap(d => Seq.fill(10)(("A", d))) ++ Seq.fill(100)(("A", 6)) ++
+      Seq(8, 10, 12, 14, 16).zipWithIndex.flatMap { case (n, d) =>
+        Seq.fill(n)(("B", d + 1)) }
+    val out = Monitoring.countAnomaly(rows.toDF("t", "d"), Seq("t"), col("d"))
+      .orderBy($"t", $"day").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getInt(6)))
+    val a = out.filter(_._1 == "A")
+    assert(a.map(_._6).toSeq == Seq(0, 0, 0, 0, 0, 1))
+    assert(a.forall(x => x._4 == 10.0 && x._5 == 0.0))
+    val b = out.filter(_._1 == "B")
+    assert(b.map(_._6).toSeq == Seq(0, 0, 0, 0, 0))
+    assert(b.forall(x => x._4 == 12.0 && x._5 == 2.0))
+  }
+
+  test("countAnomaly: interpolated medians stay exact; constant groups stay quiet") {
+    // C: four days 10,10,20,20 → med = (10+20)/2 = 15 exactly,
+    // deviations all 5 → MAD 5, bar 15 → quiet.
+    // D: constant 7 → med 7, all deviations 0, MAD 0 → strict > keeps
+    // every day quiet.
+    val rows =
+      Seq(10, 10, 20, 20).zipWithIndex.flatMap { case (n, d) =>
+        Seq.fill(n)(("C", d + 1)) } ++
+      (1 to 4).flatMap(d => Seq.fill(7)(("D", d)))
+    val out = Monitoring.countAnomaly(rows.toDF("t", "d"), Seq("t"), col("d"))
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4),
+        r.getInt(6)))
+    assert(out.filter(_._1 == "C").forall(x => x._2 == 15.0 && x._3 == 5.0 && x._4 == 0))
+    assert(out.filter(_._1 == "D").forall(x => x._2 == 7.0 && x._3 == 0.0 && x._4 == 0))
+    intercept[IllegalArgumentException](
+      Monitoring.countAnomaly(rows.toDF("t", "d"), Seq.empty, col("d")))
+    intercept[IllegalArgumentException](
+      Monitoring.countAnomaly(rows.toDF("t", "mad"), Seq("mad"), col("mad")))
+  }
 }

@@ -539,4 +539,68 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select($"id").as[Long].collect().toSet
     assert(kept == Set(1L))
   }
+
+  // ---- bigram surprisal -------------------------------------------------
+
+  test("docBigramSurprisal: hand-computed conditional costs; short/null docs absent") {
+    val df = Seq(
+      (1L, "a b a b"), (2L, "b a c"), (3L, "z"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // bigram TFs: doc1 (a,b):2 (b,a):1; doc2 (b,a):1 (a,c):1.
+    // pair totals: (a,b):2 (b,a):2 (a,c):1; left marginals a·=3, b·=2.
+    def f(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val sAB = f(math.log(3.0 / 2.0)); val sBA = f(math.log(2.0 / 2.0))
+    val sAC = f(math.log(3.0 / 1.0))
+    val out = Vocab.docBigramSurprisal(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    val avg1 = (sAB * 2 + sBA).toDouble / 3.0
+    val avg2 = (sBA + sAC).toDouble / 2.0
+    assert(out == Seq((1L, 3L, avg1), (2L, 2L, avg2)))
+    // the doc with the rare transition (a→c) is the more surprising one
+    assert(avg2 > avg1)
+  }
+
+  test("docBigramSurprisal: scrambled common tokens cost more than their ordered source") {
+    // Ten copies of the same ordered sentence anchor the bigram LM; one
+    // doc uses the same TOKENS in scrambled order. Unigram surprisal
+    // cannot tell them apart (same token multiset); the bigram filter
+    // must price the scramble strictly higher.
+    val ordered = "the cat sat on the mat"
+    val docs = (1L to 10L).map(i => (i, ordered)) :+ (11L, "mat the on sat cat the")
+    val out = Vocab.docBigramSurprisal(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"avg_surprisal").as[(Long, Double)].collect().toMap
+    assert(out(11L) > out(1L))
+    // sanity: the unigram filter indeed ties the two
+    val uni = Vocab.docSurprisal(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"avg_surprisal").as[(Long, Double)].collect().toMap
+    assert(uni(11L) == uni(1L))
+  }
+
+  // ---- bounded per-group exemplars --------------------------------------
+
+  test("groupExemplars: equals the per-group sort's first k, rn dense from 1") {
+    val df = (1L to 97L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val out = Sampling.groupExemplars(df, "id", "grp", k = 5)
+      .orderBy($"grp", $"rn").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // reference: full sort per group on the same rank string
+    val expected = (1L to 97L).map { i =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (s"g${i % 3}", s"$md5:${"%020d".format(i)}:$i", i)
+    }.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      rows.sortBy(_._2).take(5).zipWithIndex.map { case ((_, _, id), p) =>
+        (g, p + 1, id) }
+    }.sortBy(x => (x._1, x._2))
+    assert(out.toSeq == expected)
+  }
+
+  test("groupExemplars: small groups yield all rows; negative ids decode; guards") {
+    val df = Seq((-5L, "a"), (-6L, "a"), (7L, "b")).toDF("id", "grp")
+    val out = Sampling.groupExemplars(df, "id", "grp", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(out == Set(("a", -5L), ("a", -6L), ("b", 7L)))
+    intercept[IllegalArgumentException](Sampling.groupExemplars(df, "id", "grp", 0))
+    intercept[IllegalArgumentException](Sampling.groupExemplars(df, "id", "id", 1))
+  }
 }

@@ -426,4 +426,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.planesFor(1L << 20) < Similarity.planesFor(1L << 40))
     assert(Similarity.planesFor(Long.MaxValue) == 30)
   }
+
+  test("knnGraphLsh: directed edges, dense ranks, near-dup edges recovered") {
+    val dup = graft.queries.SimilarityQueries.dupEmbCorpus(spark, TestSpark.Sf0001)
+    val g = Similarity.knnGraphLsh(dup, k = 3).cache()
+    val rows = g.collect()
+    assert(rows.nonEmpty)
+    // per-vector ranks are dense from 1 and ≤ k; no self edges
+    val byId = rows.groupBy(_.getLong(0))
+    byId.foreach { case (id, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length),
+        s"ranks not dense for $id")
+      assert(rs.length <= 3)
+      assert(rs.forall(_.getLong(2) != id), s"self edge for $id")
+    }
+    // every injected exact copy (cos 1.0 with its source) must place its
+    // twin at rank 1 in BOTH directions — identical vectors share every
+    // band's bucket, so a miss means the graph build itself is broken.
+    val copies = dup.filter($"vec_id" >= 100000L && $"vec_id" < 200000L)
+      .select($"vec_id").as[Long].collect()
+    val top1 = rows.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hit = copies.count { c =>
+      top1.get(c).contains(c - 100000L) && top1.get(c - 100000L).contains(c) }
+    assert(hit.toDouble / copies.length >= 0.95,
+      s"exact-copy rank-1 recovery ${hit.toDouble / copies.length}")
+    // edge recall vs the brute-force graph (weakly-similar neighbors —
+    // the banding curve's hard case; bands=8 holds a usable floor)
+    val truth = Similarity.bruteForceTopK(dup, dup, k = 3)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.length
+    assert(recall >= 0.3, s"knn-graph edge recall $recall")
+    g.unpersist()
+    // guards
+    intercept[IllegalArgumentException](Similarity.knnGraphLsh(dup, k = 0))
+  }
+
+  test("knnGraphLsh: plan is the bucket self-join shape — no join operator, bounded window") {
+    val v = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val g = Similarity.knnGraphLsh(v, k = 3, bands = 2, planesPerBand = 4)
+    val plan = g.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+    // no TakeOrderedAndProject: the top-k is a per-id window over
+    // bounded candidate sets, not a global sort
+    assert(!plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
 }

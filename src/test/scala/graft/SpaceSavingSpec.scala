@@ -103,6 +103,78 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(out.select($"doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("strikeDuplicatedSpans: covered tokens struck, survivors rebuild in order") {
+    // docs 1 & 2 share the 3-token span "x y z"; doc 3 only repeats its
+    // OWN span (within-doc — must NOT strike); doc 4 is too short for any
+    // span and must pass through whole.
+    val docs = Seq(
+      (1L, "a b x y z c"),
+      (2L, "x y z d e f"),
+      (3L, "p q r p q r"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.strikeDuplicatedSpans(docs, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 3L, "a b c"),
+      (2L, 6L, 3L, "d e f"),
+      (3L, 6L, 6L, "p q r p q r"),
+      (4L, 2L, 2L, "a b")))
+  }
+
+  test("strikeDuplicatedSpans: overlapping duplicated spans merge; fully-covered docs drop") {
+    // docs 5 & 6 are identical → every span duplicated → every token
+    // covered → both dropped. doc 7 shares its PREFIX span and its
+    // SUFFIX span with them; the two covered regions overlap in the
+    // middle only partially — check the union-of-ranges semantics.
+    val docs = Seq(
+      (5L, "m n o p q"),
+      (6L, "m n o p q"),
+      (7L, "m n o w1 w2 o p q")).toDF("doc_id", "text")
+    val out = Dedup.strikeDuplicatedSpans(docs, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 7: spans "m n o" (covers 1-3) and "o p q" (covers 6-8) are
+    // duplicated; "n o w1", "o w1 w2", "w1 w2 o", "w2 o p" are unique.
+    assert(out.toSeq == Seq((7L, 8L, 2L, "w1 w2")))
+  }
+
+  test("strikeDuplicatedSpans: minDocs raises the strike bar") {
+    // The span appears in 2 docs — minDocs=3 must keep everything.
+    val docs = Seq(
+      (1L, "a b x y z c"),
+      (2L, "x y z d e f")).toDF("doc_id", "text")
+    val out = Dedup.strikeDuplicatedSpans(docs, "doc_id", "text", k = 3, minDocs = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 6L), (2L, 6L)))
+    intercept[IllegalArgumentException] {
+      Dedup.strikeDuplicatedSpans(docs, "doc_id", "text", k = 3, minDocs = 1)
+    }
+  }
+
+  test("strikeDuplicatedSpans agrees with the census: kept + struck = census accounting") {
+    // On the sf0.001 corpus: every doc the census reports with
+    // n_dup_spans = 0 must survive with ALL tokens kept; every doc with
+    // dup_fraction = 1.0 (all spans duplicated) must lose at least k
+    // tokens or be dropped entirely.
+    val d = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val census = Dedup.duplicatedSpans(d, "doc_id", "text", k = 6)
+      .select($"doc_id", $"n_dup_spans").as[(Long, Long)].collect().toMap
+    val struck = Dedup.strikeDuplicatedSpans(d, "doc_id", "text", k = 6)
+      .select($"doc_id", $"n_tokens", $"n_kept").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    census.foreach { case (id, nDup) =>
+      struck.get(id).foreach { case (n, kept) =>
+        if (nDup == 0L) assert(kept == n, s"doc $id: clean doc lost tokens")
+        else assert(n - kept >= 6, s"doc $id: duplicated spans must strike >= k tokens")
+      }
+    }
+    // At least one doc in the fixture has duplicated spans (the corpus
+    // carries boilerplate) — the test must not pass vacuously.
+    assert(census.values.exists(_ > 0L))
+  }
+
   test("q_heavy_hitters runs in the exact regime on sf0.001") {
     val out = TextQueries.queries("q_heavy_hitters")(spark, TestSpark.Sf0001)
       .collect()
