@@ -254,6 +254,84 @@ object Monitoring {
     * GROUP rows (bounded by dim cardinality × periods, never the event
     * count — the exact-percentile buffer is O(periods-per-group)),
     * joined back model-scale. */
+  /** Population Stability Index (PSI) distribution drift between two
+    * sides of a numeric column — the standard drift score model/feature
+    * monitoring uses where [[profileCompare]]'s min/max/null checks
+    * can't see a SHAPE change (same range, different mass): bin by the
+    * LEFT (reference) side's `nBuckets` quantile cut points, count both
+    * sides into those bins, and score Σ (p_i − q_i)·ln(p_i/q_i). Common
+    * reading: < 0.1 stable, 0.1-0.25 moderate, > 0.25 major drift.
+    *
+    * Output is PER-BUCKET rows (bucket, n_left, n_right, p_left,
+    * p_right, one_sided, psi_term, cum_psi) — the last bucket's
+    * `cum_psi` is the total PSI over two-sided buckets. A bucket
+    * populated on exactly one side makes the ln term undefined; rather
+    * than ε-smoothing (a magic constant that silently dominates the
+    * score), such buckets flag `one_sided` = 1 and contribute NULL to
+    * the sum — a one-sided bucket IS categorical drift and should alarm
+    * on its own flag.
+    *
+    * Cross-engine float discipline: bucket counts are exact longs;
+    * shares are long/long IEEE divisions; ln(p/q) is rounded once to 6
+    * decimals (the docSurprisal freeze); `cum_psi` accumulates over an
+    * ORDERED bounded window (nBuckets rows), so the addition sequence
+    * is fixed on every engine. The discipline additionally requires an
+    * INTEGER-VALUED column (the cents pattern): quantile cuts are
+    * interpolated doubles whose two textbook forms differ by ulps, and
+    * only integer data keeps every cut strictly between adjacent
+    * distinct values where a sub-ulp wobble cannot flip a bucket.
+    *
+    * Scale shape: cut points are one exact-percentile aggregate over
+    * the reference side collected driver-side as MODEL data (nBuckets−1
+    * doubles, the IVF-centroid pattern — at 100 TB swap in
+    * approx_percentile, same shape); bucket assignment is a pure
+    * codegen'd when-chain projection — zero shuffle on either scan;
+    * each side then collapses to ≤ nBuckets count rows. Everything
+    * after the two count aggregates is model-scale. Throws on an
+    * empty/all-null reference side (nothing to define bins with). */
+  def distributionDrift(left: DataFrame, right: DataFrame, valueCol: String,
+                        nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1024,
+      s"nBuckets must be in [2, 1024], got $nBuckets")
+    val pcts = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cutRow = left.filter(col(valueCol).isNotNull)
+      .agg(percentile(col(valueCol).cast("double"),
+        typedLit(pcts)).as("c")).head()
+    require(!cutRow.isNullAt(0),
+      s"reference side has no non-null '$valueCol' rows to bin by")
+    val cuts: Seq[Double] = cutRow.getSeq[Double](0)
+    def bucketOf(c: Column): Column =
+      cuts.foldLeft(lit(1))((acc, cut) =>
+        acc + when(c > lit(cut), 1).otherwise(0))
+    def side(df: DataFrame, cnt: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select(bucketOf(col(valueCol).cast("double")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
+    val buckets = left.sparkSession.range(1, nBuckets + 1)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = buckets
+      .join(side(left, "n_left"), Seq("bucket"), "left")
+      .join(side(right, "n_right"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_left", "n_right"))
+    val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val wCum = Window.orderBy(col("bucket")).rowsBetween(Long.MinValue, 0)
+    joined
+      .withColumn("p_left",
+        col("n_left").cast("double") / sum(col("n_left")).over(wAll).cast("double"))
+      .withColumn("p_right",
+        col("n_right").cast("double") / sum(col("n_right")).over(wAll).cast("double"))
+      .withColumn("one_sided",
+        ((col("n_left") === 0) =!= (col("n_right") === 0)).cast("int"))
+      .withColumn("psi_term",
+        when(col("n_left") > 0 && col("n_right") > 0,
+          (col("p_left") - col("p_right")) *
+            round(log(col("p_left") / col("p_right")), 6))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("cum_psi", sum(col("psi_term")).over(wCum))
+      .select(col("bucket"), col("n_left"), col("n_right"), col("p_left"),
+        col("p_right"), col("one_sided"), col("psi_term"), col("cum_psi"))
+  }
+
   def countAnomaly(df: DataFrame, dims: Seq[String], period: Column,
                    nMads: Double = 3.0): DataFrame = {
     require(dims.nonEmpty, "at least one grouping dimension")

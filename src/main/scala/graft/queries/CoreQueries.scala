@@ -386,6 +386,17 @@ object CoreQueries {
           Seq("o_custkey", "o_orderstatus", "o_totalprice_cents", "o_orderpriority"))
         .orderBy(col("column"))),
 
+    // PSI distribution drift on the price column: the profile compare
+    // sees null/range/distinct drift but not a SHAPE change inside the
+    // same range; PSI bins by the reference side's deciles (model-scale
+    // collected cuts, zero-shuffle when-chain assignment) and scores
+    // Σ (p−q)·ln(p/q) per bucket with an ordered bounded cum-sum.
+    "q_psi_drift" -> ((s, dir) =>
+      graft.operators.Monitoring.distributionDrift(
+          Fixtures.hiveOrders(s, dir), Fixtures.sfOrders(s, dir),
+          "o_totalprice_cents")
+        .orderBy(col("bucket"))),
+
     // The same per-column health row on the 100 TB path: HLL++ distinct
     // estimates instead of the exact multi-distinct (whose Expand
     // multiplies the scan width per profiled column — the q_profile_
@@ -774,6 +785,51 @@ object CoreQueries {
          |$rows
          |ORDER BY "column"""".stripMargin
     },
+
+    // Decile cuts from the reference (hive) side via quantile_cont —
+    // integer cents keep every interpolated cut strictly between
+    // adjacent distinct values, so the two engines' ulp-level
+    // interpolation-form difference cannot flip a bucket (see
+    // Monitoring.distributionDrift's scaladoc).
+    "q_psi_drift" ->
+      s"""${Fixtures.Sql.ordersPair},
+         |lv AS (SELECT CAST(o_totalprice_cents AS DOUBLE) AS v
+         |       FROM hive_orders WHERE o_totalprice_cents IS NOT NULL),
+         |rv AS (SELECT CAST(o_totalprice_cents AS DOUBLE) AS v
+         |       FROM sf_orders WHERE o_totalprice_cents IS NOT NULL),
+         |cuts AS (SELECT quantile_cont(v,
+         |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c FROM lv),
+         |lcnt AS (SELECT bucket, count(*) AS n_left FROM (
+         |  SELECT 1 + len(list_filter(c, x -> v > x)) AS bucket
+         |  FROM lv CROSS JOIN cuts) GROUP BY 1),
+         |rcnt AS (SELECT bucket, count(*) AS n_right FROM (
+         |  SELECT 1 + len(list_filter(c, x -> v > x)) AS bucket
+         |  FROM rv CROSS JOIN cuts) GROUP BY 1),
+         |grid AS (SELECT unnest(generate_series(1, 10)) AS bucket),
+         |j AS (SELECT CAST(g.bucket AS INTEGER) AS bucket,
+         |        CAST(coalesce(l.n_left, 0) AS BIGINT) AS n_left,
+         |        CAST(coalesce(r.n_right, 0) AS BIGINT) AS n_right
+         |      FROM grid g LEFT JOIN lcnt l ON g.bucket = l.bucket
+         |                  LEFT JOIN rcnt r ON g.bucket = r.bucket),
+         |t AS (SELECT j.*,
+         |        CAST(sum(n_left) OVER () AS BIGINT) AS tl,
+         |        CAST(sum(n_right) OVER () AS BIGINT) AS tr FROM j),
+         |s AS (SELECT bucket, n_left, n_right,
+         |        CAST(n_left AS DOUBLE) / CAST(tl AS DOUBLE) AS p_left,
+         |        CAST(n_right AS DOUBLE) / CAST(tr AS DOUBLE) AS p_right,
+         |        CAST(CASE WHEN (n_left = 0) <> (n_right = 0)
+         |             THEN 1 ELSE 0 END AS INTEGER) AS one_sided,
+         |        CASE WHEN n_left > 0 AND n_right > 0 THEN
+         |          (CAST(n_left AS DOUBLE) / CAST(tl AS DOUBLE)
+         |           - CAST(n_right AS DOUBLE) / CAST(tr AS DOUBLE))
+         |          * round(ln((CAST(n_left AS DOUBLE) / CAST(tl AS DOUBLE))
+         |                     / (CAST(n_right AS DOUBLE) / CAST(tr AS DOUBLE))), 6)
+         |        ELSE NULL END AS psi_term
+         |      FROM t)
+         |SELECT bucket, n_left, n_right, p_left, p_right, one_sided, psi_term,
+         |  sum(psi_term) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_psi
+         |FROM s ORDER BY bucket""".stripMargin,
 
     "q_sampled_diff" -> {
       // thresholdHex(0.25) = "40000000"; salt "graftdiff" — must mirror

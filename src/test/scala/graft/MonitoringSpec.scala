@@ -176,6 +176,48 @@ class MonitoringSpec extends AnyFunSuite {
       Seq("bad name'" -> ($"x" > 0))))
   }
 
+  test("distributionDrift: identical sides score exactly zero PSI in every bucket") {
+    val l = (1 to 1000).map(i => Tuple1(i.toLong)).toDF("v")
+    val out = Monitoring.distributionDrift(l, l, "v", nBuckets = 4)
+      .orderBy($"bucket").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getLong(1)).sum == 1000L)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2))            // n_left == n_right
+      assert(r.getDouble(6) == 0.0, "psi_term must be exactly 0")
+      assert(r.getInt(5) == 0)
+    }
+    assert(out.last.getDouble(7) == 0.0)              // cum_psi
+  }
+
+  test("distributionDrift: mass shift scores positive PSI; one-sided buckets flag, not poison") {
+    val l = (1 to 1000).map(i => Tuple1(i.toLong)).toDF("v")
+    // all right-side mass lands in the reference's first quartile
+    val r = (1 to 1000).map(i => Tuple1((i % 200 + 1).toLong)).toDF("v")
+    val out = Monitoring.distributionDrift(l, r, "v", nBuckets = 4)
+      .orderBy($"bucket").collect()
+    val b1 = out.head
+    assert(b1.getLong(2) == 1000L)                    // all right rows in bucket 1
+    assert(b1.getDouble(6) > 0.0, "shifted mass must contribute positive PSI")
+    // buckets 2-4: right empty → one_sided, NULL term, cum_psi unpoisoned
+    out.tail.foreach { x =>
+      assert(x.getLong(2) == 0L && x.getInt(5) == 1)
+      assert(x.isNullAt(6))
+    }
+    assert(out.last.getDouble(7) == b1.getDouble(6), "cum skips one-sided NULLs")
+    // null values are excluded, not a bucket of their own
+    val withNulls = ((1 to 1000).map(i => Option(i.toLong)) :+ Option.empty[Long])
+      .map(Tuple1(_)).toDF("v")
+    val nOut = Monitoring.distributionDrift(withNulls, l, "v", 4)
+      .orderBy($"bucket").collect()
+    assert(nOut.length == 4 && nOut.map(_.getLong(1)).sum == 1000L)
+    // guards: empty reference, bad bucket count
+    intercept[IllegalArgumentException](
+      Monitoring.distributionDrift(l.filter(lit(false)), l, "v", 4))
+    intercept[IllegalArgumentException](
+      Monitoring.distributionDrift(l, l, "v", 1))
+  }
+
   test("countAnomaly: spike flags against the group median, baseline days don't") {
     // A: five ~10-count days and one 100-count day. med = 10, deviations
     // (0,0,0,0,0,90) → MAD = 0 → every deviating day flags, the spike
