@@ -168,6 +168,19 @@ object SkewBench {
       Sampling.groupQuantileRank(d, "quality", Seq("source"),
         minScore = 0.0, maxScore = 1.0)
 
+    // q_span_strike shape: the removal pass on the same banner corpus —
+    // on top of the census cost, every banner doc's covered-position
+    // stream and rebuild join carry ~its whole token count, the
+    // operator's worst case (90% of docs lose their banner spans).
+    def spanStrike(d: DataFrame): DataFrame =
+      Dedup.strikeDuplicatedSpans(d, "doc_id", "text", k = 6)
+    // q_group_sample shape. Skew arm: one group holds 90% of the corpus
+    // — the regime where a window row_number would sort the mega-group
+    // in one task; the BoundedMinK buffer stays ≤ k per group and
+    // map-side combines, so cost must track the scan, not the group.
+    def gsample(d: DataFrame): DataFrame =
+      Sampling.groupExemplars(d, "doc_id", "source", k = 5)
+
     val pairs: Seq[(String, DataFrame => DataFrame, DataFrame, DataFrame)] = Seq(
       ("asof_join", asof, events, zipfEvents(events)),
       ("asof_join_salted", asofSalted, events, zipfEvents(events)),
@@ -179,6 +192,8 @@ object SkewBench {
       ("simhash", simhash, docs, boilerDocs(docs)),
       ("line_dedup", lineDedup, docs, boilerDocs(docs)),
       ("span_dedup", spanDedup, docs, boilerDocs(docs)),
+      ("span_strike", spanStrike, docs, boilerDocs(docs)),
+      ("group_sample", gsample, docsFull, hotSrcDocs.drop("quality")),
       ("weighted_sample", wsample, tokDocs, zipfTok),
       ("quantile_norm", qnorm, qualDocs, hotSrcDocs))
 

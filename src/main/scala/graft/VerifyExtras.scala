@@ -122,18 +122,19 @@ object VerifyExtras {
         if (semTrueDrops.isEmpty) 1.0
         else semDrops.count(semTrueDrops.contains).toDouble / semTrueDrops.size
 
-      // --- kNN graph vs brute-force graph -----------------------------
-      // Truth: every vector's exact top-3 (all-vectors brute force —
-      // quadratic, verify-scale only). Candidate: the LSH bucket
-      // self-join graph at the q_knn_graph granularity. Edges here are
-      // mostly WEAKLY-similar neighbors (the banding curve's hard case,
-      // unlike the near-dup checks above), so the floor sits at usable-
-      // graph level, not near-1.
-      val knnTruth = Similarity.bruteForceTopK(emb, emb, k = 3)
+      // --- kNN graph: strong-edge survival ----------------------------
+      // Truth: the STRONG edges (cos ≥ 0.9) of the exact top-3 graph
+      // over the dup-injected corpus — the edges graph-dedup/clustering
+      // consume, and the property that is SCALE-INVARIANT (banding
+      // survival → 1 as cos → 1; unrestricted weak-edge recall decays
+      // with planes ∝ log n BY CONSTRUCTION on unstructured data — see
+      // knnGraphLsh's recall contract — and would make this check fail
+      // at sf1 while meaning nothing). Brute force is quadratic,
+      // verify-scale only.
+      val knnTruth = Similarity.bruteForceTopK(dupEmb, dupEmb, k = 3)
+        .filter($"cos_sim" >= 0.9)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
-      val knnPlanes = math.max(4, Similarity.planesFor(emb.count(), targetBucket = 512))
-      val knnCand = Similarity.knnGraphLsh(emb, k = 3, bands = 8,
-          planesPerBand = knnPlanes)
+      val knnCand = Similarity.knnGraphLsh(dupEmb, k = 3)
         .select($"id", $"neighbor_id").as[(Long, Long)].collect()
 
       // --- partition triage vs full diff ------------------------------
@@ -194,14 +195,13 @@ object VerifyExtras {
         // only the perturbed injections can straddle a cell boundary.
         Check("semdedup_drops_vs_exact_allpairs", semRecall,
           floor = 0.9, semTrueDrops.size.toLong, semDrops.length.toLong),
-        // Whole-corpus graph edges are dominated by weakly-similar
-        // neighbors where banding recall is intrinsically below the
-        // near-dup checks' ~1.0 (measured 0.70 at 8 bands on the
-        // near-random sf0.01 fixture; exact-copy edges recover ≥0.95 —
-        // pinned in SimilaritySpec). Floor 0.4: above any broken-
-        // bucketing regime, with variance headroom under the measure.
-        Check("knn_graph_vs_brute_force", pairRecall(knnTruth, knnCand),
-          floor = 0.4, knnTruth.length, knnCand.length)
+        // Strong edges share (nearly) every band's bucket — a miss
+        // means broken bucketing (e.g. occupancy above bucketCap
+        // silently dropping buckets, the exact bug the sf1 run of an
+        // earlier unrestricted form of this check caught), not banding
+        // variance.
+        Check("knn_graph_strong_edges", pairRecall(knnTruth, knnCand),
+          floor = 0.9, knnTruth.length, knnCand.length)
       ) ++ sketchChecks(spark, sfDir)
     } finally {
       corpus.unpersist(); emb.unpersist(); dupEmb.unpersist()

@@ -672,9 +672,14 @@ object Dedup {
     require(k > 0, "span length must be positive")
     require(minDocs >= 2, "minDocs below 2 strikes every span")
     val toks = filter(tokens(normalized(col(textCol))), t => length(t) > 0)
+    // Three consumers (span starts, position stream, rebuild join) each
+    // re-run the scan + regex tokenization without this; persist once
+    // with disk spill (the contaminationPairs/semDedup cache contract —
+    // sweep callers clearCache() between corpora).
     val base = df
       .select(col(idCol).as("doc_id"), toks.as("__toks"))
       .filter(size(col("__toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val starts = base
       .filter(size(col("__toks")) >= k)
       .select(col("doc_id"), explode(transform(

@@ -118,15 +118,16 @@ object SimilarityQueries {
     // k-NN GRAPH over the whole corpus (every vector a probe — the
     // structure clustering/graph-dedup pipelines build first): LSH
     // bucket self-join, per-vector top-3 from bounded candidate sets
-    // (≤ bands × bucketCap each). Not SQL-portable (hash-derived
-    // hyperplanes) — rows-only; edge recall vs the brute-force graph
-    // is pinned in SimilaritySpec and exported via VerifyExtras.
-    "q_knn_graph" -> ((s, dir) => {
-      val v = Tables.load(s, dir, "embeddings")
-      val planes = math.max(4, Similarity.planesFor(v.count(), targetBucket = 512))
-      Similarity.knnGraphLsh(v, k = 3, bands = 8, planesPerBand = planes)
-        .orderBy(col("id"), col("rank"))
-    })
+    // (≤ bands × bucketCap each). Operator-default granularity
+    // (targetBucket=64): occupancy stays ~4× under bucketCap at every
+    // sf — an earlier 512-target override aimed occupancy ABOVE the
+    // cap, so at sf1 most buckets were silently dropped (recall 0.09;
+    // caught by the sf1 extras run). Not SQL-portable (hash-derived
+    // hyperplanes) — rows-only; the strong-edge survival contract is
+    // pinned in SimilaritySpec and exported via VerifyExtras.
+    "q_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraphLsh(Tables.load(s, dir, "embeddings"), k = 3)
+        .orderBy(col("id"), col("rank")))
   )
 
   val oracleSql: Map[String, String] = Map(
