@@ -315,11 +315,17 @@ object Monitoring {
       .na.fill(0L, Seq("n_left", "n_right"))
     val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
     val wCum = Window.orderBy(col("bucket")).rowsBetween(Long.MinValue, 0)
+    // NULL shares (not 0/0 = NaN) when a side is entirely empty — the
+    // reference side can't be (guarded above), an empty RIGHT side
+    // makes every populated bucket one_sided with NULL p_right.
+    def share(cnt: String): Column = {
+      val tot = sum(col(cnt)).over(wAll)
+      when(tot === 0L, lit(null).cast("double"))
+        .otherwise(col(cnt).cast("double") / tot.cast("double"))
+    }
     joined
-      .withColumn("p_left",
-        col("n_left").cast("double") / sum(col("n_left")).over(wAll).cast("double"))
-      .withColumn("p_right",
-        col("n_right").cast("double") / sum(col("n_right")).over(wAll).cast("double"))
+      .withColumn("p_left", share("n_left"))
+      .withColumn("p_right", share("n_right"))
       .withColumn("one_sided",
         ((col("n_left") === 0) =!= (col("n_right") === 0)).cast("int"))
       .withColumn("psi_term",
@@ -341,13 +347,28 @@ object Monitoring {
     val daily = df
       .groupBy(dims.map(col) :+ period.as("day"): _*)
       .agg(count(lit(1)).as("n"))
+    // NULL-SAFE dim joins: groupBy keeps a NULL-dim group, and a plain
+    // equi-join would then silently drop its rows between the aggregate
+    // and the report (null = null is never true) — the monitor would go
+    // blind on exactly the "events with no type" feed worth watching.
+    // The aggregate side's keys are RENAMED before joining (both frames
+    // descend from `daily`, so dataset-qualified columns hit Spark's
+    // ambiguous-self-join detection).
+    dims.foreach(d => require(!d.startsWith("__k_"),
+      s"dimension '$d' collides with the internal join-key prefix"))
+    def joinBack(base: DataFrame, aggd: DataFrame): DataFrame = {
+      val renamed = aggd.select(aggd.columns.map(c =>
+        if (dims.contains(c)) col(c).as(s"__k_$c") else col(c)): _*)
+      base.join(renamed, dims.map(d => col(d) <=> col(s"__k_$d")).reduce(_ && _))
+        .drop(dims.map(d => s"__k_$d"): _*)
+    }
     val meds = daily.groupBy(dims.map(col): _*)
       .agg(percentile(col("n"), lit(0.5)).as("med"))
-    val withDev = daily.join(meds, dims)
+    val withDev = joinBack(daily, meds)
       .withColumn("deviation", abs(col("n").cast("double") - col("med")))
     val mads = withDev.groupBy(dims.map(col): _*)
       .agg(percentile(col("deviation"), lit(0.5)).as("mad"))
-    withDev.join(mads, dims)
+    joinBack(withDev, mads)
       .withColumn("is_anomaly",
         (col("deviation") > col("mad") * nMads).cast("int"))
       .select((dims.map(col) ++ Seq(col("day"), col("n"), col("med"),

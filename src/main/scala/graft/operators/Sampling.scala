@@ -164,20 +164,24 @@ object Sampling {
                      k: Int, salt: String = "graft"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(idCol != groupCol, "id and group columns must differ")
-    // Three ':'-joined fields: the md5 rank orders; the zero-padded id
-    // totalizes the order under an (astronomically unlikely) md5
-    // collision; the RAW id decodes back without un-padding (lpad
-    // corrupts a leading '-', so negative ids decode from field 3).
+    // Three ':'-joined fields: the md5 rank orders; a SECOND independent
+    // md5 totalizes the order under an (astronomically unlikely) first-
+    // lane collision; the RAW id decodes back from field 3 (split with
+    // limit, so ids containing ':' keep their own colons). Both framing
+    // fields are hex-only — an earlier zero-PADDED-id tie-break leaked
+    // the id's own ':' into the middle field and mis-framed the decode.
     val idStr = col(idCol).cast("string")
     val rank = concat(md5(concat(lit(salt), lit(":"), idStr)),
-      lit(":"), lpad(idStr, 20, "0"), lit(":"), idStr)
+      lit(":"), md5(concat(lit(salt), lit("2:"), idStr)), lit(":"), idStr)
     df.filter(col(idCol).isNotNull)
       .select(col(groupCol), rank.as("__r"))
       .groupBy(col(groupCol))
       .agg(graft.functions.BoundedMinK.minKStrings(col("__r"), k).as("__rs"))
       .select(col(groupCol), posexplode(col("__rs")).as(Seq("__p", "__r")))
       .select(col(groupCol), (col("__p") + 1).as("rn"),
-        element_at(split(col("__r"), ":"), 3)
+        // limit=3: the raw-id field must keep ITS OWN colons (a string
+        // id "a:b" would otherwise decode as "a")
+        element_at(split(col("__r"), ":", 3), 3)
           .cast(df.schema(idCol).dataType).as(idCol))
   }
 

@@ -908,7 +908,7 @@ object TextQueries {
       """WITH r AS (
         |  SELECT source, doc_id,
         |    md5('graft:' || CAST(doc_id AS VARCHAR)) || ':' ||
-        |      lpad(CAST(doc_id AS VARCHAR), 20, '0') || ':' ||
+        |      md5('graft2:' || CAST(doc_id AS VARCHAR)) || ':' ||
         |      CAST(doc_id AS VARCHAR) AS rk
         |  FROM documents WHERE doc_id IS NOT NULL),
         |w AS (

@@ -259,4 +259,28 @@ class MonitoringSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Monitoring.countAnomaly(rows.toDF("t", "mad"), Seq("mad"), col("mad")))
   }
+
+  test("countAnomaly: NULL-dim group is monitored, not silently dropped") {
+    // the "events with no type" feed: 3 quiet days + a spike day
+    val rows: Seq[(String, Int)] =
+      (1 to 3).flatMap(d => Seq.fill(5)((null: String, d))) ++
+      Seq.fill(50)((null: String, 4)) ++ Seq.fill(7)(("E", 1))
+    val out = Monitoring.countAnomaly(rows.toDF("t", "d"), Seq("t"), col("d"))
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1), r.getInt(6)))
+    val nullGroup = out.filter(_._1.isEmpty)
+    assert(nullGroup.length == 4, s"null-dim days missing: ${out.toSeq}")
+    assert(nullGroup.count(_._3 == 1) == 1 &&
+      nullGroup.find(_._3 == 1).get._2 == 4)
+  }
+
+  test("distributionDrift: empty right side gives NULL shares, all one_sided") {
+    val l = (1 to 100).map(i => Tuple1(i.toLong)).toDF("v")
+    val out = Monitoring.distributionDrift(l, l.filter(lit(false)), "v", 4)
+      .orderBy($"bucket").collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.isNullAt(4), "p_right must be NULL, not NaN, for an empty side")
+      assert(r.getInt(5) == 1 && r.isNullAt(6))
+    }
+  }
 }

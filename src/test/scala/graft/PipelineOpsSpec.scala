@@ -584,10 +584,10 @@ class PipelineOpsSpec extends AnyFunSuite {
       .orderBy($"grp", $"rn").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     // reference: full sort per group on the same rank string
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val expected = (1L to 97L).map { i =>
-      val md5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"graft:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      (s"g${i % 3}", s"$md5:${"%020d".format(i)}:$i", i)
+      (s"g${i % 3}", s"${hex(s"graft:$i")}:${hex(s"graft2:$i")}:$i", i)
     }.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
       rows.sortBy(_._2).take(5).zipWithIndex.map { case ((_, _, id), p) =>
         (g, p + 1, id) }
@@ -602,5 +602,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Set(("a", -5L), ("a", -6L), ("b", 7L)))
     intercept[IllegalArgumentException](Sampling.groupExemplars(df, "id", "grp", 0))
     intercept[IllegalArgumentException](Sampling.groupExemplars(df, "id", "id", 1))
+  }
+
+  test("groupExemplars: string ids containing the rank delimiter decode whole") {
+    val df = Seq(("a:b:c", "g"), ("plain", "g")).toDF("id", "grp")
+    val ids = Sampling.groupExemplars(df, "id", "grp", k = 5)
+      .collect().map(_.getString(2)).toSet
+    assert(ids == Set("a:b:c", "plain"))
   }
 }
