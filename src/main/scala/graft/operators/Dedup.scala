@@ -609,21 +609,32 @@ object Dedup {
     val pairs = df
       .select(col(idCol).as("doc_id"), toks.as("__toks"))
       .filter(size(col("__toks")) >= k)
+      // Tokens hash to longs ONCE per doc; span keys then hash k-long
+      // slices instead of re-walking k variable-length strings per span
+      // — an O(n·k) → O(n + n·k/8)-ish CPU cut on the census's hottest
+      // loop. xxhash64 chains per-element hashes, so slices of the
+      // hashed stream keep the structural no-collision property
+      // (["ab","c"] vs ["a","bc"] differ already at the token-hash
+      // layer). The salt lane puts the salt FIRST: multi-arg xxhash64
+      // chains with the running hash as seed, so xxhash64(s, 1) would
+      // be a pure function of xxhash64(s) (lane-1 collisions would
+      // imply lane-2 collisions, silently reducing the key to 64
+      // bits); xxhash64(1, s) re-hashes the slice under a genuinely
+      // different seed.
+      .select(col("doc_id"), transform(col("__toks"), t => xxhash64(t)).as("__th"))
       .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("__toks")) - k + 1),
+        sequence(lit(1), size(col("__th")) - k + 1),
         i => {
-          // Hash the token ARRAY slice directly (xxhash64 chains
-          // per-element hashes, so ["ab","c"] vs ["a","bc"] cannot
-          // collide structurally) — no intermediate concat allocation.
-          // The salt lane puts the salt FIRST: multi-arg xxhash64
-          // chains with the running hash as seed, so xxhash64(s, 1)
-          // would be a pure function of xxhash64(s) (lane-1 collisions
-          // would imply lane-2 collisions, silently reducing the key
-          // to 64 bits); xxhash64(1, s) re-hashes the slice under a
-          // genuinely different seed.
-          val s = slice(col("__toks"), i, lit(k))
+          val s = slice(col("__th"), i, lit(k))
           struct(xxhash64(s), xxhash64(lit(1), s))
         })).as("g"))
+      // ONE exchange for the whole census: hash partitioning on g alone
+      // satisfies the (g, doc_id) grouping, the g census, AND the join
+      // back — without this the span stream shuffles twice (once keyed
+      // (g, doc_id), once re-keyed g for the join). Partial map-side
+      // aggregation only collapsed in-doc repeats (spans are mostly
+      // unique), so pre-partitioning costs nothing it was saving.
+      .repartition(col("g"))
       .groupBy(col("g"), col("doc_id"))
       .agg(count(lit(1)).as("n_pos"))
     val census = pairs.groupBy(col("g"))
@@ -650,17 +661,21 @@ object Dedup {
     *
     * Scale shape: the span census is [[duplicatedSpans]]' — spans
     * travel as 128-bit xxhash64 struct keys, span TEXT never shuffles,
-    * df is distinct-doc. Covered POSITIONS (ints) explode from the
-    * duplicated starts and anti-join the doc's position stream (ints
-    * both sides); each doc's kept positions collapse to ONE sorted
-    * int array whose size is bounded by that document's own token
-    * count, and the rebuild is a map-side `element_at` projection
-    * after a single doc-keyed join — document text flows through
-    * exactly one join shuffle, everything else moving is hashes and
-    * ints. (The no-extra-shuffle alternative — probing a covered-set
-    * array per token with `array_contains` — is O(tokens × covered)
-    * per document, quadratic on a fully-boilerplate page; the
-    * anti-join form stays linear.)
+    * df is distinct-doc. After the census, only the DUPLICATED START
+    * positions shuffle: per doc they collapse to one int array bounded
+    * by that document's own span count, and everything downstream is a
+    * map-side projection after a single doc-keyed join — covered
+    * positions materialize per-row as `flatten(transform(ss, s →
+    * sequence(s, s+k−1)))` and the kept stream is `array_except(
+    * sequence(1, n), covered)`, a hash-set difference that is
+    * O(n + |ss|·k) per document. Document text flows through exactly
+    * one join shuffle; the corpus-wide position stream never shuffles
+    * at all. (Two rejected alternatives: probing a covered-set array
+    * per token with `array_contains` is O(tokens × covered) per
+    * document — quadratic on a fully-boilerplate page; exploding the
+    * full position stream and anti-joining covered positions is linear
+    * but shuffles every token position in the corpus twice, which was
+    * this query's sf10 bottleneck.)
     *
     * Output: (doc_id, n_tokens, n_kept, text_out) — text_out is the
     * kept tokens of the NORMALIZED token stream space-joined (the
@@ -672,46 +687,60 @@ object Dedup {
     require(k > 0, "span length must be positive")
     require(minDocs >= 2, "minDocs below 2 strikes every span")
     val toks = filter(tokens(normalized(col(textCol))), t => length(t) > 0)
-    // Three consumers (span starts, position stream, rebuild join) each
-    // re-run the scan + regex tokenization without this; persist once
-    // with disk spill (the contaminationPairs/semDedup cache contract —
-    // sweep callers clearCache() between corpora).
+    // Two consumers (span starts, rebuild join) each re-run the scan +
+    // regex tokenization without this; persist once with disk spill
+    // (the contaminationPairs/semDedup cache contract — sweep callers
+    // clearCache() between corpora).
     val base = df
       .select(col(idCol).as("doc_id"), toks.as("__toks"))
       .filter(size(col("__toks")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val starts = base
       .filter(size(col("__toks")) >= k)
+      // Token-hash-then-slice span keys, same two-lane construction as
+      // duplicatedSpans (salt-first second lane — see the census
+      // scaladoc for why the order matters, and for the O(n·k) string
+      // re-walk the per-token hash pass removes).
+      .select(col("doc_id"), transform(col("__toks"), t => xxhash64(t)).as("__th"))
       .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("__toks")) - k + 1),
+        sequence(lit(1), size(col("__th")) - k + 1),
         i => {
-          // Same two-lane span key as duplicatedSpans (salt-first second
-          // lane — see the census scaladoc for why the order matters).
-          val s = slice(col("__toks"), i, lit(k))
+          val s = slice(col("__th"), i, lit(k))
           struct(i.as("i"), struct(xxhash64(s), xxhash64(lit(1), s)).as("g"))
         })).as("x"))
       .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
     // Distinct-doc census (within-doc repetition alone must not strike —
     // the duplicatedSpans contract), kept as the duplicated-key set.
+    // Measured note: pre-partitioning this distinct on g alone (the
+    // duplicatedSpans single-exchange trick) was TRIED and is ~10%
+    // slower here — the (g, doc_id) key spreads hot boilerplate spans
+    // across docs, while g-only partitioning piles every copy of a hot
+    // span onto one task before the distinct can shrink it.
     val dupKeys = starts.select(col("g"), col("doc_id")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("gram_docs"))
       .filter(col("gram_docs") >= minDocs)
       .select(col("g"))
-    val covered = starts.join(dupKeys, Seq("g"), "left_semi")
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
-      .distinct()
-    val positions = base
-      .select(col("doc_id"), explode(sequence(lit(1), size(col("__toks")))).as("p"))
-    val keptPos = positions
-      .join(covered, Seq("doc_id", "p"), "left_anti")
+    // Only the duplicated START positions shuffle — one int array per
+    // doc, bounded by its own span count. No ×k position explosion, no
+    // corpus-wide position stream.
+    val dupStarts = starts.join(dupKeys, Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        sort_array(collect_list(col("p"))).as("__kp"))
-    // Inner join: fully-covered documents have no kept positions and are
-    // dropped, like dropCommonLines drops emptied documents.
-    base.join(keptPos, Seq("doc_id"))
+      .agg(collect_list(col("i")).as("__ss"))
+    // Left join: docs with no duplicated span keep every token; kept
+    // positions are a per-row hash-set difference (array_except keeps
+    // the ascending order of its left operand, so no sort is needed,
+    // and duplicate covered entries from overlapping spans are free).
+    val covered = flatten(transform(coalesce(col("__ss"), lit(Array.emptyIntArray)),
+      s => sequence(s, s + (k - 1))))
+    base.join(dupStarts, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
-        col("n_kept"),
+        array_except(sequence(lit(1), size(col("__toks"))), covered).as("__kp"),
+        col("__toks"))
+      // Fully-covered documents have no kept positions and are dropped,
+      // like dropCommonLines drops emptied documents.
+      .filter(size(col("__kp")) > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__kp")).cast("long").as("n_kept"),
         array_join(transform(col("__kp"), p => element_at(col("__toks"), p)), " ")
           .as("text_out"))
   }

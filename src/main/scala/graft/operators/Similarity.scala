@@ -477,10 +477,12 @@ object Similarity {
     * `bands` independent hyperplane bucketings (disjoint plane sets),
     * per-bucket all-pairs DIRECTED candidates, per-vector top-k.
     *
-    * Scale shape: two shuffles (bucket build + candidate dedup) plus a
-    * window whose partitions are BOUNDED — each vector's candidate set
-    * is ≤ bands × bucketCap rows, so the per-vector top-k never sorts
-    * more than that whatever the corpus size. Plane count per band
+    * Scale shape: two shuffles (bucket build + bounded top-k aggregate)
+    * and NO window — each unordered candidate pair is scored once, and
+    * the per-vector top-k is a k-bounded merge aggregate
+    * ([[graft.functions.TopKNeighbors]], map-side combinable), so the
+    * post-bucket exchange carries ≤ one k-entry buffer per vector per
+    * map task rather than every scored candidate. Plane count per band
     * derives from the corpus count ([[planesFor]]) so buckets hold
     * ~`targetBucket` vectors at any scale: total candidate work is
     * O(n · bands · targetBucket), linear in the corpus where a brute
@@ -524,25 +526,34 @@ object Similarity {
     val buckets = exploded.groupBy(col("band"), col("bucket"))
       .agg(cappedCollectList(struct(col("id"), col("v"), col("n")), bucketCap).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= bucketCap)
-    // Directed pairs (both orientations — each side of an edge needs the
-    // other as a candidate); cos computed before the dedup so the
-    // distinct exchange carries narrow scored rows, not vector pairs
-    // (identical arithmetic per shared bucket → identical bits, so
-    // dropDuplicates over scored rows is set-identical).
+    // Each unordered pair is scored ONCE (a.id < b.id — half the dot
+    // products of a directed self-join), then exploded into both
+    // orientations as narrow scored rows. The per-vector top-k is a
+    // bounded merge aggregate (buffer ≤ k, map-side combinable, distinct
+    // by the (cos bits, neighbor) pair — identical arithmetic per shared
+    // bucket makes that equal to neighbor-distinct), so the only
+    // exchange after the bucket build carries ≤ one k-entry buffer per
+    // vector per map task, replacing the dropDuplicates shuffle of every
+    // scored candidate plus a window sort.
+    import graft.functions.TopKNeighbors.topKNeighbors
     val cand = buckets
       .select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id"), col("b.id").as("neighbor_id"),
-        (dot(col("a.v"), col("b.v")) / sqrt(col("a.n") * col("b.n"))).as("cos_sim"))
-      .dropDuplicates("id", "neighbor_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id"), col("rank"), col("neighbor_id"),
-        round(col("cos_sim"), 4).as("cos_sim"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("__cos", dot(col("a.v"), col("b.v")) / sqrt(col("a.n") * col("b.n")))
+      .select(explode(array(
+        struct(col("a.id").as("id"), col("b.id").as("neighbor_id"),
+          col("__cos").as("cos_sim")),
+        struct(col("b.id").as("id"), col("a.id").as("neighbor_id"),
+          col("__cos").as("cos_sim")))).as("e"))
+      .select(col("e.id").as("id"), col("e.neighbor_id").as("neighbor_id"),
+        col("e.cos_sim").as("cos_sim"))
+    cand.groupBy(col("id"))
+      .agg(topKNeighbors(col("neighbor_id"), col("cos_sim"), k).as("__nb"))
+      .select(col("id"), posexplode(col("__nb")))
+      .select(col("id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("neighbor_id"),
+        round(col("col._2"), 4).as("cos_sim"))
   }
 
   /** SemDeDup-style SEMANTIC dedup: k-means cells as the blocking
