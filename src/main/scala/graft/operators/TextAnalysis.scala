@@ -14,13 +14,18 @@ object TextAnalysis {
   /** Whitespace tokens (the corpus is single-space normalized). */
   def tokens(text: Column): Column = split(text, " ")
 
-  def wsTokenCount(text: Column): Column = size(tokens(text))
+  /** `size(split(text, " "))` without materializing the token array —
+    * one codegen'd byte walk ([[graft.functions.TokenCountExprs]]). */
+  def wsTokenCount(text: Column): Column =
+    graft.functions.TokenCountExprs.wsFieldCountCol(text)
 
   /** BPE-ish lexer token count: runs of letters, runs of digits, or single
     * other non-space chars — the pre-tokenization split BPE vocabularies
-    * are trained over. */
+    * are trained over. Native one-pass counter, result-identical to
+    * `regexp_count(text, "[a-z]+|[0-9]+|[^a-z0-9 ]")` without the regex
+    * engine ([[graft.functions.TokenCountExprs]]). */
   def regexTokenCount(text: Column): Column =
-    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+    graft.functions.TokenCountExprs.lexTokenCountCol(text)
 
   def stopwordCount(text: Column, stops: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(stops.map(s => s: Any): _*)))

@@ -14,6 +14,31 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("native token counters: bit parity with split/regexp_count on adversarial strings") {
+    val fixtures = Seq(
+      "", " ", "  ", "a", "a b", "a  b", " a b ", "abc123def", "ABC",
+      "Hello, World!  42x", "a\tb\nc", "tab\tafter", "line1\nline2\n",
+      "héllo wörld", "日本語 テスト", "emoji 👍🏽 pair", "mixed ÅB9c déf",
+      "a1b2c3", "...", "a,b.c;d", "  leading", "trailing  ",
+      "unicode space", "zz99  !!", "ínterior-dash_und"
+    )
+    val df = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    val cmp = df.select(
+      TA.wsTokenCount($"text").as("ws_native"),
+      size(split($"text", " ")).as("ws_decl"),
+      TA.regexTokenCount($"text").as("lex_native"),
+      regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("lex_decl"),
+      $"text").collect()
+    cmp.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"ws mismatch on '${r.getString(4)}'")
+      assert(r.getInt(2) == r.getInt(3), s"lex mismatch on '${r.getString(4)}'")
+    }
+    // null text propagates null through both counters
+    val nulls = Seq((1L, null: String)).toDF("id", "text")
+      .select(TA.wsTokenCount($"text"), TA.regexTokenCount($"text")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("dupLineFrac: duplicate and blank lines handled; line-less text is 0") {
     val df = Seq(
       (1L, "alpha\nbeta\nalpha"),       // 3 lines, 2 distinct -> 1/3
