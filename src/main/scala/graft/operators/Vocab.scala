@@ -122,12 +122,22 @@ object Vocab {
     val arr = org.apache.spark.sql.functions.filter(
       TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))),
       t => length(t) > 0)
+    // Neither the output nor the pricing needs the token STRINGS — only
+    // bigram identity and counts — so tokens hash to 64-bit lanes once
+    // per doc and every downstream key is a pair of longs ((h1, h2) is
+    // effectively a 128-bit bigram key; a count-merging collision needs
+    // two distinct tokens to collide at 64 bits first, ~vocab²/2⁶⁵).
+    // Narrow fixed-width keys shrink both shuffle bytes and aggregate
+    // comparisons; map-side partial aggregation stays (pre-partitioning
+    // on the bigram key was tried — exchange reuse saved nothing at
+    // local[32] and it forfeits the partial combine).
     val bg = df.select(col(idCol).as("doc_id"), arr.as("__a"))
       .filter(size(col("__a")) >= 2)
+      .select(col("doc_id"), transform(col("__a"), t => xxhash64(t)).as("__h"))
       .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("__a")) - 1),
-        i => struct(element_at(col("__a"), i).as("w1"),
-          element_at(col("__a"), i + 1).as("w2")))).as("b"))
+        sequence(lit(1), size(col("__h")) - 1),
+        i => struct(element_at(col("__h"), i).as("w1"),
+          element_at(col("__h"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
