@@ -116,10 +116,15 @@ object Bpe {
         else {
           val (l, r) = (top.head.getString(0), top.head.getString(1))
           rules += ((l, r))
+          // localCheckpoint TRUNCATES the plan: without it round k's
+          // logical plan nests k mergeAdjacent HOF lambdas and the
+          // optimizer's walk over that nest grows super-linearly —
+          // measured OOM near 20 rounds on a 31-word vocabulary. The
+          // checkpoint is eager (materializes before the parent drops)
+          // and the table is vocab-scale.
           val next = words
             .select(mergeAdjacent(col("syms"), l, r).as("syms"), col("n"))
-            .persist(lvl)
-          next.count() // materialize before dropping the parent
+            .localCheckpoint(true)
           words.unpersist()
           words = next
         }
@@ -135,4 +140,45 @@ object Bpe {
     rules.foldLeft(split(token, "")) { case (syms, (l, r)) =>
       mergeAdjacent(syms, l, r)
     }
+
+  /** Corpus ENCODING statistics under trained merge rules — the
+    * application half at scale: per document, how many BPE tokens the
+    * tokenizer yields and the chars-per-token compression the vocabulary
+    * achieves (the metric BPE training optimizes, tracked per-document
+    * to catch sources a vocabulary serves poorly).
+    *
+    * Scale shape: the chained [[segment]] fold is paid ONCE PER DISTINCT
+    * WORD, never per corpus occurrence — the corpus collapses to
+    * (doc, word, tf) with map-side combine, the distinct-word table
+    * (vocab-scale) encodes in one projection, and the priced vocabulary
+    * joins back by word (AQE broadcasts it; at 100 TB this is exactly
+    * the docSurprisal price-join shape). Sums are exact longs; the
+    * ratio is one IEEE division. Output: (doc_id, n_words,
+    * n_chars_tok, n_bpe_tokens, chars_per_token). */
+  def encodeStats(df: DataFrame, idCol: String, textCol: String,
+                  rules: Seq[(String, String)]): DataFrame = {
+    val toks = org.apache.spark.sql.functions.filter(
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))),
+      t => length(t) > 0)
+    val tf = df.select(col(idCol).as("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    // Native rule-table loop ([[graft.functions.BpeSegmentCountExpr]]),
+    // result-identical to size(segment(w, rules)) — the fold form nests
+    // one HOF lambda per rule and OOMs the optimizer past ~20 rules.
+    val enc = tf.select(col("w")).distinct()
+      .select(col("w"),
+        graft.functions.BpeSegmentCountExpr.segmentCount(col("w"), rules)
+          .cast("long").as("n_sym"),
+        length(col("w")).cast("long").as("n_ch"))
+    tf.join(enc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("n_ch")).as("n_chars_tok"),
+        sum(col("tf") * col("n_sym")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars_tok"),
+        col("n_bpe_tokens"),
+        (col("n_chars_tok").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
 }

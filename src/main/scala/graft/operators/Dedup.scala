@@ -512,6 +512,75 @@ object Dedup {
       .select(col("component"), col("n_members"), col("member_ids"))
   }
 
+  /** Canonical KEEP/DROP list over near-dup clusters — the decision the
+    * cluster report feeds: every clustered document gets its component
+    * and a flag marking the one member the pipeline keeps. The canonical
+    * is the member with the highest `qualityCol` (ties → min id) — the
+    * "keep the best page of the mirror set" rule near-dup pipelines
+    * apply, where [[dedupClusters]]' min-id convention is merely a
+    * deterministic label. Documents in no pair are absent (they keep
+    * themselves by definition; emitting n_docs rows to say so would
+    * dwarf the answer at corpus scale).
+    *
+    * Scale shape: CC over the pairs ([[connectedComponents]] — diameter
+    * rounds of node-scale joins), one join to bring the quality column
+    * (clustered ids only — far below the corpus), and a per-component
+    * row_number whose window partitions are bounded by cluster size.
+    * Output: (doc_id, component, quality, is_canonical). */
+  def canonicalKeepList(pairs: DataFrame, docs: DataFrame, idCol: String,
+                        qualityCol: String, id1: String = "id1",
+                        id2: String = "id2", maxIter: Int = 20): DataFrame = {
+    val cc = connectedComponents(pairs, id1, id2, maxIter)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(col("quality").desc, col("id"))
+    cc.join(docs.select(col(idCol).as("id"), col(qualityCol).as("quality")), Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        col("quality"), (col("__rn") === 1).as("is_canonical"))
+  }
+
+  /** Bucketed EDIT-DISTANCE near-dup pairs — the character-level
+    * complement of the token-set (Jaccard) and bit-level (SimHash)
+    * near-dup detectors: catches small in-place edits (typo fixes,
+    * template fills) that token shingles over-penalize. Semantics are
+    * the BLOCKED contract, stated plainly: candidate pairs are documents
+    * sharing the first `prefixLen` characters of their normalized text,
+    * and a pair reports iff levenshtein(norm_a, norm_b) ≤ `maxDist`.
+    * The prefix block is part of the operator's definition (and of its
+    * oracle), not an approximation bolted on after — an UNBLOCKED edit
+    * distance join is Θ(n²) string comparisons and exists in no
+    * production pipeline.
+    *
+    * Scale shape: one shuffle groups ids+normalized text by prefix
+    * block; in-block pairs are bounded by [[graft.functions
+    * .CappedCollectList]] (cap `bucketCap`, the LSH valve — an overfull
+    * block is dropped, never exploded), and the verify step uses
+    * Spark's BANDED three-arg levenshtein — O(len·maxDist) per pair,
+    * not O(len²), bailing out at the threshold.
+    * Output: (id1, id2, dist), id1 < id2. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        prefixLen: Int = 16, maxDist: Int = 30,
+                        bucketCap: Int = 256): DataFrame = {
+    require(prefixLen > 0, "prefixLen must be positive")
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val d = df.select(col(idCol).as("id"),
+        TextAnalysis.normalized(col(textCol)).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("k", substring(col("s"), 1, prefixLen))
+    val buckets = d.groupBy(col("k"))
+      .agg(cappedCollectList(struct(col("id"), col("s")), bucketCap).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= bucketCap)
+    buckets
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s"), maxDist))
+      .filter(col("dist") >= 0) // banded levenshtein returns -1 above maxDist
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("dist").cast("long").as("dist"))
+  }
+
   /** Incremental cluster maintenance: fold a NEW batch's candidate
     * pairs into an EXISTING (id, comp) labeling without reprocessing the
     * old pairs — the ingest-loop form of [[connectedComponents]] (a

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over candidate-pair edge tables — the
+  * consumption side of the dedup family's pair outputs: once near-dup
+  * pairs exist, pipelines rank the nodes (which document is the HUB of a
+  * boilerplate cluster?) before choosing canonicals or pruning.
+  *
+  * Scale design: everything is edge-relational — a join and an aggregate
+  * per iteration, no adjacency materialization, no driver-side graph.
+  * Iteration count is FIXED (power iteration, not convergence-tested), so
+  * the plan is a statically-known chain the optimizer sees whole.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over the UNDIRECTED graph induced by a
+    * pair table (both orientations of every pair; nodes = ids appearing
+    * in at least one pair). Returns (id, rank) after `iterations` rounds
+    * of r(v) = (1−d)/N + d·Σ_{u→v} r(u)/deg(u) from the uniform start
+    * 1/N. No dangling mass: every node of an undirected pair graph has
+    * degree ≥ 1.
+    *
+    * Cross-engine float discipline (the oracle hash-compares raw
+    * doubles): every division is rounded ONCE to 12 decimals and frozen
+    * as DECIMAL(30,12) — the init 1/N, each node's per-edge share
+    * r(u)/deg(u), and each round's damped total — so the inbound-share
+    * SUM is exact decimal arithmetic (order-free across partitions) and
+    * each iteration applies ONE IEEE multiply-add on bit-identical
+    * operands before re-freezing. A raw-double pipeline would follow
+    * partition order through the sums and drift by ulps per round.
+    *
+    * Scale shape: edges and degrees persist once (two narrow columns);
+    * each iteration is one join of the rank table to edges (rank rides
+    * to the edge's partition — never the reverse) plus one aggregate on
+    * dst, both node/edge-scale shuffles. Each round materializes before
+    * the next so lineage stays one-round deep. */
+  def pageRank(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
+               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dec = "decimal(30,12)"
+    val edges = pairs
+      .select(explode(array(
+        struct(col(id1).as("src"), col(id2).as("dst")),
+        struct(col(id2).as("src"), col(id1).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(lvl)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist(lvl)
+    val n = deg.count() // node count; also materializes edges + deg
+    var ranks = deg
+      .select(col("src").as("id"),
+        round(lit(1.0) / lit(n.toDouble), 12).cast(dec).as("rank"))
+      .persist(lvl)
+    ranks.count()
+    for (_ <- 1 to iterations) {
+      val shares = ranks.join(deg, ranks("id") === deg("src"))
+        .select(col("id"),
+          round(col("rank").cast("double") / col("deg").cast("double"), 12)
+            .cast(dec).as("share"))
+      val inbound = edges.join(shares, edges("src") === shares("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("share")).as("in_sum"))
+      val next = deg
+        .select(col("src").as("id"))
+        .join(inbound, col("id") === col("dst"), "left")
+        .select(col("id"),
+          round(lit(1.0 - damping) / lit(n.toDouble) +
+            lit(damping) * coalesce(col("in_sum"), lit(0L)).cast("double"), 12)
+            .cast(dec).as("rank"))
+        .persist(lvl)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    val out = ranks.select(col("id"), col("rank").cast("double").as("rank"))
+    edges.unpersist()
+    deg.unpersist()
+    out
+  }
+}

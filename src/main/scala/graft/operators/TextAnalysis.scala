@@ -27,6 +27,32 @@ object TextAnalysis {
   def regexTokenCount(text: Column): Column =
     graft.functions.TokenCountExprs.lexTokenCountCol(text)
 
+  /** Sentence count for readability scoring: terminal-punctuation runs
+    * ([.!?]+), floored at 1 so sentence-less text scores as one long
+    * sentence instead of dividing by zero. */
+  def sentenceCount(text: Column): Column =
+    greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+
+  /** Syllable proxy for readability scoring: vowel GROUPS per text
+    * (maximal [aeiou]+ runs over the lowercased text) — the standard
+    * cheap stand-in where a hyphenation dictionary is overkill. */
+  def syllableProxy(text: Column): Column =
+    regexp_count(lower(text), lit("[aeiou]+"))
+
+  /** Flesch reading-ease under the proxies above:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    * All three counts are exact integers, so the score is a fixed
+    * dependency tree of IEEE operations on bit-identical operands —
+    * deterministic cross-engine as long as the oracle writes the SAME
+    * expression shape (left-to-right subtraction, each ratio one
+    * division). */
+  def fleschScore(text: Column): Column = {
+    val words = wsTokenCount(text).cast("double")
+    lit(206.835) -
+      lit(1.015) * (words / sentenceCount(text).cast("double")) -
+      lit(84.6) * (syllableProxy(text).cast("double") / words)
+  }
+
   def stopwordCount(text: Column, stops: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(stops.map(s => s: Any): _*)))
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, Packing, Relevance, Sampling, Vocab, TextAnalysis => TA}
+import graft.operators.{Bpe, Dedup, Graph, Packing, Relevance, Sampling, Vocab, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Queries #20-#23 and #27-#30 of SURVEY.md §2: text analysis and text
@@ -582,7 +582,58 @@ object TextQueries {
           "doc_id", "n_tokens", maxTokens = 2048)
         .select(col("doc_id"), col("n_tokens"), col("rank_hex"),
           col("token_offset"), col("seq_first"), col("seq_last"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Flesch reading-ease under exact integer counts (sentence runs,
+    // ws-split words, vowel-group syllable proxy) — the score is a fixed
+    // IEEE dependency tree, oracle-exact (see fleschScore scaladoc).
+    "q_readability" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TA.sentenceCount(col("text")).cast("long").as("n_sents"),
+        TA.wsTokenCount(col("text")).cast("long").as("n_words"),
+        TA.syllableProxy(col("text")).cast("long").as("n_syll"),
+        TA.fleschScore(col("text")).as("flesch"))
+        .orderBy(col("doc_id"))),
+
+    // Character-level near-dup: prefix-blocked banded Levenshtein pairs
+    // (the blocking is the operator's CONTRACT, mirrored in the oracle).
+    "q_dedup_editdist" -> ((s, dir) =>
+      Dedup.editDistancePairs(dupCorpus(s, dir), "doc_id", "text",
+          prefixLen = 16, maxDist = 30)
+        .orderBy(col("id1"), col("id2"))),
+
+    // Near-dup clusters resolved to a KEEP/DROP decision: canonical =
+    // highest-quality member (quality = char length here; ties -> min
+    // id) per connected component of the exact-Jaccard pair graph.
+    "q_dedup_canonical" -> ((s, dir) =>
+      Dedup.canonicalKeepList(
+          Dedup.ngramJaccardPairs(dupCorpus(s, dir), "doc_id", "text",
+            n = 3, minJaccard = 0.5, dfCap = 10000),
+          dupCorpus(s, dir).select(col("doc_id"),
+            length(col("text")).cast("long").as("quality")),
+          "doc_id", "quality")
+        .orderBy(col("doc_id"))),
+
+    // PageRank (3 fixed power iterations, d=0.85) over the exact-Jaccard
+    // near-dup graph — ranks the hubs of boilerplate clusters. The
+    // decimal-freeze discipline makes raw doubles oracle-exact.
+    "q_pagerank" -> ((s, dir) =>
+      Graph.pageRank(
+          Dedup.ngramJaccardPairs(dupCorpus(s, dir), "doc_id", "text",
+            n = 3, minJaccard = 0.5, dfCap = 10000),
+          iterations = 3, damping = 0.85)
+        .orderBy(col("id"))),
+
+    // Corpus encoding stats under the engine-trained BPE merge table —
+    // rows-only (the rules are a runtime artifact no static SQL can
+    // reproduce); invariants and hand-parity pinned in BpeSpec.
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Bpe.encodeStats(d, "doc_id", "text",
+          Bpe.fit(d, "text", numMerges = 30))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1198,6 +1249,98 @@ object TextQueries {
         |  CAST(floor(CAST(token_offset AS DOUBLE) / 2048) AS BIGINT) AS seq_first,
         |  CAST(floor(CAST(token_offset + greatest(n_tokens, 1) - 1 AS DOUBLE) / 2048)
         |    AS BIGINT) AS seq_last
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The SAME expression shape as fleschScore (left-assoc subtraction,
+    // one division per ratio, constants cast from strings) so the raw
+    // doubles hash-match.
+    "q_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents0,
+        |    len(string_split(text, ' ')) AS n_words0,
+        |    len(regexp_extract_all(lower(text), '[aeiou]+')) AS n_syll0
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n_sents0 AS BIGINT) AS n_sents,
+        |  CAST(n_words0 AS BIGINT) AS n_words,
+        |  CAST(n_syll0 AS BIGINT) AS n_syll,
+        |  CAST('206.835' AS DOUBLE)
+        |    - CAST('1.015' AS DOUBLE)
+        |      * (CAST(n_words0 AS DOUBLE) / CAST(n_sents0 AS DOUBLE))
+        |    - CAST('84.6' AS DOUBLE)
+        |      * (CAST(n_syll0 AS DOUBLE) / CAST(n_words0 AS DOUBLE)) AS flesch
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Prefix block + full Levenshtein — the engine's banded threshold
+    // variant filters identically (dist <= 30 reports, above drops).
+    "q_dedup_editdist" ->
+      s"""WITH $dupCorpusSql,
+         |d AS (
+         |  SELECT doc_id AS id, $normSql AS s FROM corpus
+         |  WHERE text IS NOT NULL),
+         |k AS (SELECT id, s, substr(s, 1, 16) AS k FROM d),
+         |pr AS (
+         |  SELECT a.id AS id1, b.id AS id2, levenshtein(a.s, b.s) AS dist
+         |  FROM k a JOIN k b ON a.k = b.k AND a.id < b.id)
+         |SELECT id1, id2, CAST(dist AS BIGINT) AS dist
+         |FROM pr WHERE dist <= 30 ORDER BY id1, id2""".stripMargin,
+
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |p AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM p
+         |      UNION SELECT id2, id1 FROM p),
+         |reach AS (
+         |  (SELECT src, dst FROM e UNION SELECT src, src FROM e)
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+         |q AS (
+         |  SELECT c.id, c.component,
+         |    CAST(length(co.text) AS BIGINT) AS quality,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY length(co.text) DESC, c.id) AS rn
+         |  FROM comp c JOIN corpus co ON c.id = co.doc_id)
+         |SELECT id AS doc_id, component, quality, rn = 1 AS is_canonical
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Three unrolled power iterations with the engine's decimal-freeze
+    // discipline: every division rounds once to 12 decimals and freezes
+    // as DECIMAL(30,12); inbound sums are exact decimal; the damped
+    // update is one IEEE multiply-add on bit-identical operands. The
+    // teleport constant renders from the SAME Scala double (1.0 - 0.85)
+    // the engine uses, so even its representation error matches.
+    "q_pagerank" -> {
+      val tele = s"CAST('${1.0 - 0.85}' AS DOUBLE)"
+      val damp = s"CAST('0.85' AS DOUBLE)"
+      def iter(prev: String, cur: String) =
+        s"""s$cur AS (
+           |  SELECT e.dst,
+           |    sum(CAST(round(CAST(r.rank AS DOUBLE) / CAST(d.deg AS DOUBLE), 12)
+           |        AS DECIMAL(30,12))) AS in_sum
+           |  FROM e JOIN $prev r ON e.src = r.id JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst),
+           |$cur AS (
+           |  SELECT deg.src AS id,
+           |    CAST(round($tele / CAST(nn.n AS DOUBLE)
+           |        + $damp * CAST(coalesce(s$cur.in_sum, 0) AS DOUBLE), 12)
+           |      AS DECIMAL(30,12)) AS rank
+           |  FROM deg CROSS JOIN nn LEFT JOIN s$cur ON deg.src = s$cur.dst)"""
+      s"""WITH $jaccardPairsCtes,
+         |p AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM p
+         |      UNION ALL SELECT id2, id1 FROM p),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (
+         |  SELECT src AS id,
+         |    CAST(round(1.0 / CAST(nn.n AS DOUBLE), 12) AS DECIMAL(30,12)) AS rank
+         |  FROM deg CROSS JOIN nn),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT id, CAST(rank AS DOUBLE) AS rank FROM r3 ORDER BY id""".stripMargin
+    }
   )
 }

@@ -62,4 +62,48 @@ class BpeSpec extends AnyFunSuite {
     val single = Seq((1L, "a b c a b")).toDF("doc_id", "text")
     assert(Bpe.fit(single, "text", numMerges = 3).isEmpty)
   }
+
+  test("segmentCount: native loop equals size(segment) under any rule chain") {
+    // Rules engineered for the edge shapes: repeated-symbol greed (a,a),
+    // merged-symbol-as-left chaining (aa,b), and a rule that never fires.
+    val rules = Seq(("a", "a"), ("a", "b"), ("aa", "ab"), ("x", "y"))
+    val toks = Seq("aaab", "ab", "aab", "ba", "aaaa", "aaaaa", "abab",
+      "xyxy", "a", "b", "zzz", "axbya")
+    val df = toks.toDF("t").select(
+      graft.functions.BpeSegmentCountExpr.segmentCount($"t", rules).as("native"),
+      size(Bpe.segment($"t", rules)).as("decl"), $"t")
+    df.collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"mismatch on '${r.getString(2)}'")
+    }
+    // null token propagates null
+    val n = Seq(null.asInstanceOf[String]).toDF("t")
+      .select(graft.functions.BpeSegmentCountExpr.segmentCount($"t", rules)).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("encodeStats: per-word pricing equals direct per-doc segmentation; invariants") {
+    val df = Seq((1L, "aaab ab ab"), (2L, "aaab aaab ba"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val rules = Bpe.fit(df, "text", numMerges = 5)
+    val out = Bpe.encodeStats(df, "doc_id", "text", rules)
+      .orderBy($"doc_id").collect()
+    assert(out.length == 3)
+    // doc 1: "aaab"->1 sym, "ab"->1, "ab"->1 => 3 bpe tokens, 8 chars
+    assert(out(0).getAs[Long]("n_words") == 3L)
+    assert(out(0).getAs[Long]("n_chars_tok") == 8L)
+    assert(out(0).getAs[Long]("n_bpe_tokens") == 3L)
+    assert(out(0).getAs[Double]("chars_per_token") == 8.0 / 3.0)
+    // doc 2: aaab aaab ba -> 1 + 1 + 2 ("ba" unmergeable) = 4
+    assert(out(1).getAs[Long]("n_bpe_tokens") == 4L)
+    // invariants everywhere: n_words <= n_bpe_tokens <= n_chars_tok
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_words") <= r.getAs[Long]("n_bpe_tokens"))
+      assert(r.getAs[Long]("n_bpe_tokens") <= r.getAs[Long]("n_chars_tok"))
+    }
+    // zero rules: every char is a token
+    val zero = Bpe.encodeStats(df, "doc_id", "text", Nil).orderBy($"doc_id").collect()
+    zero.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") == r.getAs[Long]("n_chars_tok"))
+    }
+  }
 }

@@ -298,4 +298,41 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(out.toSeq == Seq(1L))
   }
+
+  test("editDistancePairs: blocked pairs within threshold; block boundary respected") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "the quick brown fox jumps over it"),      // exact copy -> dist 0
+      (3L, "the quick brown fox jumps over me"),      // 2-char edit
+      (4L, "the quick brown cat sat on the mat on the mat on the mat on " +
+        "the mat on the mat zzzz yyy xxx qqq ppp"),   // same block, > maxDist
+      (5L, "a different start entirely fox jumps"),   // different block
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text",
+      prefixLen = 16, maxDist = 10)
+      .orderBy($"id1", $"id2").collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0L), (1L, 3L, 2L), (2L, 3L, 2L)))
+    intercept[IllegalArgumentException](
+      Dedup.editDistancePairs(docs, "doc_id", "text", prefixLen = 0))
+  }
+
+  test("canonicalKeepList: best-quality member per component; ties break to min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L), (99L, 100L))
+      .toDF("doc_id", "quality")
+    val out = Dedup.canonicalKeepList(pairs, docs, "doc_id", "quality")
+      .orderBy($"doc_id").collect()
+    // doc 99 is in no pair -> absent; component {1,2,3} canonical = 2
+    // (quality 9, tie with 3 -> min id); component {10,11} canonical = 10
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 10L, 11L))
+    val canon = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSeq
+    assert(canon == Seq(2L, 10L))
+    // exactly one canonical per component
+    val comps = out.groupBy(_.getLong(1))
+    comps.foreach { case (c, rs) =>
+      assert(rs.count(_.getBoolean(3)) == 1, s"component $c")
+    }
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** PageRank over pair tables — SURVEY.md §2 graph-analytics row. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank: one hand-computed star iteration; hubs outrank leaves") {
+    // Star a(1)-b(2), a-c(3), a-d(4): N=4, deg(a)=3, leaves deg 1.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val r1 = Graph.pageRank(pairs, iterations = 1).orderBy($"id").collect()
+    val byId = r1.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // r(a) = 0.15/4 + 0.85 * (3 * round(0.25/1, 12))          = 0.675
+    // r(leaf) = 0.15/4 + 0.85 * round(0.25/3, 12)             ≈ 0.108333333333
+    assert(math.abs(byId(1L) - 0.675) < 1e-9, s"center ${byId(1L)}")
+    assert(math.abs(byId(2L) - 0.108333333333) < 1e-9, s"leaf ${byId(2L)}")
+    assert(byId(2L) == byId(3L) && byId(3L) == byId(4L))
+  }
+
+  test("pageRank: rank mass is conserved (no dangling nodes in a pair graph)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("id1", "id2")
+    val out = Graph.pageRank(pairs, iterations = 3).collect()
+    assert(out.length == 4)
+    val total = out.map(_.getDouble(1)).sum
+    // exact would be 1.0; the 12-decimal freezes perturb at ~1e-11
+    assert(math.abs(total - 1.0) < 1e-8, s"mass $total")
+    // guards
+    intercept[IllegalArgumentException](Graph.pageRank(pairs, iterations = 0))
+    intercept[IllegalArgumentException](Graph.pageRank(pairs, damping = 1.0))
+  }
+
+  test("pageRank: disconnected components rank independently; plan has no window") {
+    val pairs = Seq((1L, 2L), (10L, 11L), (10L, 12L)).toDF("id1", "id2")
+    val out = Graph.pageRank(pairs, iterations = 2)
+    val rows = out.collect()
+    assert(rows.length == 5)
+    // the 2-clique's members tie exactly; the star center exceeds them
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId(1L) == byId(2L))
+    assert(byId(10L) > byId(11L))
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
+}

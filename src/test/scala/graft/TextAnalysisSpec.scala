@@ -39,6 +39,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("readability: hand-computed counts and Flesch score; sentence floor") {
+    val df = Seq(
+      (1L, "the cat sat. the dog ran! was it fun?"), // 3 sents, 9 words
+      (2L, "no terminal punctuation here")           // floored to 1 sentence
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TA.sentenceCount($"text").as("s"),
+      TA.wsTokenCount($"text").as("w"),
+      TA.syllableProxy($"text").as("y"),
+      TA.fleschScore($"text").as("f")).orderBy($"doc_id").collect()
+    assert(out(0).getInt(1) == 3)
+    assert(out(0).getInt(2) == 9)
+    // vowel groups: e,a,a,e,o,a,a,i,u -> "the"=1,"cat"=1,"sat."=1,
+    // "the"=1,"dog"=1,"ran!"=1,"was"=1,"it"=1,"fun?"=1 = 9
+    assert(out(0).getInt(3) == 9)
+    val f0 = 206.835 - 1.015 * (9.0 / 3.0) - 84.6 * (9.0 / 9.0)
+    assert(out(0).getDouble(4) == f0)
+    assert(out(1).getInt(1) == 1) // floor
+  }
+
   test("dupLineFrac: duplicate and blank lines handled; line-less text is 0") {
     val df = Seq(
       (1L, "alpha\nbeta\nalpha"),       // 3 lines, 2 distinct -> 1/3
