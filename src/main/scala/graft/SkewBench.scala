@@ -181,6 +181,32 @@ object SkewBench {
     def gsample(d: DataFrame): DataFrame =
       Sampling.groupExemplars(d, "doc_id", "source", k = 5)
 
+    // q_dedup_editdist shape. Skew arm: the banner PREFIX puts 90% of
+    // the corpus into ONE block — the regime the CappedCollectList
+    // valve exists for (the overfull block is dropped, never exploded
+    // into C(0.9n, 2) levenshtein calls).
+    def editdist(d: DataFrame): DataFrame =
+      Dedup.editDistancePairs(d, "doc_id", "text", prefixLen = 16, maxDist = 10)
+    // q_pagerank / q_dedup_canonical shapes over SYNTHETIC edge tables
+    // (running them over the jaccard pipeline would measure candidate
+    // generation, not the graph op's own skew response). Uniform arm: a
+    // perfect matching — n/2 two-node components, every degree 1. Skew
+    // arm: one star — a single hub of degree n−1 and ONE corpus-sized
+    // component (the mega-cluster regime: the hub's inbound-share
+    // aggregate must distribute, and canonical's per-component window
+    // gets one corpus-sized partition to rank).
+    val nIds = nDocs
+    val matching = spark.range(nIds / 2)
+      .select((col("id") * 2).as("id1"), (col("id") * 2 + 1).as("id2"))
+    val star = spark.range(1L, nIds)
+      .select(lit(0L).as("id1"), col("id").as("id2"))
+    val qdocs = spark.range(nIds)
+      .select(col("id").as("doc_id"), (col("id") % 997L).as("quality"))
+    def prank(p: DataFrame): DataFrame =
+      graft.operators.Graph.pageRank(p, iterations = 3)
+    def canon(p: DataFrame): DataFrame =
+      Dedup.canonicalKeepList(p, qdocs, "doc_id", "quality")
+
     val pairs: Seq[(String, DataFrame => DataFrame, DataFrame, DataFrame)] = Seq(
       ("asof_join", asof, events, zipfEvents(events)),
       ("asof_join_salted", asofSalted, events, zipfEvents(events)),
@@ -195,7 +221,10 @@ object SkewBench {
       ("span_strike", spanStrike, docs, boilerDocs(docs)),
       ("group_sample", gsample, docsFull, hotSrcDocs.drop("quality")),
       ("weighted_sample", wsample, tokDocs, zipfTok),
-      ("quantile_norm", qnorm, qualDocs, hotSrcDocs))
+      ("quantile_norm", qnorm, qualDocs, hotSrcDocs),
+      ("dedup_editdist", editdist, docs, boilerDocs(docs)),
+      ("pagerank", prank, matching, star),
+      ("dedup_canonical", canon, matching, star))
 
     def time(df: => DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -219,31 +219,35 @@ object Dedup {
     * distributions the candidate set stays quadratic, and the extra
     * verify joins cost more than the streaming count aggregate.)
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, minJaccard: Double = 0.5,
-                        dfCap: Int = 10000): DataFrame = {
-    // The doc's shingle-set size rides WITH every posting row (it's just
-    // size(array) in the same projection that explodes the array), so |A|
-    // and |B| are already in the bucket structs when pairs form — the
-    // minhash/simhash "signature rides in the posting struct" shape. The
-    // alternative (a groupBy(id) sizes table joined back per pair side)
-    // costs one corpus shuffle + TWO corpus-cardinality joins + a persist
-    // to share the shingle pass between consumers; this form has ONE
-    // consumer, so nothing re-computes and nothing pins the cache.
+  /** Shared exact shingle-overlap pair core of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: (id1, id2, shared, n1, n2) per candidate pair,
+    * id1 < id2.
+    *
+    * The doc's shingle-set size rides WITH every posting row (it's just
+    * size(array) in the same projection that explodes the array), so |A|
+    * and |B| are already in the bucket structs when pairs form — the
+    * minhash/simhash "signature rides in the posting struct" shape. The
+    * alternative (a groupBy(id) sizes table joined back per pair side)
+    * costs one corpus shuffle + TWO corpus-cardinality joins + a persist
+    * to share the shingle pass between consumers; this form has ONE
+    * consumer, so nothing re-computes and nothing pins the cache.
+    *
+    * Pair generation via bucket arrays + double explode: one shuffle to
+    * build posting buckets (the stop-shingle df cap is just a filter on
+    * bucket size — no separate df aggregate or anti join), then the
+    * per-bucket cross product streams straight into the codegen'd
+    * pair-count aggregate — no join machinery on the fan-out path at all.
+    * The bucket build itself is buffer-bounded: cappedCollectList stops
+    * accumulating at dfCap+1 ids, so a Zipf-head stop-shingle never
+    * materializes its full posting list inside the aggregate before the
+    * size filter drops it (over-cap keys surface as exactly dfCap+1
+    * elements — above the filter, identical output). */
+  private def shinglePairCounts(df: DataFrame, idCol: String, textCol: String,
+                                n: Int, dfCap: Int): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         shingles(col(textCol), n).as("arr"))
       .select(col("id"), size(col("arr")).as("n_sh"), explode(col("arr")).as("raw"))
       .select(struct(col("id"), col("n_sh")).as("doc"), xxhash64(col("raw")).as("sh"))
-    // Pair generation via bucket arrays + double explode: one shuffle to
-    // build posting buckets (the stop-shingle df cap is just a filter on
-    // bucket size — no separate df aggregate or anti join), then the
-    // per-bucket cross product streams straight into the codegen'd
-    // pair-count aggregate — no join machinery on the fan-out path at all.
-    // The bucket build itself is buffer-bounded: cappedCollectList stops
-    // accumulating at dfCap+1 ids, so a Zipf-head stop-shingle never
-    // materializes its full posting list inside the aggregate before the
-    // size filter drops it (over-cap keys surface as exactly dfCap+1
-    // elements — above the filter, identical output).
     val buckets = sh.groupBy(col("sh"))
       .agg(cappedCollectList(col("doc"), dfCap).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= dfCap)
@@ -256,12 +260,41 @@ object Dedup {
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
       .agg(count(lit(1)).as("shared"))
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minJaccard: Double = 0.5,
+                        dfCap: Int = 10000): DataFrame =
+    shinglePairCounts(df, idCol, textCol, n, dfCap)
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("n1") + col("n2") - col("shared")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("shared"), col("n1"), col("n2"), col("jaccard"))
-  }
+
+  /** Exact shingle CONTAINMENT pairs — the asymmetric complement of
+    * Jaccard for near-SUPERSET detection (Broder's resemblance vs
+    * containment split): a short document quoted whole inside a long
+    * aggregator page has low Jaccard (the union is large) but
+    * containment ≈ 1 for the short side. Score = shared / min(|A|, |B|)
+    * — the containment of the SMALLER document in the larger — with the
+    * contained side reported explicitly. Same posting-bucket pipeline
+    * and df-cap valve as [[ngramJaccardPairs]] (one corpus shuffle,
+    * bounded buckets, no join on the fan-out path).
+    * Output: (id1, id2, shared, n1, n2, containment, contained_id) —
+    * contained_id is the smaller-set side (ties → id1, the
+    * deterministic convention). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minContainment: Double = 0.8,
+                       dfCap: Int = 10000): DataFrame =
+    shinglePairCounts(df, idCol, textCol, n, dfCap)
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n1"), col("n2")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .withColumn("contained_id",
+        when(col("n1") <= col("n2"), col("id1")).otherwise(col("id2")))
+      .select(col("id1"), col("id2"), col("shared"), col("n1"), col("n2"),
+        col("containment"), col("contained_id"))
 
   /** (id, sig: array<long>) MinHash signatures as a per-row PROJECTION —
     * zero shuffle (the explode + groupBy(id) alternative re-shuffles the
@@ -524,20 +557,23 @@ object Dedup {
     *
     * Scale shape: CC over the pairs ([[connectedComponents]] — diameter
     * rounds of node-scale joins), one join to bring the quality column
-    * (clustered ids only — far below the corpus), and a per-component
-    * row_number whose window partitions are bounded by cluster size.
-    * Output: (doc_id, component, quality, is_canonical). */
+    * (clustered ids only — far below the corpus), and the canonical
+    * chosen by a single-value `max_by` AGGREGATE (ordered by (quality,
+    * −id), so highest quality then lowest id) joined back — map-side
+    * combinable with an O(1) buffer, where a per-component row_number
+    * window would sort a corpus-sized mirror-farm component in ONE
+    * task. Output: (doc_id, component, quality, is_canonical). */
   def canonicalKeepList(pairs: DataFrame, docs: DataFrame, idCol: String,
                         qualityCol: String, id1: String = "id1",
                         id2: String = "id2", maxIter: Int = 20): DataFrame = {
     val cc = connectedComponents(pairs, id1, id2, maxIter)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("comp"))
-      .orderBy(col("quality").desc, col("id"))
-    cc.join(docs.select(col(idCol).as("id"), col(qualityCol).as("quality")), Seq("id"))
-      .withColumn("__rn", row_number().over(w))
+    val q = cc.join(
+      docs.select(col(idCol).as("id"), col(qualityCol).as("quality")), Seq("id"))
+    val best = q.groupBy(col("comp"))
+      .agg(max_by(col("id"), struct(col("quality"), -col("id"))).as("__canon"))
+    q.join(best, Seq("comp"))
       .select(col("id").as("doc_id"), col("comp").as("component"),
-        col("quality"), (col("__rn") === 1).as("is_canonical"))
+        col("quality"), (col("id") === col("__canon")).as("is_canonical"))
   }
 
   /** Bucketed EDIT-DISTANCE near-dup pairs — the character-level

@@ -156,6 +156,38 @@ object Vocab {
           .as("avg_surprisal"))
   }
 
+  /** Per-source n-gram NOVELTY — the "is this source worth ingesting"
+    * signal a mixture curator reads: of a source's distinct token
+    * shingles, the fraction found in NO other source. Low novelty marks
+    * a mirror/aggregator of corpus content; high novelty marks genuinely
+    * new text (or noise — read it with the quality signals).
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, shingle-key)
+    * pairs map-side-combinably (shingle text never shuffles — keys are
+    * two independent xxhash64 lanes, 128 bits, because here a collision
+    * MERGES two shingles in the census and biases counts, unlike the
+    * candidate-generation uses where it only creates a verified-away
+    * false candidate); the shingle census and the join back are
+    * shingle-vocabulary-scale. Output: (source, n_shingles, n_unique,
+    * novelty) with one IEEE division. */
+  def sourceNovelty(df: DataFrame, textCol: String, sourceCol: String,
+                    n: Int = 3): DataFrame = {
+    val sh = df
+      .select(col(sourceCol).as("source"),
+        explode(Dedup.shingles(col(textCol), n)).as("raw"))
+      .select(col("source"),
+        struct(xxhash64(col("raw")), xxhash64(lit(1), col("raw"))).as("sh"))
+      .distinct()
+    val census = sh.groupBy(col("sh")).agg(count(lit(1)).as("n_sources"))
+    sh.join(census, Seq("sh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("source"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
   /** Per-document token Shannon entropy (nats) — the within-doc
     * diversity quality signal, complementing [[docSurprisal]] (which
     * prices tokens by CORPUS rarity): low entropy flags repetitive

@@ -633,7 +633,22 @@ object TextQueries {
       Bpe.encodeStats(d, "doc_id", "text",
           Bpe.fit(d, "text", numMerges = 30))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Asymmetric near-SUPERSET detection: shingle containment of the
+    // smaller doc in the larger (a doc quoted whole inside an
+    // aggregator page has low Jaccard but containment ~1).
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(dupCorpus(s, dir), "doc_id", "text",
+          n = 3, minContainment = 0.8, dfCap = 10000)
+        .orderBy(col("id1"), col("id2"))),
+
+    // Per-source shingle novelty — the mixture curator's "is this
+    // source new content or a mirror" signal.
+    "q_ngram_novelty" -> ((s, dir) =>
+      Vocab.sourceNovelty(Tables.load(s, dir, "documents"), "text",
+          "source", n = 3)
+        .orderBy(col("source")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1341,6 +1356,32 @@ object TextQueries {
          |${iter("r1", "r2")},
          |${iter("r2", "r3")}
          |SELECT id, CAST(rank AS DOUBLE) AS rank FROM r3 ORDER BY id""".stripMargin
-    }
+    },
+
+    "q_dedup_containment" ->
+      s"""WITH $jaccardPairsCtes
+         |SELECT id1, id2, shared, n1, n2,
+         |  CAST(shared AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE) AS containment,
+         |  CASE WHEN n1 <= n2 THEN id1 ELSE id2 END AS contained_id
+         |FROM j
+         |WHERE CAST(shared AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE) >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q_ngram_novelty" ->
+      s"""WITH tokd AS (
+         |  SELECT source,
+         |    list_distinct([array_to_string(l[i:i+2], ' ')
+         |                   for i in range(1, greatest(len(l) - 2, 0) + 1)]) AS shs
+         |  FROM (SELECT source, string_split($normSql, ' ') AS l FROM documents)),
+         |sh0 AS (SELECT source, unnest(shs) AS sh FROM tokd),
+         |sh AS (SELECT DISTINCT source, sh FROM sh0),
+         |cs AS (SELECT sh, count(*) AS ns FROM sh GROUP BY sh)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM sh JOIN cs USING (sh)
+         |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -318,6 +318,45 @@ class DedupSpec extends AnyFunSuite {
       Dedup.editDistancePairs(docs, "doc_id", "text", prefixLen = 0))
   }
 
+  test("containmentPairs: near-superset found where Jaccard misses; contained side reported") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),                                          // short doc
+      (2L, base + " lambda mu nu xi omicron pi rho sigma " +
+        "tau upsilon phi chi psi omega one two three four five six"), // superset
+      (3L, "totally different content with other words entirely here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, minContainment = 0.9).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Long]("id1"), r.getAs[Long]("id2")) == (1L, 2L))
+    assert(r.getAs[Double]("containment") == 1.0) // all of doc 1's shingles
+    assert(r.getAs[Long]("contained_id") == 1L)
+    // Jaccard at the same threshold misses this pair (union is large)
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.9).collect()
+    assert(j.isEmpty)
+  }
+
+  test("sourceNovelty: unique vs shared shingles per source; all-null source absent") {
+    val docs = Seq(
+      (1L, "one two three four five", "a"),   // 3 shingles, all unique to a
+      (2L, "one two three four five", "b"),   // same 3 shingles -> shared
+      (3L, "six seven eight nine ten", "b"),  // 3 more, unique to b
+      (4L, null.asInstanceOf[String], "c")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Vocab.sourceNovelty(docs, "text", "source")
+      .orderBy($"source").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b")) // c absent
+    assert(out(0).getAs[Long]("n_shingles") == 3L)
+    assert(out(0).getAs[Long]("n_unique") == 0L) // a's shingles all in b
+    assert(out(0).getAs[Double]("novelty") == 0.0)
+    assert(out(1).getAs[Long]("n_shingles") == 6L)
+    assert(out(1).getAs[Long]("n_unique") == 3L)
+    assert(out(1).getAs[Double]("novelty") == 0.5)
+  }
+
   test("canonicalKeepList: best-quality member per component; ties break to min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L), (99L, 100L))
