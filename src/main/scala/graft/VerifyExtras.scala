@@ -202,7 +202,7 @@ object VerifyExtras {
         // variance.
         Check("knn_graph_strong_edges", pairRecall(knnTruth, knnCand),
           floor = 0.9, knnTruth.length, knnCand.length)
-      ) ++ sketchChecks(spark, sfDir)
+      ) ++ sketchChecks(spark, sfDir) ++ bpeCheck(spark, sfDir)
     } finally {
       corpus.unpersist(); emb.unpersist(); dupEmb.unpersist()
     }
@@ -268,6 +268,30 @@ object VerifyExtras {
         rows.length, rows.length, metric = "accuracy")).toSeq ++
       Seq(Check("profile_sketch_distinct_accuracy", 1.0 - profErr, floor = 0.85,
         profCols.length, profCols.length, metric = "accuracy"))
+  }
+
+  /** q_bpe_encode's floor (the rows-only BPE application): corpus-level
+    * chars-per-token compression under the 30 trained merges must show
+    * the merges genuinely firing — character-init encoding is exactly
+    * 1.0 by construction, so any broken rule table or application pins
+    * the ratio at 1.0 and the floor catches it. The floor is NOT a
+    * redundancy bar: compression measures corpus redundancy per merge
+    * budget, and ScaleUp's per-replica letter permutation DILUTES it by
+    * design (vocab ×10 per decade at a fixed 30-merge budget — measured
+    * 1.55 at sf0.01 but 1.14 at sf1), exactly as a fixed-vocab tokenizer
+    * behaves on a genuinely more diverse corpus. truth_pairs reports
+    * the doc count, candidate_rows the learned rule count. */
+  private def bpeCheck(spark: SparkSession, sfDir: String): Seq[Check] = {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    val rules = graft.operators.Bpe.fit(d, "text", numMerges = 30)
+    val agg = graft.operators.Bpe.encodeStats(d, "doc_id", "text", rules)
+      .agg(sum(col("n_chars_tok")).as("c"), sum(col("n_bpe_tokens")).as("t"),
+        count(lit(1)).as("n")).head()
+    val comp = agg.getAs[Long]("c").toDouble /
+      math.max(agg.getAs[Long]("t"), 1L).toDouble
+    Seq(Check("bpe_encode_compression", comp, floor = 1.02,
+      agg.getAs[Long]("n"), rules.length.toLong, metric = "chars_per_token"))
   }
 
   def writeJson(spark: SparkSession, sfDir: String, outPaths: Seq[String]): Boolean = {

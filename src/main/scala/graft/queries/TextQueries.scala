@@ -1344,9 +1344,9 @@ object TextQueries {
            |  FROM deg CROSS JOIN nn LEFT JOIN s$cur ON deg.src = s$cur.dst)"""
       s"""WITH $jaccardPairsCtes,
          |p AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
-         |e AS (SELECT id1 AS src, id2 AS dst FROM p
+         |e AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM p
          |      UNION ALL SELECT id2, id1 FROM p),
-         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
          |nn AS (SELECT count(*) AS n FROM deg),
          |r0 AS (
          |  SELECT src AS id,
