@@ -374,4 +374,30 @@ object Monitoring {
       .select((dims.map(col) ++ Seq(col("day"), col("n"), col("med"),
         col("mad"), col("deviation"), col("is_anomaly"))): _*)
   }
+
+  /** Per-source DUPLICATION-RATE health: for each source, the fraction
+    * of its documents whose `fingerprint` occurs on 2+ documents
+    * CORPUS-WIDE (not just within the source — a source mirroring
+    * another source's content is precisely what the curator needs to
+    * see). The caller chooses the fingerprint granularity: the exact
+    * md5 doc fingerprint flags byte-duplicates, the prefix fingerprint
+    * flags template/boilerplate families sharing an opening.
+    *
+    * Scale shape: documents collapse to (source, fp) rows map-side;
+    * the fp census and the join back shuffle fingerprints + counts
+    * only (never text); one bounded per-source aggregate. Output:
+    * (source, n_docs, n_dup_docs, dup_rate) with one IEEE division. */
+  def dupRateBySource(df: DataFrame, sourceCol: String,
+                      fingerprint: Column): DataFrame = {
+    val d = df.select(col(sourceCol).as("source"), fingerprint.as("fp"))
+      .filter(col("fp").isNotNull)
+    val census = d.groupBy(col("fp")).agg(count(lit(1)).as("n_fp"))
+    d.join(census, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_fp") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, Graph, Packing, Relevance, Sampling, Vocab, TextAnalysis => TA}
+import graft.operators.{Bpe, Dedup, Graph, Monitoring, Packing, Relevance, Sampling, Vocab, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Queries #20-#23 and #27-#30 of SURVEY.md §2: text analysis and text
@@ -648,6 +648,14 @@ object TextQueries {
     "q_ngram_novelty" -> ((s, dir) =>
       Vocab.sourceNovelty(Tables.load(s, dir, "documents"), "text",
           "source", n = 3)
+        .orderBy(col("source"))),
+
+    // Per-source duplication-rate health at prefix-fingerprint
+    // granularity (template/boilerplate families sharing an opening).
+    "q_dup_rate_by_source" -> ((s, dir) =>
+      Monitoring.dupRateBySource(
+          Tables.load(s, dir, "documents").filter(col("text").isNotNull),
+          "source", TA.prefixFingerprint(col("text"), 5))
         .orderBy(col("source")))
   )
 
@@ -1382,6 +1390,20 @@ object TextQueries {
          |  CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS novelty
          |FROM sh JOIN cs USING (sh)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dup_rate_by_source" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    md5(array_to_string(list_slice(string_split($normSql, ' '), 1, 5), ' ')) AS fp
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT fp, count(*) AS n_fp FROM d GROUP BY fp)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_fp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(CASE WHEN n_fp >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_rate
+         |FROM d JOIN c USING (fp)
          |GROUP BY source ORDER BY source""".stripMargin
   )
 }

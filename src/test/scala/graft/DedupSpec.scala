@@ -357,6 +357,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("novelty") == 0.5)
   }
 
+  test("dupRateBySource: corpus-wide fingerprint census; per-source rates") {
+    val docs = Seq(
+      (1L, "same opening words here", "a"),
+      (2L, "same opening words here tail differs", "a"),  // same 5-prefix? 4 tokens vs 5 -> check
+      (3L, "unique text one", "a"),
+      (4L, "same opening words here", "b"),               // mirrors a's content
+      (5L, "another unique text", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Monitoring.dupRateBySource(docs, "source",
+      graft.operators.TextAnalysis.docFingerprint(col("text")))
+      .orderBy($"source").collect()
+    // exact fingerprints: docs 1 and 4 duplicate ACROSS sources
+    assert(out(0).getAs[Long]("n_docs") == 3L)
+    assert(out(0).getAs[Long]("n_dup_docs") == 1L) // doc 1 (dup with 4)
+    assert(out(1).getAs[Long]("n_dup_docs") == 1L) // doc 4
+    assert(out(0).getAs[Double]("dup_rate") == 1.0 / 3.0)
+  }
+
   test("canonicalKeepList: best-quality member per component; ties break to min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L), (99L, 100L))

@@ -35,6 +35,37 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.pageRank(pairs, damping = 1.0))
   }
 
+  test("TopKNeighbors: equals window top-k under every partitioning (merge-truncate exactness)") {
+    import graft.functions.TopKNeighbors.topKNeighbors
+    // Scored candidate rows with DUPLICATES (same (id, neighbor, cos)
+    // arriving through several LSH bands) — the aggregate must
+    // de-duplicate and return the exact window top-3.
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map { _ =>
+      val id = rnd.nextInt(12).toLong
+      val nb = rnd.nextInt(50).toLong + 100
+      // cos is a pure function of (id, nb): duplicates carry identical bits
+      val cos = ((id * 31 + nb) % 97).toDouble / 97.0
+      (id, nb, cos)
+    }.filter { case (id, nb, _) => id != nb }
+    for (parts <- Seq(1, 3, 7)) {
+      val df = rows.toDF("id", "neighbor_id", "cos_sim").repartition(parts)
+      val agg = df.groupBy($"id")
+        .agg(topKNeighbors($"neighbor_id", $"cos_sim", 3).as("nb"))
+        .select($"id", posexplode($"nb"))
+        .select($"id", ($"pos" + 1).cast("int").as("rank"),
+          $"col._1".as("neighbor_id"), $"col._2".as("cos_sim"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"id").orderBy($"cos_sim".desc, $"neighbor_id")
+      val win = df.dropDuplicates("id", "neighbor_id")
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+      assert(agg == win, s"parts=$parts")
+    }
+  }
+
   test("pageRank: disconnected components rank independently; plan has no window") {
     val pairs = Seq((1L, 2L), (10L, 11L), (10L, 12L)).toDF("id1", "id2")
     val out = Graph.pageRank(pairs, iterations = 2)
