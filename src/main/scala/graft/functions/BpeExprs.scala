@@ -29,8 +29,12 @@ object BpeRules {
 
 /** Symbol count of one token after applying the merge table in training
   * order — result-identical to `size(Bpe.segment(token, rules))`:
-  * character-split init (Java `split("")` semantics: code units, empty
-  * token → one empty symbol), each rule applied greedily left-to-right
+  * character-split init matching Spark's `split(token, "")`, which is
+  * CODE-POINT based (UTF8String.split keeps a surrogate pair as ONE
+  * element — a charAt walk would split astral characters into two
+  * symbols and break the n_bpe_tokens ≤ n_chars invariant; parity with
+  * the declarative form is spec-pinned on an astral fixture). Empty
+  * token → one empty symbol. Each rule applies greedily left-to-right
   * non-overlapping (the just-merged symbol `l+r` can never equal `l`,
   * so it cannot chain within its own pass — same as the fold). */
 case class BpeSegmentCountExpr(child: Expression, rules: BpeRules)
@@ -56,9 +60,19 @@ object BpeSegmentCountExpr {
   def count(token: UTF8String, rules: BpeRules): Int = {
     val s = token.toString
     if (s.isEmpty) return 1 // "".split("") == [""]
-    var syms = new Array[String](s.length)
+    // Code-point split (split(token, "") semantics — surrogate pairs
+    // stay whole).
+    val nCp = s.codePointCount(0, s.length)
+    var syms = new Array[String](nCp)
     var i = 0
-    while (i < s.length) { syms(i) = String.valueOf(s.charAt(i)); i += 1 }
+    var ci = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      syms(ci) = s.substring(i, i + w)
+      ci += 1
+      i += w
+    }
     var n = syms.length
     var ri = 0
     while (ri < rules.ls.length && n > 1) {

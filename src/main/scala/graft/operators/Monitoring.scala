@@ -229,31 +229,6 @@ object Monitoring {
           .cast("int"))
   }
 
-  /** Robust per-group anomaly flags over periodic counts —
-    * [[countDrift]]'s distributional upgrade. The lag-ratio monitor
-    * compares each period only to its PREDECESSOR, so a spike that
-    * persists flags once and then becomes the new baseline, and one
-    * global `factor` is wrong across groups with different volatility.
-    * This flags each period whose count deviates from its group's
-    * MEDIAN by more than `nMads` × MAD (median absolute deviation) —
-    * the standard robust outlier rule: median and MAD barely move when
-    * the outliers themselves enter the frame, where a mean/stddev
-    * z-score drags its own baseline toward the spike it should flag.
-    * A group whose MAD is 0 (over half its periods share one count)
-    * degrades to flagging ANY deviating period; exactly-constant
-    * groups stay quiet (strict `>` on a 0 deviation).
-    *
-    * Cross-engine float discipline: counts are longs; median and MAD
-    * come from the linear-interpolation percentile both engines define
-    * identically over the same values (the q_group_percentiles
-    * discipline), and the deviation is one IEEE subtraction of those
-    * bit-identical doubles — raw doubles hash-match the oracle.
-    *
-    * Scale shape: the event stream collapses to (dims, period) count
-    * rows in ONE aggregation; medians are two more aggregations over
-    * GROUP rows (bounded by dim cardinality × periods, never the event
-    * count — the exact-percentile buffer is O(periods-per-group)),
-    * joined back model-scale. */
   /** Population Stability Index (PSI) distribution drift between two
     * sides of a numeric column — the standard drift score model/feature
     * monitoring uses where [[profileCompare]]'s min/max/null checks
@@ -338,6 +313,31 @@ object Monitoring {
         col("p_right"), col("one_sided"), col("psi_term"), col("cum_psi"))
   }
 
+  /** Robust per-group anomaly flags over periodic counts —
+    * [[countDrift]]'s distributional upgrade. The lag-ratio monitor
+    * compares each period only to its PREDECESSOR, so a spike that
+    * persists flags once and then becomes the new baseline, and one
+    * global `factor` is wrong across groups with different volatility.
+    * This flags each period whose count deviates from its group's
+    * MEDIAN by more than `nMads` × MAD (median absolute deviation) —
+    * the standard robust outlier rule: median and MAD barely move when
+    * the outliers themselves enter the frame, where a mean/stddev
+    * z-score drags its own baseline toward the spike it should flag.
+    * A group whose MAD is 0 (over half its periods share one count)
+    * degrades to flagging ANY deviating period; exactly-constant
+    * groups stay quiet (strict `>` on a 0 deviation).
+    *
+    * Cross-engine float discipline: counts are longs; median and MAD
+    * come from the linear-interpolation percentile both engines define
+    * identically over the same values (the q_group_percentiles
+    * discipline), and the deviation is one IEEE subtraction of those
+    * bit-identical doubles — raw doubles hash-match the oracle.
+    *
+    * Scale shape: the event stream collapses to (dims, period) count
+    * rows in ONE aggregation; medians are two more aggregations over
+    * GROUP rows (bounded by dim cardinality × periods, never the event
+    * count — the exact-percentile buffer is O(periods-per-group)),
+    * joined back model-scale. */
   def countAnomaly(df: DataFrame, dims: Seq[String], period: Column,
                    nMads: Double = 3.0): DataFrame = {
     require(dims.nonEmpty, "at least one grouping dimension")

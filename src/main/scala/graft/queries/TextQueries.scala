@@ -478,8 +478,10 @@ object TextQueries {
     // Bounded per-source exemplar panel: the k=5 smallest salted-md5
     // ranks per source via the BoundedMinK aggregate — ≤ k rank strings
     // buffered per group, map-side combinable; no per-group sort, no
-    // window funnel. The rank string totalizes the order (md5 ‖ padded
-    // id), so both engines select the exact same rows.
+    // window funnel. The rank string totalizes the order (two
+    // independent md5 lanes ‖ raw id — hex-only framing; the earlier
+    // zero-padded-id middle field leaked the id's ':' into the frame
+    // and was replaced), so both engines select the exact same rows.
     "q_group_sample" -> ((s, dir) =>
       Sampling.groupExemplars(Tables.load(s, dir, "documents"),
           "doc_id", "source", k = 5)
@@ -1296,16 +1298,22 @@ object TextQueries {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     // Prefix block + full Levenshtein — the engine's banded threshold
-    // variant filters identically (dist <= 30 reports, above drops).
+    // variant filters identically (dist <= 30 reports, above drops),
+    // and the bucketCap valve is MIRRORED like the Jaccard oracle's
+    // df-cap (keepk ≡ blocks ≤ 256 docs): an overfull boilerplate
+    // block is dropped by BOTH engines, so the contract stays
+    // oracle-checked in the capped regime too.
     "q_dedup_editdist" ->
       s"""WITH $dupCorpusSql,
          |d AS (
          |  SELECT doc_id AS id, $normSql AS s FROM corpus
          |  WHERE text IS NOT NULL),
          |k AS (SELECT id, s, substr(s, 1, 16) AS k FROM d),
+         |keepk AS (SELECT k FROM k GROUP BY k HAVING count(*) <= 256),
+         |kc AS (SELECT k.id, k.s, k.k FROM k JOIN keepk USING (k)),
          |pr AS (
          |  SELECT a.id AS id1, b.id AS id2, levenshtein(a.s, b.s) AS dist
-         |  FROM k a JOIN k b ON a.k = b.k AND a.id < b.id)
+         |  FROM kc a JOIN kc b ON a.k = b.k AND a.id < b.id)
          |SELECT id1, id2, CAST(dist AS BIGINT) AS dist
          |FROM pr WHERE dist <= 30 ORDER BY id1, id2""".stripMargin,
 

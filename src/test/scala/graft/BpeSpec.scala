@@ -67,8 +67,12 @@ class BpeSpec extends AnyFunSuite {
     // Rules engineered for the edge shapes: repeated-symbol greed (a,a),
     // merged-symbol-as-left chaining (aa,b), and a rule that never fires.
     val rules = Seq(("a", "a"), ("a", "b"), ("aa", "ab"), ("x", "y"))
+    // The astral fixtures pin CODE-POINT splitting: split(token, "")
+    // keeps a surrogate pair whole, so "𝄞" is ONE symbol (a UTF-16
+    // code-unit walk would count two and break n_bpe <= n_chars).
     val toks = Seq("aaab", "ab", "aab", "ba", "aaaa", "aaaaa", "abab",
-      "xyxy", "a", "b", "zzz", "axbya")
+      "xyxy", "a", "b", "zzz", "axbya", "𝄞", "a𝄞b",
+      "héλλo")
     val df = toks.toDF("t").select(
       graft.functions.BpeSegmentCountExpr.segmentCount($"t", rules).as("native"),
       size(Bpe.segment($"t", rules)).as("decl"), $"t")
