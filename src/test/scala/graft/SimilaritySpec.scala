@@ -468,8 +468,9 @@ class SimilaritySpec extends AnyFunSuite {
     val g = Similarity.knnGraphLsh(v, k = 3, bands = 2, planesPerBand = 4)
     val plan = g.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan.take(2000))
-    // no TakeOrderedAndProject: the top-k is a per-id window over
-    // bounded candidate sets, not a global sort
+    // no TakeOrderedAndProject and no Window: the top-k is the bounded
+    // TopKNeighbors merge aggregate, never a global or per-id sort
     assert(!plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
   }
 }

@@ -175,6 +175,21 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(census.values.exists(_ > 0L))
   }
 
+  test("strikeDuplicatedSpans plan: no corpus position-stream explode") {
+    // The round-7 replan: after the census only duplicated START
+    // positions shuffle, and kept tokens come from a per-row
+    // array_except — the plan must carry exactly the two span-start
+    // Generate nodes (census branch + probe branch), never the
+    // corpus-wide position explode (+2 Generates) the anti-join form
+    // needed.
+    val d = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val plan = Dedup.strikeDuplicatedSpans(d, "doc_id", "text", k = 6)
+      .queryExecution.optimizedPlan.toString
+    val generates = "(?m)^\\s*[+:]?-? *Generate ".r.findAllIn(plan).length
+    assert(generates <= 2, s"expected <= 2 Generate nodes, got $generates:\n${plan.take(1500)}")
+    assert(plan.contains("array_except"), plan.take(1500))
+  }
+
   test("q_heavy_hitters runs in the exact regime on sf0.001") {
     val out = TextQueries.queries("q_heavy_hitters")(spark, TestSpark.Sf0001)
       .collect()
