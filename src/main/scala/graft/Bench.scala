@@ -70,11 +70,27 @@ object Bench {
     // of one query's samples (the median keeps the inflation); with
     // pass-interleaved samples, a burst inflates one PASS and the
     // cross-pass median rejects it. Same total work either way.
-    val order = selected.toSeq
-    order.foreach { case (name, fn) => execute(name, fn) } // warmup pass
-    val passes = (1 to runs).map { _ =>
+    // Deterministic pass order, with q_dedup_ngram_jaccard hoisted ahead
+    // of its family (canonical/clusters/containment/pagerank): the five
+    // queries share one materialized pair table (operators/
+    // NearDupPipeline) that the FIRST family query of a pass builds, so
+    // ordering pins the build cost on the pairs query itself — the
+    // artifact then reads "pairs = build + filter; the rest = their
+    // post-pair cost", which is the pipeline-user reality being
+    // benchmarked. Map iteration order would attribute it arbitrarily.
+    val order = selected.toSeq.sortBy { case (n, _) =>
+      if (n == "q_dedup_ngram_jaccard") "q_dedup_" else n }
+    // The pair-table memo is invalidated at every PASS boundary (not per
+    // query): within a pass the family reuses the one materialized table
+    // (the thing this design exists to measure), across passes each
+    // timed sample of the builder rebuilds it — otherwise run 2+ of the
+    // build query would memo-hit and report filter-only times.
+    def pass(): Map[String, Option[Double]] = {
+      graft.operators.NearDupPipeline.invalidateAll(spark)
       order.map { case (name, fn) => name -> execute(name, fn) }.toMap
     }
+    pass() // warmup
+    val passes = (1 to runs).map(_ => pass())
     val results = order.map { case (name, _) =>
       val samples = passes.flatMap(_(name))
       if (samples.length == runs) {

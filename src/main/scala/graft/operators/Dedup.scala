@@ -242,7 +242,7 @@ object Dedup {
     * materializes its full posting list inside the aggregate before the
     * size filter drops it (over-cap keys surface as exactly dfCap+1
     * elements — above the filter, identical output). */
-  private def shinglePairCounts(df: DataFrame, idCol: String, textCol: String,
+  private[operators] def shinglePairCounts(df: DataFrame, idCol: String, textCol: String,
                                 n: Int, dfCap: Int): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         shingles(col(textCol), n).as("arr"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, Graph, Monitoring, Packing, Relevance, Sampling, Vocab, TextAnalysis => TA}
+import graft.operators.{Bpe, Dedup, Graph, Monitoring, NearDupPipeline, Packing, Relevance, Sampling, Vocab, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Queries #20-#23 and #27-#30 of SURVEY.md §2: text analysis and text
@@ -35,6 +35,19 @@ object TextQueries {
     * mixture are dropped). The weights are one-Scala-literal, rendered
     * into BOTH engines from here. */
   private val mixTargets = Seq("de" -> 0.25, "en" -> 0.25, "es" -> 0.25, "zh" -> 0.25)
+
+  /** One shape/floor tuple for the whole exact-shingle near-dup FAMILY
+    * (jaccard pairs, containment pairs, clusters, canonical, pagerank):
+    * the five queries below share one materialized pair table per
+    * (session, dir) through [[NearDupPipeline]] instead of re-running
+    * the ~28 s (sf10) candidate pipeline each. The oracle SQL is
+    * unchanged — the memo is output-identical to the direct operators
+    * (NearDupPipelineSpec pins this). */
+  private val nearDupParams = NearDupPipeline.Params("doc_id", "text",
+    n = 3, dfCap = 10000, minJaccard = 0.5, minContainment = 0.8)
+
+  private def nearDupJaccard(s: SparkSession, dir: String): DataFrame =
+    NearDupPipeline.jaccardPairs(dupCorpus(s, dir), dir, nearDupParams)
 
   /** Stand-in eval suite for decontamination: the %7 documents (exactly
     * the ids dupCorpus duplicates at +100000 — known leaked rows). */
@@ -362,16 +375,13 @@ object TextQueries {
     }),
 
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(dupCorpus(s, dir), "doc_id", "text",
-          n = 3, minJaccard = 0.5, dfCap = 10000)
+      nearDupJaccard(s, dir)
         .orderBy(col("id1"), col("id2"))),
 
     // Pairs → clusters: connected components give each transitive
     // duplicate group one canonical id (the delete-list step).
     "q_dedup_clusters" -> ((s, dir) =>
-      Dedup.dedupClusters(
-          Dedup.ngramJaccardPairs(dupCorpus(s, dir), "doc_id", "text",
-            n = 3, minJaccard = 0.5, dfCap = 10000))
+      Dedup.dedupClusters(nearDupJaccard(s, dir))
         .orderBy(col("component"))),
 
     // MinHash-LSH and SimHash aren't expressible in portable SQL —
@@ -610,8 +620,7 @@ object TextQueries {
     // id) per connected component of the exact-Jaccard pair graph.
     "q_dedup_canonical" -> ((s, dir) =>
       Dedup.canonicalKeepList(
-          Dedup.ngramJaccardPairs(dupCorpus(s, dir), "doc_id", "text",
-            n = 3, minJaccard = 0.5, dfCap = 10000),
+          nearDupJaccard(s, dir),
           dupCorpus(s, dir).select(col("doc_id"),
             length(col("text")).cast("long").as("quality")),
           "doc_id", "quality")
@@ -621,10 +630,7 @@ object TextQueries {
     // near-dup graph — ranks the hubs of boilerplate clusters. The
     // decimal-freeze discipline makes raw doubles oracle-exact.
     "q_pagerank" -> ((s, dir) =>
-      Graph.pageRank(
-          Dedup.ngramJaccardPairs(dupCorpus(s, dir), "doc_id", "text",
-            n = 3, minJaccard = 0.5, dfCap = 10000),
-          iterations = 3, damping = 0.85)
+      Graph.pageRank(nearDupJaccard(s, dir), iterations = 3, damping = 0.85)
         .orderBy(col("id"))),
 
     // Corpus encoding stats under the engine-trained BPE merge table —
@@ -641,8 +647,7 @@ object TextQueries {
     // smaller doc in the larger (a doc quoted whole inside an
     // aggregator page has low Jaccard but containment ~1).
     "q_dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(dupCorpus(s, dir), "doc_id", "text",
-          n = 3, minContainment = 0.8, dfCap = 10000)
+      NearDupPipeline.containmentPairs(dupCorpus(s, dir), dir, nearDupParams)
         .orderBy(col("id1"), col("id2"))),
 
     // Per-source shingle novelty — the mixture curator's "is this
