@@ -267,7 +267,44 @@ object VerifyExtras {
       qErr.map(e => Check("sketch_quantile_accuracy", 1.0 - e, floor = 0.85,
         rows.length, rows.length, metric = "accuracy")).toSeq ++
       Seq(Check("profile_sketch_distinct_accuracy", 1.0 - profErr, floor = 0.85,
-        profCols.length, profCols.length, metric = "accuracy"))
+        profCols.length, profCols.length, metric = "accuracy")) ++
+      psiSketchCheck(spark, sfDir)
+  }
+
+  /** q_psi_drift_sketch's floor: the sketch-cut PSI table vs the
+    * exact-cut one on the same column (the q_psi_drift inputs). Error is
+    * the worst of (a) any bucket's share delta on either side and (b)
+    * the total-PSI delta — a cut drifting across a data value moves
+    * exactly these. approx_percentile at accuracy=10000 bounds rank
+    * error at 1/10000, so observed error is sub-1e-3 at verify scale;
+    * the 0.9 floor guards the failure mode (sketch path silently
+    * misbinning), not the variance. */
+  private def psiSketchCheck(spark: SparkSession, sfDir: String): Seq[Check] = {
+    import org.apache.spark.sql.functions._
+    val h = Fixtures.hiveOrders(spark, sfDir)
+    val f = Fixtures.sfOrders(spark, sfDir)
+    def table(df: org.apache.spark.sql.DataFrame): Map[Int, (Double, Double)] =
+      df.select(col("bucket"), coalesce(col("p_left"), lit(0.0)),
+          coalesce(col("p_right"), lit(0.0)))
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def totalPsi(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum(col("psi_term"))).head() match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+    val exact = graft.operators.Monitoring
+      .distributionDrift(h, f, "o_totalprice_cents")
+    val sk = graft.operators.Monitoring
+      .distributionDriftSketch(h, f, "o_totalprice_cents")
+    val (te, ts) = (table(exact), table(sk))
+    val shareErr = te.keySet.union(ts.keySet).toSeq.map { b =>
+      val (el, er) = te.getOrElse(b, (0.0, 0.0))
+      val (sl, sr) = ts.getOrElse(b, (0.0, 0.0))
+      math.max(math.abs(el - sl), math.abs(er - sr))
+    }.maxOption.getOrElse(0.0)
+    val psiErr = math.abs(totalPsi(exact) - totalPsi(sk))
+    Seq(Check("psi_sketch_vs_exact", 1.0 - math.max(shareErr, psiErr),
+      floor = 0.9, te.size.toLong, ts.size.toLong, metric = "accuracy"))
   }
 
   /** q_bpe_encode's floor (the rows-only BPE application): corpus-level

@@ -274,7 +274,43 @@ object Monitoring {
         typedLit(pcts)).as("c")).head()
     require(!cutRow.isNullAt(0),
       s"reference side has no non-null '$valueCol' rows to bin by")
-    val cuts: Seq[Double] = cutRow.getSeq[Double](0)
+    driftFromCuts(left, right, valueCol, cutRow.getSeq[Double](0), nBuckets)
+  }
+
+  /** [[distributionDrift]]'s 100 TB twin: identical output contract and
+    * downstream math, but the reference-side cut points come from
+    * `approx_percentile` — the mergeable KLL-family sketch whose state
+    * is O(accuracy) PER EXECUTOR regardless of data volume, where the
+    * exact `percentile` aggregate buffers every distinct value with its
+    * count (fine on integer cents at bench scale; unbounded on a
+    * 100 TB high-cardinality column — the one scale caveat the exact
+    * variant's scaladoc carried). Rank error is ≤ 1/accuracy, so a cut
+    * can shift a value across a bucket boundary only within that rank
+    * band — per-bucket shares move by O(1/accuracy) and the PSI total
+    * with them; VerifyExtras pins accuracy vs the exact variant per
+    * round (floor 0.9), MonitoringSpec pins it in-suite. Rows-only in
+    * the oracle: DuckDB has no KLL twin to reproduce the cuts. */
+  def distributionDriftSketch(left: DataFrame, right: DataFrame,
+                              valueCol: String, nBuckets: Int = 10,
+                              accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1024,
+      s"nBuckets must be in [2, 1024], got $nBuckets")
+    val pcts = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cutRow = left.filter(col(valueCol).isNotNull)
+      .agg(percentile_approx(col(valueCol).cast("double"),
+        typedLit(pcts), lit(accuracy)).as("c")).head()
+    require(!cutRow.isNullAt(0),
+      s"reference side has no non-null '$valueCol' rows to bin by")
+    driftFromCuts(left, right, valueCol, cutRow.getSeq[Double](0), nBuckets)
+  }
+
+  /** Shared PSI body: bin both sides by the given reference cut points,
+    * score per-bucket terms and the ordered cumulative sum (scaladoc on
+    * [[distributionDrift]]; the two public variants differ ONLY in how
+    * `cuts` was estimated). */
+  private def driftFromCuts(left: DataFrame, right: DataFrame,
+                            valueCol: String, cuts: Seq[Double],
+                            nBuckets: Int): DataFrame = {
     def bucketOf(c: Column): Column =
       cuts.foldLeft(lit(1))((acc, cut) =>
         acc + when(c > lit(cut), 1).otherwise(0))

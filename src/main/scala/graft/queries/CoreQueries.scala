@@ -397,6 +397,19 @@ object CoreQueries {
           "o_totalprice_cents")
         .orderBy(col("bucket"))),
 
+    // PSI on the 100 TB path: approx_percentile (KLL-family sketch,
+    // O(accuracy) state per executor) supplies the reference cut points
+    // instead of the exact percentile whose buffer grows with distinct
+    // values — the q_profile_compare → q_profile_sketch pairing applied
+    // to drift. Rows-only (no SQL-portable KLL twin); accuracy vs the
+    // exact variant is pinned in MonitoringSpec and exported per-round
+    // via VerifyExtras.
+    "q_psi_drift_sketch" -> ((s, dir) =>
+      graft.operators.Monitoring.distributionDriftSketch(
+          Fixtures.hiveOrders(s, dir), Fixtures.sfOrders(s, dir),
+          "o_totalprice_cents")
+        .orderBy(col("bucket"))),
+
     // The same per-column health row on the 100 TB path: HLL++ distinct
     // estimates instead of the exact multi-distinct (whose Expand
     // multiplies the scan width per profiled column — the q_profile_

@@ -218,6 +218,33 @@ class MonitoringSpec extends AnyFunSuite {
       Monitoring.distributionDrift(l, l, "v", 1))
   }
 
+  test("distributionDriftSketch: same contract as exact; cuts within sketch rank error") {
+    val l = (1 to 2000).map(i => Tuple1(i.toLong)).toDF("v")
+    val r = (1 to 2000).map(i => Tuple1((i * 3 % 2500 + 1).toLong)).toDF("v")
+    val exact = Monitoring.distributionDrift(l, r, "v", nBuckets = 5)
+      .orderBy($"bucket").collect()
+    val sk = Monitoring.distributionDriftSketch(l, r, "v", nBuckets = 5)
+      .orderBy($"bucket").collect()
+    assert(sk.length == exact.length)
+    // identical output schema (the downstream body is literally shared)
+    assert(Monitoring.distributionDriftSketch(l, r, "v").schema ==
+      Monitoring.distributionDrift(l, r, "v").schema)
+    // accuracy=10000 bounds rank error at 1/10000: on 2000 distinct
+    // values no cut can move past a neighbor, so every bucket count —
+    // and therefore every share and psi term — matches the exact
+    // variant EXACTLY here.
+    exact.zip(sk).foreach { case (e, s) =>
+      assert(e.getLong(1) == s.getLong(1) && e.getLong(2) == s.getLong(2),
+        s"bucket ${e.getInt(0)}: counts diverged beyond sketch rank error")
+    }
+    assert(exact.last.getDouble(7) == sk.last.getDouble(7)) // total PSI
+    // degenerate guards shared with the exact variant
+    intercept[IllegalArgumentException](
+      Monitoring.distributionDriftSketch(l.filter(lit(false)), l, "v", 4))
+    intercept[IllegalArgumentException](
+      Monitoring.distributionDriftSketch(l, l, "v", 1))
+  }
+
   test("countAnomaly: spike flags against the group median, baseline days don't") {
     // A: five ~10-count days and one 100-count day. med = 10, deviations
     // (0,0,0,0,0,90) → MAD = 0 → every deviating day flags, the spike
