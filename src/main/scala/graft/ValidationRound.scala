@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -26,11 +26,32 @@ import org.apache.spark.sql.types._
   */
 object ValidationRound {
 
+  /** Opt-in PSI shape-drift monitor for a pair: score
+    * [[graft.operators.Monitoring.distributionDrift]] (or its
+    * approx_percentile twin when `sketch` — the 100 TB form) on
+    * `valueCol` across the two sides and summarize it into the round
+    * row. Thresholds are the conventional PSI reading the operator's
+    * scaladoc cites: < 0.1 stable, < 0.25 moderate, else major. */
+  final case class DriftSpec(valueCol: String, nBuckets: Int = 10,
+                             sketch: Boolean = false)
+
+  /** Opt-in robust count-anomaly monitor ([[graft.operators.Monitoring
+    * .countAnomaly]], median ± nMads·MAD per group) over BOTH sides of
+    * the pair: a feed gap or double-load on either side should surface
+    * in the same round report that carries the pair's diff verdict.
+    * `period` is an expression over the pair's columns (e.g.
+    * `to_date(col("ts"))`). */
+  final case class AnomalySpec(dims: Seq[String], period: Column,
+                               nMads: Double = 3.0)
+
   /** One table pair to validate. `partCol` opts into checksum triage
-    * (the column must exist on both sides). */
+    * (the column must exist on both sides); `drift`/`anomaly` opt into
+    * the monitoring columns (NULL for pairs that don't declare them). */
   final case class TablePair(name: String, left: DataFrame, right: DataFrame,
                              pks: Seq[String], exclude: Seq[String] = Nil,
-                             partCol: Option[String] = None)
+                             partCol: Option[String] = None,
+                             drift: Option[DriftSpec] = None,
+                             anomaly: Option[AnomalySpec] = None)
 
   private val schema = StructType(Seq(
     StructField("table_name", StringType, nullable = false),
@@ -45,7 +66,14 @@ object ValidationRound {
     StructField("data_discrepancy_count", LongType, nullable = false),
     StructField("hive_only_pk_values", StringType, nullable = false),
     StructField("sf_only_pk_values", StringType, nullable = false),
-    StructField("data_discrepancy_pk_values", StringType, nullable = false)))
+    StructField("data_discrepancy_pk_values", StringType, nullable = false),
+    // Monitor columns — NULL when the pair declares no spec (and for
+    // schema_drift rows, where no data may be read).
+    StructField("psi_total", DoubleType, nullable = true),
+    StructField("psi_one_sided_buckets", LongType, nullable = true),
+    StructField("psi_status", StringType, nullable = true),
+    StructField("anomaly_periods_hive", LongType, nullable = true),
+    StructField("anomaly_periods_sf", LongType, nullable = true)))
 
   /** Per-pair status: `schema_drift` (gate failed, no data read),
     * `clean` (checksum triage proved parity — row diff skipped; counts
@@ -59,8 +87,55 @@ object ValidationRound {
       val drifted = TableDiff.schemaDrift(
           p.left.drop(p.exclude: _*), p.right.drop(p.exclude: _*))
         .filter(col("status") =!= "ok").count()
+      // Monitors run once the schema gate passes (they read data, the
+      // gate's contract forbids that on drift) and regardless of the
+      // triage verdict: PSI on a checksum-clean pair is provably 0 —
+      // the row then DOCUMENTS stability — and count anomaly watches
+      // each side's own history, which parity between sides never
+      // vouches for. The summary values are aggregations OF the
+      // standalone query outputs (spec-proven equal), not parallel
+      // reimplementations: psi_total sums the same psi_term column
+      // q_psi_drift emits; anomaly counts flag rows of the same frame
+      // q_count_anomaly emits.
+      def monitorCols: Seq[Any] =
+        if (drifted > 0) Seq(null, null, null, null, null)
+        else {
+          // flatMap + isEmpty guard: an empty/all-null reference side
+          // defines no bins (the operator throws by contract); in a
+          // ROUND a not-yet-populated table must yield NULL monitor
+          // columns, not fail the whole report. isEmpty is a limit-1
+          // probe, not a scan.
+          val psi = p.drift.flatMap { d =>
+            if (p.left.filter(col(d.valueCol).isNotNull).isEmpty) None
+            else Some {
+            val t = (if (d.sketch)
+              graft.operators.Monitoring.distributionDriftSketch(
+                p.left, p.right, d.valueCol, d.nBuckets)
+            else
+              graft.operators.Monitoring.distributionDrift(
+                p.left, p.right, d.valueCol, d.nBuckets))
+              .agg(sum(col("psi_term")), sum(col("one_sided").cast("long")))
+              .head()
+            val total = if (t.isNullAt(0)) 0.0 else t.getDouble(0)
+            val oneSided = if (t.isNullAt(1)) 0L else t.getLong(1)
+            val status =
+              if (total < 0.1) "stable"
+              else if (total < 0.25) "moderate" else "major"
+            (total, oneSided, status)
+          }}
+          val anom = p.anomaly.map { a =>
+            def flagged(df: DataFrame): Long =
+              graft.operators.Monitoring.countAnomaly(df, a.dims, a.period,
+                a.nMads).filter(col("is_anomaly") === 1).count()
+            (flagged(p.left), flagged(p.right))
+          }
+          Seq(psi.map(_._1).orNull, psi.map(_._2).orNull,
+            psi.map(_._3).orNull, anom.map(_._1).orNull,
+            anom.map(_._2).orNull)
+        }
       if (drifted > 0)
-        Row(p.name, "schema_drift", false, 0L, 0L, 0L, 0L, 0L, 0L, 0L, "", "", "")
+        Row.fromSeq(Seq(p.name, "schema_drift", false, 0L, 0L, 0L, 0L, 0L,
+          0L, 0L, "", "", "") ++ monitorCols)
       else {
         val triage = p.partCol.map { pc =>
           // coalesce: an empty pair (not-yet-populated table) sums to
@@ -77,12 +152,12 @@ object ValidationRound {
           // Checksums prove parity: report the counts the triage already
           // paid for and SKIP the diff join entirely.
           val t = triage.get
-          Row(p.name, "clean", true, nParts, 0L,
-            t.getLong(2), t.getLong(3), 0L, 0L, 0L, "", "", "")
+          Row.fromSeq(Seq(p.name, "clean", true, nParts, 0L,
+            t.getLong(2), t.getLong(3), 0L, 0L, 0L, "", "", "") ++ monitorCols)
         } else {
           val m = TableDiff.metricsMulti(p.left, p.right, p.name, p.pks,
             p.exclude, sampleCap).head()
-          Row(p.name, "diffed", true, nParts, nDrifted,
+          Row.fromSeq(Seq(p.name, "diffed", true, nParts, nDrifted,
             m.getAs[Long]("total_record_count_hive"),
             m.getAs[Long]("total_record_count_sf"),
             m.getAs[Long]("hive_only_count"),
@@ -90,7 +165,7 @@ object ValidationRound {
             m.getAs[Long]("data_discrepancy_count"),
             m.getAs[String]("hive_only_pk_values"),
             m.getAs[String]("sf_only_pk_values"),
-            m.getAs[String]("data_discrepancy_pk_values"))
+            m.getAs[String]("data_discrepancy_pk_values")) ++ monitorCols)
         }
       }
     }

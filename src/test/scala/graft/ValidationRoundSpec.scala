@@ -78,4 +78,59 @@ class ValidationRoundSpec extends AnyFunSuite {
     val r = out("region")
     assert(r.getLong(7) == 0L && r.getLong(8) == 0L && r.getLong(9) == 0L)
   }
+
+  test("monitor columns equal the standalone q_psi_drift / q_count_anomaly queries") {
+    import graft.ValidationRound.{AnomalySpec, DriftSpec}
+    import graft.operators.Monitoring
+    val dir = TestSpark.Sf0001
+    val (h, f) = (Fixtures.hiveOrders(spark, dir), Fixtures.sfOrders(spark, dir))
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val out = ValidationRound.report(spark, Seq(
+        TablePair("orders", h, f, Seq("o_orderkey"),
+          drift = Some(DriftSpec("o_totalprice_cents"))),
+        TablePair("bare", h, f, Seq("o_orderkey"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val o = out("orders")
+    // psi_total is the SUM of the standalone query's psi_term column —
+    // same frame, not a reimplementation.
+    val psiRows = queries.CoreQueries.queries("q_psi_drift")(spark, dir)
+    val expPsi = psiRows.agg(sum($"psi_term")).head().getDouble(0)
+    val expOneSided = psiRows.filter($"one_sided" === 1).count()
+    assert(o.getAs[Double]("psi_total") == expPsi)
+    assert(o.getAs[Long]("psi_one_sided_buckets") == expOneSided)
+    assert(o.getAs[String]("psi_status") ==
+      (if (expPsi < 0.1) "stable" else if (expPsi < 0.25) "moderate" else "major"))
+    // anomaly counts are flag counts of the standalone countAnomaly
+    // frame per side (both sides read the same events fixture here, so
+    // the two columns agree with it and each other).
+    val out2 = ValidationRound.report(spark, Seq(
+        TablePair("events", ev, ev, Seq("event_id"),
+          anomaly = Some(AnomalySpec(Seq("event_type"), to_date(col("ts")))))))
+      .collect().head
+    val expFlagged = Monitoring.countAnomaly(ev, Seq("event_type"),
+        to_date(col("ts"))).filter($"is_anomaly" === 1).count()
+    assert(out2.getAs[Long]("anomaly_periods_hive") == expFlagged)
+    assert(out2.getAs[Long]("anomaly_periods_sf") == expFlagged)
+
+    // an undeclared pair carries NULL monitor columns
+    val b = out("bare")
+    assert(b.isNullAt(b.fieldIndex("psi_total")) &&
+      b.isNullAt(b.fieldIndex("psi_status")) &&
+      b.isNullAt(b.fieldIndex("anomaly_periods_hive")))
+
+    // sketch drift path wires through identically at small scale
+    val sk = ValidationRound.report(spark, Seq(
+        TablePair("orders_sk", h, f, Seq("o_orderkey"),
+          drift = Some(DriftSpec("o_totalprice_cents", sketch = true)))))
+      .collect().head
+    assert(sk.getAs[Double]("psi_total") == expPsi)
+
+    // an empty reference side yields NULL drift columns, not a throw
+    val emptyDrift = ValidationRound.report(spark, Seq(
+        TablePair("empty_ref", h.limit(0), f.limit(0), Seq("o_orderkey"),
+          drift = Some(DriftSpec("o_totalprice_cents")))))
+      .collect().head
+    assert(emptyDrift.isNullAt(emptyDrift.fieldIndex("psi_total")))
+  }
 }
