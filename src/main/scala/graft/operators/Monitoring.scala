@@ -424,14 +424,51 @@ object Monitoring {
     * only (never text); one bounded per-source aggregate. Output:
     * (source, n_docs, n_dup_docs, dup_rate) with one IEEE division. */
   def dupRateBySource(df: DataFrame, sourceCol: String,
-                      fingerprint: Column): DataFrame = {
-    val d = df.select(col(sourceCol).as("source"), fingerprint.as("fp"))
+                      fingerprint: Column): DataFrame =
+    dupRateFromState(dupRateState(df, sourceCol, fingerprint))
+
+  /** Incremental state for [[dupRateBySource]]: per-(source, fp) doc
+    * counts — the monoid the monitor folds over, exactly like checksum
+    * maintenance ([[graft.TableDiff.sideChecksums]]): counts of
+    * disjoint batches ADD per key, so the production loop maintains
+    * this table per ingest batch and never re-scans the corpus to
+    * answer "how duplicated is each source today". State size is
+    * bounded by the distinct (source, fingerprint) vocabulary, not the
+    * doc count. */
+  def dupRateState(df: DataFrame, sourceCol: String,
+                   fingerprint: Column): DataFrame =
+    df.select(col(sourceCol).as("source"), fingerprint.as("fp"))
       .filter(col("fp").isNotNull)
-    val census = d.groupBy(col("fp")).agg(count(lit(1)).as("n_fp"))
-    d.join(census, Seq("fp"))
+      .groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Fold a new batch's [[dupRateState]] into a running state: counts
+    * add per (source, fp), null-safe on source (a NULL-source bucket
+    * accumulates like any other — the [[graft.TableDiff
+    * .mergeChecksums]] convention). Associative and commutative:
+    * any batch grouping yields the state a full recompute would
+    * (spec-proven). */
+  def mergeDupRateState(acc: DataFrame, delta: DataFrame): DataFrame =
+    acc.alias("a").join(delta.alias("d"),
+        col("a.source") <=> col("d.source") && col("a.fp") <=> col("d.fp"),
+        "full_outer")
+      .select(
+        coalesce(col("a.source"), col("d.source")).as("source"),
+        coalesce(col("a.fp"), col("d.fp")).as("fp"),
+        (coalesce(col("a.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"))
+
+  /** Read the monitor row off maintained state — output-identical to
+    * [[dupRateBySource]] on the union of the folded batches. The
+    * fingerprint census (n_fp ≥ 2 ⇔ duplicated corpus-wide) comes from
+    * summing state counts across sources; per-source doc and dup-doc
+    * counts weight each state row by its count. Everything is
+    * state-scale — no document is touched. */
+  def dupRateFromState(state: DataFrame): DataFrame = {
+    val census = state.groupBy(col("fp")).agg(sum(col("n")).as("n_fp"))
+    state.join(census, Seq("fp"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("n_fp") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(when(col("n_fp") >= 2, col("n")).otherwise(0L)).as("n_dup_docs"))
       .select(col("source"), col("n_docs"), col("n_dup_docs"),
         (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
           .as("dup_rate"))

@@ -171,15 +171,39 @@ object Vocab {
     * shingle-vocabulary-scale. Output: (source, n_shingles, n_unique,
     * novelty) with one IEEE division. */
   def sourceNovelty(df: DataFrame, textCol: String, sourceCol: String,
-                    n: Int = 3): DataFrame = {
-    val sh = df
-      .select(col(sourceCol).as("source"),
+                    n: Int = 3): DataFrame =
+    noveltyFromState(sourceNoveltyState(df, textCol, sourceCol, n))
+
+  /** Incremental state for [[sourceNovelty]]: the DISTINCT
+    * (source, shingle-key) pairs of a batch. The monitor's monoid is
+    * set UNION (distinct-ness makes the fold idempotent — re-ingesting
+    * a batch cannot inflate any count, the property the bloom-gated
+    * dedup state shares), so the production loop maintains this table
+    * per ingest batch; state is shingle-vocabulary-scale × sources,
+    * never corpus-scale, and shingle text never enters it (two xxhash64
+    * lanes, 128 bits — at census granularity a collision MERGES
+    * shingles and biases counts, hence both lanes). */
+  def sourceNoveltyState(df: DataFrame, textCol: String, sourceCol: String,
+                         n: Int = 3): DataFrame =
+    df.select(col(sourceCol).as("source"),
         explode(Dedup.shingles(col(textCol), n)).as("raw"))
       .select(col("source"),
         struct(xxhash64(col("raw")), xxhash64(lit(1), col("raw"))).as("sh"))
       .distinct()
-    val census = sh.groupBy(col("sh")).agg(count(lit(1)).as("n_sources"))
-    sh.join(census, Seq("sh"))
+
+  /** Fold a new batch's [[sourceNoveltyState]] into a running state:
+    * set union — one distinct over the concatenation, associative,
+    * commutative, idempotent (spec-proven fold ≡ full recompute). */
+  def mergeNoveltyState(acc: DataFrame, delta: DataFrame): DataFrame =
+    acc.unionByName(delta).distinct()
+
+  /** Read the novelty report off maintained state — output-identical to
+    * [[sourceNovelty]] on the union of the folded batches; everything
+    * here is state-scale (the census and one bounded per-source
+    * aggregate). */
+  def noveltyFromState(state: DataFrame): DataFrame = {
+    val census = state.groupBy(col("sh")).agg(count(lit(1)).as("n_sources"))
+    state.join(census, Seq("sh"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_unique"))

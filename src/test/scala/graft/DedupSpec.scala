@@ -375,6 +375,49 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("dup_rate") == 1.0 / 3.0)
   }
 
+  test("incremental dup-rate / novelty state: fold over batches ≡ full recompute") {
+    import graft.operators.{Monitoring, TextAnalysis, Vocab}
+    val docs = Seq(
+      (1L, "same opening words here", "a"),
+      (2L, "same opening words here tail differs", "a"),
+      (3L, "unique text one two three", "a"),
+      (4L, "same opening words here", "b"),
+      (5L, "another unique text four five", "b"),
+      (6L, "one two three four five six", "c")
+    ).toDF("doc_id", "text", "source")
+    // Disjoint batch split that separates the cross-source duplicate
+    // pair (docs 1 and 4) across batches — the case a per-batch-only
+    // census gets WRONG and the folded state must get right.
+    val b1 = docs.filter($"doc_id" <= 3)
+    val b2 = docs.filter($"doc_id" > 3)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    val fp = TextAnalysis.docFingerprint(col("text"))
+    val foldedDup = Monitoring.mergeDupRateState(
+      Monitoring.dupRateState(b1, "source", fp),
+      Monitoring.dupRateState(b2, "source", fp))
+    assert(canon(Monitoring.dupRateFromState(foldedDup)) ==
+      canon(Monitoring.dupRateBySource(docs, "source", fp)))
+    // merge order/grouping must not matter (associative + commutative)
+    val foldedRev = Monitoring.mergeDupRateState(
+      Monitoring.dupRateState(b2, "source", fp),
+      Monitoring.dupRateState(b1, "source", fp))
+    assert(canon(Monitoring.dupRateFromState(foldedRev)) ==
+      canon(Monitoring.dupRateFromState(foldedDup)))
+
+    val foldedNov = Vocab.mergeNoveltyState(
+      Vocab.sourceNoveltyState(b1, "text", "source"),
+      Vocab.sourceNoveltyState(b2, "text", "source"))
+    assert(canon(Vocab.noveltyFromState(foldedNov)) ==
+      canon(Vocab.sourceNovelty(docs, "text", "source")))
+    // idempotent: re-ingesting a batch cannot inflate any count
+    val refold = Vocab.mergeNoveltyState(foldedNov,
+      Vocab.sourceNoveltyState(b1, "text", "source"))
+    assert(canon(Vocab.noveltyFromState(refold)) ==
+      canon(Vocab.noveltyFromState(foldedNov)))
+  }
+
   test("canonicalKeepList: best-quality member per component; ties break to min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L), (99L, 100L))
