@@ -19,14 +19,18 @@ import org.apache.spark.sql.functions.udaf
   * every scored candidate row through a distinct exchange plus a window
   * partition.
   *
-  * The distinct contract mirrors the dropDuplicates it replaces: a
-  * neighbor pair seen through several shared LSH buckets re-arrives
-  * with IDENTICAL cosine bits (same two vectors, same arithmetic), so
-  * de-duplicating on the (cos, neighbor) pair equals de-duplicating on
-  * the neighbor alone. Merge-and-truncate is exact for top-K: a
-  * globally-top-K pair evicted from some partial buffer would need K
-  * distinct better pairs in that partition, all of which are global
-  * candidates — contradiction.
+  * The distinct contract is BY NEIGHBOR ID, keeping the best-ranked
+  * occurrence — strictly stronger than the dropDuplicates(id, neighbor)
+  * it replaced (which kept an arbitrary occurrence). The current call
+  * sites re-derive duplicates from identical arithmetic (same two
+  * vectors through several shared LSH buckets → identical cosine bits),
+  * where the two contracts coincide; the O(k) in-buffer scan exists for
+  * any future caller whose scores are computed per-orientation or
+  * post-rounded, so a neighbor can never appear twice in a top-k.
+  * Merge-and-truncate stays exact for top-K: a globally-top-K pair
+  * evicted from some partial buffer would need K distinct better pairs
+  * in that partition, all of which are global candidates —
+  * contradiction (replacing a worse duplicate never shrinks a buffer).
   */
 object TopKNeighbors {
 
@@ -61,9 +65,27 @@ final class BoundedTopKNeighbors(k: Int)
       val mid = (lo + hi) >>> 1
       if (less(buf(mid), v)) lo = mid + 1 else hi = mid
     }
-    // Distinct: identical (cos bits, neighbor) sorts to the same slot.
+    // Fast path: identical (cos bits, neighbor) sorts to the same slot.
     if (lo < buf.length && buf(lo)._1 == v._1 &&
       java.lang.Double.compare(buf(lo)._2, v._2) == 0) return buf
+    // Neighbor-distinct guard (scaladoc): the same neighbor under a
+    // NON-identical score sorts to a different slot, so scan the ≤ k
+    // buffer for it — keep whichever occurrence ranks better.
+    var dup = -1
+    var i = 0
+    while (i < buf.length && dup < 0) {
+      if (buf(i)._1 == v._1) dup = i
+      i += 1
+    }
+    if (dup >= 0 && dup < lo) return buf // existing occurrence ranks better
+    if (dup >= 0) { // v ranks better: replace in place, length unchanged
+      val out = new Array[(Long, Double)](buf.length)
+      System.arraycopy(buf, 0, out, 0, lo)
+      out(lo) = v
+      System.arraycopy(buf, lo, out, lo + 1, dup - lo)
+      System.arraycopy(buf, dup + 1, out, dup + 1, buf.length - dup - 1)
+      return out
+    }
     if (lo >= k) return buf
     val out = new Array[(Long, Double)](math.min(buf.length + 1, k))
     System.arraycopy(buf, 0, out, 0, lo)

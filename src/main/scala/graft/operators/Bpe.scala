@@ -91,16 +91,40 @@ object Bpe {
     * TakeOrdered (driver sees ONE row per round) and a vocab-scale
     * re-projection under the fold above — corpus row count never appears
     * after the initial word-frequency pass. The word table persists per
-    * round and unpersists as soon as the next round materializes, like
-    * [[Dedup.connectedComponents]]' label chain. */
+    * round and its predecessor's storage is RELEASED as soon as the
+    * next round materializes, like [[Dedup.connectedComponents]]' label
+    * chain — but because the chain is localCheckpoint-truncated (see
+    * the in-loop comment), release means unpersisting the CHECKPOINT
+    * RDD: `Dataset.unpersist()` is a no-op on a checkpointed frame (the
+    * blocks belong to the internal RDD, which bypasses the cache
+    * manager), so the loop tracks each round's newly persisted RDD ids
+    * via `sc.getPersistentRDDs` and unpersists them one round later.
+    *
+    * TRADEOFF (deliberate): `localCheckpoint` trades fault tolerance
+    * for plan truncation — its blocks have no lineage, so losing an
+    * executor mid-fit fails the job where the old persist-only chain
+    * could recompute (at the cost of the optimizer OOM the truncation
+    * exists to avoid). On a long-running cluster fit, prefer RELIABLE
+    * checkpointing (`sc.setCheckpointDir` + `.checkpoint(true)`) — same
+    * truncation, recoverable blocks, one HDFS round-trip per merge —
+    * or collect the vocab-scale word table to the driver outright; at
+    * this engine's fit scale (bounded vocab, 30 rounds) the local
+    * variant's restart-on-loss is the right default. */
   def fit(df: DataFrame, textCol: String, numMerges: Int,
           minPairCount: Long = 2L): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sc = df.sparkSession.sparkContext
     var words = wordFreq(df, textCol)
       .select(split(col("token"), "").as("syms"), col("n"))
       .persist(lvl)
+    // RDD ids persisted by the CURRENT round's localCheckpoint; round 0's
+    // words is a plain persist and cleans up via Dataset.unpersist.
+    var checkpointIds: scala.collection.Set[Int] = Set.empty[Int]
+    def releaseCheckpoints(ids: scala.collection.Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     try {
@@ -121,16 +145,30 @@ object Bpe {
           // optimizer's walk over that nest grows super-linearly —
           // measured OOM near 20 rounds on a 31-word vocabulary. The
           // checkpoint is eager (materializes before the parent drops)
-          // and the table is vocab-scale.
+          // and the table is vocab-scale. Its storage is invisible to
+          // Dataset.unpersist (scaladoc), so the newly persisted RDD
+          // ids are diffed around the call and released NEXT round,
+          // once `next` no longer reads them. The id diff is safe here
+          // because fit() drives this session's only concurrent job —
+          // a parallel caller persisting inside the window would get
+          // its block evicted early (a recompute, not a wrong result).
+          val before = sc.getPersistentRDDs.keySet
           val next = words
             .select(mergeAdjacent(col("syms"), l, r).as("syms"), col("n"))
             .localCheckpoint(true)
-          words.unpersist()
+          val fresh = sc.getPersistentRDDs.keySet -- before
+          words.unpersist() // frees round 0's plain persist; no-op after
+          releaseCheckpoints(checkpointIds)
+          checkpointIds = fresh
           words = next
         }
       }
       rules.toSeq
-    } finally { words.unpersist(); () }
+    } finally {
+      words.unpersist()
+      releaseCheckpoints(checkpointIds)
+      ()
+    }
   }
 
   /** Segment one token column under `rules` (applied in training order) —

@@ -480,7 +480,15 @@ object Dedup {
     * rounds keep lineage linear in rounds. Labels persist per round and
     * unpersist as soon as the next round materializes. Only vertices
     * that appear in `pairs` are returned (singletons are their own
-    * trivial cluster by definition). */
+    * trivial cluster by definition).
+    *
+    * Ids must be NUMERIC: convergence is detected by the label SUM,
+    * whose proof needs the min-label updates to decrease it
+    * monotonically (equal sum ⟺ no label moved — no collision is
+    * possible under monotonicity, where a hash-sum could false-
+    * converge). Non-numeric ids fail loudly at the decimal cast (ANSI),
+    * never silently misorder; hash string ids to longs first (the
+    * span-census discipline) to cluster them. */
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
                           id2: String = "id2", maxIter: Int = 20): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
@@ -556,22 +564,34 @@ object Dedup {
     * dwarf the answer at corpus scale).
     *
     * Scale shape: CC over the pairs ([[connectedComponents]] — diameter
-    * rounds of node-scale joins), one join to bring the quality column
-    * (clustered ids only — far below the corpus), and the canonical
-    * chosen by a single-value `max_by` AGGREGATE (ordered by (quality,
-    * −id), so highest quality then lowest id) joined back — map-side
-    * combinable with an O(1) buffer, where a per-component row_number
-    * window would sort a corpus-sized mirror-farm component in ONE
-    * task. Output: (doc_id, component, quality, is_canonical). */
+    * rounds of node-scale joins), one LEFT join to bring the quality
+    * column (clustered ids only — far below the corpus; a clustered id
+    * missing from `docs` keeps its row with NULL quality rather than
+    * silently vanishing from the keep-list), and the canonical chosen
+    * by two bounded AGGREGATES joined back — max quality per component,
+    * then min id among the members at that quality (null-safe match, so
+    * an all-null-quality component still elects its min id). Aggregates
+    * are map-side combinable with O(1) buffers and impose no ordering
+    * assumption on the id TYPE (a numeric-negation tie-break would
+    * break on string ids and overflow Long.MinValue), where a
+    * per-component row_number window would sort a corpus-sized
+    * mirror-farm component in ONE task. A member with NULL quality in a
+    * component that has scored members can never be canonical — the
+    * "keep the best page" rule has scores to compare there. Output:
+    * (doc_id, component, quality, is_canonical). */
   def canonicalKeepList(pairs: DataFrame, docs: DataFrame, idCol: String,
                         qualityCol: String, id1: String = "id1",
                         id2: String = "id2", maxIter: Int = 20): DataFrame = {
     val cc = connectedComponents(pairs, id1, id2, maxIter)
     val q = cc.join(
-      docs.select(col(idCol).as("id"), col(qualityCol).as("quality")), Seq("id"))
+      docs.select(col(idCol).as("id"), col(qualityCol).as("quality")),
+      Seq("id"), "left")
     val best = q.groupBy(col("comp"))
-      .agg(max_by(col("id"), struct(col("quality"), -col("id"))).as("__canon"))
-    q.join(best, Seq("comp"))
+      .agg(max(col("quality")).as("__q")) // null iff every member is
+    val canon = q.join(best, Seq("comp"))
+      .filter(col("quality") <=> col("__q"))
+      .groupBy(col("comp")).agg(min(col("id")).as("__canon"))
+    q.join(canon, Seq("comp"))
       .select(col("id").as("doc_id"), col("comp").as("component"),
         col("quality"), (col("id") === col("__canon")).as("is_canonical"))
   }
@@ -723,9 +743,17 @@ object Dedup {
       // layer). The salt lane puts the salt FIRST: multi-arg xxhash64
       // chains with the running hash as seed, so xxhash64(s, 1) would
       // be a pure function of xxhash64(s) (lane-1 collisions would
-      // imply lane-2 collisions, silently reducing the key to 64
-      // bits); xxhash64(1, s) re-hashes the slice under a genuinely
-      // different seed.
+      // imply lane-2 collisions, reducing the SLICE layer to 64 bits);
+      // xxhash64(1, s) re-hashes the slice under a different seed, so
+      // slice-layer collisions need both lanes to collide (~128-bit
+      // bound there). The TOKEN layer stays the binding bound: both
+      // lanes consume the same per-token hashes, so two distinct
+      // tokens colliding at 64 bits collapses both lanes at once —
+      // span-key strength is min(V²/2⁶⁵ over corpus vocabulary, the
+      // 128-bit slice bound), like the Vocab bigram lanes. Acceptable
+      // for a census (a collision biases one count); hash raw token
+      // strings in one lane if a future caller needs true 128-bit
+      // independence at 100 TB vocabularies.
       .select(col("doc_id"), transform(col("__toks"), t => xxhash64(t)).as("__th"))
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("__th")) - k + 1),

@@ -150,9 +150,9 @@ object Sampling {
     * complementing [[stratifiedSample]]'s fraction-based thinning (a
     * fraction of a mega-group is still mega; an exemplar panel is k rows
     * whatever the group holds). Deterministic and engine-portable: the
-    * rank string is `md5(salt:id)` extended by the zero-padded id and
-    * the raw id, so ordering is total (no ties to break) and any
-    * md5-capable engine selects the exact same rows.
+    * rank string is `md5(salt:id)` extended by a SECOND independent md5
+    * lane and the raw id, so ordering is total (no ties to break) and
+    * any md5-capable engine selects the exact same rows.
     *
     * Scale shape: ONE aggregation whose per-group buffer is bounded at
     * k rank strings ([[graft.functions.BoundedMinK]] — sorted capped

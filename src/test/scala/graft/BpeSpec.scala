@@ -56,6 +56,20 @@ class BpeSpec extends AnyFunSuite {
     assert(seg(3) == Seq("b", "a"))    // no rule fires
   }
 
+  test("fit releases every checkpoint block: no persisted-RDD growth across fits") {
+    val sc = spark.sparkContext
+    val df = Seq((1L, "aaab ab"), (2L, "aaab aaab"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    Bpe.fit(df, "text", numMerges = 5) // settle lazy one-time persists
+    val before = sc.getPersistentRDDs.keySet
+    Bpe.fit(df, "text", numMerges = 5)
+    // Dataset.unpersist is a no-op on localCheckpoint storage, so
+    // without the id-diff release each fit would LEAK one vocab-scale
+    // block set per merge round — growth here is the regression signal.
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      s"fit leaked checkpoint RDDs: ${sc.getPersistentRDDs.keySet -- before}")
+  }
+
   test("fit on degenerate corpora: empty, all single-char tokens") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Bpe.fit(empty, "text", numMerges = 3).isEmpty)

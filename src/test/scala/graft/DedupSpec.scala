@@ -435,4 +435,27 @@ class DedupSpec extends AnyFunSuite {
       assert(rs.count(_.getBoolean(3)) == 1, s"component $c")
     }
   }
+
+  test("canonicalKeepList: missing-doc ids keep NULL-quality rows; no negate overflow") {
+    // id 3 is clustered but absent from docs: the contract keeps its
+    // row (NULL quality, never canonical while scored members exist);
+    // component {10, 11} has NO scored member -> min id elected.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val docs = Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "quality")
+    val out = Dedup.canonicalKeepList(pairs, docs, "doc_id", "quality")
+      .orderBy($"doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 10L, 11L))
+    assert(out.filter(_.getBoolean(3)).map(_.getLong(0)).toSeq ==
+      Seq(2L, 10L))
+    val r3 = out.find(_.getLong(0) == 3L).get
+    assert(r3.isNullAt(2) && !r3.getBoolean(3))
+    // Long.MinValue tie-break: the old -id struct ordering overflowed
+    // here (−Long.MinValue == Long.MinValue); min(id) cannot.
+    val minEdge = Dedup.canonicalKeepList(
+      Seq((Long.MinValue, 7L)).toDF("id1", "id2"),
+      Seq((Long.MinValue, 1L), (7L, 1L)).toDF("doc_id", "quality"),
+      "doc_id", "quality").orderBy($"doc_id").collect()
+    assert(minEdge.filter(_.getBoolean(3)).map(_.getLong(0)).toSeq ==
+      Seq(Long.MinValue)) // tie at quality 1 -> true min id, no negate overflow
+  }
 }

@@ -66,6 +66,29 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKNeighbors: same neighbor under perturbed scores appears once, best kept") {
+    import graft.functions.TopKNeighbors.topKNeighbors
+    // The guard's case: duplicates arrive with NON-bit-identical scores
+    // (per-orientation arithmetic / post-rounding) — weaker input than
+    // the LSH call sites produce; each neighbor must still appear at
+    // most once, at its best score. Exercised under multi-partition
+    // merge so replacement happens in both reduce() and merge().
+    val rows = Seq(
+      (1L, 100L, 0.90), (1L, 100L, 0.9000000001), (1L, 100L, 0.89),
+      (1L, 101L, 0.95), (1L, 101L, 0.94),
+      (1L, 102L, 0.50), (1L, 103L, 0.40), (1L, 104L, 0.30))
+    for (parts <- Seq(1, 4)) {
+      val out = rows.toDF("id", "neighbor_id", "cos_sim").repartition(parts)
+        .groupBy($"id")
+        .agg(topKNeighbors($"neighbor_id", $"cos_sim", 3).as("nb"))
+        .select(explode($"nb").as("e"))
+        .select($"e._1".as("n"), $"e._2".as("c"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(out.map(_._1) == Seq(101L, 100L, 102L), s"parts=$parts: $out")
+      assert(out.map(_._2) == Seq(0.95, 0.9000000001, 0.50), s"parts=$parts")
+    }
+  }
+
   test("pageRank: disconnected components rank independently; plan has no window") {
     val pairs = Seq((1L, 2L), (10L, 11L), (10L, 12L)).toDF("id1", "id2")
     val out = Graph.pageRank(pairs, iterations = 2)

@@ -89,6 +89,10 @@ for qdir in sorted(glob.glob(f"{outdir}/q_*")):
         print(f"{name:28s} OK ({len(a)} rows)")
         record(name, len(a), len(b), True, True, True, None)
 if jsonout:
+    # Dataset provenance rides in the artifact (the BENCH "sf" field
+    # convention): a no-oracle query's row-count shift across refreshes
+    # must be attributable to a dataset change vs a behavior change.
+    report["_meta"] = {"sf_dir": sfdir, "out_dir": outdir}
     with open(jsonout, "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)
 print("FAILURES:", fails)
