@@ -457,6 +457,65 @@ object Monitoring {
         coalesce(col("a.fp"), col("d.fp")).as("fp"),
         (coalesce(col("a.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"))
 
+  /** Cross-source duplication MATRIX — [[dupRateBySource]]'s pairwise
+    * refinement, answering the curator's follow-up question: not "how
+    * duplicated is source X" but "WHICH sources mirror which". For
+    * every fingerprint the census sees on 2+ docs, doc PAIRS sharing it
+    * are attributed to their (source, source) cell: the diagonal counts
+    * within-source template reuse (C(n,2) per fingerprint), off-diagonal
+    * cells count cross-source mirroring (n_a·n_b), reported with the
+    * number of distinct shared fingerprints per cell. Sources order
+    * lexicographically within a cell (source_a ≤ source_b); NULL
+    * sources are excluded from the MATRIX (no name to report a mirror
+    * against — [[dupRateBySource]] still counts them).
+    *
+    * Scale shape: pair counts come from the per-(source, fp) COUNT
+    * state ([[dupRateState]] — the same monoid the incremental monitor
+    * folds), so no doc-pair row ever materializes: the join is at
+    * census scale and each cell's count is exact integer arithmetic on
+    * state rows. The one quadratic hazard — a boilerplate fingerprint
+    * present in THOUSANDS of sources fanning the census join — is
+    * valved by `srcCap`: fingerprints on more sources than the cap are
+    * dropped from the matrix (they say "everyone shares this template",
+    * not "A mirrors B" — the stop-shingle df-cap convention, mirrored
+    * in the oracle). */
+  def crossSourceDupMatrix(df: DataFrame, sourceCol: String,
+                           fingerprint: Column,
+                           srcCap: Int = 1000): DataFrame =
+    crossSourceMatrixFromState(
+      dupRateState(df, sourceCol, fingerprint), srcCap)
+
+  /** [[crossSourceDupMatrix]] off maintained [[dupRateState]] — the
+    * incremental read path, like [[dupRateFromState]]. */
+  def crossSourceMatrixFromState(state: DataFrame, srcCap: Int = 1000): DataFrame = {
+    require(srcCap >= 2, s"srcCap must be >= 2, got $srcCap")
+    val s = state.filter(col("source").isNotNull)
+    val spread = s.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n_src"))
+      .filter(col("__n_src") <= srcCap)
+    val capped = s.join(spread, Seq("fp")).select(col("source"), col("fp"), col("n"))
+    val cross = capped.select(col("source").as("source_a"), col("fp"),
+        col("n").as("__na"))
+      .join(capped.select(col("source").as("source_b"), col("fp"),
+        col("n").as("__nb")), Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_fps"),
+        sum(col("__na") * col("__nb")).as("n_pairs"))
+    val diag = capped.filter(col("n") >= 2)
+      .groupBy(col("source").as("source_a"))
+      // DIV (integer division): n·(n−1) is even so the halving is
+      // exact; the `/` operator would run it in doubles and lose
+      // exactness past 2^53 pair counts.
+      .agg(count(lit(1)).as("n_shared_fps"),
+        sum(expr("n * (n - 1) DIV 2")).as("n_pairs"))
+      .select(col("source_a"), col("source_a").as("source_b"),
+        col("n_shared_fps"), col("n_pairs"))
+    cross.select(col("source_a"), col("source_b"), col("n_shared_fps"),
+        col("n_pairs"))
+      .unionByName(diag)
+  }
+
   /** Read the monitor row off maintained state — output-identical to
     * [[dupRateBySource]] on the union of the folded batches. The
     * fingerprint census (n_fp ≥ 2 ⇔ duplicated corpus-wide) comes from

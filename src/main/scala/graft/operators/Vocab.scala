@@ -254,6 +254,50 @@ object Vocab {
           col("n_tokens").cast("double")).as("entropy"))
   }
 
+  /** Per-source LANGUAGE PURITY — the mixture curator's "is this source
+    * one language or a crawl-bucket grab bag" signal, read next to
+    * [[sourceNovelty]] and the dup-rate monitors when deciding a
+    * source's place in the training mixture: dominant language + its
+    * share, and the Shannon entropy (nats) of the source's language
+    * distribution over docs (0 = pure; ln n_langs = uniform mix).
+    *
+    * Same cross-engine float discipline as [[docEntropy]]: H =
+    * ln(total)₆ − (Σ n_l·ln(n_l)₆)/total with ln frozen once at 6
+    * decimals as DECIMAL(18,6), the numerator exact decimal arithmetic
+    * (order-free), one IEEE division at the end; top_share is one IEEE
+    * division of exact longs. Dominant-language ties break to the
+    * lexicographically smallest language via min_by over (−count,
+    * lang) — counts are positive longs, so the negation cannot
+    * overflow. NULL langs count as a (null) language group but can
+    * never be dominant (min_by skips null-keyed rows only if lang is
+    * null — they simply lose ties by SQL null ordering in the struct;
+    * documented fixture-free).
+    *
+    * Scale shape: one (source, lang) count aggregate — map-side
+    * combinable, output bounded by sources × languages — then one
+    * bounded per-source aggregate. No doc-scale join anywhere. */
+  def langPurity(df: DataFrame, sourceCol: String,
+                 langCol: String): DataFrame = {
+    val dec = "decimal(18,6)"
+    def ln6(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")), 6).cast(dec)
+    val counts = df
+      .select(col(sourceCol).as("source"), col(langCol).as("lang"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        min_by(col("lang"), struct(-col("n"), col("lang"))).as("top_lang"),
+        max(col("n")).as("__top_n"),
+        sum(col("n") * ln6(col("n"))).as("__s"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
+        (col("__top_n").cast("double") / col("n_docs").cast("double"))
+          .as("top_share"),
+        ((col("n_docs") * ln6(col("n_docs")) - col("__s")).cast("double") /
+          col("n_docs").cast("double")).as("lang_entropy"))
+  }
+
   /** SpaceSaving capacity for a corpus of `n` docs: the `planesFor`/
     * `cellsFor` analog — sized so the sketch runs EXACT (capacity ≥
     * distinct keys) at verify scales, where the oracle can hash-compare

@@ -663,6 +663,25 @@ object TextQueries {
       Monitoring.dupRateBySource(
           Tables.load(s, dir, "documents").filter(col("text").isNotNull),
           "source", TA.prefixFingerprint(col("text"), 5))
+        .orderBy(col("source"))),
+
+    // The dup-rate monitor's pairwise refinement: WHICH sources mirror
+    // which — doc-pair counts per (source, source) cell off the same
+    // (source, fp) count state, no doc-pair row ever materialized;
+    // template fingerprints spread over > srcCap sources are valved out
+    // (mirrored in the oracle).
+    "q_mirror_matrix" -> ((s, dir) =>
+      Monitoring.crossSourceDupMatrix(
+          Tables.load(s, dir, "documents").filter(col("text").isNotNull),
+          "source", TA.prefixFingerprint(col("text"), 5))
+        .orderBy(col("source_a"), col("source_b"))),
+
+    // Per-source language purity: dominant language + share + Shannon
+    // entropy of the source's language mix (docEntropy's frozen-ln
+    // discipline at (source, lang) scale) — read next to novelty and
+    // dup-rate when deciding a source's place in the mixture.
+    "q_lang_purity" -> ((s, dir) =>
+      Vocab.langPurity(Tables.load(s, dir, "documents"), "source", "lang")
         .orderBy(col("source")))
   )
 
@@ -1417,6 +1436,50 @@ object TextQueries {
          |  CAST(sum(CASE WHEN n_fp >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS dup_rate
          |FROM d JOIN c USING (fp)
-         |GROUP BY source ORDER BY source""".stripMargin
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_mirror_matrix" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    md5(array_to_string(list_slice(string_split($normSql, ' '), 1, 5), ' ')) AS fp
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |st AS (SELECT source, fp, CAST(count(*) AS BIGINT) AS n
+         |       FROM d GROUP BY 1, 2),
+         |keep AS (SELECT fp FROM st GROUP BY fp HAVING count(*) <= 1000),
+         |cs AS (SELECT st.source, st.fp, st.n FROM st JOIN keep USING (fp)),
+         |cx AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared_fps,
+         |    CAST(sum(a.n * b.n) AS BIGINT) AS n_pairs
+         |  FROM cs a JOIN cs b ON a.fp = b.fp AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |dg AS (
+         |  SELECT source AS source_a, source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared_fps,
+         |    CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_pairs
+         |  FROM cs WHERE n >= 2 GROUP BY 1, 2)
+         |SELECT * FROM cx UNION ALL SELECT * FROM dg
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    "q_lang_purity" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_langs, max(n) AS mx,
+        |    sum(n * CAST(round(ln(CAST(n AS DOUBLE)), 6)
+        |              AS DECIMAL(18,6))) AS s
+        |  FROM c GROUP BY 1),
+        |tp AS (
+        |  SELECT c.source, min(c.lang) AS top_lang
+        |  FROM c JOIN t ON c.source = t.source AND c.n = t.mx GROUP BY 1)
+        |SELECT t.source, n_docs, n_langs, top_lang,
+        |  CAST(mx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share,
+        |  CAST(n_docs * CAST(round(ln(CAST(n_docs AS DOUBLE)), 6)
+        |         AS DECIMAL(18,6)) - s AS DOUBLE)
+        |    / CAST(n_docs AS DOUBLE) AS lang_entropy
+        |FROM t JOIN tp ON t.source = tp.source
+        |ORDER BY t.source""".stripMargin
   )
 }

@@ -375,6 +375,74 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("dup_rate") == 1.0 / 3.0)
   }
 
+  test("crossSourceDupMatrix: exact pair counts per cell; srcCap valve; null sources out") {
+    import graft.operators.Monitoring
+    // fp layout (by identical text): X on a(×2)+b(×1), Y on b(×2),
+    // Z on a(×1)+c(×1)+null-source(×1)
+    val docs = Seq(
+      (1L, "xx common text", "a"), (2L, "xx common text", "a"),
+      (3L, "xx common text", "b"),
+      (4L, "yy b only text", "b"), (5L, "yy b only text", "b"),
+      (6L, "zz pair text here", "a"), (7L, "zz pair text here", "c"),
+      (8L, "zz pair text here", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "source")
+    val fp = md5($"text")
+    val out = Monitoring.crossSourceDupMatrix(docs, "source", fp)
+      .orderBy($"source_a", $"source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // cells: (a,a): X C(2,2)=1 pair; (a,b): X 2·1=2; (a,c): Z 1·1=1;
+    // (b,b): Y C(2,2)=1. Null-source doc 8 contributes nowhere.
+    assert(out.toSeq == Seq(
+      ("a", "a", 1L, 1L), ("a", "b", 1L, 2L), ("a", "c", 1L, 1L),
+      ("b", "b", 1L, 1L)))
+    // state-read parity: matrix off folded state == direct
+    val b1 = docs.filter($"doc_id" <= 4)
+    val b2 = docs.filter($"doc_id" > 4)
+    val folded = Monitoring.mergeDupRateState(
+      Monitoring.dupRateState(b1, "source", fp),
+      Monitoring.dupRateState(b2, "source", fp))
+    assert(Monitoring.crossSourceMatrixFromState(folded)
+      .orderBy($"source_a", $"source_b").collect().map(_.toString).toSeq ==
+      out.map(t => s"[${t._1},${t._2},${t._3},${t._4}]").toSeq)
+    // srcCap valve: X spreads over 2 sources; cap 2 keeps it, a spread
+    // over 3 sources (Z + giving doc 8 a name) would drop at cap 2
+    val named = docs.na.fill("d", Seq("source"))
+    val capped = Monitoring.crossSourceDupMatrix(named, "source", fp, srcCap = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!capped.contains(("a", "c")) && !capped.contains(("c", "d")),
+      "3-source fingerprint must be valved out at srcCap=2")
+    assert(capped.contains(("a", "b"))) // 2-source fp survives
+    intercept[IllegalArgumentException](
+      Monitoring.crossSourceDupMatrix(docs, "source", fp, srcCap = 1))
+  }
+
+  test("langPurity: dominant lang, tie to min, entropy 0 on pure sources") {
+    import graft.operators.Vocab
+    val docs = Seq(
+      (1L, "en", "pure"), (2L, "en", "pure"), (3L, "en", "pure"),
+      (4L, "en", "tied"), (5L, "de", "tied"),
+      (6L, "en", "mix"), (7L, "en", "mix"), (8L, "fr", "mix"), (9L, "zh", "mix")
+    ).toDF("doc_id", "lang", "source")
+    val out = Vocab.langPurity(docs, "source", "lang")
+      .orderBy($"source").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val p = out("pure")
+    assert(p.getAs[Long]("n_docs") == 3L && p.getAs[Long]("n_langs") == 1L)
+    assert(p.getAs[String]("top_lang") == "en" &&
+      p.getAs[Double]("top_share") == 1.0)
+    assert(p.getAs[Double]("lang_entropy") == 0.0,
+      "single-language source must score exactly 0 (the frozen-ln identity)")
+    val t = out("tied")
+    assert(t.getAs[String]("top_lang") == "de", "tie breaks to min lang")
+    assert(t.getAs[Double]("top_share") == 0.5)
+    val m = out("mix")
+    assert(m.getAs[Long]("n_langs") == 3L && m.getAs[String]("top_lang") == "en")
+    // H = ln(4) - (2·ln2 + 1·ln1 + 1·ln1)/4 under 6dp-frozen ln
+    val ln = (x: Double) => BigDecimal(math.round(math.log(x) * 1e6), 6)
+    val exp = ((BigDecimal(4) * ln(4.0) - BigDecimal(2) * ln(2.0)) / 4).toDouble
+    assert(m.getAs[Double]("lang_entropy") == exp)
+  }
+
   test("incremental dup-rate / novelty state: fold over batches ≡ full recompute") {
     import graft.operators.{Monitoring, TextAnalysis, Vocab}
     val docs = Seq(
