@@ -893,9 +893,14 @@ object TextQueries {
     // Components via transitive closure (WITH RECURSIVE): fine at oracle
     // scale, and exactly the fixed point min-label propagation reaches.
     "q_dedup_clusters" ->
+      // p/e MATERIALIZED: inside WITH RECURSIVE, DuckDB re-evaluates
+      // plain CTEs per fixed-point iteration — at sf10 that re-runs the
+      // 200M-candidate pair pipeline every round and spills past the
+      // disk (measured). Materializing pins the SMALL pair/edge tables
+      // once; the recursion then joins only those.
       s"""WITH RECURSIVE $jaccardPairsCtes,
-         |p AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
-         |e AS (SELECT id1 AS src, id2 AS dst FROM p
+         |p AS MATERIALIZED (SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
+         |e AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM p
          |      UNION SELECT id2, id1 FROM p),
          |reach AS (
          |  (SELECT src, dst FROM e UNION SELECT src, src FROM e)
@@ -943,16 +948,23 @@ object TextQueries {
     // then covered positions → anti-join → ordered rebuild. The md5
     // gram key is the engine-side xxhash64 struct's collision-free twin
     // (only coverage/counts compare, never the key).
+    // Position CTEs deliberately do NOT carry `arr` per row: a
+    // per-position row duplicating the doc's whole token array
+    // multiplied DuckDB's working set by average doc length and
+    // bad_alloc'd the sf10 sweep — grams come from one comprehension
+    // over arr per DOC, and the rebuild re-joins toks (one arr per doc)
+    // only after kept positions have collapsed per doc.
     "q_span_strike" ->
       s"""WITH toks AS (
          |  SELECT doc_id,
          |    list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS arr
          |  FROM documents),
-         |pos AS (
-         |  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 5)) AS i
-         |  FROM toks WHERE len(arr) >= 6),
          |grams AS (
-         |  SELECT doc_id, i, md5(array_to_string(arr[i:i+5], ' ')) AS g FROM pos),
+         |  SELECT doc_id, u['i'] AS i, u['g'] AS g FROM (
+         |    SELECT doc_id,
+         |      unnest([{'i': i, 'g': md5(array_to_string(arr[i:i+5], ' '))}
+         |              for i in generate_series(1, len(arr) - 5)]) AS u
+         |    FROM toks WHERE len(arr) >= 6)),
          |census AS (
          |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS gd
          |                 FROM grams GROUP BY 1) WHERE gd >= 2),
@@ -961,18 +973,19 @@ object TextQueries {
          |    SELECT doc_id, unnest(generate_series(i, i + 5)) AS p
          |    FROM grams JOIN census USING (g))),
          |allpos AS (
-         |  SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS p
+         |  SELECT doc_id, unnest(generate_series(1, len(arr))) AS p
          |  FROM toks WHERE len(arr) > 0),
-         |kept AS (
-         |  SELECT a.doc_id, a.arr, a.p FROM allpos a
+         |keptpos AS (
+         |  SELECT a.doc_id, a.p FROM allpos a
          |  LEFT JOIN covered c ON a.doc_id = c.doc_id AND a.p = c.p
          |  WHERE c.p IS NULL),
          |per AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-         |    array_to_string(list(arr[p] ORDER BY p), ' ') AS text_out
-         |  FROM kept GROUP BY doc_id)
+         |    list(p ORDER BY p) AS ps
+         |  FROM keptpos GROUP BY doc_id)
          |SELECT t.doc_id, CAST(len(t.arr) AS BIGINT) AS n_tokens,
-         |  per.n_kept, per.text_out
+         |  per.n_kept,
+         |  array_to_string([t.arr[p] for p in per.ps], ' ') AS text_out
          |FROM toks t JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_bigram_logprob" ->
@@ -1342,9 +1355,14 @@ object TextQueries {
          |FROM pr WHERE dist <= 30 ORDER BY id1, id2""".stripMargin,
 
     "q_dedup_canonical" ->
+      // p/e MATERIALIZED: inside WITH RECURSIVE, DuckDB re-evaluates
+      // plain CTEs per fixed-point iteration — at sf10 that re-runs the
+      // 200M-candidate pair pipeline every round and spills past the
+      // disk (measured). Materializing pins the SMALL pair/edge tables
+      // once; the recursion then joins only those.
       s"""WITH RECURSIVE $jaccardPairsCtes,
-         |p AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
-         |e AS (SELECT id1 AS src, id2 AS dst FROM p
+         |p AS MATERIALIZED (SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
+         |e AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM p
          |      UNION SELECT id2, id1 FROM p),
          |reach AS (
          |  (SELECT src, dst FROM e UNION SELECT src, src FROM e)

@@ -12,15 +12,30 @@ jsonout = sys.argv[3] if len(sys.argv) > 3 else None
 report = {}
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-con = duckdb.connect()
-con.execute("SET TimeZone='UTC'")
-for t in ["region","nation","customer","supplier","part","orders","lineitem",
-          "events","documents","embeddings"]:
-    # Driver dirs hold flat per-table files; ScaleUp output is a directory
-    # of part files per table (the realistic multi-file layout).
-    path = f"{sfdir}/{t}.parquet"
-    src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+
+# FRESH CONNECTION PER QUERY: a heavy oracle that dies mid-spill (the
+# sf10 recursive-closure incident) leaves the shared connection's buffer
+# pool poisoned — every later allocation fails with OOM even for light
+# queries. Per-query connections cost a few ms of view DDL and make each
+# verdict independent. Explicit limits: memory_limit below RAM with
+# process-heap headroom so big aggregates spill instead of bad_alloc;
+# temp_directory on the big filesystem. Do NOT set
+# preserve_insertion_order=false here: in DuckDB 1.0 it reorders even
+# explicitly ORDER BY'd fetchdf results (measured on the sf10 clusters
+# oracle), and this compare is positional.
+def fresh_con():
+    c = duckdb.connect()
+    c.execute("SET TimeZone='UTC'")
+    c.execute("SET memory_limit='96GB'")
+    c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    for t in ["region","nation","customer","supplier","part","orders","lineitem",
+              "events","documents","embeddings"]:
+        # Driver dirs hold flat per-table files; ScaleUp output is a
+        # directory of part files per table (the multi-file layout).
+        path = f"{sfdir}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    return c
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -47,7 +62,11 @@ for qdir in sorted(glob.glob(f"{outdir}/q_*")):
         record(name, len(mine), None, None, None, None, "no_oracle")
         continue
     try:
-        ref = con.execute(oracle[name]).fetchdf()
+        con = fresh_con()
+        try:
+            ref = con.execute(oracle[name]).fetchdf()
+        finally:
+            con.close()
     except Exception as e:
         print(f"{name:28s} ORACLE SQL ERROR: {str(e)[:150]}"); fails += 1
         record(name, len(mine), None, None, None, None, f"oracle_sql: {str(e)[:150]}")
