@@ -78,15 +78,23 @@ object Bench {
     // artifact then reads "pairs = build + filter; the rest = their
     // post-pair cost", which is the pipeline-user reality being
     // benchmarked. Map iteration order would attribute it arbitrarily.
+    // Same attribution rule for the span family: the strike is the
+    // census table's natural builder (the table IS its per-doc
+    // duplicated-starts intermediate), so it runs first and carries the
+    // build; the census report then reads counts off the artifact.
     val order = selected.toSeq.sortBy { case (n, _) =>
-      if (n == "q_dedup_ngram_jaccard") "q_dedup_" else n }
+      if (n == "q_dedup_ngram_jaccard") "q_dedup_"
+      else if (n == "q_span_strike") "q_span_" else n }
     // The pair-table memo is invalidated at every PASS boundary (not per
     // query): within a pass the family reuses the one materialized table
     // (the thing this design exists to measure), across passes each
     // timed sample of the builder rebuilds it — otherwise run 2+ of the
     // build query would memo-hit and report filter-only times.
+    // (q_span_dedup sorts before q_span_strike already, so the span
+    // census build lands on the census query without a hoist.)
     def pass(): Map[String, Option[Double]] = {
       graft.operators.NearDupPipeline.invalidateAll(spark)
+      graft.operators.SpanPipeline.invalidateAll(spark)
       order.map { case (name, fn) => name -> execute(name, fn) }.toMap
     }
     pass() // warmup

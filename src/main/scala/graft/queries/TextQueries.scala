@@ -460,9 +460,13 @@ object TextQueries {
     // this census is distinct-doc). Span text never shuffles (128-bit
     // xxhash64 keys; the oracle's md5 twin agrees because both are
     // collision-free and only counts are compared).
+    // Census + strike share ONE materialized span-census table per
+    // (session, dir) through SpanPipeline (the NearDupPipeline economy
+    // applied to the Lee et al. substring family) — output-identical
+    // to the direct operators, SpanPipelineSpec pins it.
     "q_span_dedup" -> ((s, dir) =>
-      Dedup.duplicatedSpans(Tables.load(s, dir, "documents"), "doc_id",
-          "text", k = 6)
+      graft.operators.SpanPipeline.spanDedupStats(
+          Tables.load(s, dir, "documents"), dir, "doc_id", "text", k = 6)
         .orderBy(col("doc_id"))),
 
     // Exact substring dedup APPLIED — the census's removal half (Lee et
@@ -471,8 +475,8 @@ object TextQueries {
     // docs drop. Span text never shuffles (the census's 128-bit keys);
     // doc text flows through exactly one join shuffle for the rebuild.
     "q_span_strike" -> ((s, dir) =>
-      Dedup.strikeDuplicatedSpans(Tables.load(s, dir, "documents"),
-          "doc_id", "text", k = 6)
+      graft.operators.SpanPipeline.strike(Tables.load(s, dir, "documents"),
+          dir, "doc_id", "text", k = 6)
         .orderBy(col("doc_id"))),
 
     // Bigram-LM surprisal — the unigram perplexity filter's next-order
