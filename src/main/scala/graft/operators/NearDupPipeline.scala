@@ -78,11 +78,15 @@ object NearDupPipeline {
 
   /** Per-process root so two JVMs verifying the same corpus concurrently
     * never overwrite each other's files (the metricsTable/historyStore
-    * convention). */
+    * convention). A process-wide counter joins the key hash: two DISTINCT
+    * keys whose 32-bit hashCodes collide must not share a path, or the
+    * second build would silently overwrite the first entry's live files. */
+  private val pathSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private def tableDir(key: Key): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_neardup_" + ProcessHandle.current().pid() + "_" +
-        Integer.toHexString((key._2, key._3, key._4, key._5, key._6).hashCode))
+        Integer.toHexString((key._2, key._3, key._4, key._5, key._6).hashCode) +
+        "_" + pathSeq.incrementAndGet())
       .getPath
 
   private def build(df: DataFrame, key: Key, minJ: Double, minC: Double): Entry = {
@@ -119,6 +123,10 @@ object NearDupPipeline {
           val e = build(df, key,
             math.min(p.minJaccard, old.map(_.minJaccard).getOrElse(p.minJaccard)),
             math.min(p.minContainment, old.map(_.minContainment).getOrElse(p.minContainment)))
+          // lower-floor rebuilds land on a fresh path (counter); drop
+          // the superseded files like invalidate would (best-effort —
+          // same caveat as there for a reader mid-scan).
+          old.foreach(o => deleteRecursively(new java.io.File(o.path)))
           cache.update(key, e)
           e
       }

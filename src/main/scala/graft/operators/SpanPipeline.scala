@@ -50,10 +50,15 @@ object SpanPipeline {
     }
   }
 
+  /** Key hash + process-wide counter: distinct keys with colliding
+    * 32-bit hashCodes must not share a path (NearDupPipeline.tableDir's
+    * reasoning). */
+  private val pathSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private def tableDir(key: Key): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_spancensus_" + ProcessHandle.current().pid() + "_" +
-        Integer.toHexString((key._2, key._3, key._4, key._5, key._6).hashCode))
+        Integer.toHexString((key._2, key._3, key._4, key._5, key._6).hashCode) +
+        "_" + pathSeq.incrementAndGet())
       .getPath
 
   /** The shared span stream: (doc_id, i, g) with the census's two-lane
