@@ -267,11 +267,13 @@ object Vocab {
     * (order-free), one IEEE division at the end; top_share is one IEEE
     * division of exact longs. Dominant-language ties break to the
     * lexicographically smallest language via min_by over (−count,
-    * lang) — counts are positive longs, so the negation cannot
-    * overflow. NULL langs count as a (null) language group but can
-    * never be dominant (min_by skips null-keyed rows only if lang is
-    * null — they simply lose ties by SQL null ordering in the struct;
-    * documented fixture-free).
+    * lang-is-null, lang) — counts are positive longs so the negation
+    * cannot overflow, and the explicit is-null lane DEMOTES a NULL
+    * lang group on ties (struct ordering would otherwise sort the
+    * null field FIRST and elect it, where SQL `min(lang)` skips nulls
+    * — the lane keeps both engines on "named lang wins ties; top_lang
+    * is NULL only when the null group strictly dominates"). NULL langs
+    * still count as a real category in n_langs and the entropy.
     *
     * Scale shape: one (source, lang) count aggregate — map-side
     * combinable, output bounded by sources × languages — then one
@@ -288,7 +290,8 @@ object Vocab {
     counts.groupBy(col("source"))
       .agg(sum(col("n")).as("n_docs"),
         count(lit(1)).as("n_langs"),
-        min_by(col("lang"), struct(-col("n"), col("lang"))).as("top_lang"),
+        min_by(col("lang"),
+          struct(-col("n"), col("lang").isNull, col("lang"))).as("top_lang"),
         max(col("n")).as("__top_n"),
         sum(col("n") * ln6(col("n"))).as("__s"))
       .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),

@@ -441,6 +441,24 @@ class DedupSpec extends AnyFunSuite {
     val ln = (x: Double) => BigDecimal(math.round(math.log(x) * 1e6), 6)
     val exp = ((BigDecimal(4) * ln(4.0) - BigDecimal(2) * ln(2.0)) / 4).toDouble
     assert(m.getAs[Double]("lang_entropy") == exp)
+
+    // NULL-lang group: counted in n_langs/entropy, DEMOTED on dominance
+    // ties (SQL min(lang) skips nulls — both engines must elect the
+    // named language), dominant only when it strictly wins.
+    val withNull = Seq(
+      (1L, "en", "tiednull"), (2L, null.asInstanceOf[String], "tiednull"),
+      (3L, null.asInstanceOf[String], "nullwins"),
+      (4L, null.asInstanceOf[String], "nullwins"), (5L, "fr", "nullwins")
+    ).toDF("doc_id", "lang", "source")
+    val nOut = Vocab.langPurity(withNull, "source", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val tn = nOut("tiednull")
+    assert(tn.getAs[Long]("n_langs") == 2L)
+    assert(tn.getAs[String]("top_lang") == "en", "tie must elect the named lang")
+    val nw = nOut("nullwins")
+    assert(nw.getAs[String]("top_lang") == null,
+      "a strictly dominant null-lang group IS the dominant category")
+    assert(nw.getAs[Double]("top_share") == 2.0 / 3.0)
   }
 
   test("incremental dup-rate / novelty state: fold over batches ≡ full recompute") {
