@@ -90,8 +90,6 @@ object Bench {
     // (the thing this design exists to measure), across passes each
     // timed sample of the builder rebuilds it — otherwise run 2+ of the
     // build query would memo-hit and report filter-only times.
-    // (q_span_dedup sorts before q_span_strike already, so the span
-    // census build lands on the census query without a hoist.)
     def pass(): Map[String, Option[Double]] = {
       graft.operators.NearDupPipeline.invalidateAll(spark)
       graft.operators.SpanPipeline.invalidateAll(spark)

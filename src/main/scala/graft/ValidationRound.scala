@@ -118,8 +118,16 @@ object ValidationRound {
               .head()
             val total = if (t.isNullAt(0)) 0.0 else t.getDouble(0)
             val oneSided = if (t.isNullAt(1)) 0L else t.getLong(1)
+            // One-sided buckets outrank the numeric reading: their
+            // psi_terms are NULL by the operator's contract (a one-sided
+            // bucket IS categorical drift — ε-smoothing would let a
+            // magic constant dominate), so a fully disjoint pair sums to
+            // 0.0 and would otherwise report "stable" with mass the
+            // score never saw. The flag column is the alarm; the status
+            // must agree with it.
             val status =
-              if (total < 0.1) "stable"
+              if (oneSided > 0) "one_sided"
+              else if (total < 0.1) "stable"
               else if (total < 0.25) "moderate" else "major"
             (total, oneSided, status)
           }}

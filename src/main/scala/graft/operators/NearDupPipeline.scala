@@ -68,9 +68,16 @@ object NearDupPipeline {
         override def onApplicationEnd(
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
           cache.synchronized {
+            // Delete the backing files too: the per-(pid, counter) path
+            // naming means no later run ever reuses them, so a map-only
+            // eviction leaks one table dir per corpus per run.
+            val dead = cache.collect {
+              case ((sess, _, _, _, _, _), e) if sess.sparkContext eq sc => e
+            }.toSeq
             cache.filterInPlace { case ((sess, _, _, _, _, _), _) =>
               sess.sparkContext ne sc }
-            evictionHooked.remove(sc); ()
+            evictionHooked.remove(sc)
+            dead.foreach(e => deleteRecursively(new java.io.File(e.path)))
           }
       })
     }
@@ -109,7 +116,12 @@ object NearDupPipeline {
     * A caller whose floors are lower than the stored ones triggers a
     * rebuild at the elementwise-min floors. Synchronized for the same
     * reason metricsTable is: two concurrent first callers must not each
-    * run the full candidate pipeline. */
+    * run the full candidate pipeline. The ONE global lock does mean an
+    * unrelated key's caller waits out a ~28 s (sf10) build — accepted
+    * deliberately (the metricsTable tradeoff: driver-side access,
+    * contention is nil in the verify/bench loops, correctness matters);
+    * a per-key latch is the upgrade if concurrent multi-corpus drivers
+    * ever appear. */
   def pairsTable(df: DataFrame, corpusKey: String, p: Params): DataFrame = {
     val s = df.sparkSession
     val key: Key = (s, corpusKey, p.idCol, p.textCol, p.n, p.dfCap)

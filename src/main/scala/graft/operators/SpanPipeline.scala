@@ -42,9 +42,15 @@ object SpanPipeline {
         override def onApplicationEnd(
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
           cache.synchronized {
+            // Files too, not just map entries (NearDupPipeline's
+            // reasoning: per-(pid, counter) paths are never reused).
+            val dead = cache.collect {
+              case ((sess, _, _, _, _, _), e) if sess.sparkContext eq sc => e
+            }.toSeq
             cache.filterInPlace { case ((sess, _, _, _, _, _), _) =>
               sess.sparkContext ne sc }
-            evictionHooked.remove(sc); ()
+            evictionHooked.remove(sc)
+            dead.foreach(e => deleteRecursively(new java.io.File(e.path)))
           }
       })
     }
@@ -61,48 +67,52 @@ object SpanPipeline {
         "_" + pathSeq.incrementAndGet())
       .getPath
 
-  /** The shared span stream: (doc_id, i, g) with the census's two-lane
-    * token-hash-then-slice keys — construction identical to
-    * [[Dedup.strikeDuplicatedSpans]]' starts frame (see its comments
-    * for the lane-order and hash-once reasoning). */
-  private def starts(df: DataFrame, idCol: String, textCol: String,
-                     k: Int): DataFrame = {
-    val toks = filter(tokens(normalized(col(textCol))), t => length(t) > 0)
-    df.select(col(idCol).as("doc_id"), toks.as("__toks"))
-      .filter(size(col("__toks")) >= k)
-      .select(col("doc_id"), transform(col("__toks"), t => xxhash64(t)).as("__th"))
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("__th")) - k + 1),
-        i => {
-          val s = slice(col("__th"), i, lit(k))
-          struct(i.as("i"), struct(xxhash64(s), xxhash64(lit(1), s)).as("g"))
-        })).as("x"))
-      .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
-  }
-
   private def build(df: DataFrame, key: Key): Entry = {
     val (_, _, idCol, textCol, k, minDocs) = key
-    val st = starts(df, idCol, textCol, k)
-    val dupKeys = st.select(col("g"), col("doc_id")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("gram_docs"))
-      .filter(col("gram_docs") >= minDocs)
-      .select(col("g"))
-    val dupStarts = st.join(dupKeys, Seq("g"), "left_semi")
-      .groupBy(col("doc_id"))
-      // sort_array: collect_list order is run-dependent; the artifact
-      // on disk should not be.
-      .agg(sort_array(collect_list(col("i"))).as("dup_starts"))
-    val toks = filter(tokens(normalized(col(textCol))), t => length(t) > 0)
-    val path = tableDir(key)
-    df.select(col(idCol).as("doc_id"), size(toks).as("__n"))
-      .filter(col("__n") >= k)
-      .select(col("doc_id"), (col("__n") - k + 1).cast("long").as("n_spans"))
-      .join(dupStarts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_spans"),
-        coalesce(col("dup_starts"),
-          array().cast("array<int>")).as("dup_starts"))
-      .write.mode("overwrite").parquet(path)
-    Entry(path)
+    val toksExpr = filter(tokens(normalized(col(textCol))), t => length(t) > 0)
+    // The build has THREE consumers of the tokenized corpus (dup-key
+    // census, dup-start collection, n_spans) — persist the per-doc
+    // token frame once so the scan + regex tokenization runs once, the
+    // same two-consumer persist [[Dedup.strikeDuplicatedSpans]] uses
+    // (the span-position stream re-derives from it with cheap hashing,
+    // not a re-tokenize). Unpersisted before returning: the memo's
+    // parquet is the durable artifact, nothing may stay pinned.
+    val base = df.select(col(idCol).as("doc_id"), toksExpr.as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (doc_id, i, g): the census's two-lane token-hash-then-slice
+      // keys — construction identical to strikeDuplicatedSpans' starts
+      // frame (see its comments for lane order and hash-once).
+      val st = base
+        .select(col("doc_id"), transform(col("__toks"), t => xxhash64(t)).as("__th"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("__th")) - k + 1),
+          i => {
+            val s = slice(col("__th"), i, lit(k))
+            struct(i.as("i"), struct(xxhash64(s), xxhash64(lit(1), s)).as("g"))
+          })).as("x"))
+        .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
+      val dupKeys = st.select(col("g"), col("doc_id")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("gram_docs"))
+        .filter(col("gram_docs") >= minDocs)
+        .select(col("g"))
+      val dupStarts = st.join(dupKeys, Seq("g"), "left_semi")
+        .groupBy(col("doc_id"))
+        // sort_array: collect_list order is run-dependent; the artifact
+        // on disk should not be.
+        .agg(sort_array(collect_list(col("i"))).as("dup_starts"))
+      val path = tableDir(key)
+      base
+        .select(col("doc_id"),
+          (size(col("__toks")) - k + 1).cast("long").as("n_spans"))
+        .join(dupStarts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("dup_starts"),
+            array().cast("array<int>")).as("dup_starts"))
+        .write.mode("overwrite").parquet(path)
+      Entry(path)
+    } finally { base.unpersist(); () }
   }
 
   /** The materialized census table for (`corpusKey`, shape): one row

@@ -1495,13 +1495,14 @@ object TextQueries {
         |  FROM c GROUP BY 1),
         |tp AS (
         |  SELECT c.source, min(c.lang) AS top_lang
-        |  FROM c JOIN t ON c.source = t.source AND c.n = t.mx GROUP BY 1)
+        |  FROM c JOIN t ON c.source IS NOT DISTINCT FROM t.source
+        |             AND c.n = t.mx GROUP BY 1)
         |SELECT t.source, n_docs, n_langs, top_lang,
         |  CAST(mx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share,
         |  CAST(n_docs * CAST(round(ln(CAST(n_docs AS DOUBLE)), 6)
         |         AS DECIMAL(18,6)) - s AS DOUBLE)
         |    / CAST(n_docs AS DOUBLE) AS lang_entropy
-        |FROM t JOIN tp ON t.source = tp.source
+        |FROM t JOIN tp ON t.source IS NOT DISTINCT FROM tp.source
         |ORDER BY t.source""".stripMargin
   )
 }

@@ -100,7 +100,21 @@ class ValidationRoundSpec extends AnyFunSuite {
     assert(o.getAs[Double]("psi_total") == expPsi)
     assert(o.getAs[Long]("psi_one_sided_buckets") == expOneSided)
     assert(o.getAs[String]("psi_status") ==
-      (if (expPsi < 0.1) "stable" else if (expPsi < 0.25) "moderate" else "major"))
+      (if (expOneSided > 0) "one_sided"
+       else if (expPsi < 0.1) "stable"
+       else if (expPsi < 0.25) "moderate" else "major"))
+
+    // Fully disjoint sides: every populated bucket is one-sided, every
+    // psi_term NULL, the sum coerces to 0.0 — the status must read
+    // "one_sided", never "stable" (the code-review catch).
+    val lo = h.withColumn("o_totalprice_cents", lit(5L))
+    val hi = f.withColumn("o_totalprice_cents", lit(500L))
+    val disj = ValidationRound.report(spark, Seq(
+        TablePair("disjoint", lo, hi, Seq("o_orderkey"),
+          drift = Some(DriftSpec("o_totalprice_cents"))))).collect().head
+    assert(disj.getAs[Double]("psi_total") == 0.0)
+    assert(disj.getAs[Long]("psi_one_sided_buckets") > 0L)
+    assert(disj.getAs[String]("psi_status") == "one_sided")
     // anomaly counts are flag counts of the standalone countAnomaly
     // frame per side (both sides read the same events fixture here, so
     // the two columns agree with it and each other).

@@ -23,10 +23,17 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 # preserve_insertion_order=false here: in DuckDB 1.0 it reorders even
 # explicitly ORDER BY'd fetchdf results (measured on the sf10 clusters
 # oracle), and this compare is positional.
+# 75% of physical RAM (96GB on the 128GB round box): a hardcoded limit
+# above a smaller machine's RAM would let DuckDB allocate toward it and
+# get OS-killed instead of spilling — the exact failure the limit
+# exists to prevent.
+MEM_GB = max(4, int(os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+                    * 0.75 / 1e9))
+
 def fresh_con():
     c = duckdb.connect()
     c.execute("SET TimeZone='UTC'")
-    c.execute("SET memory_limit='96GB'")
+    c.execute(f"SET memory_limit='{MEM_GB}GB'")
     c.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in ["region","nation","customer","supplier","part","orders","lineitem",
               "events","documents","embeddings"]:
