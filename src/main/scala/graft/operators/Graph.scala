@@ -80,4 +80,33 @@ object Graph {
     deg.unpersist()
     out
   }
+
+  /** Degree HISTOGRAM of the undirected graph induced by a pair table —
+    * the one-glance shape diagnostic read before any per-node ranking:
+    * a long-tailed histogram (few huge-degree hubs) says boilerplate
+    * clusters dominate and canonical-election will collapse them; a
+    * flat degree-1 histogram says the pairs are isolated twins and the
+    * cheap keep-min-id policy suffices. Nodes = ids on at least one
+    * pair; degree counts DISTINCT neighbors (a multi-edge pair table
+    * — e.g. one row per band collision — still counts each neighbor
+    * once). Output: (degree, n_nodes), integer-exact.
+    *
+    * Scale shape: both orientations explode map-side, collapse to
+    * distinct (src, dst) edges, then two counting aggregates —
+    * edge-scale shuffles, never node², no window, no driver graph.
+    * Fed from [[graft.operators.NearDupPipeline]]'s memoized pair
+    * table, the whole query is census arithmetic on an already-built
+    * artifact. */
+  def degreeHistogram(pairs: DataFrame, id1: String = "id1",
+                      id2: String = "id2"): DataFrame =
+    pairs
+      .select(explode(array(
+        struct(col(id1).as("src"), col(id2).as("dst")),
+        struct(col(id2).as("src"), col(id1).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
 }

@@ -661,4 +661,61 @@ object Similarity {
       .select(col("id1"), col("id2"), col("block"),
         round(col("cos_sim"), 4).as("cos_sim"))
   }
+
+  /** Per-label embedding COHERENCE report — the cluster-quality readout
+    * an embedding-space curator runs after any labeling/clustering pass:
+    * for each label, how tightly its members hug their own centroid
+    * (avg/min cosine to the label mean). A low-avg label is a grab-bag
+    * (split it); a high-avg tiny label is a near-dup nest (semdedup it).
+    * Output: (label, n_members, avg_cos, min_cos).
+    *
+    * Cross-engine float discipline (the DuckDB oracle hash-compares the
+    * output — unusual for centroid math, whose float sums are partition-
+    * order-dependent): components are QUANTIZED once (round(x·1000) as
+    * decimal — quantization is part of the operator contract, mirrored
+    * in the oracle) so the centroid accumulation is EXACT decimal
+    * arithmetic, order-free. Cosine is taken against the centroid SUM
+    * vector — cos(x, S/n) = cos(x, S), so no division ever enters the
+    * aggregate — with ONE IEEE division+sqrt per member on bit-identical
+    * decimal-cast operands, rounded once to 6 decimals and frozen; the
+    * per-label average is an exact decimal sum and one final division.
+    * Decimal widths are chosen for BOTH engines' multiply rule
+    * (w1+w2 ≤ 38): q ≤ 9 digits, S capped at 29 for q·S, 19 for S².
+    *
+    * Scale shape: one posexplode pass to (label, dim) decimal sums
+    * (map-side combinable, 64·labels rows); the centroid grid
+    * broadcasts back; per-member reduction is one aggregate; zero-norm
+    * members and labels (undefined cosine) are dropped like
+    * [[droppingUndefinedNorms]] does. No pairwise work anywhere —
+    * member×centroid only, linear in the corpus. */
+  def labelCoherence(df: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame = {
+    val comps = df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)))
+      .select(col("__id"), col("label"), col("pos").as("dim"),
+        round(col("col").cast("double") * lit(1000), 0)
+          .cast("decimal(9,0)").as("q"))
+    val cents = comps.groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).cast("decimal(29,0)").as("s"))
+    val ns2 = cents.groupBy(col("label"))
+      .agg(sum(col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)"))
+        .as("ns2"))
+    val per = comps.join(broadcast(cents), Seq("label", "dim"))
+      .groupBy(col("__id"), col("label"))
+      .agg(sum(col("q") * col("s")).as("dot"),
+        sum(col("q") * col("q")).as("nx2"))
+      .join(broadcast(ns2), Seq("label"))
+      .filter(col("nx2") > 0 && col("ns2") > 0)
+      .select(col("label"),
+        round(col("dot").cast("double") /
+          sqrt(col("nx2").cast("double") * col("ns2").cast("double")), 6)
+          .cast("decimal(18,6)").as("cosv"))
+    per.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("cosv")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_cos"),
+        min(col("cosv")).cast("double").as("min_cos"))
+  }
 }

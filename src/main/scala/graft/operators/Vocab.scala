@@ -358,4 +358,135 @@ object Vocab {
       .withColumn("token_frac",
         col("n_tokens").cast("double") / sum(col("n_tokens")).over(w).cast("double"))
   }
+
+  /** Top-N within-document token CO-OCCURRENCE pairs by pointwise mutual
+    * information — the collocation/phrase-mining signal (Church & Hanks
+    * 1990) a vocabulary curator reads to find multi-word terms worth
+    * promoting to single tokens, and a contamination analyst reads to
+    * spot templated co-occurrence. Counts are document-presence based:
+    * n_x = docs containing x, n_xy = docs containing BOTH, and
+    * PMI = ln(N·n_xy / (n_x·n_y)) over the N docs with any token.
+    *
+    * Cross-engine float discipline (the oracle hash-compares the
+    * output): the single ln per DISTINCT pair is rounded once to 6
+    * decimals and frozen as DECIMAL(18,6) — the [[docSurprisal]]
+    * freeze; everything else is integer arithmetic, and the top-N cut
+    * orders by (pmi, token1, token2) so ties are deterministic.
+    *
+    * Scale shape: the corpus collapses to distinct (doc, token)
+    * presence map-side; the `dfCap` valve drops stop-tokens BEFORE pair
+    * generation (a token in every doc would fan the self-join to
+    * corpus² — same economics as the Jaccard family's stop-shingle
+    * valve, and like there the cap is part of the operator's contract,
+    * mirrored in the oracle), and `minCount` prunes noise pairs after
+    * counting. Pair generation is a per-doc self-join on the CAPPED
+    * presence table — per-doc work is (capped distinct tokens)², never
+    * corpus-quadratic. The top-N lands in TakeOrderedAndProject. */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+               dfCap: Int = 10000, minCount: Int = 5, topN: Int = 50): DataFrame = {
+    require(dfCap > 0 && minCount > 0 && topN > 0,
+      "dfCap, minCount and topN must be positive")
+    val presence = df.select(col(idCol).as("__doc"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val dfs = presence.groupBy(col("token")).agg(count(lit(1)).as("n_docs"))
+    // N = docs with >= 1 token, BEFORE the cap: the cap prunes pair
+    // CANDIDATES, not the universe the probabilities live in.
+    val capped = presence.join(dfs.filter(col("n_docs") <= dfCap), Seq("token"))
+    val pairs = capped.select(col("__doc"), col("token").as("token1"),
+        col("n_docs").as("n1"))
+      .join(capped.select(col("__doc"), col("token").as("token2"),
+        col("n_docs").as("n2")), Seq("__doc"))
+      .filter(col("token1") < col("token2"))
+      .groupBy(col("token1"), col("token2"))
+      // n1/n2 are constant within their pair group — min() just carries
+      // them through the aggregate without a second join back to dfs.
+      .agg(count(lit(1)).as("n_pair"), min(col("n1")).as("n1"),
+        min(col("n2")).as("n2"))
+      .filter(col("n_pair") >= minCount)
+    val total = presence.agg(count_distinct(col("__doc"))).head().getLong(0)
+    pairs.select(col("token1"), col("token2"), col("n_pair"), col("n1"), col("n2"),
+        // frozen decimal for the cut, rendered as double in the output
+        // (the pageRank convention — exact decimal → one exact cast).
+        round(log(lit(total.toDouble) * col("n_pair").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double"))), 6)
+          .cast("decimal(18,6)").cast("double").as("pmi"))
+      .orderBy(col("pmi").desc, col("token1"), col("token2"))
+      .limit(topN)
+  }
+
+  /** Per-source out-of-vocabulary rate against the top-`k` corpus
+    * vocabulary — the tokenizer-coverage report a BPE/vocab trainer
+    * reads before freezing a vocabulary: which sources' token streams
+    * would fragment into unknowns. The vocabulary cut is
+    * [[vocabTopK]]'s (occurrences desc, token — deterministic across
+    * engines); `oov_rate` = OOV occurrences / total occurrences per
+    * source, one IEEE division of exact longs.
+    *
+    * Scale shape: one corpus pass collapses to (source, token) counts
+    * map-side; the vocab is k rows — the membership join broadcasts at
+    * any corpus size. Sources with zero non-empty tokens are absent. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String, k: Int): DataFrame = {
+    val st = df.select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val vocab = vocabTopK(df, idCol, textCol, k)
+      .select(col("token"), lit(true).as("__in_vocab"))
+    st.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, col("n")).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
+  /** Pairwise SOURCE-level shingle-set Jaccard — [[sourceNovelty]]'s
+    * pairwise refinement (novelty says "how much of X is unique";
+    * this says "which OTHER source X overlaps, and how much"), the
+    * corpus-level companion of [[Monitoring.crossSourceDupMatrix]]'s
+    * doc-level mirror counts. For sources a < b (lexicographic):
+    * n_shared = |shingles(a) ∩ shingles(b)|, jaccard = shared /
+    * (n_a + n_b − shared) — one IEEE division of exact longs. Source
+    * pairs with an EMPTY intersection are absent (the inner-join
+    * convention — a zero row carries no curation signal and would make
+    * the output sources², not overlaps).
+    *
+    * Scale shape: built on the [[sourceNoveltyState]] monoid (distinct
+    * (source, 128-bit shingle-key) pairs — maintainable incrementally,
+    * so the production loop answers this from folded state without a
+    * corpus re-scan). The intersection self-join fans each shingle by
+    * its source count — sources are a DIMENSION (like the mixture
+    * dims), so the fan-out is dim², never corpus-scale; at a
+    * thousands-of-sources extreme the MinHash estimate over per-source
+    * signatures is the documented fallback. */
+  def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
+                    n: Int = 3): DataFrame =
+    overlapFromState(sourceNoveltyState(df, textCol, sourceCol, n))
+
+  /** [[sourceOverlap]] off maintained [[sourceNoveltyState]] — the
+    * incremental read path ([[noveltyFromState]] convention). */
+  def overlapFromState(state: DataFrame): DataFrame = {
+    val s = state.filter(col("source").isNotNull)
+    val sizes = s.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val inter = s.select(col("source").as("source_a"), col("sh"))
+      .join(s.select(col("source").as("source_b"), col("sh")), Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
 }

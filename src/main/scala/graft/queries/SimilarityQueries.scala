@@ -127,7 +127,16 @@ object SimilarityQueries {
     // pinned in SimilaritySpec and exported via VerifyExtras.
     "q_knn_graph" -> ((s, dir) =>
       Similarity.knnGraphLsh(Tables.load(s, dir, "embeddings"), k = 3)
-        .orderBy(col("id"), col("rank")))
+        .orderBy(col("id"), col("rank"))),
+
+    // Per-label centroid coherence (avg/min member cosine to the label
+    // mean) — oracle-EXACT centroid math via the quantized-decimal
+    // contract (components frozen at 3 decimals; the centroid sum is
+    // exact decimal arithmetic, cos(x, S/n) = cos(x, S) needs no
+    // division inside the aggregate).
+    "q_label_coherence" -> ((s, dir) =>
+      Similarity.labelCoherence(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("label")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -155,6 +164,38 @@ object SimilarityQueries {
         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e)
         |    / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.3
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Parallel unnests in one SELECT zip positionally (DuckDB
+    // semantics), so the component stream never duplicates the array
+    // per dimension row — the span-strike oracle's working-set lesson.
+    "q_label_coherence" ->
+      """WITH comps AS (
+        |  SELECT vec_id, label,
+        |    unnest(generate_series(1, len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0)
+        |         AS DECIMAL(9,0)) AS q
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |cents AS (SELECT label, dim, CAST(sum(q) AS DECIMAL(29,0)) AS s
+        |          FROM comps GROUP BY 1, 2),
+        |n2 AS (SELECT label,
+        |         sum(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS ns2
+        |       FROM cents GROUP BY 1),
+        |per AS (
+        |  SELECT c.vec_id, c.label,
+        |    sum(c.q * ct.s) AS dot, sum(c.q * c.q) AS nx2
+        |  FROM comps c JOIN cents ct ON c.label = ct.label AND c.dim = ct.dim
+        |  GROUP BY 1, 2),
+        |cosv AS (
+        |  SELECT p.label,
+        |    CAST(round(CAST(p.dot AS DOUBLE)
+        |        / sqrt(CAST(p.nx2 AS DOUBLE) * CAST(n.ns2 AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS cosv
+        |  FROM per p JOIN n2 n ON p.label = n.label
+        |  WHERE p.nx2 > 0 AND n.ns2 > 0)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(cosv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cos,
+        |  CAST(min(cosv) AS DOUBLE) AS min_cos
+        |FROM cosv GROUP BY 1 ORDER BY label""".stripMargin
   )
 }

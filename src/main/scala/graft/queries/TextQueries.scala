@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, Graph, Monitoring, NearDupPipeline, Packing, Relevance, Sampling, Vocab, TextAnalysis => TA}
+import graft.operators.{Bpe, Classify, Dedup, Graph, Monitoring, NearDupPipeline, Packing, Relevance, Sampling, Vocab, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Queries #20-#23 and #27-#30 of SURVEY.md §2: text analysis and text
@@ -686,7 +686,45 @@ object TextQueries {
     // dup-rate when deciding a source's place in the mixture.
     "q_lang_purity" -> ((s, dir) =>
       Vocab.langPurity(Tables.load(s, dir, "documents"), "source", "lang")
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // Collocation mining: top within-doc co-occurrence pairs by PMI
+    // (document-presence counts, stop-token df-cap valve, frozen-ln
+    // decimal — the vocabulary curator's multi-word-term shortlist).
+    "q_pmi_terms" -> ((s, dir) =>
+      Vocab.pmiPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        dfCap = 10000, minCount = 5, topN = 50)),
+
+    // Tokenizer-coverage report: per-source OOV occurrence rate against
+    // the deterministic top-20 corpus vocabulary cut.
+    "q_vocab_coverage" -> ((s, dir) =>
+      Vocab.vocabCoverage(Tables.load(s, dir, "documents"), "doc_id",
+          "text", "source", k = 20)
+        .orderBy(col("source"))),
+
+    // Multinomial Naive Bayes self-classification confusion matrix over
+    // the language label — the source-separability diagnostic; the
+    // closed-form fit + frozen-ln decimal scoring make the matrix
+    // oracle-exact (no iterative-training nondeterminism).
+    "q_nb_confusion" -> ((s, dir) =>
+      Classify.naiveBayesConfusion(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "lang")
+        .orderBy(col("label"), col("predicted"))),
+
+    // Pairwise source-level shingle-set Jaccard off the novelty state
+    // monoid — WHICH sources overlap, corpus-level (the doc-level twin
+    // is q_mirror_matrix).
+    "q_source_overlap" -> ((s, dir) =>
+      Vocab.sourceOverlap(Tables.load(s, dir, "documents"), "text",
+          "source", n = 3)
+        .orderBy(col("source_a"), col("source_b"))),
+
+    // Degree histogram of the exact-Jaccard near-dup graph — census
+    // arithmetic over the family's memoized pair table (the shape
+    // diagnostic read before q_pagerank's ranking).
+    "q_graph_degree" -> ((s, dir) =>
+      Graph.degreeHistogram(nearDupJaccard(s, dir))
+        .orderBy(col("degree")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1503,6 +1541,128 @@ object TextQueries {
         |         AS DECIMAL(18,6)) - s AS DOUBLE)
         |    / CAST(n_docs AS DOUBLE) AS lang_entropy
         |FROM t JOIN tp ON t.source IS NOT DISTINCT FROM tp.source
-        |ORDER BY t.source""".stripMargin
+        |ORDER BY t.source""".stripMargin,
+
+    "q_pmi_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |p AS (SELECT DISTINCT doc_id, token FROM toks WHERE length(token) > 0),
+         |dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS n_docs
+         |        FROM p GROUP BY 1),
+         |total AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM p),
+         |capped AS (
+         |  SELECT p.doc_id, p.token, dfs.n_docs
+         |  FROM p JOIN dfs USING (token) WHERE dfs.n_docs <= 10000),
+         |pairs AS (
+         |  SELECT a.token AS token1, b.token AS token2,
+         |    CAST(count(*) AS BIGINT) AS n_pair,
+         |    min(a.n_docs) AS n1, min(b.n_docs) AS n2
+         |  FROM capped a JOIN capped b
+         |    ON a.doc_id = b.doc_id AND a.token < b.token
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT token1, token2, n_pair, n1, n2,
+         |  CAST(CAST(round(ln(CAST(total.n AS DOUBLE) * CAST(n_pair AS DOUBLE)
+         |        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6)
+         |       AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+         |FROM pairs CROSS JOIN total
+         |ORDER BY pmi DESC, token1, token2 LIMIT 50""".stripMargin,
+
+    "q_vocab_coverage" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |t AS (SELECT source, token FROM toks WHERE length(token) > 0),
+         |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+         |       FROM t GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, sum(n) AS n_occ FROM st GROUP BY 1
+         |    ORDER BY n_occ DESC, token LIMIT 20))
+         |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n) AS DOUBLE) AS oov_rate
+         |FROM st LEFT JOIN vocab v ON st.token = v.token
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_nb_confusion" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+         |docs AS (SELECT doc_id, lang AS label FROM documents
+         |         WHERE lang IS NOT NULL),
+         |ltf AS (SELECT tf.doc_id, tf.token, tf.tf, d.label
+         |        FROM tf JOIN docs d USING (doc_id)),
+         |cs AS (SELECT label, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_c,
+         |              CAST(sum(tf) AS BIGINT) AS tok_c
+         |       FROM ltf GROUP BY 1),
+         |vocab AS (SELECT DISTINCT token FROM tf),
+         |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM ltf),
+         |priors AS (
+         |  SELECT label,
+         |    CAST(round(ln(CAST(n_docs_c AS DOUBLE) / CAST(nd.n AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS prior
+         |  FROM cs CROSS JOIN nd),
+         |obs AS (SELECT token, label, CAST(sum(tf) AS BIGINT) AS n_tc
+         |        FROM ltf GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT v.token, cs.label,
+         |    CAST(round(ln(CAST(coalesce(o.n_tc, 0) + 1 AS DOUBLE)
+         |          / CAST(cs.tok_c + vs.v AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS w
+         |  FROM vocab v CROSS JOIN cs CROSS JOIN vs
+         |  LEFT JOIN obs o ON o.token = v.token AND o.label = cs.label),
+         |ev AS (SELECT tf.doc_id, g.label, sum(g.w * tf.tf) AS ev
+         |       FROM tf JOIN grid g USING (token) GROUP BY 1, 2),
+         |scores AS (SELECT ev.doc_id, ev.label, ev.ev + p.prior AS score
+         |           FROM ev JOIN priors p USING (label)),
+         |best AS (SELECT doc_id, max(score) AS best FROM scores GROUP BY 1),
+         |pred AS (
+         |  SELECT s.doc_id, min(s.label) AS predicted
+         |  FROM scores s JOIN best b
+         |    ON s.doc_id = b.doc_id AND s.score = b.best
+         |  GROUP BY 1)
+         |SELECT d.label, p.predicted, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pred p JOIN docs d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""WITH tokd AS (
+         |  SELECT source,
+         |    list_distinct([array_to_string(l[i:i+2], ' ')
+         |                   for i in range(1, greatest(len(l) - 2, 0) + 1)]) AS shs
+         |  FROM (SELECT source, string_split($normSql, ' ') AS l
+         |        FROM documents WHERE source IS NOT NULL)),
+         |sh0 AS (SELECT source, unnest(shs) AS sh FROM tokd),
+         |sh AS (SELECT DISTINCT source, sh FROM sh0),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+         |          FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_shared,
+         |  CAST(n_shared AS DOUBLE)
+         |    / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON inter.source_a = sa.source
+         |JOIN sizes sb ON inter.source_b = sb.source
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    "q_graph_degree" ->
+      s"""WITH $jaccardPairsCtes,
+         |p AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM p
+         |      UNION SELECT id2, id1 FROM p),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+         |        FROM e GROUP BY 1)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
   )
 }

@@ -89,6 +89,26 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("degreeHistogram: hand-computed histogram; multi-edge pairs count a neighbor once") {
+    // 1-2, 1-3, 1-4, 2-3: deg 1->3, 2->2, 3->2, 4->1
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("id1", "id2")
+    val h = Graph.degreeHistogram(pairs).orderBy($"degree").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(h == Seq(1L -> 1L, 2L -> 2L, 3L -> 1L), h)
+    // a duplicated pair row (band-collision style) must not double the edge
+    val multi = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("id1", "id2")
+    val m = Graph.degreeHistogram(multi).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(m == Seq(1L -> 2L), m)
+  }
+
+  test("degreeHistogram: plan is census arithmetic — no window, no cartesian") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val plan = Graph.degreeHistogram(pairs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Cartesian"), plan.take(2000))
+  }
+
   test("pageRank: disconnected components rank independently; plan has no window") {
     val pairs = Seq((1L, 2L), (10L, 11L), (10L, 12L)).toDF("id1", "id2")
     val out = Graph.pageRank(pairs, iterations = 2)

@@ -473,4 +473,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("TakeOrderedAndProject"), plan.take(2000))
     assert(!plan.contains("Window"), plan.take(2000))
   }
+
+  test("labelCoherence: hand-computed quantized cosines; degenerate members dropped") {
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f), Some(0)),
+      (2L, Array(0.0f, 1.0f), Some(0)), // S = (1000, 1000); cos = 1/sqrt(2)
+      (3L, Array(3.0f, 4.0f), Some(1)), // singleton: cos = 1 exactly
+      (4L, Array(0.0f, 0.0f), Some(2)), // zero norm: dropped -> label absent
+      (5L, Array(1.0f, 1.0f), None: Option[Int]) // null label
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCoherence(docs).orderBy($"label").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1))
+    val l0 = out(0)
+    assert(l0.getAs[Long]("n_members") == 2L)
+    // round(1/sqrt(2), 6) = 0.707107 — frozen, both members identical
+    assert(l0.getAs[Double]("avg_cos") == 0.707107)
+    assert(l0.getAs[Double]("min_cos") == 0.707107)
+    assert(out(1).getAs[Double]("avg_cos") == 1.0)
+    assert(out(1).getAs[Double]("min_cos") == 1.0)
+  }
+
+  test("labelCoherence: quantization is the contract — sub-half-milli components vanish") {
+    // 0.0004 quantizes to 0 -> the member's norm is zero -> dropped,
+    // and the label with one surviving member reports exactly 1.0
+    val docs = Seq(
+      (1L, Array(0.0004f, 0.0004f), 7),
+      (2L, Array(0.5f, 0.5f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCoherence(docs).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_members") == 1L)
+    assert(out.head.getAs[Double]("avg_cos") == 1.0)
+  }
 }

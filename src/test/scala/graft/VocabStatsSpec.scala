@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Vocab
+
+/** PMI collocations, vocabulary coverage, and source overlap —
+  * SURVEY.md §2 corpus-statistics rows. */
+class VocabStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pmiPairs: hand-computed PMI, ordering, and the minCount prune") {
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "w q")
+    ).toDF("doc_id", "text")
+    val out = Vocab.pmiPairs(docs, "doc_id", "text",
+      dfCap = 100, minCount = 1, topN = 10).collect()
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(5))).toMap
+    // N=4; (q,w): ln(4*1/(1*1)) = ln 4; (x,y): ln(4*2/(3*2)) = ln(4/3)
+    assert(math.abs(byPair(("q", "w"))._2 - 1.386294) < 1e-9)
+    assert(byPair(("x", "y"))._1 == 2L)
+    assert(math.abs(byPair(("x", "y"))._2 - 0.287682) < 1e-9)
+    assert(math.abs(byPair(("x", "z"))._2 - 0.287682) < 1e-9)
+    // ordering: pmi desc, then token1/token2 on the exact tie
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("q", "w"), ("x", "y"), ("x", "z")))
+    // minCount prunes the singletons
+    val pruned = Vocab.pmiPairs(docs, "doc_id", "text",
+      dfCap = 100, minCount = 2, topN = 10).collect()
+    assert(pruned.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("x", "y")))
+  }
+
+  test("pmiPairs: dfCap valves stop-tokens out of pair generation, not out of N") {
+    val docs = Seq(
+      (1L, "the x y"), (2L, "the x y"), (3L, "the z"), (4L, "the w")
+    ).toDF("doc_id", "text")
+    // df(the)=4 > cap 3 -> no pair involving "the"; N stays 4
+    val out = Vocab.pmiPairs(docs, "doc_id", "text",
+      dfCap = 3, minCount = 1, topN = 10).collect()
+    assert(out.forall(r => r.getString(0) != "the" && r.getString(1) != "the"))
+    val xy = out.find(r => (r.getString(0), r.getString(1)) == ("x", "y")).get
+    assert(math.abs(xy.getDouble(5) - math.log(4.0 * 2 / (2 * 2))) < 1e-6)
+  }
+
+  test("vocabCoverage: OOV occurrences against the deterministic top-k cut") {
+    val docs = Seq(
+      (1L, "a a a b", "s1"),   // a: 5 occ total, b: 2, c: 1
+      (2L, "a a b c", "s2")
+    ).toDF("doc_id", "text", "source")
+    // k=1 keeps only "a" (5 occurrences)
+    val out = Vocab.vocabCoverage(docs, "doc_id", "text", "source", k = 1)
+      .orderBy($"source").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("s1", "s2"))
+    assert(out(0).getAs[Long]("n_tokens") == 4L)
+    assert(out(0).getAs[Long]("n_oov") == 1L)    // the lone b
+    assert(out(0).getAs[Double]("oov_rate") == 0.25)
+    assert(out(1).getAs[Long]("n_oov") == 2L)    // b + c
+    assert(out(1).getAs[Double]("oov_rate") == 0.5)
+    // k larger than the vocabulary: zero OOV everywhere
+    val full = Vocab.vocabCoverage(docs, "doc_id", "text", "source", k = 10)
+      .collect()
+    assert(full.forall(_.getAs[Long]("n_oov") == 0L))
+  }
+
+  test("sourceOverlap: hand jaccard; empty intersections absent; null source dropped") {
+    val docs = Seq(
+      (1L, "one two three four", "a"),  // shingles {one two three, two three four}
+      (2L, "one two three", "b"),       // {one two three}
+      (3L, "five six seven", "c"),      // disjoint from a and b
+      (4L, "one two three", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "source")
+    val out = Vocab.sourceOverlap(docs, "text", "source", n = 3)
+      .orderBy($"source_a", $"source_b").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"))) // c shares nothing; null source never appears
+    val r = out.head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 1L)
+    assert(r.getAs[Long]("n_shared") == 1L)
+    assert(r.getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("sourceOverlap: overlapFromState over folded batches equals full recompute") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val b1 = docs.filter($"doc_id" % 2 === 0)
+    val b2 = docs.filter($"doc_id" % 2 === 1)
+    val folded = Vocab.mergeNoveltyState(
+      Vocab.sourceNoveltyState(b1, "text", "source"),
+      Vocab.sourceNoveltyState(b2, "text", "source"))
+    val fromState = Vocab.overlapFromState(folded)
+      .orderBy($"source_a", $"source_b").collect().toSeq
+    val direct = Vocab.sourceOverlap(docs, "text", "source")
+      .orderBy($"source_a", $"source_b").collect().toSeq
+    assert(fromState == direct)
+  }
+}
