@@ -138,6 +138,68 @@ object EventStream {
       .agg(sum("n").as("n"),
         sum("checksum").cast("decimal(38,0)").as("checksum"))
 
+  /** Streaming maintenance for the per-source duplication-rate monitor
+    * ([[graft.operators.Monitoring.dupRateBySource]]): each micro-batch
+    * appends its (source, fp, n) count state — the additive monoid the
+    * batch monitor folds — to `statePath`; the read side folds across
+    * batches. The [[maintainChecksums]] shape, applied to the census
+    * monitor: the ingest firehose never re-scans for "how duplicated is
+    * each source today".
+    *
+    * At-least-once → effectively-once: a replayed batch appends
+    * IDENTICAL (__batch_id, source, fp, n) rows; the read-side
+    * dropDuplicates keys on them before the fold. */
+  def maintainDupRateState(docs: DataFrame, sourceCol: String,
+                           fingerprint: org.apache.spark.sql.Column,
+                           statePath: String, checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Monitoring.dupRateState(batch.toDF(), sourceCol, fingerprint)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(statePath)
+        ()
+      }
+      .start()
+
+  /** Fold a [[maintainDupRateState]] delta directory to the current
+    * (source, fp, n) state — feed it to
+    * [[graft.operators.Monitoring.dupRateFromState]] (the monitor row)
+    * or [[graft.operators.Monitoring.crossSourceMatrixFromState]] (the
+    * mirror matrix). Counts ADD across batches after replay dedup;
+    * null sources fold like any other bucket (the mergeDupRateState
+    * convention). Scan is O(batches × state) — compact by rewriting
+    * the fold result when that grows. */
+  def readDupRateState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .dropDuplicates("__batch_id", "source", "fp")
+      .groupBy("source", "fp")
+      .agg(sum("n").as("n"))
+
+  /** Streaming maintenance for the source-novelty/overlap census
+    * ([[graft.operators.Vocab.sourceNovelty]] /
+    * [[graft.operators.Vocab.sourceOverlap]]): appends each batch's
+    * DISTINCT (source, shingle-key) pairs. The monoid is set UNION —
+    * idempotent, so replayed batches need no batch-id dedup at all;
+    * the read side just re-distincts. */
+  def maintainNoveltyState(docs: DataFrame, textCol: String, sourceCol: String,
+                           statePath: String, checkpointPath: String,
+                           n: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Vocab.sourceNoveltyState(batch.toDF(), textCol, sourceCol, n)
+          .write.mode("append").parquet(statePath)
+        ()
+      }
+      .start()
+
+  /** Current novelty census from a [[maintainNoveltyState]] directory —
+    * feed to [[graft.operators.Vocab.noveltyFromState]] or
+    * [[graft.operators.Vocab.overlapFromState]]. */
+  def readNoveltyState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath).distinct()
+
   /** Streaming exact dedup on event_id: state is bounded by the watermark
     * (duplicates arriving later than `watermark` after the original are
     * not suppressed — the at-least-once ingestion contract). */

@@ -489,4 +489,72 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("maintainDupRateState: streamed monitor equals batch recompute; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dup-ck").toString
+    val fp = graft.operators.TextAnalysis.docFingerprint(col("text"))
+    val q = EventStream.maintainDupRateState(
+      src.toDS().toDF("doc_id", "text", "source"), "source", fp,
+      stateDir, ckpt)
+    // the cross-source duplicate pair (docs 1 and 4) is SPLIT across
+    // batches — the case a per-batch census gets wrong
+    val all = Seq(
+      (1L, "same text", "a"), (2L, "other a", "a"),
+      (3L, "only b", "b"), (4L, "same text", "b"), (5L, "more b", "b"))
+    try {
+      src.addData(all(0), all(1)); q.processAllAvailable()
+      src.addData(all(2)); q.processAllAvailable()
+      src.addData(all(3), all(4)); q.processAllAvailable()
+    } finally q.stop()
+    def report(state: org.apache.spark.sql.DataFrame) =
+      graft.operators.Monitoring.dupRateFromState(state)
+        .orderBy($"source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val maintained = report(EventStream.readDupRateState(spark, stateDir))
+    val recomputed = report(graft.operators.Monitoring.dupRateState(
+      all.toDF("doc_id", "text", "source"), "source", fp))
+    assert(maintained == recomputed)
+    assert(maintained.find(_._1 == "a").get._3 == 1L) // doc 1 flagged dup
+    // replayed batch: identical (__batch_id, source, fp, n) rows fold once
+    val existing = spark.read.parquet(stateDir)
+    existing.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(report(EventStream.readDupRateState(spark, stateDir)) == recomputed)
+  }
+
+  test("maintainNoveltyState: streamed census equals batch novelty and overlap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-nov").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nov-ck").toString
+    val q = EventStream.maintainNoveltyState(
+      src.toDS().toDF("doc_id", "text", "source"), "text", "source",
+      stateDir, ckpt)
+    val all = Seq(
+      (1L, "one two three four", "a"),
+      (2L, "one two three", "b"),   // shares a shingle with a, cross-batch
+      (3L, "five six seven", "b"))
+    try {
+      src.addData(all(0)); q.processAllAvailable()
+      src.addData(all(1), all(2)); q.processAllAvailable()
+      // replay batch 0's rows verbatim: set union is idempotent
+      src.addData(all(0)); q.processAllAvailable()
+    } finally q.stop()
+    val state = EventStream.readNoveltyState(spark, stateDir)
+    val batchDocs = all.toDF("doc_id", "text", "source")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(graft.operators.Vocab.noveltyFromState(state).orderBy($"source")) ==
+      rows(graft.operators.Vocab.sourceNovelty(batchDocs, "text", "source")
+        .orderBy($"source")))
+    assert(rows(graft.operators.Vocab.overlapFromState(state)
+        .orderBy($"source_a", $"source_b")) ==
+      rows(graft.operators.Vocab.sourceOverlap(batchDocs, "text", "source")
+        .orderBy($"source_a", $"source_b")))
+  }
 }
