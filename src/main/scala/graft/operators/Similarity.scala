@@ -662,6 +662,55 @@ object Similarity {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Johnson-Lindenstrauss RANDOM PROJECTION to `outDims` dimensions —
+    * the dimensionality-reduction front-end of every 100 TB embedding
+    * pipeline (cheap pre-filter before exact cosine; sketching for
+    * transport). The projection matrix is ±1 signs DERIVED from md5
+    * (Achlioptas 2003's database-friendly variant: ±1 entries preserve
+    * the JL guarantee with no stored matrix — any executor reconstructs
+    * any matrix cell from (i, j) alone, so NOTHING ships to the
+    * cluster). Output: (vec_id, out_dim, value_milli) rows.
+    *
+    * Cross-engine float discipline: components QUANTIZED once
+    * (round(x·1000) decimal — the [[labelCoherence]] contract), signs
+    * from the first md5 hex of "j:i" (top bit clear → +1 — the
+    * TableDiff conv/CAST-0x pairing), and each projected value is an
+    * EXACT integer sum — no floats anywhere, so the output hash-matches
+    * any engine. Downstream consumers divide by 1000·√outDims once if
+    * they want calibrated magnitudes; cosine/top-k rankings don't care
+    * about the scalar.
+    *
+    * Scale shape: one posexplode pass; the (inDims × outDims) sign grid
+    * derives from two tiny ranges and BROADCASTs; the reduction is one
+    * aggregate with map-side combine. Fixed-dimension corpus by
+    * contract (dims beyond the first row's width would drop at the
+    * grid join). */
+  def randomProjection(df: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       outDims: Int = 8): DataFrame = {
+    require(outDims > 0, "outDims must be positive")
+    val s = df.sparkSession
+    val nonNull = df.filter(col(vecCol).isNotNull)
+    val inDims = nonNull.select(size(col(vecCol))).head().getInt(0)
+    val comps = nonNull
+      .select(col(idCol).as("id"), posexplode(col(vecCol)))
+      .select(col("id"), col("pos").as("i"),
+        round(col("col").cast("double") * lit(1000), 0)
+          .cast("decimal(9,0)").as("q"))
+    val grid = s.range(inDims).toDF("i")
+      .crossJoin(s.range(outDims).toDF("j"))
+      .select(col("i"), col("j"),
+        when(substring(md5(concat(col("j").cast("string"), lit(":"),
+            col("i").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L)
+          .otherwise(-1L).as("sign"))
+    comps.join(broadcast(grid), Seq("i"))
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("q") * col("sign")).as("__v"))
+      .select(col("id").as("vec_id"), col("j").as("out_dim"),
+        col("__v").cast("long").as("value_milli"))
+  }
+
   /** Per-label embedding COHERENCE report — the cluster-quality readout
     * an embedding-space curator runs after any labeling/clustering pass:
     * for each label, how tightly its members hug their own centroid

@@ -445,6 +445,70 @@ object Vocab {
           .as("oov_rate"))
   }
 
+  /** HASHING-TRICK document feature vectors (Weinberger et al. 2009 —
+    * HashingTF's deterministic core): each token hashes to one of
+    * `numBuckets` buckets with a ±1 sign, and a document's sparse
+    * vector is the signed token-count sum per bucket — the vocabulary-
+    * free featurization that feeds linear classifiers and ANN without
+    * ever building (or shipping) a vocab table. Output: (id, bucket,
+    * weight) sparse rows; zero-weight buckets (sign cancellation) are
+    * kept — their presence distinguishes "tokens cancelled" from
+    * "no tokens hashed here" downstream.
+    *
+    * Cross-engine determinism is free: bucket and sign derive from the
+    * token's md5 (first 8 hex chars → integer % buckets; 9th hex's top
+    * bit → sign — the [[graft.TableDiff]] conv/CAST-0x pairing), and the
+    * weight is an exact integer sum. No floats anywhere.
+    *
+    * Scale shape: one corpus pass, map-side combinable into at most
+    * numBuckets rows per doc — no vocab pass, no join, nothing
+    * corpus-global. The entire operator is a single aggregate. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  numBuckets: Int = 64): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("id"),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+          % numBuckets).as("bucket"),
+        when(substring(md5(col("token")), 9, 1).isin(
+          "0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(-1L).as("__sign"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(sum(col("__sign")).as("weight"))
+  }
+
+  /** CCNet-style PERPLEXITY BAND-PASS assignment: classify every
+    * document low/mid/high by its [[docSurprisal]] average against the
+    * corpus's own `lo`/`hi` percentile cuts — the head/middle/tail
+    * split a perplexity-filtered pipeline trains on (keep the middle,
+    * inspect the tails). Cuts use exact `percentile` (linear
+    * interpolation — DuckDB quantile_cont's twin, the
+    * q_group_percentiles pairing); band comparisons are strict on
+    * bit-identical doubles (avg_surprisal is one IEEE division of
+    * frozen decimals), so the assignment is oracle-exact.
+    *
+    * Scale shape: the surprisal pass is [[docSurprisal]]'s; the cuts
+    * are ONE two-value aggregate over doc-level rows broadcast back as
+    * a scalar (the mixtureReport pattern). The exact percentile's
+    * buffer is doc-count-scale on the DRIVER-side aggregate — at
+    * 100 TB swap in approx_percentile exactly like
+    * [[Monitoring.distributionDriftSketch]] does for PSI cuts (same
+    * rank-error contract); the band semantics are unchanged. */
+  def surprisalBands(df: DataFrame, idCol: String, textCol: String,
+                     lo: Double = 0.25, hi: Double = 0.75): DataFrame = {
+    require(lo > 0 && hi < 1 && lo < hi, s"need 0 < lo < hi < 1, got $lo/$hi")
+    val s = docSurprisal(df, idCol, textCol)
+    val cuts = s.agg(
+      expr(s"percentile(avg_surprisal, $lo)").as("__lo"),
+      expr(s"percentile(avg_surprisal, $hi)").as("__hi"))
+    s.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_tokens"), col("avg_surprisal"),
+        when(col("avg_surprisal") < col("__lo"), "low")
+          .when(col("avg_surprisal") > col("__hi"), "high")
+          .otherwise("mid").as("band"))
+  }
+
   /** Pairwise SOURCE-level shingle-set Jaccard — [[sourceNovelty]]'s
     * pairwise refinement (novelty says "how much of X is unique";
     * this says "which OTHER source X overlaps, and how much"), the

@@ -136,7 +136,14 @@ object SimilarityQueries {
     // division inside the aggregate).
     "q_label_coherence" -> ((s, dir) =>
       Similarity.labelCoherence(Tables.load(s, dir, "embeddings"))
-        .orderBy(col("label")))
+        .orderBy(col("label"))),
+
+    // Johnson-Lindenstrauss ±1 projection to 8 dims — md5-derived sign
+    // grid (nothing ships), quantized-decimal exact integer output.
+    "q_random_projection" -> ((s, dir) =>
+      Similarity.randomProjection(Tables.load(s, dir, "embeddings"),
+          outDims = 8)
+        .orderBy(col("vec_id"), col("out_dim")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -196,6 +203,27 @@ object SimilarityQueries {
         |SELECT label, CAST(count(*) AS BIGINT) AS n_members,
         |  CAST(sum(cosv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cos,
         |  CAST(min(cosv) AS DOUBLE) AS min_cos
-        |FROM cosv GROUP BY 1 ORDER BY label""".stripMargin
+        |FROM cosv GROUP BY 1 ORDER BY label""".stripMargin,
+
+    // inDims is pinned to the fixture's 64 (ScaleUp preserves dim);
+    // the engine derives it from the data.
+    "q_random_projection" ->
+      """WITH comps AS (
+        |  SELECT vec_id,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0)
+        |         AS DECIMAL(9,0)) AS q
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |grid AS (
+        |  SELECT i.range AS i, j.range AS j,
+        |    CASE WHEN substr(md5(CAST(j.range AS VARCHAR) || ':'
+        |                         || CAST(i.range AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1
+        |    END AS sign
+        |  FROM range(0, 64) i CROSS JOIN range(0, 8) j)
+        |SELECT c.vec_id, g.j AS out_dim,
+        |  CAST(sum(c.q * g.sign) AS BIGINT) AS value_milli
+        |FROM comps c JOIN grid g ON c.i = g.i
+        |GROUP BY 1, 2 ORDER BY vec_id, out_dim""".stripMargin
   )
 }

@@ -724,7 +724,21 @@ object TextQueries {
     // diagnostic read before q_pagerank's ranking).
     "q_graph_degree" -> ((s, dir) =>
       Graph.degreeHistogram(nearDupJaccard(s, dir))
-        .orderBy(col("degree")))
+        .orderBy(col("degree"))),
+
+    // Hashing-trick sparse feature vectors — vocabulary-free
+    // featurization (md5-derived bucket + sign, exact integer sums).
+    "q_feature_hash" -> ((s, dir) =>
+      Vocab.featureHash(Tables.load(s, dir, "documents"), "doc_id", "text",
+          numBuckets = 64)
+        .orderBy(col("id"), col("bucket"))),
+
+    // CCNet-style perplexity band-pass assignment: low/mid/high by the
+    // corpus's own P25/P75 surprisal cuts.
+    "q_perplexity_bands" -> ((s, dir) =>
+      Vocab.surprisalBands(Tables.load(s, dir, "documents"), "doc_id",
+          "text")
+        .orderBy(col("doc_id")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1663,6 +1677,49 @@ object TextQueries {
          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
          |        FROM e GROUP BY 1)
          |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
-         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
+         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    "q_feature_hash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |t AS (
+         |  SELECT id,
+         |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket,
+         |    CASE WHEN substr(md5(token), 9, 1)
+         |         IN ('0','1','2','3','4','5','6','7')
+         |         THEN 1 ELSE -1 END AS sign
+         |  FROM toks WHERE length(token) > 0)
+         |SELECT id, bucket, CAST(sum(sign) AS BIGINT) AS weight
+         |FROM t GROUP BY 1, 2 ORDER BY id, bucket""".stripMargin,
+
+    "q_perplexity_bands" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks WHERE length(token) > 0 GROUP BY doc_id, token),
+         |vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n_t
+         |          FROM tf GROUP BY token),
+         |total AS (SELECT CAST(sum(n_t) AS BIGINT) AS total FROM vocab),
+         |priced AS (
+         |  SELECT token,
+         |    CAST(round(ln(CAST(total AS DOUBLE) / CAST(n_t AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS surprisal
+         |  FROM vocab CROSS JOIN total),
+         |s AS (
+         |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |    CAST(sum(p.surprisal * tf.tf) AS DOUBLE)
+         |      / CAST(CAST(sum(tf.tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+         |  FROM tf JOIN priced p USING (token) GROUP BY tf.doc_id),
+         |cuts AS (
+         |  SELECT quantile_cont(avg_surprisal, 0.25) AS lo,
+         |         quantile_cont(avg_surprisal, 0.75) AS hi
+         |  FROM s)
+         |SELECT doc_id, n_tokens, avg_surprisal,
+         |  CASE WHEN avg_surprisal < lo THEN 'low'
+         |       WHEN avg_surprisal > hi THEN 'high'
+         |       ELSE 'mid' END AS band
+         |FROM s CROSS JOIN cuts ORDER BY doc_id""".stripMargin
   )
 }

@@ -493,6 +493,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("min_cos") == 1.0)
   }
 
+  test("randomProjection: values match a test-side md5-sign recomputation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def sgn(i: Int, j: Int): Long =
+      if ("01234567".contains(md5hex(s"$j:$i").charAt(0))) 1L else -1L
+    val docs = Seq(
+      (1L, Array(0.5f, -0.25f)),     // q = (500, -250)
+      (2L, Array(1.0f, 2.0f))        // q = (1000, 2000)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(docs, outDims = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val qs = Map(1L -> Seq(500L, -250L), 2L -> Seq(1000L, 2000L))
+    for (id <- Seq(1L, 2L); j <- 0 until 3) {
+      val exp = qs(id).zipWithIndex.map { case (q, i) => q * sgn(i, j) }.sum
+      assert(out((id, j.toLong)) == exp, s"id=$id j=$j")
+    }
+    assert(out.size == 6)
+  }
+
   test("labelCoherence: quantization is the contract — sub-half-milli components vanish") {
     // 0.0004 quantizes to 0 -> the member's norm is zero -> dropped,
     // and the label with one surviving member reports exactly 1.0

@@ -82,6 +82,59 @@ class VocabStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("jaccard") == 0.5)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("featureHash: buckets/signs match a test-side md5 recomputation; tf sums") {
+    val docs = Seq((1L, "x x y"), (2L, "y")).toDF("doc_id", "text")
+    def bucket(tok: String): Long =
+      java.lang.Long.parseLong(md5hex(tok).substring(0, 8), 16) % 64
+    def sign(tok: String): Long =
+      if ("01234567".contains(md5hex(tok).charAt(8))) 1L else -1L
+    val out = graft.operators.Vocab.featureHash(docs, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = Map(
+      (1L, bucket("x")) -> 2 * sign("x"),
+      (1L, bucket("y")) -> sign("y"),
+      (2L, bucket("y")) -> sign("y"))
+    assert(out == expected, s"got $out vs $expected " +
+      s"(bx=${bucket("x")} by=${bucket("y")})")
+  }
+
+  test("featureHash: colliding tokens with opposite signs cancel to a kept zero row") {
+    // synthetic single-bucket hash: numBuckets=1 forces the collision;
+    // find two short tokens with opposite signs
+    val toks = ('a' to 'z').map(_.toString)
+    def sgn(t: String): Long =
+      if ("01234567".contains(md5hex(t).charAt(8))) 1L else -1L
+    val pos = toks.find(sgn(_) == 1L).get
+    val neg = toks.find(sgn(_) == -1L).get
+    val docs = Seq((1L, s"$pos $neg")).toDF("doc_id", "text")
+    val out = graft.operators.Vocab.featureHash(docs, "doc_id", "text", 1)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(2) == 0L,
+      s"cancelled bucket must remain as a zero row: ${out.toSeq}")
+  }
+
+  test("surprisalBands: bands partition the corpus and order by surprisal") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val out = graft.operators.Vocab.surprisalBands(docs, "doc_id", "text")
+      .collect()
+    val n = graft.operators.Vocab.docSurprisal(docs, "doc_id", "text").count()
+    assert(out.length == n)
+    val byBand = out.groupBy(_.getString(3))
+      .view.mapValues(_.map(_.getDouble(2))).toMap
+    assert(byBand.keySet.subsetOf(Set("low", "mid", "high")))
+    assert(byBand.contains("mid") && byBand("mid").nonEmpty)
+    for (l <- byBand.get("low"); m <- byBand.get("mid"))
+      assert(l.max < m.min, "low band must sit strictly below mid")
+    for (m <- byBand.get("mid"); h <- byBand.get("high"))
+      assert(m.max < h.min, "mid band must sit strictly below high")
+    // quartile cuts put roughly a quarter in each tail
+    assert(byBand("low").length <= n / 2 && byBand("high").length <= n / 2)
+  }
+
   test("sourceOverlap: overlapFromState over folded batches equals full recompute") {
     val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
     val b1 = docs.filter($"doc_id" % 2 === 0)
