@@ -83,6 +83,9 @@ object VerifyExtras {
       val annIvfFit = Similarity.ivfTopK(probes, emb, k = 5, nProbe = 4,
           centroids = fitCents)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      val annIvfPq = Similarity.ivfPqTopK(probes, emb, k = 5,
+          nCentroids = 16, nProbe = 6)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
 
       // --- embedding near-dup blocking -------------------------------------
       // Truth: exact ALL-pairs cosine ≥ 0.9 over the corpus with injected
@@ -186,6 +189,13 @@ object VerifyExtras {
         // 0.72 at nProbe=4, fewer probes than the static path needs).
         Check("ann_ivf_fit_vs_brute_force", pairRecall(annTruth, annIvfFit),
           floor = 0.4, annTruth.length, annIvfFit.length),
+        // IVF-PQ at the static-IVF probe budget: quantization error
+        // costs recall on the near-random fixture (scores are cosines
+        // of RECONSTRUCTIONS), so the floor sits at the fitted family's
+        // 0.4 — a regression to broken encoding (wrong codeword, wrong
+        // LUT index arithmetic) lands near 0, far below it.
+        Check("ann_ivfpq_vs_brute_force", pairRecall(annTruth, annIvfPq),
+          floor = 0.4, annTruth.length, annIvfPq.length),
         // Injected copies sit at cos ∈ [0.999, 1]: the banding survival
         // probability there is ≈1, so missing pairs indicate a blocking
         // bug, not banding variance.

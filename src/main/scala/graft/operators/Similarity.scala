@@ -662,6 +662,165 @@ object Similarity {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** IVF-PQ approximate nearest neighbors (Jégou et al. 2011, FAISS's
+    * IndexIVFPQ shape, `by_residual=false` variant): the coarse IVF
+    * cells bound WHERE to look, and PRODUCT QUANTIZATION bounds what a
+    * corpus row COSTS — each vector is stored as `m` small codeword ids
+    * (m·log₂(ksub) bits ≈ 8 bytes here vs 256 bytes of floats) plus its
+    * reconstruction norm, and scoring is an m-term lookup-table sum
+    * (ADC — asymmetric distance computation), never a d-term dot. At
+    * 100 TB THIS is the variant that fits an index in executor memory:
+    * the probed-cell join moves (cell, codes, norm) rows ~30× smaller
+    * than raw vectors, and the LUT (m·ksub doubles per probe) rides the
+    * broadcast side.
+    *
+    * Codebooks train driver-side on a bounded deterministic modulus
+    * sample (the kmeansFit sampling contract; FAISS trains PQ on
+    * samples the same way) with plain L2 Lloyd per subspace — the model
+    * is m·ksub·(d/m) doubles, pure model scale. Subspaces are
+    * orthogonal coordinate blocks, so the reconstruction norm is the
+    * SUM of chosen codeword norms — no decode ever happens, anywhere.
+    *
+    * Ranking quality comes from the REFINE step (FAISS's
+    * IndexRefineFlat convention): ADC prunes each probe's cell
+    * candidates to `refine`·k, and only those few rows re-join their
+    * raw vectors for an exact cosine rescoring — so the quantization
+    * error decides WHAT SURVIVES PRUNING, never the final order, and
+    * the expensive exact math touches refine·k rows per probe instead
+    * of every candidate. Rows-only (driver-fit codebooks are a runtime
+    * model); recall vs exact brute force pinned in SimilaritySpec and
+    * exported via VerifyExtras like the other ANN variants. Degenerate
+    * corpora (fewer coarse cells than 2 or fewer sample rows than
+    * ksub) fall back to exact search, the ivfTopK convention. */
+  def ivfPqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 2,
+                m: Int = 16, ksub: Int = 16, refine: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                maxFitRows: Int = 1 << 14): DataFrame = {
+    require(k > 0 && nProbe > 0 && m > 0 && ksub > 1 && refine > 0,
+      "bad IVF-PQ params")
+    val c = droppingUndefinedNorms(
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", dot(col("cv"), col("cv"))), "cn")
+    val d = c.select(size(col("cv"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    if (d == 0) return bruteForceTopK(probes, corpus, k, idCol, vecCol)
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    // Coarse cells: the ivfTopK deterministic hash-ordered sample.
+    val centRows: Seq[(Seq[Double], Double)] = c
+      .orderBy(xxhash64(col("vec_id").cast("string"))).limit(nCentroids)
+      .select(col("cv"), col("cn")).collect()
+      .toSeq.map(r => r.getSeq[Double](0).toSeq -> r.getDouble(1))
+    // PQ training sample: modulus filter on the id hash (distributed,
+    // no TakeOrdered funnel), collected at model scale.
+    val n = c.count()
+    val stride = math.max(1L, n / maxFitRows)
+    val sample: Array[Array[Double]] = c
+      .filter(pmod(xxhash64(col("vec_id").cast("string")), lit(stride)) === 0)
+      .orderBy(xxhash64(col("vec_id").cast("string")))
+      .limit(2 * maxFitRows)
+      .select(col("cv")).collect().map(_.getSeq[Double](0).toArray)
+    if (centRows.length < 2 || sample.length < ksub)
+      return bruteForceTopK(probes, corpus, k, idCol, vecCol)
+    // Driver-side L2 Lloyd per subspace: init = first ksub DISTINCT
+    // subvectors in hash order (deterministic), empty cells keep their
+    // codeword, fixed 10 rounds.
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      sub.iterator.takeWhile(_ => init.length < ksub).foreach { v =>
+        if (seen.add(v.toSeq)) init += v.clone()
+      }
+      var cb = (init ++ Seq.fill(ksub - init.length)(init.head)).toArray
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }; s
+      }
+      for (_ <- 1 to 10) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val cnts = new Array[Long](ksub)
+        sub.foreach { v =>
+          var best = 0; var bd = d2(v, cb(0)); var ci = 1
+          while (ci < ksub) {
+            val dd = d2(v, cb(ci)); if (dd < bd) { bd = dd; best = ci }; ci += 1
+          }
+          cnts(best) += 1
+          var t = 0; while (t < dsub) { sums(best)(t) += v(t); t += 1 }
+        }
+        cb = Array.tabulate(ksub) { ci =>
+          if (cnts(ci) == 0) cb(ci)
+          else Array.tabulate(dsub)(t => sums(ci)(t) / cnts(ci))
+        }
+      }
+      cb
+    }
+    // Flat literals for the expressions below: entry j*ksub+ci.
+    val cbFlat: Seq[Seq[Double]] =
+      for (j <- 0 until m; ci <- 0 until ksub) yield codebooks(j)(ci).toSeq
+    val normFlat: Seq[Double] = cbFlat.map(_.map(x => x * x).sum)
+    // Encode: per subspace, argmin L2 = argmax (dot − ‖c‖²/2); ties to
+    // the smallest codeword via the (score, −ci) struct max. m·ksub
+    // bounded dot terms — a map-side projection, no shuffle.
+    def subCol(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
+    val codeCols: Seq[Column] = (0 until m).map { j =>
+      -(greatest((0 until ksub).map { ci =>
+        val cw = codebooks(j)(ci).toSeq
+        struct((dot(subCol(col("cv"), j), typedLit(cw)) -
+          lit(normFlat(j * ksub + ci) / 2)).as("s"), lit(-ci).as("negc"))
+      }: _*).getField("negc"))
+    }
+    val model = graft.functions.CellModel(centRows)
+    val encoded = c
+      .withColumn("centroid_id",
+        graft.functions.CellAssignExpr.cellAssign(col("cv"), col("cn"), model))
+      .withColumn("codes", array(codeCols: _*))
+      // orthogonal blocks: ‖x̂‖² = Σ_j ‖codeword_j‖² — a pure lookup sum
+      .withColumn("rn2", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (cd, j) => element_at(typedLit(normFlat), (j * ksub + cd + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+      .filter(col("rn2") > 0)
+      .select(col("vec_id"), col("centroid_id"), col("codes"), col("rn2"))
+    // Probe side (broadcast-scale): top-nProbe cells + the ADC lookup
+    // table lut[j·ksub+ci] = dot(q_j, codeword_{j,ci}).
+    val p = droppingUndefinedNorms(
+      probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", dot(col("qv"), col("qv"))), "qn")
+    val lut = array((0 until m).flatMap { j =>
+      (0 until ksub).map { ci =>
+        dot(subCol(col("qv"), j), typedLit(codebooks(j)(ci).toSeq))
+      }
+    }: _*)
+    val probeCells = broadcast(
+      p.withColumn("centroid_id", explode(
+          graft.functions.CellTopExpr.cellTop(col("qv"), col("qn"), model, nProbe)))
+        .select(col("query_id"), col("qn"), col("centroid_id"), lut.as("lut")))
+    // ADC: m lookups per pair — O(m), never O(d); vectors long gone.
+    val adc = encoded.join(probeCells, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (cd, j) => element_at(col("lut"), (j * ksub + cd + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x) /
+          sqrt(col("qn") * col("rn2"))).as("adc_sim"))
+    // Refine: only the ADC top refine·k per probe rejoin raw vectors
+    // for exact rescoring — probes·refine·k rows, never the corpus.
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+    val shortlist = adc.withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= refine * k)
+      .select(col("query_id"), col("vec_id"))
+    val rescored = shortlist
+      .join(c, Seq("vec_id"))
+      .join(broadcast(p), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn"))).as("cos_sim"))
+    topK(rescored, k)
+  }
+
   /** Johnson-Lindenstrauss RANDOM PROJECTION to `outDims` dimensions —
     * the dimensionality-reduction front-end of every 100 TB embedding
     * pipeline (cheap pre-filter before exact cosine; sketching for

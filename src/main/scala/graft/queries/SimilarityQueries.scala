@@ -143,7 +143,18 @@ object SimilarityQueries {
     "q_random_projection" -> ((s, dir) =>
       Similarity.randomProjection(Tables.load(s, dir, "embeddings"),
           outDims = 8)
-        .orderBy(col("vec_id"), col("out_dim")))
+        .orderBy(col("vec_id"), col("out_dim"))),
+
+    // IVF-PQ: coarse cells bound WHERE to look, product-quantized codes
+    // bound what a row COSTS (8 bytes vs 256; ADC lookup-table scoring,
+    // O(m) per pair). Rows-only (driver-fit codebooks are a runtime
+    // model); recall floor pinned in SimilaritySpec + VerifyExtras.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+      Similarity.ivfPqTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5,
+          nCentroids = 16, nProbe = 6)
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(

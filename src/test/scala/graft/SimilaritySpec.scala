@@ -493,6 +493,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("min_cos") == 1.0)
   }
 
+  test("ivfPqTopK: valid ranks, self excluded, usable recall vs brute force") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val probes = emb.filter($"vec_id" % 100 === 0)
+    val out = Similarity.ivfPqTopK(probes, emb, k = 5, nCentroids = 16,
+      nProbe = 6)
+    val rows = out.collect()
+    // dense ranks 1..≤5 per probe, self never returned
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length).toSeq, s"q=$q")
+      assert(rs.forall(_.getLong(2) != q), s"self match for $q")
+    }
+    // quantized scores stay cosines
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0001))
+    val truth = Similarity.bruteForceTopK(probes, emb, k = 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.length
+    assert(recall >= 0.4, s"ivfpq recall $recall")
+    // degenerate corpora fall back to exact search
+    val tiny = emb.limit(3)
+    val fb = Similarity.ivfPqTopK(tiny, tiny, k = 2, nCentroids = 16, nProbe = 2)
+    val ex = Similarity.bruteForceTopK(tiny, tiny, k = 2)
+    assert(fb.collect().map(_.toSeq).toSet == ex.collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqTopK(probes, emb, k = 0))
+  }
+
+  test("ivfPqTopK: codes are m small ids — the scored side carries no vectors") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val probes = emb.filter($"vec_id" % 100 === 0)
+    val plan = Similarity.ivfPqTopK(probes, emb, k = 5).queryExecution
+      .executedPlan.toString
+    // the probed-cell join must be broadcast (probe side is tiny) and
+    // no Cartesian anywhere
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      plan.take(2000))
+    assert(!plan.contains("Cartesian"), plan.take(2000))
+  }
+
   test("randomProjection: values match a test-side md5-sign recomputation") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
