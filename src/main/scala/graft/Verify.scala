@@ -34,6 +34,27 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Dataset provenance: which parquet GENERATION this dump ran against
+    // (per-table byte size + newest mtime). compare.py folds it into the
+    // artifact's _meta so a no-oracle row-count shift across sweeps is
+    // attributable (dataset regeneration vs replan — the r8 q_knn_graph
+    // 51 762 → 60 000 lesson).
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val prov = tables.flatMap { t =>
+      val f = new java.io.File(s"$sfDir/$t.parquet")
+      if (!f.exists) None
+      else {
+        val parts =
+          if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
+          else Array(f)
+        val sz = parts.map(_.length).sum
+        val mt = (f.lastModified +: parts.map(_.lastModified)).max
+        Some(s"${q(t)}: {\"bytes\": $sz, \"mtime_ms\": $mt}")
+      }
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/provenance.json"),
+      s"""{"sf_dir": ${q(sfDir)}, "tables": $prov}""")
     // Recall cross-checks for the rows-only approximate operators — a
     // driver-visible artifact (outDir + repo root); never allowed to fail
     // the correctness dump itself. SPARK_GRAFT_SKIP_EXTRAS=1 elides them:

@@ -278,7 +278,55 @@ object VerifyExtras {
         rows.length, rows.length, metric = "accuracy")).toSeq ++
       Seq(Check("profile_sketch_distinct_accuracy", 1.0 - profErr, floor = 0.85,
         profCols.length, profCols.length, metric = "accuracy")) ++
-      psiSketchCheck(spark, sfDir)
+      psiSketchCheck(spark, sfDir) ++ bandsSketchCheck(spark, sfDir) ++
+      overlapMinHashCheck(spark, sfDir)
+  }
+
+  /** q_perplexity_bands_sketch's floor: fraction of documents assigned
+    * the SAME band by the sketch-cut and exact-cut variants. KLL rank
+    * error at accuracy=10000 can flip only docs whose avg_surprisal sits
+    * within ~1e-4 rank of a cut, so observed agreement is ~1.0 at
+    * verify scale; the 0.9 floor guards the failure mode (sketch cuts
+    * landing in the wrong part of the distribution), not the variance. */
+  private def bandsSketchCheck(spark: SparkSession, sfDir: String): Seq[Check] = {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    val exact = graft.operators.Vocab.surprisalBands(d, "doc_id", "text")
+      .select(col("doc_id"), col("band").as("band_e"))
+    val sk = graft.operators.Vocab.surprisalBandsSketch(d, "doc_id", "text")
+      .select(col("doc_id"), col("band").as("band_s"))
+    val agg = exact.join(sk, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("band_e") === col("band_s"), 1L).otherwise(0L)).as("m"))
+      .head()
+    val n = agg.getAs[Long]("n")
+    val agree = if (n == 0) 1.0 else agg.getAs[Long]("m").toDouble / n
+    Seq(Check("perplexity_bands_sketch_agreement", agree, floor = 0.9,
+      n, n, metric = "accuracy"))
+  }
+
+  /** q_source_overlap_minhash's floor: 1 − worst |jaccard_est − jaccard|
+    * over the union of exact and estimated pairs (a pair absent on one
+    * side scores the present side's value against 0 — both the missed
+    * overlap and the phantom overlap count). 128 lanes give σ ≈
+    * √(J(1−J))/√128 ≤ 0.045, so the 0.8 floor (error ≤ 0.2 ≈ 4.4σ)
+    * guards broken lane hashing, not sampling variance. */
+  private def overlapMinHashCheck(spark: SparkSession, sfDir: String): Seq[Check] = {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    def keyed(df: org.apache.spark.sql.DataFrame, v: String): Map[(String, String), Double] =
+      df.select(col("source_a"), col("source_b"), col(v))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = keyed(graft.operators.Vocab.sourceOverlap(d, "text", "source"),
+      "jaccard")
+    val est = keyed(
+      graft.operators.Vocab.sourceOverlapMinHash(d, "text", "source"),
+      "jaccard_est")
+    val worst = exact.keySet.union(est.keySet).toSeq
+      .map(k => math.abs(exact.getOrElse(k, 0.0) - est.getOrElse(k, 0.0)))
+      .maxOption.getOrElse(0.0)
+    Seq(Check("source_overlap_minhash_error", 1.0 - worst, floor = 0.8,
+      exact.size.toLong, est.size.toLong, metric = "accuracy"))
   }
 
   /** q_psi_drift_sketch's floor: the sketch-cut PSI table vs the

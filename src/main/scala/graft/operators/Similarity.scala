@@ -691,7 +691,9 @@ object Similarity {
     * model); recall vs exact brute force pinned in SimilaritySpec and
     * exported via VerifyExtras like the other ANN variants. Degenerate
     * corpora (fewer coarse cells than 2 or fewer sample rows than
-    * ksub) fall back to exact search, the ivfTopK convention. */
+    * ksub) fall back to exact search, the ivfTopK convention. Ids must
+    * be integral ([[knnGraphLsh]]'s contract — the bounded shortlist
+    * aggregate buffers (long, double) pairs). */
   def ivfPqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
                 nCentroids: Int = 16, nProbe: Int = 2,
                 m: Int = 16, ksub: Int = 16, refine: Int = 4,
@@ -780,7 +782,6 @@ object Similarity {
         zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
           (cd, j) => element_at(typedLit(normFlat), (j * ksub + cd + 1).cast("int"))),
         lit(0.0), (acc, x) => acc + x))
-      .filter(col("rn2") > 0)
       .select(col("vec_id"), col("centroid_id"), col("codes"), col("rn2"))
     // Probe side (broadcast-scale): top-nProbe cells + the ADC lookup
     // table lut[j·ksub+ci] = dot(q_j, codeword_{j,ci}).
@@ -797,22 +798,36 @@ object Similarity {
           graft.functions.CellTopExpr.cellTop(col("qv"), col("qn"), model, nProbe)))
         .select(col("query_id"), col("qn"), col("centroid_id"), lut.as("lut")))
     // ADC: m lookups per pair — O(m), never O(d); vectors long gone.
+    // Zero PQ reconstructions (rn2 = 0: every subspace snapped to a zero
+    // codeword — degenerate codebooks only) have an UNDEFINED ADC cosine,
+    // not a bad one: a sentinel above any real cosine routes them through
+    // the shortlist into exact rescoring (where their true cosine decides)
+    // instead of silently making them unreturnable. Inline in the ONE
+    // encoded scan — a separate union branch would recompute the whole
+    // corpus encoding (encoded is never cached; measured 1.8× on the
+    // sf0.1 bench).
     val adc = encoded.join(probeCells, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (aggregate(
+        when(col("rn2") <= 0, lit(2.0)).otherwise(aggregate(
           zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
             (cd, j) => element_at(col("lut"), (j * ksub + cd + 1).cast("int"))),
           lit(0.0), (acc, x) => acc + x) /
           sqrt(col("qn") * col("rn2"))).as("adc_sim"))
-    // Refine: only the ADC top refine·k per probe rejoin raw vectors
-    // for exact rescoring — probes·refine·k rows, never the corpus.
-    val wAdc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("adc_sim").desc, col("vec_id"))
-    val shortlist = adc.withColumn("__r", row_number().over(wAdc))
-      .filter(col("__r") <= refine * k)
-      .select(col("query_id"), col("vec_id"))
+    // Refine: only the ADC top refine·k per probe rejoin raw vectors for
+    // exact rescoring — probes·refine·k rows, never the corpus. The
+    // shortlist is the bounded TopKNeighbors merge aggregate (buffer ≤
+    // refine·k per map task, map-side combinable; same (adc_sim DESC,
+    // vec_id) contract), NOT a row_number window — a window sorts every
+    // in-cell candidate per probe, the one non-bounded step this
+    // operator had. (vec_id, query_id) pairs are unique here — one cell
+    // per corpus vector, distinct probe cells — so the aggregate's
+    // neighbor-distinct contract coincides with the window it replaces.
+    import graft.functions.TopKNeighbors.topKNeighbors
+    val shortlist = adc.groupBy(col("query_id"))
+      .agg(topKNeighbors(col("vec_id"), col("adc_sim"), refine * k).as("__nb"))
+      .select(col("query_id"), explode(col("__nb")).as("e"))
+      .select(col("query_id"), col("e._1").as("vec_id"))
     val rescored = shortlist
       .join(c, Seq("vec_id"))
       .join(broadcast(p), Seq("query_id"))
@@ -850,7 +865,15 @@ object Similarity {
     require(outDims > 0, "outDims must be positive")
     val s = df.sparkSession
     val nonNull = df.filter(col(vecCol).isNotNull)
-    val inDims = nonNull.select(size(col(vecCol))).head().getInt(0)
+    // headOption, not head(): an empty / all-null-embedding input yields
+    // an empty projection, not NoSuchElementException (the ivfPqTopK
+    // degenerate-input convention).
+    val inDims = nonNull.select(size(col(vecCol)))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    if (inDims <= 0)
+      return df.filter(lit(false))
+        .select(col(idCol).as("vec_id"), lit(0L).as("out_dim"),
+          lit(0L).as("value_milli"))
     val comps = nonNull
       .select(col(idCol).as("id"), posexplode(col(vecCol)))
       .select(col("id"), col("pos").as("i"),

@@ -374,18 +374,27 @@ object Vocab {
     * orders by (pmi, token1, token2) so ties are deterministic.
     *
     * Scale shape: the corpus collapses to distinct (doc, token)
-    * presence map-side; the `dfCap` valve drops stop-tokens BEFORE pair
-    * generation (a token in every doc would fan the self-join to
-    * corpus² — same economics as the Jaccard family's stop-shingle
-    * valve, and like there the cap is part of the operator's contract,
-    * mirrored in the oracle), and `minCount` prunes noise pairs after
-    * counting. Pair generation is a per-doc self-join on the CAPPED
-    * presence table — per-doc work is (capped distinct tokens)², never
-    * corpus-quadratic. The top-N lands in TakeOrderedAndProject. */
+    * presence map-side; TWO valves bound the per-doc self-join, both
+    * part of the operator's contract and mirrored in the oracle (the
+    * Jaccard family's stop-shingle-valve economics). `dfCap` drops
+    * corpus-frequent stop-tokens BEFORE pair generation (a token in
+    * every doc would fan the join to corpus²); `docCap` bounds the
+    * DEGENERATE DOCUMENT — a dictionary dump or id list with 100k
+    * distinct RARE tokens would fan one join group to ~5×10⁹ pairs
+    * with dfCap alone — by keeping each doc's `docCap`
+    * rarest-then-lexicographic tokens (rank by (n_docs ASC, token):
+    * rare tokens carry the PMI signal; the rank is deterministic
+    * across engines, and the rank window keys __doc — the same key as
+    * the pair join, so the exchange is reused, and its sort is per-doc
+    * TOKEN-scale, never pair-scale). `minCount` prunes noise pairs
+    * after counting. Per-doc work is thus ≤ min(docCap, capped
+    * distinct tokens)², never corpus-quadratic. The top-N lands in
+    * TakeOrderedAndProject. */
   def pmiPairs(df: DataFrame, idCol: String, textCol: String,
-               dfCap: Int = 10000, minCount: Int = 5, topN: Int = 50): DataFrame = {
-    require(dfCap > 0 && minCount > 0 && topN > 0,
-      "dfCap, minCount and topN must be positive")
+               dfCap: Int = 10000, minCount: Int = 5, topN: Int = 50,
+               docCap: Int = 2000): DataFrame = {
+    require(dfCap > 0 && minCount > 0 && topN > 0 && docCap > 0,
+      "dfCap, minCount, topN and docCap must be positive")
     val presence = df.select(col(idCol).as("__doc"),
         explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
       .filter(length(col("token")) > 0)
@@ -393,7 +402,11 @@ object Vocab {
     val dfs = presence.groupBy(col("token")).agg(count(lit(1)).as("n_docs"))
     // N = docs with >= 1 token, BEFORE the cap: the cap prunes pair
     // CANDIDATES, not the universe the probabilities live in.
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__doc")).orderBy(col("n_docs"), col("token"))
     val capped = presence.join(dfs.filter(col("n_docs") <= dfCap), Seq("token"))
+      .withColumn("__rk", row_number().over(wDoc))
+      .filter(col("__rk") <= docCap).drop("__rk")
     val pairs = capped.select(col("__doc"), col("token").as("token1"),
         col("n_docs").as("n1"))
       .join(capped.select(col("__doc"), col("token").as("token2"),
@@ -491,23 +504,53 @@ object Vocab {
     * Scale shape: the surprisal pass is [[docSurprisal]]'s; the cuts
     * are ONE two-value aggregate over doc-level rows broadcast back as
     * a scalar (the mixtureReport pattern). The exact percentile's
-    * buffer is doc-count-scale on the DRIVER-side aggregate — at
-    * 100 TB swap in approx_percentile exactly like
-    * [[Monitoring.distributionDriftSketch]] does for PSI cuts (same
-    * rank-error contract); the band semantics are unchanged. */
+    * buffer is per-distinct-value state over doc-count-scale input —
+    * fine at verify scale, unbounded on a 100 TB high-cardinality
+    * surprisal column. [[surprisalBandsSketch]] is the 100 TB twin
+    * (approx_percentile cuts, exactly the
+    * [[Monitoring.distributionDrift]] → [[Monitoring.distributionDriftSketch]]
+    * pairing); band semantics are identical, only the cut estimator
+    * differs. */
   def surprisalBands(df: DataFrame, idCol: String, textCol: String,
                      lo: Double = 0.25, hi: Double = 0.75): DataFrame = {
     require(lo > 0 && hi < 1 && lo < hi, s"need 0 < lo < hi < 1, got $lo/$hi")
     val s = docSurprisal(df, idCol, textCol)
-    val cuts = s.agg(
+    bandsFromCuts(s, s.agg(
       expr(s"percentile(avg_surprisal, $lo)").as("__lo"),
-      expr(s"percentile(avg_surprisal, $hi)").as("__hi"))
+      expr(s"percentile(avg_surprisal, $hi)").as("__hi")))
+  }
+
+  /** [[surprisalBands]]'s 100 TB twin: identical output contract and
+    * band semantics, but the percentile cuts come from
+    * `approx_percentile` — the mergeable KLL-family sketch whose state
+    * is O(accuracy) PER EXECUTOR regardless of doc count, where the
+    * exact `percentile` buffers every distinct avg_surprisal value (one
+    * per doc in the worst case — the [[Monitoring.distributionDriftSketch]]
+    * caveat verbatim). Rank error ≤ 1/accuracy, so a document can flip
+    * band only if its avg_surprisal sits within that rank band of a
+    * cut; VerifyExtras pins band agreement vs the exact variant per
+    * round (floor 0.9), VocabSpec pins it in-suite. Rows-only in the
+    * oracle: DuckDB has no KLL twin to reproduce the cuts. */
+  def surprisalBandsSketch(df: DataFrame, idCol: String, textCol: String,
+                           lo: Double = 0.25, hi: Double = 0.75,
+                           accuracy: Int = 10000): DataFrame = {
+    require(lo > 0 && hi < 1 && lo < hi, s"need 0 < lo < hi < 1, got $lo/$hi")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val s = docSurprisal(df, idCol, textCol)
+    bandsFromCuts(s, s.agg(
+      percentile_approx(col("avg_surprisal"), lit(lo), lit(accuracy)).as("__lo"),
+      percentile_approx(col("avg_surprisal"), lit(hi), lit(accuracy)).as("__hi")))
+  }
+
+  /** Shared band-pass body: classify each doc against the given 1-row
+    * (__lo, __hi) cut frame (the two public variants differ ONLY in how
+    * the cuts were estimated — the [[Monitoring]] driftFromCuts shape). */
+  private def bandsFromCuts(s: DataFrame, cuts: DataFrame): DataFrame =
     s.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("n_tokens"), col("avg_surprisal"),
         when(col("avg_surprisal") < col("__lo"), "low")
           .when(col("avg_surprisal") > col("__hi"), "high")
           .otherwise("mid").as("band"))
-  }
 
   /** Pairwise SOURCE-level shingle-set Jaccard — [[sourceNovelty]]'s
     * pairwise refinement (novelty says "how much of X is unique";
@@ -526,8 +569,9 @@ object Vocab {
     * corpus re-scan). The intersection self-join fans each shingle by
     * its source count — sources are a DIMENSION (like the mixture
     * dims), so the fan-out is dim², never corpus-scale; at a
-    * thousands-of-sources extreme the MinHash estimate over per-source
-    * signatures is the documented fallback. */
+    * thousands-of-sources extreme, [[sourceOverlapMinHash]] is the
+    * implemented fallback (bounded per-source signature state, no
+    * shingle-level intersection join). */
   def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
                     n: Int = 3): DataFrame =
     overlapFromState(sourceNoveltyState(df, textCol, sourceCol, n))
@@ -552,5 +596,53 @@ object Vocab {
         (col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
           .as("jaccard"))
+  }
+
+  /** [[sourceOverlap]]'s extreme-cardinality fallback: pairwise
+    * source Jaccard ESTIMATED from one-permutation-per-lane MinHash
+    * signatures (Broder 1997) instead of the exact shingle-level
+    * intersection join. Per source, lane h keeps min over the source's
+    * shingles of xxhash64(h, shingle-key) — `numHashes` longs of state,
+    * BOUNDED regardless of shingle vocabulary (the exact variant's
+    * intersection join fans every shingle by its source count — fine
+    * when sources are a dimension, corpus-shaped pain at
+    * thousands-of-sources × billions of shingles). The estimate is the
+    * fraction of agreeing lanes: E[agree] = J exactly, σ =
+    * √(J(1−J)/numHashes) ≈ 0.04 at 128 lanes. Pairs estimating 0 (no
+    * agreeing lane) are absent — the exact variant's empty-intersection
+    * convention. Output: (source_a, source_b, jaccard_est); rows-only
+    * in the oracle (the estimate is sampling-dependent by nature) with
+    * a VerifyExtras mean-abs-error floor vs [[sourceOverlap]], and
+    * VocabSpec pins the error in-suite.
+    *
+    * Scale shape: ONE aggregate over the novelty-state monoid collapses
+    * each source to its signature map-side (each lane's min is
+    * associative/commutative — the signature itself is a fold-able
+    * monoid, so the production loop can maintain it incrementally like
+    * the state it derives from); the pairwise compare is a
+    * dimension-scale broadcast self-join over numHashes-length arrays. */
+  def sourceOverlapMinHash(df: DataFrame, textCol: String, sourceCol: String,
+                           n: Int = 3, numHashes: Int = 128): DataFrame =
+    overlapMinHashFromState(sourceNoveltyState(df, textCol, sourceCol, n),
+      numHashes)
+
+  /** [[sourceOverlapMinHash]] off maintained [[sourceNoveltyState]] —
+    * the incremental read path ([[overlapFromState]] convention). */
+  def overlapMinHashFromState(state: DataFrame, numHashes: Int = 128): DataFrame = {
+    require(numHashes > 0 && numHashes <= 4096,
+      s"numHashes must be in [1, 4096], got $numHashes")
+    val sig = state.filter(col("source").isNotNull)
+      .groupBy(col("source"))
+      .agg(array((0 until numHashes).map(h =>
+        min(xxhash64(lit(h), col("sh")))): _*).as("sig"))
+    val a = sig.select(col("source").as("source_a"), col("sig").as("sig_a"))
+    val b = sig.select(col("source").as("source_b"), col("sig").as("sig_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") /
+          lit(numHashes.toDouble)).as("jaccard_est"))
+      .filter(col("jaccard_est") > 0)
   }
 }

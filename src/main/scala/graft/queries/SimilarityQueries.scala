@@ -216,8 +216,11 @@ object SimilarityQueries {
         |  CAST(min(cosv) AS DOUBLE) AS min_cos
         |FROM cosv GROUP BY 1 ORDER BY label""".stripMargin,
 
-    // inDims is pinned to the fixture's 64 (ScaleUp preserves dim);
-    // the engine derives it from the data.
+    // The grid bound derives from the DATA on both sides (engine: first
+    // non-null row; oracle: max width) — on the fixed-dim fixtures they
+    // coincide, and a variable-dim fixture would diverge LOUDLY in the
+    // compare instead of silently dropping dims against a stale
+    // hardcoded 64.
     "q_random_projection" ->
       """WITH comps AS (
         |  SELECT vec_id,
@@ -225,13 +228,17 @@ object SimilarityQueries {
         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0)
         |         AS DECIMAL(9,0)) AS q
         |  FROM embeddings WHERE embedding IS NOT NULL),
+        |dims AS (SELECT max(len(embedding)) AS d FROM embeddings
+        |         WHERE embedding IS NOT NULL),
+        |ii AS (SELECT unnest(generate_series(0, d - 1)) AS i FROM dims),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
         |grid AS (
-        |  SELECT i.range AS i, j.range AS j,
-        |    CASE WHEN substr(md5(CAST(j.range AS VARCHAR) || ':'
-        |                         || CAST(i.range AS VARCHAR)), 1, 1)
+        |  SELECT ii.i, jj.j,
+        |    CASE WHEN substr(md5(CAST(jj.j AS VARCHAR) || ':'
+        |                         || CAST(ii.i AS VARCHAR)), 1, 1)
         |         IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1
         |    END AS sign
-        |  FROM range(0, 64) i CROSS JOIN range(0, 8) j)
+        |  FROM ii CROSS JOIN jj)
         |SELECT c.vec_id, g.j AS out_dim,
         |  CAST(sum(c.q * g.sign) AS BIGINT) AS value_milli
         |FROM comps c JOIN grid g ON c.i = g.i

@@ -738,7 +738,27 @@ object TextQueries {
     "q_perplexity_bands" -> ((s, dir) =>
       Vocab.surprisalBands(Tables.load(s, dir, "documents"), "doc_id",
           "text")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // The band-pass's 100 TB twin: approx_percentile cuts (KLL sketch,
+    // O(accuracy) state vs the exact percentile's per-distinct-value
+    // buffer). Rows-only — DuckDB has no KLL twin to reproduce the
+    // cuts; band agreement vs the exact variant is floored in
+    // VerifyExtras and pinned in VocabSpec.
+    "q_perplexity_bands_sketch" -> ((s, dir) =>
+      Vocab.surprisalBandsSketch(Tables.load(s, dir, "documents"), "doc_id",
+          "text")
+        .orderBy(col("doc_id"))),
+
+    // sourceOverlap's extreme-cardinality fallback: pairwise Jaccard
+    // ESTIMATED from bounded per-source MinHash signatures (128 lanes)
+    // instead of the shingle-level intersection join. Rows-only (the
+    // estimate is sampling-dependent); mean-abs-error vs the exact
+    // overlap is floored in VerifyExtras and pinned in VocabSpec.
+    "q_source_overlap_minhash" -> ((s, dir) =>
+      Vocab.sourceOverlapMinHash(Tables.load(s, dir, "documents"), "text",
+          "source", n = 3)
+        .orderBy(col("source_a"), col("source_b")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1565,9 +1585,14 @@ object TextQueries {
          |dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS n_docs
          |        FROM p GROUP BY 1),
          |total AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM p),
-         |capped AS (
+         |capped0 AS (
          |  SELECT p.doc_id, p.token, dfs.n_docs
          |  FROM p JOIN dfs USING (token) WHERE dfs.n_docs <= 10000),
+         |capped AS (
+         |  SELECT doc_id, token, n_docs FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n_docs, token) AS rk
+         |    FROM capped0) WHERE rk <= 2000),
          |pairs AS (
          |  SELECT a.token AS token1, b.token AS token2,
          |    CAST(count(*) AS BIGINT) AS n_pair,

@@ -531,6 +531,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       plan.take(2000))
     assert(!plan.contains("Cartesian"), plan.take(2000))
+    // the ADC shortlist is the bounded TopKNeighbors aggregate, not a
+    // per-probe sort of every in-cell candidate: the ONLY Window left is
+    // the final rank assignment over ≤ refine·k already-pruned rows.
+    // \b excludes WindowGroupLimit (a pushed partial top-k, fine).
+    assert("""\bWindow\b""".r.findAllIn(plan).length == 1, plan.take(2000))
+  }
+
+  test("randomProjection: empty and all-null inputs yield an empty frame, not a crash") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = Similarity.randomProjection(empty)
+    assert(e.columns.toSeq == Seq("vec_id", "out_dim", "value_milli"))
+    assert(e.count() == 0)
+    val nulls = Seq((1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.randomProjection(nulls).count() == 0)
   }
 
   test("randomProjection: values match a test-side md5-sign recomputation") {

@@ -135,6 +135,64 @@ class VocabStatsSpec extends AnyFunSuite {
     assert(byBand("low").length <= n / 2 && byBand("high").length <= n / 2)
   }
 
+  test("pmiPairs: docCap valves a degenerate dictionary-dump doc to its rarest tokens") {
+    // doc 1 is the web-corpus pathology the dfCap valve alone misses: a
+    // dump of many distinct RARE tokens (all n_docs = 1, under any
+    // dfCap) that would fan one join group quadratically.
+    val dump = (0 until 10).map(i => f"t$i%02d").mkString(" ")
+    val docs = Seq((1L, dump), (2L, "x y"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Vocab.pmiPairs(docs, "doc_id", "text",
+        dfCap = 100, minCount = 1, topN = 100, docCap = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // rank (n_docs ASC, token ASC) keeps t00,t01,t02 of the dump ->
+    // C(3,2)=3 dump pairs; the under-cap docs are untouched
+    assert(out == Set(("t00", "t01"), ("t00", "t02"), ("t01", "t02"),
+      ("x", "y")), s"got $out")
+    // default docCap leaves a small doc's pair set complete: C(10,2)+1
+    assert(Vocab.pmiPairs(docs, "doc_id", "text",
+      dfCap = 100, minCount = 1, topN = 100).count() == 46L)
+    intercept[IllegalArgumentException](
+      Vocab.pmiPairs(docs, "doc_id", "text", docCap = 0))
+  }
+
+  test("surprisalBandsSketch: same contract, near-total agreement with exact cuts") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val e = Vocab.surprisalBands(docs, "doc_id", "text")
+    val s = Vocab.surprisalBandsSketch(docs, "doc_id", "text")
+    assert(e.schema == s.schema)
+    val joined = e.select($"doc_id", $"band".as("be"))
+      .join(s.select($"doc_id", $"band".as("bs")), Seq("doc_id"))
+    val n = joined.count()
+    val agree = joined.filter($"be" === $"bs").count()
+    assert(n > 0 && e.count() == n, "sketch twin must cover every doc")
+    assert(agree.toDouble / n >= 0.9, s"agreement ${agree.toDouble / n}")
+  }
+
+  test("sourceOverlapMinHash: estimates track exact jaccard; fold equals recompute") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    def keyed(rows: Seq[org.apache.spark.sql.Row]): Map[(String, String), Double] =
+      rows.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = keyed(Vocab.sourceOverlap(docs, "text", "source")
+      .select($"source_a", $"source_b", $"jaccard").collect().toSeq)
+    val est = keyed(Vocab.sourceOverlapMinHash(docs, "text", "source")
+      .select($"source_a", $"source_b", $"jaccard_est").collect().toSeq)
+    val worst = (exact.keySet ++ est.keySet)
+      .map(k => math.abs(exact.getOrElse(k, 0.0) - est.getOrElse(k, 0.0)))
+      .maxOption.getOrElse(0.0)
+    assert(worst <= 0.2, s"worst abs error $worst (exact=$exact est=$est)")
+    // signature state is a fold-able monoid like the state it derives from
+    val folded = Vocab.mergeNoveltyState(
+      Vocab.sourceNoveltyState(docs.filter($"doc_id" % 2 === 0), "text", "source"),
+      Vocab.sourceNoveltyState(docs.filter($"doc_id" % 2 === 1), "text", "source"))
+    val fromState = Vocab.overlapMinHashFromState(folded)
+      .orderBy($"source_a", $"source_b").collect().toSeq
+    val direct = Vocab.sourceOverlapMinHash(docs, "text", "source")
+      .orderBy($"source_a", $"source_b").collect().toSeq
+    assert(fromState == direct)
+    intercept[IllegalArgumentException](
+      Vocab.overlapMinHashFromState(folded, numHashes = 0))
+  }
+
   test("sourceOverlap: overlapFromState over folded batches equals full recompute") {
     val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
     val b1 = docs.filter($"doc_id" % 2 === 0)

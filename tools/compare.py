@@ -119,6 +119,11 @@ if jsonout:
     # convention): a no-oracle query's row-count shift across refreshes
     # must be attributable to a dataset change vs a behavior change.
     report["_meta"] = {"sf_dir": sfdir, "out_dir": outdir}
+    # Verify dumps per-table byte/mtime generation stamps alongside the
+    # parquet; fold them in so the artifact pins WHICH dataset build.
+    prov_path = f"{outdir}/provenance.json"
+    if os.path.exists(prov_path):
+        report["_meta"]["provenance"] = json.load(open(prov_path))
     with open(jsonout, "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)
 print("FAILURES:", fails)

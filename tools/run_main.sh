@@ -1,8 +1,12 @@
 #!/bin/sh
 # Direct JVM runner for graft mains (avoids sbt lock contention):
 #   tools/run_main.sh graft.Verify /root/testdata/sf0.01 /tmp/vout
+# Heap via GRAFT_XMX (default 4g; round boxes export 96g); repo root
+# derived from this script's own location so any checkout path works.
+REPO_ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 MAIN="$1"; shift
-exec java -Xmx96g -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+exec java -Xmx"${GRAFT_XMX:-4g}" \
+  -cp "$REPO_ROOT/target/scala-2.13/classes:/opt/spark/jars/*" \
   --add-exports java.base/sun.nio.ch=ALL-UNNAMED \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
