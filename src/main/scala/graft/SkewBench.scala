@@ -187,6 +187,16 @@ object SkewBench {
     // into C(0.9n, 2) levenshtein calls).
     def editdist(d: DataFrame): DataFrame =
       Dedup.editDistancePairs(d, "doc_id", "text", prefixLen = 16, maxDist = 10)
+    // q_pmi_terms shape. Skew arm: ONE injected dictionary-dump doc of
+    // 20k distinct rare tokens (every token df=1 — under any dfCap) —
+    // without the per-doc valve its join group alone fans to C(20k,2) ≈
+    // 2×10⁸ pairs; docCap=2000 bounds it at C(2000,2) ≈ 2×10⁶, so the
+    // skew arm must cost a bounded constant over uniform, not minutes.
+    val dumpText = (0 until 20000).map(i => f"zzdump$i%05d").mkString(" ")
+    val dumpDocs = docs.unionByName(
+      spark.range(1).select(lit(-1L).as("doc_id"), lit(dumpText).as("text")))
+    def pmi(d: DataFrame): DataFrame =
+      graft.operators.Vocab.pmiPairs(d, "doc_id", "text")
     // q_pagerank / q_dedup_canonical shapes over SYNTHETIC edge tables
     // (running them over the jaccard pipeline would measure candidate
     // generation, not the graph op's own skew response). Uniform arm: a
@@ -223,6 +233,7 @@ object SkewBench {
       ("weighted_sample", wsample, tokDocs, zipfTok),
       ("quantile_norm", qnorm, qualDocs, hotSrcDocs),
       ("dedup_editdist", editdist, docs, boilerDocs(docs)),
+      ("pmi_pairs", pmi, docs, dumpDocs),
       ("pagerank", prank, matching, star),
       ("dedup_canonical", canon, matching, star))
 

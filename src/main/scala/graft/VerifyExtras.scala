@@ -77,14 +77,22 @@ object VerifyExtras {
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
       val annLsh = Similarity.lshTopK(probes, emb, k = 5)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
-      val annIvf = Similarity.ivfTopK(probes, emb, k = 5, nCentroids = 16, nProbe = 6)
+      // Cell counts mirror the QUERY wiring: ivf/ivf_fit scale cells
+      // with the corpus (cellsFor — a pinned 16 here measured a variant
+      // the queries don't run); ivfpq keeps the query's static 16/6
+      // coverage + refine=16 (see the q_ann_ivfpq comment — on the
+      // noise-floor fixture recall tracks coverage, and scaled cells
+      // sank the sf1 point to 0.24 while costing more).
+      val nCells = Similarity.cellsFor(emb.count())
+      val annIvf = Similarity.ivfTopK(probes, emb, k = 5, nCentroids = nCells,
+          nProbe = 6)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
-      val fitCents = Similarity.kmeansFit(emb, k = 16, maxIter = 5)
+      val fitCents = Similarity.kmeansFit(emb, k = nCells, maxIter = 5)
       val annIvfFit = Similarity.ivfTopK(probes, emb, k = 5, nProbe = 4,
           centroids = fitCents)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
       val annIvfPq = Similarity.ivfPqTopK(probes, emb, k = 5,
-          nCentroids = 16, nProbe = 6)
+          nCentroids = 16, nProbe = 6, refine = 16)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
 
       // --- embedding near-dup blocking -------------------------------------
@@ -279,7 +287,29 @@ object VerifyExtras {
       Seq(Check("profile_sketch_distinct_accuracy", 1.0 - profErr, floor = 0.85,
         profCols.length, profCols.length, metric = "accuracy")) ++
       psiSketchCheck(spark, sfDir) ++ bandsSketchCheck(spark, sfDir) ++
-      overlapMinHashCheck(spark, sfDir)
+      overlapMinHashCheck(spark, sfDir) ++ winsorizeSketchCheck(spark, sfDir)
+  }
+
+  /** q_winsorize_sketch's floor: fraction of rows whose winsorized value
+    * matches the exact-cut variant bit-for-bit. Only rows within the KLL
+    * rank-error band of a cut can clamp differently (the bandsSketch
+    * argument on a clamp instead of a band label); 0.9 floor guards
+    * misplaced cuts, not variance. */
+  private def winsorizeSketchCheck(spark: SparkSession, sfDir: String): Seq[Check] = {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.load(spark, sfDir, "events")
+    val exact = graft.operators.Sampling.winsorize(e, "event_id", "value")
+      .select(col("id"), col("value_w").as("we"))
+    val sk = graft.operators.Sampling.winsorizeSketch(e, "event_id", "value")
+      .select(col("id"), col("value_w").as("ws"))
+    val agg = exact.join(sk, Seq("id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("we") === col("ws"), 1L).otherwise(0L)).as("m"))
+      .head()
+    val n = agg.getAs[Long]("n")
+    val agree = if (n == 0) 1.0 else agg.getAs[Long]("m").toDouble / n
+    Seq(Check("winsorize_sketch_agreement", agree, floor = 0.9,
+      n, n, metric = "accuracy"))
   }
 
   /** q_perplexity_bands_sketch's floor: fraction of documents assigned

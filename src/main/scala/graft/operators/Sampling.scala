@@ -372,4 +372,62 @@ object Sampling {
     df.filter(col(idCol).isNotNull)
       .withColumn("rank_hex", hashRankHex(col(idCol), salt))
       .withColumn("split", splitColumn(col(idCol), splits, salt))
+
+  /** WINSORIZE a numeric column at the data's own [lo, hi] percentile
+    * cuts — the robust outlier clamp a feature pipeline applies before
+    * scaling/normalizing (a fat-tailed metric would otherwise let a few
+    * rows set the scale). Output keeps every non-null-value row:
+    * (id, value, value_w, clipped) with value_w = clamp(value, lo_cut,
+    * hi_cut) and clipped ∈ {−1, 0, +1} marking which tail was cut —
+    * downstream keeps value_w and can audit tail mass by summing
+    * |clipped| per side.
+    *
+    * Oracle-exact: `percentile` shares DuckDB quantile_cont's linear
+    * interpolation (the q_group_percentiles parity), and the clamp is
+    * least/greatest COMPARISONS on bit-identical doubles — no new float
+    * arithmetic anywhere.
+    *
+    * Scale shape: cuts are ONE two-value aggregate broadcast back as a
+    * scalar (the mixtureReport pattern); the clamp is a pure projection.
+    * The exact percentile buffers per-distinct-value state —
+    * [[winsorizeSketch]] is the 100 TB twin (the surprisalBands →
+    * surprisalBandsSketch pairing, same rank-error contract). */
+  def winsorize(df: DataFrame, idCol: String, valueCol: String,
+                lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got $lo/$hi")
+    val v = df.filter(col(valueCol).isNotNull)
+    winsorizeFromCuts(v, idCol, valueCol, v.agg(
+      percentile(col(valueCol).cast("double"), lit(lo)).as("__lo"),
+      percentile(col(valueCol).cast("double"), lit(hi)).as("__hi")))
+  }
+
+  /** [[winsorize]]'s 100 TB twin: identical output contract, cuts from
+    * `approx_percentile` (mergeable KLL sketch, O(accuracy) state per
+    * executor vs the exact percentile's per-distinct-value buffer).
+    * Rank error ≤ 1/accuracy: only rows within that rank band of a cut
+    * can clamp differently. Rows-only in the oracle (DuckDB has no KLL
+    * twin); VerifyExtras floors agreement vs the exact variant. */
+  def winsorizeSketch(df: DataFrame, idCol: String, valueCol: String,
+                      lo: Double = 0.01, hi: Double = 0.99,
+                      accuracy: Int = 10000): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got $lo/$hi")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val v = df.filter(col(valueCol).isNotNull)
+    winsorizeFromCuts(v, idCol, valueCol, v.agg(
+      percentile_approx(col(valueCol).cast("double"), lit(lo), lit(accuracy))
+        .as("__lo"),
+      percentile_approx(col(valueCol).cast("double"), lit(hi), lit(accuracy))
+        .as("__hi")))
+  }
+
+  /** Shared clamp body: the two public variants differ ONLY in how the
+    * 1-row (__lo, __hi) cut frame was estimated. */
+  private def winsorizeFromCuts(v: DataFrame, idCol: String, valueCol: String,
+                                cuts: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cuts))
+      .select(col(idCol).as("id"), col(valueCol).as("value"),
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi"))
+          .as("value_w"),
+        when(col(valueCol) < col("__lo"), -1)
+          .when(col(valueCol) > col("__hi"), 1).otherwise(0).as("clipped"))
 }

@@ -687,7 +687,16 @@ object Similarity {
     * raw vectors for an exact cosine rescoring — so the quantization
     * error decides WHAT SURVIVES PRUNING, never the final order, and
     * the expensive exact math touches refine·k rows per probe instead
-    * of every candidate. Rows-only (driver-fit codebooks are a runtime
+    * of every candidate. On a NOISE-FLOOR corpus (truth cosines near
+    * the random baseline, rank gaps in the hundredths — the measured
+    * sf1 fixture regime) recall tracks the coverage fraction
+    * nProbe/nCentroids and the refine depth: sf1 measured 0.37 at
+    * refine=4 vs 0.56 at refine=16 under (16, 6), while cellsFor-scaled
+    * cells at the same nProbe CUT recall to 0.24-0.29 (coverage 6%) and
+    * cost more (per-row cell assignment is O(nCentroids·d); the
+    * per-candidate ADC cost is what PQ already made cheap). Clustered
+    * production corpora invert this — scale cells, keep nProbe small;
+    * this is a data-dependent lever, not a fixed rule. Rows-only (driver-fit codebooks are a runtime
     * model); recall vs exact brute force pinned in SimilaritySpec and
     * exported via VerifyExtras like the other ANN variants. Degenerate
     * corpora (fewer coarse cells than 2 or fewer sample rows than
@@ -948,5 +957,62 @@ object Similarity {
         (sum(col("cosv")).cast("double") / count(lit(1)).cast("double"))
           .as("avg_cos"),
         min(col("cosv")).cast("double").as("min_cos"))
+  }
+
+  /** EMBEDDING-SPACE DRIFT between two corpus snapshots — per label, the
+    * cosine between the OLD and NEW label centroids plus both member
+    * counts: the embedding-space companion of the PSI monitors (PSI
+    * watches a scalar's distribution; this watches where each label's
+    * mass MOVED in embedding space after a re-embed, an ingest batch, or
+    * a model swap — low centroid_cos on a stable label means the new
+    * data/model changed what the label looks like). Output: (label,
+    * n_old, n_new, centroid_cos); labels need a nonzero quantized
+    * centroid on BOTH sides (cosine undefined otherwise — the
+    * droppingUndefinedNorms convention).
+    *
+    * Cross-engine float discipline ([[labelCoherence]]'s contract
+    * verbatim): components quantized once (round(x·1000) decimal —
+    * contract, mirrored in the oracle), centroid sums EXACT decimal and
+    * order-free, cos(S_o/n_o, S_n/n_n) = cos(S_o, S_n) so no division
+    * enters any aggregate, ONE IEEE division+sqrt per label frozen
+    * round-6; products computed at DECIMAL(19,0)×DECIMAL(19,0) (the
+    * ns2 width rule — ≤ 38 on both engines).
+    *
+    * Scale shape: one posexplode pass PER SIDE to (label, dim) decimal
+    * sums (map-side combinable, dims·labels rows); everything after is
+    * model-scale grid arithmetic — the dim-level full-outer join, the
+    * per-label reduction, the count join all operate on dimension
+    * frames, never corpus rows. */
+  def embeddingDrift(oldDf: DataFrame, newDf: DataFrame,
+                     labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    def comps(df: DataFrame): DataFrame =
+      df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(labelCol).as("label"), posexplode(col(vecCol)))
+        .select(col("label"), col("pos").as("dim"),
+          round(col("col").cast("double") * lit(1000), 0)
+            .cast("decimal(9,0)").as("q"))
+    def cents(df: DataFrame, s: String): DataFrame =
+      comps(df).groupBy(col("label"), col("dim"))
+        .agg(sum(col("q")).cast("decimal(19,0)").as(s))
+    def counts(df: DataFrame, n: String): DataFrame =
+      df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+        .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as(n))
+    val grid = cents(oldDf, "so").join(cents(newDf, "sn"),
+        Seq("label", "dim"), "full_outer")
+      .select(col("label"),
+        coalesce(col("so"), lit(0).cast("decimal(19,0)")).as("so"),
+        coalesce(col("sn"), lit(0).cast("decimal(19,0)")).as("sn"))
+    grid.groupBy(col("label"))
+      .agg(sum(col("so") * col("sn")).as("dot"),
+        sum(col("so") * col("so")).as("no2"),
+        sum(col("sn") * col("sn")).as("nn2"))
+      .filter(col("no2") > 0 && col("nn2") > 0)
+      .join(counts(oldDf, "n_old"), Seq("label"))
+      .join(counts(newDf, "n_new"), Seq("label"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        round(col("dot").cast("double") /
+          sqrt(col("no2").cast("double") * col("nn2").cast("double")), 6)
+          .cast("decimal(18,6)").cast("double").as("centroid_cos"))
   }
 }

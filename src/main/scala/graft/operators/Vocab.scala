@@ -44,6 +44,52 @@ object Vocab {
       .limit(k)
   }
 
+  /** TOKEN-COVERAGE CURVE — for each candidate vocabulary size k, what
+    * fraction of the corpus's token OCCURRENCES the top-k tokens cover:
+    * the sizing curve a tokenizer/vocab trainer reads before freezing a
+    * budget (where does coverage flatten?), [[vocabCoverage]]'s
+    * corpus-level companion (that reports per-source OOV under ONE cut;
+    * this sweeps the cut). The cut is [[vocabTopK]]'s deterministic
+    * (occurrences desc, token) order, so every point on the curve is the
+    * coverage that EXACT frozen vocab would achieve. Output:
+    * (vocab_size, covered_occurrences, total_occurrences, coverage) with
+    * one IEEE division per cut; cuts larger than the vocabulary report
+    * full-vocabulary coverage.
+    *
+    * Scale shape: the corpus collapses to vocab-scale token stats
+    * map-side (two derivations of it: the total aggregate and the top-K
+    * TakeOrderedAndProject — persist the stats frame at 100 TB if two
+    * passes matter); everything after is MODEL-scale — the top-max(cuts)
+    * rows join a cuts-dimension frame and collapse to one row per cut.
+    * The rank window orders max(cuts) rows, never the vocabulary. */
+  def tokenCoverageCurve(df: DataFrame, idCol: String, textCol: String,
+                         cuts: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_ > 0), "cuts must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = tokenStats(df, idCol, textCol)
+    val total = stats.agg(sum(col("n_occurrences"))).head(1).headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(0L)
+    if (total == 0L)
+      return df.filter(lit(false))
+        .select(lit(0).as("vocab_size"), lit(0L).as("covered_occurrences"),
+          lit(0L).as("total_occurrences"), lit(0.0).as("coverage"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("token"))
+    val top = stats.orderBy(col("n_occurrences").desc, col("token"))
+      .limit(cuts.max)
+      .withColumn("__rk", row_number().over(wTop))
+    top.join(broadcast(cuts.distinct.sorted.toDF("vocab_size")),
+        col("__rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(sum(col("n_occurrences")).as("covered_occurrences"))
+      .select(col("vocab_size"), col("covered_occurrences"),
+        lit(total).as("total_occurrences"),
+        (col("covered_occurrences").cast("double") / lit(total.toDouble))
+          .as("coverage"))
+  }
+
   /** Per-document unigram language-model surprisal — the KenLM-style
     * perplexity quality filter (CCNet's selection signal) reduced to its
     * deterministic unigram core: each token t costs ln(total/n_t) nats

@@ -147,6 +147,22 @@ object EventQueries {
           max(col("value")).as("max_value"))
         .orderBy(col("event_type"))),
 
+    // Winsorize: clamp value at the corpus's own P1/P99 cuts (robust
+    // outlier clip before scaling) — exact-percentile cuts share
+    // quantile_cont's interpolation (the q_group_percentiles parity),
+    // the clamp is pure comparisons, so the rows hash-match the oracle.
+    "q_winsorize" -> ((s, dir) =>
+      graft.operators.Sampling.winsorize(events(s, dir), "event_id", "value")
+        .orderBy(col("id"))),
+
+    // Its 100 TB twin: approx_percentile cuts (KLL, bounded state).
+    // Rows-only; clamp agreement vs the exact variant floored in
+    // VerifyExtras.
+    "q_winsorize_sketch" -> ((s, dir) =>
+      graft.operators.Sampling.winsorizeSketch(events(s, dir), "event_id",
+          "value")
+        .orderBy(col("id"))),
+
     // Sketch-based profiling (HLL distinct + quantile sketches): approx
     // values are engine-specific → rows-only; error bounds pinned in
     // SketchesAndSinksSpec.
@@ -313,6 +329,16 @@ object EventQueries {
         |  quantile_cont(value, 0.9) AS p90,
         |  max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH v AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+        |cuts AS (SELECT quantile_cont(value, 0.01) AS lo,
+        |                quantile_cont(value, 0.99) AS hi FROM v)
+        |SELECT event_id AS id, value,
+        |  least(greatest(value, lo), hi) AS value_w,
+        |  CAST(CASE WHEN value < lo THEN -1 WHEN value > hi THEN 1
+        |       ELSE 0 END AS INTEGER) AS clipped
+        |FROM v CROSS JOIN cuts ORDER BY id""".stripMargin,
 
     "q_rolling_window" ->
       """SELECT event_id, user_id,

@@ -149,11 +149,36 @@ object SimilarityQueries {
     // bound what a row COSTS (8 bytes vs 256; ADC lookup-table scoring,
     // O(m) per pair). Rows-only (driver-fit codebooks are a runtime
     // model); recall floor pinned in SimilaritySpec + VerifyExtras.
+    // Parameterization, measured at sf1 (the r9 single-data-point gap):
+    // the fixture is a NOISE-FLOOR corpus (truth cosines 0.39-0.64,
+    // rank gaps in the hundredths — the knnGraphLsh decay regime), so
+    // recall tracks the COVERAGE fraction nProbe/nCells and scaling
+    // cells with the corpus (cellsFor) only shrinks it: (100 cells, 6
+    // probes) measured 0.24-0.29 at sf1 vs 0.56 at (16, 6) — and costs
+    // MORE (per-row assignment is O(nCells·d) while ADC's per-candidate
+    // cost is what PQ already made cheap). Static 16/6 keeps the 37.5%
+    // coverage the noise fixture needs; refine=16 (shortlist 80/probe,
+    // exact-rescore cost still probes·80 rows) recovers the ADC-ranking
+    // loss that a 20-row shortlist left behind (sf1 0.37 -> 0.56). On a
+    // CLUSTERED production corpus the cellsFor + small-nProbe shape is
+    // the right lever — that path is q_ann_ivf's wiring.
     "q_ann_ivfpq" -> ((s, dir) => {
       val v = Tables.load(s, dir, "embeddings")
       Similarity.ivfPqTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5,
-          nCentroids = 16, nProbe = 6)
+          nCentroids = 16, nProbe = 6, refine = 16)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding-space drift between two snapshots (deterministic
+    // even/odd split standing in for old/new): per label, the cosine
+    // between the OLD and NEW centroids — PSI's embedding-space
+    // companion; oracle-EXACT via the labelCoherence quantized-decimal
+    // contract.
+    "q_embedding_drift" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+      Similarity.embeddingDrift(v.filter(col("vec_id") % 2 === 0),
+          v.filter(col("vec_id") % 2 === 1))
+        .orderBy(col("label"))
     })
   )
 
@@ -242,6 +267,43 @@ object SimilarityQueries {
         |SELECT c.vec_id, g.j AS out_dim,
         |  CAST(sum(c.q * g.sign) AS BIGINT) AS value_milli
         |FROM comps c JOIN grid g ON c.i = g.i
-        |GROUP BY 1, 2 ORDER BY vec_id, out_dim""".stripMargin
+        |GROUP BY 1, 2 ORDER BY vec_id, out_dim""".stripMargin,
+
+    // The labelCoherence quantized-decimal contract over two snapshot
+    // sides; dims missing on one side coalesce to a 0 sum (full outer).
+    "q_embedding_drift" ->
+      """WITH comps AS (
+        |  SELECT vec_id, label, vec_id % 2 AS side,
+        |    unnest(generate_series(1, len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0)
+        |         AS DECIMAL(9,0)) AS q
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |co AS (SELECT label, dim, CAST(sum(q) AS DECIMAL(19,0)) AS so
+        |       FROM comps WHERE side = 0 GROUP BY 1, 2),
+        |cn AS (SELECT label, dim, CAST(sum(q) AS DECIMAL(19,0)) AS sn
+        |       FROM comps WHERE side = 1 GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT coalesce(co.label, cn.label) AS label,
+        |    coalesce(so, CAST(0 AS DECIMAL(19,0))) AS so,
+        |    coalesce(sn, CAST(0 AS DECIMAL(19,0))) AS sn
+        |  FROM co FULL OUTER JOIN cn
+        |    ON co.label = cn.label AND co.dim = cn.dim),
+        |red AS (
+        |  SELECT label, sum(so * sn) AS dot, sum(so * so) AS no2,
+        |    sum(sn * sn) AS nn2
+        |  FROM grid GROUP BY 1),
+        |cnts AS (
+        |  SELECT label,
+        |    CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_old,
+        |    CAST(count(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS n_new
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT r.label, c.n_old, c.n_new,
+        |  CAST(CAST(round(CAST(r.dot AS DOUBLE)
+        |      / sqrt(CAST(r.no2 AS DOUBLE) * CAST(r.nn2 AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS centroid_cos
+        |FROM red r JOIN cnts c ON r.label = c.label
+        |WHERE r.no2 > 0 AND r.nn2 > 0
+        |ORDER BY r.label""".stripMargin
   )
 }

@@ -758,7 +758,16 @@ object TextQueries {
     "q_source_overlap_minhash" -> ((s, dir) =>
       Vocab.sourceOverlapMinHash(Tables.load(s, dir, "documents"), "text",
           "source", n = 3)
-        .orderBy(col("source_a"), col("source_b")))
+        .orderBy(col("source_a"), col("source_b"))),
+
+    // Token-coverage curve: what fraction of corpus occurrences each
+    // candidate vocab budget covers under the deterministic vocabTopK
+    // cut — the sizing read before freezing a tokenizer vocabulary
+    // (q_vocab_coverage sweeps sources under ONE cut; this sweeps cuts).
+    "q_token_coverage" -> ((s, dir) =>
+      Vocab.tokenCoverageCurve(Tables.load(s, dir, "documents"), "doc_id",
+          "text")
+        .orderBy(col("vocab_size")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1745,6 +1754,25 @@ object TextQueries {
          |  CASE WHEN avg_surprisal < lo THEN 'low'
          |       WHEN avg_surprisal > hi THEN 'high'
          |       ELSE 'mid' END AS band
-         |FROM s CROSS JOIN cuts ORDER BY doc_id""".stripMargin
+         |FROM s CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+
+    "q_token_coverage" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+         |          FROM toks WHERE length(token) > 0 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total FROM vocab),
+         |top AS (
+         |  SELECT n_occ, CAST(row_number() OVER (ORDER BY n_occ DESC, token)
+         |                     AS BIGINT) AS rk
+         |  FROM vocab ORDER BY n_occ DESC, token LIMIT 1000),
+         |cuts(vocab_size) AS (VALUES (10), (100), (1000))
+         |SELECT CAST(vocab_size AS INTEGER) AS vocab_size,
+         |  CAST(sum(n_occ) AS BIGINT) AS covered_occurrences,
+         |  tot.total AS total_occurrences,
+         |  CAST(sum(n_occ) AS DOUBLE) / CAST(tot.total AS DOUBLE) AS coverage
+         |FROM top JOIN cuts ON top.rk <= cuts.vocab_size CROSS JOIN tot
+         |GROUP BY vocab_size, tot.total ORDER BY vocab_size""".stripMargin
   )
 }

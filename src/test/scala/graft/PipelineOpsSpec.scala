@@ -610,4 +610,64 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(2)).toSet
     assert(ids == Set("a:b:c", "plain"))
   }
+
+  // ---- winsorize ---------------------------------------------------------
+
+  test("winsorize: hand-computed cuts, clamp, clipped flags; nulls dropped") {
+    // values 1..10 with lo=0.25/hi=0.75 -> cuts at 3.25 and 7.75
+    // (linear interpolation: 0.25*(10-1)=2.25 -> 1-based rank 3.25)
+    val rows = (1 to 10).map(i => (i.toLong, Some(i.toDouble))) :+
+      (99L, None: Option[Double])
+    val df = rows.toDF("event_id", "value")
+    val out = Sampling.winsorize(df, "event_id", "value", lo = 0.25, hi = 0.75)
+      .orderBy($"id").collect()
+    assert(out.length == 10, "null value row must be dropped")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getDouble(2), r.getInt(3))).toMap
+    assert(byId(1L) == (3.25, -1) && byId(3L) == (3.25, -1))
+    assert(byId(4L) == (4.0, 0) && byId(7L) == (7.0, 0))
+    assert(byId(8L) == (7.75, 1) && byId(10L) == (7.75, 1))
+    intercept[IllegalArgumentException](
+      Sampling.winsorize(df, "event_id", "value", lo = 0.5, hi = 0.5))
+  }
+
+  test("winsorizeSketch: same contract, near-total agreement with exact cuts") {
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
+    val exact = Sampling.winsorize(e, "event_id", "value")
+    val sk = Sampling.winsorizeSketch(e, "event_id", "value")
+    assert(exact.schema == sk.schema)
+    val j = exact.select($"id", $"value_w".as("we"))
+      .join(sk.select($"id", $"value_w".as("ws")), Seq("id"))
+    val n = j.count()
+    val agree = j.filter($"we" === $"ws").count()
+    assert(n > 0 && n == exact.count())
+    assert(agree.toDouble / n >= 0.9, s"agreement ${agree.toDouble / n}")
+  }
+
+  // ---- token-coverage curve ---------------------------------------------
+
+  test("tokenCoverageCurve: hand counts; cuts beyond the vocab report full coverage") {
+    // occurrences: a=4, b=2, c=1 -> total 7; top-1 covers 4, top-2 covers 6
+    val docs = Seq((1L, "a a b"), (2L, "a a b c")).toDF("doc_id", "text")
+    val out = Vocab.tokenCoverageCurve(docs, "doc_id", "text",
+        cuts = Seq(1, 2, 100))
+      .orderBy($"vocab_size").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 100))
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 6L, 7L))
+    assert(out.forall(_.getLong(2) == 7L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(4.0 / 7, 6.0 / 7, 1.0))
+    // deterministic tie handling: equal-count tokens cut by token order
+    val ties = Seq((1L, "x y")).toDF("doc_id", "text")
+    val t1 = Vocab.tokenCoverageCurve(ties, "doc_id", "text", cuts = Seq(1))
+      .collect().head
+    assert(t1.getLong(1) == 1L && t1.getLong(2) == 2L)
+    // empty corpus -> empty frame with the contract schema
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = Vocab.tokenCoverageCurve(empty, "doc_id", "text")
+    assert(e.columns.toSeq == Seq("vocab_size", "covered_occurrences",
+      "total_occurrences", "coverage"))
+    assert(e.count() == 0)
+    intercept[IllegalArgumentException](
+      Vocab.tokenCoverageCurve(docs, "doc_id", "text", cuts = Seq.empty))
+  }
 }

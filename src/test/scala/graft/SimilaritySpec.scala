@@ -568,6 +568,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
+  test("embeddingDrift: hand-computed centroid cosines; one-sided and zero-norm labels dropped") {
+    val old = Seq(
+      (1L, Array(1.0f, 0.0f), Some(0)),  // label 0 old centroid ~ (2000, 0)
+      (2L, Array(1.0f, 0.0f), Some(0)),
+      (3L, Array(0.0f, 1.0f), Some(1)),  // label 1 old centroid (0, 1000)
+      (4L, Array(1.0f, 1.0f), Some(2)),  // label 2: absent on new side
+      (5L, Array(0.5f, 0.5f), None: Option[Int])
+    ).toDF("vec_id", "embedding", "label")
+    val nw = Seq(
+      (11L, Array(1.0f, 0.0f), Some(0)),     // identical direction: cos 1
+      (12L, Array(1.0f, 0.0f), Some(0)),
+      (13L, Array(1.0f, 0.0f), Some(0)),
+      (14L, Array(1.0f, 0.0f), Some(1)),     // orthogonal to old: cos 0
+      (15L, Array(0.0004f, 0.0f), Some(3))   // quantizes to zero: dropped
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingDrift(old, nw).orderBy($"label").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1))
+    val l0 = out(0)
+    assert(l0.getAs[Long]("n_old") == 2L && l0.getAs[Long]("n_new") == 3L)
+    assert(l0.getAs[Double]("centroid_cos") == 1.0)
+    assert(out(1).getAs[Double]("centroid_cos") == 0.0)
+  }
+
   test("labelCoherence: quantization is the contract — sub-half-milli components vanish") {
     // 0.0004 quantizes to 0 -> the member's norm is zero -> dropped,
     // and the label with one surviving member reports exactly 1.0
