@@ -12,11 +12,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Optional comma-separated subset filter (same contract as Bench) —
-    // local iteration only; the driver runs the full sweep.
+    // Optional comma-separated subset filter and exclusion list (same
+    // contract as Bench) — local iteration and large-sf sweeps (the two
+    // quadratic-by-contract exact baselines are skipped at sf10); the
+    // driver runs the full sweep.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet)
+      .getOrElse(Set.empty[String])
     SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only.forall(_.contains(n)) && !skip.contains(n) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

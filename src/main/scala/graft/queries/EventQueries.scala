@@ -310,7 +310,39 @@ object EventQueries {
           sum(col("event_id")).as("id_sum"),
           sum(round(col("value") * 1000).cast("long")).as("value_milli"))
         .orderBy(col("band"))
-    })
+    }),
+
+    // Per-day ROC AUC of "value predicts purchase" — the classifier-eval
+    // staple (quality-score validation) as a HISTOGRAM rank-sum: one
+    // map-side-combinable groupBy collapses the corpus to (day,
+    // score_milli) cells, the tie-corrected Mann-Whitney numerator is a
+    // prefix sum over that bounded score dimension, and the single
+    // division is an exact integer floor to ppm. No corpus-scale window,
+    // no float is ever summed.
+    "q_auc" -> ((s, dir) =>
+      graft.operators.Eval.aucByGroup(
+          events(s, dir).withColumn("day", to_date(col("ts"))),
+          "day", "value", col("event_type") === "purchase")
+        .withColumnRenamed("grp", "day")
+        .orderBy(col("day"))),
+
+    // Calibration / reliability bins for the same score: min-max
+    // normalized fixed-width deciles (scalar-aggregate broadcast for the
+    // bounds — the winsorize pattern), per-bin positive rate and mean
+    // score frozen to exact integer ppm/micro units.
+    "q_calibration" -> ((s, dir) =>
+      graft.operators.Eval.calibrationBins(events(s, dir), "value",
+          col("event_type") === "purchase", nBins = 10)
+        .orderBy(col("bin"))),
+
+    // First-order Markov transition matrix of event types per user
+    // journey: ONE user-key shuffle (the sessionize shape, per-key state
+    // = one previous row), counts collapse to the (from, to) dimension,
+    // probabilities are exact integer ppm of each from-state total.
+    "q_markov_chain" -> ((s, dir) =>
+      graft.operators.Eval.transitionMatrix(events(s, dir), "user_id",
+          "ts", "event_id", "event_type")
+        .orderBy(col("from_state"), col("to_state")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -600,6 +632,70 @@ object EventQueries {
          |SELECT band, lo, hi, count(*) AS n_events,
          |  CAST(sum(event_id) AS BIGINT) AS id_sum,
          |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
-         |FROM j GROUP BY 1, 2, 3 ORDER BY band""".stripMargin
+         |FROM j GROUP BY 1, 2, 3 ORDER BY band""".stripMargin,
+
+    // HUGEINT products + `//` floor-division mirror Spark's
+    // DECIMAL(38,0) + floor() exactly (all quantities non-negative).
+    "q_auc" ->
+      """WITH r AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 1000) AS BIGINT) AS score_milli,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos
+        |  FROM events WHERE value IS NOT NULL),
+        |hist AS (
+        |  SELECT day, score_milli, CAST(sum(is_pos) AS BIGINT) AS pos,
+        |    CAST(sum(1 - is_pos) AS BIGINT) AS neg
+        |  FROM r GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT day, pos, neg,
+        |    COALESCE(sum(neg) OVER (PARTITION BY day ORDER BY score_milli
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_neg_below
+        |  FROM hist),
+        |agg AS (
+        |  SELECT day, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg) AS BIGINT) AS n_neg,
+        |    sum(CAST(pos AS HUGEINT) * (2 * cum_neg_below + neg)) AS auc_num
+        |  FROM cum GROUP BY 1)
+        |SELECT day, n_pos, n_neg,
+        |  CAST(auc_num * 1000000 // (CAST(n_pos AS HUGEINT) * n_neg * 2)
+        |    AS BIGINT) AS auc_ppm
+        |FROM agg WHERE n_pos > 0 AND n_neg > 0 ORDER BY day""".stripMargin,
+
+    "q_calibration" ->
+      """WITH r AS (
+        |  SELECT CAST(round(value * 1000) AS BIGINT) AS score_milli,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos
+        |  FROM events WHERE value IS NOT NULL),
+        |mm AS (SELECT min(score_milli) AS lo, max(score_milli) AS hi FROM r),
+        |b AS (
+        |  SELECT CASE WHEN hi = lo THEN 0 ELSE
+        |    least(CAST((CAST(score_milli AS HUGEINT) - lo) * 10 // (hi - lo)
+        |      AS BIGINT), 9) END AS bin, is_pos, score_milli
+        |  FROM r CROSS JOIN mm)
+        |SELECT bin, count(*) AS n, CAST(sum(is_pos) AS BIGINT) AS n_pos,
+        |  CAST(CAST(sum(is_pos) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+        |    AS pos_rate_ppm,
+        |  CAST(CAST(sum(score_milli) AS HUGEINT) * 1000 // count(*) AS BIGINT)
+        |    AS mean_score_micro
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_markov_chain" ->
+      """WITH pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_state,
+        |    event_type AS to_state
+        |  FROM events),
+        |cnt AS (
+        |  SELECT from_state, to_state, count(*) AS n
+        |  FROM pairs WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_state, CAST(sum(n) AS BIGINT) AS from_total
+        |  FROM cnt GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n, t.from_total,
+        |  CAST(CAST(c.n AS HUGEINT) * 1000000 // t.from_total AS BIGINT)
+        |    AS prob_ppm
+        |FROM cnt c JOIN tot t USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin
   )
 }

@@ -767,7 +767,46 @@ object TextQueries {
     "q_token_coverage" -> ((s, dir) =>
       Vocab.tokenCoverageCurve(Tables.load(s, dir, "documents"), "doc_id",
           "text")
-        .orderBy(col("vocab_size")))
+        .orderBy(col("vocab_size"))),
+
+    // Chi-square contingency detail between source and language — the
+    // corpus-composition association monitor (is language mix independent
+    // of source?). One corpus-scale groupBy collapses to |src|×|lang|
+    // cells; margins broadcast; expected counts and per-cell chi terms
+    // are EXACT integer micro-units ((o·1e6 − eµ)²/eµ in DECIMAL(38,0))
+    // — no float is computed, let alone summed.
+    "q_chi2_assoc" -> ((s, dir) =>
+      graft.operators.Eval.chiSquareCells(
+          Tables.load(s, dir, "documents"), "source", "lang")
+        .orderBy(col("a"), col("b"))),
+
+    // The one-row rollup: chi2 as the exact sum of frozen per-cell
+    // terms, Cramér's V from that via a single double sqrt chain frozen
+    // to ppm (IEEE-identical in both engines on identical inputs).
+    "q_cramers_v" -> ((s, dir) =>
+      graft.operators.Eval.cramersV(
+          Tables.load(s, dir, "documents"), "source", "lang")),
+
+    // Two-sample KS drift of each source's doc-length distribution vs
+    // the src0 baseline: corpus collapses to (source, length) counts,
+    // CDFs are prefix sums over the distinct-length GRID (a dimension),
+    // the sup distance is an exact integer cross-multiplication — the
+    // distribution-shift gate a training-mix change runs per source.
+    "q_ks_drift" -> ((s, dir) =>
+      graft.operators.Eval.ksAgainstBaseline(
+          Tables.load(s, dir, "documents"), "source", "n_chars", "src0")
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"))),
+
+    // Herfindahl concentration of sources within each language: how
+    // dominated each language's corpus slice is by few sources (the
+    // diversity guard before a mix freeze). Exact: HHI·1e6 =
+    // Σcnt²·1e6 / total² in DECIMAL(38,0).
+    "q_hhi_concentration" -> ((s, dir) =>
+      graft.operators.Eval.hhiConcentration(
+          Tables.load(s, dir, "documents"), "lang", "source")
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1773,6 +1812,122 @@ object TextQueries {
          |  tot.total AS total_occurrences,
          |  CAST(sum(n_occ) AS DOUBLE) / CAST(tot.total AS DOUBLE) AS coverage
          |FROM top JOIN cuts ON top.rk <= cuts.vocab_size CROSS JOIN tot
-         |GROUP BY vocab_size, tot.total ORDER BY vocab_size""".stripMargin
+         |GROUP BY vocab_size, tot.total ORDER BY vocab_size""".stripMargin,
+
+    // HUGEINT + `//` mirrors Spark's DECIMAL(38,0) + floor() exactly
+    // (all quantities non-negative).
+    "q_chi2_assoc" ->
+      """WITH obs AS (
+        |  SELECT source AS a, lang AS b, count(*) AS observed
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT x.a, y.b, COALESCE(o.observed, 0) AS observed
+        |  FROM (SELECT DISTINCT a FROM obs) x
+        |  CROSS JOIN (SELECT DISTINCT b FROM obs) y
+        |  LEFT JOIN obs o ON o.a = x.a AND o.b = y.b),
+        |rt AS (SELECT a, CAST(sum(observed) AS BIGINT) AS row_total
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(observed) AS BIGINT) AS col_total
+        |       FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(sum(observed) AS BIGINT) AS grand_total FROM cells),
+        |e AS (
+        |  SELECT c.a, c.b, c.observed, rt.row_total, ct.col_total,
+        |    g.grand_total,
+        |    CAST(CAST(rt.row_total AS HUGEINT) * ct.col_total * 1000000
+        |      // g.grand_total AS BIGINT) AS expected_micro
+        |  FROM cells c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN g)
+        |SELECT a, b, observed, row_total, col_total, grand_total,
+        |  expected_micro,
+        |  CASE WHEN expected_micro = 0 THEN NULL ELSE
+        |    CAST((CAST(observed AS HUGEINT) * 1000000 - expected_micro)
+        |      * (CAST(observed AS HUGEINT) * 1000000 - expected_micro)
+        |      // expected_micro AS BIGINT) END AS term_micro
+        |FROM e ORDER BY a, b""".stripMargin,
+
+    "q_cramers_v" ->
+      """WITH obs AS (
+        |  SELECT source AS a, lang AS b, count(*) AS observed
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT x.a, y.b, COALESCE(o.observed, 0) AS observed
+        |  FROM (SELECT DISTINCT a FROM obs) x
+        |  CROSS JOIN (SELECT DISTINCT b FROM obs) y
+        |  LEFT JOIN obs o ON o.a = x.a AND o.b = y.b),
+        |rt AS (SELECT a, CAST(sum(observed) AS BIGINT) AS row_total
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(observed) AS BIGINT) AS col_total
+        |       FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(sum(observed) AS BIGINT) AS grand_total FROM cells),
+        |terms AS (
+        |  SELECT c.a, c.b, g.grand_total,
+        |    CAST(CAST(rt.row_total AS HUGEINT) * ct.col_total * 1000000
+        |      // g.grand_total AS BIGINT) AS expected_micro,
+        |    c.observed
+        |  FROM cells c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN g),
+        |frozen AS (
+        |  SELECT a, b, grand_total,
+        |    CASE WHEN expected_micro = 0 THEN NULL ELSE
+        |      CAST((CAST(observed AS HUGEINT) * 1000000 - expected_micro)
+        |        * (CAST(observed AS HUGEINT) * 1000000 - expected_micro)
+        |        // expected_micro AS BIGINT) END AS term_micro
+        |  FROM terms)
+        |SELECT CAST(count(DISTINCT a) AS BIGINT) AS card_a,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS card_b,
+        |  max(grand_total) AS n,
+        |  CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+        |  CAST(round(sqrt(CAST(sum(term_micro) AS DOUBLE) / 1e6 /
+        |    (CAST(max(grand_total) AS DOUBLE) *
+        |     (CAST(least(count(DISTINCT a), count(DISTINCT b)) AS DOUBLE)
+        |      - 1.0))) * 1e6) AS BIGINT) AS cramers_v_ppm
+        |FROM frozen""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH c AS (
+        |  SELECT source AS grp, CAST(round(n_chars * 1000) AS BIGINT)
+        |      AS v_milli, count(*) AS cnt
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT v_milli FROM c),
+        |grps AS (SELECT DISTINCT grp FROM c WHERE grp <> 'src0'),
+        |gdense AS (
+        |  SELECT g.grp, v.v_milli, COALESCE(c.cnt, 0) AS cnt
+        |  FROM grps g CROSS JOIN grid v
+        |  LEFT JOIN c ON c.grp = g.grp AND c.v_milli = v.v_milli),
+        |gcdf AS (
+        |  SELECT grp, v_milli,
+        |    CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v_milli)
+        |      AS BIGINT) AS cum_g,
+        |    CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS tot_g
+        |  FROM gdense),
+        |bdense AS (
+        |  SELECT v.v_milli, COALESCE(b.cnt, 0) AS cnt
+        |  FROM grid v LEFT JOIN (
+        |    SELECT v_milli, CAST(sum(cnt) AS BIGINT) AS cnt
+        |    FROM c WHERE grp = 'src0' GROUP BY 1) b USING (v_milli)),
+        |bcdf AS (
+        |  SELECT v_milli,
+        |    CAST(sum(cnt) OVER (ORDER BY v_milli) AS BIGINT) AS cum_b,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS tot_b
+        |  FROM bdense)
+        |SELECT grp AS source, max(tot_g) AS n_group,
+        |  max(tot_b) AS n_baseline,
+        |  max(CAST(abs(CAST(cum_g AS HUGEINT) * tot_b
+        |    - CAST(cum_b AS HUGEINT) * tot_g) * 1000000
+        |    // (CAST(tot_g AS HUGEINT) * tot_b) AS BIGINT)) AS ks_ppm
+        |FROM gcdf JOIN bcdf USING (v_milli)
+        |WHERE tot_g > 0 AND tot_b > 0
+        |GROUP BY grp ORDER BY source""".stripMargin,
+
+    "q_hhi_concentration" ->
+      """WITH p AS (
+        |  SELECT lang, source, count(*) AS cnt
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_parts,
+        |  CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST(sum(CAST(cnt AS HUGEINT) * cnt) * 1000000
+        |    // (CAST(sum(cnt) AS HUGEINT) * sum(cnt)) AS BIGINT) AS hhi_ppm
+        |FROM p GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }

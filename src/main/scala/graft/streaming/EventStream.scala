@@ -200,6 +200,73 @@ object EventStream {
   def readNoveltyState(spark: SparkSession, statePath: String): DataFrame =
     spark.read.parquet(statePath).distinct()
 
+  /** Streaming maintenance for the Markov transition census
+    * ([[graft.operators.Eval.transitionMatrix]]): each micro-batch
+    * appends its (from_state, to_state, n) deltas — intra-batch
+    * transitions plus the per-user boundary transition stitched from the
+    * carried last event — and the updated per-user carry. Two state
+    * kinds under one root: `statePath/transitions` (additive monoid,
+    * batch-id deduped on read like the dup-rate state) and
+    * `statePath/carry` (latest-per-key, resolved by batch id).
+    *
+    * Contract ([[graft.operators.Eval.transitionStep]]): batches arrive
+    * in event-time order per user. State is transition-dimension +
+    * one-row-per-active-user — never event-count scale. */
+  def maintainTransitionState(events: DataFrame, keyCol: String,
+                              tsCol: String, idCol: String, stateCol: String,
+                              statePath: String, checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val carry = readTransitionCarry(spark, statePath)
+        val (deltas, newCarry) = graft.operators.Eval.transitionStep(
+          batch.toDF(), carry, keyCol, tsCol, idCol, stateCol)
+        deltas.withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$statePath/transitions")
+        newCarry.withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$statePath/carry")
+        ()
+      }
+      .start()
+
+  /** Latest-per-key carry from a [[maintainTransitionState]] directory
+    * (empty frame before the first batch commits — typed to the event
+    * census's (long key, string state) shape, the one this maintenance
+    * serves). A replayed batch appends identical (__batch_id, key) rows;
+    * max-batch-per-key picks a deterministic winner either way. */
+  def readTransitionCarry(spark: SparkSession, statePath: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$statePath/carry")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("last_ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("last_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("last_state",
+            org.apache.spark.sql.types.StringType))))
+    } else {
+      val all = spark.read.parquet(s"$statePath/carry")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("__batch_id").desc)
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("key"), col("last_ts"), col("last_id"), col("last_state"))
+    }
+  }
+
+  /** Current transition matrix from a [[maintainTransitionState]]
+    * directory — the [[graft.operators.Eval.transitionMatrix]] output
+    * contract, from folded deltas (replay-deduped on batch id). */
+  def readTransitionState(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.Eval.transitionsFromCounts(
+      spark.read.parquet(s"$statePath/transitions")
+        .dropDuplicates("__batch_id", "from_state", "to_state"))
+
   /** Streaming exact dedup on event_id: state is bounded by the watermark
     * (duplicates arriving later than `watermark` after the original are
     * not suppressed — the at-least-once ingestion contract). */

@@ -526,6 +526,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(report(EventStream.readDupRateState(spark, stateDir)) == recomputed)
   }
 
+  test("maintainTransitionState: streamed matrix equals batch recompute; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-trans").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-trans-ck").toString
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val q = EventStream.maintainTransitionState(
+      src.toDS().toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type", stateDir, ckpt)
+    // user 1's a->b->a run is SPLIT across batches — the boundary
+    // transition only the carried last-event state can produce.
+    val all = Seq(
+      (1L, t(1000L), 1L, "a"), (1L, t(2000L), 2L, "b"),
+      (2L, t(1000L), 3L, "a"),
+      (1L, t(3000L), 4L, "a"), (2L, t(2000L), 5L, "a"))
+    try {
+      src.addData(all(0), all(1), all(2)); q.processAllAvailable()
+      src.addData(all(3), all(4)); q.processAllAvailable()
+    } finally q.stop()
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"from_state", $"to_state").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"),
+          r.getAs[Long]("prob_ppm"))).toSeq
+    val maintained = report(EventStream.readTransitionState(spark, stateDir))
+    val recomputed = report(graft.operators.Eval.transitionMatrix(
+      all.toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type"))
+    assert(maintained == recomputed)
+    // the split run's boundary transition (b->a) and same-state run (a->a)
+    assert(maintained.exists(r => r._1 == "b" && r._2 == "a" && r._3 == 1L))
+    assert(maintained.exists(r => r._1 == "a" && r._2 == "a" && r._3 == 1L))
+    // replayed batch: identical (__batch_id, from, to, n) rows fold once
+    val tr = spark.read.parquet(s"$stateDir/transitions")
+    tr.filter($"__batch_id" === 0L).write.mode("append")
+      .parquet(s"$stateDir/transitions")
+    assert(report(EventStream.readTransitionState(spark, stateDir)) == recomputed)
+  }
+
   test("maintainNoveltyState: streamed census equals batch novelty and overlap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
