@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level token statistics: the vocabulary/frequency pass every
@@ -690,5 +691,165 @@ object Vocab {
           lit(0L), (acc, v) => acc + v).cast("double") /
           lit(numHashes.toDouble)).as("jaccard_est"))
       .filter(col("jaccard_est") > 0)
+  }
+
+  /** Pairwise JENSEN–SHANNON divergence between per-source unigram
+    * distributions over a shared top-k vocabulary + one OOV bucket —
+    * [[sourceOverlap]]'s DISTRIBUTIONAL companion (overlap asks "do
+    * these sources share literal content?"; this asks "do they speak
+    * the same token distribution?" — the mix-design read before
+    * weighting sources in a training blend).
+    *
+    * Exactness: for sources a, b and bucket t with counts na, nb and
+    * totals Ta, Tb, the JS term pₐ·ln(pₐ/m) rewrites to (na/Ta)·Lₐ with
+    * Lₐ = ln(2·na·Tb / (na·Tb + nb·Ta)) — the ln's argument is ONE
+    * IEEE division of exact integer products, the ln is frozen once at
+    * 6 decimals as DECIMAL(18,6) (the [[unigramModel]] discipline), the
+    * na·Lₐ products and their sums are exact decimals, and the two
+    * final /2T divisions + one addition happen in a single per-row
+    * double chain (never summed across rows). js_nats ∈ [0, ln 2].
+    * Zero-count buckets contribute zero from their side (p·ln p → 0).
+    *
+    * Scale shape: ONE corpus pass collapses to (source, token) counts
+    * map-side; the k-row vocabulary broadcasts (deterministic
+    * [[vocabTopK]] cut); everything after is dimension-scale —
+    * (sources × (k+1)) bucket counts, a (k+1)-grid inner join per
+    * source pair, sources² output rows. */
+  def sourceDivergence(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, k: Int = 500): DataFrame = {
+    require(k > 0, "k must be positive")
+    val vocab = vocabTopK(df, idCol, textCol, k)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    val bucketCounts = df
+      .select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+          .as("token"))
+      .filter(length(col("token")) > 0 && col("source").isNotNull)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("source"),
+        when(col("__in_vocab").isNotNull, col("token")).otherwise(lit(" oov"))
+          .as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val totals = bucketCounts.groupBy(col("source"))
+      .agg(sum(col("n")).as("total"))
+    val sided = bucketCounts.join(broadcast(totals), Seq("source"))
+    val a = sided.select(col("source").as("source_a"), col("bucket"),
+      col("n").as("na"), col("total").as("ta"))
+    val b = sided.select(col("source").as("source_b"), col("bucket"),
+      col("n").as("nb"), col("total").as("tb"))
+    // Full outer per pair via union-of-sides: a bucket absent on one
+    // side still contributes the PRESENT side's p·ln(2p/(p+0)) = p·ln 2.
+    // Realized as one inner join on the shared grid plus each side's
+    // anti rows folded with nb = 0 (resp. na = 0).
+    val dec = "decimal(18,6)"
+    def lnFrozen(c: Column): Column = round(log(c), 6).cast(dec)
+    val joined = a.join(b,
+      a("bucket") === b("bucket") && col("source_a") < col("source_b"),
+      "inner")
+      .select(col("source_a"), col("source_b"),
+        col("na"), col("ta"), col("nb"), col("tb"))
+    // Absent-side rows: pair each side's buckets with the OTHER source's
+    // total where the other side lacks the bucket. Build from the pair
+    // grid of totals (dimension²) anti-joined on the shared buckets.
+    val pairTotals = totals.select(col("source").as("source_a"),
+        col("total").as("ta"))
+      .join(broadcast(totals.select(col("source").as("source_b"),
+        col("total").as("tb"))), col("source_a") < col("source_b"))
+    val aOnly = a.join(broadcast(pairTotals.drop("ta")), Seq("source_a"))
+      .join(b.select(col("source_b"), col("bucket"), lit(1).as("__hit")),
+        Seq("source_b", "bucket"), "left")
+      .filter(col("__hit").isNull)
+      .select(col("source_a"), col("source_b"), col("na"), col("ta"),
+        lit(0L).as("nb"), col("tb"))
+    val bOnly = b.join(broadcast(pairTotals.drop("tb")), Seq("source_b"))
+      .join(a.select(col("source_a"), col("bucket"), lit(1).as("__hit")),
+        Seq("source_a", "bucket"), "left")
+      .filter(col("__hit").isNull)
+      .select(col("source_a"), col("source_b"), lit(0L).as("na"),
+        col("ta"), col("nb"), col("tb"))
+    val all = joined.unionByName(aOnly).unionByName(bOnly)
+    // ln argument as ONE double chain of exact-long casts (cross
+    // products in doubles — both engines round each step identically;
+    // a decimal division here would drag in engine-specific result
+    // scales). The frozen ln then multiplies the exact LONG count — the
+    // docSurprisal `surprisal · tf` discipline.
+    val crossA = col("na").cast("double") * col("tb").cast("double")
+    val crossB = col("nb").cast("double") * col("ta").cast("double")
+    val la = when(col("na") === 0L, lit(0).cast(dec))
+      .otherwise(lnFrozen(crossA * 2.0 / (crossA + crossB)))
+    val lb = when(col("nb") === 0L, lit(0).cast(dec))
+      .otherwise(lnFrozen(crossB * 2.0 / (crossA + crossB)))
+    all
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+        sum(la * col("na")).as("sa"),
+        sum(lb * col("nb")).as("sb"))
+      .select(col("source_a"), col("source_b"),
+        col("ta").as("n_tokens_a"), col("tb").as("n_tokens_b"),
+        (col("sa").cast("double") / (col("ta").cast("double") * 2.0) +
+          col("sb").cast("double") / (col("tb").cast("double") * 2.0))
+          .as("js_nats"))
+  }
+
+  /** Per-source ZIPF-LAW slope fit: OLS of ln(frequency) on ln(rank)
+    * over each source's top-`points` tokens — the power-law read that
+    * flags a source whose token distribution is unnaturally flat (id
+    * dumps, logs) or steep (boilerplate) before it pollutes a mix.
+    * Natural text fits slope ≈ −1 (Zipf 1949).
+    *
+    * Exactness: x = ln(rank)₆ and y = ln(n)₆ freeze once as
+    * DECIMAL(18,6); Σx, Σy, Σxy, Σx² are exact decimal sums;
+    * slope = (R·Σxy − Σx·Σy) / (R·Σx² − (Σx)²) evaluates numerator and
+    * denominator as exact decimals and divides ONCE per source in
+    * doubles. Sources with < 3 ranked points are dropped (a 2-point
+    * "fit" is noise).
+    *
+    * Scale shape: the corpus collapses to (source, token) counts
+    * map-side; the rank window orders each source's VOCABULARY (not its
+    * rows), and `minCount` is the valve that bounds that dimension on a
+    * 100 TB corpus (tokens below it can't reach any top-`points` cut
+    * that matters: with points=100 the 100th token of any real source
+    * clears any sane floor). */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String,
+              sourceCol: String, points: Int = 100,
+              minCount: Long = 1L): DataFrame = {
+    require(points >= 3, "points must be >= 3")
+    val counts = df
+      .select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+          .as("token"))
+      .filter(length(col("token")) > 0 && col("source").isNotNull)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("token"))
+    // Declared decimal widths stay TIGHT: Spark sizes a decimal
+    // product's scale from the declared types, and two wide operands
+    // (e.g. (38,6)²) crush the result scale to fit precision 38 —
+    // silent rounding. ln values fit (10,6) (|ln| < 40 for any count
+    // below e⁴⁰); every product/sum below then fits its declared type
+    // with scale 12 intact.
+    val ranked = counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= points)
+      .withColumn("x",
+        round(log(col("rank").cast("double")), 6).cast("decimal(10,6)"))
+      .withColumn("y",
+        round(log(col("n").cast("double")), 6).cast("decimal(10,6)"))
+    ranked
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("decimal(6,0)").as("n_points"),
+        sum(col("x")).cast("decimal(12,6)").as("sx"),
+        sum(col("y")).cast("decimal(12,6)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(24,12)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(24,12)").as("sxx"))
+      .filter(col("n_points") >= 3)
+      .select(col("source"), col("n_points").cast("long").as("n_points"),
+        ((col("n_points") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_points") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("zipf_slope"))
   }
 }

@@ -806,7 +806,26 @@ object TextQueries {
       graft.operators.Eval.hhiConcentration(
           Tables.load(s, dir, "documents"), "lang", "source")
         .withColumnRenamed("grp", "lang")
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // Pairwise Jensen–Shannon divergence between per-source unigram
+    // distributions over a shared top-500 vocab + OOV bucket — do two
+    // sources SPEAK the same distribution (q_source_overlap asks if they
+    // share literal content)? Frozen-ln terms × exact counts, one double
+    // chain per pair at the end; everything after the (source, token)
+    // collapse is dimension-scale.
+    "q_source_divergence" -> ((s, dir) =>
+      Vocab.sourceDivergence(Tables.load(s, dir, "documents"), "doc_id",
+          "text", "source", k = 500)
+        .orderBy(col("source_a"), col("source_b"))),
+
+    // Per-source Zipf slope (OLS of frozen ln freq on frozen ln rank over
+    // the top-100 tokens): flags unnaturally flat (id dumps) or steep
+    // (boilerplate) sources before they pollute a mix; natural text ≈ −1.
+    "q_zipf_fit" -> ((s, dir) =>
+      Vocab.zipfFit(Tables.load(s, dir, "documents"), "doc_id", "text",
+          "source", points = 100)
+        .orderBy(col("source")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1928,6 +1947,86 @@ object TextQueries {
         |  CAST(sum(cnt) AS BIGINT) AS total,
         |  CAST(sum(CAST(cnt AS HUGEINT) * cnt) * 1000000
         |    // (CAST(sum(cnt) AS HUGEINT) * sum(cnt)) AS BIGINT) AS hhi_ppm
-        |FROM p GROUP BY 1 ORDER BY lang""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q_source_divergence" ->
+      s"""WITH tok2 AS (
+         |  SELECT source, token FROM (
+         |    SELECT source, unnest(string_split($normSql, ' ')) AS token
+         |    FROM documents WHERE source IS NOT NULL) t
+         |  WHERE length(token) > 0),
+         |gl AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY 1),
+         |vocab AS (SELECT token FROM gl ORDER BY cnt DESC, token LIMIT 500),
+         |bc AS (
+         |  SELECT source,
+         |    CASE WHEN v.token IS NOT NULL THEN t.token ELSE ' oov' END
+         |      AS bucket,
+         |    count(*) AS n
+         |  FROM tok2 t LEFT JOIN vocab v USING (token) GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS total
+         |        FROM bc GROUP BY 1),
+         |pairs AS (
+         |  SELECT ta.source AS source_a, tb.source AS source_b,
+         |    ta.total AS ta, tb.total AS tb
+         |  FROM tot ta JOIN tot tb ON ta.source < tb.source),
+         |sides AS (
+         |  SELECT p.source_a, p.source_b, p.ta, p.tb, bc.bucket
+         |  FROM pairs p JOIN bc ON bc.source = p.source_a
+         |  UNION
+         |  SELECT p.source_a, p.source_b, p.ta, p.tb, bc.bucket
+         |  FROM pairs p JOIN bc ON bc.source = p.source_b),
+         |g AS (
+         |  SELECT s.source_a, s.source_b, s.ta, s.tb,
+         |    COALESCE(ba.n, 0) AS na, COALESCE(bb.n, 0) AS nb
+         |  FROM sides s
+         |  LEFT JOIN bc ba ON ba.source = s.source_a AND ba.bucket = s.bucket
+         |  LEFT JOIN bc bb ON bb.source = s.source_b AND bb.bucket = s.bucket),
+         |terms AS (
+         |  SELECT source_a, source_b, ta, tb, na, nb,
+         |    CASE WHEN na = 0 THEN CAST(0 AS DECIMAL(18,6)) ELSE
+         |      CAST(round(ln(CAST(na AS DOUBLE) * CAST(tb AS DOUBLE) * 2.0
+         |        / (CAST(na AS DOUBLE) * CAST(tb AS DOUBLE)
+         |           + CAST(nb AS DOUBLE) * CAST(ta AS DOUBLE))), 6)
+         |        AS DECIMAL(18,6)) END AS la,
+         |    CASE WHEN nb = 0 THEN CAST(0 AS DECIMAL(18,6)) ELSE
+         |      CAST(round(ln(CAST(nb AS DOUBLE) * CAST(ta AS DOUBLE) * 2.0
+         |        / (CAST(na AS DOUBLE) * CAST(tb AS DOUBLE)
+         |           + CAST(nb AS DOUBLE) * CAST(ta AS DOUBLE))), 6)
+         |        AS DECIMAL(18,6)) END AS lb
+         |  FROM g)
+         |SELECT source_a, source_b, max(ta) AS n_tokens_a,
+         |  max(tb) AS n_tokens_b,
+         |  CAST(sum(la * na) AS DOUBLE) / (CAST(max(ta) AS DOUBLE) * 2.0)
+         |  + CAST(sum(lb * nb) AS DOUBLE) / (CAST(max(tb) AS DOUBLE) * 2.0)
+         |    AS js_nats
+         |FROM terms GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    "q_zipf_fit" ->
+      s"""WITH tok2 AS (
+         |  SELECT source, token FROM (
+         |    SELECT source, unnest(string_split($normSql, ' ')) AS token
+         |    FROM documents WHERE source IS NOT NULL) t
+         |  WHERE length(token) > 0),
+         |c AS (SELECT source, token, count(*) AS n FROM tok2 GROUP BY 1, 2),
+         |r AS (
+         |  SELECT source, n, row_number() OVER (PARTITION BY source
+         |    ORDER BY n DESC, token) AS rank
+         |  FROM c),
+         |pts AS (
+         |  SELECT source,
+         |    CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(10,6)) AS x,
+         |    CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(10,6)) AS y
+         |  FROM r WHERE rank <= 100),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS DECIMAL(6,0)) AS np,
+         |    CAST(sum(x) AS DECIMAL(12,6)) AS sx,
+         |    CAST(sum(y) AS DECIMAL(12,6)) AS sy,
+         |    CAST(sum(x * y) AS DECIMAL(24,12)) AS sxy,
+         |    CAST(sum(x * x) AS DECIMAL(24,12)) AS sxx
+         |  FROM pts GROUP BY 1)
+         |SELECT source, CAST(np AS BIGINT) AS n_points,
+         |  CAST(np * sxy - sx * sy AS DOUBLE)
+         |    / CAST(np * sxx - sx * sx AS DOUBLE) AS zipf_slope
+         |FROM agg WHERE np >= 3 ORDER BY source""".stripMargin
   )
 }

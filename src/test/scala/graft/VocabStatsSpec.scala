@@ -206,4 +206,58 @@ class VocabStatsSpec extends AnyFunSuite {
       .orderBy($"source_a", $"source_b").collect().toSeq
     assert(fromState == direct)
   }
+
+  test("sourceDivergence: identical -> 0, disjoint -> ln 2, mixed in between") {
+    val docs = Seq(
+      (1L, "alpha beta alpha", "s1"), (2L, "alpha beta alpha", "s2"), // identical dist
+      (3L, "gamma delta gamma delta", "s3"),                          // disjoint vs s1
+      (4L, "alpha gamma", "s4")                                       // half-shared
+    ).toDF("doc_id", "text", "source")
+    val out = Vocab.sourceDivergence(docs, "doc_id", "text", "source", k = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("js_nats")).toMap
+    assert(math.abs(out(("s1", "s2"))) < 1e-9)
+    // fully disjoint: every bucket one-sided -> JS = ln 2 (frozen at 6)
+    assert(math.abs(out(("s1", "s3")) - 0.693147) < 1e-6)
+    assert(out(("s1", "s4")) > 0.0 && out(("s1", "s4")) < 0.693147)
+    // symmetric fan: all source pairs present (4 choose 2)
+    assert(out.size == 6)
+  }
+
+  test("sourceDivergence: token mass outside top-k folds into one OOV bucket") {
+    // k=1 keeps only "x" (the most frequent); the rare tails of both
+    // sources collapse into the SAME oov bucket, so two sources whose
+    // tails differ but have equal mass there diverge by zero.
+    val docs = Seq(
+      (1L, "x x rare1", "a"), (2L, "x x rare2", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = Vocab.sourceDivergence(docs, "doc_id", "text", "source", k = 1)
+      .head()
+    assert(math.abs(out.getAs[Double]("js_nats")) < 1e-9)
+  }
+
+  test("zipfFit: exact power law fits slope -1; thin sources drop") {
+    // f(rank) = 12 / rank over 4 ranks: ln f = ln 12 - ln rank
+    val text = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val docs = Seq(
+      (1L, text.mkString(" "), "zipfy"),
+      (2L, "one two", "thin")                    // 2 points -> dropped
+    ).toDF("doc_id", "text", "source")
+    val out = Vocab.zipfFit(docs, "doc_id", "text", "source", points = 100)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("zipfy"))
+    assert(out.head.getAs[Long]("n_points") == 4L)
+    assert(math.abs(out.head.getAs[Double]("zipf_slope") + 1.0) < 1e-4)
+  }
+
+  test("zipfFit: rank ties break on token string; points cap honored") {
+    // 5 tokens tied at the same count: rank order = token order; cap at 3
+    val docs = Seq((1L, "e d c b a", "s")).toDF("doc_id", "text", "source")
+    val out = Vocab.zipfFit(docs, "doc_id", "text", "source", points = 3)
+      .head()
+    // all counts equal -> y constant -> slope exactly 0
+    assert(out.getAs[Long]("n_points") == 3L)
+    assert(out.getAs[Double]("zipf_slope") == 0.0)
+  }
 }
