@@ -44,15 +44,30 @@ object Eval {
     * aggregate. No corpus-scale window, no join.
     */
   def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
-                 positiveCol: Column): DataFrame = {
-    val hist = df
-      .filter(col(scoreCol).isNotNull && positiveCol.isNotNull)
+                 positiveCol: Column): DataFrame =
+    aucFromHistogram(aucHistogram(df, groupCol, scoreCol, positiveCol))
+
+  /** The (grp, score_milli, pos, neg) histogram [[aucFromHistogram]]
+    * scores — an ADDITIVE MONOID (counts sum cell-wise), so the
+    * streaming loop maintains it per micro-batch
+    * ([[graft.streaming.EventStream.maintainAucState]]) and reads the
+    * current AUC without replaying scores. */
+  def aucHistogram(df: DataFrame, groupCol: String, scoreCol: String,
+                   positiveCol: Column): DataFrame =
+    df.filter(col(scoreCol).isNotNull && positiveCol.isNotNull)
       .select(col(groupCol).as("grp"),
         round(col(scoreCol) * 1000).cast("long").as("score_milli"),
         positiveCol.cast("int").as("is_pos"))
       .groupBy(col("grp"), col("score_milli"))
       .agg(sum(col("is_pos")).cast("long").as("pos"),
         sum(lit(1) - col("is_pos")).cast("long").as("neg"))
+
+  /** Exact tie-corrected AUC from an [[aucHistogram]] (possibly folded
+    * across micro-batches — cells re-summed first so a fold is safe). */
+  def aucFromHistogram(histogram: DataFrame): DataFrame = {
+    val hist = histogram.groupBy(col("grp"), col("score_milli"))
+      .agg(sum(col("pos")).cast("long").as("pos"),
+        sum(col("neg")).cast("long").as("neg"))
     val wCum = Window.partitionBy(col("grp")).orderBy(col("score_milli"))
       .rowsBetween(Window.unboundedPreceding, -1)
     hist

@@ -267,6 +267,37 @@ object EventStream {
       spark.read.parquet(s"$statePath/transitions")
         .dropDuplicates("__batch_id", "from_state", "to_state"))
 
+  /** Streaming maintenance for the AUC monitor
+    * ([[graft.operators.Eval.aucByGroup]]): each micro-batch appends its
+    * (grp, score_milli, pos, neg) histogram cells — the additive monoid
+    * the exact tie-corrected AUC is computed from — so "is the quality
+    * score still separating?" reads from state without replaying scores.
+    * State is histogram-dimension (groups × distinct quantized scores),
+    * never event-count scale; replay-safe via batch-id dedup. */
+  def maintainAucState(rows: DataFrame, groupCol: String, scoreCol: String,
+                       positiveCol: org.apache.spark.sql.Column,
+                       statePath: String, checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Eval.aucHistogram(batch.toDF(), groupCol, scoreCol,
+            positiveCol)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(statePath)
+        ()
+      }
+      .start()
+
+  /** Current per-group AUC from a [[maintainAucState]] directory —
+    * [[graft.operators.Eval.aucByGroup]]'s output contract from folded
+    * histogram cells (replay-deduped on batch id; aucFromHistogram
+    * re-sums cells, so cross-batch duplication of a cell key is the
+    * normal fold, not an error). */
+  def readAucState(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.Eval.aucFromHistogram(
+      spark.read.parquet(statePath)
+        .dropDuplicates("__batch_id", "grp", "score_milli"))
+
   /** Streaming exact dedup on event_id: state is bounded by the watermark
     * (duplicates arriving later than `watermark` after the original are
     * not suppressed — the at-least-once ingestion contract). */

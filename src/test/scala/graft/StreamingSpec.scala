@@ -565,6 +565,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(report(EventStream.readTransitionState(spark, stateDir)) == recomputed)
   }
 
+  test("maintainAucState: streamed AUC equals batch recompute; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(String, Double, Int)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-auc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-auc-ck").toString
+    val q = EventStream.maintainAucState(
+      src.toDS().toDF("grp", "score", "pos"), "grp", "score", $"pos" === 1,
+      stateDir, ckpt)
+    // group t's tied positive/negative pair is SPLIT across batches — the
+    // tie correction only a folded histogram gets right.
+    val all = Seq(
+      ("g", 3.0, 1), ("g", 1.0, 0), ("t", 2.0, 1),
+      ("g", 4.0, 1), ("g", 2.0, 0), ("t", 2.0, 0), ("t", 5.0, 1), ("t", 3.0, 0))
+    try {
+      src.addData(all.take(3): _*); q.processAllAvailable()
+      src.addData(all.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"grp").collect()
+        .map(r => (r.getString(0), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("n_neg"), r.getAs[Long]("auc_ppm"))).toSeq
+    val maintained = report(EventStream.readAucState(spark, stateDir))
+    val recomputed = report(graft.operators.Eval.aucByGroup(
+      all.toDF("grp", "score", "pos"), "grp", "score", $"pos" === 1))
+    assert(maintained == recomputed)
+    assert(maintained == Seq(("g", 2L, 2L, 1000000L), ("t", 2L, 2L, 625000L)))
+    // replayed batch: identical (__batch_id, grp, score_milli) cells fold once
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(report(EventStream.readAucState(spark, stateDir)) == recomputed)
+  }
+
   test("maintainNoveltyState: streamed census equals batch novelty and overlap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
