@@ -135,9 +135,15 @@ object Eval {
     * margins broadcast.
     */
   def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // ONE corpus pass, persisted: every downstream derivation (grid
+    // distincts, margins) reads the dimension-scale cell frame, not the
+    // corpus — without the persist, Catalyst lineage re-runs the corpus
+    // groupBy once per reference (12 parquet scans in the first cut of
+    // this plan).
     val observed = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("observed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Densify to the FULL |A|×|B| grid: a zero cell still contributes
     // (0 − e)²/e to chi-square — dropping unobserved combinations
     // understates the statistic (V of a deterministic 2×2 would read
@@ -146,15 +152,17 @@ object Eval {
       .crossJoin(observed.select(col("b")).distinct())
       .join(observed, Seq("a", "b"), "left")
       .na.fill(0L, Seq("observed"))
-    val rowTot = cells.groupBy(col("a")).agg(sum(col("observed")).as("row_total"))
-    val colTot = cells.groupBy(col("b")).agg(sum(col("observed")).as("col_total"))
-    val grand = cells.agg(sum(col("observed")).as("grand_total"))
+    // Margins as WINDOWS over the cell dimension — no join, no re-scan.
+    val rt = sum(col("observed")).over(Window.partitionBy(col("a")))
+    val ct = sum(col("observed")).over(Window.partitionBy(col("b")))
+    val n = sum(col("observed")).over(Window.rowsBetween(Long.MinValue,
+      Long.MaxValue))
     val devMicro = col("observed").cast("decimal(38,0)") * 1000000 -
       col("expected_micro")
     cells
-      .join(broadcast(rowTot), Seq("a"))
-      .join(broadcast(colTot), Seq("b"))
-      .crossJoin(broadcast(grand))
+      .withColumn("row_total", rt)
+      .withColumn("col_total", ct)
+      .withColumn("grand_total", n)
       .withColumn("expected_micro",
         floor(col("row_total").cast("decimal(38,0)") * col("col_total") *
           1000000 / col("grand_total")).cast("long"))
@@ -198,10 +206,14 @@ object Eval {
     */
   def ksAgainstBaseline(df: DataFrame, groupCol: String, valueCol: String,
                         baseline: String): DataFrame = {
+    // ONE corpus pass, persisted: grid, group list, both CDF sides and
+    // the baseline all read this dimension-scale frame (lineage would
+    // otherwise re-run the corpus groupBy per reference — 5 scans).
     val counts = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("grp"),
         round(col(valueCol) * 1000).cast("long").as("v_milli"))
       .groupBy(col("grp"), col("v_milli")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = counts.select(col("v_milli")).distinct()
     val groups = counts.select(col("grp")).distinct()
       .filter(col("grp") =!= baseline)
@@ -265,9 +277,12 @@ object Eval {
   def transitionsFromCounts(counts: DataFrame): DataFrame = {
     val pairs = counts.groupBy(col("from_state"), col("to_state"))
       .agg(sum(col("n")).cast("long").as("n"))
-    val fromTot = pairs.groupBy(col("from_state"))
-      .agg(sum(col("n")).as("from_total"))
-    pairs.join(broadcast(fromTot), Seq("from_state"))
+    // From-state totals as a window over the (from, to) DIMENSION — a
+    // groupBy+join would re-derive the pair aggregate from its corpus
+    // lineage a second time.
+    pairs
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("from_state"))))
       .select(col("from_state"), col("to_state"), col("n"), col("from_total"),
         floor(col("n").cast("decimal(38,0)") * 1000000 / col("from_total"))
           .cast("long").as("prob_ppm"))

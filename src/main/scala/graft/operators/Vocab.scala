@@ -720,6 +720,11 @@ object Vocab {
     require(k > 0, "k must be positive")
     val vocab = vocabTopK(df, idCol, textCol, k)
       .select(col("token"), lit(1).as("__in_vocab"))
+    // ONE corpus token pass, PERSISTED: both pair sides, the totals and
+    // the absent-bucket anti probes all read this sources×(k+1) frame —
+    // lineage would otherwise re-run the corpus explode per reference
+    // (the first cut of this plan scanned parquet 28 times). Per-source
+    // totals ride a window over the same persisted frame.
     val bucketCounts = df
       .select(col(sourceCol).as("source"),
         explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
@@ -727,13 +732,15 @@ object Vocab {
       .filter(length(col("token")) > 0 && col("source").isNotNull)
       .join(broadcast(vocab), Seq("token"), "left")
       .select(col("source"),
-        when(col("__in_vocab").isNotNull, col("token")).otherwise(lit(" oov"))
+        when(col("__in_vocab").isNotNull, col("token")).otherwise(lit(" oov"))
           .as("bucket"))
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-    val totals = bucketCounts.groupBy(col("source"))
-      .agg(sum(col("n")).as("total"))
-    val sided = bucketCounts.join(broadcast(totals), Seq("source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sided = bucketCounts
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("source"))))
+    val totals = sided.select(col("source"), col("total")).distinct()
     val a = sided.select(col("source").as("source_a"), col("bucket"),
       col("n").as("na"), col("total").as("ta"))
     val b = sided.select(col("source").as("source_b"), col("bucket"),
