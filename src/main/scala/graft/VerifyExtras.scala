@@ -287,7 +287,32 @@ object VerifyExtras {
       Seq(Check("profile_sketch_distinct_accuracy", 1.0 - profErr, floor = 0.85,
         profCols.length, profCols.length, metric = "accuracy")) ++
       psiSketchCheck(spark, sfDir) ++ bandsSketchCheck(spark, sfDir) ++
-      overlapMinHashCheck(spark, sfDir) ++ winsorizeSketchCheck(spark, sfDir)
+      overlapMinHashCheck(spark, sfDir) ++ winsorizeSketchCheck(spark, sfDir) ++
+      madOutliersSketchCheck(spark, sfDir)
+  }
+
+  /** q_mad_outliers_sketch's floor: fraction of rows whose outlier FLAG
+    * matches the exact-percentile variant. Sketch med/MAD shift per-row
+    * z only within the KLL rank-error band, so only rows hugging the
+    * zCut threshold can flip; 0.9 floor guards misplaced cuts, not
+    * variance (the winsorizeSketchCheck argument on a flag). */
+  private def madOutliersSketchCheck(spark: SparkSession, sfDir: String): Seq[Check] = {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.load(spark, sfDir, "events")
+    val exact = graft.operators.Sampling.robustOutliers(e, "event_type",
+        "event_id", "value")
+      .select(col("id"), col("is_outlier").as("fe"))
+    val sk = graft.operators.Sampling.robustOutliersSketch(e, "event_type",
+        "event_id", "value")
+      .select(col("id"), col("is_outlier").as("fs"))
+    val agg = exact.join(sk, Seq("id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("fe") === col("fs"), 1L).otherwise(0L)).as("m"))
+      .head()
+    val n = agg.getAs[Long]("n")
+    val agree = if (n == 0) 1.0 else agg.getAs[Long]("m").toDouble / n
+    Seq(Check("mad_outliers_sketch_agreement", agree, floor = 0.9,
+      n, n, metric = "accuracy"))
   }
 
   /** q_winsorize_sketch's floor: fraction of rows whose winsorized value

@@ -430,4 +430,64 @@ object Sampling {
           .as("value_w"),
         when(col(valueCol) < col("__lo"), -1)
           .when(col(valueCol) > col("__hi"), 1).otherwise(0).as("clipped"))
+
+  /** Per-group ROBUST OUTLIERS via median/MAD (the modified z-score of
+    * Iglewicz & Hoaglin): z = 0.6745·(x − median)/MAD, flag |z| > cut —
+    * the outlier gate that, unlike mean/stddev, a few extreme values
+    * cannot drag toward themselves. [[winsorize]] clips at global
+    * percentile cuts; this FLAGS per-group, so a value ordinary in one
+    * group is still caught where it is extreme.
+    *
+    * Two exact per-group `percentile` aggregates (the median, then the
+    * MAD over |x − median|), both sharing quantile_cont's interpolation
+    * (the q_group_percentiles parity) so med/MAD/z hash-match the
+    * oracle; z is one IEEE chain per row on bit-identical doubles. A
+    * zero-MAD group (over half its mass at the median) yields NULL z,
+    * and its outlier flag degrades to value ≠ median.
+    *
+    * The exact percentile buffers each group's distinct values — the
+    * verify-scale twin by the repo's convention; [[robustOutliersSketch]]
+    * is the 100 TB path. Group cut frames broadcast. */
+  def robustOutliers(df: DataFrame, groupCol: String, idCol: String,
+                     valueCol: String, zCut: Double = 3.5): DataFrame =
+    robustFromEstimator(df, groupCol, idCol, valueCol, zCut,
+      (c, p) => percentile(c, lit(p)))
+
+  /** [[robustOutliers]]' 100 TB twin: identical contract, med/MAD from
+    * `approx_percentile` (mergeable KLL sketch, O(accuracy) state per
+    * executor vs the exact percentile's per-distinct-value buffer —
+    * the winsorize/PSI pairing). Only rows whose |z| sits within the
+    * cuts' rank-error band of the threshold can flag differently.
+    * Rows-only in the oracle; VerifyExtras floors flag agreement vs the
+    * exact variant. */
+  def robustOutliersSketch(df: DataFrame, groupCol: String, idCol: String,
+                           valueCol: String, zCut: Double = 3.5,
+                           accuracy: Int = 10000): DataFrame = {
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    robustFromEstimator(df, groupCol, idCol, valueCol, zCut,
+      (c, p) => percentile_approx(c, lit(p), lit(accuracy)))
+  }
+
+  /** Shared body: the two public variants differ ONLY in the quantile
+    * estimator the two per-group cut passes use. */
+  private def robustFromEstimator(df: DataFrame, groupCol: String,
+                                  idCol: String, valueCol: String,
+                                  zCut: Double,
+                                  q: (Column, Double) => Column): DataFrame = {
+    require(zCut > 0, s"zCut must be positive, got $zCut")
+    val v = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(valueCol).cast("double").as("value"))
+    val med = v.groupBy(col("grp")).agg(q(col("value"), 0.5).as("med"))
+    val withMed = v.join(broadcast(med), Seq("grp"))
+    val mad = withMed.groupBy(col("grp"))
+      .agg(q(abs(col("value") - col("med")), 0.5).as("mad"))
+    val z = lit(0.6745) * (col("value") - col("med")) / col("mad")
+    withMed.join(broadcast(mad), Seq("grp"))
+      .select(col("grp"), col("id"), col("value"), col("med"), col("mad"),
+        when(col("mad") === 0.0, lit(null).cast("double"))
+          .otherwise(z).as("robust_z"),
+        when(col("mad") === 0.0, (col("value") =!= col("med")).cast("int"))
+          .otherwise((abs(z) > zCut).cast("int")).as("is_outlier"))
+  }
 }

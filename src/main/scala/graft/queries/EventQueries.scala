@@ -342,7 +342,25 @@ object EventQueries {
     "q_markov_chain" -> ((s, dir) =>
       graft.operators.Eval.transitionMatrix(events(s, dir), "user_id",
           "ts", "event_id", "event_type")
-        .orderBy(col("from_state"), col("to_state")))
+        .orderBy(col("from_state"), col("to_state"))),
+
+    // Per-group robust outliers via median/MAD modified z-score — the
+    // outlier gate a few extreme values can't drag toward themselves
+    // (winsorize clips at global cuts; this FLAGS per group). Exact
+    // percentiles = the verify-scale twin; the sketch variant below is
+    // the 100 TB path.
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.operators.Sampling.robustOutliers(events(s, dir), "event_type",
+          "event_id", "value")
+        .orderBy(col("grp"), col("id"))),
+
+    // Its 100 TB twin: approx_percentile med/MAD cuts (KLL, bounded
+    // state). Rows-only; flag agreement vs the exact variant floored in
+    // VerifyExtras (mad_outliers_sketch_agreement).
+    "q_mad_outliers_sketch" -> ((s, dir) =>
+      graft.operators.Sampling.robustOutliersSketch(events(s, dir),
+          "event_type", "event_id", "value")
+        .orderBy(col("grp"), col("id")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -696,6 +714,27 @@ object EventQueries {
         |  CAST(CAST(c.n AS HUGEINT) * 1000000 // t.from_total AS BIGINT)
         |    AS prob_ppm
         |FROM cnt c JOIN tot t USING (from_state)
-        |ORDER BY from_state, to_state""".stripMargin
+        |ORDER BY from_state, to_state""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type AS grp, event_id AS id,
+        |    CAST(value AS DOUBLE) AS value
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |med AS (SELECT grp, quantile_cont(value, 0.5) AS med
+        |        FROM v GROUP BY 1),
+        |mad AS (
+        |  SELECT v.grp, quantile_cont(abs(v.value - m.med), 0.5) AS mad
+        |  FROM v JOIN med m USING (grp) GROUP BY 1),
+        |j AS (
+        |  SELECT v.grp, v.id, v.value, m.med, d.mad
+        |  FROM v JOIN med m USING (grp) JOIN mad d USING (grp))
+        |SELECT grp, id, value, med, mad,
+        |  CASE WHEN mad = 0 THEN NULL
+        |       ELSE 0.6745 * (value - med) / mad END AS robust_z,
+        |  CASE WHEN mad = 0 THEN CAST(value <> med AS INT)
+        |       ELSE CAST(abs(0.6745 * (value - med) / mad) > 3.5 AS INT)
+        |       END AS is_outlier
+        |FROM j ORDER BY grp, id""".stripMargin
   )
 }

@@ -670,4 +670,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Vocab.tokenCoverageCurve(docs, "doc_id", "text", cuts = Seq.empty))
   }
+
+  // ---- robust (median/MAD) outliers ---------------------------------------
+
+  test("robustOutliers: hand-computed z, per-group isolation, null drop") {
+    // grp a: values 1..7 plus one 1000 -> med 4.5, MAD interp over
+    // |x-4.5| = {3.5,2.5,1.5,.5,.5,1.5,2.5,995.5} sorted -> p50 = 2.0;
+    // z(1000) = .6745*995.5/2 = 335.7 -> outlier; z(7) = .6745*2.5/2
+    // = 0.843 -> not.
+    val df = ((1 to 7).map(i => ("a", i.toLong, i.toDouble)) ++
+      Seq(("a", 8L, 1000.0), ("b", 9L, 1000.0), ("b", 10L, 1001.0),
+        ("b", 11L, 1002.0), ("c", 12L, Double.NaN))
+      ).toDF("event_type", "event_id", "value")
+      .filter(!isnan($"value"))
+    val out = Sampling.robustOutliers(df, "event_type", "event_id", "value")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("robust_z"), r.getAs[Int]("is_outlier"))).toMap
+    assert(out(8L)._2 == 1)
+    assert(math.abs(out(8L)._1 - 0.6745 * 995.5 / 2.0) < 1e-9)
+    assert(out(7L)._2 == 0)
+    // group b: 1000 is MEDIAN-ordinary within its own group -> no flag
+    assert(out(10L)._2 == 0)
+    assert((1 to 7).forall(i => out(i.toLong)._2 == 0))
+  }
+
+  test("robustOutliers: zero-MAD group degrades to value != median") {
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 5.0),
+      ("g", 4L, 9.0)).toDF("event_type", "event_id", "value")
+    val out = Sampling.robustOutliers(df, "event_type", "event_id", "value")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.get(r.fieldIndex("robust_z"))), r.getAs[Int]("is_outlier")))
+      .toMap
+    assert(out(1L) == (None, 0))
+    assert(out(4L) == (None, 1))
+  }
+
+  test("robustOutliersSketch: same contract, near-total flag agreement") {
+    val df = (1 to 2000).map(i =>
+      ("t", i.toLong, if (i % 500 == 0) 1e6 + i else i.toDouble / 7.0))
+      .toDF("event_type", "event_id", "value")
+    val ex = Sampling.robustOutliers(df, "event_type", "event_id", "value")
+      .select($"id", $"is_outlier".as("fe"))
+    val sk = Sampling.robustOutliersSketch(df, "event_type", "event_id",
+        "value")
+      .select($"id", $"is_outlier".as("fs"))
+    val j = ex.join(sk, Seq("id")).collect()
+    val agree = j.count(r => r.getAs[Int]("fe") == r.getAs[Int]("fs"))
+    assert(agree.toDouble / j.length >= 0.99)
+    // the planted spikes flag in both
+    val sks = sk.collect().map(r => r.getAs[Long]("id") ->
+      r.getAs[Int]("fs")).toMap
+    assert(Seq(500L, 1000L, 1500L, 2000L).forall(sks(_) == 1))
+  }
 }
