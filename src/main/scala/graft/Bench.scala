@@ -52,16 +52,18 @@ object Bench {
     // Returns None on failure: a failed query's near-zero time-to-throw
     // must NOT enter the median — a broken build would bench FASTER than
     // a working one, with exit 0 and no marker in the parsed output.
-    def execute(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    def timed(name: String, body: () => Unit): Option[Double] = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { body(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       if (ok) Some(dt) else None
     }
+    def execute(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
+      timed(name, () => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
 
     // INTERLEAVED passes: one untimed warmup pass over every query, then
     // `runs` full timed passes, median per query ACROSS passes. The r2/r3
@@ -70,35 +72,40 @@ object Bench {
     // of one query's samples (the median keeps the inflation); with
     // pass-interleaved samples, a burst inflates one PASS and the
     // cross-pass median rejects it. Same total work either way.
-    // Deterministic pass order, with q_dedup_ngram_jaccard hoisted ahead
-    // of its family (canonical/clusters/containment/pagerank): the five
-    // queries share one materialized pair table (operators/
-    // NearDupPipeline) that the FIRST family query of a pass builds, so
-    // ordering pins the build cost on the pairs query itself — the
-    // artifact then reads "pairs = build + filter; the rest = their
-    // post-pair cost", which is the pipeline-user reality being
-    // benchmarked. Map iteration order would attribute it arbitrarily.
-    // Same attribution rule for the span family: the strike is the
-    // census table's natural builder (the table IS its per-doc
-    // duplicated-starts intermediate), so it runs first and carries the
-    // build; the census report then reads counts off the artifact.
-    val order = selected.toSeq.sortBy { case (n, _) =>
-      if (n == "q_dedup_ngram_jaccard") "q_dedup_"
-      else if (n == "q_span_strike") "q_span_" else n }
-    // The pair-table memo is invalidated at every PASS boundary (not per
-    // query): within a pass the family reuses the one materialized table
-    // (the thing this design exists to measure), across passes each
-    // timed sample of the builder rebuilds it — otherwise run 2+ of the
-    // build query would memo-hit and report filter-only times.
+    val order = selected.toSeq.sortBy(_._1)
+    // Shared-pipeline builds are timed as their OWN rows ("_…_build"),
+    // not folded into whichever family query runs first: the r10 sf10
+    // sweep (chunked via SPARK_GRAFT_ONLY) re-attributed the near-dup
+    // pair build to q_pagerank because its chunk lacked the pairs query —
+    // an explicit build row makes attribution stable under ANY chunking
+    // or ordering. Family queries then report their post-build cost (the
+    // pipeline-user reality), and the pass total still contains the
+    // build exactly once. Memos are invalidated at every PASS boundary
+    // (not per query): within a pass the family reuses the one
+    // materialized table — the economy this design exists to measure —
+    // while across passes each timed build sample rebuilds it.
+    val names = order.map(_._1).toSet
+    val nearDupFamily = Set("q_dedup_ngram_jaccard", "q_dedup_clusters",
+      "q_dedup_canonical", "q_dedup_containment", "q_pagerank", "q_graph_degree")
+    val spanFamily = Set("q_span_dedup", "q_span_strike")
+    val builds: Seq[(String, () => Unit)] =
+      (if (names.exists(nearDupFamily)) Seq("_neardup_pairs_build" ->
+        (() => graft.queries.TextQueries.buildNearDupPairs(spark, sfDir))) else Nil) ++
+      (if (names.exists(spanFamily)) Seq("_span_census_build" ->
+        (() => graft.queries.TextQueries.buildSpanCensus(spark, sfDir))) else Nil)
     def pass(): Map[String, Option[Double]] = {
       graft.operators.NearDupPipeline.invalidateAll(spark)
       graft.operators.SpanPipeline.invalidateAll(spark)
-      order.map { case (name, fn) => name -> execute(name, fn) }.toMap
+      (builds.map { case (name, body) => name -> timed(name, body) } ++
+        order.map { case (name, fn) => name -> execute(name, fn) }).toMap
     }
     pass() // warmup
     val passes = (1 to runs).map(_ => pass())
-    val results = order.map { case (name, _) =>
-      val samples = passes.flatMap(_(name))
+    val allNames = builds.map(_._1) ++ order.map(_._1)
+    val perQuerySamples = allNames.map { name =>
+      name -> passes.flatMap(_(name))
+    }
+    val results = perQuerySamples.map { case (name, samples) =>
       if (samples.length == runs) {
         val med = median(samples)
         System.err.println(f"[bench] $name%-28s median=$med%7.2fs samples=${samples.map(s => f"$s%.2f").mkString(",")}")
@@ -119,13 +126,27 @@ object Bench {
     val skipped =
       if (skip.isEmpty) ""
       else s""","skipped":${skip.toSeq.sorted.map(s => "\"" + j(s) + "\"").mkString("[", ",", "]")}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs$skipped,"sf":"${j(sfDir)}"}"""
+    // Per-query raw samples + pass count ride the artifact so a uniform
+    // sweep-contention drift (every sample of a pass inflated) is
+    // distinguishable at a glance from a real per-query regression —
+    // the r10 sweep ran ~12% hotter than r9 on identical shared code and
+    // the medians alone could not show why.
+    val samplesJson = perQuerySamples.map { case (k, v) =>
+      s"\"${j(k)}\":" + v.map(s => f"$s%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs$skipped,"passes":$runs,"samples":$samplesJson,"sf":"${j(sfDir)}"}"""
     println(json)
     // ALSO write the full JSON to a file: the driver captures stdout with
     // a bounded tail, and BENCH_r04's embedded result was truncated
     // mid-JSON (only 63/78 per-query times survived in the artifact). The
     // file is the machine-readable record; stdout stays the contract.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    // Named PER SCALE (bench_results_sf0.1.json / _sf10.json …) so a
+    // consumer never silently compares sweeps across scale factors — the
+    // r10 artifact reused one filename for an sf10 and then an sf0.1
+    // sweep under the same schema.
+    val sfTag = new java.io.File(sfDir).getName
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_results_$sfTag.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes("UTF-8"))

@@ -79,10 +79,11 @@ object VerifyExtras {
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
       // Cell counts mirror the QUERY wiring: ivf/ivf_fit scale cells
       // with the corpus (cellsFor — a pinned 16 here measured a variant
-      // the queries don't run); ivfpq keeps the query's static 16/6
-      // coverage + refine=16 (see the q_ann_ivfpq comment — on the
-      // noise-floor fixture recall tracks coverage, and scaled cells
-      // sank the sf1 point to 0.24 while costing more).
+      // the queries don't run); ivfpq uses the query's scale-
+      // proportional rule (ivfPqParamsFor: cells ∝ corpus with nProbe
+      // scaled to hold coverage ≈ 37.5% — identical to the old static
+      // 16/6 at every verify scale ≤ 16k vectors, see the q_ann_ivfpq
+      // comment).
       val nCells = Similarity.cellsFor(emb.count())
       val annIvf = Similarity.ivfTopK(probes, emb, k = 5, nCentroids = nCells,
           nProbe = 6)
@@ -91,8 +92,9 @@ object VerifyExtras {
       val annIvfFit = Similarity.ivfTopK(probes, emb, k = 5, nProbe = 4,
           centroids = fitCents)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      val (pqCells, pqProbe, pqRefine) = Similarity.ivfPqParamsFor(emb.count())
       val annIvfPq = Similarity.ivfPqTopK(probes, emb, k = 5,
-          nCentroids = 16, nProbe = 6, refine = 16)
+          nCentroids = pqCells, nProbe = pqProbe, refine = pqRefine)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
 
       // --- embedding near-dup blocking -------------------------------------

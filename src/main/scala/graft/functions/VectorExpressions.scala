@@ -275,6 +275,213 @@ object CellTopExpr {
       GraftBridge.expression(norm.cast("double")), model, nProbe))
 }
 
+/** Product-quantization codebook for [[PqEncodeExpr]]/[[PqLutExpr]]/
+  * [[PqAdcPackedExpr]]: `m` subspaces × `ksub` codewords × `dsub`
+  * components, flat-packed (codeword (j, ci) starts at ((j·ksub)+ci)·dsub)
+  * plus precomputed self-norms. One REFERENCE OBJECT per plan (the
+  * [[CellModel]] design): the previous declarative encoder inlined every
+  * codeword as a typedLit into m·ksub generated `slice`+dot calls — a
+  * ~1 MB task binary and 256 short-array allocations per corpus ROW. */
+final case class PqCodebook(m: Int, ksub: Int, dsub: Int,
+                            flat: Array[Double], norms: Array[Double])
+    extends Serializable {
+  require(m > 0 && ksub > 1 && dsub > 0, s"bad PQ shape ($m, $ksub, $dsub)")
+  require(flat.length == m * ksub * dsub, "flat length != m*ksub*dsub")
+  require(norms.length == m * ksub, "norms length != m*ksub")
+  /** Bits per packed code id. The packed-long layout bounds m·bits to one
+    * 64-bit word — at the default (16, 16) exactly 64. */
+  val bits: Int = math.max(1,
+    32 - Integer.numberOfLeadingZeros(ksub - 1))
+  require(m * bits <= 64, s"m=$m codes of $bits bits exceed one long")
+  val mask: Long = (1L << bits) - 1L
+}
+
+object PqCodebook {
+  /** From per-subspace codeword matrices (codebooks(j)(ci) = components). */
+  def apply(codebooks: Array[Array[Array[Double]]]): PqCodebook = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    val flat = codebooks.flatten.flatten
+    val norms = codebooks.flatten.map(cw => cw.map(x => x * x).sum)
+    PqCodebook(m, ksub, dsub, flat, norms)
+  }
+}
+
+/** PQ-encode a vector to one packed 64-bit code word: per subspace j, the
+  * L2-nearest codeword id (argmin ‖sub_j − cw‖² = argmax dot − ‖cw‖²/2,
+  * ties to the SMALLEST id — the greatest-of-(score, −ci)-structs order
+  * of the declarative form this replaces), packed at bit offset j·bits.
+  * Null vector ELEMENTS contribute 0 to the dot ([[DotProductExpr]]'s
+  * lenient rule); a short vector reads missing components as 0. */
+case class PqEncodeExpr(child: Expression, book: PqCodebook)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    PqEncodeExpr.encode(v.asInstanceOf[ArrayData], book)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("pqBook", book, classOf[PqCodebook].getName)
+    defineCodeGen(ctx, ev, v => s"graft.functions.PqEncodeExpr.encode($v, $b)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+object PqEncodeExpr {
+  /** Shared by interpreted and generated paths. */
+  def encode(v: ArrayData, book: PqCodebook): Long = {
+    val n = v.numElements()
+    var packed = 0L
+    var j = 0
+    while (j < book.m) {
+      val base = j * book.dsub
+      var bestCi = 0
+      var bestScore = Double.NegativeInfinity
+      var ci = 0
+      while (ci < book.ksub) {
+        val off = (j * book.ksub + ci) * book.dsub
+        var dot = 0.0
+        var t = 0
+        while (t < book.dsub) {
+          val vi = base + t
+          if (vi < n && !v.isNullAt(vi)) dot += v.getDouble(vi) * book.flat(off + t)
+          t += 1
+        }
+        val score = dot - book.norms(j * book.ksub + ci) / 2
+        // Spark double ordering on the struct max: strictly-greater wins,
+        // equal keeps the earlier (smaller) id. NaN is MAX in that order,
+        // so a NaN score must also win over a non-NaN best.
+        if (score > bestScore || (score.isNaN && !bestScore.isNaN)) {
+          bestScore = score; bestCi = ci
+        }
+        ci += 1
+      }
+      packed |= bestCi.toLong << (j * book.bits)
+      j += 1
+    }
+    packed
+  }
+
+  def pqEncode(v: Column, book: PqCodebook): Column =
+    GraftBridge.column(PqEncodeExpr(
+      GraftBridge.expression(v.cast("array<double>")), book))
+}
+
+/** The probe-side ADC lookup table lut[j·ksub+ci] = dot(q_j, codeword) as
+  * one native loop over the codebook reference object — replaces m·ksub
+  * generated slice+dot calls per probe row. */
+case class PqLutExpr(child: Expression, book: PqCodebook)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(v: Any): Any =
+    PqLutExpr.lut(v.asInstanceOf[ArrayData], book)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("pqBook", book, classOf[PqCodebook].getName)
+    defineCodeGen(ctx, ev, v => s"graft.functions.PqLutExpr.lut($v, $b)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
+object PqLutExpr {
+  /** Shared by interpreted and generated paths; null elements / short
+    * vectors contribute 0 like [[PqEncodeExpr.encode]]. */
+  def lut(v: ArrayData, book: PqCodebook): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](book.m * book.ksub)
+    var j = 0
+    while (j < book.m) {
+      val base = j * book.dsub
+      var ci = 0
+      while (ci < book.ksub) {
+        val idx = j * book.ksub + ci
+        val off = idx * book.dsub
+        var dot = 0.0
+        var t = 0
+        while (t < book.dsub) {
+          val vi = base + t
+          if (vi < n && !v.isNullAt(vi)) dot += v.getDouble(vi) * book.flat(off + t)
+          t += 1
+        }
+        out(idx) = dot
+        ci += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def pqLut(v: Column, book: PqCodebook): Column =
+    GraftBridge.column(PqLutExpr(
+      GraftBridge.expression(v.cast("array<double>")), book))
+}
+
+/** ADC score of one PACKED code word against a probe LUT:
+  * Σ_j lut[j·ksub + ((codes >> j·bits) & mask)] — [[PqAdcExpr]]'s sum with
+  * the candidate's m codeword ids carried in ONE long instead of an
+  * array<int> (28-byte encoded rows; no per-row array reads on the 10⁸-
+  * pair ADC join). Null LUT elements / OOB indices null the sum like the
+  * array form. */
+case class PqAdcPackedExpr(left: Expression, right: Expression,
+                           m: Int, ksub: Int, bits: Int)
+    extends BinaryExpression {
+  require(m > 0 && ksub > 1 && bits > 0 && m * bits <= 64, "bad packed shape")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_packed"
+  // Same override as PqAdcExpr: null is reachable from non-nullable
+  // children (OOB guard), so ev.isNull must be a variable.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    PqAdcPackedExpr.adc(codes.asInstanceOf[Long], lut.asInstanceOf[ArrayData],
+      m, ksub, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("adcBoxed")
+    nullSafeCodeGen(ctx, ev, (codes, lut) => s"""
+      java.lang.Double $boxed = graft.functions.PqAdcPackedExpr.adc($codes, $lut, $m, $ksub, $bits);
+      if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PqAdcPackedExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcPackedExpr {
+  /** Shared by interpreted and generated paths. */
+  def adc(codes: Long, lut: ArrayData, m: Int, ksub: Int, bits: Int): java.lang.Double = {
+    val lutLen = lut.numElements()
+    val mask = (1L << bits) - 1L
+    var sum = 0.0
+    var j = 0
+    while (j < m) {
+      val ci = ((codes >>> (j * bits)) & mask).toInt
+      val idx = j * ksub + ci
+      if (idx >= lutLen || lut.isNullAt(idx)) return null
+      sum += lut.getDouble(idx)
+      j += 1
+    }
+    sum
+  }
+
+  def pqAdcPacked(codes: Column, lut: Column, book: PqCodebook): Column =
+    GraftBridge.column(PqAdcPackedExpr(
+      GraftBridge.expression(codes.cast("long")),
+      GraftBridge.expression(lut.cast("array<double>")),
+      book.m, book.ksub, book.bits))
+}
+
 object DotProductExpr {
   /** Shared by interpreted and generated paths. */
   def dot(a: ArrayData, b: ArrayData): Double = {

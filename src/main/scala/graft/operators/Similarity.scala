@@ -609,6 +609,36 @@ object Similarity {
     math.min(maxCells,
       math.max(16, math.ceil(n.toDouble / targetCell).toInt)).toInt
 
+  /** Scale-proportional IVF-PQ configuration (nCentroids, nProbe, refine)
+    * for a corpus of `n` vectors: cells follow [[cellsFor]] (per-cell
+    * population ~targetCell at any scale) and nProbe scales WITH the cell
+    * count so the coverage fraction nProbe/nCells — the recall lever on a
+    * noise-floor corpus, where recall tracks how much of the corpus a
+    * probe scans — holds ≈ `coverage` instead of collapsing as cells
+    * grow. refine stays fixed: the exact-rescore budget refine·k per
+    * probe is what recovers ADC-ranking loss, and quantization error is
+    * scale-independent (codebooks see the same per-subspace geometry at
+    * any n).
+    *
+    * Why this is the 100 TB shape: per-probe ADC work is
+    * coverage·n·O(m) — the same as the FIXED 16/6 config's — but the
+    * probed-cell JOIN now fans each corpus row out to ~coverage·nCells
+    * ≈ 75 probe cells of ~targetCell rows instead of 6 monolithic cells
+    * of n/16 rows, so candidate generation partitions evenly (no
+    * 12.5%-of-corpus skew cells) and per-task state stays bounded by
+    * targetCell, not by n. At the measured scales the pair (recall,
+    * wall) dominates the fixed config: sf10 60.2 s → see BENCH_SF10 for
+    * the refreshed row (native ADC + this rule), recall point in
+    * VERIFY_EXTRAS_SF10. At verify scales (n ≤ 16·targetCell) the rule
+    * reproduces the pinned (16, 6) config exactly, so the sf0.01/sf1
+    * recall floors measure the same operator the queries run. */
+  def ivfPqParamsFor(n: Long, coverage: Double = 0.375,
+                     targetCell: Int = 1000, refine: Int = 16): (Int, Int, Int) = {
+    val cells = cellsFor(n, targetCell)
+    val nProbe = math.max(1, math.min(cells, math.round(coverage * cells).toInt))
+    (cells, nProbe, refine)
+  }
+
   def semDedup(df: DataFrame, minCos: Double = 0.9, k: Int = 16,
                maxIter: Int = 5, idCol: String = "vec_id",
                vecCol: String = "embedding",
@@ -707,7 +737,8 @@ object Similarity {
                 nCentroids: Int = 16, nProbe: Int = 2,
                 m: Int = 16, ksub: Int = 16, refine: Int = 4,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                maxFitRows: Int = 1 << 14): DataFrame = {
+                maxFitRows: Int = 1 << 14,
+                centroids: Seq[Seq[Double]] = Nil): DataFrame = {
     require(k > 0 && nProbe > 0 && m > 0 && ksub > 1 && refine > 0,
       "bad IVF-PQ params")
     val c = droppingUndefinedNorms(
@@ -717,11 +748,17 @@ object Similarity {
     if (d == 0) return bruteForceTopK(probes, corpus, k, idCol, vecCol)
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val dsub = d / m
-    // Coarse cells: the ivfTopK deterministic hash-ordered sample.
-    val centRows: Seq[(Seq[Double], Double)] = c
-      .orderBy(xxhash64(col("vec_id").cast("string"))).limit(nCentroids)
-      .select(col("cv"), col("cn")).collect()
-      .toSeq.map(r => r.getSeq[Double](0).toSeq -> r.getDouble(1))
+    // Coarse cells: caller-supplied FITTED centroids ([[kmeansFit]] —
+    // zero/NaN-norm entries dropped, the ivfTopK convention) or the
+    // deterministic hash-ordered sample.
+    val centRows: Seq[(Seq[Double], Double)] =
+      if (centroids.nonEmpty)
+        centroids.map(v => v -> v.map(x => x * x).sum)
+          .filter { case (_, n) => n > 0 && !n.isNaN }
+      else c
+        .orderBy(xxhash64(col("vec_id").cast("string"))).limit(nCentroids)
+        .select(col("cv"), col("cn")).collect()
+        .toSeq.map(r => r.getSeq[Double](0).toSeq -> r.getDouble(1))
     // PQ training sample: modulus filter on the id hash (distributed,
     // no TakeOrdered funnel), collected at model scale.
     val n = c.count()
@@ -766,47 +803,48 @@ object Similarity {
       }
       cb
     }
-    // Flat literals for the expressions below: entry j*ksub+ci.
-    val cbFlat: Seq[Seq[Double]] =
-      for (j <- 0 until m; ci <- 0 until ksub) yield codebooks(j)(ci).toSeq
-    val normFlat: Seq[Double] = cbFlat.map(_.map(x => x * x).sum)
-    // Encode: per subspace, argmin L2 = argmax (dot − ‖c‖²/2); ties to
-    // the smallest codeword via the (score, −ci) struct max. m·ksub
-    // bounded dot terms — a map-side projection, no shuffle.
-    def subCol(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
-    val codeCols: Seq[Column] = (0 until m).map { j =>
-      -(greatest((0 until ksub).map { ci =>
-        val cw = codebooks(j)(ci).toSeq
-        struct((dot(subCol(col("cv"), j), typedLit(cw)) -
-          lit(normFlat(j * ksub + ci) / 2)).as("s"), lit(-ci).as("negc"))
-      }: _*).getField("negc"))
-    }
+    // Codebook as ONE reference object (the CellModel design): the
+    // previous declarative encoder inlined every codeword as a typedLit
+    // into m·ksub generated slice+dot calls — a ~1 MB task binary, 256
+    // short-array allocations per corpus row, and the dominant FIXED
+    // (volume-independent) cost of the sf10 query. Codes pack into one
+    // 64-bit word (m·log₂ksub = 64 at the default 16×16), so the encoded
+    // frame the ADC join streams is 4 scalars/row.
+    val book = graft.functions.PqCodebook(codebooks)
+    val normFlat: Seq[Double] = book.norms.toSeq
     val model = graft.functions.CellModel(centRows)
+    import graft.functions.PqAdcPackedExpr.pqAdcPacked
     val encoded = c
       .withColumn("centroid_id",
         graft.functions.CellAssignExpr.cellAssign(col("cv"), col("cn"), model))
-      .withColumn("codes", array(codeCols: _*))
-      // orthogonal blocks: ‖x̂‖² = Σ_j ‖codeword_j‖² — a pure lookup sum
-      .withColumn("rn2", aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-          (cd, j) => element_at(typedLit(normFlat), (j * ksub + cd + 1).cast("int"))),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("codes", graft.functions.PqEncodeExpr.pqEncode(col("cv"), book))
+      // orthogonal blocks: ‖x̂‖² = Σ_j ‖codeword_j‖² — the ADC lookup
+      // loop with the codeword self-norm table as the LUT.
+      .withColumn("rn2", pqAdcPacked(col("codes"), typedLit(normFlat), book))
       .select(col("vec_id"), col("centroid_id"), col("codes"), col("rn2"))
-    // Probe side (broadcast-scale): top-nProbe cells + the ADC lookup
-    // table lut[j·ksub+ci] = dot(q_j, codeword_{j,ci}).
+    // Probe side (broadcast-scale): top-nProbe cells, and SEPARATELY the
+    // per-probe ADC lookup table lut[j·ksub+ci] = dot(q_j, codeword_{j,ci}).
+    // The LUT must not ride the exploded (probe × cell) frame: with the
+    // scale-proportional config nProbe grows with the cell count, and a
+    // LUT copy per probed cell multiplies the broadcast by nProbe (at
+    // sf10 that is ~75 copies of an m·ksub-double array per probe). Two
+    // broadcasts instead: cell assignments (3 ints/row) and one LUT row
+    // per probe.
     val p = droppingUndefinedNorms(
       probes.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
         .withColumn("qn", dot(col("qv"), col("qv"))), "qn")
-    val lut = array((0 until m).flatMap { j =>
-      (0 until ksub).map { ci =>
-        dot(subCol(col("qv"), j), typedLit(codebooks(j)(ci).toSeq))
-      }
-    }: _*)
+    val lut = graft.functions.PqLutExpr.pqLut(col("qv"), book)
     val probeCells = broadcast(
       p.withColumn("centroid_id", explode(
           graft.functions.CellTopExpr.cellTop(col("qv"), col("qn"), model, nProbe)))
-        .select(col("query_id"), col("qn"), col("centroid_id"), lut.as("lut")))
-    // ADC: m lookups per pair — O(m), never O(d); vectors long gone.
+        .select(col("query_id"), col("centroid_id")))
+    val probeLuts = broadcast(
+      p.select(col("query_id"), col("qn"), lut.as("lut")))
+    // ADC: m lookups per pair — O(m), never O(d); vectors long gone. The
+    // score is the native [[graft.functions.PqAdcExpr]] generated loop —
+    // the interpreted aggregate/zip_with HOF pair it replaces was the
+    // dominant term of the sf10 bench (two interpreted lambdas plus a
+    // zipped-array allocation per candidate pair).
     // Zero PQ reconstructions (rn2 = 0: every subspace snapped to a zero
     // codeword — degenerate codebooks only) have an UNDEFINED ADC cosine,
     // not a bad one: a sentinel above any real cosine routes them through
@@ -817,11 +855,10 @@ object Similarity {
     // sf0.1 bench).
     val adc = encoded.join(probeCells, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
+      .join(probeLuts, Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        when(col("rn2") <= 0, lit(2.0)).otherwise(aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (cd, j) => element_at(col("lut"), (j * ksub + cd + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x) /
+        when(col("rn2") <= 0, lit(2.0)).otherwise(
+          pqAdcPacked(col("codes"), col("lut"), book) /
           sqrt(col("qn") * col("rn2"))).as("adc_sim"))
     // Refine: only the ADC top refine·k per probe rejoin raw vectors for
     // exact rescoring — probes·refine·k rows, never the corpus. The

@@ -146,26 +146,28 @@ object SimilarityQueries {
         .orderBy(col("vec_id"), col("out_dim"))),
 
     // IVF-PQ: coarse cells bound WHERE to look, product-quantized codes
-    // bound what a row COSTS (8 bytes vs 256; ADC lookup-table scoring,
-    // O(m) per pair). Rows-only (driver-fit codebooks are a runtime
-    // model); recall floor pinned in SimilaritySpec + VerifyExtras.
-    // Parameterization, measured at sf1 (the r9 single-data-point gap):
-    // the fixture is a NOISE-FLOOR corpus (truth cosines 0.39-0.64,
-    // rank gaps in the hundredths — the knnGraphLsh decay regime), so
-    // recall tracks the COVERAGE fraction nProbe/nCells and scaling
-    // cells with the corpus (cellsFor) only shrinks it: (100 cells, 6
-    // probes) measured 0.24-0.29 at sf1 vs 0.56 at (16, 6) — and costs
-    // MORE (per-row assignment is O(nCells·d) while ADC's per-candidate
-    // cost is what PQ already made cheap). Static 16/6 keeps the 37.5%
-    // coverage the noise fixture needs; refine=16 (shortlist 80/probe,
-    // exact-rescore cost still probes·80 rows) recovers the ADC-ranking
-    // loss that a 20-row shortlist left behind (sf1 0.37 -> 0.56). On a
-    // CLUSTERED production corpus the cellsFor + small-nProbe shape is
-    // the right lever — that path is q_ann_ivf's wiring.
+    // bound what a row COSTS (8 bytes vs 256; ADC lookup-table scoring —
+    // the native PqAdcExpr generated loop, O(m) per pair). Rows-only
+    // (driver-fit codebooks are a runtime model); recall floor pinned in
+    // SimilaritySpec + VerifyExtras.
+    // Parameterization is the SCALE-PROPORTIONAL rule (ivfPqParamsFor):
+    // cells follow cellsFor (per-cell population ~1000 at any sf) and
+    // nProbe scales with the cell count so COVERAGE nProbe/nCells — the
+    // recall lever on this noise-floor fixture (truth cosines 0.39-0.64,
+    // rank gaps in the hundredths) — holds ≈ 37.5% instead of collapsing
+    // as cells grow (cellsFor at FIXED nProbe=6 measured 0.24-0.29 at
+    // sf1; fixed 16 cells at sf10 made per-cell population n/16 — the
+    // 60.2 s superlinear row of the r10 sweep). refine=16 (shortlist
+    // 80/probe) recovers the ADC-ranking loss a 20-row shortlist left
+    // behind (sf1 0.37 -> 0.56). At verify scales (n ≤ 16k) the rule
+    // reproduces the pinned (16, 6) config exactly. On a CLUSTERED
+    // production corpus small fixed nProbe is the right lever — that
+    // path is q_ann_ivf's wiring.
     "q_ann_ivfpq" -> ((s, dir) => {
       val v = Tables.load(s, dir, "embeddings")
+      val (cells, nProbe, refine) = Similarity.ivfPqParamsFor(v.count())
       Similarity.ivfPqTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5,
-          nCentroids = 16, nProbe = 6, refine = 16)
+          nCentroids = cells, nProbe = nProbe, refine = refine)
         .orderBy(col("query_id"), col("rank"))
     }),
 

@@ -49,6 +49,26 @@ object TextQueries {
   private def nearDupJaccard(s: SparkSession, dir: String): DataFrame =
     NearDupPipeline.jaccardPairs(dupCorpus(s, dir), dir, nearDupParams)
 
+  /** Bench hook: eagerly materialize the family's shared pair table (the
+    * ~28 s sf10 candidate pipeline) so the build can be timed as its OWN
+    * bench row. Without this, the build cost lands on whichever family
+    * query happens to run first — fine in a full ordered sweep, but a
+    * chunked sweep (SPARK_GRAFT_ONLY) silently re-attributes it (the r10
+    * sf10 artifact pinned it on q_pagerank). Idempotent within a pass:
+    * the memo absorbs repeat calls. */
+  def buildNearDupPairs(s: SparkSession, dir: String): Unit = {
+    NearDupPipeline.pairsTable(dupCorpus(s, dir), dir, nearDupParams)
+    ()
+  }
+
+  /** Bench hook, span-family twin of [[buildNearDupPairs]]: materialize
+    * the shared span-census table (the ~25 s sf10 span stream). */
+  def buildSpanCensus(s: SparkSession, dir: String): Unit = {
+    graft.operators.SpanPipeline.censusTable(
+      Tables.load(s, dir, "documents"), dir, "doc_id", "text", k = 6)
+    ()
+  }
+
   /** Stand-in eval suite for decontamination: the %7 documents (exactly
     * the ids dupCorpus duplicates at +100000 — known leaked rows). */
   def benchCorpus(s: SparkSession, dir: String): DataFrame =
