@@ -93,11 +93,30 @@ object Bench {
         (() => graft.queries.TextQueries.buildNearDupPairs(spark, sfDir))) else Nil) ++
       (if (names.exists(spanFamily)) Seq("_span_census_build" ->
         (() => graft.queries.TextQueries.buildSpanCensus(spark, sfDir))) else Nil)
+    val familyOf: Map[String, Set[String]] = Map(
+      "_neardup_pairs_build" -> nearDupFamily,
+      "_span_census_build" -> spanFamily)
     def pass(): Map[String, Option[Double]] = {
       graft.operators.NearDupPipeline.invalidateAll(spark)
       graft.operators.SpanPipeline.invalidateAll(spark)
-      (builds.map { case (name, body) => name -> timed(name, body) } ++
-        order.map { case (name, fn) => name -> execute(name, fn) }).toMap
+      val buildResults = builds.map { case (name, body) => name -> timed(name, body) }
+      // A failed build contaminates its family THIS PASS: each family
+      // query would silently rebuild the memo inside its own timing, so
+      // its sample would be build-inclusive while other passes' samples
+      // are post-build — a blended median reported as normal. Drop the
+      // pass's family samples instead; the short sample count surfaces
+      // the query in "errors" (and the raw "samples" arrays show which
+      // pass is missing), never as a silently mixed median.
+      val contaminated: Set[String] = buildResults.collect {
+        case (n, None) => familyOf.getOrElse(n, Set.empty[String])
+      }.flatten.toSet
+      val queryResults = order.map { case (name, fn) =>
+        if (contaminated.contains(name)) {
+          System.err.println(s"[bench] $name dropped this pass: family build failed")
+          name -> None
+        } else name -> execute(name, fn)
+      }
+      (buildResults ++ queryResults).toMap
     }
     pass() // warmup
     val passes = (1 to runs).map(_ => pass())

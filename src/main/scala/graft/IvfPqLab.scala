@@ -59,8 +59,12 @@ object IvfPqLab {
           graft.operators.Similarity.asDouble(col("embedding")).as("cv"))
           .withColumn("cn", graft.functions.DotProductExpr.dotProduct(col("cv"), col("cv")))
           .filter(col("cn") > 0)
+        // Same zero/NaN-norm filter ivfPqTopK applies to caller-supplied
+        // centroids — without it a degenerate fitted centroid makes this
+        // diagnostic's cell model diverge from the one the timed query uses.
         val centRows: Seq[(Seq[Double], Double)] =
           if (fit) cents.map(c => c -> c.map(x => x * x).sum)
+            .filter { case (_, cn) => cn > 0 && !cn.isNaN }
           else vv.orderBy(xxhash64(col("vec_id").cast("string"))).limit(cells)
             .select(col("cv"), col("cn")).collect()
             .toSeq.map(r => r.getSeq[Double](0).toSeq -> r.getDouble(1))

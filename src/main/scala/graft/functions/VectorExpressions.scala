@@ -426,19 +426,19 @@ object PqLutExpr {
 }
 
 /** ADC score of one PACKED code word against a probe LUT:
-  * Σ_j lut[j·ksub + ((codes >> j·bits) & mask)] — [[PqAdcExpr]]'s sum with
-  * the candidate's m codeword ids carried in ONE long instead of an
-  * array<int> (28-byte encoded rows; no per-row array reads on the 10⁸-
-  * pair ADC join). Null LUT elements / OOB indices null the sum like the
-  * array form. */
+  * Σ_j lut[j·ksub + ((codes >> j·bits) & mask)] — the classic array-form
+  * ADC sum, but with the candidate's m codeword ids carried in ONE long
+  * instead of an array<int> (28-byte encoded rows; no per-row array reads
+  * on the 10⁸-pair ADC join; an array-form expression was never kept).
+  * Null LUT elements / OOB indices null the sum. */
 case class PqAdcPackedExpr(left: Expression, right: Expression,
                            m: Int, ksub: Int, bits: Int)
     extends BinaryExpression {
   require(m > 0 && ksub > 1 && bits > 0 && m * bits <= 64, "bad packed shape")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_packed"
-  // Same override as PqAdcExpr: null is reachable from non-nullable
-  // children (OOB guard), so ev.isNull must be a variable.
+  // null is reachable from non-nullable children (the OOB guard above),
+  // so ev.isNull must be a variable, not the literal `false`.
   override def nullable: Boolean = true
 
   override def nullSafeEval(codes: Any, lut: Any): Any =

@@ -209,14 +209,30 @@ object Monitoring {
     * as "no drift").
     */
   def countDrift(df: DataFrame, dims: Seq[String], period: Column,
-                 factor: Int = 2): DataFrame = {
+                 factor: Int = 2): DataFrame =
+    countDriftFromCounts(countState(df, dims, period), dims, factor)
+
+  /** The (dims, day, n) periodic-count table both count monitors fold
+    * over — an ADDITIVE monoid (counts of disjoint batches add per key),
+    * so the production loop can maintain it per ingest batch
+    * ([[graft.streaming.EventStream.maintainCountState]]) and read the
+    * monitors off folded state without replaying events — the
+    * [[dupRateState]] precedent applied to the volume monitors. */
+  def countState(df: DataFrame, dims: Seq[String], period: Column): DataFrame = {
+    require(dims.nonEmpty, "at least one grouping dimension")
+    Seq("day", "n", "prev_n", "ratio", "is_drift", "med", "mad",
+        "deviation", "is_anomaly").foreach(c =>
+      require(!dims.contains(c), s"dimension '$c' collides with an output column"))
+    df.groupBy(dims.map(col) :+ period.as("day"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** [[countDrift]]'s report off an existing (dims, day, n) count table
+    * ([[countState]] or a fold of maintained state). */
+  def countDriftFromCounts(daily: DataFrame, dims: Seq[String],
+                           factor: Int = 2): DataFrame = {
     require(dims.nonEmpty, "at least one grouping dimension")
     require(factor >= 1, s"factor must be >= 1, got $factor")
-    Seq("day", "n", "prev_n", "ratio", "is_drift").foreach(c =>
-      require(!dims.contains(c), s"dimension '$c' collides with an output column"))
-    val daily = df
-      .groupBy(dims.map(col) :+ period.as("day"): _*)
-      .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(dims.map(col): _*).orderBy(col("day"))
     daily
       .withColumn("prev_n", lag(col("n"), 1).over(w))
@@ -375,14 +391,18 @@ object Monitoring {
     * count — the exact-percentile buffer is O(periods-per-group)),
     * joined back model-scale. */
   def countAnomaly(df: DataFrame, dims: Seq[String], period: Column,
-                   nMads: Double = 3.0): DataFrame = {
+                   nMads: Double = 3.0): DataFrame =
+    countAnomalyFromCounts(countState(df, dims, period), dims, nMads)
+
+  /** [[countAnomaly]]'s report off an existing (dims, day, n) count table
+    * ([[countState]] or a fold of maintained state) — the med/MAD math
+    * runs over GROUP rows either way, so reading the monitor from
+    * incrementally-maintained counts is the identical plan minus the
+    * event-corpus aggregation. */
+  def countAnomalyFromCounts(daily: DataFrame, dims: Seq[String],
+                             nMads: Double = 3.0): DataFrame = {
     require(dims.nonEmpty, "at least one grouping dimension")
     require(nMads > 0, s"nMads must be positive, got $nMads")
-    Seq("day", "n", "med", "mad", "deviation", "is_anomaly").foreach(c =>
-      require(!dims.contains(c), s"dimension '$c' collides with an output column"))
-    val daily = df
-      .groupBy(dims.map(col) :+ period.as("day"): _*)
-      .agg(count(lit(1)).as("n"))
     // NULL-SAFE dim joins: groupBy keeps a NULL-dim group, and a plain
     // equi-join would then silently drop its rows between the aggregate
     // and the report (null = null is never true) — the monitor would go

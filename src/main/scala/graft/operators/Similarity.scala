@@ -696,7 +696,9 @@ object Similarity {
     * IndexIVFPQ shape, `by_residual=false` variant): the coarse IVF
     * cells bound WHERE to look, and PRODUCT QUANTIZATION bounds what a
     * corpus row COSTS — each vector is stored as `m` small codeword ids
-    * (m·log₂(ksub) bits ≈ 8 bytes here vs 256 bytes of floats) plus its
+    * packed into ONE 64-bit word (so m·ceil(log₂ ksub) ≤ 64 is a hard
+    * parameter bound, validated up front; m·log₂(ksub) bits ≈ 8 bytes
+    * here vs 256 bytes of floats) plus its
     * reconstruction norm, and scoring is an m-term lookup-table sum
     * (ADC — asymmetric distance computation), never a d-term dot. At
     * 100 TB THIS is the variant that fits an index in executor memory:
@@ -741,6 +743,14 @@ object Similarity {
                 centroids: Seq[Seq[Double]] = Nil): DataFrame = {
     require(k > 0 && nProbe > 0 && m > 0 && ksub > 1 && refine > 0,
       "bad IVF-PQ params")
+    // Packed-code layout bound: codes ride ONE 64-bit word, so
+    // m·ceil(log₂ ksub) ≤ 64. The old array<int> form accepted e.g.
+    // (m=16, ksub=256); this variant rejects it up front, with the
+    // params named, instead of deep in PqCodebook's require.
+    val codeBits = math.max(1, 32 - Integer.numberOfLeadingZeros(ksub - 1))
+    require(m * codeBits <= 64,
+      s"m=$m subspaces of $codeBits-bit codes (ksub=$ksub) exceed the " +
+        "packed 64-bit layout: need m*ceil(log2(ksub)) <= 64")
     val c = droppingUndefinedNorms(
       corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
         .withColumn("cn", dot(col("cv"), col("cv"))), "cn")
@@ -841,7 +851,7 @@ object Similarity {
     val probeLuts = broadcast(
       p.select(col("query_id"), col("qn"), lut.as("lut")))
     // ADC: m lookups per pair — O(m), never O(d); vectors long gone. The
-    // score is the native [[graft.functions.PqAdcExpr]] generated loop —
+    // score is the native [[graft.functions.PqAdcPackedExpr]] generated loop —
     // the interpreted aggregate/zip_with HOF pair it replaces was the
     // dominant term of the sf10 bench (two interpreted lambdas plus a
     // zipped-array allocation per candidate pair).

@@ -147,7 +147,7 @@ object SimilarityQueries {
 
     // IVF-PQ: coarse cells bound WHERE to look, product-quantized codes
     // bound what a row COSTS (8 bytes vs 256; ADC lookup-table scoring —
-    // the native PqAdcExpr generated loop, O(m) per pair). Rows-only
+    // the native PqAdcPackedExpr generated loop, O(m) per pair). Rows-only
     // (driver-fit codebooks are a runtime model); recall floor pinned in
     // SimilaritySpec + VerifyExtras.
     // Parameterization is the SCALE-PROPORTIONAL rule (ivfPqParamsFor):

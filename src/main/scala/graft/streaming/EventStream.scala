@@ -298,6 +298,58 @@ object EventStream {
       spark.read.parquet(statePath)
         .dropDuplicates("__batch_id", "grp", "score_milli"))
 
+  /** Streaming maintenance for the volume monitors
+    * ([[graft.operators.Monitoring.countDrift]] /
+    * [[graft.operators.Monitoring.countAnomaly]]): each micro-batch
+    * appends its (dims, day, n) periodic counts — the additive monoid
+    * both monitors fold ([[graft.operators.Monitoring.countState]]) —
+    * so "did any group's volume drift / spike?" reads from state
+    * without replaying the event firehose. State is group-dimension
+    * (dim cardinality × periods), never event-count scale; replay-safe
+    * via batch-id dedup, the [[maintainAucState]] shape. */
+  def maintainCountState(events: DataFrame, dims: Seq[String],
+                         period: org.apache.spark.sql.Column,
+                         statePath: String, checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Monitoring.countState(batch.toDF(), dims, period)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(statePath)
+        ()
+      }
+      .start()
+
+  /** Current (dims, day, n) count table from a [[maintainCountState]]
+    * directory: a replayed batch appends IDENTICAL (__batch_id, dims,
+    * day, n) rows — dedup on the key, then counts ADD across batches.
+    * Feed to [[readCountDrift]] / [[readCountAnomaly]] (or the
+    * FromCounts operators directly). Scan is O(batches × groups) —
+    * compact by rewriting the fold result when that grows. */
+  def readCountState(spark: SparkSession, statePath: String,
+                     dims: Seq[String]): DataFrame =
+    spark.read.parquet(statePath)
+      .dropDuplicates("__batch_id" +: dims :+ "day")
+      .groupBy((dims :+ "day").map(col): _*)
+      .agg(sum("n").as("n"))
+
+  /** [[graft.operators.Monitoring.countDrift]]'s verdicts off maintained
+    * state — equal to a batch recompute over everything ever ingested
+    * (the count monoid is exact, no approximation anywhere). */
+  def readCountDrift(spark: SparkSession, statePath: String,
+                     dims: Seq[String], factor: Int = 2): DataFrame =
+    graft.operators.Monitoring.countDriftFromCounts(
+      readCountState(spark, statePath, dims), dims, factor)
+
+  /** [[graft.operators.Monitoring.countAnomaly]]'s robust med/MAD flags
+    * off maintained state — same equality-to-batch contract as
+    * [[readCountDrift]]; the MAD math always ran over group rows, so
+    * folded state feeds it unchanged. */
+  def readCountAnomaly(spark: SparkSession, statePath: String,
+                       dims: Seq[String], nMads: Double = 3.0): DataFrame =
+    graft.operators.Monitoring.countAnomalyFromCounts(
+      readCountState(spark, statePath, dims), dims, nMads)
+
   /** Streaming exact dedup on event_id: state is bounded by the watermark
     * (duplicates arriving later than `watermark` after the original are
     * not suppressed — the at-least-once ingestion contract). */

@@ -598,6 +598,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(report(EventStream.readAucState(spark, stateDir)) == recomputed)
   }
 
+  test("maintainCountState: streamed volume monitors equal batch recompute; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-cnt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cnt-ck").toString
+    val q = EventStream.maintainCountState(
+      src.toDS().toDF("event_type", "d"), Seq("event_type"), $"d",
+      stateDir, ckpt)
+    // (a, d2) is SPLIT across batches — its count must ADD across the
+    // fold (3 = 2 + 1), the property that makes the state a monoid and
+    // not a latest-wins snapshot. Group a's d3 spike (6 events vs med 3)
+    // is the anomaly the MAD gate must flag off folded state.
+    val all = Seq(
+      ("a", "d1"), ("a", "d1"), ("a", "d1"),
+      ("a", "d2"), ("a", "d2"),
+      ("b", "d1"), ("b", "d2")) ++ Seq(
+      ("a", "d2"),
+      ("a", "d3"), ("a", "d3"), ("a", "d3"), ("a", "d3"), ("a", "d3"), ("a", "d3"),
+      ("b", "d3"))
+    try {
+      src.addData(all.take(7): _*); q.processAllAvailable()
+      src.addData(all.drop(7): _*); q.processAllAvailable()
+    } finally q.stop()
+    val batchDf = all.toDF("event_type", "d")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"event_type", $"day").collect().map(_.toSeq).toSeq
+    val anomalyMaintained = rows(
+      EventStream.readCountAnomaly(spark, stateDir, Seq("event_type")))
+    assert(anomalyMaintained == rows(
+      graft.operators.Monitoring.countAnomaly(batchDf, Seq("event_type"), $"d")))
+    // the split (a, d2) group folded to 3; the d3 spike flags
+    assert(anomalyMaintained.exists(r =>
+      r(0) == "a" && r(1) == "d2" && r(2) == 3L))
+    assert(anomalyMaintained.exists(r =>
+      r(0) == "a" && r(1) == "d3" && r.last == 1))
+    val driftMaintained = rows(
+      EventStream.readCountDrift(spark, stateDir, Seq("event_type")))
+    assert(driftMaintained == rows(
+      graft.operators.Monitoring.countDrift(batchDf, Seq("event_type"), $"d")))
+    // replayed batch: identical (__batch_id, dims, day, n) rows fold once
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(rows(EventStream.readCountAnomaly(spark, stateDir, Seq("event_type"))) ==
+      anomalyMaintained)
+  }
+
   test("maintainNoveltyState: streamed census equals batch novelty and overlap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
