@@ -42,11 +42,17 @@ object IvfPqLab {
 
     cfgs.foreach { cfg =>
       val parts = cfg.split(":")
-      val (cells0, np0, rf) = (parts(0).toInt, parts(1).toInt, parts(2).toInt)
+      val (cells0, np0, rf0) = (parts(0).toInt, parts(1).toInt, parts(2).toInt)
       val fit = parts.length > 3 && parts(3) == "fit"
-      val (cells, np) =
-        if (cells0 == 0) { val (c, p, _) = Similarity.ivfPqParamsFor(n); (c, p) }
-        else (cells0, np0)
+      // cells=0 → the full ivfPqParamsFor rule, INCLUDING its refine when
+      // the cfg's refine field is also 0 (a literal refine=0 is invalid
+      // anyway — ivfPqTopK requires refine > 0 — so 0:0:0 means "exactly
+      // what the query wiring runs").
+      val (cells, np, rf) =
+        if (cells0 == 0) {
+          val (c, p, r) = Similarity.ivfPqParamsFor(n)
+          (c, p, if (rf0 > 0) rf0 else r)
+        } else (cells0, np0, rf0)
       val cents: Seq[Seq[Double]] =
         if (fit) Similarity.kmeansFit(v, k = cells, maxIter = 5)
         else Nil

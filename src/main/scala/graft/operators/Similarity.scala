@@ -626,12 +626,17 @@ object Similarity {
     * ≈ 75 probe cells of ~targetCell rows instead of 6 monolithic cells
     * of n/16 rows, so candidate generation partitions evenly (no
     * 12.5%-of-corpus skew cells) and per-task state stays bounded by
-    * targetCell, not by n. At the measured scales the pair (recall,
-    * wall) dominates the fixed config: sf10 60.2 s → see BENCH_SF10 for
-    * the refreshed row (native ADC + this rule), recall point in
-    * VERIFY_EXTRAS_SF10. At verify scales (n ≤ 16·targetCell) the rule
-    * reproduces the pinned (16, 6) config exactly, so the sf0.01/sf1
-    * recall floors measure the same operator the queries run. */
+    * targetCell, not by n. Measured at sf10 (200k vectors, IvfPqLab —
+    * IVFPQ_LAB_SF10.json): this rule holds recall@5 at 0.48 (sf1: 0.59;
+    * floor 0.4, VERIFY_EXTRAS_SF10.json) where the fixed config decays
+    * to 0.41; wall is 26.8 s vs the fixed config's 20.8 s — the rule
+    * buys recall and bounded per-task state for ~6 s of O(cells·d)
+    * per-row assignment at equal scanned mass (0.375 both). The RETIRED
+    * 60.2 s sf10 row measured the pre-native interpreted-HOF ADC, not
+    * either config: the packed-code expressions are the dominant win at
+    * scale. At verify scales (n ≤ 16·targetCell) the rule reproduces
+    * the pinned (16, 6) config exactly, so the sf0.01 recall floors
+    * measure the same operator the queries run. */
   def ivfPqParamsFor(n: Long, coverage: Double = 0.375,
                      targetCell: Int = 1000, refine: Int = 16): (Int, Int, Int) = {
     val cells = cellsFor(n, targetCell)

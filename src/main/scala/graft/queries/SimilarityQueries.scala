@@ -156,13 +156,16 @@ object SimilarityQueries {
     // recall lever on this noise-floor fixture (truth cosines 0.39-0.64,
     // rank gaps in the hundredths) — holds ≈ 37.5% instead of collapsing
     // as cells grow (cellsFor at FIXED nProbe=6 measured 0.24-0.29 at
-    // sf1; fixed 16 cells at sf10 made per-cell population n/16 — the
-    // 60.2 s superlinear row of the r10 sweep). refine=16 (shortlist
+    // sf1 and 0.27 at sf10; the rule measures 0.59 at sf1, 0.48 at sf10
+    // — VERIFY_EXTRAS_SF1/SF10, IVFPQ_LAB_SF10). refine=16 (shortlist
     // 80/probe) recovers the ADC-ranking loss a 20-row shortlist left
     // behind (sf1 0.37 -> 0.56). At verify scales (n ≤ 16k) the rule
-    // reproduces the pinned (16, 6) config exactly. On a CLUSTERED
-    // production corpus small fixed nProbe is the right lever — that
-    // path is q_ann_ivf's wiring.
+    // reproduces the pinned (16, 6) config exactly. The r10 sweep's
+    // 60.2 s sf10 row measured the retired interpreted-HOF ADC, not a
+    // config: the native packed-code path runs the SAME fixed config at
+    // 20.8 s and the rule at 26.8 s (the O(cells·d) assignment price of
+    // even cell populations). On a CLUSTERED production corpus small
+    // fixed nProbe is the right lever — that path is q_ann_ivf's wiring.
     "q_ann_ivfpq" -> ((s, dir) => {
       val v = Tables.load(s, dir, "embeddings")
       val (cells, nProbe, refine) = Similarity.ivfPqParamsFor(v.count())
