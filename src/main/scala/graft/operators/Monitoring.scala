@@ -320,6 +320,51 @@ object Monitoring {
     driftFromCuts(left, right, valueCol, cutRow.getSeq[Double](0), nBuckets)
   }
 
+  /** Reference-side PSI cut points as a REUSABLE MODEL (nBuckets − 1
+    * doubles): fit once on a reference snapshot via the mergeable
+    * KLL-family sketch, then PIN for every maintained batch — cuts that
+    * drifted per batch would make folded bucket counts incomparable, the
+    * same reason a fitted IVF model is frozen across queries. Feed to
+    * [[psiBucketState]] / [[graft.streaming.EventStream.maintainPsiState]]. */
+  def psiCuts(reference: DataFrame, valueCol: String, nBuckets: Int = 10,
+              accuracy: Int = 10000): Seq[Double] = {
+    require(nBuckets >= 2 && nBuckets <= 1024,
+      s"nBuckets must be in [2, 1024], got $nBuckets")
+    val pcts = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cutRow = reference.filter(col(valueCol).isNotNull)
+      .agg(percentile_approx(col(valueCol).cast("double"),
+        typedLit(pcts), lit(accuracy)).as("c")).head()
+    require(!cutRow.isNullAt(0),
+      s"reference side has no non-null '$valueCol' rows to bin by")
+    cutRow.getSeq[Double](0)
+  }
+
+  private def bucketOf(c: Column, cuts: Seq[Double]): Column =
+    cuts.foldLeft(lit(1))((acc, cut) =>
+      acc + when(c > lit(cut), 1).otherwise(0))
+
+  /** One side's (bucket, n) counts under PINNED cuts — the additive
+    * monoid the PSI report folds (counts of disjoint batches add per
+    * bucket), mirroring [[countState]] for the volume monitors. The
+    * bucket assignment is a zero-shuffle when-chain projection; the
+    * frame collapses to ≤ nBuckets rows map-side. */
+  def psiBucketState(df: DataFrame, valueCol: String,
+                     cuts: Seq[Double]): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(bucketOf(col(valueCol).cast("double"), cuts).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** PSI report off two folded (bucket, n) states — the
+    * [[distributionDrift]] output contract from maintained state
+    * ([[graft.streaming.EventStream.readPsiDrift]]); equal to the batch
+    * sketch variant when both states were bucketed by the same pinned
+    * [[psiCuts]] over the same data. */
+  def psiFromStates(leftState: DataFrame, rightState: DataFrame,
+                    nBuckets: Int = 10): DataFrame =
+    scoreBuckets(leftState.sparkSession,
+      leftState.select(col("bucket"), col("n").as("n_left")),
+      rightState.select(col("bucket"), col("n").as("n_right")), nBuckets)
+
   /** Shared PSI body: bin both sides by the given reference cut points,
     * score per-bucket terms and the ordered cumulative sum (scaladoc on
     * [[distributionDrift]]; the two public variants differ ONLY in how
@@ -327,18 +372,23 @@ object Monitoring {
   private def driftFromCuts(left: DataFrame, right: DataFrame,
                             valueCol: String, cuts: Seq[Double],
                             nBuckets: Int): DataFrame = {
-    def bucketOf(c: Column): Column =
-      cuts.foldLeft(lit(1))((acc, cut) =>
-        acc + when(c > lit(cut), 1).otherwise(0))
     def side(df: DataFrame, cnt: String): DataFrame =
-      df.filter(col(valueCol).isNotNull)
-        .select(bucketOf(col(valueCol).cast("double")).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
-    val buckets = left.sparkSession.range(1, nBuckets + 1)
+      psiBucketState(df, valueCol, cuts).withColumnRenamed("n", cnt)
+    scoreBuckets(left.sparkSession,
+      side(left, "n_left"), side(right, "n_right"), nBuckets)
+  }
+
+  /** The PSI scorer over two (bucket, count) frames — shared by the
+    * batch variants (counts straight off the scans) and the maintained
+    * read path (counts folded from state). */
+  private def scoreBuckets(spark: org.apache.spark.sql.SparkSession,
+                           leftCounts: DataFrame, rightCounts: DataFrame,
+                           nBuckets: Int): DataFrame = {
+    val buckets = spark.range(1, nBuckets + 1)
       .select(col("id").cast("int").as("bucket"))
     val joined = buckets
-      .join(side(left, "n_left"), Seq("bucket"), "left")
-      .join(side(right, "n_right"), Seq("bucket"), "left")
+      .join(leftCounts, Seq("bucket"), "left")
+      .join(rightCounts, Seq("bucket"), "left")
       .na.fill(0L, Seq("n_left", "n_right"))
     val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
     val wCum = Window.orderBy(col("bucket")).rowsBetween(Long.MinValue, 0)

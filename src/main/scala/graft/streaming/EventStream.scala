@@ -350,6 +350,46 @@ object EventStream {
     graft.operators.Monitoring.countAnomalyFromCounts(
       readCountState(spark, statePath, dims), dims, nMads)
 
+  /** Streaming maintenance for the PSI drift monitor
+    * ([[graft.operators.Monitoring.distributionDrift]]): each
+    * micro-batch appends its (bucket, n) counts under cut points PINNED
+    * at fit time ([[graft.operators.Monitoring.psiCuts]] on a reference
+    * snapshot — cuts drifting per batch would make folded counts
+    * incomparable). Maintain one state directory per side (the frozen
+    * reference side can be a single batch); the read side folds and
+    * scores. State is ≤ nBuckets rows per batch — never value-count
+    * scale; replay-safe via batch-id dedup, the [[maintainAucState]]
+    * shape. */
+  def maintainPsiState(rows: DataFrame, valueCol: String, cuts: Seq[Double],
+                       statePath: String, checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Monitoring.psiBucketState(batch.toDF(), valueCol, cuts)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(statePath)
+        ()
+      }
+      .start()
+
+  /** Current (bucket, n) counts from a [[maintainPsiState]] directory:
+    * replayed batches dedup on (__batch_id, bucket), then counts ADD. */
+  def readPsiState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .dropDuplicates("__batch_id", "bucket")
+      .groupBy("bucket")
+      .agg(sum("n").as("n"))
+
+  /** [[graft.operators.Monitoring.distributionDrift]]'s per-bucket PSI
+    * report off two maintained state directories — equal to the batch
+    * sketch variant over everything ever ingested when both sides were
+    * bucketed by the same pinned cuts. */
+  def readPsiDrift(spark: SparkSession, leftStatePath: String,
+                   rightStatePath: String, nBuckets: Int = 10): DataFrame =
+    graft.operators.Monitoring.psiFromStates(
+      readPsiState(spark, leftStatePath),
+      readPsiState(spark, rightStatePath), nBuckets)
+
   /** Streaming exact dedup on event_id: state is bounded by the watermark
     * (duplicates arriving later than `watermark` after the original are
     * not suppressed — the at-least-once ingestion contract). */

@@ -645,6 +645,51 @@ class StreamingSpec extends AnyFunSuite {
       anomalyMaintained)
   }
 
+  test("maintainPsiState: streamed PSI off pinned cuts equals batch sketch variant; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Reference (left) and current (right) value feeds with a genuine
+    // shape change: the right side's mass shifts upward.
+    val leftVals = (1 to 200).map(_.toDouble)
+    val rightVals = (1 to 200).map(i => i.toDouble + (if (i > 100) 400.0 else 0.0))
+    val leftDf = leftVals.toDF("v")
+    val rightDf = rightVals.toDF("v")
+    val cuts = graft.operators.Monitoring.psiCuts(leftDf, "v", nBuckets = 10)
+    def maintain(vals: Seq[Double], tag: String): String = {
+      val src = MemoryStream[Double]
+      val stateDir = java.nio.file.Files.createTempDirectory(s"graft-psi-$tag").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-psi-$tag-ck").toString
+      val q = EventStream.maintainPsiState(
+        src.toDS().toDF("v"), "v", cuts, stateDir, ckpt)
+      try {
+        // split mid-bucket so at least one bucket's count must ADD
+        // across the fold rather than arrive whole in one batch
+        src.addData(vals.take(vals.length / 3): _*); q.processAllAvailable()
+        src.addData(vals.drop(vals.length / 3): _*); q.processAllAvailable()
+      } finally q.stop()
+      stateDir
+    }
+    val lDir = maintain(leftVals, "l")
+    val rDir = maintain(rightVals, "r")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"bucket").collect().map(_.toSeq).toSeq
+    val maintained = rows(EventStream.readPsiDrift(spark, lDir, rDir))
+    // Same pinned cuts + same data => bit-identical to the batch sketch
+    // variant (which re-fits cuts from the same left side at the same
+    // accuracy).
+    val batch = rows(graft.operators.Monitoring
+      .distributionDriftSketch(leftDf, rightDf, "v"))
+    assert(maintained == batch)
+    // the shifted right mass must register: some bucket is one-sided or
+    // the total PSI is positive
+    assert(maintained.exists(r => r(5) == 1) ||
+      maintained.last.last.asInstanceOf[Double] > 0.0)
+    // replayed batch: identical (__batch_id, bucket, n) rows fold once
+    val st = spark.read.parquet(rDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(rDir)
+    assert(rows(EventStream.readPsiDrift(spark, lDir, rDir)) == maintained)
+  }
+
   test("maintainNoveltyState: streamed census equals batch novelty and overlap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
