@@ -538,6 +538,70 @@ object Vocab {
       .agg(sum(col("__sign")).as("weight"))
   }
 
+  /** DSIR importance log-weights (Xie et al. 2023 — Data Selection via
+    * Importance Resampling): score every raw-pool document by how much
+    * more likely its hashed-unigram bag is under the TARGET
+    * distribution than under the raw pool's own — the published recipe
+    * for selecting pretraining data that "looks like" a trusted target
+    * corpus. Both distributions are add-1-smoothed bucket unigram
+    * models over [[featureHash]]'s md5 buckets (hashing collapses the
+    * open vocabulary to `numBuckets` — DSIR's hashed n-gram trick, so
+    * the model is bucket-scale however large the corpus); a document's
+    * log-weight is Σ_tokens [ln p̂_target(b) − ln p̂_raw(b)], reported
+    * as the total and the per-token average (length-debiased for
+    * thresholding). Sampling proportional to exp(logweight) is
+    * [[graft.operators.Sampling]]'s weighted-sample job downstream.
+    *
+    * Cross-engine float discipline (the [[docSurprisal]] pairing): each
+    * bucket's TWO log-prices are rounded once to 6 decimals and frozen
+    * as DECIMAL(18,6) at bucket scale; per-doc accumulation is two
+    * exact order-free decimal sums (each the unigram-proven
+    * decimal×long shape — a single subtracted price would widen the
+    * decimal lattice differently across engines); logweight is ONE
+    * decimal subtraction cast to double, the average one IEEE division
+    * of bit-identical operands.
+    *
+    * Scale shape: one corpus pass collapses to per-doc (bucket, tf)
+    * rows with map-side combine; the two censuses are ONE bucket-scale
+    * aggregate of it (raw counts + target counts via a conditional
+    * sum); prices broadcast back onto the TF rows. Docs with zero
+    * tokens are absent (nothing to weight); target docs score like any
+    * other raw-pool member, as in the paper. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, numBuckets: Int = 64): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val dec = "decimal(18,6)"
+    val tf = df.select(col(idCol).as("doc_id"), isTarget.as("__tgt"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), col("__tgt"),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+          % numBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("__tgt"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val priced = tf.groupBy(col("bucket"))
+      .agg(sum(col("tf")).as("n_raw"),
+        sum(when(col("__tgt"), col("tf")).otherwise(0L)).as("n_tgt"))
+      .withColumn("__rt", sum(col("n_raw")).over(w))
+      .withColumn("__tt", sum(col("n_tgt")).over(w))
+      .select(col("bucket"),
+        round(log((col("n_tgt") + 1L).cast("double") /
+          (col("__tt") + numBuckets).cast("double")), 6).cast(dec).as("tp"),
+        round(log((col("n_raw") + 1L).cast("double") /
+          (col("__rt") + numBuckets).cast("double")), 6).cast(dec).as("rp"))
+    tf.join(priced, Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tp") * col("tf")).as("__t"),
+        sum(col("rp") * col("tf")).as("__r"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__t") - col("__r")).cast("double").as("logweight"),
+        ((col("__t") - col("__r")).cast("double") /
+          col("n_tokens").cast("double")).as("avg_logweight"))
+  }
+
   /** CCNet-style PERPLEXITY BAND-PASS assignment: classify every
     * document low/mid/high by its [[docSurprisal]] average against the
     * corpus's own `lo`/`hi` percentile cuts — the head/middle/tail

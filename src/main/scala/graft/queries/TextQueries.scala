@@ -753,6 +753,16 @@ object TextQueries {
           numBuckets = 64)
         .orderBy(col("id"), col("bucket"))),
 
+    // DSIR importance log-weights: how much more likely each document's
+    // hashed-unigram bag is under the TARGET distribution (the %7 docs —
+    // the contamination convention's eval-suite proxy) than under the
+    // raw pool's own — the published data-selection score (Xie et al.
+    // 2023); sampling ∝ exp(logweight) is q_weighted_sample downstream.
+    "q_dsir_weights" -> ((s, dir) =>
+      Vocab.dsirWeights(Tables.load(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("doc_id") % 7 === 0, numBuckets = 64)
+        .orderBy(col("doc_id"))),
+
     // CCNet-style perplexity band-pass assignment: low/mid/high by the
     // corpus's own P25/P75 surprisal cuts.
     "q_perplexity_bands" -> ((s, dir) =>
@@ -1804,6 +1814,35 @@ object TextQueries {
          |  FROM toks WHERE length(token) > 0)
          |SELECT id, bucket, CAST(sum(sign) AS BIGINT) AS weight
          |FROM t GROUP BY 1, 2 ORDER BY id, bucket""".stripMargin,
+
+    "q_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+         |census AS (
+         |  SELECT bucket, CAST(sum(tf) AS BIGINT) AS n_raw,
+         |    CAST(sum(CASE WHEN doc_id % 7 = 0 THEN tf ELSE 0 END) AS BIGINT) AS n_tgt
+         |  FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS rt,
+         |               CAST(sum(n_tgt) AS BIGINT) AS tt FROM census),
+         |priced AS (
+         |  SELECT bucket,
+         |    CAST(round(ln(CAST(n_tgt + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS tp,
+         |    CAST(round(ln(CAST(n_raw + 1 AS DOUBLE) / CAST(rt + 64 AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS rp
+         |  FROM census CROSS JOIN tot)
+         |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(p.tp * tf.tf) - sum(p.rp * tf.tf) AS DOUBLE) AS logweight,
+         |  CAST(sum(p.tp * tf.tf) - sum(p.rp * tf.tf) AS DOUBLE)
+         |    / CAST(CAST(sum(tf.tf) AS BIGINT) AS DOUBLE) AS avg_logweight
+         |FROM tf JOIN priced p USING (bucket)
+         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_perplexity_bands" ->
       s"""WITH toks AS (

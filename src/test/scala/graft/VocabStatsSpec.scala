@@ -260,4 +260,30 @@ class VocabStatsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_points") == 3L)
     assert(out.getAs[Double]("zipf_slope") == 0.0)
   }
+
+  test("dsirWeights: target-like docs score above target-unlike; zero-token docs absent") {
+    // Target (ids % 7 == 0) speaks one token language, the rest of the
+    // pool another; a raw doc written in the target's language must
+    // out-score every raw doc written in the pool's own.
+    val docs = Seq(
+      (0L, "zq zq wx wx zq"),       // target
+      (7L, "zq wx zq wx"),          // target
+      (1L, "zq wx zq"),             // raw, target-like -> high weight
+      (2L, "mm nn mm nn mm"),       // raw, pool-typical -> low weight
+      (3L, "nn mm nn"),             // raw, pool-typical
+      (4L, "   ")                   // zero tokens -> absent
+    ).toDF("doc_id", "text")
+    val out = Vocab.dsirWeights(docs, "doc_id", "text",
+      isTarget = $"doc_id" % 7 === 0, numBuckets = 64)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logweight"))).toMap
+    assert(!rows.contains(4L), "zero-token doc must be absent")
+    assert(rows(1L)._1 == 3L)
+    // per-token average debiases length: target-like beats pool-typical
+    assert(rows(1L)._2 > rows(2L)._2 && rows(1L)._2 > rows(3L)._2)
+    // target docs themselves score high (they ARE the target language)
+    assert(rows(0L)._2 > rows(2L)._2)
+    // logweight is the per-token average times n_tokens (one division)
+    rows.values.foreach { case (n, avg) => assert(!avg.isNaN && n > 0) }
+  }
 }
