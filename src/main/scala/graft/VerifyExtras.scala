@@ -73,9 +73,16 @@ object VerifyExtras {
 
       // --- ANN family -------------------------------------------------------
       val probes = emb.filter($"vec_id" % 100 === 0)
+      val nEmb = emb.count()
       val annTruth = Similarity.bruteForceTopK(probes, emb, k = 5)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
-      val annLsh = Similarity.lshTopK(probes, emb, k = 5)
+      // Every ANN variant runs the EXACT config its query wiring uses —
+      // lsh mirrors q_ann_lsh (planes = max(4, planesFor(n, 512)),
+      // nProbe = min(planes+1, 8)); at verify scales this coincides with
+      // the historical default planes=4 but probes one bucket wider.
+      val lshPlanes = math.max(4, Similarity.planesFor(nEmb, targetBucket = 512))
+      val annLsh = Similarity.lshTopK(probes, emb, k = 5, bands = 4,
+          planesPerBand = lshPlanes, nProbe = math.min(lshPlanes + 1, 8))
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
       // Cell counts mirror the QUERY wiring: ivf/ivf_fit scale cells
       // with the corpus (cellsFor — a pinned 16 here measured a variant
@@ -84,7 +91,7 @@ object VerifyExtras {
       // scaled to hold coverage ≈ 37.5% — identical to the old static
       // 16/6 at every verify scale ≤ 16k vectors, see the q_ann_ivfpq
       // comment).
-      val nCells = Similarity.cellsFor(emb.count())
+      val nCells = Similarity.cellsFor(nEmb)
       val annIvf = Similarity.ivfTopK(probes, emb, k = 5, nCentroids = nCells,
           nProbe = 6)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
@@ -92,7 +99,7 @@ object VerifyExtras {
       val annIvfFit = Similarity.ivfTopK(probes, emb, k = 5, nProbe = 4,
           centroids = fitCents)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
-      val (pqCells, pqProbe, pqRefine) = Similarity.ivfPqParamsFor(emb.count())
+      val (pqCells, pqProbe, pqRefine) = Similarity.ivfPqParamsFor(nEmb)
       val annIvfPq = Similarity.ivfPqTopK(probes, emb, k = 5,
           nCentroids = pqCells, nProbe = pqProbe, refine = pqRefine)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
@@ -464,9 +471,12 @@ object VerifyExtras {
     import graft.sources.Tables
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val emb = Tables.load(spark, sfDir, "embeddings").persist(lvl)
+    // Declared outside the try so the finally can unpersist it on the
+    // failure path too (unpersist on a never-persisted handle is a no-op).
+    var sampled: org.apache.spark.sql.DataFrame = null
     try {
       val n = emb.count()
-      val sampled = emb.filter(col("vec_id") % 100 === 0)
+      sampled = emb.filter(col("vec_id") % 100 === 0)
         .orderBy(xxhash64(col("vec_id").cast("string"))).limit(probeCap)
         .persist(lvl)
       sampled.count()
@@ -476,12 +486,17 @@ object VerifyExtras {
       val annIvfPq = Similarity.ivfPqTopK(sampled, emb, k = 5,
           nCentroids = pqCells, nProbe = pqProbe, refine = pqRefine)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
-      val annLsh = Similarity.lshTopK(sampled, emb, k = 5)
+      // Mirrors q_ann_lsh's wiring exactly (planes grow with n toward a
+      // 512-target bucket; nProbe widens with the plane count) — the
+      // recall measured here is the recall the SHIPPED query has at this
+      // scale, not the easier default-config variant.
+      val lshPlanes = math.max(4, Similarity.planesFor(n, targetBucket = 512))
+      val annLsh = Similarity.lshTopK(sampled, emb, k = 5, bands = 4,
+          planesPerBand = lshPlanes, nProbe = math.min(lshPlanes + 1, 8))
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
       val annIvf = Similarity.ivfTopK(sampled, emb, k = 5,
           nCentroids = Similarity.cellsFor(n), nProbe = 6)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
-      sampled.unpersist()
       Seq(
         // ivfpq and lsh keep their full-check floors: both configs scale
         // WITH the corpus (ivfPqParamsFor holds coverage ≈ 37.5%,
@@ -501,7 +516,10 @@ object VerifyExtras {
           floor = 6.0 / Similarity.cellsFor(n), annTruth.length, annIvf.length),
         Check("ann_lsh_vs_brute_force", pairRecall(annTruth, annLsh),
           floor = 0.6, annTruth.length, annLsh.length))
-    } finally { emb.unpersist(); () }
+    } finally {
+      if (sampled != null) sampled.unpersist()
+      emb.unpersist(); ()
+    }
   }
 
   def writeJson(spark: SparkSession, sfDir: String, outPaths: Seq[String],

@@ -219,19 +219,28 @@ object Monitoring {
     * monitors off folded state without replaying events — the
     * [[dupRateState]] precedent applied to the volume monitors. */
   def countState(df: DataFrame, dims: Seq[String], period: Column): DataFrame = {
+    requireNoOutputCollision(dims)
+    df.groupBy(dims.map(col) :+ period.as("day"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** A dim named like one of the monitors' output columns would be
+    * silently overwritten by the report's withColumns — repeated in the
+    * FromCounts variants too, which are documented direct entry points
+    * for externally-built count tables and so can't rely on
+    * [[countState]] having screened the names. */
+  private def requireNoOutputCollision(dims: Seq[String]): Unit = {
     require(dims.nonEmpty, "at least one grouping dimension")
     Seq("day", "n", "prev_n", "ratio", "is_drift", "med", "mad",
         "deviation", "is_anomaly").foreach(c =>
       require(!dims.contains(c), s"dimension '$c' collides with an output column"))
-    df.groupBy(dims.map(col) :+ period.as("day"): _*)
-      .agg(count(lit(1)).as("n"))
   }
 
   /** [[countDrift]]'s report off an existing (dims, day, n) count table
     * ([[countState]] or a fold of maintained state). */
   def countDriftFromCounts(daily: DataFrame, dims: Seq[String],
                            factor: Int = 2): DataFrame = {
-    require(dims.nonEmpty, "at least one grouping dimension")
+    requireNoOutputCollision(dims)
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val w = Window.partitionBy(dims.map(col): _*).orderBy(col("day"))
     daily
@@ -358,12 +367,29 @@ object Monitoring {
     * [[distributionDrift]] output contract from maintained state
     * ([[graft.streaming.EventStream.readPsiDrift]]); equal to the batch
     * sketch variant when both states were bucketed by the same pinned
-    * [[psiCuts]] over the same data. */
+    * [[psiCuts]] over the same data.
+    *
+    * `nBuckets` must match the bucket count the cuts were FIT with:
+    * the scorer grids range(1..nBuckets) and left-joins the states, so
+    * state rows above nBuckets would silently drop from the report.
+    * Guarded by a require on the states' max bucket — the states are
+    * model-scale (≤ nBuckets rows each), so the check is one cheap
+    * driver action, and a cuts/nBuckets mismatch fails loudly instead
+    * of reporting a wrong PSI. */
   def psiFromStates(leftState: DataFrame, rightState: DataFrame,
-                    nBuckets: Int = 10): DataFrame =
+                    nBuckets: Int = 10): DataFrame = {
+    def maxBucket(st: DataFrame): Int = {
+      val r = st.agg(max(col("bucket"))).head()
+      if (r.isNullAt(0)) 1 else r.getInt(0)
+    }
+    val seen = math.max(maxBucket(leftState), maxBucket(rightState))
+    require(seen <= nBuckets,
+      s"state holds bucket $seen but nBuckets=$nBuckets — the states were " +
+        "folded under cuts fit with more buckets; pass the fit-time nBuckets")
     scoreBuckets(leftState.sparkSession,
       leftState.select(col("bucket"), col("n").as("n_left")),
       rightState.select(col("bucket"), col("n").as("n_right")), nBuckets)
+  }
 
   /** Shared PSI body: bin both sides by the given reference cut points,
     * score per-bucket terms and the ordered cumulative sum (scaladoc on
@@ -451,7 +477,7 @@ object Monitoring {
     * event-corpus aggregation. */
   def countAnomalyFromCounts(daily: DataFrame, dims: Seq[String],
                              nMads: Double = 3.0): DataFrame = {
-    require(dims.nonEmpty, "at least one grouping dimension")
+    requireNoOutputCollision(dims)
     require(nMads > 0, s"nMads must be positive, got $nMads")
     // NULL-SAFE dim joins: groupBy keeps a NULL-dim group, and a plain
     // equi-join would then silently drop its rows between the aggregate

@@ -566,16 +566,42 @@ object Vocab {
     * aggregate of it (raw counts + target counts via a conditional
     * sum); prices broadcast back onto the TF rows. Docs with zero
     * tokens are absent (nothing to weight); target docs score like any
-    * other raw-pool member, as in the paper. */
+    * other raw-pool member, as in the paper.
+    *
+    * `ngrams`: the paper's feature space is hashed unigrams AND
+    * bigrams — `ngrams = 2` adds a bigram lane (adjacent-token pairs
+    * space-joined, hashed into the SAME bucket space; the feature
+    * stream is the union, so `n_tokens` reports the FEATURE count,
+    * 2T−1 for a T-token doc). Bigrams price token ORDER: scrambled
+    * target-vocabulary text ties the unigram model but separates under
+    * bigram buckets (spec-pinned). The bucket model stays ≤ numBuckets
+    * rows either way, and the stream merely doubles — same shape. */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column, numBuckets: Int = 64): DataFrame = {
+                  isTarget: Column, numBuckets: Int = 64,
+                  ngrams: Int = 1): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
+    require(ngrams == 1 || ngrams == 2, s"ngrams must be 1 or 2, got $ngrams")
     val dec = "decimal(18,6)"
-    val tf = df.select(col(idCol).as("doc_id"), isTarget.as("__tgt"),
-        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
-      .filter(length(col("token")) > 0)
+    // Empty tokens are dropped BEFORE pairing (filter inside the array,
+    // the docBigramSurprisal discipline): post-explode filtering would
+    // make "a  b" yield no bigram while "a b" yields one.
+    val arr = org.apache.spark.sql.functions.filter(
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))),
+      t => length(t) > 0)
+    val base = df.select(col(idCol).as("doc_id"), isTarget.as("__tgt"),
+      arr.as("__a"))
+    val uni = base.select(col("doc_id"), col("__tgt"),
+      explode(col("__a")).as("feat"))
+    val feats =
+      if (ngrams == 1) uni
+      else uni.unionByName(base.filter(size(col("__a")) >= 2)
+        .select(col("doc_id"), col("__tgt"), explode(transform(
+          sequence(lit(1), size(col("__a")) - 1),
+          i => concat(element_at(col("__a"), i), lit(" "),
+            element_at(col("__a"), i + 1)))).as("feat")))
+    val tf = feats
       .select(col("doc_id"), col("__tgt"),
-        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+        (conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long")
           % numBuckets).as("bucket"))
       .groupBy(col("doc_id"), col("__tgt"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
@@ -600,6 +626,58 @@ object Vocab {
         (col("__t") - col("__r")).cast("double").as("logweight"),
         ((col("__t") - col("__r")).cast("double") /
           col("n_tokens").cast("double")).as("avg_logweight"))
+  }
+
+  /** DSIR SELECTION end-to-end (the resampling step of Xie et al. 2023,
+    * composed from [[dsirWeights]] and [[Sampling
+    * .weightedSystematicSample]]): draw `k` document slots from the raw
+    * pool with probability proportional to exp(logweight) — the
+    * importance-resampled subset a pretraining pipeline actually
+    * consumes. Heavy documents (importance above W/k of the total mass)
+    * are guaranteed in with `n_copies` > 1 (resampling WITH replacement,
+    * as in the paper); Σ n_copies = k exactly.
+    *
+    * Cross-engine float discipline — exp() is transcendental and libm
+    * implementations differ by ulps, so a per-doc exp would break
+    * hash parity; instead the log-weight snaps to the 1/`steps` LOG
+    * LATTICE first: q = clamp(round(logweight·steps), ±clip·steps) is
+    * an exact integer (logweight is a decimal-subtraction double, and
+    * `steps` is required to be a power of two so ·steps and /steps are
+    * binary-exact), which leaves exp() evaluated only on the FIXED set
+    * of 2·clip·steps+1 rational lattice points. importance =
+    * round(exp(q/steps)·1e6) is then provably stable: every lattice
+    * constant's scaled value sits ≥ 1e-4 (and ≥ 1000 ulps) from a
+    * rounding boundary — spec-pinned in DsirSpec, so a 1-ulp libm
+    * disagreement cannot flip any integer weight, and the sampler's
+    * all-integer ceil-division does the rest. Clipping at exp(±clip)
+    * is the standard importance-weight clamp (it also bounds the
+    * integer lattice: exp(12)·1e6 ≈ 1.6e11 « 2^63).
+    *
+    * Scale shape: [[dsirWeights]]'s (one corpus collapse + ≤64-row
+    * census + broadcast-back prices), then the sampler's two-phase
+    * distributed prefix sum over doc-level rows (256 rank buckets, one
+    * model-scale offset frame broadcast back) — nothing corpus-global,
+    * no per-doc transcendental risk, no driver-side data.
+    *
+    * Output: (doc_id, n_tokens, logweight, importance, stream_offset,
+    * n_copies) for the selected docs only. */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, k: Long, numBuckets: Int = 64,
+                 ngrams: Int = 1, clip: Double = 12.0, steps: Int = 8,
+                 salt: String = "dsir"): DataFrame = {
+    require(steps > 0 && (steps & (steps - 1)) == 0,
+      s"steps must be a positive power of two (lattice exactness), got $steps")
+    require(clip > 0 && (clip * steps) == math.floor(clip * steps),
+      s"clip*steps must be integral, got $clip*$steps")
+    val w = dsirWeights(df, idCol, textCol, isTarget, numBuckets, ngrams)
+    val qLat = least(greatest(round(col("logweight") * steps, 0),
+      lit(-clip * steps)), lit(clip * steps))
+    val weighted = w.select(col("doc_id"), col("n_tokens"), col("logweight"),
+      round(exp(qLat / steps) * lit(1e6), 0).cast("long").as("importance"))
+    Sampling.weightedSystematicSample(weighted, "doc_id", "importance", k,
+        salt)
+      .select(col("doc_id"), col("n_tokens"), col("logweight"),
+        col("importance"), col("stream_offset"), col("n_copies"))
   }
 
   /** CCNet-style PERPLEXITY BAND-PASS assignment: classify every

@@ -763,6 +763,25 @@ object TextQueries {
           isTarget = col("doc_id") % 7 === 0, numBuckets = 64)
         .orderBy(col("doc_id"))),
 
+    // DSIR with the paper-faithful hashed unigram+bigram feature space:
+    // bigram buckets price token ORDER (scrambled target-vocab text
+    // separates where the unigram lane ties — spec-pinned in DsirSpec);
+    // n_tokens here counts FEATURES (2T−1 per T-token doc).
+    "q_dsir_weights_bigram" -> ((s, dir) =>
+      Vocab.dsirWeights(Tables.load(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("doc_id") % 7 === 0, numBuckets = 64, ngrams = 2)
+        .orderBy(col("doc_id"))),
+
+    // DSIR selection END-TO-END: importance resampling of k=200 doc
+    // slots ∝ exp(logweight) — dsirWeights composed with the PPS
+    // systematic sampler through the exp-lattice integer importance
+    // (the artifact a pretraining pipeline consumes; n_copies > 1 =
+    // heavy doc drawn multiply, Σ n_copies = 200 exactly).
+    "q_dsir_select" -> ((s, dir) =>
+      Vocab.dsirSelect(Tables.load(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("doc_id") % 7 === 0, k = 200, numBuckets = 64)
+        .orderBy(col("doc_id"))),
+
     // CCNet-style perplexity band-pass assignment: low/mid/high by the
     // corpus's own P25/P75 surprisal cuts.
     "q_perplexity_bands" -> ((s, dir) =>
@@ -1843,6 +1862,101 @@ object TextQueries {
          |    / CAST(CAST(sum(tf.tf) AS BIGINT) AS DOUBLE) AS avg_logweight
          |FROM tf JOIN priced p USING (bucket)
          |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Bigram lane: parallel unnests zip positionally in DuckDB (the
+    // q_label_coherence pattern) and the shorter slice pads with NULL,
+    // so the pair stream is linear — never array-per-position.
+    "q_dsir_weights_bigram" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split($normSql, ' '), t -> length(t) > 0) AS a
+         |  FROM documents),
+         |feats AS (
+         |  SELECT doc_id, unnest(a) AS feat FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, w1 || ' ' || w2 AS feat FROM (
+         |    SELECT doc_id, unnest(a) AS w1, unnest(a[2:]) AS w2 FROM toks) z
+         |  WHERE w2 IS NOT NULL),
+         |tf AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 64 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM feats GROUP BY 1, 2),
+         |census AS (
+         |  SELECT bucket, CAST(sum(tf) AS BIGINT) AS n_raw,
+         |    CAST(sum(CASE WHEN doc_id % 7 = 0 THEN tf ELSE 0 END) AS BIGINT) AS n_tgt
+         |  FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS rt,
+         |               CAST(sum(n_tgt) AS BIGINT) AS tt FROM census),
+         |priced AS (
+         |  SELECT bucket,
+         |    CAST(round(ln(CAST(n_tgt + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS tp,
+         |    CAST(round(ln(CAST(n_raw + 1 AS DOUBLE) / CAST(rt + 64 AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS rp
+         |  FROM census CROSS JOIN tot)
+         |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(p.tp * tf.tf) - sum(p.rp * tf.tf) AS DOUBLE) AS logweight,
+         |  CAST(sum(p.tp * tf.tf) - sum(p.rp * tf.tf) AS DOUBLE)
+         |    / CAST(CAST(sum(tf.tf) AS BIGINT) AS DOUBLE) AS avg_logweight
+         |FROM tf JOIN priced p USING (bucket)
+         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    // The q_dsir_weights chain feeding the q_weighted_sample sampler
+    // body: importance = round(exp(lattice(logweight))·1e6) — the
+    // lattice argument (round(logweight·8) clamped to ±96, /8) is
+    // binary-exact on both engines, and every one of the 193 lattice
+    // constants' scaled exp sits ≥1e-4 from a rounding boundary
+    // (DsirSpec), so the BIGINT importance is cross-engine identical;
+    // the sampler is the proven all-integer floor-division form.
+    "q_dsir_select" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+         |census AS (
+         |  SELECT bucket, CAST(sum(tf) AS BIGINT) AS n_raw,
+         |    CAST(sum(CASE WHEN doc_id % 7 = 0 THEN tf ELSE 0 END) AS BIGINT) AS n_tgt
+         |  FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS rt,
+         |               CAST(sum(n_tgt) AS BIGINT) AS tt FROM census),
+         |priced AS (
+         |  SELECT bucket,
+         |    CAST(round(ln(CAST(n_tgt + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS tp,
+         |    CAST(round(ln(CAST(n_raw + 1 AS DOUBLE) / CAST(rt + 64 AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS rp
+         |  FROM census CROSS JOIN tot),
+         |w AS (
+         |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |    CAST(sum(p.tp * tf.tf) - sum(p.rp * tf.tf) AS DOUBLE) AS logweight
+         |  FROM tf JOIN priced p USING (bucket) GROUP BY tf.doc_id),
+         |imp AS (
+         |  SELECT doc_id, n_tokens, logweight,
+         |    CAST(round(exp(least(greatest(round(logweight * 8, 0),
+         |        -96), 96) / 8) * 1000000.0, 0) AS BIGINT) AS importance,
+         |    substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8) AS r
+         |  FROM w),
+         |c AS (
+         |  SELECT doc_id, n_tokens, logweight, importance,
+         |    CAST(sum(importance) OVER (ORDER BY r, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+         |  FROM imp),
+         |tw AS (SELECT CAST(sum(importance) AS BIGINT) AS wt FROM imp),
+         |s AS (
+         |  SELECT doc_id, n_tokens, logweight, importance,
+         |    hi - importance AS stream_offset,
+         |    ((hi * 200 + wt - 1) // wt)
+         |      - (((hi - importance) * 200 + wt - 1) // wt) AS n_copies
+         |  FROM c, tw)
+         |SELECT doc_id, n_tokens, logweight, importance,
+         |  CAST(stream_offset AS BIGINT) AS stream_offset,
+         |  CAST(n_copies AS BIGINT) AS n_copies
+         |FROM s WHERE n_copies > 0 ORDER BY doc_id""".stripMargin,
 
     "q_perplexity_bands" ->
       s"""WITH toks AS (
