@@ -44,14 +44,32 @@ object ValidationRound {
   final case class AnomalySpec(dims: Seq[String], period: Column,
                                nMads: Double = 3.0)
 
+  /** Opt-in CENSUS monitors read from MAINTAINED state directories —
+    * the operating round consuming the streaming family's work
+    * ([[graft.streaming.EventStream.maintainDupRateState]] /
+    * [[graft.streaming.EventStream.maintainNoveltyState]]) instead of
+    * re-scanning any corpus: the round row summarizes each declared
+    * monitor to its WORST source (max dup_rate; min novelty), ties
+    * broken to the lexicographically smallest source. The values are
+    * aggregations OF the standalone monitor outputs
+    * ([[graft.operators.Monitoring.dupRateFromState]] /
+    * [[graft.operators.Vocab.noveltyFromState]] — spec-proven equal),
+    * not parallel reimplementations. A declared path that does not
+    * exist yet (no batch has committed) yields NULL columns, like an
+    * unpopulated table in the triage path. */
+  final case class CensusSpec(dupRatePath: Option[String] = None,
+                              noveltyPath: Option[String] = None)
+
   /** One table pair to validate. `partCol` opts into checksum triage
-    * (the column must exist on both sides); `drift`/`anomaly` opt into
-    * the monitoring columns (NULL for pairs that don't declare them). */
+    * (the column must exist on both sides); `drift`/`anomaly`/`census`
+    * opt into the monitoring columns (NULL for pairs that don't declare
+    * them). */
   final case class TablePair(name: String, left: DataFrame, right: DataFrame,
                              pks: Seq[String], exclude: Seq[String] = Nil,
                              partCol: Option[String] = None,
                              drift: Option[DriftSpec] = None,
-                             anomaly: Option[AnomalySpec] = None)
+                             anomaly: Option[AnomalySpec] = None,
+                             census: Option[CensusSpec] = None)
 
   private val schema = StructType(Seq(
     StructField("table_name", StringType, nullable = false),
@@ -73,7 +91,14 @@ object ValidationRound {
     StructField("psi_one_sided_buckets", LongType, nullable = true),
     StructField("psi_status", StringType, nullable = true),
     StructField("anomaly_periods_hive", LongType, nullable = true),
-    StructField("anomaly_periods_sf", LongType, nullable = true)))
+    StructField("anomaly_periods_sf", LongType, nullable = true),
+    // Census-monitor columns (CensusSpec) — read from MAINTAINED state,
+    // so they stay populated even for schema_drift rows (they never
+    // touch the pair's tables).
+    StructField("dup_rate_max", DoubleType, nullable = true),
+    StructField("dup_rate_max_source", StringType, nullable = true),
+    StructField("novelty_min", DoubleType, nullable = true),
+    StructField("novelty_min_source", StringType, nullable = true)))
 
   /** Per-pair status: `schema_drift` (gate failed, no data read),
     * `clean` (checksum triage proved parity — row diff skipped; counts
@@ -87,6 +112,34 @@ object ValidationRound {
       val drifted = TableDiff.schemaDrift(
           p.left.drop(p.exclude: _*), p.right.drop(p.exclude: _*))
         .filter(col("status") =!= "ok").count()
+      // Census monitors read MAINTAINED state, never the pair's tables,
+      // so they run regardless of the schema gate. Worst-source summary
+      // with deterministic ties (smallest source); a not-yet-created
+      // state directory reports NULLs (no batch has committed yet).
+      def exists(path: String): Boolean = {
+        val hp = new org.apache.hadoop.fs.Path(path)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+      }
+      val censusCols: Seq[Any] = {
+        val dup = p.census.flatMap(_.dupRatePath).filter(exists).map { path =>
+          val r = graft.operators.Monitoring.dupRateFromState(
+              graft.streaming.EventStream.readDupRateState(spark, path))
+            .agg(max(col("dup_rate")),
+              min_by(col("source"), struct(-col("dup_rate"), col("source"))))
+            .head()
+          (if (r.isNullAt(0)) null else r.getDouble(0), r.getString(1))
+        }
+        val nov = p.census.flatMap(_.noveltyPath).filter(exists).map { path =>
+          val r = graft.operators.Vocab.noveltyFromState(
+              graft.streaming.EventStream.readNoveltyState(spark, path))
+            .agg(min(col("novelty")),
+              min_by(col("source"), struct(col("novelty"), col("source"))))
+            .head()
+          (if (r.isNullAt(0)) null else r.getDouble(0), r.getString(1))
+        }
+        Seq(dup.map(_._1).orNull, dup.map(_._2).orNull,
+          nov.map(_._1).orNull, nov.map(_._2).orNull)
+      }
       // Monitors run once the schema gate passes (they read data, the
       // gate's contract forbids that on drift) and regardless of the
       // triage verdict: PSI on a checksum-clean pair is provably 0 —
@@ -143,7 +196,7 @@ object ValidationRound {
         }
       if (drifted > 0)
         Row.fromSeq(Seq(p.name, "schema_drift", false, 0L, 0L, 0L, 0L, 0L,
-          0L, 0L, "", "", "") ++ monitorCols)
+          0L, 0L, "", "", "") ++ monitorCols ++ censusCols)
       else {
         val triage = p.partCol.map { pc =>
           // coalesce: an empty pair (not-yet-populated table) sums to
@@ -161,7 +214,7 @@ object ValidationRound {
           // paid for and SKIP the diff join entirely.
           val t = triage.get
           Row.fromSeq(Seq(p.name, "clean", true, nParts, 0L,
-            t.getLong(2), t.getLong(3), 0L, 0L, 0L, "", "", "") ++ monitorCols)
+            t.getLong(2), t.getLong(3), 0L, 0L, 0L, "", "", "") ++ monitorCols ++ censusCols)
         } else {
           val m = TableDiff.metricsMulti(p.left, p.right, p.name, p.pks,
             p.exclude, sampleCap).head()
@@ -173,7 +226,7 @@ object ValidationRound {
             m.getAs[Long]("data_discrepancy_count"),
             m.getAs[String]("hive_only_pk_values"),
             m.getAs[String]("sf_only_pk_values"),
-            m.getAs[String]("data_discrepancy_pk_values")) ++ monitorCols)
+            m.getAs[String]("data_discrepancy_pk_values")) ++ monitorCols ++ censusCols)
         }
       }
     }

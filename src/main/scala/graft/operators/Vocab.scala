@@ -326,14 +326,30 @@ object Vocab {
     * combinable, output bounded by sources × languages — then one
     * bounded per-source aggregate. No doc-scale join anywhere. */
   def langPurity(df: DataFrame, sourceCol: String,
-                 langCol: String): DataFrame = {
+                 langCol: String): DataFrame =
+    langPurityFromCounts(langPurityState(df, sourceCol, langCol))
+
+  /** The (source, lang, n) count table [[langPurity]] folds over — an
+    * ADDITIVE monoid (counts of disjoint batches add per cell), so the
+    * production loop can maintain it per ingest batch
+    * ([[graft.streaming.EventStream.maintainLangPurityState]]) and read
+    * the purity report off folded state without replaying documents —
+    * the [[graft.operators.Monitoring.countState]] precedent applied to
+    * the mixture-curation monitor. */
+  def langPurityState(df: DataFrame, sourceCol: String,
+                      langCol: String): DataFrame =
+    df.select(col(sourceCol).as("source"), col(langCol).as("lang"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+
+  /** [[langPurity]]'s report off an existing (source, lang, n) count
+    * table ([[langPurityState]] or a fold of maintained state) — the
+    * entropy/top-share math always ran over census rows, so folded
+    * state feeds it unchanged. */
+  def langPurityFromCounts(counts: DataFrame): DataFrame = {
     val dec = "decimal(18,6)"
     def ln6(c: org.apache.spark.sql.Column) =
       round(log(c.cast("double")), 6).cast(dec)
-    val counts = df
-      .select(col(sourceCol).as("source"), col(langCol).as("lang"))
-      .groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n"))
     counts.groupBy(col("source"))
       .agg(sum(col("n")).as("n_docs"),
         count(lit(1)).as("n_langs"),

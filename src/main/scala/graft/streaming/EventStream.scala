@@ -88,6 +88,51 @@ object EventStream {
       }
       .start()
 
+  /** The ONE maintenance shape every census monitor shares: per
+    * micro-batch, collapse the batch to its model-scale census rows via
+    * `census` (an additive or union-idempotent monoid over the census
+    * key — counts, checksums, histogram cells, distinct pairs), stamp
+    * the micro-batch id, append to `statePath`. The read side
+    * ([[readCensusState]], or `distinct()` for set monoids) folds the
+    * deltas into current state, equal to a batch recompute over
+    * everything ever ingested — the firehose is never re-scanned.
+    *
+    * At-least-once → effectively-once: a replayed batch appends
+    * IDENTICAL (__batch_id, census-key) rows; the read side's
+    * dropDuplicates keys on them before the fold. Set-monoid censuses
+    * (already idempotent under union) pass `stampBatchId = false` and
+    * skip the stamp entirely. Returns the started query; callers own
+    * its lifecycle. Every named maintainer below is this function plus
+    * its operator's census; new monitors whose state is a census fold
+    * (counts over (dims, cell) — lang-purity, chi², HHI, KS, …) get
+    * maintenance for free by passing their state builder. */
+  def maintainCensusState(rows: DataFrame, statePath: String,
+                          checkpointPath: String,
+                          census: DataFrame => DataFrame,
+                          stampBatchId: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val c = census(batch.toDF())
+        (if (stampBatchId) c.withColumn("__batch_id", lit(batchId)) else c)
+          .write.mode("append").parquet(statePath)
+        ()
+      }
+      .start()
+
+  /** Current state from a [[maintainCensusState]] directory holding an
+    * ADDITIVE census: replay-dedup on (__batch_id, keys), then per-key
+    * sums of `valueCols`. Scan is O(batches × census) summary rows —
+    * compact by rewriting the fold result when that grows. */
+  def readCensusState(spark: SparkSession, statePath: String,
+                      keyCols: Seq[String],
+                      valueCols: Seq[String]): DataFrame =
+    spark.read.parquet(statePath)
+      .dropDuplicates("__batch_id" +: keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(valueCols.head).as(valueCols.head),
+        valueCols.tail.map(c => sum(c).as(c)): _*)
+
   /** Continuous partition-checksum maintenance — the streaming half of
     * TableDiff's incremental validation loop: each micro-batch's side
     * summary (graft.TableDiff.sideChecksums — O(#partitions) rows, the
@@ -110,15 +155,8 @@ object EventStream {
     val pinned =
       if (hashCols.nonEmpty) hashCols
       else pks ++ graft.TableDiff.compareCols(rows, pks :+ partCol, exclude)
-    rows.writeStream
-      .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.TableDiff.sideChecksumsOver(batch.toDF(), partCol, pinned)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("append").parquet(summaryPath)
-        ()
-      }
-      .start()
+    maintainCensusState(rows, summaryPath, checkpointPath,
+      b => graft.TableDiff.sideChecksumsOver(b, partCol, pinned))
   }
 
   /** Current summary from a [[maintainChecksums]] delta directory: drop
@@ -131,12 +169,13 @@ object EventStream {
     * streams must have pinned the same `hashCols` order in
     * [[maintainChecksums]] (the term is positional; schema-order-derived
     * columns from differently-ordered sides would read as data_drift). */
-  def readChecksums(spark: SparkSession, summaryPath: String): DataFrame =
-    spark.read.parquet(summaryPath)
-      .dropDuplicates("__batch_id", "partition")
-      .groupBy("partition")
-      .agg(sum("n").as("n"),
-        sum("checksum").cast("decimal(38,0)").as("checksum"))
+  def readChecksums(spark: SparkSession, summaryPath: String): DataFrame = {
+    val folded = readCensusState(spark, summaryPath,
+      Seq("partition"), Seq("n", "checksum"))
+    // Pin the checksum's width: the batch summary carries decimal(38,0)
+    // and checksumStatus compares positionally-typed columns.
+    folded.withColumn("checksum", col("checksum").cast("decimal(38,0)"))
+  }
 
   /** Streaming maintenance for the per-source duplication-rate monitor
     * ([[graft.operators.Monitoring.dupRateBySource]]): each micro-batch
@@ -152,15 +191,8 @@ object EventStream {
   def maintainDupRateState(docs: DataFrame, sourceCol: String,
                            fingerprint: org.apache.spark.sql.Column,
                            statePath: String, checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.Monitoring.dupRateState(batch.toDF(), sourceCol, fingerprint)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("append").parquet(statePath)
-        ()
-      }
-      .start()
+    maintainCensusState(docs, statePath, checkpointPath,
+      b => graft.operators.Monitoring.dupRateState(b, sourceCol, fingerprint))
 
   /** Fold a [[maintainDupRateState]] delta directory to the current
     * (source, fp, n) state — feed it to
@@ -171,10 +203,7 @@ object EventStream {
     * convention). Scan is O(batches × state) — compact by rewriting
     * the fold result when that grows. */
   def readDupRateState(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(statePath)
-      .dropDuplicates("__batch_id", "source", "fp")
-      .groupBy("source", "fp")
-      .agg(sum("n").as("n"))
+    readCensusState(spark, statePath, Seq("source", "fp"), Seq("n"))
 
   /** Streaming maintenance for the source-novelty/overlap census
     * ([[graft.operators.Vocab.sourceNovelty]] /
@@ -185,14 +214,9 @@ object EventStream {
   def maintainNoveltyState(docs: DataFrame, textCol: String, sourceCol: String,
                            statePath: String, checkpointPath: String,
                            n: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.Vocab.sourceNoveltyState(batch.toDF(), textCol, sourceCol, n)
-          .write.mode("append").parquet(statePath)
-        ()
-      }
-      .start()
+    maintainCensusState(docs, statePath, checkpointPath,
+      b => graft.operators.Vocab.sourceNoveltyState(b, textCol, sourceCol, n),
+      stampBatchId = false)
 
   /** Current novelty census from a [[maintainNoveltyState]] directory —
     * feed to [[graft.operators.Vocab.noveltyFromState]] or
@@ -277,16 +301,9 @@ object EventStream {
   def maintainAucState(rows: DataFrame, groupCol: String, scoreCol: String,
                        positiveCol: org.apache.spark.sql.Column,
                        statePath: String, checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
-    rows.writeStream
-      .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.Eval.aucHistogram(batch.toDF(), groupCol, scoreCol,
-            positiveCol)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("append").parquet(statePath)
-        ()
-      }
-      .start()
+    maintainCensusState(rows, statePath, checkpointPath,
+      b => graft.operators.Eval.aucHistogram(b, groupCol, scoreCol,
+        positiveCol))
 
   /** Current per-group AUC from a [[maintainAucState]] directory —
     * [[graft.operators.Eval.aucByGroup]]'s output contract from folded
@@ -294,9 +311,8 @@ object EventStream {
     * re-sums cells, so cross-batch duplication of a cell key is the
     * normal fold, not an error). */
   def readAucState(spark: SparkSession, statePath: String): DataFrame =
-    graft.operators.Eval.aucFromHistogram(
-      spark.read.parquet(statePath)
-        .dropDuplicates("__batch_id", "grp", "score_milli"))
+    graft.operators.Eval.aucFromHistogram(readCensusState(spark, statePath,
+      Seq("grp", "score_milli"), Seq("pos", "neg")))
 
   /** Streaming maintenance for the volume monitors
     * ([[graft.operators.Monitoring.countDrift]] /
@@ -310,15 +326,8 @@ object EventStream {
   def maintainCountState(events: DataFrame, dims: Seq[String],
                          period: org.apache.spark.sql.Column,
                          statePath: String, checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.Monitoring.countState(batch.toDF(), dims, period)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("append").parquet(statePath)
-        ()
-      }
-      .start()
+    maintainCensusState(events, statePath, checkpointPath,
+      b => graft.operators.Monitoring.countState(b, dims, period))
 
   /** Current (dims, day, n) count table from a [[maintainCountState]]
     * directory: a replayed batch appends IDENTICAL (__batch_id, dims,
@@ -328,10 +337,7 @@ object EventStream {
     * compact by rewriting the fold result when that grows. */
   def readCountState(spark: SparkSession, statePath: String,
                      dims: Seq[String]): DataFrame =
-    spark.read.parquet(statePath)
-      .dropDuplicates("__batch_id" +: dims :+ "day")
-      .groupBy((dims :+ "day").map(col): _*)
-      .agg(sum("n").as("n"))
+    readCensusState(spark, statePath, dims :+ "day", Seq("n"))
 
   /** [[graft.operators.Monitoring.countDrift]]'s verdicts off maintained
     * state — equal to a batch recompute over everything ever ingested
@@ -362,23 +368,13 @@ object EventStream {
     * shape. */
   def maintainPsiState(rows: DataFrame, valueCol: String, cuts: Seq[Double],
                        statePath: String, checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
-    rows.writeStream
-      .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.Monitoring.psiBucketState(batch.toDF(), valueCol, cuts)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("append").parquet(statePath)
-        ()
-      }
-      .start()
+    maintainCensusState(rows, statePath, checkpointPath,
+      b => graft.operators.Monitoring.psiBucketState(b, valueCol, cuts))
 
   /** Current (bucket, n) counts from a [[maintainPsiState]] directory:
     * replayed batches dedup on (__batch_id, bucket), then counts ADD. */
   def readPsiState(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(statePath)
-      .dropDuplicates("__batch_id", "bucket")
-      .groupBy("bucket")
-      .agg(sum("n").as("n"))
+    readCensusState(spark, statePath, Seq("bucket"), Seq("n"))
 
   /** [[graft.operators.Monitoring.distributionDrift]]'s per-bucket PSI
     * report off two maintained state directories — equal to the batch
@@ -389,6 +385,28 @@ object EventStream {
     graft.operators.Monitoring.psiFromStates(
       readPsiState(spark, leftStatePath),
       readPsiState(spark, rightStatePath), nBuckets)
+
+  /** Streaming maintenance for the language-purity monitor
+    * ([[graft.operators.Vocab.langPurity]]): each micro-batch appends
+    * its (source, lang, n) counts — the additive census the purity
+    * report folds ([[graft.operators.Vocab.langPurityState]]) — so "is
+    * this source still one language" reads from state without replaying
+    * documents. The first monitor wired straight onto
+    * [[maintainCensusState]] with no bespoke plumbing: state is
+    * sources × languages rows per batch, never doc scale. */
+  def maintainLangPurityState(docs: DataFrame, sourceCol: String,
+                              langCol: String, statePath: String,
+                              checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainCensusState(docs, statePath, checkpointPath,
+      b => graft.operators.Vocab.langPurityState(b, sourceCol, langCol))
+
+  /** [[graft.operators.Vocab.langPurity]]'s report off a
+    * [[maintainLangPurityState]] directory — equal to a batch recompute
+    * over everything ever ingested (the census is an exact count
+    * monoid; the entropy/top-share math always ran over census rows). */
+  def readLangPurity(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.Vocab.langPurityFromCounts(
+      readCensusState(spark, statePath, Seq("source", "lang"), Seq("n")))
 
   /** Streaming exact dedup on event_id: state is bounded by the watermark
     * (duplicates arriving later than `watermark` after the original are

@@ -690,6 +690,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(EventStream.readPsiDrift(spark, lDir, rDir)) == maintained)
   }
 
+  test("maintainLangPurityState: streamed purity equals batch recompute; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-lp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lp-ck").toString
+    val q = EventStream.maintainLangPurityState(
+      src.toDS().toDF("source", "lang"), "source", "lang", stateDir, ckpt)
+    // (web, en) is SPLIT across batches — its count must ADD across the
+    // fold (3 = 2 + 1), so the maintained entropy/top-share read a
+    // genuine cross-batch census, not a latest-wins snapshot.
+    val all = Seq(
+      ("web", "en"), ("web", "en"), ("web", "fr"),
+      ("wiki", "en"), ("wiki", "en")) ++ Seq(
+      ("web", "en"), ("web", "de"),
+      ("wiki", "en"))
+    try {
+      src.addData(all.take(5): _*); q.processAllAvailable()
+      src.addData(all.drop(5): _*); q.processAllAvailable()
+    } finally q.stop()
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"source").collect().map(_.toSeq).toSeq
+    val maintained = report(EventStream.readLangPurity(spark, stateDir))
+    val recomputed = report(graft.operators.Vocab.langPurity(
+      all.toDF("source", "lang"), "source", "lang"))
+    assert(maintained == recomputed)
+    // wiki is pure (entropy 0, share 1); web's top lang folded to 3/5
+    assert(maintained.exists(r => r(0) == "wiki" && r(4) == 1.0 &&
+      r(5) == 0.0))
+    assert(maintained.exists(r => r(0) == "web" && r(3) == "en" &&
+      r(4) == 0.6))
+    // replayed batch: identical (__batch_id, source, lang) cells fold once
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(report(EventStream.readLangPurity(spark, stateDir)) == maintained)
+  }
+
   test("maintainNoveltyState: streamed census equals batch novelty and overlap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

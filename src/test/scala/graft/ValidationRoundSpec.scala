@@ -147,4 +147,62 @@ class ValidationRoundSpec extends AnyFunSuite {
       .collect().head
     assert(emptyDrift.isNullAt(emptyDrift.fieldIndex("psi_total")))
   }
+
+  test("census columns equal the standalone monitors off maintained state; NULL when undeclared") {
+    import graft.ValidationRound.CensusSpec
+    import graft.operators.{Monitoring, TextAnalysis}
+    // Maintained state built exactly as maintainCensusState writes it:
+    // per-batch census rows + __batch_id, appended. Two batches so the
+    // fold is genuinely cross-batch; the streaming writer itself is
+    // StreamingSpec's subject.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "web"),
+      (2L, "alpha beta gamma delta epsilon", "web"),   // dup of 1 -> web dup_rate
+      (3L, "zeta eta theta iota kappa", "web"),
+      (4L, "alpha beta gamma delta epsilon", "wiki"),  // mirrors web -> low novelty
+      (5L, "unique content nowhere else found", "wiki"),
+      (6L, "totally fresh words appearing once", "mail"))
+      .toDF("doc_id", "text", "source")
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-vr-dup").toString
+    val novDir = java.nio.file.Files.createTempDirectory("graft-vr-nov").toString
+    val fp = TextAnalysis.docFingerprint(col("text"))
+    Seq(docs.filter($"doc_id" <= 3), docs.filter($"doc_id" > 3))
+      .zipWithIndex.foreach { case (b, i) =>
+        Monitoring.dupRateState(b, "source", fp)
+          .withColumn("__batch_id", lit(i.toLong))
+          .write.mode("append").parquet(dupDir)
+        graft.operators.Vocab.sourceNoveltyState(b, "text", "source", 3)
+          .write.mode("append").parquet(novDir)
+      }
+    val t = Seq((1L, "p", 1L)).toDF("id", "part", "v")
+    val out = ValidationRound.report(spark, Seq(
+        TablePair("pair", t, t, Seq("id"),
+          census = Some(CensusSpec(Some(dupDir), Some(novDir)))),
+        TablePair("bare", t, t, Seq("id")),
+        TablePair("missing", t, t, Seq("id"),
+          census = Some(CensusSpec(Some(dupDir + "-nope"), None)))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p = out("pair")
+    // worst source per the STANDALONE monitors over the same state
+    val dupStandalone = Monitoring.dupRateBySource(docs, "source", fp)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("dup_rate")).toMap
+    val novStandalone = graft.operators.Vocab.sourceNovelty(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("novelty")).toMap
+    val expDupSrc = dupStandalone.toSeq.minBy { case (s, v) => (-v, s) }
+    val expNovSrc = novStandalone.toSeq.minBy { case (s, v) => (v, s) }
+    assert(p.getAs[Double]("dup_rate_max") == expDupSrc._2 &&
+      p.getAs[String]("dup_rate_max_source") == expDupSrc._1)
+    assert(p.getAs[Double]("novelty_min") == expNovSrc._2 &&
+      p.getAs[String]("novelty_min_source") == expNovSrc._1)
+    // the fixture's shape: web carries the duplicate pair, wiki mirrors
+    assert(p.getAs[String]("dup_rate_max_source") == "web" &&
+      p.getAs[Double]("dup_rate_max") == 2.0 / 3.0)
+    assert(p.getAs[Double]("novelty_min") < 1.0)
+    // undeclared and not-yet-created state both read as NULL columns
+    Seq("bare", "missing").foreach { k =>
+      val r = out(k)
+      assert(r.isNullAt(r.fieldIndex("dup_rate_max")) &&
+        r.isNullAt(r.fieldIndex("novelty_min")))
+    }
+  }
 }
