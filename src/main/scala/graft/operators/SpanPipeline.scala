@@ -56,6 +56,15 @@ object SpanPipeline {
     }
   }
 
+  /** Dup-key broadcast ceiling for the semi join (rows): 16-byte struct
+    * keys land ~100 B/row in a HashedRelation, so 8M keys ≈ 0.8 GB —
+    * inside a healthy executor broadcast budget, and well above the
+    * sf10 corpus's dup-key count (the dup tail is ~9% of span
+    * POSITIONS at every scale — PLAN_AUDIT round-13 A/B — and distinct
+    * keys are fewer still), so the gate binds only on degenerate
+    * boilerplate corpora, which keep the fallback shuffle path. */
+  private val BroadcastKeyCap = 8L * 1000 * 1000
+
   /** Key hash + process-wide counter: distinct keys with colliding
     * 32-bit hashCodes must not share a path (NearDupPipeline.tableDir's
     * reasoning). */
@@ -93,25 +102,41 @@ object SpanPipeline {
             struct(i.as("i"), struct(xxhash64(s), xxhash64(lit(1), s)).as("g"))
           })).as("x"))
         .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
+      // The duplicated-key set is the census's ~9% tail (sf0.01: 2195
+      // dup positions over 24 665 — most spans are unique), so it is
+      // MODEL-scale where the span stream is corpus-scale. Persist it
+      // (its lineage is the full distinct+census exchange — the join
+      // must not recompute that) and, when small, BROADCAST it into the
+      // semi join: the corpus-scale st stream then never shuffles for
+      // the dup-start collection — only the ~9% matching rows exchange
+      // into the per-doc groupBy. The count gate keeps the fallback
+      // shuffle path for a corpus whose dup-key set outgrows a sane
+      // broadcast (degenerate boilerplate corpora).
       val dupKeys = st.select(col("g"), col("doc_id")).distinct()
         .groupBy(col("g")).agg(count(lit(1)).as("gram_docs"))
         .filter(col("gram_docs") >= minDocs)
         .select(col("g"))
-      val dupStarts = st.join(dupKeys, Seq("g"), "left_semi")
-        .groupBy(col("doc_id"))
-        // sort_array: collect_list order is run-dependent; the artifact
-        // on disk should not be.
-        .agg(sort_array(collect_list(col("i"))).as("dup_starts"))
-      val path = tableDir(key)
-      base
-        .select(col("doc_id"),
-          (size(col("__toks")) - k + 1).cast("long").as("n_spans"))
-        .join(dupStarts, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_spans"),
-          coalesce(col("dup_starts"),
-            array().cast("array<int>")).as("dup_starts"))
-        .write.mode("overwrite").parquet(path)
-      Entry(path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val keysSide =
+          if (dupKeys.count() <= BroadcastKeyCap) broadcast(dupKeys)
+          else dupKeys
+        val dupStarts = st.join(keysSide, Seq("g"), "left_semi")
+          .groupBy(col("doc_id"))
+          // sort_array: collect_list order is run-dependent; the artifact
+          // on disk should not be.
+          .agg(sort_array(collect_list(col("i"))).as("dup_starts"))
+        val path = tableDir(key)
+        base
+          .select(col("doc_id"),
+            (size(col("__toks")) - k + 1).cast("long").as("n_spans"))
+          .join(dupStarts, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("dup_starts"),
+              array().cast("array<int>")).as("dup_starts"))
+          .write.mode("overwrite").parquet(path)
+        Entry(path)
+      } finally { dupKeys.unpersist(); () }
     } finally { base.unpersist(); () }
   }
 
