@@ -422,6 +422,45 @@ object Vocab {
         col("n_tokens").cast("double") / sum(col("n_tokens")).over(w).cast("double"))
   }
 
+  /** TEMPERATURE-FLATTENED mixture shares (Conneau & Lample 2019 — the
+    * multilingual-pretraining sampling recipe, also mBART/mT5's): given
+    * the per-stratum token masses of [[mixtureReport]], the target
+    * share is q_i ∝ p_i^alpha with alpha = 1/T ∈ (0, 1] — alpha = 1 is
+    * proportional sampling, smaller alpha flattens the head so
+    * low-resource strata (languages, sources) are up-sampled without
+    * ever being swamped. Output per stratum: the report's n_docs /
+    * n_tokens / token_frac plus `q_share` (the temperature target) and
+    * `boost` = q/p — the epoch multiplier a sampler applies (> 1 =
+    * up-sample; feed ∝ q_share token budgets to [[Sampling
+    * .mixtureRebalance]] or boost-scaled weights to the PPS sampler).
+    *
+    * Cross-engine float discipline: p = n/N is one IEEE division of
+    * exact longs (bit-identical); p^alpha is transcendental but
+    * MODEL-scale — one value per stratum, the vocab-ln precedent — so
+    * it freezes once at 6 decimals as DECIMAL(18,6); the normalizer is
+    * an exact decimal sum over the bounded stratum frame; q_share and
+    * boost are IEEE chains of bit-identical operands. Zero-token
+    * strata hold p = 0 → q = 0 exactly (0^alpha = 0 for alpha > 0 on
+    * both engines) with NULL boost (0/0 has no epoch reading).
+    *
+    * Scale shape: [[mixtureReport]]'s one aggregation; everything
+    * after runs on the bounded stratum frame (unpartitioned windows
+    * over model data, the source_mix pattern). */
+  def temperatureMix(df: DataFrame, textCol: String, dims: Seq[String],
+                     alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    mixtureReport(df, textCol, dims)
+      .withColumn("__pa",
+        round(pow(col("token_frac"), lit(alpha)), 6).cast("decimal(18,6)"))
+      .withColumn("q_share",
+        col("__pa").cast("double") / sum(col("__pa")).over(w).cast("double"))
+      .withColumn("boost",
+        when(col("token_frac") > 0.0, col("q_share") / col("token_frac")))
+      .drop("__pa")
+  }
+
   /** Top-N within-document token CO-OCCURRENCE pairs by pointwise mutual
     * information — the collocation/phrase-mining signal (Church & Hanks
     * 1990) a vocabulary curator reads to find multi-word terms worth
@@ -595,12 +634,53 @@ object Vocab {
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, numBuckets: Int = 64,
                   ngrams: Int = 1): DataFrame = {
-    require(numBuckets > 0, "numBuckets must be positive")
-    require(ngrams == 1 || ngrams == 2, s"ngrams must be 1 or 2, got $ngrams")
-    val dec = "decimal(18,6)"
     // Empty tokens are dropped BEFORE pairing (filter inside the array,
     // the docBigramSurprisal discipline): post-explode filtering would
-    // make "a  b" yield no bigram while "a b" yields one.
+    // make "a  b" yield no bigram while "a b" yields one. One TF frame
+    // feeds both the census and the scoring join — the one-pass fit.
+    val tf = dsirTf(df, idCol, textCol, isTarget, numBuckets, ngrams)
+    val census = tf.groupBy(col("bucket"))
+      .agg(sum(col("tf")).as("n_raw"),
+        sum(when(col("__tgt"), col("tf")).otherwise(0L)).as("n_tgt"))
+    scoreDsirTf(tf, dsirPrices(census, numBuckets))
+  }
+
+  /** The (bucket, n_raw, n_tgt) feature census [[dsirWeights]] prices
+    * from — an ADDITIVE monoid (both counts of disjoint batches add per
+    * bucket), so the production loop can maintain the DSIR model per
+    * ingest batch ([[graft.streaming.EventStream.maintainDsirCensus]])
+    * and score any batch against the FROZEN folded model via
+    * [[dsirWeightsFromCensus]] — the [[langPurityState]] pattern applied
+    * to the selection family. ≤ numBuckets rows at any corpus size. */
+  def dsirCensus(df: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, numBuckets: Int = 64,
+                 ngrams: Int = 1): DataFrame =
+    dsirTf(df, idCol, textCol, isTarget, numBuckets, ngrams)
+      .groupBy(col("bucket"))
+      .agg(sum(col("tf")).as("n_raw"),
+        sum(when(col("__tgt"), col("tf")).otherwise(0L)).as("n_tgt"))
+
+  /** [[dsirWeights]] under a PRE-BUILT census ([[dsirCensus]] or a fold
+    * of maintained state): scores `df`'s documents against the frozen
+    * bucket model — the streaming-selection read path, where new
+    * documents price map-side against ≤ numBuckets broadcast rows and
+    * the historical corpus is never rescanned. Equal to [[dsirWeights]]
+    * when the census was built over the same documents (spec-pinned);
+    * `numBuckets` and `ngrams` must match the fit (same reason
+    * [[graft.operators.Monitoring.psiCuts]] pins its cuts). */
+  def dsirWeightsFromCensus(df: DataFrame, idCol: String, textCol: String,
+                            census: DataFrame, numBuckets: Int = 64,
+                            ngrams: Int = 1): DataFrame =
+    scoreDsirTf(dsirTf(df, idCol, textCol, lit(false), numBuckets, ngrams),
+      dsirPrices(census, numBuckets))
+
+  /** Per-doc (bucket, tf) feature counts — [[dsirWeights]]'s one corpus
+    * collapse, shared by the fit and the frozen-model scoring path. */
+  private def dsirTf(df: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, numBuckets: Int,
+                     ngrams: Int): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(ngrams == 1 || ngrams == 2, s"ngrams must be 1 or 2, got $ngrams")
     val arr = org.apache.spark.sql.functions.filter(
       TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))),
       t => length(t) > 0)
@@ -615,17 +695,22 @@ object Vocab {
           sequence(lit(1), size(col("__a")) - 1),
           i => concat(element_at(col("__a"), i), lit(" "),
             element_at(col("__a"), i + 1)))).as("feat")))
-    val tf = feats
+    feats
       .select(col("doc_id"), col("__tgt"),
         (conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long")
           % numBuckets).as("bucket"))
       .groupBy(col("doc_id"), col("__tgt"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
+  }
+
+  /** The two frozen DECIMAL(18,6) log-prices per bucket off a (bucket,
+    * n_raw, n_tgt) census — the dsirWeights float discipline, shared by
+    * the one-pass fit and the frozen-model path. */
+  private def dsirPrices(census: DataFrame, numBuckets: Int): DataFrame = {
+    val dec = "decimal(18,6)"
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(Long.MinValue, Long.MaxValue)
-    val priced = tf.groupBy(col("bucket"))
-      .agg(sum(col("tf")).as("n_raw"),
-        sum(when(col("__tgt"), col("tf")).otherwise(0L)).as("n_tgt"))
+    census
       .withColumn("__rt", sum(col("n_raw")).over(w))
       .withColumn("__tt", sum(col("n_tgt")).over(w))
       .select(col("bucket"),
@@ -633,6 +718,11 @@ object Vocab {
           (col("__tt") + numBuckets).cast("double")), 6).cast(dec).as("tp"),
         round(log((col("n_raw") + 1L).cast("double") /
           (col("__rt") + numBuckets).cast("double")), 6).cast(dec).as("rp"))
+  }
+
+  /** The dsirWeights scoring tail: price each doc's TF rows and collapse
+    * to (doc_id, n_tokens, logweight, avg_logweight). */
+  private def scoreDsirTf(tf: DataFrame, priced: DataFrame): DataFrame =
     tf.join(priced, Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
@@ -642,7 +732,6 @@ object Vocab {
         (col("__t") - col("__r")).cast("double").as("logweight"),
         ((col("__t") - col("__r")).cast("double") /
           col("n_tokens").cast("double")).as("avg_logweight"))
-  }
 
   /** DSIR SELECTION end-to-end (the resampling step of Xie et al. 2023,
     * composed from [[dsirWeights]] and [[Sampling

@@ -562,6 +562,14 @@ object TextQueries {
           Seq("source", "lang"))
         .orderBy(col("source"), col("lang"))),
 
+    // Temperature-flattened mixture targets (p^0.5 over per-lang token
+    // mass): the multilingual up-sampling recipe; boost = q/p is the
+    // epoch multiplier the samplers downstream consume.
+    "q_temperature_mix" -> ((s, dir) =>
+      Vocab.temperatureMix(Tables.load(s, dir, "documents"), "text",
+          Seq("lang"), alpha = 0.5)
+        .orderBy(col("lang"))),
+
     // Per-stratum deterministic sampling (mixture rebalance by lang).
     "q_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(
@@ -1399,6 +1407,29 @@ object TextQueries {
         |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
         |    AS token_frac
         |FROM g ORDER BY source, lang""".stripMargin,
+
+    // p^alpha freezes once at 6 decimals (model-scale transcendental,
+    // the ln discipline); q_share/boost are IEEE chains of exact
+    // decimals cast to double.
+    "q_temperature_mix" ->
+      """WITH g AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT lang, n_docs, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+        |      AS token_frac
+        |  FROM g),
+        |a AS (
+        |  SELECT *, CAST(round(pow(token_frac, 0.5), 6) AS DECIMAL(18,6)) AS pa
+        |  FROM p)
+        |SELECT lang, n_docs, n_tokens, token_frac,
+        |  CAST(pa AS DOUBLE) / CAST(sum(pa) OVER () AS DOUBLE) AS q_share,
+        |  CASE WHEN token_frac > 0 THEN
+        |    (CAST(pa AS DOUBLE) / CAST(sum(pa) OVER () AS DOUBLE)) / token_frac
+        |  END AS boost
+        |FROM a ORDER BY lang""".stripMargin,
 
     "q_stratified_sample" -> {
       val rExpr = "substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)"

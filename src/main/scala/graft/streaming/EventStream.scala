@@ -408,6 +408,39 @@ object EventStream {
     graft.operators.Vocab.langPurityFromCounts(
       readCensusState(spark, statePath, Seq("source", "lang"), Seq("n")))
 
+  /** Streaming maintenance for the DSIR selection MODEL
+    * ([[graft.operators.Vocab.dsirWeights]]'s bucket census): each
+    * micro-batch appends its (bucket, n_raw, n_tgt) feature counts —
+    * both additive ([[graft.operators.Vocab.dsirCensus]]) — so the
+    * importance-resampling model stays current per ingest batch and any
+    * batch scores against the FROZEN folded model
+    * ([[readDsirWeights]]) with zero corpus rescans. `numBuckets` and
+    * `ngrams` must match between maintenance and read (the psiCuts
+    * pinning rule). State is ≤ numBuckets rows per batch. */
+  def maintainDsirCensus(docs: DataFrame, idCol: String, textCol: String,
+                         isTarget: org.apache.spark.sql.Column,
+                         statePath: String, checkpointPath: String,
+                         numBuckets: Int = 64,
+                         ngrams: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainCensusState(docs, statePath, checkpointPath,
+      b => graft.operators.Vocab.dsirCensus(b, idCol, textCol, isTarget,
+        numBuckets, ngrams))
+
+  /** Current (bucket, n_raw, n_tgt) DSIR model from a
+    * [[maintainDsirCensus]] directory. */
+  def readDsirCensus(spark: SparkSession, statePath: String): DataFrame =
+    readCensusState(spark, statePath, Seq("bucket"), Seq("n_raw", "n_tgt"))
+
+  /** Score a document batch against the MAINTAINED DSIR model — equal
+    * to [[graft.operators.Vocab.dsirWeights]] over everything ever
+    * ingested when `docs` is that corpus (spec-pinned); in production
+    * `docs` is the next batch and the model is the frozen history. */
+  def readDsirWeights(spark: SparkSession, statePath: String,
+                      docs: DataFrame, idCol: String, textCol: String,
+                      numBuckets: Int = 64, ngrams: Int = 1): DataFrame =
+    graft.operators.Vocab.dsirWeightsFromCensus(docs, idCol, textCol,
+      readDsirCensus(spark, statePath), numBuckets, ngrams)
+
   /** Streaming exact dedup on event_id: state is bounded by the watermark
     * (duplicates arriving later than `watermark` after the original are
     * not suppressed — the at-least-once ingestion contract). */

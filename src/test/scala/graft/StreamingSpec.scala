@@ -727,6 +727,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(report(EventStream.readLangPurity(spark, stateDir)) == maintained)
   }
 
+  test("maintainDsirCensus: scoring off the folded model equals the one-pass fit; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dsir-ck").toString
+    val q = EventStream.maintainDsirCensus(
+      src.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      isTarget = $"doc_id" % 7 === 0, stateDir, ckpt)
+    // target bucket mass is SPLIT across batches (doc 0 in batch 1,
+    // doc 7 in batch 2): the folded model's add-1 prices must see the
+    // cross-batch totals, not a snapshot.
+    val all = Seq(
+      (0L, "zq zq wx wx zq"), (1L, "zq wx zq"), (2L, "mm nn mm nn mm")) ++ Seq(
+      (7L, "zq wx zq wx"), (3L, "nn mm nn"), (5L, "zq zq wx wx zq wx zq"))
+    try {
+      src.addData(all.take(3): _*); q.processAllAvailable()
+      src.addData(all.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val corpus = all.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val maintained = rows(EventStream.readDsirWeights(spark, stateDir,
+      corpus, "doc_id", "text"))
+    val recomputed = rows(graft.operators.Vocab.dsirWeights(corpus,
+      "doc_id", "text", isTarget = $"doc_id" % 7 === 0))
+    assert(maintained == recomputed)
+    // replayed batch: identical (__batch_id, bucket) cells fold once
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(rows(EventStream.readDsirWeights(spark, stateDir,
+      corpus, "doc_id", "text")) == maintained)
+  }
+
   test("maintainNoveltyState: streamed census equals batch novelty and overlap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

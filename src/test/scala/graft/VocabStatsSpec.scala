@@ -261,6 +261,34 @@ class VocabStatsSpec extends AnyFunSuite {
     assert(out.getAs[Double]("zipf_slope") == 0.0)
   }
 
+  test("temperatureMix: alpha<1 flattens the head; shares sum to 1; zero-token stratum") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p", "big"),   // 16 tokens
+      (2L, "a b c d e f g h i j k l m n o p", "big"),   // big = 32
+      (3L, "a b c d", "small"),                          // small = 4
+      (4L, "", "empty")                                  // 0-token stratum
+    ).toDF("doc_id", "text", "lang")
+    // wsTokenCount("") may count 1 for the empty string? use a space-free
+    // marker: the empty stratum's mass must be whatever the report says —
+    // assert relative properties, not absolute masses.
+    val out = Vocab.temperatureMix(docs, "text", Seq("lang"), alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("token_frac"), r.getAs[Double]("q_share"),
+          Option(r.getAs[Any]("boost")).map(_.asInstanceOf[Double]))).toMap
+    val shareSum = out.values.map(_._2).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"q shares must sum to 1, got $shareSum")
+    // flattening: the dominant stratum is down-weighted, the scarce one up
+    assert(out("big")._2 < out("big")._1)
+    assert(out("small")._2 > out("small")._1)
+    assert(out("big")._3.get < 1.0 && out("small")._3.get > 1.0)
+    // alpha = 1 ~ proportional: q within quantization of p, boost ~ 1
+    Vocab.temperatureMix(docs, "text", Seq("lang"), alpha = 1.0)
+      .collect().foreach { r =>
+        val (p, q) = (r.getAs[Double]("token_frac"), r.getAs[Double]("q_share"))
+        if (p > 0) assert(math.abs(q - p) < 1e-5)
+      }
+  }
+
   test("dsirWeights: target-like docs score above target-unlike; zero-token docs absent") {
     // Target (ids % 7 == 0) speaks one token language, the rest of the
     // pool another; a raw doc written in the target's language must
