@@ -77,12 +77,12 @@ object VerifyExtras {
       val annTruth = Similarity.bruteForceTopK(probes, emb, k = 5)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
       // Every ANN variant runs the EXACT config its query wiring uses —
-      // lsh mirrors q_ann_lsh (planes = max(4, planesFor(n, 512)),
-      // nProbe = min(planes+1, 8)); at verify scales this coincides with
-      // the historical default planes=4 but probes one bucket wider.
-      val lshPlanes = math.max(4, Similarity.planesFor(nEmb, targetBucket = 512))
-      val annLsh = Similarity.lshTopK(probes, emb, k = 5, bands = 4,
-          planesPerBand = lshPlanes, nProbe = math.min(lshPlanes + 1, 8))
+      // lsh mirrors q_ann_lsh via the shared lshParamsFor rule; at
+      // verify scales this coincides with the historical default
+      // planes=4 but probes one bucket wider.
+      val (lshBands, lshPlanes, lshProbe) = Similarity.lshParamsFor(nEmb)
+      val annLsh = Similarity.lshTopK(probes, emb, k = 5, bands = lshBands,
+          planesPerBand = lshPlanes, nProbe = lshProbe)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
       // Cell counts mirror the QUERY wiring: ivf/ivf_fit scale cells
       // with the corpus (cellsFor — a pinned 16 here measured a variant
@@ -486,22 +486,25 @@ object VerifyExtras {
       val annIvfPq = Similarity.ivfPqTopK(sampled, emb, k = 5,
           nCentroids = pqCells, nProbe = pqProbe, refine = pqRefine)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
-      // Mirrors q_ann_lsh's wiring exactly (planes grow with n toward a
-      // 512-target bucket; nProbe widens with the plane count) — the
-      // recall measured here is the recall the SHIPPED query has at this
-      // scale, not the easier default-config variant.
-      val lshPlanes = math.max(4, Similarity.planesFor(n, targetBucket = 512))
-      val annLsh = Similarity.lshTopK(sampled, emb, k = 5, bands = 4,
-          planesPerBand = lshPlanes, nProbe = math.min(lshPlanes + 1, 8))
+      // Mirrors q_ann_lsh's wiring exactly (the shared lshParamsFor
+      // rule) — the recall measured here is the recall the SHIPPED
+      // query has at this scale, not an easier variant. The r13 round
+      // proved the point: mirroring exposed the uncapped rule's sf10
+      // recall collapse (0.45 < floor 0.6), and the coverage cap that
+      // fixed it (0.71) came from LSH_LAB_SF10 run under this check's
+      // probe-sample contract.
+      val (lshBands, lshPlanes, lshProbe) = Similarity.lshParamsFor(n)
+      val annLsh = Similarity.lshTopK(sampled, emb, k = 5, bands = lshBands,
+          planesPerBand = lshPlanes, nProbe = lshProbe)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
       val annIvf = Similarity.ivfTopK(sampled, emb, k = 5,
           nCentroids = Similarity.cellsFor(n), nProbe = 6)
         .select($"query_id", $"vec_id").as[(Long, Long)].collect()
       Seq(
-        // ivfpq and lsh keep their full-check floors: both configs scale
-        // WITH the corpus (ivfPqParamsFor holds coverage ≈ 37.5%,
-        // planesFor grows with n), so the floor means the same thing at
-        // every scale.
+        // ivfpq and lsh keep their full-check floors: both configs hold
+        // their COVERAGE fraction as the corpus grows (ivfPqParamsFor
+        // ≈ 37.5%; lshParamsFor's plane cap pins ≥ 25%), so the floor
+        // means the same thing at every scale.
         Check("ann_ivfpq_vs_brute_force", pairRecall(annTruth, annIvfPq),
           floor = 0.4, annTruth.length, annIvfPq.length),
         // q_ann_ivf's wiring is the CLUSTERED-corpus path by contract:

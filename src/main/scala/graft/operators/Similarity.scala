@@ -410,6 +410,30 @@ object Similarity {
     * corpus grows — the property a FIXED block cardinality lacks (fixed
     * blocks grow linearly with the corpus and the per-block pair space
     * quadratically). */
+  /** q_ann_lsh's scale rule — (bands, planesPerBand, nProbe) for a
+    * corpus of `n` vectors. Planes grow with the corpus toward a
+    * 512-target bucket like every banding operator here, but CAP at
+    * `maxPlanes` = 7: [[lshTopK]]'s multi-probe is 1-bit (≤ planes+1
+    * probes, budget-capped at `maxProbe` = 8), so on the noise-floor
+    * retrieval contract recall tracks the COVERAGE fraction
+    * bands·nProbe/2^planes — at 9+ planes the ≤8-probe budget covers
+    * ~3% of the corpus and recall collapses with it (LSH_LAB_SF10:
+    * 0.45 wired-uncapped vs 0.71 at the cap, identical wall — the
+    * per-probe candidate mass bands·nProbe·n/2^planes is linear in n
+    * either way, the [[ivfPqParamsFor]] coverage discipline applied
+    * to hyperplane banding; the bucket²-blowup concern that forces
+    * corpus-proportional planes in the near-dup SELF-joins does not
+    * apply to the probe-side broadcast join). The max(4, ·) floor
+    * keeps verify-scale behavior (and the pinned VERIFY_EXTRAS
+    * recalls) exactly as before; the cap binds only above ~65k
+    * vectors, where sf1's planesFor already sits AT 7. */
+  def lshParamsFor(n: Long, targetBucket: Int = 512, maxPlanes: Int = 7,
+                   bands: Int = 4, maxProbe: Int = 8): (Int, Int, Int) = {
+    val planes = math.min(maxPlanes,
+      math.max(4, planesFor(n, targetBucket)))
+    (bands, planes, math.min(planes + 1, maxProbe))
+  }
+
   def planesFor(n: Long, targetBucket: Int = 64): Int =
     // Clamped to LshBucketExpr's 30-bit signature ceiling — beyond that
     // the operator runs with larger-than-target buckets (still bounded by

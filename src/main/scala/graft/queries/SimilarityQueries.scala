@@ -42,14 +42,15 @@ object SimilarityQueries {
     // SimilaritySpec and exported per-round via VerifyExtras.
     "q_ann_lsh" -> ((s, dir) => {
       val v = Tables.load(s, dir, "embeddings")
-      // Bucket granularity scales with the corpus (fixed 2^4 buckets/band
-      // would make per-bucket candidate volume quadratic at sf10);
-      // multi-probe widens with the plane count to hold recall. The
-      // max(4, _) floor keeps small-sf behavior (and the pinned
-      // VERIFY_EXTRAS recall) exactly as before.
-      val planes = math.max(4, Similarity.planesFor(v.count(), targetBucket = 512))
+      // Scale rule lshParamsFor: planes grow with the corpus toward a
+      // 512-target bucket but CAP at 7 — the 1-bit multi-probe budget
+      // (≤ 8) can't hold recall past that, so the cap pins coverage
+      // bands·nProbe/2^planes ≥ 25% (the ivfPqParamsFor discipline;
+      // LSH_LAB_SF10 measures 0.45 uncapped vs 0.71 capped at equal
+      // wall). Verify-scale behavior and the pinned recalls unchanged.
+      val (bands, planes, nProbe) = Similarity.lshParamsFor(v.count())
       Similarity.lshTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5,
-          bands = 4, planesPerBand = planes, nProbe = math.min(planes + 1, 8))
+          bands = bands, planesPerBand = planes, nProbe = nProbe)
         .orderBy(col("query_id"), col("rank"))
     }),
 
