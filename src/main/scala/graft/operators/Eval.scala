@@ -134,15 +134,32 @@ object Eval {
     * division error. Contingency cells are a dimension (|A|·|B|);
     * margins broadcast.
     */
-  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // ONE corpus pass, persisted: every downstream derivation (grid
-    // distincts, margins) reads the dimension-scale cell frame, not the
-    // corpus — without the persist, Catalyst lineage re-runs the corpus
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareCellsFromCounts(assocState(df, aCol, bCol))
+
+  /** The (a, b, n) contingency census [[chiSquareCellsFromCounts]]
+    * scores — an ADDITIVE MONOID (cell counts sum), so the streaming
+    * loop maintains it per micro-batch
+    * ([[graft.streaming.EventStream.maintainAssocState]]) and reads the
+    * current association without replaying the corpus. One corpus-scale
+    * map-side-combinable groupBy; output is the |A|·|B| dimension. */
+  def assocState(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-cell chi-square detail from an [[assocState]] census (possibly
+    * folded across micro-batches — cells are re-summed first so a fold
+    * is safe). All the expected/term arithmetic of [[chiSquareCells]];
+    * the corpus never appears, only the cell dimension. */
+  def chiSquareCellsFromCounts(counts: DataFrame): DataFrame = {
+    // ONE pass over the census, persisted: every downstream derivation
+    // (grid distincts, margins) reads the dimension-scale cell frame —
+    // without the persist, Catalyst lineage re-runs the census's corpus
     // groupBy once per reference (12 parquet scans in the first cut of
     // this plan).
-    val observed = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
-      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).as("observed"))
+    val observed = counts.groupBy(col("a"), col("b"))
+      .agg(sum(col("n")).cast("long").as("observed"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Densify to the FULL |A|×|B| grid: a zero cell still contributes
     // (0 − e)²/e to chi-square — dropping unobserved combinations
@@ -178,8 +195,13 @@ object Eval {
   /** Global chi-square + Cramér's V from [[chiSquareCells]]: exact BIGINT
     * sum of the frozen per-cell terms, V = sqrt(χ² / (n·(min(r,c)−1)))
     * frozen to ppm. One row. */
-  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    chiSquareCells(df, aCol, bCol)
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    cramersVFromCounts(assocState(df, aCol, bCol))
+
+  /** [[cramersV]] from an [[assocState]] census — the read side of the
+    * maintained association monitor. */
+  def cramersVFromCounts(counts: DataFrame): DataFrame = {
+    chiSquareCellsFromCounts(counts)
       .agg(countDistinct(col("a")).as("card_a"),
         countDistinct(col("b")).as("card_b"),
         max(col("grand_total")).as("n"),
@@ -205,14 +227,29 @@ object Eval {
     * maxed. No corpus-scale window: the windows order the value grid.
     */
   def ksAgainstBaseline(df: DataFrame, groupCol: String, valueCol: String,
-                        baseline: String): DataFrame = {
-    // ONE corpus pass, persisted: grid, group list, both CDF sides and
-    // the baseline all read this dimension-scale frame (lineage would
-    // otherwise re-run the corpus groupBy per reference — 5 scans).
-    val counts = df.filter(col(valueCol).isNotNull)
+                        baseline: String): DataFrame =
+    ksFromCounts(ksState(df, groupCol, valueCol), baseline)
+
+  /** The (grp, v_milli, n) quantized-value census [[ksFromCounts]]
+    * scores — an ADDITIVE MONOID, so the streaming loop maintains it per
+    * micro-batch ([[graft.streaming.EventStream.maintainKsState]]) and
+    * reads the current KS drift without replaying values. Quantization
+    * to milli is the operator's contract AND what bounds the grid. */
+  def ksState(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("grp"),
         round(col(valueCol) * 1000).cast("long").as("v_milli"))
-      .groupBy(col("grp"), col("v_milli")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("grp"), col("v_milli")).agg(count(lit(1)).as("n"))
+
+  /** KS sup-distance per group vs `baseline` from a [[ksState]] census
+    * (possibly folded — cells re-summed first so a fold is safe). */
+  def ksFromCounts(census: DataFrame, baseline: String): DataFrame = {
+    // ONE pass over the census, persisted: grid, group list, both CDF
+    // sides and the baseline all read this dimension-scale frame
+    // (lineage would otherwise re-run the census's corpus groupBy per
+    // reference — 5 scans).
+    val counts = census.groupBy(col("grp"), col("v_milli"))
+      .agg(sum(col("n")).cast("long").as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = counts.select(col("v_milli")).distinct()
     val groups = counts.select(col("grp")).distinct()
@@ -340,10 +377,23 @@ object Eval {
     * once a part passes ~3e9 rows — decimal from the start). Two
     * dimension-scale aggregates after one corpus-scale groupBy. */
   def hhiConcentration(df: DataFrame, groupCol: String,
-                       partCol: String): DataFrame = {
+                       partCol: String): DataFrame =
+    hhiFromCounts(hhiState(df, groupCol, partCol))
+
+  /** The (grp, part, n) share census [[hhiFromCounts]] scores — an
+    * ADDITIVE MONOID, so the streaming loop maintains it per micro-batch
+    * ([[graft.streaming.EventStream.maintainHhiState]]) and reads the
+    * current concentration without replaying the corpus. */
+  def hhiState(df: DataFrame, groupCol: String, partCol: String): DataFrame =
     df.filter(col(groupCol).isNotNull && col(partCol).isNotNull)
       .groupBy(col(groupCol).as("grp"), col(partCol).as("part"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n"))
+
+  /** HHI per group from a [[hhiState]] census (possibly folded — cells
+    * re-summed first so a fold is safe). */
+  def hhiFromCounts(census: DataFrame): DataFrame = {
+    census.groupBy(col("grp"), col("part"))
+      .agg(sum(col("n")).cast("long").as("cnt"))
       .groupBy(col("grp"))
       .agg(countDistinct(col("part")).as("n_parts"),
         sum(col("cnt")).as("total"),

@@ -408,6 +408,71 @@ object EventStream {
     graft.operators.Vocab.langPurityFromCounts(
       readCensusState(spark, statePath, Seq("source", "lang"), Seq("n")))
 
+  /** Streaming maintenance for the categorical-association monitor
+    * ([[graft.operators.Eval.chiSquareCells]] / cramersV): each
+    * micro-batch appends its (a, b, n) contingency cells — the additive
+    * census the chi-square scorer folds
+    * ([[graft.operators.Eval.assocState]]) — so "is language mix still
+    * independent of source" reads from |A|·|B| state without replaying
+    * documents. */
+  def maintainAssocState(rows: DataFrame, aCol: String, bCol: String,
+                         statePath: String,
+                         checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainCensusState(rows, statePath, checkpointPath,
+      b => graft.operators.Eval.assocState(b, aCol, bCol))
+
+  /** Per-cell chi-square detail off a [[maintainAssocState]] directory —
+    * equal to a batch recompute over everything ever ingested. */
+  def readChiSquareCells(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.Eval.chiSquareCellsFromCounts(
+      readCensusState(spark, statePath, Seq("a", "b"), Seq("n")))
+
+  /** One-row chi-square + Cramér's V off a [[maintainAssocState]]
+    * directory. */
+  def readCramersV(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.Eval.cramersVFromCounts(
+      readCensusState(spark, statePath, Seq("a", "b"), Seq("n")))
+
+  /** Streaming maintenance for the concentration monitor
+    * ([[graft.operators.Eval.hhiConcentration]]): each micro-batch
+    * appends its (grp, part, n) share cells
+    * ([[graft.operators.Eval.hhiState]]) — "is any language's slice
+    * becoming single-source" reads from dimension state without
+    * replaying the corpus. */
+  def maintainHhiState(rows: DataFrame, groupCol: String, partCol: String,
+                       statePath: String,
+                       checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainCensusState(rows, statePath, checkpointPath,
+      b => graft.operators.Eval.hhiState(b, groupCol, partCol))
+
+  /** HHI per group off a [[maintainHhiState]] directory — equal to a
+    * batch recompute over everything ever ingested. */
+  def readHhi(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.Eval.hhiFromCounts(
+      readCensusState(spark, statePath, Seq("grp", "part"), Seq("n")))
+
+  /** Streaming maintenance for the KS distribution-drift monitor
+    * ([[graft.operators.Eval.ksAgainstBaseline]]): each micro-batch
+    * appends its (grp, v_milli, n) quantized-value census
+    * ([[graft.operators.Eval.ksState]]). Unlike PSI the grid needs no
+    * pinned cuts — milli quantization IS the contract, so cells from any
+    * batch are comparable by construction and the read side evaluates
+    * both CDFs on the union grid. */
+  def maintainKsState(rows: DataFrame, groupCol: String, valueCol: String,
+                      statePath: String,
+                      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainCensusState(rows, statePath, checkpointPath,
+      b => graft.operators.Eval.ksState(b, groupCol, valueCol))
+
+  /** KS sup-distance per group vs `baseline` off a [[maintainKsState]]
+    * directory — equal to a batch recompute over everything ever
+    * ingested. */
+  def readKsDrift(spark: SparkSession, statePath: String,
+                  baseline: String): DataFrame =
+    graft.operators.Eval.ksFromCounts(
+      readCensusState(spark, statePath, Seq("grp", "v_milli"), Seq("n")),
+      baseline)
+
   /** Streaming maintenance for the DSIR selection MODEL
     * ([[graft.operators.Vocab.dsirWeights]]'s bucket census): each
     * micro-batch appends its (bucket, n_raw, n_tgt) feature counts —

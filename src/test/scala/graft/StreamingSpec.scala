@@ -727,6 +727,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(report(EventStream.readLangPurity(spark, stateDir)) == maintained)
   }
 
+  test("maintainAssocState: streamed chi2/V equals batch recompute; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-assoc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-assoc-ck").toString
+    val q = EventStream.maintainAssocState(
+      src.toDS().toDF("source", "lang"), "source", "lang", stateDir, ckpt)
+    // (web, en) is SPLIT across batches — its observed count must ADD
+    // across the fold (3 = 2 + 1) before margins/expected are derived;
+    // (wiki, fr) is a zero cell only the densified grid sees.
+    val all = Seq(
+      ("web", "en"), ("web", "en"), ("web", "fr"),
+      ("wiki", "en"), ("wiki", "en")) ++ Seq(
+      ("web", "en"), ("web", "de"),
+      ("wiki", "en"), ("wiki", "de"))
+    try {
+      src.addData(all.take(5): _*); q.processAllAvailable()
+      src.addData(all.drop(5): _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"a", $"b").collect().map(_.toSeq).toSeq
+    val corpus = all.toDF("source", "lang")
+    val maintained = cells(EventStream.readChiSquareCells(spark, stateDir))
+    assert(maintained ==
+      cells(graft.operators.Eval.chiSquareCells(corpus, "source", "lang")))
+    // zero cell present in the densified grid
+    assert(maintained.exists(r => r(0) == "wiki" && r(1) == "fr" &&
+      r(2) == 0L))
+    val v = EventStream.readCramersV(spark, stateDir).collect().map(_.toSeq).toSeq
+    assert(v == graft.operators.Eval.cramersV(corpus, "source", "lang")
+      .collect().map(_.toSeq).toSeq)
+    // replayed batch: identical (__batch_id, a, b) cells fold once
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(cells(EventStream.readChiSquareCells(spark, stateDir)) == maintained)
+  }
+
+  test("maintainHhiState: streamed concentration equals batch recompute; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-hhi").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hhi-ck").toString
+    val q = EventStream.maintainHhiState(
+      src.toDS().toDF("lang", "source"), "lang", "source", stateDir, ckpt)
+    // (en, web) is SPLIT across batches: its share must fold to 3/4
+    // (HHI = (3² + 1²)/4² = 625000 ppm), not a per-batch snapshot.
+    val all = Seq(
+      ("en", "web"), ("en", "web"), ("fr", "wiki")) ++ Seq(
+      ("en", "web"), ("en", "wiki"))
+    try {
+      src.addData(all.take(3): _*); q.processAllAvailable()
+      src.addData(all.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"grp").collect().map(_.toSeq).toSeq
+    val maintained = rows(EventStream.readHhi(spark, stateDir))
+    assert(maintained == rows(graft.operators.Eval.hhiConcentration(
+      all.toDF("lang", "source"), "lang", "source")))
+    assert(maintained.exists(r => r(0) == "en" && r(3) == 625000L))
+    assert(maintained.exists(r => r(0) == "fr" && r(3) == 1000000L))
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(rows(EventStream.readHhi(spark, stateDir)) == maintained)
+  }
+
+  test("maintainKsState: streamed KS drift equals batch recompute; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(String, Double)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-ks").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ks-ck").toString
+    val q = EventStream.maintainKsState(
+      src.toDS().toDF("grp", "v"), "grp", "v", stateDir, ckpt)
+    // (base, 1.0) mass is SPLIT across batches: the baseline CDF at
+    // v_milli=1000 must fold both counts or the sup distance shifts.
+    val all = Seq(
+      ("base", 1.0), ("base", 2.0), ("base", 3.0),
+      ("cand", 1.0), ("cand", 4.0)) ++ Seq(
+      ("base", 1.0), ("base", 4.0),
+      ("cand", 4.0), ("cand", 4.0))
+    try {
+      src.addData(all.take(5): _*); q.processAllAvailable()
+      src.addData(all.drop(5): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"grp").collect().map(_.toSeq).toSeq
+    val maintained = rows(EventStream.readKsDrift(spark, stateDir, "base"))
+    assert(maintained == rows(graft.operators.Eval.ksAgainstBaseline(
+      all.toDF("grp", "v"), "grp", "v", "base")))
+    // cand CDF(3.0) = 1/4 vs base 4/5 → sup = |1·5 − 4·4|·1e6/20 = 550000
+    assert(maintained == Seq(Seq("cand", 4L, 5L, 550000L)))
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(rows(EventStream.readKsDrift(spark, stateDir, "base")) == maintained)
+  }
+
   test("maintainDsirCensus: scoring off the folded model equals the one-pass fit; replays dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
