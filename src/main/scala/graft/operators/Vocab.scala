@@ -1106,4 +1106,158 @@ object Vocab {
           (col("n_points") * col("sxx") - col("sx") * col("sx"))
             .cast("double")).as("zipf_slope"))
   }
+
+  /** Tokenizer-efficiency (fertility) report per (source, lang): how
+    * many characters one token spans under each tokenization lane — the
+    * compression metric a tokenizer evaluation reads per language slice
+    * (a lane whose chars-per-token collapses on some language is
+    * over-segmenting it). Ratios frozen by one exact integer
+    * floor-division each (milli chars/token; ppm lex-per-ws tokens).
+    * One corpus-scale map-side-combinable groupBy; the report runs over
+    * the (source, lang) dimension. */
+  def tokenFertility(df: DataFrame, textCol: String, sourceCol: String,
+                     langCol: String): DataFrame =
+    fertilityFromCounts(fertilityState(df, textCol, sourceCol, langCol))
+
+  /** The (source, lang, n_docs, ws_tokens, lex_tokens, n_chars) census
+    * [[fertilityFromCounts]] scores — an ADDITIVE MONOID, so the
+    * streaming loop maintains it per micro-batch
+    * ([[graft.streaming.EventStream.maintainFertilityState]]) and reads
+    * current tokenizer efficiency without replaying documents. */
+  def fertilityState(df: DataFrame, textCol: String, sourceCol: String,
+                     langCol: String): DataFrame =
+    df.filter(col(sourceCol).isNotNull && col(langCol).isNotNull &&
+        col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"), col(langCol).as("lang"),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("__ws"),
+        TextAnalysis.regexTokenCount(col(textCol)).cast("long").as("__lex"),
+        length(col(textCol)).cast("long").as("__chars"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ws")).as("ws_tokens"),
+        sum(col("__lex")).as("lex_tokens"),
+        sum(col("__chars")).as("n_chars"))
+
+  /** Fertility report from a [[fertilityState]] census (possibly folded
+    * across micro-batches — cells re-summed first so a fold is safe). */
+  def fertilityFromCounts(census: DataFrame): DataFrame = {
+    def ratioMilli(num: Column, den: Column) =
+      when(den > 0,
+        floor(num.cast("decimal(38,0)") * 1000 / den).cast("long"))
+        .otherwise(lit(null).cast("long"))
+    census.groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("ws_tokens"),
+        sum(col("lex_tokens")).cast("long").as("lex_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+      .select(col("source"), col("lang"), col("n_docs"), col("ws_tokens"),
+        col("lex_tokens"), col("n_chars"),
+        ratioMilli(col("n_chars"), col("ws_tokens"))
+          .as("chars_per_ws_token_milli"),
+        ratioMilli(col("n_chars"), col("lex_tokens"))
+          .as("chars_per_lex_token_milli"),
+        when(col("ws_tokens") > 0,
+          floor(col("lex_tokens").cast("decimal(38,0)") * 1000000 /
+            col("ws_tokens")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("lex_per_ws_ppm"))
+  }
+
+  /** Lexical diversity per source: type–token ratio (distinct tokens /
+    * total tokens) and hapax share (tokens seen once / distinct tokens)
+    * — the repetitiveness-of-vocabulary signal that separates template
+    * farms (low TTR, low hapax) from organic text, complementing
+    * [[sourceNovelty]] (which asks about CROSS-source sharing) and
+    * q_text_repetition (which asks about WITHIN-doc repeats). Both
+    * ratios frozen to ppm by exact integer floor-division.
+    *
+    * Scale shape: one corpus-scale explode collapses map-side-combinably
+    * to (source, token) counts; the report is two dimension-scale
+    * aggregates over that census. Token strings shuffle once (the
+    * [[tokenStats]] contract — identity must survive for distinctness;
+    * a 64-bit hash lane would merge colliding types). */
+  def typeTokenRatio(df: DataFrame, textCol: String,
+                     sourceCol: String): DataFrame =
+    df.filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("n")).cast("long").as("n_tokens"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"),
+        floor(col("n_types").cast("decimal(38,0)") * 1000000 /
+          col("n_tokens")).cast("long").as("ttr_ppm"),
+        floor(col("n_hapax").cast("decimal(38,0)") * 1000000 /
+          col("n_types")).cast("long").as("hapax_ppm"))
+
+  /** Interpolated Kneser–Ney bigram surprisal per document — the
+    * principled LM-quality filter (Kneser & Ney 1995; Chen & Goodman
+    * 1999's interpolated form), upgrading [[docBigramSurprisal]]'s MLE:
+    * unseen-in-context continuations back off to how PROMISCUOUS a word
+    * is (how many distinct predecessors it follows), not how frequent,
+    * so boilerplate that always repeats one context stops looking
+    * "fluent". Fixed discount D = 0.75 (the standard choice; c ≥ 1
+    * keeps c − D > 0, no max() needed):
+    *
+    *   P(w2|w1) = (c(w1,w2) − D)/c(w1)
+    *            + (D·N1+(w1,·)/c(w1)) · (N1+(·,w2)/N1+(·,·))
+    *
+    * Cross-engine discipline: every count is an exact integer; P is one
+    * pinned-order IEEE double chain over those integers evaluated once
+    * per bigram TYPE (vocab scale, never per doc row); the surprisal
+    * −ln P freezes at 6 decimals as DECIMAL(18,6) (the docSurprisal
+    * convention) and doc sums are exact decimal.
+    *
+    * Scale shape: [[docBigramSurprisal]]'s — tokens hash to 64-bit
+    * lanes per doc, one corpus-scale (doc, w1, w2) collapse; the pair
+    * table persists because FOUR model-scale derivations read it
+    * (left-context totals + fanout, continuation counts, the type
+    * total, the priced join) and lineage would re-run the corpus
+    * collapse per reference; the type total broadcasts. */
+  def docKnBigramSurprisal(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val arr = org.apache.spark.sql.functions.filter(
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))),
+      t => length(t) > 0)
+    val bg = df.select(col(idCol).as("doc_id"), arr.as("__a"))
+      .filter(size(col("__a")) >= 2)
+      .select(col("doc_id"), transform(col("__a"), t => xxhash64(t)).as("__h"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__h")) - 1),
+        i => struct(element_at(col("__h"), i).as("w1"),
+          element_at(col("__h"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val pair = bg.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("n_pair"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = pair.groupBy(col("w1"))
+      .agg(sum(col("n_pair")).as("n_left"), count(lit(1)).as("fanout"))
+    val cont = pair.groupBy(col("w2")).agg(count(lit(1)).as("n_cont"))
+    val types = pair.agg(count(lit(1)).as("n_types"))
+    // One pinned-order chain: ((c−D)/c1) + ((D·f1/c1) · (c2/T)). The
+    // oracle SQL writes the same parenthesization over the same exact
+    // integers — left-associative · and / match in both engines.
+    val p = (col("n_pair").cast("double") - lit(0.75d)) /
+      col("n_left").cast("double") +
+      (lit(0.75d) * col("fanout").cast("double") /
+        col("n_left").cast("double")) *
+      (col("n_cont").cast("double") / col("n_types").cast("double"))
+    val priced = pair.join(left, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"),
+        round(-log(p), 6).cast("decimal(18,6)").as("surprisal"))
+    bg.join(priced, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("surprisal") * col("tf")).as("__sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__sum").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_surprisal"))
+  }
 }

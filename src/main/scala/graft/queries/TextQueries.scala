@@ -509,6 +509,34 @@ object TextQueries {
           "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Interpolated Kneser–Ney bigram surprisal — the principled smoother
+    // the MLE bigram filter lacks: unseen continuations back off to
+    // predecessor DIVERSITY, not raw frequency, so one-context
+    // boilerplate stops reading as fluent. Counts exact; P one
+    // pinned-order IEEE chain per bigram TYPE; −ln frozen at 6 dp.
+    "q_kn_bigram" -> ((s, dir) =>
+      Vocab.docKnBigramSurprisal(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Tokenizer-efficiency census per (source, lang): chars-per-token
+    // under both tokenization lanes + lex-per-ws fertility, each frozen
+    // by one exact integer floor-division. Additive census — the
+    // streaming loop maintains it (maintainFertilityState).
+    "q_token_fertility" -> ((s, dir) =>
+      Vocab.tokenFertility(Tables.load(s, dir, "documents"),
+          "text", "source", "lang")
+        .orderBy(col("source"), col("lang"))),
+
+    // Lexical diversity per source: type–token ratio + hapax share over
+    // the normalized token census — template farms score low on both;
+    // novelty asks about cross-source sharing, repetition about
+    // within-doc repeats, TTR about vocabulary breadth itself.
+    "q_ttr" -> ((s, dir) =>
+      Vocab.typeTokenRatio(Tables.load(s, dir, "documents"),
+          "text", "source")
+        .orderBy(col("source"))),
+
     // Bounded per-source exemplar panel: the k=5 smallest salted-md5
     // ranks per source via the BoundedMinK aggregate — ≤ k rank strings
     // buffered per group, map-side combinable; no per-group sort, no
@@ -1214,6 +1242,81 @@ object TextQueries {
          |    / CAST(CAST(sum(bg.tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
          |FROM bg JOIN priced p ON bg.w1 = p.w1 AND bg.w2 = p.w2
          |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same CTE chain as q_bigram_logprob plus the KN censuses (fanout,
+    // continuation counts, type total); the P chain's parenthesization
+    // mirrors the Spark expression operand-for-operand.
+    "q_kn_bigram" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS arr
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+         |  FROM toks WHERE len(arr) >= 2),
+         |bg AS (
+         |  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM pos GROUP BY 1, 2, 3),
+         |pair AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS n_pair
+         |         FROM bg GROUP BY 1, 2),
+         |lft AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left,
+         |               CAST(count(*) AS BIGINT) AS fanout
+         |        FROM pair GROUP BY 1),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont
+         |         FROM pair GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM pair),
+         |priced AS (
+         |  SELECT p.w1, p.w2,
+         |    CAST(round(-ln(
+         |      (CAST(p.n_pair AS DOUBLE) - 0.75) / CAST(l.n_left AS DOUBLE)
+         |      + (0.75 * CAST(l.fanout AS DOUBLE) / CAST(l.n_left AS DOUBLE))
+         |      * (CAST(c.n_cont AS DOUBLE) / CAST(t.n_types AS DOUBLE))), 6)
+         |         AS DECIMAL(18,6)) AS surprisal
+         |  FROM pair p JOIN lft l USING (w1) JOIN cont c USING (w2)
+         |  CROSS JOIN tt t)
+         |SELECT bg.doc_id, CAST(sum(bg.tf) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(p.surprisal * bg.tf) AS DOUBLE)
+         |    / CAST(CAST(sum(bg.tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+         |FROM bg JOIN priced p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_token_fertility" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |    CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+        |      AS BIGINT) AS lex_tokens,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL AND text IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, ws_tokens, lex_tokens, n_chars,
+        |  CASE WHEN ws_tokens > 0 THEN CAST(CAST(n_chars AS HUGEINT) * 1000
+        |    // ws_tokens AS BIGINT) END AS chars_per_ws_token_milli,
+        |  CASE WHEN lex_tokens > 0 THEN CAST(CAST(n_chars AS HUGEINT) * 1000
+        |    // lex_tokens AS BIGINT) END AS chars_per_lex_token_milli,
+        |  CASE WHEN ws_tokens > 0 THEN CAST(CAST(lex_tokens AS HUGEINT) * 1000000
+        |    // ws_tokens AS BIGINT) END AS lex_per_ws_ppm
+        |FROM c ORDER BY source, lang""".stripMargin,
+
+    "q_ttr" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents WHERE source IS NOT NULL),
+         |tc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+         |       FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+         |             CAST(sum(n) AS BIGINT) AS n_tokens,
+         |             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |               AS n_hapax
+         |      FROM tc GROUP BY 1)
+         |SELECT source, n_types, n_tokens, n_hapax,
+         |  CAST(CAST(n_types AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+         |    AS ttr_ppm,
+         |  CAST(CAST(n_hapax AS HUGEINT) * 1000000 // n_types AS BIGINT)
+         |    AS hapax_ppm
+         |FROM s ORDER BY source""".stripMargin,
 
     // The window form IS the oracle — the engine's bounded-buffer
     // BoundedMinK draw must equal the full per-group sort's first 5.

@@ -473,6 +473,26 @@ object EventStream {
       readCensusState(spark, statePath, Seq("grp", "v_milli"), Seq("n")),
       baseline)
 
+  /** Streaming maintenance for the tokenizer-efficiency monitor
+    * ([[graft.operators.Vocab.tokenFertility]]): each micro-batch
+    * appends its (source, lang, n_docs, ws_tokens, lex_tokens, n_chars)
+    * sums ([[graft.operators.Vocab.fertilityState]]) — "is a language
+    * slice's chars-per-token collapsing" reads from (source, lang)
+    * state without replaying documents. */
+  def maintainFertilityState(docs: DataFrame, textCol: String,
+                             sourceCol: String, langCol: String,
+                             statePath: String,
+                             checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainCensusState(docs, statePath, checkpointPath,
+      b => graft.operators.Vocab.fertilityState(b, textCol, sourceCol, langCol))
+
+  /** Fertility report off a [[maintainFertilityState]] directory —
+    * equal to a batch recompute over everything ever ingested. */
+  def readFertility(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.Vocab.fertilityFromCounts(
+      readCensusState(spark, statePath, Seq("source", "lang"),
+        Seq("n_docs", "ws_tokens", "lex_tokens", "n_chars")))
+
   /** Streaming maintenance for the DSIR selection MODEL
     * ([[graft.operators.Vocab.dsirWeights]]'s bucket census): each
     * micro-batch appends its (bucket, n_raw, n_tgt) feature counts —

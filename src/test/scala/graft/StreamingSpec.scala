@@ -825,6 +825,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(EventStream.readKsDrift(spark, stateDir, "base")) == maintained)
   }
 
+  test("maintainFertilityState: streamed tokenizer-efficiency equals batch recompute; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(String, String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-fert").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fert-ck").toString
+    val q = EventStream.maintainFertilityState(
+      src.toDS().toDF("source", "lang", "text"), "text", "source", "lang",
+      stateDir, ckpt)
+    // (a, en) token/char mass is SPLIT across batches: chars-per-token
+    // must fold 4 chars / 3 ws tokens = 1333, not a per-batch snapshot.
+    val all = Seq(
+      ("a", "en", "x y"), ("b", "fr", "q r s")) ++ Seq(
+      ("a", "en", "z"), ("b", "fr", "t u"))
+    try {
+      src.addData(all.take(2): _*); q.processAllAvailable()
+      src.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"source", $"lang").collect().map(_.toSeq).toSeq
+    val maintained = rows(EventStream.readFertility(spark, stateDir))
+    assert(maintained == rows(graft.operators.Vocab.tokenFertility(
+      all.toDF("source", "lang", "text"), "text", "source", "lang")))
+    assert(maintained.exists(r => r(0) == "a" && r(6) == 1333L))
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(rows(EventStream.readFertility(spark, stateDir)) == maintained)
+  }
+
   test("maintainDsirCensus: scoring off the folded model equals the one-pass fit; replays dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -314,4 +314,54 @@ class VocabStatsSpec extends AnyFunSuite {
     // logweight is the per-token average times n_tokens (one division)
     rows.values.foreach { case (n, avg) => assert(!avg.isNaN && n > 0) }
   }
+
+  test("docKnBigramSurprisal: hand-computed interpolated KN prices") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Vocab.docKnBigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_surprisal"))).toMap
+    // pairs: (a,b)=2 (b,a)=1 (a,c)=1; c(a)=3 f(a)=2; c(b)=1 f(b)=1;
+    // cont: a,b,c each 1; T=3; D=0.75
+    // P(b|a) = 1.25/3 + (1.5/3)(1/3) = 0.5833…  -> s 0.538997
+    // P(a|b) = 0.25/1 + (0.75/1)(1/3) = 0.5     -> s 0.693147
+    // P(c|a) = 0.25/3 + (1.5/3)(1/3) = 0.25     -> s 1.386294
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - (2 * 0.538997 + 0.693147) / 3.0) < 1e-9)
+    assert(out(2L)._1 == 1L)
+    assert(math.abs(out(2L)._2 - 1.386294) < 1e-9)
+    // the smoother's point: the one-context boilerplate pair (a,b) is
+    // NOT priced as fluently as its MLE 2/3 would suggest
+    assert(out(1L)._2 > -math.log(2.0 / 3.0) - 1e-9)
+  }
+
+  test("tokenFertility: exact census ratios; fold equals recompute") {
+    val docs = Seq(
+      ("a", "en", "x y"), ("a", "en", "z"), ("b", "fr", "q r s"),
+      ("b", null, "skip"), (null, "en", "skip")
+    ).toDF("source", "lang", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"source", $"lang").collect().map(_.toSeq).toSeq
+    val out = key(Vocab.tokenFertility(docs, "text", "source", "lang"))
+    // a/en: 2 docs, ws 3, chars 4 -> floor(4000/3)=1333; lex==ws -> 1e6
+    assert(out.head == Seq("a", "en", 2L, 3L, 3L, 4L, 1333L, 1333L, 1000000L))
+    // b/fr: ws 3, chars 5 -> floor(5000/3)=1666
+    assert(out(1) == Seq("b", "fr", 1L, 3L, 3L, 5L, 1666L, 1666L, 1000000L))
+    assert(out.size == 2, "null source/lang rows excluded")
+    // additive census: a split fold feeds the report unchanged
+    val c1 = Vocab.fertilityState(docs.limit(2), "text", "source", "lang")
+    val c2 = Vocab.fertilityState(docs.offset(2), "text", "source", "lang")
+    assert(key(Vocab.fertilityFromCounts(c1.unionByName(c2))) == out)
+  }
+
+  test("typeTokenRatio: exact TTR and hapax share per source") {
+    val docs = Seq(
+      ("a", "x y x"), ("a", "y z"), ("b", "w w w w")
+    ).toDF("source", "text")
+    val out = Vocab.typeTokenRatio(docs, "text", "source")
+      .orderBy($"source").collect().map(_.toSeq).toSeq
+    // a: types {x:2,y:2,z:1} -> 3 types / 5 tokens, 1 hapax
+    assert(out.head == Seq("a", 3L, 5L, 1L, 600000L, 333333L))
+    // b: one type, 4 tokens, no hapax
+    assert(out(1) == Seq("b", 1L, 4L, 0L, 250000L, 0L))
+  }
 }
