@@ -115,6 +115,118 @@ object TextQueries {
       |      ELSE concat_ws(chr(10), text, substring(text, 1, 40)) END AS lined_text
       |  FROM documents)""".stripMargin
 
+  /** Web-artifact-bearing corpus for the Gopher rule bundle: deterministic
+    * bullet lines (%4), an ellipsis-terminated teaser line (%5), and a
+    * symbol-noise line (%7) wrapped around the raw text — the layout
+    * defects the Gopher quality rules (Rae et al. 2021 A1.1) exist to
+    * catch. concat_ws skips NULL CASE arms identically in both engines;
+    * NULL-text docs are excluded like lineCorpus (concat_ws would
+    * otherwise admit a bullets-only document on the Spark side). */
+  def gopherCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat_ws("\n",
+          when(col("doc_id") % 4 === 0, lit("- bullet item one")),
+          when(col("doc_id") % 4 === 0, lit("* bullet item two")),
+          col("text"),
+          when(col("doc_id") % 5 === 0, lit("to be continued...")),
+          when(col("doc_id") % 7 === 0, lit("### # symbols # here #")))
+          .as("gopher_text"))
+
+  private val gopherCorpusSql =
+    """gop AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    CASE WHEN doc_id % 4 = 0 THEN '- bullet item one' END,
+      |    CASE WHEN doc_id % 4 = 0 THEN '* bullet item two' END,
+      |    text,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'to be continued...' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN '### # symbols # here #' END)
+      |    AS gopher_text
+      |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+
+  /** The Gopher must-have-stopword rule's word set, re-targeted at the
+    * synthetic corpus vocabulary (the canonical set is {the, be, to, of,
+    * and, that, have, with}; only "the" exists here, which would pin the
+    * rule permanently false). The rule itself — "at least minHits of
+    * these words present" — is the paper's. */
+  private val gopherStops = Seq("the", "a", "data", "table")
+
+  /** Gopher repetition thresholds (Rae et al. 2021, Table A1): top-n-gram
+    * char fraction caps for n=2,3,4 and duplicate-n-gram char fraction
+    * caps for n=5..10. */
+  private val gopherTopThresh = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  private val gopherDupThresh =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** Oracle for q_gopher_repetition, generated per n-gram lane: the top
+    * lanes re-derive the native expression's (count × gram chars) via a
+    * full group-by + the same `ORDER BY c DESC, g ASC` tie-break; the dup
+    * lanes re-derive covered-token chars via duplicated-gram start
+    * positions exploded to token indices, deduplicated, and joined back
+    * to token lengths. The window/explode form IS the oracle for the
+    * one-pass RepSignalsExpr census. */
+  private def gopherRepetitionSql: String = {
+    val tops = gopherTopThresh.map(_._1)
+    val dups = gopherDupThresh.map(_._1)
+    val toksCte =
+      """toks AS (
+        |  SELECT doc_id,
+        |    string_split(replace(lined_text, chr(10), ' '), ' ') AS t,
+        |    greatest(length(replace(lined_text, chr(10), ' ')), 1) AS nch
+        |  FROM rep)""".stripMargin
+    val topCtes = tops.map { n =>
+      s"""gp$n AS (
+         |  SELECT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t)-$n+2)) AS i
+         |        FROM toks)),
+         |top$n AS (
+         |  SELECT doc_id, CAST(c AS BIGINT) * length(g) AS chars
+         |  FROM (SELECT doc_id, g, c,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY c DESC, g ASC) AS rn
+         |        FROM (SELECT doc_id, g, count(*) AS c
+         |              FROM gp$n GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val dupCtes = dups.map { n =>
+      s"""gpp$n AS (
+         |  SELECT doc_id, i, array_to_string(t[i:i+${n - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t)-$n+2)) AS i
+         |        FROM toks)),
+         |dupg$n AS (SELECT doc_id, g FROM gpp$n
+         |           GROUP BY doc_id, g HAVING count(*) >= 2),
+         |cov$n AS (SELECT DISTINCT p.doc_id, p.i + o.o AS ti
+         |  FROM gpp$n p JOIN dupg$n d ON p.doc_id = d.doc_id AND p.g = d.g
+         |  CROSS JOIN (SELECT unnest(range(0, $n)) AS o) o),
+         |covch$n AS (SELECT c.doc_id,
+         |    CAST(sum(length(t.t[c.ti])) AS BIGINT) AS ch
+         |  FROM cov$n c JOIN toks t ON c.doc_id = t.doc_id GROUP BY 1)"""
+        .stripMargin
+    }
+    val topSel = tops.map(n =>
+      s"CAST(COALESCE(top$n.chars, 0) AS DOUBLE) / CAST(k.nch AS DOUBLE)" +
+        s" AS top${n}gram_char_frac")
+    val dupSel = dups.map(n =>
+      s"CAST(COALESCE(covch$n.ch, 0) AS DOUBLE) / CAST(k.nch AS DOUBLE)" +
+        s" AS dup${n}gram_char_frac")
+    val joins = (tops.map(n => s"LEFT JOIN top$n ON k.doc_id = top$n.doc_id") ++
+      dups.map(n => s"LEFT JOIN covch$n ON k.doc_id = covch$n.doc_id"))
+      .mkString("\n")
+    val pass = (gopherTopThresh.map { case (n, t) =>
+      s"top${n}gram_char_frac <= $t"
+    } ++ gopherDupThresh.map { case (n, t) =>
+      s"dup${n}gram_char_frac <= $t"
+    }).mkString(" AND ")
+    s"""WITH $repCorpusSql,
+       |${(toksCte +: (topCtes ++ dupCtes)).mkString(",\n")}
+       |SELECT *, ($pass) AS rep_pass FROM (
+       |SELECT k.doc_id,
+       |  ${(topSel ++ dupSel).mkString(",\n  ")}
+       |FROM toks k
+       |$joins)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Boilerplate-bearing multi-line corpus for cross-document line dedup:
     * half the docs (%2) lead with a shared newsletter banner, every fifth
     * ends with a shared copyright footer, and the raw text is the middle
@@ -536,6 +648,81 @@ object TextQueries {
       Vocab.typeTokenRatio(Tables.load(s, dir, "documents"),
           "text", "source")
         .orderBy(col("source"))),
+
+    // Gopher quality-rule bundle (Rae et al. 2021 A1.1) over the
+    // artifact-injected corpus: word count, mean word length,
+    // symbol-to-word ratio, bullet-/ellipsis-line fractions, alpha-word
+    // fraction, must-have-stopword hits, and the conjunction verdict.
+    // Every signal is per-row array arithmetic riding the scan (no
+    // shuffle); every fraction is ONE IEEE division of exact ints, so
+    // the cross-engine hash discipline holds and the rule booleans
+    // (comparisons of bit-identical doubles) agree too.
+    "q_gopher_quality" -> ((s, dir) => {
+      val flat = translate(col("gopher_text"), "\n", " ")
+      val toks = split(flat, " ")
+      val nWords = size(toks)
+      val nWordsD = nWords.cast("double")
+      val sumChars = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+      val lines = TA.nonBlankLines(col("gopher_text"))
+      val nLinesD = greatest(size(lines), lit(1)).cast("double")
+      val bulletFrac = size(filter(lines, l =>
+        l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+        .cast("double") / nLinesD
+      val ellipsisFrac = size(filter(lines, l => l.endsWith("...")))
+        .cast("double") / nLinesD
+      val alphaFrac = size(filter(toks, t =>
+        regexp_count(t, lit("[a-zA-Z]")) > 0)).cast("double") / nWordsD
+      val meanLen = sumChars.cast("double") / nWordsD
+      val symRatio = (regexp_count(flat, lit("[#]")) +
+        regexp_count(flat, lit("[.][.][.]"))).cast("double") / nWordsD
+      val stopHits = gopherStops.map(w =>
+        when(array_contains(toks, w), 1).otherwise(0)).reduce(_ + _)
+      gopherCorpus(s, dir).select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"),
+        alphaFrac.as("alpha_word_frac"),
+        stopHits.cast("long").as("stop_hits"),
+        (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+          symRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+          alphaFrac >= 0.8 && stopHits >= 2).as("gopher_pass"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher repetition signatures (Rae et al. 2021 A1.1) over the
+    // prefix-echo corpus flattened to one token stream: top-{2,3,4}-gram
+    // character fractions (chars of the most frequent n-gram × its
+    // count) and duplicate-{5..10}-gram character fractions (chars of
+    // tokens covered by ANY repeated n-gram, overlap counted once).
+    // The integer census per (doc, n) comes from the native one-pass
+    // RepSignalsExpr — per-document semantics stay a scan projection
+    // instead of a corpus-scale n-gram explode+shuffle; fractions are
+    // one IEEE division each. Thresholds are the paper's table values.
+    "q_gopher_repetition" -> ((s, dir) => {
+      import graft.functions.RepSignalsExpr.repSignals
+      val flat = translate(col("lined_text"), "\n", " ")
+      val toks = split(flat, " ")
+      val nchD = greatest(length(flat), lit(1)).cast("double")
+      def topFrac(n: Int) = {
+        val sig = repSignals(toks, n)
+        (element_at(sig, 1) * element_at(sig, 2)).cast("double") / nchD
+      }
+      def dupFrac(n: Int) =
+        element_at(repSignals(toks, n), 3).cast("double") / nchD
+      val tops = Seq(2, 3, 4).map(n => topFrac(n).as(s"top${n}gram_char_frac"))
+      val dups = (5 to 10).map(n => dupFrac(n).as(s"dup${n}gram_char_frac"))
+      val topThresh = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+      val dupThresh = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+        9 -> 0.11, 10 -> 0.10)
+      val pass = (topThresh.map { case (n, t) => topFrac(n) <= t } ++
+        dupThresh.map { case (n, t) => dupFrac(n) <= t }).reduce(_ && _)
+      repCorpus(s, dir).select(
+        (col("doc_id") +: (tops ++ dups) :+ pass.as("rep_pass")): _*)
+        .orderBy(col("doc_id"))
+    }),
 
     // Bounded per-source exemplar panel: the k=5 smallest salted-md5
     // ranks per source via the BoundedMinK aggregate — ≤ k rank strings
@@ -1317,6 +1504,45 @@ object TextQueries {
          |  CAST(CAST(n_hapax AS HUGEINT) * 1000000 // n_types AS BIGINT)
          |    AS hapax_ppm
          |FROM s ORDER BY source""".stripMargin,
+
+    "q_gopher_quality" ->
+      s"""WITH $gopherCorpusSql,
+         |feat AS (
+         |  SELECT doc_id,
+         |    replace(gopher_text, chr(10), ' ') AS flat,
+         |    string_split(replace(gopher_text, chr(10), ' '), ' ') AS toks,
+         |    list_filter(string_split(gopher_text, chr(10)),
+         |                l -> trim(l) <> '') AS lines
+         |  FROM gop),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+         |    CAST(len(regexp_extract_all(flat, '[#]'))
+         |       + len(regexp_extract_all(flat, '[.][.][.]')) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+         |    CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+         |       OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+         |      / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_line_frac,
+         |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+         |      / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_line_frac,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+         |        AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS alpha_word_frac,
+         |    CAST(${gopherStops.map(w =>
+                s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+                .mkString("\n       + ")} AS BIGINT) AS stop_hits
+         |  FROM feat)
+         |SELECT *,
+         |  (n_words BETWEEN 50 AND 100000
+         |   AND mean_word_len BETWEEN 3.0 AND 10.0
+         |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+         |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+         |   AND stop_hits >= 2) AS gopher_pass
+         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_repetition" -> gopherRepetitionSql,
 
     // The window form IS the oracle — the engine's bounded-buffer
     // BoundedMinK draw must equal the full per-group sort's first 5.

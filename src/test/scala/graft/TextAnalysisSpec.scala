@@ -164,4 +164,73 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("changed") == (id % 7 == 0 || id % 13 == 0), s"doc $id")
     }
   }
+
+  test("RepSignalsExpr: hand-computed top/dup census, ties to smallest gram") {
+    import graft.functions.RepSignalsExpr.repSignals
+    val df = Seq(
+      (1L, "x y x y x"),          // 2-grams: {x y:2, y x:2} tie -> 'x y'
+      (2L, "c c d d c c d d"),    // {c c:2, c d:2, d d:2, d c:1} -> 'c c'
+      (3L, "a b c d"),            // all distinct -> top cnt 1, dup 0
+      (4L, "solo")                // shorter than n -> zeros
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", repSignals(split($"text", " "), 2).as("s"))
+      .orderBy($"doc_id").collect().map(_.getSeq[Long](1))
+    // doc 1: top 'x y' cnt 2 chars 3; every gram duplicated -> all 5
+    // 1-char tokens covered
+    assert(out(0) == Seq(2L, 3L, 5L))
+    // doc 2: tie among {c c, c d, d d} at cnt 2 -> smallest 'c c';
+    // covered = every token except none (gram 'd c' is unique but its
+    // tokens are covered by neighbors) -> 8 chars
+    assert(out(1) == Seq(2L, 3L, 8L))
+    assert(out(2) == Seq(1L, 3L, 0L))
+    assert(out(3) == Seq(0L, 0L, 0L))
+    // n=3 on doc 1: 'x y x' appears at 0 and 2 -> top (2, 5); coverage
+    // 0..2 union 2..4 = all 5 tokens
+    val t3 = df.filter($"doc_id" === 1)
+      .select(repSignals(split($"text", " "), 3)).head().getSeq[Long](0)
+    assert(t3 == Seq(2L, 5L, 5L))
+    // interpreted path (direct static call) agrees with codegen
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(
+      "x y x y x".split(" ").map(UTF8String.fromString(_).asInstanceOf[Any]))
+    val interp = graft.functions.RepSignalsExpr.signals(arr, 2)
+    assert((0 until 3).map(interp.getLong) == Seq(2L, 3L, 5L))
+  }
+
+  test("q_gopher_quality: injected artifacts drive the rules; verdict varies") {
+    val out = TextQueries.queries("q_gopher_quality")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bullet = r.getAs[Double]("bullet_line_frac")
+      if (id % 4 == 0) assert(bullet > 0.0, s"doc $id") else assert(bullet == 0.0, s"doc $id")
+      val ell = r.getAs[Double]("ellipsis_line_frac")
+      if (id % 5 != 0) assert(ell == 0.0, s"doc $id") else assert(ell > 0.0, s"doc $id")
+      // symbol noise comes only from the %7 line and the %5 ellipsis
+      if (id % 7 != 0 && id % 5 != 0)
+        assert(r.getAs[Double]("symbol_ratio") == 0.0, s"doc $id")
+      assert(r.getAs[Double]("alpha_word_frac") <= 1.0)
+    }
+    val passes = out.count(_.getAs[Boolean]("gopher_pass"))
+    assert(passes > 0 && passes < out.length, "verdict must vary")
+  }
+
+  test("q_gopher_repetition: echo drives dup-5-gram coverage; thresholds bind") {
+    val out = TextQueries.queries("q_gopher_repetition")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // the 40-char prefix echo guarantees a duplicated ~8-token span
+      assert(r.getAs[Double]("dup5gram_char_frac") > 0.0)
+      // coverage fractions are monotonically non-increasing in n
+      val d = (5 to 10).map(n => r.getAs[Double](s"dup${n}gram_char_frac"))
+      assert(d.sliding(2).forall { case Seq(a, b) => a >= b })
+      // top-gram char mass can exceed its count-1 floor but stays sane
+      assert(r.getAs[Double]("top2gram_char_frac") > 0.0)
+    }
+    val passes = out.count(_.getAs[Boolean]("rep_pass"))
+    assert(passes > 0 && passes < out.length, "verdict must vary")
+  }
 }
