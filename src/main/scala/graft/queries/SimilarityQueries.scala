@@ -130,6 +130,21 @@ object SimilarityQueries {
       Similarity.knnGraphLsh(Tables.load(s, dir, "embeddings"), k = 3)
         .orderBy(col("id"), col("rank"))),
 
+    // Density-equalized diversity sample: k-means cells (∝ corpus via
+    // cellsFor, the semDedup blocking) cap each semantic region's
+    // contribution at 20 docs — over-dense template/boilerplate regions
+    // flatten, sparse regions survive intact. The in-cell draw is the
+    // salted-md5 BoundedMinK panel (no per-cell sort, no window funnel).
+    // Rows-only (learned centroids aren't SQL-portable); cap/coverage/
+    // fixed-centroid window equality spec-pinned, Σ min(cap, cell_n)
+    // exactness exported via VerifyExtras `cluster_cap_exactness`.
+    "q_cluster_cap_sample" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.clusterCapSample(emb, cap = 20,
+          k = Similarity.cellsFor(emb.count()))
+        .orderBy(col("cell"), col("rn"))
+    }),
+
     // Per-label centroid coherence (avg/min member cosine to the label
     // mean) — oracle-EXACT centroid math via the quantized-decimal
     // contract (components frozen at 3 decimals; the centroid sum is
@@ -145,6 +160,18 @@ object SimilarityQueries {
       Similarity.randomProjection(Tables.load(s, dir, "embeddings"),
           outDims = 8)
         .orderBy(col("vec_id"), col("out_dim"))),
+
+    // Data-driven twin of the JL projection: PCA to 8 dims (fit on the
+    // bounded hash-modulus sample, deterministic Jacobi eigensolver,
+    // quantized-decimal exact projection). Rows-only (learned
+    // eigenbasis); orthonormality + eigen-residual floors in
+    // VerifyExtras, axis recovery and local recomputation spec-pinned.
+    "q_pca_project" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (vecs, _, mu) = Similarity.pcaFit(emb, outDims = 8)
+      Similarity.projectPca(emb, vecs, mu)
+        .orderBy(col("vec_id"), col("out_dim"))
+    }),
 
     // IVF-PQ: coarse cells bound WHERE to look, product-quantized codes
     // bound what a row COSTS (8 bytes vs 256; ADC lookup-table scoring —

@@ -605,6 +605,122 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("centroid_cos") == 0.0)
   }
 
+  test("clusterCapSample: cap enforced per cell, coverage total, window-form equality") {
+    // Two far-apart clusters under FIXED centroids: 30 vectors on the
+    // x-axis (ids 0..29), 3 on the y-axis (ids 100..102). cap=5 must
+    // keep exactly 5 of the dense cell and all 3 of the sparse one.
+    val dense = (0 until 30).map(i => (i.toLong, Array(1.0f, 0.0f, 0.001f * i)))
+    val sparse = (0 until 3).map(i => (100L + i, Array(0.0f, 1.0f, 0.001f * i)))
+    val df = (dense ++ sparse).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val out = Similarity.clusterCapSample(df, cap = 5, centroids = cents)
+      .collect()
+    assert(out.length == 8, "sum of min(cap, cell_n)")
+    val byCell = out.groupBy(_.getAs[Int]("cell"))
+    assert(byCell.size == 2, "both cells covered")
+    byCell.foreach { case (_, rows) =>
+      val n = rows.head.getAs[Long]("cell_n")
+      assert(rows.length == math.min(5L, n).toInt)
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rows.length))
+    }
+    // the sparse cell keeps every member
+    val sparseKept = out.filter(_.getAs[Long]("cell_n") == 3L)
+      .map(_.getAs[Long]("id")).sorted.toSeq
+    assert(sparseKept == Seq(100L, 101L, 102L))
+    // window-form equality on the dense cell: the kept 5 are the 5
+    // smallest salted-md5 ranks over ALL 30 dense ids (the
+    // groupExemplars rank recomputed independently here)
+    val rank = concat(
+      md5(concat(lit("graft:"), $"id".cast("string"))), lit(":"),
+      md5(concat(lit("graft2:"), $"id".cast("string"))), lit(":"),
+      $"id".cast("string"))
+    val expected = dense.map(_._1).toDF("id")
+      .select($"id", rank.as("rk")).orderBy($"rk").limit(5)
+      .select($"id").as[Long].collect().toSet
+    val denseKept = out.filter(_.getAs[Long]("cell_n") == 30L)
+      .map(_.getAs[Long]("id")).toSet
+    assert(denseKept == expected, "bounded draw ≡ full window sort")
+    // determinism: a second run is row-identical
+    val again = Similarity.clusterCapSample(df, cap = 5, centroids = cents)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rn"))).toSet
+    assert(again == out.map(r => (r.getAs[Long]("id"), r.getAs[Int]("rn"))).toSet)
+    // degenerate corpus (< 2 usable centroids): one cell, cap still binds
+    val one = Similarity.clusterCapSample(df, cap = 4,
+      centroids = Seq(Seq(1.0, 0.0, 0.0)))
+    assert(one.count() == 4 &&
+      one.select("cell").distinct().as[Int].collect().toSeq == Seq(0))
+  }
+
+  test("pcaFit: recovers the dominant axis; spectrum ordered; deterministic") {
+    // Variance 100× along u = (3,4)/5, small along the orthogonal v.
+    // Deterministic "noise" from index arithmetic — no RNG in tests.
+    val u = Array(0.6, 0.8); val w = Array(-0.8, 0.6)
+    val vecs = (0 until 400).map { i =>
+      val a = (i % 21 - 10).toDouble      // spread -10..10 along u
+      val b = ((i * 7) % 5 - 2).toDouble * 0.1 // -0.2..0.2 along w
+      (i.toLong, Array((a * u(0) + b * w(0)).toFloat,
+        (a * u(1) + b * w(1)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (evs, vals, mu) = Similarity.pcaFit(df, outDims = 2)
+    assert(evs.length == 2 && vals.length == 2)
+    assert(vals.head >= vals(1), "spectrum ordered desc")
+    val cosTop = math.abs(evs.head(0) * u(0) + evs.head(1) * u(1))
+    assert(cosTop > 0.999, s"top axis recovered, got $cosTop")
+    // sign convention: largest-|entry| component positive
+    assert(evs.forall(v => v(v.indices.maxBy(i => math.abs(v(i)))) > 0))
+    // orthonormal
+    val dot01 = evs(0).zip(evs(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot01) < 1e-9)
+    assert(math.abs(evs.head.map(x => x * x).sum - 1.0) < 1e-9)
+    // deterministic refit
+    val (evs2, vals2, mu2) = Similarity.pcaFit(df, outDims = 2)
+    assert(evs2 == evs && vals2 == vals && mu2 == mu)
+  }
+
+  test("projectPca: values match a local exact recomputation; null vectors drop") {
+    val vecs = Seq((1L, Array(1.5f, -0.25f)), (2L, Array(0.0f, 2.0f)),
+      (3L, null.asInstanceOf[Array[Float]]))
+    val df = vecs.toDF("vec_id", "embedding")
+    val evs = Seq(Seq(0.6, 0.8), Seq(-0.8, 0.6))
+    val mu = Seq(100L, 50L) // milli units
+    val out = Similarity.projectPca(df, evs, mu)
+      .orderBy($"vec_id", $"out_dim").collect()
+    assert(out.length == 4, "null embedding drops")
+    // local recomputation: q = round(x*1000); w = round(ev*1e6);
+    // value = sum((q - mu) * w)
+    def expect(x: Array[Float], j: Int): Long =
+      x.indices.map { i =>
+        (math.round(x(i).toDouble * 1000) - mu(i)) * math.round(evs(j)(i) * 1e6)
+      }.sum
+    assert(out(0).getAs[Long]("value_q") == expect(Array(1.5f, -0.25f), 0))
+    assert(out(1).getAs[Long]("value_q") == expect(Array(1.5f, -0.25f), 1))
+    assert(out(2).getAs[Long]("value_q") == expect(Array(0.0f, 2.0f), 0))
+    assert(out(3).getAs[Long]("value_q") == expect(Array(0.0f, 2.0f), 1))
+  }
+
+  test("jacobiEigen: hand-computed symmetric spectrum") {
+    // [[2,1],[1,2]] has eigenvalues 3 (along (1,1)) and 1 (along (1,-1)).
+    val (vals, v) = Similarity.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val pairs = vals.zipWithIndex.sortBy(-_._1)
+    assert(math.abs(pairs(0)._1 - 3.0) < 1e-12 && math.abs(pairs(1)._1 - 1.0) < 1e-12)
+    val top = Array(v(0)(pairs(0)._2), v(1)(pairs(0)._2))
+    assert(math.abs(math.abs(top(0)) - math.sqrt(0.5)) < 1e-9 &&
+      math.abs(top(0) - top(1)) < 1e-9)
+  }
+
+  test("clusterCapSample: plan is one bounded aggregate + broadcast census join") {
+    val df = (0 until 50).map(i => (i.toLong, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.clusterCapSample(df, cap = 3,
+      centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"cell census must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no window funnel:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-scale shuffle join:\n$plan")
+  }
+
   test("labelCoherence: quantization is the contract — sub-half-milli components vanish") {
     // 0.0004 quantizes to 0 -> the member's norm is zero -> dropped,
     // and the label with one surviving member reports exactly 1.0
