@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §2
@@ -193,4 +193,70 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
       lit(PhoneRe), lit("<PHONE>"))
+
+  // --- Gopher quality-rule bundle (Rae et al. 2021 A1.1) -------------------
+
+  /** The Gopher quality signals for a (possibly multi-line) text column —
+    * the per-doc columns q_gopher_quality reports and the pass-rate
+    * census folds. Every signal is per-row array arithmetic (no shuffle);
+    * every fraction ONE IEEE division of exact ints, so rule booleans
+    * (comparisons of bit-identical doubles) agree cross-engine. */
+  final case class GopherSignals(nWords: Column, meanWordLen: Column,
+                                 symbolRatio: Column, bulletLineFrac: Column,
+                                 ellipsisLineFrac: Column, alphaWordFrac: Column,
+                                 stopHits: Column, pass: Column)
+
+  def gopherSignals(text: Column, stops: Seq[String]): GopherSignals = {
+    val flat = translate(text, "\n", " ")
+    val toks = split(flat, " ")
+    val nWords = size(toks)
+    val nWordsD = nWords.cast("double")
+    val sumChars = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+    val lines = nonBlankLines(text)
+    val nLinesD = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+      .cast("double") / nLinesD
+    val ellipsisFrac = size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / nLinesD
+    val alphaFrac = size(filter(toks, t =>
+      regexp_count(t, lit("[a-zA-Z]")) > 0)).cast("double") / nWordsD
+    val meanLen = sumChars.cast("double") / nWordsD
+    val symRatio = (regexp_count(flat, lit("[#]")) +
+      regexp_count(flat, lit("[.][.][.]"))).cast("double") / nWordsD
+    val stopHits = stops.map(w =>
+      when(array_contains(toks, w), 1).otherwise(0)).reduce(_ + _)
+    val pass = nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+      symRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 && stopHits >= 2
+    GopherSignals(nWords, meanLen, symRatio, bulletFrac, ellipsisFrac,
+      alphaFrac, stopHits, pass)
+  }
+
+  /** Additive (source, n_docs, n_pass) census of the Gopher verdict —
+    * the quality-gate health monitor's state ([[gopherRateFromCounts]]
+    * reports off it; the streaming loop maintains it via
+    * maintainGopherRateState). Sources × 1 rows, never doc scale. */
+  def gopherRateState(df: DataFrame, sourceCol: String, textCol: String,
+                      stops: Seq[String]): DataFrame = {
+    val pass = gopherSignals(col(textCol), stops).pass
+    df.filter(col(textCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(pass, 1L).otherwise(0L)).as("n_pass"))
+  }
+
+  /** Per-source quality-gate pass rate off an existing (source, n_docs,
+    * n_pass) count table ([[gopherRateState]] or a fold of maintained
+    * state) — one IEEE division of exact longs per source. A source
+    * whose rate sags round-over-round is rotting upstream of dedup. */
+  def gopherRateFromCounts(counts: DataFrame): DataFrame =
+    counts.select(col("source"), col("n_docs"), col("n_pass"),
+      (col("n_pass").cast("double") / col("n_docs").cast("double"))
+        .as("pass_rate"))
+
+  /** One-shot batch form: census + report. */
+  def gopherRate(df: DataFrame, sourceCol: String, textCol: String,
+                 stops: Seq[String]): DataFrame =
+    gopherRateFromCounts(gopherRateState(df, sourceCol, textCol, stops))
 }

@@ -124,7 +124,7 @@ object TextQueries {
     * otherwise admit a bullets-only document on the Spark side). */
   def gopherCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents").filter(col("text").isNotNull)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         concat_ws("\n",
           when(col("doc_id") % 4 === 0, lit("- bullet item one")),
           when(col("doc_id") % 4 === 0, lit("* bullet item two")),
@@ -135,7 +135,7 @@ object TextQueries {
 
   private val gopherCorpusSql =
     """gop AS (
-      |  SELECT doc_id, concat_ws(chr(10),
+      |  SELECT doc_id, source, concat_ws(chr(10),
       |    CASE WHEN doc_id % 4 = 0 THEN '- bullet item one' END,
       |    CASE WHEN doc_id % 4 = 0 THEN '* bullet item two' END,
       |    text,
@@ -150,6 +150,50 @@ object TextQueries {
     * rule permanently false). The rule itself — "at least minHits of
     * these words present" — is the paper's. */
   private val gopherStops = Seq("the", "a", "data", "table")
+
+  /** Shared oracle CTE chain for the Gopher rule bundle: the artifact
+    * corpus (`gop`), the tokenized features (`feat`), and the per-doc
+    * signal columns (`sig`, source carried through for the rate census).
+    * q_gopher_quality selects per-doc rows off it; q_gopher_rate
+    * aggregates the verdict per source — ONE signal derivation, two
+    * consumers (the langPurityState split applied to oracle SQL). */
+  private def gopherSigSql: String =
+    s"""$gopherCorpusSql,
+       |feat AS (
+       |  SELECT doc_id, source,
+       |    replace(gopher_text, chr(10), ' ') AS flat,
+       |    string_split(replace(gopher_text, chr(10), ' '), ' ') AS toks,
+       |    list_filter(string_split(gopher_text, chr(10)),
+       |                l -> trim(l) <> '') AS lines
+       |  FROM gop),
+       |sig AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+       |    CAST(len(regexp_extract_all(flat, '[#]'))
+       |       + len(regexp_extract_all(flat, '[.][.][.]')) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+       |    CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+       |       OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+       |      / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_line_frac,
+       |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+       |      / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_line_frac,
+       |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+       |        AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS alpha_word_frac,
+       |    CAST(${gopherStops.map(w =>
+              s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+              .mkString("\n     + ")} AS BIGINT) AS stop_hits
+       |  FROM feat)""".stripMargin
+
+  /** The rule conjunction over `sig` columns (shared by both oracles). */
+  private val gopherPassSql: String =
+    """n_words BETWEEN 50 AND 100000
+      |   AND mean_word_len BETWEEN 3.0 AND 10.0
+      |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+      |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+      |   AND stop_hits >= 2""".stripMargin
 
   /** Gopher repetition thresholds (Rae et al. 2021, Table A1): top-n-gram
     * char fraction caps for n=2,3,4 and duplicate-n-gram char fraction
@@ -658,39 +702,30 @@ object TextQueries {
     // the cross-engine hash discipline holds and the rule booleans
     // (comparisons of bit-identical doubles) agree too.
     "q_gopher_quality" -> ((s, dir) => {
-      val flat = translate(col("gopher_text"), "\n", " ")
-      val toks = split(flat, " ")
-      val nWords = size(toks)
-      val nWordsD = nWords.cast("double")
-      val sumChars = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
-      val lines = TA.nonBlankLines(col("gopher_text"))
-      val nLinesD = greatest(size(lines), lit(1)).cast("double")
-      val bulletFrac = size(filter(lines, l =>
-        l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
-        .cast("double") / nLinesD
-      val ellipsisFrac = size(filter(lines, l => l.endsWith("...")))
-        .cast("double") / nLinesD
-      val alphaFrac = size(filter(toks, t =>
-        regexp_count(t, lit("[a-zA-Z]")) > 0)).cast("double") / nWordsD
-      val meanLen = sumChars.cast("double") / nWordsD
-      val symRatio = (regexp_count(flat, lit("[#]")) +
-        regexp_count(flat, lit("[.][.][.]"))).cast("double") / nWordsD
-      val stopHits = gopherStops.map(w =>
-        when(array_contains(toks, w), 1).otherwise(0)).reduce(_ + _)
+      val g = TA.gopherSignals(col("gopher_text"), gopherStops)
       gopherCorpus(s, dir).select(
         col("doc_id"),
-        nWords.cast("long").as("n_words"),
-        meanLen.as("mean_word_len"),
-        symRatio.as("symbol_ratio"),
-        bulletFrac.as("bullet_line_frac"),
-        ellipsisFrac.as("ellipsis_line_frac"),
-        alphaFrac.as("alpha_word_frac"),
-        stopHits.cast("long").as("stop_hits"),
-        (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
-          symRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
-          alphaFrac >= 0.8 && stopHits >= 2).as("gopher_pass"))
+        g.nWords.cast("long").as("n_words"),
+        g.meanWordLen.as("mean_word_len"),
+        g.symbolRatio.as("symbol_ratio"),
+        g.bulletLineFrac.as("bullet_line_frac"),
+        g.ellipsisLineFrac.as("ellipsis_line_frac"),
+        g.alphaWordFrac.as("alpha_word_frac"),
+        g.stopHits.cast("long").as("stop_hits"),
+        g.pass.as("gopher_pass"))
         .orderBy(col("doc_id"))
     }),
+
+    // Per-source quality-gate HEALTH: the Gopher verdict aggregated to a
+    // (source, n_docs, n_pass, pass_rate) census — the monitor a corpus
+    // operator reads round-over-round (a sagging source is rotting
+    // upstream of dedup). Additive census → the streaming loop maintains
+    // it (maintainGopherRateState, fold ≡ recompute spec-pinned); one
+    // map-side-combinable aggregate, report over the source dimension.
+    "q_gopher_rate" -> ((s, dir) =>
+      TA.gopherRate(gopherCorpus(s, dir), "source", "gopher_text",
+          gopherStops)
+        .orderBy(col("source"))),
 
     // Gopher repetition signatures (Rae et al. 2021 A1.1) over the
     // prefix-echo corpus flattened to one token stream: top-{2,3,4}-gram
@@ -1506,41 +1541,21 @@ object TextQueries {
          |FROM s ORDER BY source""".stripMargin,
 
     "q_gopher_quality" ->
-      s"""WITH $gopherCorpusSql,
-         |feat AS (
-         |  SELECT doc_id,
-         |    replace(gopher_text, chr(10), ' ') AS flat,
-         |    string_split(replace(gopher_text, chr(10), ' '), ' ') AS toks,
-         |    list_filter(string_split(gopher_text, chr(10)),
-         |                l -> trim(l) <> '') AS lines
-         |  FROM gop),
-         |sig AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_words,
-         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-         |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
-         |    CAST(len(regexp_extract_all(flat, '[#]'))
-         |       + len(regexp_extract_all(flat, '[.][.][.]')) AS DOUBLE)
-         |      / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
-         |    CAST(len(list_filter(lines, l -> starts_with(l, '- ')
-         |       OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
-         |      / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_line_frac,
-         |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
-         |      / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_line_frac,
-         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
-         |        AS DOUBLE)
-         |      / CAST(len(toks) AS DOUBLE) AS alpha_word_frac,
-         |    CAST(${gopherStops.map(w =>
-                s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
-                .mkString("\n       + ")} AS BIGINT) AS stop_hits
-         |  FROM feat)
-         |SELECT *,
-         |  (n_words BETWEEN 50 AND 100000
-         |   AND mean_word_len BETWEEN 3.0 AND 10.0
-         |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
-         |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
-         |   AND stop_hits >= 2) AS gopher_pass
+      s"""WITH $gopherSigSql
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+         |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+         |  ($gopherPassSql) AS gopher_pass
          |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rate" ->
+      s"""WITH $gopherSigSql,
+         |v AS (SELECT source, ($gopherPassSql) AS p FROM sig)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS pass_rate
+         |FROM v GROUP BY source ORDER BY source""".stripMargin,
 
     "q_gopher_repetition" -> gopherRepetitionSql,
 

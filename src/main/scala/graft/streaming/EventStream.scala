@@ -408,6 +408,26 @@ object EventStream {
     graft.operators.Vocab.langPurityFromCounts(
       readCensusState(spark, statePath, Seq("source", "lang"), Seq("n")))
 
+  /** Streaming maintenance for the Gopher quality-gate health monitor
+    * ([[graft.operators.TextAnalysis.gopherRate]]): each micro-batch
+    * appends its (source, n_docs, n_pass) verdict census —
+    * "is this source's pass rate sagging" reads from sources × 1 state
+    * without replaying documents. */
+  def maintainGopherRateState(docs: DataFrame, sourceCol: String,
+                              textCol: String, stops: Seq[String],
+                              statePath: String,
+                              checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainCensusState(docs, statePath, checkpointPath,
+      b => graft.operators.TextAnalysis.gopherRateState(b, sourceCol, textCol, stops))
+
+  /** [[graft.operators.TextAnalysis.gopherRate]]'s report off a
+    * [[maintainGopherRateState]] directory — equal to a batch recompute
+    * over everything ever ingested (the census is an exact count
+    * monoid; the rate is one division over folded counts). */
+  def readGopherRate(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.TextAnalysis.gopherRateFromCounts(
+      readCensusState(spark, statePath, Seq("source"), Seq("n_docs", "n_pass")))
+
   /** Streaming maintenance for the categorical-association monitor
     * ([[graft.operators.Eval.chiSquareCells]] / cramersV): each
     * micro-batch appends its (a, b, n) contingency cells — the additive

@@ -727,6 +727,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(report(EventStream.readLangPurity(spark, stateDir)) == maintained)
   }
 
+  test("maintainGopherRateState: streamed pass rate equals batch recompute; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-gr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gr-ck").toString
+    val stops = Seq("the", "a")
+    val q = EventStream.maintainGopherRateState(
+      src.toDS().toDF("source", "text"), "source", "text", stops,
+      stateDir, ckpt)
+    // One passing doc (50+ alpha words incl. both stops), one failing
+    // (too short). "web" is SPLIT across batches — its counts must ADD
+    // (2 docs, 1 pass) across the fold, not latest-wins.
+    val passDoc = (("the a " + Seq.tabulate(60)(i => s"word$i").mkString(" ")))
+    val failDoc = "too short"
+    val all = Seq(("web", passDoc), ("wiki", failDoc)) ++
+      Seq(("web", failDoc), ("wiki", passDoc))
+    try {
+      src.addData(all.take(2): _*); q.processAllAvailable()
+      src.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"source").collect().map(_.toSeq).toSeq
+    val maintained = report(EventStream.readGopherRate(spark, stateDir))
+    val recomputed = report(graft.operators.TextAnalysis.gopherRate(
+      all.toDF("source", "text"), "source", "text", stops))
+    assert(maintained == recomputed)
+    assert(maintained.exists(r => r(0) == "web" && r(1) == 2L && r(2) == 1L &&
+      r(3) == 0.5))
+    // replayed batch: identical (__batch_id, source) cells fold once
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(report(EventStream.readGopherRate(spark, stateDir)) == maintained)
+  }
+
   test("maintainAssocState: streamed chi2/V equals batch recompute; replays dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
