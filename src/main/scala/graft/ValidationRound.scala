@@ -58,7 +58,8 @@ object ValidationRound {
     * exist yet (no batch has committed) yields NULL columns, like an
     * unpopulated table in the triage path. */
   final case class CensusSpec(dupRatePath: Option[String] = None,
-                              noveltyPath: Option[String] = None)
+                              noveltyPath: Option[String] = None,
+                              gopherRatePath: Option[String] = None)
 
   /** One table pair to validate. `partCol` opts into checksum triage
     * (the column must exist on both sides); `drift`/`anomaly`/`census`
@@ -98,7 +99,9 @@ object ValidationRound {
     StructField("dup_rate_max", DoubleType, nullable = true),
     StructField("dup_rate_max_source", StringType, nullable = true),
     StructField("novelty_min", DoubleType, nullable = true),
-    StructField("novelty_min_source", StringType, nullable = true)))
+    StructField("novelty_min_source", StringType, nullable = true),
+    StructField("gopher_rate_min", DoubleType, nullable = true),
+    StructField("gopher_rate_min_source", StringType, nullable = true)))
 
   /** Per-pair status: `schema_drift` (gate failed, no data read),
     * `clean` (checksum triage proved parity — row diff skipped; counts
@@ -137,8 +140,16 @@ object ValidationRound {
             .head()
           (if (r.isNullAt(0)) null else r.getDouble(0), r.getString(1))
         }
+        val gop = p.census.flatMap(_.gopherRatePath).filter(exists).map { path =>
+          val r = graft.streaming.EventStream.readGopherRate(spark, path)
+            .agg(min(col("pass_rate")),
+              min_by(col("source"), struct(col("pass_rate"), col("source"))))
+            .head()
+          (if (r.isNullAt(0)) null else r.getDouble(0), r.getString(1))
+        }
         Seq(dup.map(_._1).orNull, dup.map(_._2).orNull,
-          nov.map(_._1).orNull, nov.map(_._2).orNull)
+          nov.map(_._1).orNull, nov.map(_._2).orNull,
+          gop.map(_._1).orNull, gop.map(_._2).orNull)
       }
       // Monitors run once the schema gate passes (they read data, the
       // gate's contract forbids that on drift) and regardless of the

@@ -1158,6 +1158,33 @@ object Similarity {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
+  /** Explained-variance spectrum of the [[pcaFit]] model — the
+    * diagnostic a practitioner reads to PICK outDims (where does
+    * cum_share cross 0.9?) and to judge whether the embedding space has
+    * usable low-rank structure at all (a flat spectrum says the JL
+    * random projection does just as well for far less fit cost).
+    * Output: (component, eigenvalue, var_share, cum_share), eigenvalues
+    * in milli² units (the covariance is over milli-quantized
+    * components), shares accumulated in the fixed eigenvalue-desc order
+    * on the driver — deterministic like the fit itself. Model-scale:
+    * d rows. */
+  def pcaSpectrum(df: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding",
+                  maxFitRows: Int = 1 << 16): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val (_, vals, _) = pcaFit(df, outDims = 1, idCol, vecCol, maxFitRows)
+    val total = vals.sum
+    val rows =
+      if (vals.isEmpty || !(total > 0)) Seq.empty[(Long, Double, Double, Double)]
+      else {
+        val shares = vals.map(_ / total)
+        val cums = shares.scanLeft(0.0)(_ + _).tail
+        vals.indices.map(i => (i.toLong, vals(i), shares(i), cums(i)))
+      }
+    rows.toDF("component", "eigenvalue", "var_share", "cum_share")
+  }
+
   /** PCA projection of the corpus onto a fitted model (see [[pcaFit]]):
     * centered milli-quantized components against micro-quantized
     * eigenvector weights — every product and sum is EXACT decimal

@@ -706,6 +706,59 @@ object Vocab {
   /** The two frozen DECIMAL(18,6) log-prices per bucket off a (bucket,
     * n_raw, n_tgt) census — the dsirWeights float discipline, shared by
     * the one-pass fit and the frozen-model path. */
+  /** DSIR model DIVERGENCE diagnostic (Xie et al. 2023 report selection
+    * value via the KL gap the resampling closes): KL(target‖raw),
+    * KL(raw‖target), and their Jeffreys sum over the SAME add-1-smoothed
+    * hashed-bucket models [[dsirWeights]] prices with — the scalar that
+    * says how far the target domain sits from the corpus before any
+    * selection happens (≈0 → DSIR can't help; large → importance
+    * weights carry real signal).
+    *
+    * Float discipline: the support densifies to ALL `numBuckets` buckets
+    * (zero-count rows smooth to 1/(total+B) like any unseen bucket), the
+    * ln prices are the SAME DECIMAL(18,6)-frozen tp/rp lattice the
+    * weights use, and each KL is one exact decimal sum —
+    * Σ (n+1)·(ln p − ln q) — divided ONCE by its exact denominator
+    * (total+B), so the doubles hash-match cross-engine with no
+    * order-dependent float accumulation. Model-scale end-to-end: the
+    * census is ≤ numBuckets rows. */
+  def dsirDivergence(census: DataFrame, numBuckets: Int = 64): DataFrame = {
+    val dec = "decimal(18,6)"
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val dense = census.sparkSession.range(numBuckets).toDF("bucket")
+      .join(census, Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+        coalesce(col("n_tgt"), lit(0L)).as("n_tgt"))
+    val priced = dense
+      .withColumn("__rt", sum(col("n_raw")).over(w))
+      .withColumn("__tt", sum(col("n_tgt")).over(w))
+      .select(col("n_raw"), col("n_tgt"), col("__rt"), col("__tt"),
+        round(log((col("n_tgt") + 1L).cast("double") /
+          (col("__tt") + numBuckets).cast("double")), 6).cast(dec).as("tp"),
+        round(log((col("n_raw") + 1L).cast("double") /
+          (col("__rt") + numBuckets).cast("double")), 6).cast(dec).as("rp"))
+    priced.agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("__tt")).as("n_tgt_total"),
+        max(col("__rt")).as("n_raw_total"),
+        sum((col("n_tgt") + 1L) * (col("tp") - col("rp"))).as("__klt"),
+        sum((col("n_raw") + 1L) * (col("rp") - col("tp"))).as("__klr"))
+      .select(col("n_buckets"), col("n_tgt_total"), col("n_raw_total"),
+        (col("__klt").cast("double") /
+          (col("n_tgt_total") + numBuckets).cast("double")).as("kl_tgt_raw"),
+        (col("__klr").cast("double") /
+          (col("n_raw_total") + numBuckets).cast("double")).as("kl_raw_tgt"))
+      .withColumn("jeffreys", col("kl_tgt_raw") + col("kl_raw_tgt"))
+  }
+
+  /** One-shot form: census + divergence. */
+  def dsirKl(df: DataFrame, idCol: String, textCol: String, isTarget: Column,
+             numBuckets: Int = 64, ngrams: Int = 1): DataFrame =
+    dsirDivergence(dsirCensus(df, idCol, textCol, isTarget, numBuckets,
+      ngrams), numBuckets)
+
   private def dsirPrices(census: DataFrame, numBuckets: Int): DataFrame = {
     val dec = "decimal(18,6)"
     val w = org.apache.spark.sql.expressions.Window
@@ -1162,11 +1215,45 @@ object Vocab {
           .otherwise(lit(null).cast("long")).as("lex_per_ws_ppm"))
   }
 
-  /** Lexical diversity per source: type–token ratio (distinct tokens /
-    * total tokens) and hapax share (tokens seen once / distinct tokens)
-    * — the repetitiveness-of-vocabulary signal that separates template
-    * farms (low TTR, low hapax) from organic text, complementing
-    * [[sourceNovelty]] (which asks about CROSS-source sharing) and
+  /** CURRICULUM ordering (Bengio et al. 2009 applied to corpus
+    * difficulty): docs rank by unigram surprisal ([[docSurprisal]] — the
+    * perplexity-filter signal reused as the difficulty proxy), the
+    * corpus-wide percentile buckets them into `epochs` difficulty bands
+    * (epoch 0 = easiest quartile first), and a salted-md5 key totalizes
+    * the within-epoch order so any engine shuffles each band
+    * identically. Output: (doc_id, n_tokens, avg_surprisal, pctl, epoch,
+    * order_key) — a trainer consumes ORDER BY (epoch, order_key).
+    *
+    * The percentile is [[Sampling.groupQuantileRank]]'s distributed
+    * cume_dist (value-bucketed parallel prefix sums — no global-window
+    * funnel; the naive `cume_dist() OVER (ORDER BY score)` drags the
+    * whole corpus through ONE task and is exactly what the oracle runs
+    * instead). epoch = ceil(pctl·epochs) − 1 on the exact k/n division
+    * — cume_dist is RIGHT-closed (the k-th of n rows scores k/n, so a
+    * quartile BOUNDARY row belongs to the band it closes; a floor form
+    * would push every boundary row one band up) — bit-identical
+    * cross-engine. */
+  def curriculum(df: DataFrame, idCol: String, textCol: String,
+                 epochs: Int = 4, salt: String = "curr"): DataFrame = {
+    require(epochs >= 2, s"epochs must be >= 2, got $epochs")
+    val s = docSurprisal(df, idCol, textCol)
+    // maxScore 64 clamps nothing real: avg surprisal is bounded by
+    // ln(corpus tokens) ≈ 32 nats at 1e14 tokens; clamping is
+    // order-preserving in groupQuantileRank regardless.
+    val ranked = Sampling.groupQuantileRank(
+      s.withColumn("__corpus", lit("all")), "avg_surprisal",
+      Seq("__corpus"), minScore = 0.0, maxScore = 64.0)
+    ranked.select(col("doc_id"), col("n_tokens"), col("avg_surprisal"),
+      col("pctl"),
+      greatest(ceil(col("pctl") * epochs) - 1, lit(0)).cast("long")
+        .as("epoch"),
+      md5(concat(lit(salt + ":"), col("doc_id").cast("string")))
+        .as("order_key"))
+  }
+
+  /** LEXICAL DIVERSITY per source — type–token ratio + hapax share over
+    * the normalized token census; template farms score low on both.
+    * Complements sourceNovelty (CROSS-source sharing) and
     * q_text_repetition (which asks about WITHIN-doc repeats). Both
     * ratios frozen to ppm by exact integer floor-division.
     *

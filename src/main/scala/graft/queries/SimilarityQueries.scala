@@ -173,6 +173,14 @@ object SimilarityQueries {
         .orderBy(col("vec_id"), col("out_dim"))
     }),
 
+    // The spectrum diagnostic that justifies (or indicts) the projection:
+    // explained-variance shares + cumulative curve per component.
+    // Rows-only (learned model); ordering + share-sum pinned in spec,
+    // spectrum order exported via the pca_spectrum_ordered floor.
+    "q_pca_var" -> ((s, dir) =>
+      Similarity.pcaSpectrum(Tables.load(s, dir, "embeddings"))
+        .orderBy(col("component"))),
+
     // IVF-PQ: coarse cells bound WHERE to look, product-quantized codes
     // bound what a row COSTS (8 bytes vs 256; ADC lookup-table scoring —
     // the native PqAdcPackedExpr generated loop, O(m) per pair). Rows-only

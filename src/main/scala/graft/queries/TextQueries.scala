@@ -591,6 +591,16 @@ object TextQueries {
       Vocab.docSurprisal(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Curriculum ordering: surprisal-ranked difficulty percentile →
+    // 4 epoch bands (easy first) + salted within-epoch order key. The
+    // percentile is the DISTRIBUTED cume_dist (groupQuantileRank's
+    // value-bucketed prefix sums — no global window); the oracle runs
+    // the naive global-window form the operator exists to avoid.
+    "q_curriculum" -> ((s, dir) =>
+      Vocab.curriculum(Tables.load(s, dir, "documents"), "doc_id", "text",
+          epochs = 4)
+        .orderBy(col("doc_id"))),
+
     // Per-doc token Shannon entropy — the within-doc diversity signal
     // (docSurprisal prices corpus rarity; this flags boilerplate /
     // keyword-stuffing lows and id-dump highs). Same DECIMAL(18,6)
@@ -1020,6 +1030,15 @@ object TextQueries {
       Vocab.dsirWeights(Tables.load(s, dir, "documents"), "doc_id", "text",
           isTarget = col("doc_id") % 7 === 0, numBuckets = 64)
         .orderBy(col("doc_id"))),
+
+    // DSIR model divergence: KL(target||raw) / KL(raw||target) /
+    // Jeffreys over the SAME smoothed bucket models the weights price
+    // with — the "is selection worth running" scalar (Xie et al. frame
+    // selection value as closing this gap). One-row report; exact
+    // decimal sums over the densified 64-bucket support.
+    "q_dsir_kl" -> ((s, dir) =>
+      Vocab.dsirKl(Tables.load(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("doc_id") % 7 === 0, numBuckets = 64)),
 
     // DSIR with the paper-faithful hashed unigram+bigram feature space:
     // bigram buckets price token ORDER (scrambled target-vocab text
@@ -1623,6 +1642,37 @@ object TextQueries {
          |    / CAST(CAST(sum(tf.tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
          |FROM tf JOIN priced p USING (token)
          |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    // The global-window cume_dist IS the oracle for the distributed
+    // quantile machine (groupQuantileRank, spec-proven equal).
+    "q_curriculum" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks WHERE length(token) > 0 GROUP BY doc_id, token),
+         |vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n_t
+         |          FROM tf GROUP BY token),
+         |total AS (SELECT CAST(sum(n_t) AS BIGINT) AS total FROM vocab),
+         |priced AS (
+         |  SELECT token,
+         |    CAST(round(ln(CAST(total AS DOUBLE) / CAST(n_t AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS surprisal
+         |  FROM vocab CROSS JOIN total),
+         |surp AS (
+         |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |    CAST(sum(p.surprisal * tf.tf) AS DOUBLE)
+         |      / CAST(CAST(sum(tf.tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+         |  FROM tf JOIN priced p USING (token)
+         |  GROUP BY tf.doc_id),
+         |pc AS (
+         |  SELECT doc_id, n_tokens, avg_surprisal,
+         |    cume_dist() OVER (ORDER BY avg_surprisal) AS pctl
+         |  FROM surp)
+         |SELECT doc_id, n_tokens, avg_surprisal, pctl,
+         |  CAST(greatest(ceil(pctl * 4) - 1, 0) AS BIGINT) AS epoch,
+         |  md5('curr:' || CAST(doc_id AS VARCHAR)) AS order_key
+         |FROM pc ORDER BY doc_id""".stripMargin,
 
     "q_tfidf_terms" ->
       s"""WITH toks AS (
@@ -2237,6 +2287,43 @@ object TextQueries {
          |    / CAST(CAST(sum(tf.tf) AS BIGINT) AS DOUBLE) AS avg_logweight
          |FROM tf JOIN priced p USING (bucket)
          |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_kl" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+         |census AS (
+         |  SELECT bucket, CAST(sum(tf) AS BIGINT) AS n_raw,
+         |    CAST(sum(CASE WHEN doc_id % 7 = 0 THEN tf ELSE 0 END) AS BIGINT) AS n_tgt
+         |  FROM tf GROUP BY 1),
+         |dense AS (
+         |  SELECT r.bucket, COALESCE(c.n_raw, 0) AS n_raw,
+         |    COALESCE(c.n_tgt, 0) AS n_tgt
+         |  FROM (SELECT unnest(range(0, 64)) AS bucket) r
+         |  LEFT JOIN census c ON r.bucket = c.bucket),
+         |tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS rt,
+         |               CAST(sum(n_tgt) AS BIGINT) AS tt FROM dense),
+         |priced AS (
+         |  SELECT n_raw, n_tgt, tt, rt,
+         |    CAST(round(ln(CAST(n_tgt + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS tp,
+         |    CAST(round(ln(CAST(n_raw + 1 AS DOUBLE) / CAST(rt + 64 AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6)) AS rp
+         |  FROM dense CROSS JOIN tot)
+         |SELECT *, kl_tgt_raw + kl_raw_tgt AS jeffreys FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |    CAST(max(tt) AS BIGINT) AS n_tgt_total,
+         |    CAST(max(rt) AS BIGINT) AS n_raw_total,
+         |    CAST(sum((n_tgt + 1) * (tp - rp)) AS DOUBLE)
+         |      / CAST(max(tt) + 64 AS DOUBLE) AS kl_tgt_raw,
+         |    CAST(sum((n_raw + 1) * (rp - tp)) AS DOUBLE)
+         |      / CAST(max(rt) + 64 AS DOUBLE) AS kl_raw_tgt
+         |  FROM priced)""".stripMargin,
 
     // Bigram lane: parallel unnests zip positionally in DuckDB (the
     // q_label_coherence pattern) and the shorter slice pads with NULL,

@@ -699,6 +699,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(3).getAs[Long]("value_q") == expect(Array(0.0f, 2.0f), 1))
   }
 
+  test("pcaSpectrum: shares sum to 1, cum monotone, dominant axis dominates") {
+    val u = Array(0.6, 0.8); val w = Array(-0.8, 0.6)
+    val vecs = (0 until 200).map { i =>
+      val a = (i % 21 - 10).toDouble
+      val b = ((i * 7) % 5 - 2).toDouble * 0.1
+      (i.toLong, Array((a * u(0) + b * w(0)).toFloat,
+        (a * u(1) + b * w(1)).toFloat))
+    }
+    val out = Similarity.pcaSpectrum(vecs.toDF("vec_id", "embedding"))
+      .orderBy($"component").collect()
+    assert(out.length == 2)
+    val shares = out.map(_.getAs[Double]("var_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-12)
+    assert(shares(0) > 0.99, s"dominant axis captures ~all variance: ${shares.toSeq}")
+    val cums = out.map(_.getAs[Double]("cum_share"))
+    assert(cums.sliding(2).forall { case Array(a, b) => b >= a })
+    assert(math.abs(cums.last - 1.0) < 1e-12)
+    // empty input: empty spectrum, not a crash
+    assert(Similarity.pcaSpectrum(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")).count() == 0L)
+  }
+
   test("jacobiEigen: hand-computed symmetric spectrum") {
     // [[2,1],[1,2]] has eigenvalues 3 (along (1,1)) and 1 (along (1,-1)).
     val (vals, v) = Similarity.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))

@@ -204,5 +204,44 @@ class ValidationRoundSpec extends AnyFunSuite {
       assert(r.isNullAt(r.fieldIndex("dup_rate_max")) &&
         r.isNullAt(r.fieldIndex("novelty_min")))
     }
+    // the pair above declared no gopher state -> NULL
+    assert(p.isNullAt(p.fieldIndex("gopher_rate_min")))
+  }
+
+  test("gopher census column equals the standalone pass-rate monitor; NULL when undeclared") {
+    import graft.ValidationRound.CensusSpec
+    import graft.operators.{TextAnalysis => TA}
+    val stops = Seq("the", "a")
+    val passDoc = "the a " + Seq.tabulate(60)(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, passDoc, "web"), (2L, "too short", "web"),
+      (3L, passDoc, "wiki"), (4L, passDoc, "wiki"))
+      .toDF("doc_id", "text", "source")
+    val gDir = java.nio.file.Files.createTempDirectory("graft-vr-gop").toString
+    // state written exactly as maintainCensusState does, split in two
+    // batches so web's counts fold across the batch boundary
+    Seq(docs.filter($"doc_id" <= 2), docs.filter($"doc_id" > 2))
+      .zipWithIndex.foreach { case (b, i) =>
+        TA.gopherRateState(b, "source", "text", stops)
+          .withColumn("__batch_id", lit(i.toLong))
+          .write.mode("append").parquet(gDir)
+      }
+    val t = Seq((1L, 1L)).toDF("id", "v")
+    val out = ValidationRound.report(spark, Seq(
+        TablePair("pair", t, t, Seq("id"),
+          census = Some(CensusSpec(gopherRatePath = Some(gDir)))),
+        TablePair("bare", t, t, Seq("id"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p = out("pair")
+    // worst source per the STANDALONE monitor over the same docs
+    val standalone = TA.gopherRate(docs, "source", "text", stops)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("pass_rate")).toMap
+    val exp = standalone.toSeq.minBy { case (s, v) => (v, s) }
+    assert(p.getAs[Double]("gopher_rate_min") == exp._2 &&
+      p.getAs[String]("gopher_rate_min_source") == exp._1)
+    assert(exp == ("web" -> 0.5), "web carries the failing doc")
+    // dup/novelty undeclared on this pair -> NULL; gopher NULL on bare
+    assert(p.isNullAt(p.fieldIndex("dup_rate_max")))
+    assert(out("bare").isNullAt(out("bare").fieldIndex("gopher_rate_min")))
   }
 }

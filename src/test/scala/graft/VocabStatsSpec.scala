@@ -364,4 +364,37 @@ class VocabStatsSpec extends AnyFunSuite {
     // b: one type, 4 tokens, no hapax
     assert(out(1) == Seq("b", 1L, 4L, 0L, 250000L, 0L))
   }
+
+  test("curriculum: easy docs land in epoch 0, hard in the last; window parity") {
+    import org.apache.spark.sql.functions._
+    // 8 docs of strictly increasing rarity: doc i repeats a common
+    // filler then adds i distinct rare tokens — avg surprisal rises
+    // with i, so percentile order is the id order.
+    val docs = (1 to 8).map { i =>
+      val rare = (1 to i).map(j => s"rare${i}_$j").mkString(" ")
+      (i.toLong, ("common " * 10).trim + " " + rare)
+    }.toDF("doc_id", "text")
+    val out = Vocab.curriculum(docs, "doc_id", "text", epochs = 4)
+      .orderBy($"doc_id").collect()
+    assert(out.length == 8)
+    // pctl strictly increasing with doc_id (strictly increasing scores)
+    val ps = out.map(_.getAs[Double]("pctl"))
+    assert(ps.sliding(2).forall { case Array(a, b) => a < b })
+    // exact cume_dist values: k/8 for the k-th ranked doc
+    assert(ps.zipWithIndex.forall { case (p, i) => p == (i + 1).toDouble / 8 })
+    // epoch bands: 2 docs per quartile (cume_dist is right-closed, so
+    // the 0.25-percentile row closes epoch 0)
+    val es = out.map(_.getAs[Long]("epoch"))
+    assert(es.toSeq == Seq(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L))
+    // parity with the naive global window (the oracle form)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"avg_surprisal")
+    val naive = Vocab.docSurprisal(docs, "doc_id", "text")
+      .withColumn("pctl", cume_dist().over(w))
+      .orderBy($"doc_id").collect().map(_.getAs[Double]("pctl"))
+    assert(ps.toSeq == naive.toSeq)
+    // deterministic order key: pure function of the id
+    val again = Vocab.curriculum(docs, "doc_id", "text", epochs = 4)
+      .orderBy($"doc_id").collect().map(_.getAs[String]("order_key"))
+    assert(again.toSeq == out.map(_.getAs[String]("order_key")).toSeq)
+  }
 }
