@@ -272,6 +272,54 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("shared"), col("n1"), col("n2"), col("jaccard"))
 
+  /** Near-dup THRESHOLD TUNING CURVE — the diagnostic a dedup operator
+    * reads before committing to a similarity cut: for each candidate
+    * threshold, how many pairs fire and how many distinct documents get
+    * pulled into SOME pair (the upper bound on removals under any
+    * keep-one policy; the gap between curve points is the marginal blast
+    * radius of loosening the cut). Computed off an already-scored pair
+    * table (`pairs`: id1/id2/`scoreCol` — [[ngramJaccardPairs]] or the
+    * [[NearDupPipeline]] memo), so the corpus-scale candidate pipeline
+    * runs ONCE for the whole curve, not once per threshold.
+    *
+    * Exactness: the score is the same engine-identical double both
+    * sides computed (one IEEE division of exact longs), thresholds are
+    * literals — `>=` decides identically across engines; everything
+    * else is exact counting. Thresholds below the pair table's
+    * generation floor would silently undercount (pairs under the floor
+    * were never scored) — guarded by `minScore`.
+    *
+    * Scale shape: the pair table is valve-bounded (df-cap + posting
+    * caps), orders of magnitude below the corpus; the broadcast
+    * thresholds join fans each pair to its ≤ |thresholds| qualifying
+    * rows and both aggregates shuffle pair-scale rows by threshold
+    * (≤ |thresholds| groups). Nothing corpus-scale, no re-scoring. */
+  def thresholdCurve(pairs: DataFrame, thresholds: Seq[Double],
+                     minScore: Double = 0.5,
+                     scoreCol: String = "jaccard"): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    require(thresholds.distinct.length == thresholds.length,
+      "thresholds must be distinct")
+    require(thresholds.forall(t => t >= minScore && t <= 1.0),
+      s"thresholds must lie in [minScore=$minScore, 1.0]")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val th = broadcast(thresholds.sorted.toDF("threshold"))
+    val hit = pairs.join(th, col(scoreCol) >= col("threshold"))
+    val np = hit.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nd = hit.select(col("threshold"),
+        explode(array(col("id1"), col("id2"))).as("__doc"))
+      .groupBy(col("threshold"))
+      .agg(count_distinct(col("__doc")).as("n_docs"))
+    // Thresholds no pair clears still belong on the curve (n = 0).
+    th.join(np, Seq("threshold"), "left")
+      .join(nd, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** Exact shingle CONTAINMENT pairs — the asymmetric complement of
     * Jaccard for near-SUPERSET detection (Broder's resemblance vs
     * containment split): a short document quoted whole inside a long

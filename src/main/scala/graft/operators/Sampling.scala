@@ -96,10 +96,28 @@ object Sampling {
       require(!df.columns.contains(c), s"column $c collides with a rebalance internal"))
     val spark = df.sparkSession
     import spark.implicits._
-    val tgt = targets.toDF(strataCol, "__w")
+    mixtureRebalanceFrom(df, idCol, strataCol, tokensCol,
+      targets.toDF(strataCol, "__w"), salt)
+  }
+
+  /** [[mixtureRebalance]] with the target table supplied as a FRAME
+    * ((strataCol, __w) rows) instead of a driver-side Seq — the
+    * composition entry point for IN-ENGINE learned targets (DoReMi
+    * weights, temperature shares), keeping the whole pipeline one plan
+    * with no collect. The Seq API's validation (positive weights,
+    * Σ = 1) is the CALLER's contract here: learned-weight producers
+    * guarantee it by construction (smoothing floors every DoReMi weight
+    * above zero and the normalizer pins the sum). */
+  def mixtureRebalanceFrom(df: DataFrame, idCol: String, strataCol: String,
+                           tokensCol: Column, targets: DataFrame,
+                           salt: String = "graft"): DataFrame = {
+    Seq("__w", "__t", "__b", "__thr").foreach(c =>
+      require(!df.columns.contains(c), s"column $c collides with a rebalance internal"))
+    require(targets.columns.toSet == Set(strataCol, "__w"),
+      s"targets must be exactly ($strataCol, __w), got ${targets.columns.toSeq}")
     // LEFT join from targets: a target stratum absent from the corpus
     // must still contribute tokens=0 to the budget min (see scaladoc).
-    val counts = broadcast(tgt)
+    val counts = broadcast(targets)
       .join(df.groupBy(col(strataCol))
           .agg(sum(tokensCol.cast("long")).as("__t")),
         Seq(strataCol), "left")

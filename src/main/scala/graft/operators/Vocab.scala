@@ -461,6 +461,177 @@ object Vocab {
       .drop("__pa")
   }
 
+  /** DoReMi domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining") — the third
+    * leg of the mixture family next to [[temperatureMix]] (heuristic
+    * flattening) and [[dsirWeights]] (per-document selection): learn
+    * PER-DOMAIN mixture weights by exponentiated-gradient ascent on the
+    * domains' EXCESS LOSS, up-weighting the domains where a stronger
+    * model still has the most to gain.
+    *
+    * The paper's excess loss is proxy-minus-reference model loss,
+    * re-estimated as the proxy trains; inside a batch engine the
+    * deterministic stand-in is the corpus's own LM ladder — excess_i =
+    * max(0, avg unigram surprisal − avg bigram surprisal) per domain in
+    * nats/position: how much knowing one token of context improves
+    * prediction on that domain, i.e. how much learnable structure the
+    * domain carries beyond token frequencies (id dumps and boilerplate
+    * score near zero from opposite ends; natural prose scores high).
+    * λ is therefore STATIC across the `steps` multiplicative-weights
+    * iterations — each step applies the paper's update
+    * α ← normalize(α · exp(η·λ)), then smooths α ← (1−c)·α + c·u —
+    * which is the documented simplification: re-estimating λ per step
+    * is the proxy TRAINING loop, outside engine scope (a maintained
+    * census under pinned prices is the streaming completion).
+    *
+    * Cross-engine float discipline (the oracle hash-compares doubles):
+    * both per-domain averages divide EXACT decimal sums (the frozen
+    * DECIMAL(18,6) token/bigram prices of [[docSurprisal]] /
+    * [[docBigramSurprisal]], weighted by exact long counts) by exact
+    * longs — one IEEE division each; exp(η·λ) is the one transcendental
+    * and is MODEL-scale (one value per domain), so it freezes once at 6
+    * decimals as DECIMAL(18,6) (the [[temperatureMix]] p^α precedent).
+    * Each MW step's unnormalized α·m product re-freezes at 6 decimals
+    * BEFORE the normalizer sum — the operands are bit-identical doubles
+    * on both engines by then, so the round is deterministic, and the
+    * normalizer becomes an exact order-free decimal sum over the
+    * bounded domain frame instead of an order-dependent double sum.
+    * The smoothing chain (1−c)·(p/S) + c/K is IEEE on bit-identical
+    * operands in pinned operand order.
+    *
+    * Scale shape: ONE corpus token pass per LM rung, each collapsing
+    * map-side to (domain, token[pair]) counts — the corpus never
+    * shuffles as rows; prices are vocab-scale aggregates of those
+    * censuses (the [[docSurprisal]] shapes keyed by domain instead of
+    * doc); everything after the two domain collapses runs on the
+    * ≤ domains-row frame via unpartitioned windows (model data, the
+    * temperatureMix pattern — `steps` chained windows over a handful of
+    * rows). At 100 TB: two token-stream scans, two vocab-scale
+    * exchanges, zero corpus-scale joins.
+    *
+    * Output per domain: n_tokens / n_bigrams (exact), excess_loss
+    * (nats/position, double), token_frac (baseline share), weight (the
+    * DoReMi mixture weight, Σ=1 up to IEEE), boost = weight/token_frac
+    * (the epoch multiplier downstream samplers consume, NULL on a
+    * zero-token domain — the temperatureMix convention). */
+  def doremiWeights(df: DataFrame, textCol: String, domainCol: String,
+                    eta: Double = 1.0, smoothing: Double = 1e-3,
+                    steps: Int = 5): DataFrame = {
+    require(eta > 0, s"eta must be positive, got $eta")
+    require(smoothing >= 0 && smoothing < 1,
+      s"smoothing must be in [0, 1), got $smoothing")
+    require(steps >= 1 && steps <= 64, s"steps must be in [1, 64], got $steps")
+    val dec = "decimal(18,6)"
+    val w = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+
+    // Unigram lane: (domain, token) counts -> frozen prices -> domain sums.
+    val tfu = df.filter(col(domainCol).isNotNull)
+      .select(col(domainCol).as("domain"), explode(toks).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("domain"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tfu.groupBy(col("token")).agg(sum(col("tf")).as("n_t"))
+      .withColumn("__total", sum(col("n_t")).over(w))
+      .withColumn("surprisal",
+        round(log(col("__total").cast("double") / col("n_t").cast("double")), 6)
+          .cast(dec))
+      .select(col("token"), col("surprisal"))
+    val uni = tfu.join(vocab, Seq("token"))
+      .groupBy(col("domain"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("surprisal") * col("tf")).as("__su"))
+
+    // Bigram lane: (domain, w1, w2) counts -> conditional MLE prices ->
+    // domain sums (the docBigramSurprisal shapes keyed by domain).
+    val arr = filter(toks, t => length(t) > 0)
+    val bg = df.filter(col(domainCol).isNotNull)
+      .select(col(domainCol).as("domain"), arr.as("__a"))
+      .filter(size(col("__a")) >= 2)
+      .select(col("domain"), explode(transform(
+        sequence(lit(1), size(col("__a")) - 1),
+        i => struct(element_at(col("__a"), i).as("w1"),
+          element_at(col("__a"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("domain"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val pair = bg.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("n_pair"))
+    val lft = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_left"))
+    val pricedBg = pair.join(lft, Seq("w1"))
+      .withColumn("surprisal",
+        round(log(col("n_left").cast("double") / col("n_pair").cast("double")), 6)
+          .cast(dec))
+      .select(col("w1"), col("w2"), col("surprisal"))
+    val bi = bg.join(pricedBg, Seq("w1", "w2"))
+      .groupBy(col("domain"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("surprisal") * col("tf")).as("__sb"))
+
+    // Domain frame: excess loss, frozen multiplier, baseline share.
+    val lam = greatest(
+      col("__su").cast("double") / col("n_tokens").cast("double") -
+        col("__sb").cast("double") / col("n_bigrams").cast("double"),
+      lit(0.0))
+    val base = uni.join(bi, Seq("domain"))
+      .withColumn("excess_loss", lam)
+      .withColumn("__m", round(exp(lit(eta) * col("excess_loss")), 6).cast(dec))
+      .withColumn("token_frac",
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(w).cast("double"))
+      .withColumn("__k", count(lit(1)).over(w).cast("double"))
+      .withColumn("__alpha", lit(1.0) / col("__k"))
+    // steps MW iterations over the bounded domain frame: refreeze the
+    // unnormalized product, exact-decimal normalizer, smooth toward u.
+    val stepped = (1 to steps).foldLeft(base) { (f, _) =>
+      f.withColumn("__p",
+          round(col("__alpha") * col("__m").cast("double"), 6).cast(dec))
+        .withColumn("__alpha",
+          lit(1.0 - smoothing) *
+            (col("__p").cast("double") / sum(col("__p")).over(w).cast("double")) +
+            lit(smoothing) / col("__k"))
+        .drop("__p")
+    }
+    stepped.select(col("domain"), col("n_tokens"), col("n_bigrams"),
+      col("excess_loss"), col("token_frac"),
+      col("__alpha").as("weight"),
+      when(col("token_frac") > 0.0, col("__alpha") / col("token_frac"))
+        .as("boost"))
+  }
+
+  /** DoReMi END-TO-END: [[doremiWeights]] composed with
+    * [[Sampling.mixtureRebalanceFrom]] — the learned domain weights
+    * actually reshape the corpus (the artifact a pretraining pipeline
+    * consumes; the q_dsir_select role for the domain-level recipe).
+    * The weight frame flows straight into the rebalance as the target
+    * table — ONE plan, no driver-side collect: budget B = min over
+    * domains of tokens/weight, keep fraction w·B/tokens (the
+    * highest-boost domain binds and is kept whole; everything else
+    * downsamples to land the corpus ON the learned mixture at the
+    * largest achievable size). Keep decisions ride the salted-md5 rank,
+    * so rebalanced subsets nest across reruns and compose with splits.
+    *
+    * Exactness: the weights are hash-exact (see [[doremiWeights]]), the
+    * rebalance arithmetic is [[Sampling.mixtureRebalance]]'s
+    * add/mul/div/floor chain — a SQL twin reproduces the row set
+    * bit-for-bit. DoReMi weights satisfy the rebalance contract by
+    * construction (smoothing floors every weight above zero; the
+    * normalizer pins Σ = 1).
+    *
+    * Scale shape: the weights' two corpus token passes + the rebalance's
+    * one column-pruned count scan; the threshold table is
+    * domain-dimension and broadcasts back onto the scan — the corpus
+    * never shuffles as rows anywhere in the composition. */
+  def doremiMix(df: DataFrame, idCol: String, textCol: String,
+                domainCol: String, eta: Double = 1.0,
+                smoothing: Double = 1e-3, steps: Int = 5,
+                salt: String = "graft"): DataFrame = {
+    val tgt = doremiWeights(df, textCol, domainCol, eta, smoothing, steps)
+      .select(col("domain").as(domainCol), col("weight").as("__w"))
+    Sampling.mixtureRebalanceFrom(
+      df.select(col(idCol), col(domainCol),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, domainCol, col("n_tokens"), tgt, salt)
+  }
+
   /** Top-N within-document token CO-OCCURRENCE pairs by pointwise mutual
     * information — the collocation/phrase-mining signal (Church & Hanks
     * 1990) a vocabulary curator reads to find multi-word terms worth
@@ -1019,23 +1190,45 @@ object Vocab {
                        sourceCol: String, k: Int = 500): DataFrame = {
     require(k > 0, "k must be positive")
     val vocab = vocabTopK(df, idCol, textCol, k)
-      .select(col("token"), lit(1).as("__in_vocab"))
-    // ONE corpus token pass, PERSISTED: both pair sides, the totals and
-    // the absent-bucket anti probes all read this sources×(k+1) frame —
-    // lineage would otherwise re-run the corpus explode per reference
-    // (the first cut of this plan scanned parquet 28 times). Per-source
-    // totals ride a window over the same persisted frame.
-    val bucketCounts = df
-      .select(col(sourceCol).as("source"),
+    sourceDivergenceFromCounts(
+      divergenceState(df, sourceCol, textCol, vocab))
+  }
+
+  /** The (source, bucket, n) unigram census [[sourceDivergence]] scores —
+    * an ADDITIVE count monoid over a PINNED bucket vocabulary, split out
+    * (the [[langPurityState]] pattern) so the JS monitor can ride the
+    * generic streaming census maintainer: per-batch censuses folded by
+    * (source, bucket) sum equal the one-pass census exactly. `vocab`
+    * must be fit ONCE and pinned (a (token) frame — [[vocabTopK]]'s
+    * cut, or any fixed token list): per-batch vocab drift would bucket
+    * the same token differently across appends, making folded counts
+    * incomparable — the psiCuts rule applied to a token grid. */
+  def divergenceState(df: DataFrame, sourceCol: String, textCol: String,
+                      vocab: DataFrame): DataFrame =
+    df.select(col(sourceCol).as("source"),
         explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
           .as("token"))
       .filter(length(col("token")) > 0 && col("source").isNotNull)
-      .join(broadcast(vocab), Seq("token"), "left")
+      .join(broadcast(vocab.select(col("token"), lit(1).as("__in_vocab"))),
+        Seq("token"), "left")
       .select(col("source"),
         when(col("__in_vocab").isNotNull, col("token")).otherwise(lit(" oov"))
           .as("bucket"))
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n"))
+
+  /** [[sourceDivergence]]'s pairwise-JS report over an already-built
+    * (source, bucket, n) census — the direct entry point for counts
+    * folded from maintained state ([[graft.streaming.EventStream
+    * .readSourceDivergence]]). Exactness is the parent's: the census is
+    * exact counts and all the ln/divide discipline lives here. */
+  def sourceDivergenceFromCounts(counts: DataFrame): DataFrame = {
+    // The census is read by both pair sides, the totals and the two
+    // absent-bucket anti probes — PERSIST it (sources×(k+1) rows;
+    // lineage would otherwise re-run the upstream per reference — the
+    // first cut of this plan scanned parquet 28 times). Per-source
+    // totals ride a window over the same persisted frame.
+    val bucketCounts = counts
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sided = bucketCounts
       .withColumn("total",

@@ -46,6 +46,136 @@ object TextQueries {
   private val nearDupParams = NearDupPipeline.Params("doc_id", "text",
     n = 3, dfCap = 10000, minJaccard = 0.5, minContainment = 0.8)
 
+  /** Candidate cuts for the threshold tuning curve — all at/above the
+    * pair table's generation floor (0.5), so every curve point counts a
+    * fully-scored pair population. */
+  private val dedupThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** q_doremi_weights oracle: the q_unigram_logprob / q_bigram_logprob
+    * CTE chains keyed by source, then the 5 multiplicative-weights
+    * steps unrolled — refreeze the α·m product at 6 decimals, exact
+    * decimal normalizer over the domain frame, smooth toward uniform.
+    * Constants enter as CAST('x' AS DOUBLE) (bare decimals are DECIMAL
+    * literals in DuckDB and would change the arithmetic type — the
+    * q_mix_rebalance note); the IEEE chains mirror the Spark operand
+    * order exactly. */
+  private def doremiOracleSql: String =
+    s"""WITH $doremiCtes
+       |SELECT domain, n_tokens, n_bigrams, excess_loss, token_frac,
+       |  alpha AS weight,
+       |  CASE WHEN token_frac > CAST('0' AS DOUBLE) THEN alpha / token_frac
+       |  END AS boost
+       |FROM s5 ORDER BY domain""".stripMargin
+
+  /** The CTE chain q_doremi_weights selects from, shared with the
+    * q_doremi_mix composition (`s5` holds the final per-domain alpha). */
+  private def doremiCtes: String = {
+    val oneMinusC = "(CAST('1' AS DOUBLE) - CAST('0.001' AS DOUBLE))"
+    val c = "CAST('0.001' AS DOUBLE)"
+    val stepCtes = (1 to 5).map { i =>
+      val prev = if (i == 1) "d0" else s"s${i - 1}"
+      s"""s$i AS (
+         |  SELECT domain, n_tokens, n_bigrams, excess_loss, m, token_frac, k,
+         |    $oneMinusC * (CAST(p AS DOUBLE) / CAST(sum(p) OVER () AS DOUBLE))
+         |      + $c / k AS alpha
+         |  FROM (SELECT *,
+         |          CAST(round(alpha * CAST(m AS DOUBLE), 6) AS DECIMAL(18,6))
+         |            AS p
+         |        FROM $prev))""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS (
+       |  SELECT source, unnest(string_split($normSql, ' ')) AS token
+       |  FROM documents WHERE source IS NOT NULL),
+       |tfu AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+       |        FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+       |vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n_t
+       |          FROM tfu GROUP BY 1),
+       |total AS (SELECT CAST(sum(n_t) AS BIGINT) AS total FROM vocab),
+       |priced AS (
+       |  SELECT token,
+       |    CAST(round(ln(CAST(total AS DOUBLE) / CAST(n_t AS DOUBLE)), 6)
+       |         AS DECIMAL(18,6)) AS sp
+       |  FROM vocab CROSS JOIN total),
+       |uni AS (
+       |  SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    sum(p.sp * tf) AS su
+       |  FROM tfu JOIN priced p USING (token) GROUP BY 1),
+       |barr AS (
+       |  SELECT source,
+       |    list_filter(string_split($normSql, ' '), t -> len(t) > 0) AS arr
+       |  FROM documents WHERE source IS NOT NULL),
+       |pos AS (
+       |  SELECT source, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+       |  FROM barr WHERE len(arr) >= 2),
+       |bg AS (
+       |  SELECT source, arr[i] AS w1, arr[i+1] AS w2,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM pos GROUP BY 1, 2, 3),
+       |pair AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS n_pair
+       |         FROM bg GROUP BY 1, 2),
+       |lft AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left
+       |        FROM pair GROUP BY 1),
+       |pricedb AS (
+       |  SELECT p.w1, p.w2,
+       |    CAST(round(ln(CAST(l.n_left AS DOUBLE) / CAST(p.n_pair AS DOUBLE)), 6)
+       |         AS DECIMAL(18,6)) AS sp
+       |  FROM pair p JOIN lft l USING (w1)),
+       |bi AS (
+       |  SELECT source, CAST(sum(bg.tf) AS BIGINT) AS n_bigrams,
+       |    sum(p.sp * bg.tf) AS sb
+       |  FROM bg JOIN pricedb p ON bg.w1 = p.w1 AND bg.w2 = p.w2 GROUP BY 1),
+       |base AS (
+       |  SELECT u.source AS domain, u.n_tokens, b.n_bigrams,
+       |    greatest(
+       |      CAST(u.su AS DOUBLE) / CAST(u.n_tokens AS DOUBLE)
+       |        - CAST(b.sb AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE),
+       |      CAST('0' AS DOUBLE)) AS excess_loss
+       |  FROM uni u JOIN bi b ON u.source = b.source),
+       |d0 AS (
+       |  SELECT domain, n_tokens, n_bigrams, excess_loss,
+       |    CAST(round(exp(CAST('1' AS DOUBLE) * excess_loss), 6)
+       |         AS DECIMAL(18,6)) AS m,
+       |    CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+       |      AS token_frac,
+       |    CAST(count(*) OVER () AS DOUBLE) AS k,
+       |    CAST('1' AS DOUBLE) / CAST(count(*) OVER () AS DOUBLE) AS alpha
+       |  FROM base),
+       |$stepCtes""".stripMargin
+  }
+
+  /** q_doremi_mix oracle: the DoReMi chain's final alphas feed the
+    * q_mix_rebalance budget/fraction/hex-threshold ladder verbatim
+    * (counts → B = min(tok/w) → w·B/tok → floor-quantized hex → md5
+    * rank filter — thresholdHexCol's exact SQL contract). */
+  private def doremiMixOracleSql: String =
+    s"""WITH $doremiCtes,
+       |dm AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |tm AS (SELECT domain AS source, alpha AS w FROM s5),
+       |cm AS (
+       |  SELECT tm.source, tm.w,
+       |    COALESCE(CAST(sum(dm.n_tokens) AS BIGINT), 0) AS tok
+       |  FROM tm LEFT JOIN dm ON dm.source = tm.source GROUP BY tm.source, tm.w),
+       |fm AS (
+       |  SELECT source,
+       |    CASE WHEN tok = 0 THEN 0.0
+       |      ELSE w * (SELECT min(CAST(tok AS DOUBLE) / w) FROM cm)
+       |        / CAST(tok AS DOUBLE) END AS frac
+       |  FROM cm),
+       |thr AS (
+       |  SELECT source,
+       |    CASE WHEN CAST(floor(frac * 4294967296.0 + 0.5) AS BIGINT) >= 4294967296
+       |      THEN 'g0000000'
+       |      ELSE printf('%08x', CAST(floor(frac * 4294967296.0 + 0.5) AS BIGINT))
+       |    END AS thr
+       |  FROM fm)
+       |SELECT dm.doc_id, dm.source, dm.n_tokens
+       |FROM dm JOIN thr ON dm.source = thr.source
+       |WHERE substr(md5('graft:' || CAST(dm.doc_id AS VARCHAR)), 1, 8) < thr.thr
+       |ORDER BY dm.doc_id""".stripMargin
+
   private def nearDupJaccard(s: SparkSession, dir: String): DataFrame =
     NearDupPipeline.jaccardPairs(dupCorpus(s, dir), dir, nearDupParams)
 
@@ -560,6 +690,13 @@ object TextQueries {
       Dedup.dedupClusters(nearDupJaccard(s, dir))
         .orderBy(col("component"))),
 
+    // Threshold tuning curve off the SAME memoized pair table: pairs
+    // fired and docs pulled into some pair, per candidate cut — the
+    // read before committing a dedup threshold.
+    "q_dedup_threshold_curve" -> ((s, dir) =>
+      Dedup.thresholdCurve(nearDupJaccard(s, dir), dedupThresholds)
+        .orderBy(col("threshold"))),
+
     // MinHash-LSH and SimHash aren't expressible in portable SQL —
     // rows-only here; recall/precision vs the exact Jaccard pairs is
     // pinned in DedupSpec.
@@ -829,6 +966,20 @@ object TextQueries {
       Vocab.temperatureMix(Tables.load(s, dir, "documents"), "text",
           Seq("lang"), alpha = 0.5)
         .orderBy(col("lang"))),
+
+    // DoReMi domain reweighting (Xie et al. 2023): multiplicative-weights
+    // ascent on per-source excess loss (unigram − bigram surprisal), the
+    // learned counterpart of the temperature heuristic above.
+    "q_doremi_weights" -> ((s, dir) =>
+      Vocab.doremiWeights(Tables.load(s, dir, "documents"), "text", "source")
+        .orderBy(col("domain"))),
+
+    // DoReMi end-to-end: the learned weights feed the rebalance in ONE
+    // plan (mixtureRebalanceFrom) — the reshaped corpus itself.
+    "q_doremi_mix" -> ((s, dir) =>
+      Vocab.doremiMix(Tables.load(s, dir, "documents"), "doc_id", "text",
+          "source")
+        .orderBy(col("doc_id"))),
 
     // Per-stratum deterministic sampling (mixture rebalance by lang).
     "q_stratified_sample" -> ((s, dir) =>
@@ -1359,6 +1510,29 @@ object TextQueries {
          |SELECT id1, id2, shared, n1, n2, jaccard FROM j
          |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
 
+    // Same pair CTEs; thresholds CAST to DOUBLE so the curve column
+    // type (and the >= comparisons) match the Spark frame exactly.
+    "q_dedup_threshold_curve" -> {
+      val tList = dedupThresholds
+        .map(t => s"CAST('$t' AS DOUBLE)").mkString(", ")
+      s"""WITH $jaccardPairsCtes,
+         |th AS (SELECT unnest([$tList]) AS threshold),
+         |hit AS (
+         |  SELECT t.threshold, j.id1, j.id2
+         |  FROM j JOIN th t ON j.jaccard >= t.threshold),
+         |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM hit GROUP BY 1),
+         |nd AS (SELECT threshold, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+         |       FROM (SELECT threshold, id1 AS doc FROM hit
+         |             UNION ALL SELECT threshold, id2 FROM hit)
+         |       GROUP BY 1)
+         |SELECT t.threshold,
+         |  coalesce(np.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+         |  coalesce(nd.n_docs, CAST(0 AS BIGINT)) AS n_docs
+         |FROM th t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+         |ORDER BY threshold""".stripMargin
+    },
+
     // Components via transitive closure (WITH RECURSIVE): fine at oracle
     // scale, and exactly the fixed point min-label propagation reaches.
     "q_dedup_clusters" ->
@@ -1824,6 +1998,15 @@ object TextQueries {
         |    (CAST(pa AS DOUBLE) / CAST(sum(pa) OVER () AS DOUBLE)) / token_frac
         |  END AS boost
         |FROM a ORDER BY lang""".stripMargin,
+
+    // Mirrors doremiWeights CTE-for-column: both LM lanes are the
+    // q_unigram_logprob / q_bigram_logprob chains keyed by source; the
+    // 5 MW steps unroll (same refreeze → exact-decimal normalizer →
+    // smooth chain, constants via CAST('x' AS DOUBLE) so DuckDB's
+    // decimal literals never enter the arithmetic).
+    "q_doremi_weights" -> doremiOracleSql,
+
+    "q_doremi_mix" -> doremiMixOracleSql,
 
     "q_stratified_sample" -> {
       val rExpr = "substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)"

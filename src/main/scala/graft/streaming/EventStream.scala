@@ -428,6 +428,33 @@ object EventStream {
     graft.operators.TextAnalysis.gopherRateFromCounts(
       readCensusState(spark, statePath, Seq("source"), Seq("n_docs", "n_pass")))
 
+  /** Streaming maintenance for the source-divergence monitor
+    * ([[graft.operators.Vocab.sourceDivergence]]): each micro-batch
+    * appends its (source, bucket, n) unigram census under a PINNED
+    * bucket vocabulary ([[graft.operators.Vocab.divergenceState]]) —
+    * "are two sources drifting apart (or a new source converging)"
+    * reads pairwise JS from sources×(k+1) state without replaying
+    * documents. `vocab` is the pinned model (the psiCuts rule): fit it
+    * once — e.g. [[graft.operators.Vocab.vocabTopK]] over a reference
+    * corpus — and pass the SAME frame to every maintenance run; a
+    * per-batch refit would bucket the same token differently across
+    * appends and corrupt the fold. */
+  def maintainDivergenceState(docs: DataFrame, sourceCol: String,
+                              textCol: String, vocab: DataFrame,
+                              statePath: String,
+                              checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainCensusState(docs, statePath, checkpointPath,
+      b => graft.operators.Vocab.divergenceState(b, sourceCol, textCol, vocab))
+
+  /** [[graft.operators.Vocab.sourceDivergence]]'s pairwise-JS report off
+    * a [[maintainDivergenceState]] directory — equal to a batch
+    * recompute over everything ever ingested under the same pinned
+    * vocabulary (the census is an exact count monoid; every ln/divide
+    * always ran over census rows, never documents). */
+  def readSourceDivergence(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.Vocab.sourceDivergenceFromCounts(
+      readCensusState(spark, statePath, Seq("source", "bucket"), Seq("n")))
+
   /** Streaming maintenance for the categorical-association monitor
     * ([[graft.operators.Eval.chiSquareCells]] / cramersV): each
     * micro-batch appends its (a, b, n) contingency cells — the additive

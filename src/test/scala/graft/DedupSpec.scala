@@ -93,6 +93,45 @@ class DedupSpec extends AnyFunSuite {
     assert(tails.nonEmpty && tails.forall(t => t._3 > 0.5 && t._3 < 1.0))
   }
 
+  test("thresholdCurve: per-cut counts match direct filters; zero cuts kept; monotone") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5, 10000)
+      .cache()
+    val cuts = Seq(0.5, 0.7, 0.9, 1.0)
+    val curve = Dedup.thresholdCurve(pairs, cuts)
+      .orderBy($"threshold").collect()
+    assert(curve.map(_.getAs[Double]("threshold")).toSeq == cuts)
+    // each point equals the direct filter's pair/doc counts
+    cuts.zip(curve).foreach { case (t, row) =>
+      val hit = pairs.filter($"jaccard" >= t)
+      assert(row.getAs[Long]("n_pairs") == hit.count())
+      val docs = hit.select($"id1").union(hit.select($"id2"))
+        .distinct().count()
+      assert(row.getAs[Long]("n_docs") == docs)
+    }
+    // monotone: loosening the cut can only add pairs and docs
+    val np = curve.map(_.getAs[Long]("n_pairs"))
+    val nd = curve.map(_.getAs[Long]("n_docs"))
+    assert(np.sliding(2).forall { case Array(a, b) => a >= b })
+    assert(nd.sliding(2).forall { case Array(a, b) => a >= b })
+    // the corpus has exact copies (J=1) and tail variants (0.5<J<1):
+    // the 1.0 point is populated but strictly below the 0.5 point
+    assert(np.last > 0 && np.last < np.head)
+    // a cut nothing clears still lands on the curve as zeros
+    val above = Dedup.thresholdCurve(
+      pairs.filter($"jaccard" < 1.0), Seq(0.5, 1.0))
+      .orderBy($"threshold").collect()
+    assert(above(1).getAs[Long]("n_pairs") == 0L &&
+      above(1).getAs[Long]("n_docs") == 0L)
+    // guards: empty, duplicate, below-floor threshold lists
+    intercept[IllegalArgumentException](Dedup.thresholdCurve(pairs, Nil))
+    intercept[IllegalArgumentException](
+      Dedup.thresholdCurve(pairs, Seq(0.6, 0.6)))
+    intercept[IllegalArgumentException](
+      Dedup.thresholdCurve(pairs, Seq(0.4)))
+    pairs.unpersist()
+    ()
+  }
+
   test("minhash LSH recalls most true near-dup pairs") {
     val truth = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.7, 10000)
       .select("id1", "id2").as[(Long, Long)].collect().toSet

@@ -727,6 +727,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(report(EventStream.readLangPurity(spark, stateDir)) == maintained)
   }
 
+  test("maintainDivergenceState: streamed JS equals batch recompute under the pinned vocab; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-sd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sd-ck").toString
+    // web's (web, 'the')/(web, 'data') cells are SPLIT across batches —
+    // their counts must ADD across the fold for the JS read to match a
+    // batch recompute.
+    val all = Seq(
+      ("web", "the data table the data"),
+      ("wiki", "the query plan the query"),
+      ("logs", "zz9 qq8 zz9 xx7 xx7")) ++ Seq(
+      ("web", "the data query plan"),
+      ("logs", "zz9 qq8"))
+    val fullDf = all.zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    // the pinned model: vocab fit ONCE over the reference corpus
+    val vocab = graft.operators.Vocab.vocabTopK(fullDf, "doc_id", "text", 4)
+    val q = EventStream.maintainDivergenceState(
+      src.toDS().toDF("source", "text"), "source", "text", vocab,
+      stateDir, ckpt)
+    try {
+      src.addData(all.take(3): _*); q.processAllAvailable()
+      src.addData(all.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"source_a", $"source_b").collect().map(_.toSeq).toSeq
+    val maintained = report(EventStream.readSourceDivergence(spark, stateDir))
+    // same pinned vocab + same data => equal to the one-shot batch
+    // operator (which fits its vocab from the same full corpus at k=4)
+    val recomputed = report(graft.operators.Vocab.sourceDivergence(
+      fullDf, "doc_id", "text", "source", k = 4))
+    assert(maintained == recomputed)
+    // the shared-vocabulary pair reads closer than the disjoint one
+    def js(a: String, b: String) = maintained
+      .find(r => r(0) == a && r(1) == b).get.last.asInstanceOf[Double]
+    assert(js("web", "wiki") < js("logs", "web"))
+    assert(js("web", "wiki") < js("logs", "wiki"))
+    // replayed batch: identical (__batch_id, source, bucket) cells fold once
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(report(EventStream.readSourceDivergence(spark, stateDir)) == maintained)
+  }
+
   test("maintainGopherRateState: streamed pass rate equals batch recompute; replays dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

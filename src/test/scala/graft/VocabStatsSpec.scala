@@ -397,4 +397,95 @@ class VocabStatsSpec extends AnyFunSuite {
       .orderBy($"doc_id").collect().map(_.getAs[String]("order_key"))
     assert(again.toSeq == out.map(_.getAs[String]("order_key")).toSeq)
   }
+
+  // "struct" carries learnable order (a b a b … — bigrams nearly
+  // deterministic, unigrams ~ln 2/token), "flat" carries none (x x x …
+  // — both models price it ~0), so excess(struct) > excess(flat) and
+  // DoReMi must up-weight struct.
+  private def doremiDocs = Seq(
+    (1L, "struct", "a b a b a b a b a b"),
+    (2L, "struct", "a b a b a b a b"),
+    (3L, "flat", "x x x x x x x x x x"),
+    (4L, "flat", "x x x x x x x x")
+  ).toDF("doc_id", "source", "text")
+
+  test("doremiWeights: up-weights the high-excess domain; weights sum to 1; boost consistent") {
+    val out = Vocab.doremiWeights(doremiDocs, "text", "source")
+      .orderBy($"domain").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("flat", "struct"))
+    val flat = out(0); val struct = out(1)
+    assert(struct.getAs[Double]("excess_loss") >
+      flat.getAs[Double]("excess_loss"))
+    assert(struct.getAs[Double]("weight") > flat.getAs[Double]("weight"))
+    val ws = out.map(_.getAs[Double]("weight"))
+    assert(math.abs(ws.sum - 1.0) < 1e-9)
+    assert(ws.forall(_ > 0.0))
+    // smoothing floor: every weight >= c/K (the uniform mix-in)
+    assert(ws.forall(_ >= 0.001 / 2))
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("boost") -
+        r.getAs[Double]("weight") / r.getAs[Double]("token_frac")) < 1e-12)
+    }
+  }
+
+  test("doremiWeights: symmetric domains tie exactly; more steps diverge further; partitioning-invariant") {
+    // identical text => identical excess => exactly equal weights
+    val sym = Seq((1L, "d1", "a b c a b"), (2L, "d2", "a b c a b"))
+      .toDF("doc_id", "source", "text")
+    val w2 = Vocab.doremiWeights(sym, "text", "source")
+      .orderBy($"domain").collect().map(_.getAs[Double]("weight"))
+    assert(w2(0) == w2(1))
+    // static lambda: each extra MW step pushes more mass to struct
+    def structW(steps: Int) =
+      Vocab.doremiWeights(doremiDocs, "text", "source", steps = steps)
+        .filter($"domain" === "struct").head().getAs[Double]("weight")
+    assert(structW(8) > structW(2))
+    // hash-stable: a different partitioning yields bit-identical doubles
+    val a = Vocab.doremiWeights(doremiDocs, "text", "source")
+      .orderBy($"domain").collect().map(_.toSeq)
+    val b = Vocab.doremiWeights(doremiDocs.repartition(7), "text", "source")
+      .orderBy($"domain").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // guards
+    intercept[IllegalArgumentException](
+      Vocab.doremiWeights(doremiDocs, "text", "source", steps = 0))
+    intercept[IllegalArgumentException](
+      Vocab.doremiWeights(doremiDocs, "text", "source", eta = 0.0))
+    intercept[IllegalArgumentException](
+      Vocab.doremiWeights(doremiDocs, "text", "source", smoothing = 1.0))
+  }
+
+  test("doremiMix: one-plan composition equals the Seq-API rebalance on collected weights; binding domain kept whole") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Sampling, TextAnalysis}
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val out = Vocab.doremiMix(docs, "doc_id", "text", "source")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(out.nonEmpty)
+    // the From-variant with learned weights ≡ the validated Seq API fed
+    // the same weights driver-side
+    val w = Vocab.doremiWeights(docs, "text", "source")
+      .select($"domain", $"weight").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+    val base = docs.select($"doc_id", $"source",
+      TextAnalysis.wsTokenCount($"text").cast("long").as("n_tokens"))
+    val viaSeq = Sampling.mixtureRebalance(base, "doc_id", "source",
+        $"n_tokens", w)
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(out == viaSeq)
+    // the binding domain (min tokens/weight) is kept WHOLE
+    val toks = base.groupBy($"source").agg(sum($"n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = w.minBy { case (s, wt) => toks(s).toDouble / wt }._1
+    val inCnt = base.filter($"source" === binding).count()
+    val outCnt = out.count(_(1) == binding)
+    assert(outCnt == inCnt)
+    // and at least one other domain actually downsampled
+    assert(out.size < base.count())
+    // guard: the From-variant rejects a malformed target frame
+    intercept[IllegalArgumentException](
+      Sampling.mixtureRebalanceFrom(base, "doc_id", "source", $"n_tokens",
+        docs.select($"source", $"doc_id")))
+    ()
+  }
 }
