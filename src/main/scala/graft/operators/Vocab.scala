@@ -517,35 +517,82 @@ object Vocab {
   def doremiWeights(df: DataFrame, textCol: String, domainCol: String,
                     eta: Double = 1.0, smoothing: Double = 1e-3,
                     steps: Int = 5): DataFrame = {
-    require(eta > 0, s"eta must be positive, got $eta")
-    require(smoothing >= 0 && smoothing < 1,
-      s"smoothing must be in [0, 1), got $smoothing")
-    require(steps >= 1 && steps <= 64, s"steps must be in [1, 64], got $steps")
+    val scored = df.filter(col(domainCol).isNotNull)
+    val (uniPrices, biPrices) = doremiPrices(scored, textCol)
+    doremiFromCensus(
+      doremiLmState(scored, domainCol, textCol, uniPrices, biPrices),
+      eta, smoothing, steps)
+  }
+
+  /** The two frozen LM price tables [[doremiWeights]] scores with —
+    * (token, surprisal) unigram self-information and (w1, w2, surprisal)
+    * conditional bigram MLE, both round-6 DECIMAL(18,6) (the
+    * [[docSurprisal]] / [[docBigramSurprisal]] freeze). Split out as the
+    * PINNED MODEL for maintained excess-loss state (the psiCuts rule):
+    * fit ONCE over a reference corpus, then every batch scores against
+    * the same vocab-scale tables — per-batch refits would price the
+    * same token differently across appends, making folded sums
+    * incomparable. Vocab-scale frames; broadcast when they fit. */
+  def doremiPrices(df: DataFrame, textCol: String): (DataFrame, DataFrame) = {
     val dec = "decimal(18,6)"
     val w = Window.rowsBetween(Long.MinValue, Long.MaxValue)
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
-
-    // Unigram lane: (domain, token) counts -> frozen prices -> domain sums.
-    val tfu = df.filter(col(domainCol).isNotNull)
-      .select(col(domainCol).as("domain"), explode(toks).as("token"))
+    val tu = df.select(explode(toks).as("token"))
       .filter(length(col("token")) > 0)
-      .groupBy(col("domain"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val vocab = tfu.groupBy(col("token")).agg(sum(col("tf")).as("n_t"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_t"))
+    val uni = tu
       .withColumn("__total", sum(col("n_t")).over(w))
       .withColumn("surprisal",
         round(log(col("__total").cast("double") / col("n_t").cast("double")), 6)
           .cast(dec))
       .select(col("token"), col("surprisal"))
-    val uni = tfu.join(vocab, Seq("token"))
+    val arr = filter(toks, t => length(t) > 0)
+    val pair = df.select(arr.as("__a"))
+      .filter(size(col("__a")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__a")) - 1),
+        i => struct(element_at(col("__a"), i).as("w1"),
+          element_at(col("__a"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val lft = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_left"))
+    val bi = pair.join(lft, Seq("w1"))
+      .withColumn("surprisal",
+        round(log(col("n_left").cast("double") / col("n_pair").cast("double")), 6)
+          .cast(dec))
+      .select(col("w1"), col("w2"), col("surprisal"))
+    (uni, bi)
+  }
+
+  /** The (domain, n_tokens, su, n_bigrams, sb) LM-cost census
+    * [[doremiWeights]] reduces to under pinned prices — an ADDITIVE
+    * monoid (exact long counts + exact decimal cost sums), so the
+    * excess-loss monitor rides the generic streaming census maintainer:
+    * per-batch censuses folded by domain-wise sums equal the one-pass
+    * census exactly. NULL domains are excluded (unattributable rows
+    * can't move a domain weight); tokens/bigrams ABSENT from the pinned
+    * price tables drop from the sums (the pinned-model OOV contract —
+    * maintenance-time novel vocabulary is invisible to a frozen price,
+    * exactly like a PSI bucket fit can't see a new mode; refit to see
+    * it). Lanes are zero-filled (full outer), never dropped: a batch
+    * whose domain has unigram mass but no bigrams still banks the
+    * unigram lane. */
+  def doremiLmState(df: DataFrame, domainCol: String, textCol: String,
+                    uniPrices: DataFrame, biPrices: DataFrame): DataFrame = {
+    val dec = "decimal(18,6)"
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    val scored = df.filter(col(domainCol).isNotNull)
+    val tfu = scored
+      .select(col(domainCol).as("domain"), explode(toks).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("domain"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val uni = tfu.join(uniPrices, Seq("token"))
       .groupBy(col("domain"))
       .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("surprisal") * col("tf")).as("__su"))
-
-    // Bigram lane: (domain, w1, w2) counts -> conditional MLE prices ->
-    // domain sums (the docBigramSurprisal shapes keyed by domain).
+        sum(col("surprisal") * col("tf")).as("su"))
     val arr = filter(toks, t => length(t) > 0)
-    val bg = df.filter(col(domainCol).isNotNull)
+    val bg = scored
       .select(col(domainCol).as("domain"), arr.as("__a"))
       .filter(size(col("__a")) >= 2)
       .select(col("domain"), explode(transform(
@@ -554,24 +601,41 @@ object Vocab {
           element_at(col("__a"), i + 1).as("w2")))).as("p"))
       .groupBy(col("domain"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("tf"))
-    val pair = bg.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("n_pair"))
-    val lft = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_left"))
-    val pricedBg = pair.join(lft, Seq("w1"))
-      .withColumn("surprisal",
-        round(log(col("n_left").cast("double") / col("n_pair").cast("double")), 6)
-          .cast(dec))
-      .select(col("w1"), col("w2"), col("surprisal"))
-    val bi = bg.join(pricedBg, Seq("w1", "w2"))
+    val bi = bg.join(biPrices, Seq("w1", "w2"))
       .groupBy(col("domain"))
       .agg(sum(col("tf")).as("n_bigrams"),
-        sum(col("surprisal") * col("tf")).as("__sb"))
+        sum(col("surprisal") * col("tf")).as("sb"))
+    uni.join(bi, Seq("domain"), "full_outer")
+      .select(col("domain"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("su"), lit(0).cast(dec)).as("su"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sb"), lit(0).cast(dec)).as("sb"))
+  }
 
-    // Domain frame: excess loss, frozen multiplier, baseline share.
+  /** [[doremiWeights]]'s multiplicative-weights chain over an
+    * already-built LM-cost census — the direct entry point for counts
+    * folded from maintained state ([[graft.streaming.EventStream
+    * .readDoremiWeights]]). Domains missing either lane (no priced
+    * tokens or no priced bigrams) have no excess-loss reading and are
+    * excluded, matching the one-shot operator's inner lane join. All
+    * the float discipline lives in the parent's scaladoc; the census is
+    * exact, so a fold and a one-pass census run the SAME arithmetic
+    * here on the SAME values. */
+  def doremiFromCensus(census: DataFrame, eta: Double = 1.0,
+                       smoothing: Double = 1e-3, steps: Int = 5): DataFrame = {
+    require(eta > 0, s"eta must be positive, got $eta")
+    require(smoothing >= 0 && smoothing < 1,
+      s"smoothing must be in [0, 1), got $smoothing")
+    require(steps >= 1 && steps <= 64, s"steps must be in [1, 64], got $steps")
+    val dec = "decimal(18,6)"
+    val w = Window.rowsBetween(Long.MinValue, Long.MaxValue)
     val lam = greatest(
-      col("__su").cast("double") / col("n_tokens").cast("double") -
-        col("__sb").cast("double") / col("n_bigrams").cast("double"),
+      col("su").cast("double") / col("n_tokens").cast("double") -
+        col("sb").cast("double") / col("n_bigrams").cast("double"),
       lit(0.0))
-    val base = uni.join(bi, Seq("domain"))
+    val base = census
+      .filter(col("n_tokens") > 0L && col("n_bigrams") > 0L)
       .withColumn("excess_loss", lam)
       .withColumn("__m", round(exp(lit(eta) * col("excess_loss")), 6).cast(dec))
       .withColumn("token_frac",

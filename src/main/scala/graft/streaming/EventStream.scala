@@ -455,6 +455,37 @@ object EventStream {
     graft.operators.Vocab.sourceDivergenceFromCounts(
       readCensusState(spark, statePath, Seq("source", "bucket"), Seq("n")))
 
+  /** Streaming maintenance for the DoReMi excess-loss monitor
+    * ([[graft.operators.Vocab.doremiWeights]]): each micro-batch appends
+    * its (domain, n_tokens, su, n_bigrams, sb) LM-cost census under the
+    * PINNED price tables ([[graft.operators.Vocab.doremiPrices]] — fit
+    * once over a reference corpus, the psiCuts rule), so "which domain
+    * has the most learnable structure left, and is the learned mixture
+    * drifting" reads from domains×1 state without replaying documents.
+    * A per-batch price refit would cost the same token differently
+    * across appends and corrupt the fold — pass the SAME two frames to
+    * every maintenance run. */
+  def maintainDoremiState(docs: DataFrame, domainCol: String,
+                          textCol: String, uniPrices: DataFrame,
+                          biPrices: DataFrame, statePath: String,
+                          checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainCensusState(docs, statePath, checkpointPath,
+      b => graft.operators.Vocab.doremiLmState(b, domainCol, textCol,
+        uniPrices, biPrices))
+
+  /** [[graft.operators.Vocab.doremiWeights]]'s multiplicative-weights
+    * report off a [[maintainDoremiState]] directory — equal to a batch
+    * recompute over everything ever ingested under the same pinned
+    * prices (the census is additive: exact long counts + exact decimal
+    * cost sums; the MW chain always ran over census rows). */
+  def readDoremiWeights(spark: SparkSession, statePath: String,
+                        eta: Double = 1.0, smoothing: Double = 1e-3,
+                        steps: Int = 5): DataFrame =
+    graft.operators.Vocab.doremiFromCensus(
+      readCensusState(spark, statePath, Seq("domain"),
+        Seq("n_tokens", "su", "n_bigrams", "sb")),
+      eta, smoothing, steps)
+
   /** Streaming maintenance for the categorical-association monitor
     * ([[graft.operators.Eval.chiSquareCells]] / cramersV): each
     * micro-batch appends its (a, b, n) contingency cells — the additive

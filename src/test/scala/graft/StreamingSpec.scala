@@ -773,6 +773,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(report(EventStream.readSourceDivergence(spark, stateDir)) == maintained)
   }
 
+  test("maintainDoremiState: weights off folded census equal the one-shot operator; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-dw").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dw-ck").toString
+    // struct's token/bigram mass is SPLIT across batches — its census
+    // sums must ADD across the fold for the MW chain to see the same
+    // excess loss as the one-shot fit.
+    val all = Seq(
+      ("struct", "a b a b a b a b a b"),
+      ("flat", "x x x x x x x x x x")) ++ Seq(
+      ("struct", "a b a b a b a b"),
+      ("flat", "x x x x x x x x"))
+    val fullDf = all.toDF("source", "text")
+    // pinned model: prices fit ONCE over the reference corpus
+    val (uniP, biP) = graft.operators.Vocab.doremiPrices(fullDf, "text")
+    val q = EventStream.maintainDoremiState(
+      src.toDS().toDF("source", "text"), "source", "text", uniP, biP,
+      stateDir, ckpt)
+    try {
+      src.addData(all.take(2): _*); q.processAllAvailable()
+      src.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"domain").collect().map(_.toSeq).toSeq
+    val maintained = report(EventStream.readDoremiWeights(spark, stateDir))
+    // same pinned prices + same data => equal to the one-shot operator
+    // (whose internal fit runs over the same full corpus)
+    val recomputed = report(graft.operators.Vocab.doremiWeights(
+      fullDf, "text", "source"))
+    assert(maintained == recomputed)
+    // the learnable-structure domain carries the higher weight
+    val byDomain = maintained.map(r => r.head -> r).toMap
+    assert(byDomain("struct")(5).asInstanceOf[Double] >
+      byDomain("flat")(5).asInstanceOf[Double])
+    // replayed batch: identical (__batch_id, domain) census rows fold once
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(report(EventStream.readDoremiWeights(spark, stateDir)) == maintained)
+  }
+
   test("maintainGopherRateState: streamed pass rate equals batch recompute; replays dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
