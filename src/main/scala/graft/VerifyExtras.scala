@@ -230,7 +230,7 @@ object VerifyExtras {
         Check("knn_graph_strong_edges", pairRecall(knnTruth, knnCand),
           floor = 0.9, knnTruth.length, knnCand.length)
       ) ++ sketchChecks(spark, sfDir) ++ bpeCheck(spark, sfDir) ++
-        clusterCapCheck(spark, sfDir) ++ pcaCheck(spark, sfDir)
+        clusterCapCheck(spark, sfDir) ++ silhouetteCheck(spark, sfDir) ++ pcaCheck(spark, sfDir)
     } finally {
       corpus.unpersist(); emb.unpersist(); dupEmb.unpersist()
     }
@@ -295,6 +295,33 @@ object VerifyExtras {
     Seq(Check("cluster_cap_exactness",
       if (per.isEmpty) 0.0 else ok.toDouble / per.length, floor = 1.0,
       per.length.toLong, total, metric = "exact_cells_frac"))
+  }
+
+  /** Structural exactness of q_silhouette under its exact wiring: every
+    * cell's silhouette ∈ [0, 1] with mean_b ≥ mean_a (the argmax
+    * assignment contract — a violated bound means the top-2 expression
+    * disagrees with cell_assign), and the per-cell counts must cover
+    * every usable (defined-norm) embedding exactly once. Linear (one
+    * fit + one scan), so it runs in the bounded sf10 mode too. */
+  private def silhouetteCheck(spark: SparkSession, sfDir: String): Seq[Check] = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val out = Similarity.clusterSilhouette(emb,
+      k = Similarity.cellsFor(emb.count())).collect()
+    val ok = out.count { r =>
+      val s = r.getAs[Double]("silhouette")
+      s >= 0.0 && s <= 1.0 &&
+        r.getAs[Double]("mean_b") >= r.getAs[Double]("mean_a")
+    }
+    val covered = out.map(_.getAs[Long]("n")).sum
+    val usable = emb.select(
+        Similarity.dot(Similarity.asDouble(col("embedding")),
+          Similarity.asDouble(col("embedding"))).as("nn"))
+      .filter(col("nn") > 0.0 && !isnan(col("nn"))).count()
+    val structOk = out.nonEmpty && ok == out.length && covered == usable
+    Seq(Check("silhouette_exactness", if (structOk) 1.0 else 0.0,
+      floor = 1.0, out.length.toLong, covered, metric = "bounds_and_coverage"))
   }
 
   /** Sketch-vs-exact accuracy for q_sketch_profile's approximate
@@ -582,7 +609,7 @@ object VerifyExtras {
         Check("ann_lsh_vs_brute_force", pairRecall(annTruth, annLsh),
           floor = 0.6, annTruth.length, annLsh.length)) ++
         // Linear-cost, so these run in the bounded mode too.
-        clusterCapCheck(spark, sfDir) ++ pcaCheck(spark, sfDir)
+        clusterCapCheck(spark, sfDir) ++ silhouetteCheck(spark, sfDir) ++ pcaCheck(spark, sfDir)
     } finally {
       if (sampled != null) sampled.unpersist()
       emb.unpersist(); ()

@@ -191,7 +191,7 @@ case class CellAssignExpr(left: Expression, right: Expression, model: CellModel)
 object CellAssignExpr {
   /** Spark SQL's double ordering (SQLOrderingUtil): -0.0 == 0.0, NaN
     * greatest — the ordering `greatest` applies to the sim field. */
-  private def cmp(a: Double, b: Double): Int =
+  private[functions] def cmp(a: Double, b: Double): Int =
     if (a == b) 0 else java.lang.Double.compare(a, b)
 
   /** Same contract as [[DotProductExpr.dot]] against a dense centroid:
@@ -273,6 +273,67 @@ object CellTopExpr {
     GraftBridge.column(CellTopExpr(
       GraftBridge.expression(v.cast("array<double>")),
       GraftBridge.expression(norm.cast("double")), model, nProbe))
+}
+
+/** Best cell plus the two leading centroid cosines in ONE pass over the
+  * model — `array<double>` [bestIdx, simBest, simSecond] (second = the
+  * max over the OTHER cells; ties follow [[CellAssignExpr.best]]'s
+  * smallest-index convention, so bestIdx always matches a cell_assign
+  * of the same model). The simplified-silhouette primitive: a/b derive
+  * from these two cosines without a k-way explode (per-row cost O(k·d)
+  * local arithmetic, zero fan-out — the CellAssignExpr economics).
+  * Requires a model with k ≥ 2 (a second-best needs a second cell). */
+case class CellTop2SimExpr(left: Expression, right: Expression, model: CellModel)
+    extends BinaryExpression {
+  require(model.k >= 2, s"CellTop2SimExpr needs k >= 2 cells, got ${model.k}")
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "cell_top2_sim"
+
+  override def nullSafeEval(v: Any, n: Any): Any =
+    CellTop2SimExpr.top2(v.asInstanceOf[ArrayData], n.asInstanceOf[Double], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("cellModel", model, classOf[CellModel].getName)
+    defineCodeGen(ctx, ev,
+      (v, n) => s"graft.functions.CellTop2SimExpr.top2($v, $n, $m)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CellTop2SimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CellTop2SimExpr {
+  /** Shared by interpreted and generated paths; ordering and tie
+    * conventions identical to [[CellAssignExpr.best]] (Spark double
+    * ordering, first index wins a tie), second-best = the max over the
+    * remaining cells under the same ordering. */
+  def top2(v: ArrayData, n: Double, m: CellModel): ArrayData = {
+    var bestIdx = 0
+    var bestSim = CellAssignExpr.sim(v, n, m, 0)
+    var secondSim = Double.NegativeInfinity
+    var i = 1
+    while (i < m.k) {
+      val s = CellAssignExpr.sim(v, n, m, i)
+      if (CellAssignExpr.cmp(s, bestSim) > 0) {
+        // strictly better: the old best becomes the runner-up
+        secondSim = bestSim; bestSim = s; bestIdx = i
+      } else if (CellAssignExpr.cmp(s, secondSim) > 0) {
+        // ties with best land HERE (first index keeps best), so an
+        // exact-duplicate centroid yields second == best, as it should
+        secondSim = s
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(bestIdx.toDouble, bestSim, secondSim))
+  }
+
+  def cellTop2Sim(v: Column, norm: Column, model: CellModel): Column =
+    GraftBridge.column(CellTop2SimExpr(
+      GraftBridge.expression(v.cast("array<double>")),
+      GraftBridge.expression(norm.cast("double")), model))
 }
 
 /** Product-quantization codebook for [[PqEncodeExpr]]/[[PqLutExpr]]/

@@ -749,6 +749,69 @@ object Similarity {
       .select(col("id"), col("cell"), col("rn"), col("cell_n"))
   }
 
+  /** SIMPLIFIED SILHOUETTE per cell (Hruschka et al. 2004's
+    * centroid-based silhouette, the standard O(n·k) stand-in for
+    * Rousseeuw 1987's O(n²) original): for each point, a = cosine
+    * distance to its OWN centroid, b = cosine distance to the NEAREST
+    * OTHER centroid, s = (b − a) / max(a, b) — the clustering-quality
+    * read for the whole k-means family (semDedup cells, cluster-cap
+    * cells, IVF coarse quantizers): s near 1 = tight separated regions
+    * (trust the cell blocking), near 0 = cells are arbitrary tiles of a
+    * noise floor (blocking still bounds work, but don't read cells as
+    * topics). Under argmax assignment b ≥ a by construction, so
+    * s ∈ [0, 1]; a point equidistant to two centroids scores 0 exactly.
+    *
+    * Determinism (rows-only — learned centroids are ulp-reproducible,
+    * never hash-comparable): per-point s quantizes to MICRO integers
+    * before any aggregation, so the per-cell means are exact integer
+    * ratios — partitioning-invariant, like every committed diagnostic.
+    * One pass, one aggregation: the two leading centroid cosines come
+    * from the native [[graft.functions.CellTop2SimExpr]] (O(k·d) local
+    * arithmetic per row riding whole-stage codegen — no k-way explode,
+    * the CellAssignExpr economics), the census collapses map-side to
+    * ≤ cells rows. 100 TB: the only exchange carries cell-dimension
+    * partials.
+    *
+    * Output per cell: (cell, n, mean_a, mean_b, silhouette), ordered by
+    * the caller; overall silhouette = Σ n·silhouette / Σ n. */
+  def clusterSilhouette(df: DataFrame, k: Int = 16, maxIter: Int = 5,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        centroids: Seq[Seq[Double]] = Nil): DataFrame = {
+    val v = droppingUndefinedNorms(
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("n", dot(col("v"), col("v"))), "n")
+    val centRows: Seq[(Seq[Double], Double)] =
+      (if (centroids.nonEmpty) centroids
+       else kmeansFit(df, k, maxIter, idCol = idCol, vecCol = vecCol))
+        .map(c => c -> c.map(x => x * x).sum)
+        .filter { case (_, n) => n > 0 && !n.isNaN }
+    require(centRows.length >= 2,
+      s"silhouette needs >= 2 usable centroids, got ${centRows.length}")
+    val t2 = graft.functions.CellTop2SimExpr.cellTop2Sim(col("v"), col("n"),
+      graft.functions.CellModel(centRows))
+    val scored = v.select(col("id"), t2.as("t"))
+      .select(col("t").getItem(0).cast("int").as("cell"),
+        // cosine DISTANCES: own = 1 - simBest, other = 1 - simSecond
+        (lit(1.0) - col("t").getItem(1)).as("a"),
+        (lit(1.0) - col("t").getItem(2)).as("b"))
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) <= 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      // micro-quantize BEFORE aggregating: per-cell means become exact
+      // integer ratios, immune to partition-order float accumulation
+      .select(col("cell"),
+        round(col("a") * 1e6, 0).cast("long").as("am"),
+        round(col("b") * 1e6, 0).cast("long").as("bm"),
+        round(col("s") * 1e6, 0).cast("long").as("sm"))
+    scored.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("am")).as("sa"),
+        sum(col("bm")).as("sb"), sum(col("sm")).as("ss"))
+      .select(col("cell"), col("n"),
+        (col("sa").cast("double") / (col("n").cast("double") * 1e6)).as("mean_a"),
+        (col("sb").cast("double") / (col("n").cast("double") * 1e6)).as("mean_b"),
+        (col("ss").cast("double") / (col("n").cast("double") * 1e6)).as("silhouette"))
+  }
+
   /** Cosine near-duplicate pairs, blocked on a coarse partition column
     * (cluster label / shard) so the pair space is per-block, not corpus².
     * Scale caveat: block cardinality must grow with the corpus — for

@@ -145,6 +145,18 @@ object SimilarityQueries {
         .orderBy(col("cell"), col("rn"))
     }),
 
+    // Clustering-quality read for the whole cell family (semdedup /
+    // cluster-cap / IVF): simplified silhouette per cell off the two
+    // leading centroid cosines (native one-pass expression, no k-way
+    // explode). Rows-only (learned centroids); micro-quantized means
+    // are partitioning-invariant; separation/noise fixtures spec-pinned.
+    "q_silhouette" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.clusterSilhouette(emb,
+          k = Similarity.cellsFor(emb.count()))
+        .orderBy(col("cell"))
+    }),
+
     // Per-label centroid coherence (avg/min member cosine to the label
     // mean) — oracle-EXACT centroid math via the quantized-decimal
     // contract (components frozen at 3 decimals; the centroid sum is

@@ -731,6 +731,47 @@ class SimilaritySpec extends AnyFunSuite {
       math.abs(top(0) - top(1)) < 1e-9)
   }
 
+  test("clusterSilhouette: separated clusters near 1, equidistant point 0, hand-checked means") {
+    // Two orthogonal tight clusters + one exactly-equidistant probe.
+    val a = (0 until 4).map(i => (i.toLong, Array(1.0f, 0.0f)))
+    val b = (0 until 4).map(i => (100L + i, Array(0.0f, 1.0f)))
+    val mid = Seq((200L, Array(1.0f, 1.0f)))
+    val df = (a ++ b ++ mid).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val out = Similarity.clusterSilhouette(df, centroids = cents)
+      .orderBy($"cell").collect()
+    assert(out.length == 2)
+    // on-axis members: a = 0, b = 1, s = 1; the diagonal probe lands in
+    // cell 0 (tie -> smallest index) with a = b -> s = 0
+    val c0 = out(0); val c1 = out(1)
+    assert(c0.getAs[Long]("n") == 5L && c1.getAs[Long]("n") == 4L)
+    assert(c1.getAs[Double]("silhouette") == 1.0)
+    assert(c1.getAs[Double]("mean_a") == 0.0 && c1.getAs[Double]("mean_b") == 1.0)
+    // cell 0: four s=1 rows and one s=0 row -> mean 4_000_000/5e6 = 0.8
+    assert(c0.getAs[Double]("silhouette") == 0.8)
+    // micro-quantized means are partitioning-invariant
+    val again = Similarity.clusterSilhouette(df.repartition(7), centroids = cents)
+      .orderBy($"cell").collect().map(_.toSeq).toSeq
+    assert(again == out.map(_.toSeq).toSeq)
+    // b >= a under argmax assignment -> s in [0, 1] on a noisier fixture
+    val noisy = (0 until 50).map(i =>
+      (i.toLong, Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val ns = Similarity.clusterSilhouette(noisy,
+      centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.5)))
+      .collect()
+    assert(ns.map(_.getAs[Long]("n")).sum == 50L)
+    ns.foreach { r =>
+      val s = r.getAs[Double]("silhouette")
+      assert(s >= 0.0 && s <= 1.0, s"silhouette out of range: $s")
+      assert(r.getAs[Double]("mean_b") >= r.getAs[Double]("mean_a"))
+    }
+    // guard: fewer than 2 usable centroids
+    intercept[IllegalArgumentException](
+      Similarity.clusterSilhouette(df, centroids = Seq(Seq(1.0, 0.0))))
+    ()
+  }
+
   test("clusterCapSample: plan is one bounded aggregate + broadcast census join") {
     val df = (0 until 50).map(i => (i.toLong, Array(i.toFloat, 1.0f)))
       .toDF("vec_id", "embedding")
