@@ -86,7 +86,8 @@ object Bench {
     // while across passes each timed build sample rebuilds it.
     val names = order.map(_._1).toSet
     val nearDupFamily = Set("q_dedup_ngram_jaccard", "q_dedup_clusters",
-      "q_dedup_canonical", "q_dedup_containment", "q_pagerank", "q_graph_degree")
+      "q_dedup_canonical", "q_dedup_containment", "q_pagerank", "q_graph_degree",
+      "q_dedup_threshold_curve")
     val spanFamily = Set("q_span_dedup", "q_span_strike")
     val builds: Seq[(String, () => Unit)] =
       (if (names.exists(nearDupFamily)) Seq("_neardup_pairs_build" ->

@@ -194,6 +194,45 @@ object TextAnalysis {
       regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
       lit(PhoneRe), lit("<PHONE>"))
 
+  /** Additive (source, n_docs, n_emails, n_phones, n_dirty) PII census —
+    * the leak-rate monitor's state: total match counts per matcher plus
+    * the count of documents carrying ANY match (the scrub workload).
+    * All per-row regexp counting rides the scan (codegen'd, zero
+    * shuffle); the aggregate is map-side combinable to sources × 1
+    * rows. NULL sources are excluded (unattributable rows can't page a
+    * source owner). */
+  def piiRateState(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val e = emailCount(col(textCol)).cast("long")
+    val p = phoneCount(col(textCol)).cast("long")
+    df.filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"), e.as("__e"), p.as("__p"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__e")).as("n_emails"),
+        sum(col("__p")).as("n_phones"),
+        sum(when(col("__e") > 0L || col("__p") > 0L, 1L).otherwise(0L))
+          .as("n_dirty"))
+  }
+
+  /** The PII leak-rate report over an already-built census — the direct
+    * entry point for counts folded from maintained state
+    * ([[graft.streaming.EventStream.readPiiRate]]). dirty_rate is ONE
+    * IEEE division of exact longs, so the report is oracle-exact. */
+  def piiRateFromCounts(counts: DataFrame): DataFrame =
+    counts.select(col("source"), col("n_docs"), col("n_emails"),
+      col("n_phones"), col("n_dirty"),
+      (col("n_dirty").cast("double") / col("n_docs").cast("double"))
+        .as("dirty_rate"))
+
+  /** Per-source PII LEAK RATE — the scrub-pipeline health monitor
+    * ([[scrubPii]]'s upstream read): which sources are leaking
+    * emails/phones, at what per-doc density, and how much of the corpus
+    * the scrub pass will touch. A source whose dirty_rate climbs
+    * round-over-round is rotting upstream of redaction — the same
+    * census-monitor role as [[gopherRateFromCounts]], on the PII axis. */
+  def piiRate(df: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    piiRateFromCounts(piiRateState(df, sourceCol, textCol))
+
   // --- Gopher quality-rule bundle (Rae et al. 2021 A1.1) -------------------
 
   /** The Gopher quality signals for a (possibly multi-line) text column —

@@ -433,7 +433,7 @@ object TextQueries {
     * (%13) injections appended to the raw text. Same derivation in the
     * oracle SQL. */
   def piiCorpus(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents").select(col("doc_id"),
+    Tables.load(s, dir, "documents").select(col("doc_id"), col("source"),
       concat(col("text"),
         when(col("doc_id") % 7 === 0,
           concat(lit(" contact user"), col("doc_id").cast("string"),
@@ -448,7 +448,7 @@ object TextQueries {
   // '||' concat operator) or the outer strip eats a pipe.
   private val piiCorpusSql =
     """pii AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, source,
       |    text ||
       |    CASE WHEN doc_id % 7 = 0
       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
@@ -651,6 +651,12 @@ object TextQueries {
         TA.phoneCount(col("text")).cast("long").as("n_phones"),
         md5(TA.scrubPii(col("text"))).as("scrubbed_md5"))
         .orderBy(col("doc_id"))),
+
+    // PII leak-rate monitor: the per-source census the scrub pass's
+    // owner reads (who is leaking, how dense, how much scrub work).
+    "q_pii_rate" -> ((s, dir) =>
+      TA.piiRate(piiCorpus(s, dir), "source", "text")
+        .orderBy(col("source"))),
 
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(dupCorpus(s, dir), "doc_id", "text")
@@ -1469,6 +1475,22 @@ object TextQueries {
          |        regexp_replace(text, '${TA.EmailRe}', '<EMAIL>', 'g'),
          |        '${TA.PhoneRe}', '<PHONE>', 'g')) AS scrubbed_md5
          |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "q_pii_rate" ->
+      s"""WITH $piiCorpusSql,
+         |c AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(text, '${TA.EmailRe}')) AS BIGINT) AS e,
+         |    CAST(len(regexp_extract_all(text, '${TA.PhoneRe}')) AS BIGINT) AS p
+         |  FROM pii WHERE source IS NOT NULL)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(e) AS BIGINT) AS n_emails,
+         |  CAST(sum(p) AS BIGINT) AS n_phones,
+         |  CAST(sum(CASE WHEN e > 0 OR p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dirty,
+         |  CAST(sum(CASE WHEN e > 0 OR p > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dirty_rate
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_exact" ->
       s"""WITH $dupCorpusSql,

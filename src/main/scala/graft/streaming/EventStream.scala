@@ -455,6 +455,26 @@ object EventStream {
     graft.operators.Vocab.sourceDivergenceFromCounts(
       readCensusState(spark, statePath, Seq("source", "bucket"), Seq("n")))
 
+  /** Streaming maintenance for the PII leak-rate monitor
+    * ([[graft.operators.TextAnalysis.piiRate]]): each micro-batch
+    * appends its (source, n_docs, n_emails, n_phones, n_dirty) census —
+    * "which source is leaking, and is it getting worse" reads from
+    * sources × 1 state without replaying documents. */
+  def maintainPiiRateState(docs: DataFrame, sourceCol: String,
+                           textCol: String, statePath: String,
+                           checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainCensusState(docs, statePath, checkpointPath,
+      b => graft.operators.TextAnalysis.piiRateState(b, sourceCol, textCol))
+
+  /** [[graft.operators.TextAnalysis.piiRate]]'s report off a
+    * [[maintainPiiRateState]] directory — equal to a batch recompute
+    * over everything ever ingested (exact count monoid; the rate is one
+    * division over folded counts). */
+  def readPiiRate(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.TextAnalysis.piiRateFromCounts(
+      readCensusState(spark, statePath, Seq("source"),
+        Seq("n_docs", "n_emails", "n_phones", "n_dirty")))
+
   /** Streaming maintenance for the DoReMi excess-loss monitor
     * ([[graft.operators.Vocab.doremiWeights]]): each micro-batch appends
     * its (domain, n_tokens, su, n_bigrams, sb) LM-cost census under the

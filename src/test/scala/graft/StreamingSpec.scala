@@ -773,6 +773,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(report(EventStream.readSourceDivergence(spark, stateDir)) == maintained)
   }
 
+  test("maintainPiiRateState: streamed leak rates equal batch recompute; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pii-ck").toString
+    val q = EventStream.maintainPiiRateState(
+      src.toDS().toDF("source", "text"), "source", "text", stateDir, ckpt)
+    // web's dirty docs are SPLIT across batches (1 + 1) — n_dirty must
+    // ADD across the fold for the rate to read 2/3.
+    val all = Seq(
+      ("web", "reach me at a@b.com and c@d.org"),
+      ("wiki", "clean text only")) ++ Seq(
+      ("web", "call 555-123-4567"),
+      ("web", "nothing here"),
+      ("wiki", "still clean"))
+    try {
+      src.addData(all.take(2): _*); q.processAllAvailable()
+      src.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"source").collect().map(_.toSeq).toSeq
+    val maintained = report(EventStream.readPiiRate(spark, stateDir))
+    val recomputed = report(graft.operators.TextAnalysis.piiRate(
+      all.toDF("source", "text"), "source", "text"))
+    assert(maintained == recomputed)
+    // web: 3 docs, 2 emails, 1 phone, 2 dirty -> rate 2/3; wiki clean
+    val web = maintained.find(_.head == "web").get
+    assert(web(1) == 3L && web(2) == 2L && web(3) == 1L && web(4) == 2L)
+    assert(web(5) == 2.0 / 3.0)
+    val wiki = maintained.find(_.head == "wiki").get
+    assert(wiki(4) == 0L && wiki(5) == 0.0)
+    // replayed batch: identical (__batch_id, source) cells fold once
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(report(EventStream.readPiiRate(spark, stateDir)) == maintained)
+  }
+
   test("maintainDoremiState: weights off folded census equal the one-shot operator; replays dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
