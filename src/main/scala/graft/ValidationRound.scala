@@ -59,7 +59,8 @@ object ValidationRound {
     * unpopulated table in the triage path. */
   final case class CensusSpec(dupRatePath: Option[String] = None,
                               noveltyPath: Option[String] = None,
-                              gopherRatePath: Option[String] = None)
+                              gopherRatePath: Option[String] = None,
+                              piiRatePath: Option[String] = None)
 
   /** One table pair to validate. `partCol` opts into checksum triage
     * (the column must exist on both sides); `drift`/`anomaly`/`census`
@@ -101,7 +102,9 @@ object ValidationRound {
     StructField("novelty_min", DoubleType, nullable = true),
     StructField("novelty_min_source", StringType, nullable = true),
     StructField("gopher_rate_min", DoubleType, nullable = true),
-    StructField("gopher_rate_min_source", StringType, nullable = true)))
+    StructField("gopher_rate_min_source", StringType, nullable = true),
+    StructField("pii_dirty_rate_max", DoubleType, nullable = true),
+    StructField("pii_dirty_rate_max_source", StringType, nullable = true)))
 
   /** Per-pair status: `schema_drift` (gate failed, no data read),
     * `clean` (checksum triage proved parity — row diff skipped; counts
@@ -147,9 +150,17 @@ object ValidationRound {
             .head()
           (if (r.isNullAt(0)) null else r.getDouble(0), r.getString(1))
         }
+        val pii = p.census.flatMap(_.piiRatePath).filter(exists).map { path =>
+          val r = graft.streaming.EventStream.readPiiRate(spark, path)
+            .agg(max(col("dirty_rate")),
+              min_by(col("source"), struct(-col("dirty_rate"), col("source"))))
+            .head()
+          (if (r.isNullAt(0)) null else r.getDouble(0), r.getString(1))
+        }
         Seq(dup.map(_._1).orNull, dup.map(_._2).orNull,
           nov.map(_._1).orNull, nov.map(_._2).orNull,
-          gop.map(_._1).orNull, gop.map(_._2).orNull)
+          gop.map(_._1).orNull, gop.map(_._2).orNull,
+          pii.map(_._1).orNull, pii.map(_._2).orNull)
       }
       // Monitors run once the schema gate passes (they read data, the
       // gate's contract forbids that on drift) and regardless of the

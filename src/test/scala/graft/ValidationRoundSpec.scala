@@ -244,4 +244,38 @@ class ValidationRoundSpec extends AnyFunSuite {
     assert(p.isNullAt(p.fieldIndex("dup_rate_max")))
     assert(out("bare").isNullAt(out("bare").fieldIndex("gopher_rate_min")))
   }
+
+  test("pii census column equals the standalone leak-rate monitor; NULL when undeclared") {
+    import graft.ValidationRound.CensusSpec
+    import graft.operators.{TextAnalysis => TA}
+    val docs = Seq(
+      (1L, "reach a@b.com or c@d.org", "web"), (2L, "clean", "web"),
+      (3L, "call 555-123-4567", "wiki"), (4L, "clean", "wiki"),
+      (5L, "clean", "wiki"))
+      .toDF("doc_id", "text", "source")
+    val pDir = java.nio.file.Files.createTempDirectory("graft-vr-pii").toString
+    // state written exactly as maintainCensusState does, split so web's
+    // counts fold across the batch boundary
+    Seq(docs.filter($"doc_id" <= 1), docs.filter($"doc_id" > 1))
+      .zipWithIndex.foreach { case (b, i) =>
+        TA.piiRateState(b, "source", "text")
+          .withColumn("__batch_id", lit(i.toLong))
+          .write.mode("append").parquet(pDir)
+      }
+    val t = Seq((1L, 1L)).toDF("id", "v")
+    val out = ValidationRound.report(spark, Seq(
+        TablePair("pair", t, t, Seq("id"),
+          census = Some(CensusSpec(piiRatePath = Some(pDir)))),
+        TablePair("bare", t, t, Seq("id"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p = out("pair")
+    // worst source per the STANDALONE monitor over the same docs
+    val standalone = TA.piiRate(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("dirty_rate")).toMap
+    val exp = standalone.toSeq.minBy { case (s, v) => (-v, s) }
+    assert(p.getAs[Double]("pii_dirty_rate_max") == exp._2 &&
+      p.getAs[String]("pii_dirty_rate_max_source") == exp._1)
+    assert(exp == ("web" -> 0.5), "web leaks 1 of 2 docs")
+    assert(out("bare").isNullAt(out("bare").fieldIndex("pii_dirty_rate_max")))
+  }
 }
