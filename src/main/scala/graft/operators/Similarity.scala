@@ -84,6 +84,52 @@ object Similarity {
     scoreAndTopK(c.crossJoin(p), k)
   }
 
+  /** MATRYOSHKA / PREFIX-TRUNCATION robustness read (Kusupati et al.
+    * 2022's MRL evaluation, run against a frozen embedding table): for
+    * each prefix width d, recall@k of the exact top-k computed on the
+    * FIRST d components against the full-width exact top-k — the curve
+    * that decides how many dimensions this embedding space actually
+    * needs before committing to a projection / PQ budget (a flat curve
+    * at d « D means storage and ANN cost can shrink d/D-fold; MRL-style
+    * spaces are trained to make exactly this curve flat).
+    *
+    * Exactness (oracle hash-compares the output): both rankings use the
+    * [[bruteForceTopK]] machinery — cosines are deterministic double
+    * chains, ranks break ties by (cos desc, vec_id) — so the joined hit
+    * count is exact; recall is ONE IEEE division of exact longs.
+    * Truncated rows whose prefix has zero/NaN norm drop exactly like
+    * the full-width operator drops undefined norms (mirrored in SQL).
+    *
+    * Scale shape: probes broadcast; each width is one corpus scan ×
+    * broadcast-nested-loop (the q_ann_topk contract — quadratic in
+    * probes×corpus BY DESIGN as the exact baseline; at 100 TB this runs
+    * on a probe sample, like every exact-truth check here); hit
+    * counting joins k·|probes| rows per width. The full top-k is
+    * computed once and reused across widths. */
+  def dimTruncationRecall(probes: DataFrame, corpus: DataFrame,
+                          dims: Seq[Int], k: Int = 5,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be >= 1")
+    require(dims.distinct.length == dims.length, "dims must be distinct")
+    val full = bruteForceTopK(probes, corpus, k, idCol, vecCol)
+      .select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = full.count()
+    val curve = dims.sorted.map { d =>
+      val tp = probes.withColumn(vecCol, slice(col(vecCol), 1, d))
+      val tc = corpus.withColumn(vecCol, slice(col(vecCol), 1, d))
+      bruteForceTopK(tp, tc, k, idCol, vecCol)
+        .select(col("query_id"), col("vec_id"))
+        .join(full, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d).as("dims"), col("hits"),
+          lit(total).as("full_pairs"),
+          (col("hits").cast("double") / lit(total.toDouble)).as("recall"))
+    }.reduce(_ unionByName _)
+    curve
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane p, dim i:
     * a fixed hash mapped into [-0.5, 0.5). */
   private def planeComponent(p: Int, i: Column): Column =

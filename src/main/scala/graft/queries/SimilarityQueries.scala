@@ -36,6 +36,17 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Matryoshka truncation curve: recall@5 of prefix-truncated exact
+    // top-k vs the full 64-dim top-k — how many dims the space needs
+    // before committing a projection/PQ budget. Same exact-baseline
+    // contract (and probe set) as q_ann_topk; oracle-exact counts.
+    "q_dim_truncation" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+      Similarity.dimTruncationRecall(v.filter(col("vec_id") % 100 === 0), v,
+          dims = Seq(8, 16, 32, 64), k = 5)
+        .orderBy(col("dims"))
+    }),
+
     // Scale path: multi-band random-hyperplane LSH candidates, exact
     // cosine only within shared buckets. Not SQL-portable (hash-derived
     // hyperplanes) — rows-only; recall vs q_ann_topk is pinned in
@@ -236,6 +247,52 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same exact-ranking chain as q_ann_topk, once at full width and
+    // once per prefix; truncated rows with zero-norm prefixes drop like
+    // the operator's undefined-norm filter.
+    "q_dim_truncation" -> {
+      val dims = Seq(8, 16, 32, 64)
+      val perDim = dims.map { d =>
+        s"""v$d AS (SELECT vec_id, e[1:$d] AS e FROM v
+           |  WHERE list_dot_product(e[1:$d], e[1:$d]) > 0),
+           |p$d AS (SELECT query_id, qv[1:$d] AS qv FROM p
+           |  WHERE list_dot_product(qv[1:$d], qv[1:$d]) > 0),
+           |r$d AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT p$d.query_id, v$d.vec_id,
+           |      row_number() OVER (PARTITION BY p$d.query_id ORDER BY
+           |        list_dot_product(p$d.qv, v$d.e)
+           |          / sqrt(list_dot_product(p$d.qv, p$d.qv)
+           |                 * list_dot_product(v$d.e, v$d.e)) DESC,
+           |        v$d.vec_id) AS rank
+           |    FROM v$d CROSS JOIN p$d WHERE v$d.vec_id <> p$d.query_id)
+           |  WHERE rank <= 5),
+           |h$d AS (SELECT CAST(count(*) AS BIGINT) AS hits
+           |        FROM r$d JOIN fullr USING (query_id, vec_id))""".stripMargin
+      }.mkString(",\n")
+      val sel = dims.map { d =>
+        s"""SELECT $d AS dims, hits, n AS full_pairs,
+           |  CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) AS recall
+           |FROM h$d CROSS JOIN tot""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |p AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id % 100 = 0),
+         |fullr AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT p.query_id, v.vec_id,
+         |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+         |        list_dot_product(qv, e)
+         |          / sqrt(list_dot_product(qv, qv) * list_dot_product(e, e)) DESC,
+         |        v.vec_id) AS rank
+         |    FROM v CROSS JOIN p WHERE v.vec_id <> p.query_id)
+         |  WHERE rank <= 5),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fullr),
+         |$perDim
+         |SELECT * FROM (
+         |$sel
+         |) ORDER BY dims""".stripMargin
+    },
+
     "q_ann_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |p AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id % 100 = 0),

@@ -731,6 +731,38 @@ class SimilaritySpec extends AnyFunSuite {
       math.abs(top(0) - top(1)) < 1e-9)
   }
 
+  test("dimTruncationRecall: signal-bearing prefixes keep recall, noise prefixes lose it; full width is exact") {
+    // Signal lives in dims 1-2; dims 3-4 are constant noise -> the d=2
+    // prefix preserves the exact ranking, so recall@k = 1 there AND at
+    // full width.
+    val sig = (0 until 12).map { i =>
+      (i.toLong, Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat, 1.0f, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val probes = sig.filter($"vec_id" < 2)
+    val out = Similarity.dimTruncationRecall(probes, sig, dims = Seq(2, 4), k = 3)
+      .orderBy($"dims").collect()
+    assert(out.map(_.getAs[Int]("dims")).toSeq == Seq(2, 4))
+    assert(out.forall(_.getAs[Long]("full_pairs") == 6L)) // 2 probes x k=3
+    assert(out(1).getAs[Double]("recall") == 1.0, "full width reproduces itself")
+    assert(out(0).getAs[Double]("recall") == 1.0, "constant tail dims don't reorder")
+    // Signal ONLY in dims 3-4: the d=2 prefix is constant across rows ->
+    // ranking degenerates to tie-break order, recall drops below 1.
+    val tail = (0 until 12).map { i =>
+      (i.toLong, Array(1.0f, 1.0f, math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out2 = Similarity.dimTruncationRecall(tail.filter($"vec_id" < 2), tail,
+        dims = Seq(2, 4), k = 3)
+      .orderBy($"dims").collect()
+    assert(out2(1).getAs[Double]("recall") == 1.0)
+    assert(out2(0).getAs[Double]("recall") < 1.0, "signal is invisible at d=2")
+    // guards
+    intercept[IllegalArgumentException](
+      Similarity.dimTruncationRecall(probes, sig, dims = Nil))
+    intercept[IllegalArgumentException](
+      Similarity.dimTruncationRecall(probes, sig, dims = Seq(2, 2)))
+    ()
+  }
+
   test("clusterSilhouette: separated clusters near 1, equidistant point 0, hand-checked means") {
     // Two orthogonal tight clusters + one exactly-equidistant probe.
     val a = (0 until 4).map(i => (i.toLong, Array(1.0f, 0.0f)))
