@@ -823,19 +823,34 @@ object Similarity {
   def clusterSilhouette(df: DataFrame, k: Int = 16, maxIter: Int = 5,
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         centroids: Seq[Seq[Double]] = Nil): DataFrame = {
+    val cents =
+      if (centroids.nonEmpty) centroids
+      else kmeansFit(df, k, maxIter, idCol = idCol, vecCol = vecCol)
+    silhouetteFromCounts(silhouetteState(df, cents, idCol, vecCol))
+  }
+
+  /** The (cell, n, sa, sb, ss) micro-quantized silhouette census
+    * [[clusterSilhouette]] reduces to under PINNED centroids — an
+    * ADDITIVE monoid (exact long counts + exact micro-integer distance
+    * sums), so cluster quality can be MAINTAINED per ingest batch
+    * (the psiCuts rule: the centroid model is fit once; a per-batch
+    * refit would score the same vector against different cells across
+    * appends and corrupt the fold). One scan + one map-side-combinable
+    * aggregate to ≤ cells rows. */
+  def silhouetteState(df: DataFrame, centroids: Seq[Seq[Double]],
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
     val v = droppingUndefinedNorms(
       df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
         .withColumn("n", dot(col("v"), col("v"))), "n")
-    val centRows: Seq[(Seq[Double], Double)] =
-      (if (centroids.nonEmpty) centroids
-       else kmeansFit(df, k, maxIter, idCol = idCol, vecCol = vecCol))
-        .map(c => c -> c.map(x => x * x).sum)
-        .filter { case (_, n) => n > 0 && !n.isNaN }
+    val centRows: Seq[(Seq[Double], Double)] = centroids
+      .map(c => c -> c.map(x => x * x).sum)
+      .filter { case (_, n) => n > 0 && !n.isNaN }
     require(centRows.length >= 2,
       s"silhouette needs >= 2 usable centroids, got ${centRows.length}")
     val t2 = graft.functions.CellTop2SimExpr.cellTop2Sim(col("v"), col("n"),
       graft.functions.CellModel(centRows))
-    val scored = v.select(col("id"), t2.as("t"))
+    v.select(col("id"), t2.as("t"))
       .select(col("t").getItem(0).cast("int").as("cell"),
         // cosine DISTANCES: own = 1 - simBest, other = 1 - simSecond
         (lit(1.0) - col("t").getItem(1)).as("a"),
@@ -849,14 +864,21 @@ object Similarity {
         round(col("a") * 1e6, 0).cast("long").as("am"),
         round(col("b") * 1e6, 0).cast("long").as("bm"),
         round(col("s") * 1e6, 0).cast("long").as("sm"))
-    scored.groupBy(col("cell"))
+      .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), sum(col("am")).as("sa"),
         sum(col("bm")).as("sb"), sum(col("sm")).as("ss"))
-      .select(col("cell"), col("n"),
-        (col("sa").cast("double") / (col("n").cast("double") * 1e6)).as("mean_a"),
-        (col("sb").cast("double") / (col("n").cast("double") * 1e6)).as("mean_b"),
-        (col("ss").cast("double") / (col("n").cast("double") * 1e6)).as("silhouette"))
   }
+
+  /** [[clusterSilhouette]]'s per-cell report over an already-built
+    * census — the direct entry point for counts folded from maintained
+    * state ([[graft.streaming.EventStream.readSilhouette]]). Means are
+    * exact integer ratios of the folded sums, so a fold and a one-pass
+    * census report identically. */
+  def silhouetteFromCounts(counts: DataFrame): DataFrame =
+    counts.select(col("cell"), col("n"),
+      (col("sa").cast("double") / (col("n").cast("double") * 1e6)).as("mean_a"),
+      (col("sb").cast("double") / (col("n").cast("double") * 1e6)).as("mean_b"),
+      (col("ss").cast("double") / (col("n").cast("double") * 1e6)).as("silhouette"))
 
   /** Cosine near-duplicate pairs, blocked on a coarse partition column
     * (cluster label / shard) so the pair space is per-block, not corpus².

@@ -475,6 +475,31 @@ object EventStream {
       readCensusState(spark, statePath, Seq("source"),
         Seq("n_docs", "n_emails", "n_phones", "n_dirty")))
 
+  /** Streaming maintenance for the cluster-quality monitor
+    * ([[graft.operators.Similarity.clusterSilhouette]]): each
+    * micro-batch appends its (cell, n, sa, sb, ss) micro-quantized
+    * silhouette census under PINNED centroids
+    * ([[graft.operators.Similarity.silhouetteState]] — fit the model
+    * once, the psiCuts rule), so "are the semantic cells degrading as
+    * new data arrives" reads from ≤ cells rows of state without
+    * replaying vectors. */
+  def maintainSilhouetteState(vecs: DataFrame, centroids: Seq[Seq[Double]],
+                              idCol: String, vecCol: String,
+                              statePath: String,
+                              checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainCensusState(vecs, statePath, checkpointPath,
+      b => graft.operators.Similarity.silhouetteState(b, centroids, idCol, vecCol))
+
+  /** [[graft.operators.Similarity.clusterSilhouette]]'s per-cell report
+    * off a [[maintainSilhouetteState]] directory — equal to a batch
+    * recompute over everything ever ingested under the same pinned
+    * centroids (the census is additive micro-integers; the means are
+    * exact ratios of folded sums). */
+  def readSilhouette(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.Similarity.silhouetteFromCounts(
+      readCensusState(spark, statePath, Seq("cell"),
+        Seq("n", "sa", "sb", "ss")))
+
   /** Streaming maintenance for the DoReMi excess-loss monitor
     * ([[graft.operators.Vocab.doremiWeights]]): each micro-batch appends
     * its (domain, n_tokens, su, n_bigrams, sb) LM-cost census under the

@@ -773,6 +773,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(report(EventStream.readSourceDivergence(spark, stateDir)) == maintained)
   }
 
+  test("maintainSilhouetteState: streamed cluster quality equals batch recompute under pinned centroids; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Array[Float])]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-sil").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sil-ck").toString
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    // cell 0's members are SPLIT across batches (incl. the equidistant
+    // probe) — its sums must ADD across the fold for the mean to read
+    // the cross-batch census.
+    val all = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (100L, Array(0.0f, 1.0f))) ++ Seq(
+      (2L, Array(1.0f, 0.0f)), (200L, Array(1.0f, 1.0f)),
+      (101L, Array(0.0f, 1.0f)))
+    val q = EventStream.maintainSilhouetteState(
+      src.toDS().toDF("vec_id", "embedding"), cents, "vec_id", "embedding",
+      stateDir, ckpt)
+    try {
+      src.addData(all.take(3): _*); q.processAllAvailable()
+      src.addData(all.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"cell").collect().map(_.toSeq).toSeq
+    val maintained = report(EventStream.readSilhouette(spark, stateDir))
+    val recomputed = report(graft.operators.Similarity.clusterSilhouette(
+      all.toDF("vec_id", "embedding"), centroids = cents))
+    assert(maintained == recomputed)
+    // cell 0 folded: three s=1 members + the s=0 diagonal -> mean 0.75
+    assert(maintained.find(_.head == 0).get(4) == 0.75)
+    assert(maintained.find(_.head == 1).get(4) == 1.0)
+    // replayed batch: identical (__batch_id, cell) census rows fold once
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(report(EventStream.readSilhouette(spark, stateDir)) == maintained)
+  }
+
   test("maintainPiiRateState: streamed leak rates equal batch recompute; replays dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
