@@ -233,6 +233,40 @@ object TextAnalysis {
   def piiRate(df: DataFrame, sourceCol: String, textCol: String): DataFrame =
     piiRateFromCounts(piiRateState(df, sourceCol, textCol))
 
+  // --- C4 cleaning-rule bundle (Raffel et al. 2020 §2.2) -------------------
+
+  /** The C4 line/page signals for a multi-line text column — the OTHER
+    * canonical web-cleaning recipe next to the Gopher bundle: a line is
+    * KEPT iff it ends in terminal punctuation (. ! ? "), carries at
+    * least 3 words, and does not mention javascript; the page VERDICT
+    * additionally requires ≥ `minSentences` kept lines and bans the
+    * lorem-ipsum placeholder and curly braces anywhere on the page
+    * (the paper's code-artifact tells). `keptText` is the actual
+    * transform output (the filtered page) — its fingerprint is the
+    * strongest oracle signal. Every rule is per-row array/string
+    * arithmetic riding the scan; the fraction is ONE IEEE division of
+    * exact ints. */
+  final case class C4Signals(nLines: Column, nKept: Column, keptFrac: Column,
+                             hasLorem: Column, hasBrace: Column,
+                             pass: Column, keptText: Column)
+
+  def c4Signals(text: Column, minSentences: Int = 5): C4Signals = {
+    val lines = nonBlankLines(text)
+    val kept = filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(l, " "), w => length(w) > 0)) >= 3 &&
+        !lower(l).contains("javascript"))
+    val nLines = size(lines)
+    val nKept = size(kept)
+    val keptFrac = nKept.cast("double") /
+      greatest(nLines, lit(1)).cast("double")
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    val pass = nKept >= minSentences && !hasLorem && !hasBrace
+    C4Signals(nLines, nKept, keptFrac, hasLorem, hasBrace, pass,
+      concat_ws("\n", kept))
+  }
+
   // --- Gopher quality-rule bundle (Rae et al. 2021 A1.1) -------------------
 
   /** The Gopher quality signals for a (possibly multi-line) text column —

@@ -274,6 +274,48 @@ object TextQueries {
       |    AS gopher_text
       |  FROM documents WHERE text IS NOT NULL)""".stripMargin
 
+  /** Web-page-shaped corpus for the C4 rule bundle: the raw text splits
+    * into up to five 50-char "sentence" lines with varied terminal
+    * punctuation (so n_kept tracks document LENGTH — the ≥5-sentence
+    * page rule varies), plus a punctuation-less line every doc (always
+    * dropped), a javascript notice (%9 — dropped by the line rule), the
+    * lorem-ipsum placeholder (%11) and a curly-brace config block (%13)
+    * — the two page-level bans. concat_ws skips NULL CASE arms
+    * identically in both engines. */
+  def c4Corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 50), lit(" end.")),
+          when(length(col("text")) >= 51,
+            concat(substring(col("text"), 51, 50), lit(" tail."))),
+          when(length(col("text")) >= 101,
+            concat(substring(col("text"), 101, 50), lit(" more!"))),
+          when(length(col("text")) >= 151,
+            concat(substring(col("text"), 151, 50), lit(" fin?"))),
+          when(length(col("text")) >= 201,
+            concat(substring(col("text"), 201, 50), lit(" done."))),
+          lit("no terminal punct line"),
+          when(col("doc_id") % 9 === 0, lit("please enable javascript to view.")),
+          when(col("doc_id") % 11 === 0, lit("lorem ipsum dolor sit amet.")),
+          when(col("doc_id") % 13 === 0, lit("config { nested } block")))
+          .as("c4_text"))
+
+  private val c4CorpusSql =
+    """c4 AS (
+      |  SELECT doc_id, source, concat_ws(chr(10),
+      |    substring(text, 1, 50) || ' end.',
+      |    CASE WHEN length(text) >= 51 THEN substring(text, 51, 50) || ' tail.' END,
+      |    CASE WHEN length(text) >= 101 THEN substring(text, 101, 50) || ' more!' END,
+      |    CASE WHEN length(text) >= 151 THEN substring(text, 151, 50) || ' fin?' END,
+      |    CASE WHEN length(text) >= 201 THEN substring(text, 201, 50) || ' done.' END,
+      |    'no terminal punct line',
+      |    CASE WHEN doc_id % 9 = 0 THEN 'please enable javascript to view.' END,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'config { nested } block' END)
+      |    AS c4_text
+      |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+
   /** The Gopher must-have-stopword rule's word set, re-targeted at the
     * synthetic corpus vocabulary (the canonical set is {the, be, to, of,
     * and, that, have, with}; only "the" exists here, which would pin the
@@ -854,6 +896,24 @@ object TextQueries {
     // shuffle); every fraction is ONE IEEE division of exact ints, so
     // the cross-engine hash discipline holds and the rule booleans
     // (comparisons of bit-identical doubles) agree too.
+    // C4 cleaning pass (Raffel et al. 2020 §2.2): line keep-rules
+    // (terminal punct + ≥3 words + no javascript) and page bans
+    // (lorem ipsum, curly brace, ≥5 kept sentences); kept_md5
+    // fingerprints the actual filtered page — the transform output.
+    "q_c4_filter" -> ((s, dir) => {
+      val c = TA.c4Signals(col("c4_text"))
+      c4Corpus(s, dir).select(
+        col("doc_id"),
+        c.nLines.cast("long").as("n_lines"),
+        c.nKept.cast("long").as("n_kept"),
+        c.keptFrac.as("kept_frac"),
+        c.hasLorem.as("has_lorem"),
+        c.hasBrace.as("has_brace"),
+        c.pass.as("c4_pass"),
+        md5(c.keptText).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_gopher_quality" -> ((s, dir) => {
       val g = TA.gopherSignals(col("gopher_text"), gopherStops)
       gopherCorpus(s, dir).select(
@@ -1761,6 +1821,34 @@ object TextQueries {
          |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
          |  ($gopherPassSql) AS gopher_pass
          |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_c4_filter" ->
+      s"""WITH $c4CorpusSql,
+         |f AS (
+         |  SELECT doc_id, c4_text,
+         |    list_filter(string_split(c4_text, chr(10)),
+         |                l -> trim(l) <> '') AS lines
+         |  FROM c4),
+         |k AS (
+         |  SELECT doc_id, c4_text, lines,
+         |    list_filter(lines, l ->
+         |      right(l, 1) IN ('.', '!', '?', '"')
+         |      AND len(list_filter(string_split(l, ' '),
+         |                          w -> length(w) > 0)) >= 3
+         |      AND NOT contains(lower(l), 'javascript')) AS kept
+         |  FROM f)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(len(kept) AS DOUBLE)
+         |    / CAST(greatest(len(lines), 1) AS DOUBLE) AS kept_frac,
+         |  contains(lower(c4_text), 'lorem ipsum') AS has_lorem,
+         |  contains(c4_text, '{') AS has_brace,
+         |  (len(kept) >= 5
+         |   AND NOT contains(lower(c4_text), 'lorem ipsum')
+         |   AND NOT contains(c4_text, '{')) AS c4_pass,
+         |  md5(array_to_string(kept, chr(10))) AS kept_md5
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_gopher_rate" ->
       s"""WITH $gopherSigSql,

@@ -233,4 +233,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     val passes = out.count(_.getAs[Boolean]("rep_pass"))
     assert(passes > 0 && passes < out.length, "verdict must vary")
   }
+
+  test("c4Signals: every line rule and page ban fires where it should") {
+    import graft.operators.TextAnalysis
+    val page = Seq(
+      "a good first sentence.",     // kept
+      "is this kept too?",          // kept (?, 4 words)
+      "quoted line ends well\"",    // kept (")
+      "exclaim with three words!",  // kept (!)
+      "fifth and final sentence.",  // kept -> 5 sentences
+      "no terminal punctuation",    // dropped: punct rule
+      "two words.",                 // dropped: <3 words
+      "enable JavaScript to view.", // dropped: javascript (case-blind)
+      "   ",                        // blank: not a line at all
+      "").mkString("\n")
+    val rows = Seq(
+      (1L, page),
+      (2L, page + "\nlorem ipsum dolor sit."),  // page ban: lorem
+      (3L, page + "\nconfig { x } block."),     // page ban: brace
+      (4L, "short page only.")                  // < 5 sentences
+    ).toDF("doc_id", "text")
+    val c = TextAnalysis.c4Signals($"text")
+    val out = rows.select($"doc_id", c.nLines.as("nl"), c.nKept.as("nk"),
+        c.keptFrac.as("kf"), c.hasLorem.as("lo"), c.hasBrace.as("br"),
+        c.pass.as("p"), c.keptText.as("kt"))
+      .orderBy($"doc_id").collect()
+    // page 1: 8 non-blank lines, exactly the 5 sentences kept
+    assert(out(0).getAs[Int]("nl") == 8 && out(0).getAs[Int]("nk") == 5)
+    assert(out(0).getAs[Double]("kf") == 5.0 / 8.0)
+    assert(out(0).getAs[Boolean]("p"))
+    // the filtered page is exactly the kept lines in order
+    assert(out(0).getAs[String]("kt") == page.split("\n").take(5).mkString("\n"))
+    // page bans veto despite enough sentences (the lorem line itself
+    // is a kept-shaped sentence — 6 kept, still fails)
+    assert(out(1).getAs[Int]("nk") == 6 && out(1).getAs[Boolean]("lo") &&
+      !out(1).getAs[Boolean]("p"))
+    assert(out(2).getAs[Boolean]("br") && !out(2).getAs[Boolean]("p"))
+    // a clean but short page fails the >= 5 sentence rule
+    assert(out(3).getAs[Int]("nk") == 1 && !out(3).getAs[Boolean]("p"))
+  }
 }
