@@ -517,11 +517,64 @@ object Vocab {
   def doremiWeights(df: DataFrame, textCol: String, domainCol: String,
                     eta: Double = 1.0, smoothing: Double = 1e-3,
                     steps: Int = 5): DataFrame = {
+    // One-shot path: build each lane's (domain, gram) count table ONCE
+    // and PERSIST it — prices and the census are both aggregates of it,
+    // and without the pin lineage re-runs the corpus token explode per
+    // consumer (5 corpus scans at 100 TB; the sourceDivergence
+    // 28-scans lesson). The frames are (domains × vocab)-scale, far
+    // below the corpus. The maintained path ([[doremiPrices]] +
+    // [[doremiLmState]]) keeps separate fits by design — prices are
+    // pinned there, never rebuilt per batch.
+    val dec = "decimal(18,6)"
+    val w = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
     val scored = df.filter(col(domainCol).isNotNull)
-    val (uniPrices, biPrices) = doremiPrices(scored, textCol)
-    doremiFromCensus(
-      doremiLmState(scored, domainCol, textCol, uniPrices, biPrices),
-      eta, smoothing, steps)
+    val tfu = scored
+      .select(col(domainCol).as("domain"), explode(toks).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("domain"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(lvl)
+    val uniPrices = tfu.groupBy(col("token")).agg(sum(col("tf")).as("n_t"))
+      .withColumn("__total", sum(col("n_t")).over(w))
+      .withColumn("surprisal",
+        round(log(col("__total").cast("double") / col("n_t").cast("double")), 6)
+          .cast(dec))
+      .select(col("token"), col("surprisal"))
+    val uni = tfu.join(uniPrices, Seq("token"))
+      .groupBy(col("domain"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("surprisal") * col("tf")).as("su"))
+    val arr = filter(toks, t => length(t) > 0)
+    val bg = scored
+      .select(col(domainCol).as("domain"), arr.as("__a"))
+      .filter(size(col("__a")) >= 2)
+      .select(col("domain"), explode(transform(
+        sequence(lit(1), size(col("__a")) - 1),
+        i => struct(element_at(col("__a"), i).as("w1"),
+          element_at(col("__a"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("domain"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(lvl)
+    val pair = bg.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("n_pair"))
+    val lft = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_left"))
+    val biPrices = pair.join(lft, Seq("w1"))
+      .withColumn("surprisal",
+        round(log(col("n_left").cast("double") / col("n_pair").cast("double")), 6)
+          .cast(dec))
+      .select(col("w1"), col("w2"), col("surprisal"))
+    val bi = bg.join(biPrices, Seq("w1", "w2"))
+      .groupBy(col("domain"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("surprisal") * col("tf")).as("sb"))
+    val census = uni.join(bi, Seq("domain"), "full_outer")
+      .select(col("domain"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("su"), lit(0).cast(dec)).as("su"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sb"), lit(0).cast(dec)).as("sb"))
+    doremiFromCensus(census, eta, smoothing, steps)
   }
 
   /** The two frozen LM price tables [[doremiWeights]] scores with —
