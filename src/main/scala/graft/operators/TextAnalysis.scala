@@ -332,4 +332,28 @@ object TextAnalysis {
   def gopherRate(df: DataFrame, sourceCol: String, textCol: String,
                  stops: Seq[String]): DataFrame =
     gopherRateFromCounts(gopherRateState(df, sourceCol, textCol, stops))
+
+  /** Additive (source, n_docs, n_pass) census of the C4 verdict — the
+    * [[gopherRateState]] shape on the C4 axis, so the second published
+    * quality gate is maintainable the same way. */
+  def c4RateState(df: DataFrame, sourceCol: String, textCol: String,
+                  minSentences: Int = 5): DataFrame = {
+    val pass = c4Signals(col(textCol), minSentences).pass
+    df.filter(col(textCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(pass, 1L).otherwise(0L)).as("n_pass"))
+  }
+
+  /** Per-source C4 pass rate off an existing count table — one IEEE
+    * division of exact longs per source. */
+  def c4RateFromCounts(counts: DataFrame): DataFrame =
+    counts.select(col("source"), col("n_docs"), col("n_pass"),
+      (col("n_pass").cast("double") / col("n_docs").cast("double"))
+        .as("pass_rate"))
+
+  /** One-shot batch form: census + report. */
+  def c4Rate(df: DataFrame, sourceCol: String, textCol: String,
+             minSentences: Int = 5): DataFrame =
+    c4RateFromCounts(c4RateState(df, sourceCol, textCol, minSentences))
 }

@@ -914,6 +914,12 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // C4 gate health per source — the gopher-rate monitor's twin on the
+    // C4 axis; additive census, maintained by maintainC4RateState.
+    "q_c4_rate" -> ((s, dir) =>
+      TA.c4Rate(c4Corpus(s, dir), "source", "c4_text")
+        .orderBy(col("source"))),
+
     "q_gopher_quality" -> ((s, dir) => {
       val g = TA.gopherSignals(col("gopher_text"), gopherStops)
       gopherCorpus(s, dir).select(
@@ -1849,6 +1855,30 @@ object TextQueries {
          |   AND NOT contains(c4_text, '{')) AS c4_pass,
          |  md5(array_to_string(kept, chr(10))) AS kept_md5
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_c4_rate" ->
+      s"""WITH $c4CorpusSql,
+         |f AS (
+         |  SELECT doc_id, source, c4_text,
+         |    list_filter(string_split(c4_text, chr(10)),
+         |                l -> trim(l) <> '') AS lines
+         |  FROM c4),
+         |k AS (
+         |  SELECT source,
+         |    (len(list_filter(lines, l ->
+         |       right(l, 1) IN ('.', '!', '?', '"')
+         |       AND len(list_filter(string_split(l, ' '),
+         |                           w -> length(w) > 0)) >= 3
+         |       AND NOT contains(lower(l), 'javascript'))) >= 5
+         |     AND NOT contains(lower(c4_text), 'lorem ipsum')
+         |     AND NOT contains(c4_text, '{')) AS p
+         |  FROM f)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS pass_rate
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "q_gopher_rate" ->
       s"""WITH $gopherSigSql,

@@ -455,6 +455,25 @@ object EventStream {
     graft.operators.Vocab.sourceDivergenceFromCounts(
       readCensusState(spark, statePath, Seq("source", "bucket"), Seq("n")))
 
+  /** Streaming maintenance for the C4 quality-gate health monitor
+    * ([[graft.operators.TextAnalysis.c4Rate]]) — the gopher-rate shape
+    * on the C4 axis: per micro-batch (source, n_docs, n_pass) verdict
+    * census, pass rate read from sources × 1 state. */
+  def maintainC4RateState(docs: DataFrame, sourceCol: String,
+                          textCol: String, statePath: String,
+                          checkpointPath: String,
+                          minSentences: Int = 5): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainCensusState(docs, statePath, checkpointPath,
+      b => graft.operators.TextAnalysis.c4RateState(b, sourceCol, textCol,
+        minSentences))
+
+  /** [[graft.operators.TextAnalysis.c4Rate]]'s report off a
+    * [[maintainC4RateState]] directory — equal to a batch recompute
+    * over everything ever ingested. */
+  def readC4Rate(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.TextAnalysis.c4RateFromCounts(
+      readCensusState(spark, statePath, Seq("source"), Seq("n_docs", "n_pass")))
+
   /** Streaming maintenance for the PII leak-rate monitor
     * ([[graft.operators.TextAnalysis.piiRate]]): each micro-batch
     * appends its (source, n_docs, n_emails, n_phones, n_dirty) census —

@@ -773,6 +773,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(report(EventStream.readSourceDivergence(spark, stateDir)) == maintained)
   }
 
+  test("maintainC4RateState: streamed C4 pass rate equals batch recompute; replays dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-c4r").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-c4r-ck").toString
+    val passPage = (1 to 5).map(i => s"good sentence number $i.").mkString("\n")
+    val q = EventStream.maintainC4RateState(
+      src.toDS().toDF("source", "text"), "source", "text", stateDir, ckpt)
+    // web's pass/fail docs SPLIT across batches -> rate must fold 1/2
+    val all = Seq(
+      ("web", passPage),
+      ("wiki", passPage)) ++ Seq(
+      ("web", "too short."),
+      ("wiki", passPage + "\nlorem ipsum dolor."))
+    try {
+      src.addData(all.take(2): _*); q.processAllAvailable()
+      src.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"source").collect().map(_.toSeq).toSeq
+    val maintained = report(EventStream.readC4Rate(spark, stateDir))
+    val recomputed = report(graft.operators.TextAnalysis.c4Rate(
+      all.toDF("source", "text"), "source", "text"))
+    assert(maintained == recomputed)
+    assert(maintained.find(_.head == "web").get(3) == 0.5)
+    assert(maintained.find(_.head == "wiki").get(3) == 0.5)
+    // replayed batch: identical (__batch_id, source) cells fold once
+    val st = spark.read.parquet(stateDir)
+    st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
+    assert(report(EventStream.readC4Rate(spark, stateDir)) == maintained)
+  }
+
   test("maintainSilhouetteState: streamed cluster quality equals batch recompute under pinned centroids; replays dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
