@@ -75,4 +75,36 @@ object Packing {
       .withColumnRenamed("__rank", "rank_hex")
       .drop("__bkt", "__cum", "__off")
   }
+
+  /** PACKING EFFICIENCY census over [[sequenceOffsets]] — the one-row
+    * report a data loader reads before committing a block size: how
+    * many fixed-length sequences the stream fills (offset packing has
+    * no padding waste — the cost axis is BOUNDARY CONTAMINATION), and
+    * what fraction of documents straddle a sequence boundary
+    * (seq_last > seq_first — exactly the docs whose attention span is
+    * cut, and the count cross-document attention masking pays for).
+    * Longer blocks trade fewer sequences for more straddling; this
+    * table is the curve's data point for one `maxTokens`.
+    *
+    * Exactness: counts and token sums are exact longs off the
+    * deterministic offsets; n_seqs is integer floor-division;
+    * crossing_frac is ONE IEEE division of exact longs — oracle-exact.
+    * Scale shape: [[sequenceOffsets]]'s two-phase prefix sum, then one
+    * global aggregate of doc-level rows collapsing map-side. */
+  def packStats(df: DataFrame, idCol: String, nTokensCol: String,
+                maxTokens: Int, salt: String = "pack"): DataFrame = {
+    val off = sequenceOffsets(df, idCol, nTokensCol, maxTokens, salt)
+    off.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(nTokensCol).cast("long")).as("total_tokens"),
+        sum(when(col("seq_last") > col("seq_first"), 1L).otherwise(0L))
+          .as("n_crossing"))
+      .select(col("n_docs"), col("total_tokens"),
+        when(coalesce(col("total_tokens"), lit(0L)) > 0,
+          expr(s"CAST((total_tokens - 1) DIV $maxTokens AS BIGINT) + 1"))
+          .otherwise(lit(0L)).as("n_seqs"),
+        col("n_crossing"),
+        (col("n_crossing").cast("double") / col("n_docs").cast("double"))
+          .as("crossing_frac"))
+  }
 }

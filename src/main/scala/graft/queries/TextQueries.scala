@@ -1111,6 +1111,15 @@ object TextQueries {
           col("token_offset"), col("seq_first"), col("seq_last"))
         .orderBy(col("doc_id"))),
 
+    // Packing efficiency census: sequences filled + boundary-straddling
+    // docs (the cross-document attention-mask cost of a block size).
+    "q_pack_stats" -> ((s, dir) =>
+      Packing.packStats(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TA.wsTokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", maxTokens = 2048)),
+
     // Flesch reading-ease under exact integer counts (sentence runs,
     // ws-split words, vowel-group syllable proxy) — the score is a fixed
     // IEEE dependency tree, oracle-exact (see fleschScore scaladoc).
@@ -2252,6 +2261,35 @@ object TextQueries {
         |  CAST(floor(CAST(token_offset + greatest(n_tokens, 1) - 1 AS DOUBLE) / 2048)
         |    AS BIGINT) AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Same t/c chain as q_pack_sequences, collapsed to the census row.
+    "q_pack_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8) AS rank_hex
+        |  FROM documents
+        |  WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT *,
+        |    CAST(sum(n_tokens) OVER (ORDER BY rank_hex, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS token_offset
+        |  FROM t),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(sum(CASE WHEN
+        |        floor(CAST(token_offset + greatest(n_tokens, 1) - 1 AS DOUBLE) / 2048)
+        |        > floor(CAST(token_offset AS DOUBLE) / 2048)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+        |  FROM c)
+        |SELECT n_docs, total_tokens,
+        |  CASE WHEN coalesce(total_tokens, 0) > 0
+        |    THEN CAST((total_tokens - 1) // 2048 + 1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS n_seqs,
+        |  n_crossing,
+        |  CAST(n_crossing AS DOUBLE) / CAST(n_docs AS DOUBLE) AS crossing_frac
+        |FROM s""".stripMargin,
 
     // The SAME expression shape as fleschScore (left-assoc subtraction,
     // one division per ratio, constants cast from strings) so the raw

@@ -231,6 +231,32 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   // ---- sequence packing --------------------------------------------------
 
+  test("packStats: census equals hand-derivation from the offsets frame") {
+    val docs = (1L to 200L).toDF("id")
+      .withColumn("n", pmod(xxhash64($"id"), lit(40L)))
+    val off = Packing.sequenceOffsets(docs, "id", "n", maxTokens = 64)
+      .select($"n", $"seq_first", $"seq_last").collect()
+    val stats = Packing.packStats(docs, "id", "n", maxTokens = 64)
+      .head()
+    val total = off.map(_.getAs[Long]("n")).sum
+    val crossing = off.count(r =>
+      r.getAs[Long]("seq_last") > r.getAs[Long]("seq_first"))
+    assert(stats.getAs[Long]("n_docs") == off.length.toLong)
+    assert(stats.getAs[Long]("total_tokens") == total)
+    assert(stats.getAs[Long]("n_seqs") == (total - 1) / 64 + 1)
+    assert(stats.getAs[Long]("n_crossing") == crossing.toLong)
+    assert(stats.getAs[Double]("crossing_frac") ==
+      crossing.toDouble / off.length)
+    // larger blocks => no more sequences, and here strictly fewer
+    val big = Packing.packStats(docs, "id", "n", maxTokens = 512).head()
+    assert(big.getAs[Long]("n_seqs") < stats.getAs[Long]("n_seqs"))
+    // degenerate: no rows -> zero census, no divide crash
+    val empty = Packing.packStats(docs.filter(lit(false)), "id", "n", 64)
+      .head()
+    assert(empty.getAs[Long]("n_docs") == 0L &&
+      empty.getAs[Long]("n_seqs") == 0L)
+  }
+
   test("sequenceOffsets: two-phase prefix sum == single global window, exactly") {
     import org.apache.spark.sql.expressions.Window
     val docs = (1L to 500L).toDF("id")
