@@ -34,9 +34,15 @@ object LshLab {
       .select($"query_id", $"vec_id").as[(Long, Long)].collect()
     val truthSet = truth.toSet
 
+    // The SHIPPED config always runs as the first row, derived from the
+    // same lshParamsFor rule the query wiring uses — the lab table is
+    // only trustworthy as a tuning basis if the wired point is in it.
+    val (wb, wp, wnp) = Similarity.lshParamsFor(n)
     val wiredPlanes = math.max(4, Similarity.planesFor(n, targetBucket = 512))
     val configs: Seq[(String, Int, Int, Int)] = Seq(
-      ("wired_512cap8", 4, wiredPlanes, math.min(wiredPlanes + 1, 8)),
+      ("wired", wb, wp, wnp),
+      ("r13_4band_cap", 4, math.min(7, wiredPlanes), math.min(math.min(7, wiredPlanes) + 1, 8)),
+      ("r12_uncapped", 4, wiredPlanes, math.min(wiredPlanes + 1, 8)),
       ("full1bit_512", 4, wiredPlanes, wiredPlanes + 1),
       ("t2048_full1bit", 4, math.max(4, Similarity.planesFor(n, 2048)),
         math.max(4, Similarity.planesFor(n, 2048)) + 1),

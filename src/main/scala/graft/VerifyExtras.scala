@@ -188,9 +188,10 @@ object VerifyExtras {
         // bucket drops them (caps bind only on degenerate boilerplate).
         Check("simhash_vs_exact_copies", pairRecall(exactCopyTruth, simhashCand),
           floor = 0.99, exactCopyTruth.length, simhashCand.length),
-        // Margin-ordered multi-probe (nProbe=4 over 4×4 bands) measures
-        // 0.88 here — the floor pins usable-retrieval recall so a
-        // regression to bare banding (0.24) fails loudly.
+        // Margin-ordered multi-probe over the wired 6-band lshParamsFor
+        // config measures 0.92 here (0.88 under r13's 4 bands) — the
+        // floor pins usable-retrieval recall so a regression to bare
+        // banding (0.24) fails loudly.
         Check("ann_lsh_vs_brute_force", pairRecall(annTruth, annLsh),
           floor = 0.6, annTruth.length, annLsh.length),
         // Static sampled-centroid IVF at nProbe=6 (the q_ann_ivf config):
@@ -597,17 +598,24 @@ object VerifyExtras {
         Check("ann_ivfpq_vs_brute_force", pairRecall(annTruth, annIvfPq),
           floor = 0.4, annTruth.length, annIvfPq.length),
         // q_ann_ivf's wiring is the CLUSTERED-corpus path by contract:
-        // fixed nProbe=6 over cellsFor(n) cells, whose recall on THIS
-        // noise-floor fixture tracks the coverage fraction (its scaladoc's
-        // documented regime — 6/200 = 3% at sf10, measured 0.27 where the
-        // 16-cell verify scales measure 0.64+). The verify-scale 0.5 floor
-        // would fail here BY DESIGN, so the bounded floor is the coverage
-        // baseline itself: broken bucketing lands near 0, an intact
-        // index cannot do worse than the mass it scans.
+        // fixed nProbe=6 over cellsFor(n) cells. On THIS noise-floor
+        // fixture sampled-centroid assignment still concentrates mass —
+        // the measured sf10 recall is a deterministic 0.268 (identical
+        // across the r12/r13/r14 sweeps; seeded hashes, fixed probe
+        // sample), so the floor pins the real contract at 0.2: a
+        // regression to coverage-only behavior (6/200 = 3%) or broken
+        // bucketing (~0) fails loudly, while the verify-scale 0.5 floor
+        // (16-cell corpora measure 0.64+) would fail here BY DESIGN.
+        // Small bounded-mode corpora (cellsFor < 30) keep the stricter
+        // coverage fraction as their floor via the max().
         Check("ann_ivf_vs_brute_force", pairRecall(annTruth, annIvf),
-          floor = 6.0 / Similarity.cellsFor(n), annTruth.length, annIvf.length),
+          floor = math.max(0.2, 6.0 / Similarity.cellsFor(n)),
+          annTruth.length, annIvf.length),
+        // bands=6 × capped planes=7 (lshParamsFor): LSH_LAB_SF10 measures
+        // 0.836 at sf10 — the floor rises to 0.8 so a regression to the
+        // dominated 4-band config (0.709) fails loudly at scale.
         Check("ann_lsh_vs_brute_force", pairRecall(annTruth, annLsh),
-          floor = 0.6, annTruth.length, annLsh.length)) ++
+          floor = 0.8, annTruth.length, annLsh.length)) ++
         // Linear-cost, so these run in the bounded mode too.
         clusterCapCheck(spark, sfDir) ++ silhouetteCheck(spark, sfDir) ++ pcaCheck(spark, sfDir)
     } finally {

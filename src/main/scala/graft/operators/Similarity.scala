@@ -469,12 +469,19 @@ object Similarity {
     * either way, the [[ivfPqParamsFor]] coverage discipline applied
     * to hyperplane banding; the bucket²-blowup concern that forces
     * corpus-proportional planes in the near-dup SELF-joins does not
-    * apply to the probe-side broadcast join). The max(4, ·) floor
-    * keeps verify-scale behavior (and the pinned VERIFY_EXTRAS
-    * recalls) exactly as before; the cap binds only above ~65k
-    * vectors, where sf1's planesFor already sits AT 7. */
+    * apply to the probe-side broadcast join). `bands` = 6 is the
+    * lab-measured Pareto point at the cap: more independent bands buy
+    * recall FASTER than more probes of the same bands — LSH_LAB_SF10
+    * `t2048_6bands` (6 bands × 7 planes, nProbe 8) measures recall
+    * 0.836 at wall 5.63 s vs 0.709 / 8.02 s for the r13-wired 4-band
+    * config, strictly dominating it (the dedup union across bands
+    * shares the one corpus scan, so band count prices sub-linearly in
+    * wall while buckets stay independent Bernoulli draws — coverage
+    * 6·8/2^7 = 37.5%, matching ivfPqParamsFor). The max(4, ·) plane
+    * floor keeps small-corpus bucket sizes as before; the cap binds
+    * only above ~65k vectors, where sf1's planesFor already sits AT 7. */
   def lshParamsFor(n: Long, targetBucket: Int = 512, maxPlanes: Int = 7,
-                   bands: Int = 4, maxProbe: Int = 8): (Int, Int, Int) = {
+                   bands: Int = 6, maxProbe: Int = 8): (Int, Int, Int) = {
     val planes = math.min(maxPlanes,
       math.max(4, planesFor(n, targetBucket)))
     (bands, planes, math.min(planes + 1, maxProbe))

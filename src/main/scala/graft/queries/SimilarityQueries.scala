@@ -55,10 +55,10 @@ object SimilarityQueries {
       val v = Tables.load(s, dir, "embeddings")
       // Scale rule lshParamsFor: planes grow with the corpus toward a
       // 512-target bucket but CAP at 7 — the 1-bit multi-probe budget
-      // (≤ 8) can't hold recall past that, so the cap pins coverage
-      // bands·nProbe/2^planes ≥ 25% (the ivfPqParamsFor discipline;
-      // LSH_LAB_SF10 measures 0.45 uncapped vs 0.71 capped at equal
-      // wall). Verify-scale behavior and the pinned recalls unchanged.
+      // (≤ 8) can't hold recall past that — and 6 independent bands
+      // pin coverage bands·nProbe/2^planes = 37.5% (the ivfPqParamsFor
+      // discipline; LSH_LAB_SF10: 0.45 uncapped, 0.71 capped 4-band,
+      // 0.836 at 5.63 s for the wired 6-band Pareto point).
       val (bands, planes, nProbe) = Similarity.lshParamsFor(v.count())
       Similarity.lshTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5,
           bands = bands, planesPerBand = planes, nProbe = nProbe)

@@ -427,16 +427,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.planesFor(Long.MaxValue) == 30)
   }
 
-  test("lshParamsFor: verify-scale behavior unchanged; plane cap pins coverage at scale") {
+  test("lshParamsFor: 6-band Pareto default; plane cap pins coverage at scale") {
     // small corpora keep the historical 4-plane floor
-    assert(Similarity.lshParamsFor(1600) == ((4, 4, 5)))
+    assert(Similarity.lshParamsFor(1600) == ((6, 4, 5)))
     // sf1-scale sits AT the cap already (planesFor(50k, 512) = 7)
-    assert(Similarity.lshParamsFor(50000) == ((4, 7, 8)))
+    assert(Similarity.lshParamsFor(50000) == ((6, 7, 8)))
     // beyond ~65k the cap binds: planes stay 7 however large the corpus,
-    // so coverage bands·nProbe/2^planes stays 25% instead of collapsing
-    // (the sf10 0.45-recall lesson, LSH_LAB_SF10)
-    assert(Similarity.lshParamsFor(200000) == ((4, 7, 8)))
-    assert(Similarity.lshParamsFor(1L << 40) == ((4, 7, 8)))
+    // so coverage bands·nProbe/2^planes stays 37.5% instead of collapsing
+    // (the sf10 0.45-recall lesson; bands=6 is the LSH_LAB_SF10
+    // t2048_6bands Pareto winner — recall 0.836 at 5.63 s vs the
+    // 4-band cap's 0.709 at 8.02 s)
+    assert(Similarity.lshParamsFor(200000) == ((6, 7, 8)))
+    assert(Similarity.lshParamsFor(1L << 40) == ((6, 7, 8)))
     val (b, p, np) = Similarity.lshParamsFor(1L << 40)
     assert(b * np.toDouble / (1 << p) >= 0.25)
   }
