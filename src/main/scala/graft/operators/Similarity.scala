@@ -115,19 +115,30 @@ object Similarity {
     val full = bruteForceTopK(probes, corpus, k, idCol, vecCol)
       .select(col("query_id"), col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = full.count()
-    val curve = dims.sorted.map { d =>
-      val tp = probes.withColumn(vecCol, slice(col(vecCol), 1, d))
-      val tc = corpus.withColumn(vecCol, slice(col(vecCol), 1, d))
-      bruteForceTopK(tp, tc, k, idCol, vecCol)
-        .select(col("query_id"), col("vec_id"))
-        .join(full, Seq("query_id", "vec_id"))
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(d).as("dims"), col("hits"),
-          lit(total).as("full_pairs"),
-          (col("hits").cast("double") / lit(total.toDouble)).as("recall"))
-    }.reduce(_ unionByName _)
-    curve
+    try {
+      val total = full.count()
+      // |dims| summary longs come back to the driver so the persisted
+      // full top-k can be released HERE instead of leaking into the
+      // caller's session; an empty probe set (total = 0) reports recall
+      // 0.0 rather than 0/0 = NaN.
+      val hitsByDim = dims.sorted.map { d =>
+        val tp = probes.withColumn(vecCol, slice(col(vecCol), 1, d))
+        val tc = corpus.withColumn(vecCol, slice(col(vecCol), 1, d))
+        bruteForceTopK(tp, tc, k, idCol, vecCol)
+          .select(col("query_id"), col("vec_id"))
+          .join(full, Seq("query_id", "vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(d).as("dims"), col("hits"))
+      }.reduce(_ unionByName _)
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val spark = probes.sparkSession
+      import spark.implicits._
+      hitsByDim.toSeq.toDF("dims", "hits")
+        .withColumn("full_pairs", lit(total))
+        .withColumn("recall",
+          if (total > 0) col("hits").cast("double") / lit(total.toDouble)
+          else lit(0.0))
+    } finally { full.unpersist(); () }
   }
 
   /** Deterministic pseudo-random hyperplane component for plane p, dim i:
@@ -859,9 +870,13 @@ object Similarity {
       graft.functions.CellModel(centRows))
     v.select(col("id"), t2.as("t"))
       .select(col("t").getItem(0).cast("int").as("cell"),
-        // cosine DISTANCES: own = 1 - simBest, other = 1 - simSecond
-        (lit(1.0) - col("t").getItem(1)).as("a"),
-        (lit(1.0) - col("t").getItem(2)).as("b"))
+        // cosine DISTANCES: own = 1 - simBest, other = 1 - simSecond,
+        // clamped at 0 — FP dot/norm chains can round a cosine a few
+        // ulps ABOVE 1, and a slightly negative `a` against a tiny `b`
+        // would push s = (b-a)/max(a,b) past 1.0, spuriously failing
+        // the silhouette_exactness bound gate downstream.
+        greatest(lit(1.0) - col("t").getItem(1), lit(0.0)).as("a"),
+        greatest(lit(1.0) - col("t").getItem(2), lit(0.0)).as("b"))
       .withColumn("s",
         when(greatest(col("a"), col("b")) <= 0.0, lit(0.0))
           .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))

@@ -199,12 +199,14 @@ object TextAnalysis {
     * the count of documents carrying ANY match (the scrub workload).
     * All per-row regexp counting rides the scan (codegen'd, zero
     * shuffle); the aggregate is map-side combinable to sources × 1
-    * rows. NULL sources are excluded (unattributable rows can't page a
-    * source owner). */
+    * rows. The monitor family's shared convention (gopher/c4/pii):
+    * NULL sources are excluded (unattributable rows can't page a
+    * source owner) AND NULL texts are excluded (a scoreless doc in
+    * n_docs would dilute every rate without representing scrub work). */
   def piiRateState(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val e = emailCount(col(textCol)).cast("long")
     val p = phoneCount(col(textCol)).cast("long")
-    df.filter(col(sourceCol).isNotNull)
+    df.filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
       .select(col(sourceCol).as("source"), e.as("__e"), p.as("__p"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -309,11 +311,13 @@ object TextAnalysis {
   /** Additive (source, n_docs, n_pass) census of the Gopher verdict —
     * the quality-gate health monitor's state ([[gopherRateFromCounts]]
     * reports off it; the streaming loop maintains it via
-    * maintainGopherRateState). Sources × 1 rows, never doc scale. */
+    * maintainGopherRateState). Sources × 1 rows, never doc scale.
+    * NULL source/text rows drop under the monitor family's shared
+    * convention (see [[piiRateState]]). */
   def gopherRateState(df: DataFrame, sourceCol: String, textCol: String,
                       stops: Seq[String]): DataFrame = {
     val pass = gopherSignals(col(textCol), stops).pass
-    df.filter(col(textCol).isNotNull)
+    df.filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
       .groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(pass, 1L).otherwise(0L)).as("n_pass"))
@@ -335,11 +339,13 @@ object TextAnalysis {
 
   /** Additive (source, n_docs, n_pass) census of the C4 verdict — the
     * [[gopherRateState]] shape on the C4 axis, so the second published
-    * quality gate is maintainable the same way. */
+    * quality gate is maintainable the same way. NULL source/text rows
+    * drop under the monitor family's shared convention (see
+    * [[piiRateState]]). */
   def c4RateState(df: DataFrame, sourceCol: String, textCol: String,
                   minSentences: Int = 5): DataFrame = {
     val pass = c4Signals(col(textCol), minSentences).pass
-    df.filter(col(textCol).isNotNull)
+    df.filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
       .groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(pass, 1L).otherwise(0L)).as("n_pass"))

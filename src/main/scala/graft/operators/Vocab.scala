@@ -698,14 +698,27 @@ object Vocab {
       .withColumn("__alpha", lit(1.0) / col("__k"))
     // steps MW iterations over the bounded domain frame: refreeze the
     // unnormalized product, exact-decimal normalizer, smooth toward u.
+    // The freeze is k-SCALED — round(k·α·m, 6), i.e. 6 decimals
+    // RELATIVE to the uniform weight 1/k — so high-cardinality domain
+    // frames (α ~ 1/k small in absolute terms) don't quantize live
+    // weights to exactly 0; only domains below 1e-6 of uniform flush,
+    // and smoothing floors those anyway. k is a constant within the
+    // frame, so scaling every term leaves the normalized ratio's
+    // INTENT unchanged (the frozen decimals differ — the oracle twin
+    // runs the identical k-scaled chain). If a degenerate census still
+    // freezes every product to 0 (all m underflow), the step KEEPS the
+    // previous iterate instead of dividing 0/0 into NaN weights.
     val stepped = (1 to steps).foldLeft(base) { (f, _) =>
       f.withColumn("__p",
-          round(col("__alpha") * col("__m").cast("double"), 6).cast(dec))
+          round(col("__k") * col("__alpha") * col("__m").cast("double"), 6).cast(dec))
+        .withColumn("__s", sum(col("__p")).over(w).cast("double"))
         .withColumn("__alpha",
-          lit(1.0 - smoothing) *
-            (col("__p").cast("double") / sum(col("__p")).over(w).cast("double")) +
-            lit(smoothing) / col("__k"))
-        .drop("__p")
+          when(col("__s") > 0.0,
+            lit(1.0 - smoothing) *
+              (col("__p").cast("double") / col("__s")) +
+              lit(smoothing) / col("__k"))
+            .otherwise(col("__alpha")))
+        .drop("__p").drop("__s")
     }
     stepped.select(col("domain"), col("n_tokens"), col("n_bigrams"),
       col("excess_loss"), col("token_frac"),

@@ -72,14 +72,19 @@ object TextQueries {
   private def doremiCtes: String = {
     val oneMinusC = "(CAST('1' AS DOUBLE) - CAST('0.001' AS DOUBLE))"
     val c = "CAST('0.001' AS DOUBLE)"
+    // k-scaled freeze + zero-sum guard, mirroring doremiFromCensus:
+    // p = round(k·α·m, 6) keeps 6 decimals RELATIVE to uniform, and a
+    // degenerate all-zero frame keeps the previous iterate.
     val stepCtes = (1 to 5).map { i =>
       val prev = if (i == 1) "d0" else s"s${i - 1}"
       s"""s$i AS (
          |  SELECT domain, n_tokens, n_bigrams, excess_loss, m, token_frac, k,
-         |    $oneMinusC * (CAST(p AS DOUBLE) / CAST(sum(p) OVER () AS DOUBLE))
-         |      + $c / k AS alpha
+         |    CASE WHEN CAST(sum(p) OVER () AS DOUBLE) > CAST('0' AS DOUBLE)
+         |    THEN $oneMinusC * (CAST(p AS DOUBLE) / CAST(sum(p) OVER () AS DOUBLE))
+         |      + $c / k
+         |    ELSE alpha END AS alpha
          |  FROM (SELECT *,
-         |          CAST(round(alpha * CAST(m AS DOUBLE), 6) AS DECIMAL(18,6))
+         |          CAST(round(k * alpha * CAST(m AS DOUBLE), 6) AS DECIMAL(18,6))
          |            AS p
          |        FROM $prev))""".stripMargin
     }.mkString(",\n")
@@ -1557,7 +1562,7 @@ object TextQueries {
          |  SELECT doc_id, source,
          |    CAST(len(regexp_extract_all(text, '${TA.EmailRe}')) AS BIGINT) AS e,
          |    CAST(len(regexp_extract_all(text, '${TA.PhoneRe}')) AS BIGINT) AS p
-         |  FROM pii WHERE source IS NOT NULL)
+         |  FROM pii WHERE source IS NOT NULL AND text IS NOT NULL)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(e) AS BIGINT) AS n_emails,
          |  CAST(sum(p) AS BIGINT) AS n_phones,
@@ -1871,7 +1876,7 @@ object TextQueries {
          |  SELECT doc_id, source, c4_text,
          |    list_filter(string_split(c4_text, chr(10)),
          |                l -> trim(l) <> '') AS lines
-         |  FROM c4),
+         |  FROM c4 WHERE source IS NOT NULL AND c4_text IS NOT NULL),
          |k AS (
          |  SELECT source,
          |    (len(list_filter(lines, l ->
@@ -1891,7 +1896,8 @@ object TextQueries {
 
     "q_gopher_rate" ->
       s"""WITH $gopherSigSql,
-         |v AS (SELECT source, ($gopherPassSql) AS p FROM sig)
+         |v AS (SELECT source, ($gopherPassSql) AS p FROM sig
+         |      WHERE source IS NOT NULL)
          |SELECT source,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
