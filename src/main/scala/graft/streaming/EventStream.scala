@@ -122,16 +122,94 @@ object EventStream {
 
   /** Current state from a [[maintainCensusState]] directory holding an
     * ADDITIVE census: replay-dedup on (__batch_id, keys), then per-key
-    * sums of `valueCols`. Scan is O(batches × census) summary rows —
-    * compact by rewriting the fold result when that grows. */
+    * sums of `valueCols`. Scan is O(batches × census) summary rows
+    * between compactions; [[compactCensusState]] rewrites the fold so
+    * the steady-state read cost is O(census) + deltas-since-compaction.
+    *
+    * Compaction awareness: a compacted directory carries summary rows
+    * stamped `__compacted_through` = W (every batch id ≤ W is already
+    * folded into them). The read keeps the LATEST summary plus only
+    * deltas with `__batch_id` > W — so a pre-compaction batch REPLAYED
+    * after compaction (its rows arrive with their original id ≤ W)
+    * folds zero extra times, preserving the at-least-once →
+    * effectively-once contract across the rewrite. Uncompacted
+    * directories (no such column) read exactly as before; mergeSchema
+    * reconciles the delta rows appended after a compaction, which lack
+    * the stamp column. */
   def readCensusState(spark: SparkSession, statePath: String,
                       keyCols: Seq[String],
-                      valueCols: Seq[String]): DataFrame =
-    spark.read.parquet(statePath)
+                      valueCols: Seq[String]): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(statePath)
+    val scoped =
+      if (!raw.columns.contains("__compacted_through")) raw
+      else {
+        val wRow = raw.agg(max(col("__compacted_through"))).head()
+        if (wRow.isNullAt(0)) raw.drop("__compacted_through")
+        else {
+          val w = wRow.getLong(0)
+          raw.filter(col("__compacted_through") === w ||
+              (col("__compacted_through").isNull && col("__batch_id") > w))
+            .drop("__compacted_through")
+        }
+      }
+    scoped
       .dropDuplicates("__batch_id" +: keyCols)
       .groupBy(keyCols.map(col): _*)
       .agg(sum(valueCols.head).as(valueCols.head),
         valueCols.tail.map(c => sum(c).as(c)): _*)
+  }
+
+  /** Rewrite a [[maintainCensusState]] delta directory as its fold — the
+    * maintenance valve that keeps [[readCensusState]]'s scan at
+    * O(census) instead of O(batches × census) as ingest batches
+    * accumulate. The folded summary is stamped `__batch_id` =
+    * `__compacted_through` = W (the highest batch id folded), staged to
+    * a sibling directory, and swapped in via two renames; returns W.
+    *
+    * Correctness across the rewrite: fold-after ≡ fold-before by
+    * construction (the summary IS the fold, and [[readCensusState]]
+    * drops any delta with id ≤ W — including a replayed pre-compaction
+    * batch — while folding post-compaction deltas on top). Micro-batch
+    * ids from a streaming checkpoint are monotonic, so a FRESH batch
+    * can never arrive with an id ≤ W; only replays can, and those are
+    * exactly the rows that must be ignored. Compaction composes: a
+    * later compaction folds the previous summary with newer deltas into
+    * a higher-W summary.
+    *
+    * Scheduling is caller-owned, like the maintainer queries: run it
+    * from the maintenance owner between micro-batches (foreachBatch
+    * writers are paused between triggers; the swap is two metadata
+    * renames on HDFS-like filesystems — object stores without atomic
+    * rename should quiesce readers for the swap instant). Set-monoid
+    * directories (`stampBatchId = false`) don't need this machinery:
+    * their compaction is a plain `.distinct()` rewrite, idempotent
+    * under replay by definition. */
+  def compactCensusState(spark: SparkSession, statePath: String,
+                         keyCols: Seq[String],
+                         valueCols: Seq[String]): Long = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(statePath)
+    val wExpr =
+      if (raw.columns.contains("__compacted_through"))
+        greatest(max(col("__batch_id")), max(col("__compacted_through")))
+      else max(col("__batch_id"))
+    val wRow = raw.agg(wExpr).head()
+    require(!wRow.isNullAt(0), s"cannot compact empty census state at $statePath")
+    val w = wRow.getLong(0)
+    val folded = readCensusState(spark, statePath, keyCols, valueCols)
+      .withColumn("__batch_id", lit(w))
+      .withColumn("__compacted_through", lit(w))
+    val base = statePath.stripSuffix("/")
+    val tmp = base + "__compact_tmp"
+    folded.write.mode("overwrite").parquet(tmp)
+    val dst = new org.apache.hadoop.fs.Path(base)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(base + "__compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(dst, old) || !fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(s"compaction swap failed for $statePath")
+    fs.delete(old, true)
+    w
+  }
 
   /** Continuous partition-checksum maintenance — the streaming half of
     * TableDiff's incremental validation loop: each micro-batch's side

@@ -879,6 +879,74 @@ class StreamingSpec extends AnyFunSuite {
     val st = spark.read.parquet(stateDir)
     st.filter($"__batch_id" === 0L).write.mode("append").parquet(stateDir)
     assert(report(EventStream.readPiiRate(spark, stateDir)) == maintained)
+    // the monitor read is compaction-invariant: rewrite the fold, same report
+    EventStream.compactCensusState(spark, stateDir, Seq("source"),
+      Seq("n_docs", "n_emails", "n_phones", "n_dirty"))
+    assert(report(EventStream.readPiiRate(spark, stateDir)) == maintained)
+  }
+
+  test("compactCensusState: fold invariant under compaction, pre-compaction replays, and new deltas") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-compact-ck").toString
+    val fp = graft.operators.TextAnalysis.docFingerprint(col("text"))
+    val q = EventStream.maintainDupRateState(
+      src.toDS().toDF("doc_id", "text", "source"), "source", fp,
+      stateDir, ckpt)
+    // (7, "other a", "a") repeats batch 0's (a, fp) cell in batch 2, so
+    // the fold genuinely MERGES delta rows — compaction must shrink the
+    // stored row count, not merely rewrite it
+    val all = Seq(
+      (1L, "same text", "a"), (2L, "other a", "a"),
+      (3L, "only b", "b"), (4L, "same text", "b"), (5L, "more b", "b"),
+      (7L, "other a", "a"))
+    try {
+      src.addData(all(0), all(1)); q.processAllAvailable()
+      src.addData(all(2)); q.processAllAvailable()
+      src.addData(all(3), all(4), all(5)); q.processAllAvailable()
+    } finally q.stop()
+    def report(state: org.apache.spark.sql.DataFrame) =
+      graft.operators.Monitoring.dupRateFromState(state)
+        .orderBy($"source").collect().map(_.toSeq).toSeq
+    def stateRows() = spark.read.option("mergeSchema", "true").parquet(stateDir)
+    val keys = Seq("source", "fp"); val vals = Seq("n")
+    val before = report(EventStream.readDupRateState(spark, stateDir))
+    val preCompactScan = stateRows().count()
+
+    // fold-after ≡ fold-before; W = highest batch id folded (ids 0..2)
+    val w = EventStream.compactCensusState(spark, stateDir, keys, vals)
+    assert(w == 2L)
+    assert(report(EventStream.readDupRateState(spark, stateDir)) == before)
+    // the scan actually shrank to one summary batch of census rows
+    assert(stateRows().count() < preCompactScan)
+    assert(stateRows().select("__batch_id").distinct().count() == 1)
+
+    // a PRE-compaction batch replayed AFTER compaction (original id 0
+    // ≤ W, exactly what a recovering foreachBatch would append) is
+    // already folded — the read must ignore it, not double-count
+    graft.operators.Monitoring.dupRateState(
+        Seq(all(0), all(1)).toDF("doc_id", "text", "source"), "source", fp)
+      .withColumn("__batch_id", lit(0L))
+      .write.mode("append").parquet(stateDir)
+    assert(report(EventStream.readDupRateState(spark, stateDir)) == before)
+
+    // a FRESH post-compaction batch (monotonic id W+1) folds on top
+    val extra = Seq((6L, "same text", "a"))
+    graft.operators.Monitoring.dupRateState(
+        extra.toDF("doc_id", "text", "source"), "source", fp)
+      .withColumn("__batch_id", lit(w + 1))
+      .write.mode("append").parquet(stateDir)
+    val recomputedAll = report(graft.operators.Monitoring.dupRateState(
+      (all ++ extra).toDF("doc_id", "text", "source"), "source", fp))
+    assert(report(EventStream.readDupRateState(spark, stateDir)) == recomputedAll)
+
+    // compaction composes: summary + newer delta fold into a higher-W summary
+    val w2 = EventStream.compactCensusState(spark, stateDir, keys, vals)
+    assert(w2 == w + 1)
+    assert(report(EventStream.readDupRateState(spark, stateDir)) == recomputedAll)
+    assert(stateRows().select("__batch_id").distinct().count() == 1)
   }
 
   test("maintainDoremiState: weights off folded census equal the one-shot operator; replays dedup") {
