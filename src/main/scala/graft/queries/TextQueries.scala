@@ -181,6 +181,15 @@ object TextQueries {
        |WHERE substr(md5('graft:' || CAST(dm.doc_id AS VARCHAR)), 1, 8) < thr.thr
        |ORDER BY dm.doc_id""".stripMargin
 
+  /** The published parameters q_curation_round / q_curation_pack run
+    * the chain with — the standalone queries' own defaults throughout
+    * (trigram Jaccard ≥ 0.5 with the 10k df-cap, contamination overlap
+    * ≥ 0.5 with the 100 bench-df cap, the q_mix_rebalance targets, the
+    * 2048-token pack block). */
+  private[graft] def curationConfig: graft.CurationRound.Config =
+    graft.CurationRound.Config(strataCol = "lang", gopherStops = gopherStops,
+      mixTargets = mixTargets)
+
   private def nearDupJaccard(s: SparkSession, dir: String): DataFrame =
     NearDupPipeline.jaccardPairs(dupCorpus(s, dir), dir, nearDupParams)
 
@@ -305,6 +314,231 @@ object TextQueries {
           when(col("doc_id") % 11 === 0, lit("lorem ipsum dolor sit amet.")),
           when(col("doc_id") % 13 === 0, lit("config { nested } block")))
           .as("c4_text"))
+
+  /** CURATION-CHAIN fixture corpus (q_curation_round /
+    * q_curation_pack): page-shaped multi-line text carrying the FULL
+    * document (the c4Corpus line pattern plus a remainder line, so the
+    * Gopher word-count band still bites like it does on raw text),
+    * with the poison lines (%9 javascript, %11 lorem, %13 brace), then
+    * two injection families over the lined text: exact copies of the
+    * %7 docs at +100000 (the exact-dedup stage's prey; also the
+    * benchmark overlap set) and near copies of the %3 docs at +200000
+    * with one extra kept line (the near-dup stage's prey — longer, so
+    * the quality-canonical rule keeps the COPY and hands its changed
+    * id to the decontamination stage). `lang` rides through for the
+    * mixture stage. */
+  def curationCorpus(s: SparkSession, dir: String): DataFrame = {
+    val lined = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 50), lit(" end.")),
+          when(length(col("text")) >= 51,
+            concat(substring(col("text"), 51, 50), lit(" tail."))),
+          when(length(col("text")) >= 101,
+            concat(substring(col("text"), 101, 50), lit(" more!"))),
+          when(length(col("text")) >= 151,
+            concat(substring(col("text"), 151, 50), lit(" fin?"))),
+          when(length(col("text")) >= 201,
+            concat(substring(col("text"), 201, 50), lit(" done."))),
+          when(length(col("text")) >= 251,
+            concat(substring(col("text"), 251, 1000000), lit(" rest."))),
+          lit("no terminal punct line"),
+          when(col("doc_id") % 9 === 0, lit("please enable javascript to view.")),
+          when(col("doc_id") % 11 === 0, lit("lorem ipsum dolor sit amet.")),
+          when(col("doc_id") % 13 === 0, lit("config { nested } block")))
+          .as("text"))
+    lined
+      .unionByName(lined.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("lang"), col("text")))
+      .unionByName(lined.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit("\nthe graft curation near dup tail marker."))
+            .as("text")))
+  }
+
+  private val curationCorpusSql =
+    """cur AS (
+      |  SELECT doc_id, lang, text FROM (
+      |    SELECT doc_id, lang, concat_ws(chr(10),
+      |      substring(text, 1, 50) || ' end.',
+      |      CASE WHEN length(text) >= 51 THEN substring(text, 51, 50) || ' tail.' END,
+      |      CASE WHEN length(text) >= 101 THEN substring(text, 101, 50) || ' more!' END,
+      |      CASE WHEN length(text) >= 151 THEN substring(text, 151, 50) || ' fin?' END,
+      |      CASE WHEN length(text) >= 201 THEN substring(text, 201, 50) || ' done.' END,
+      |      CASE WHEN length(text) >= 251 THEN substring(text, 251, 1000000) || ' rest.' END,
+      |      'no terminal punct line',
+      |      CASE WHEN doc_id % 9 = 0 THEN 'please enable javascript to view.' END,
+      |      CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+      |      CASE WHEN doc_id % 13 = 0 THEN 'config { nested } block' END) AS text
+      |    FROM documents WHERE text IS NOT NULL) b
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lang, text FROM (
+      |    SELECT doc_id, lang, concat_ws(chr(10),
+      |      substring(text, 1, 50) || ' end.',
+      |      CASE WHEN length(text) >= 51 THEN substring(text, 51, 50) || ' tail.' END,
+      |      CASE WHEN length(text) >= 101 THEN substring(text, 101, 50) || ' more!' END,
+      |      CASE WHEN length(text) >= 151 THEN substring(text, 151, 50) || ' fin?' END,
+      |      CASE WHEN length(text) >= 201 THEN substring(text, 201, 50) || ' done.' END,
+      |      CASE WHEN length(text) >= 251 THEN substring(text, 251, 1000000) || ' rest.' END,
+      |      'no terminal punct line',
+      |      CASE WHEN doc_id % 9 = 0 THEN 'please enable javascript to view.' END,
+      |      CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+      |      CASE WHEN doc_id % 13 = 0 THEN 'config { nested } block' END) AS text
+      |    FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0) b7
+      |  UNION ALL
+      |  SELECT doc_id + 200000, lang,
+      |    text || chr(10) || 'the graft curation near dup tail marker.' FROM (
+      |    SELECT doc_id, lang, concat_ws(chr(10),
+      |      substring(text, 1, 50) || ' end.',
+      |      CASE WHEN length(text) >= 51 THEN substring(text, 51, 50) || ' tail.' END,
+      |      CASE WHEN length(text) >= 101 THEN substring(text, 101, 50) || ' more!' END,
+      |      CASE WHEN length(text) >= 151 THEN substring(text, 151, 50) || ' fin?' END,
+      |      CASE WHEN length(text) >= 201 THEN substring(text, 201, 50) || ' done.' END,
+      |      CASE WHEN length(text) >= 251 THEN substring(text, 251, 1000000) || ' rest.' END,
+      |      'no terminal punct line',
+      |      CASE WHEN doc_id % 9 = 0 THEN 'please enable javascript to view.' END,
+      |      CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+      |      CASE WHEN doc_id % 13 = 0 THEN 'config { nested } block' END) AS text
+      |    FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0) b3)""".stripMargin
+
+  /** The composed curation-chain CTEs (gates → exact dedup → near-dup
+    * canonical → decontamination → mixture) — every fragment is the
+    * SAME SQL its standalone oracle uses (gopherSigSql's feature
+    * formulas, jaccardPairsCtes' pair pipeline, q_dedup_canonical's
+    * recursive components, q_contamination's overlap chain,
+    * q_mix_rebalance's threshold ladder), re-rooted on the previous
+    * stage's survivor CTE. Requires WITH RECURSIVE at the call site.
+    * Exposes: ctok (stage 0 frame), cgate (gate verdicts), cg / ce /
+    * cn / cc / cm (survivors after each stage). */
+  private def curationStageCtes: String = {
+    val stopsSum = gopherStops.map(w =>
+      s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)").mkString(" + ")
+    val mixVals = mixTargets
+      .map { case (l, w) => s"('$l', CAST('$w' AS DOUBLE))" }.mkString(", ")
+    s"""$curationCorpusSql,
+       |ctok AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM cur),
+       |cfeat AS (
+       |  SELECT *,
+       |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+       |    string_split(replace(text, chr(10), ' '), ' ') AS toks,
+       |    replace(text, chr(10), ' ') AS flat
+       |  FROM ctok),
+       |cgate AS (
+       |  SELECT doc_id, lang, text, n_tokens,
+       |    (len(list_filter(lines, l ->
+       |       right(l, 1) IN ('.', '!', '?', '"')
+       |       AND len(list_filter(string_split(l, ' '), w -> length(w) > 0)) >= 3
+       |       AND NOT contains(lower(l), 'javascript'))) >= 5
+       |     AND NOT contains(lower(text), 'lorem ipsum')
+       |     AND NOT contains(text, '{')) AS c4_pass,
+       |    (len(toks) BETWEEN 50 AND 100000
+       |     AND (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+       |          / CAST(len(toks) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+       |     AND (CAST(len(regexp_extract_all(flat, '[#]'))
+       |          + len(regexp_extract_all(flat, '[.][.][.]')) AS DOUBLE)
+       |          / CAST(len(toks) AS DOUBLE)) <= 0.1
+       |     AND (CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+       |          OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+       |          / CAST(greatest(len(lines), 1) AS DOUBLE)) <= 0.9
+       |     AND (CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+       |          / CAST(greatest(len(lines), 1) AS DOUBLE)) <= 0.3
+       |     AND (CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+       |          AS DOUBLE)
+       |          / CAST(len(toks) AS DOUBLE)) >= 0.8
+       |     AND ($stopsSum) >= 2) AS gopher_pass
+       |  FROM cfeat),
+       |cg AS (SELECT doc_id, lang, text, n_tokens FROM cgate
+       |       WHERE c4_pass AND gopher_pass),
+       |cfp AS (SELECT doc_id, lang, text, n_tokens, md5($normSql) AS fp FROM cg),
+       |ckeep AS (SELECT min(doc_id) AS doc_id FROM cfp GROUP BY fp),
+       |ce AS (SELECT c.doc_id, c.lang, c.text, c.n_tokens
+       |       FROM cfp c JOIN ckeep k USING (doc_id)),
+       |ntokd AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(l[i:i+2], ' ')
+       |                   for i in range(1, greatest(len(l) - 2, 0) + 1)]) AS shs
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS l FROM ce)),
+       |nsh AS (SELECT doc_id AS id, unnest(shs) AS sh FROM ntokd),
+       |nkeepsh AS (SELECT sh FROM nsh GROUP BY sh HAVING count(*) <= 10000),
+       |nshc AS (SELECT nsh.id, nsh.sh FROM nsh JOIN nkeepsh USING (sh)),
+       |nsizes AS (SELECT id, count(*) AS n_sh FROM nsh GROUP BY id),
+       |npairs AS (
+       |  SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+       |  FROM nshc a JOIN nshc b ON a.sh = b.sh AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |np AS MATERIALIZED (
+       |  SELECT id1, id2 FROM (
+       |    SELECT id1, id2, shared, s1.n_sh AS n1, s2.n_sh AS n2
+       |    FROM npairs
+       |    JOIN nsizes s1 ON npairs.id1 = s1.id
+       |    JOIN nsizes s2 ON npairs.id2 = s2.id) jj
+       |  WHERE CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) >= 0.5),
+       |nedge AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM np
+       |      UNION SELECT id2, id1 FROM np),
+       |nreach AS (
+       |  (SELECT src, dst FROM nedge UNION SELECT src, src FROM nedge)
+       |  UNION
+       |  SELECT r.src, e2.dst FROM nreach r JOIN nedge e2 ON r.dst = e2.src),
+       |ncomp AS (SELECT src AS id, min(dst) AS component FROM nreach GROUP BY src),
+       |nq AS (
+       |  SELECT c.id, row_number() OVER (PARTITION BY c.component
+       |    ORDER BY length(co.text) DESC, c.id) AS rn
+       |  FROM ncomp c JOIN ce co ON c.id = co.doc_id),
+       |ndrop AS (SELECT id AS doc_id FROM nq WHERE rn > 1),
+       |cn AS (SELECT * FROM ce
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+       |btokd2 AS (
+       |  SELECT doc_id AS bench_id,
+       |    list_distinct([array_to_string(l[i:i+2], ' ')
+       |                   for i in range(1, greatest(len(l) - 2, 0) + 1)]) AS shs
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS l
+       |        FROM documents WHERE doc_id % 7 = 0)),
+       |bsh2 AS (SELECT bench_id, unnest(shs) AS sh FROM btokd2),
+       |bsizes2 AS (SELECT bench_id, count(*) AS n_bench FROM bsh2 GROUP BY bench_id),
+       |bkeep2 AS (SELECT sh FROM bsh2 GROUP BY sh HAVING count(*) <= 100),
+       |bshk2 AS (SELECT bsh2.bench_id, bsh2.sh FROM bsh2 JOIN bkeep2 USING (sh)),
+       |ctokd2 AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(l[i:i+2], ' ')
+       |                   for i in range(1, greatest(len(l) - 2, 0) + 1)]) AS shs
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS l FROM cn)),
+       |csh2 AS (SELECT doc_id, unnest(shs) AS sh FROM ctokd2),
+       |cpairs AS (
+       |  SELECT c.doc_id, b.bench_id, count(*) AS shared
+       |  FROM csh2 c JOIN bshk2 b ON c.sh = b.sh AND c.doc_id <> b.bench_id
+       |  GROUP BY 1, 2),
+       |cdrop AS (
+       |  SELECT DISTINCT p.doc_id FROM cpairs p JOIN bsizes2 s USING (bench_id)
+       |  WHERE CAST(p.shared AS DOUBLE) / CAST(s.n_bench AS DOUBLE) >= 0.5),
+       |cc AS (SELECT * FROM cn
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)),
+       |mt(lang, w) AS (VALUES $mixVals),
+       |mc AS (
+       |  SELECT mt.lang, mt.w,
+       |    COALESCE(CAST(sum(cc.n_tokens) AS BIGINT), 0) AS tok
+       |  FROM mt LEFT JOIN cc ON cc.lang = mt.lang GROUP BY mt.lang, mt.w),
+       |mf AS (
+       |  SELECT lang,
+       |    CASE WHEN tok = 0 THEN 0.0
+       |      ELSE w * (SELECT min(CAST(tok AS DOUBLE) / w) FROM mc)
+       |        / CAST(tok AS DOUBLE) END AS frac
+       |  FROM mc),
+       |mthr AS (
+       |  SELECT lang,
+       |    CASE WHEN CAST(floor(frac * 4294967296.0 + 0.5) AS BIGINT) >= 4294967296
+       |      THEN 'g0000000'
+       |      ELSE printf('%08x', CAST(floor(frac * 4294967296.0 + 0.5) AS BIGINT))
+       |    END AS thr
+       |  FROM mf),
+       |cm AS (
+       |  SELECT cc.doc_id, cc.lang, cc.n_tokens
+       |  FROM cc JOIN mthr ON cc.lang = mthr.lang
+       |  WHERE substr(md5('graft:' || CAST(cc.doc_id AS VARCHAR)), 1, 8) < mthr.thr)""".stripMargin
+  }
 
   private val c4CorpusSql =
     """c4 AS (
@@ -1124,6 +1358,28 @@ object TextQueries {
           .select(col("doc_id"),
             TA.wsTokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", maxTokens = 2048)),
+
+    // The curation chain END-TO-END (graft.CurationRound): C4+Gopher
+    // gates → exact dedup → near-dup canonical → decontamination →
+    // mixture rebalance, one funnel row per stage. Counts are exact
+    // longs (retentions one IEEE division each), so the COMPOSITION
+    // itself is oracle-verified — the SQL twin chains the standalone
+    // stages' own oracle fragments. The funnel is driver-backed once
+    // computed, so the round's pinned stage frames release immediately.
+    "q_curation_round" -> ((s, dir) => {
+      val r = graft.CurationRound.run(s, curationCorpus(s, dir),
+        benchCorpus(s, dir), curationConfig)
+      // the funnel is driver-backed (counts were collected in run()),
+      // so the stage caches can release before the result is consumed
+      r.unpersist()
+      r.funnel.orderBy(col("stage_ord"))
+    }),
+
+    // The packing census over the SAME composed survivor set — the
+    // chain's final artifact priced (q_pack_stats on the curated docs).
+    "q_curation_pack" -> ((s, dir) =>
+      graft.CurationRound.run(s, curationCorpus(s, dir), benchCorpus(s, dir),
+        curationConfig).packStats),
 
     // Flesch reading-ease under exact integer counts (sentence runs,
     // ws-split words, vowel-group syllable proxy) — the score is a fixed
@@ -2267,6 +2523,63 @@ object TextQueries {
         |  CAST(floor(CAST(token_offset + greatest(n_tokens, 1) - 1 AS DOUBLE) / 2048)
         |    AS BIGINT) AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The composed curation funnel: every stage CTE is the standalone
+    // oracle fragment re-rooted on the previous stage's survivors, so
+    // DuckDB re-derives the ENTIRE chain independently. COALESCE mirrors
+    // the Spark side's 0-for-empty token sums.
+    "q_curation_round" ->
+      s"""WITH RECURSIVE $curationStageCtes
+         |SELECT stage_ord, stage, n_docs, n_tokens,
+         |  CAST(n_docs AS DOUBLE)
+         |    / CAST((SELECT count(*) FROM ctok) AS DOUBLE) AS doc_retention,
+         |  CAST(n_tokens AS DOUBLE)
+         |    / CAST((SELECT sum(n_tokens) FROM ctok) AS DOUBLE) AS token_retention
+         |FROM (
+         |  SELECT 0 AS stage_ord, 'total' AS stage,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    COALESCE(CAST(sum(n_tokens) AS BIGINT), 0) AS n_tokens FROM ctok
+         |  UNION ALL SELECT 1, 'c4_gate', CAST(count(*) AS BIGINT),
+         |    COALESCE(CAST(sum(n_tokens) AS BIGINT), 0) FROM cgate WHERE c4_pass
+         |  UNION ALL SELECT 2, 'gopher_gate', CAST(count(*) AS BIGINT),
+         |    COALESCE(CAST(sum(n_tokens) AS BIGINT), 0) FROM cg
+         |  UNION ALL SELECT 3, 'dedup_exact', CAST(count(*) AS BIGINT),
+         |    COALESCE(CAST(sum(n_tokens) AS BIGINT), 0) FROM ce
+         |  UNION ALL SELECT 4, 'dedup_near', CAST(count(*) AS BIGINT),
+         |    COALESCE(CAST(sum(n_tokens) AS BIGINT), 0) FROM cn
+         |  UNION ALL SELECT 5, 'decontaminate', CAST(count(*) AS BIGINT),
+         |    COALESCE(CAST(sum(n_tokens) AS BIGINT), 0) FROM cc
+         |  UNION ALL SELECT 6, 'mixture', CAST(count(*) AS BIGINT),
+         |    COALESCE(CAST(sum(n_tokens) AS BIGINT), 0) FROM cm) f
+         |ORDER BY stage_ord""".stripMargin,
+
+    // q_pack_stats' t/c chain re-rooted on the curation survivors (cm).
+    "q_curation_pack" ->
+      s"""WITH RECURSIVE $curationStageCtes,
+         |pt AS (
+         |  SELECT doc_id, n_tokens,
+         |    substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8) AS rank_hex
+         |  FROM cm),
+         |pc AS (
+         |  SELECT *,
+         |    CAST(sum(n_tokens) OVER (ORDER BY rank_hex, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS token_offset
+         |  FROM pt),
+         |ps AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(sum(CASE WHEN
+         |        floor(CAST(token_offset + greatest(n_tokens, 1) - 1 AS DOUBLE) / 2048)
+         |        > floor(CAST(token_offset AS DOUBLE) / 2048)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+         |  FROM pc)
+         |SELECT n_docs, total_tokens,
+         |  CASE WHEN coalesce(total_tokens, 0) > 0
+         |    THEN CAST((total_tokens - 1) // 2048 + 1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS n_seqs,
+         |  n_crossing,
+         |  CAST(n_crossing AS DOUBLE) / CAST(n_docs AS DOUBLE) AS crossing_frac
+         |FROM ps""".stripMargin,
 
     // Same t/c chain as q_pack_sequences, collapsed to the census row.
     "q_pack_stats" ->
