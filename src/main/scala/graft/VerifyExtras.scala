@@ -231,6 +231,7 @@ object VerifyExtras {
         Check("knn_graph_strong_edges", pairRecall(knnTruth, knnCand),
           floor = 0.9, knnTruth.length, knnCand.length)
       ) ++ sketchChecks(spark, sfDir) ++ bpeCheck(spark, sfDir) ++
+        unigramCheck(spark, sfDir) ++
         clusterCapCheck(spark, sfDir) ++ silhouetteCheck(spark, sfDir) ++ pcaCheck(spark, sfDir)
     } finally {
       corpus.unpersist(); emb.unpersist(); dupEmb.unpersist()
@@ -541,6 +542,37 @@ object VerifyExtras {
       math.max(agg.getAs[Long]("t"), 1L).toDouble
     Seq(Check("bpe_encode_compression", comp, floor = 1.02,
       agg.getAs[Long]("n"), rules.length.toLong, metric = "chars_per_token"))
+  }
+
+  /** Unigram-LM tokenizer floors, mirroring [[bpeCheck]] and adding the
+    * cross-family fertility read the VERDICT asked for: (a) the trained
+    * vocabulary must actually compress (multi-char pieces fire —
+    * chars/piece strictly above character-level), and (b) the fertility
+    * ratio vs the 30-merge BPE lane on the SAME corpus must stay ≥ 0.8
+    * (a 200-piece unigram vocab measured 2.43× FEWER pieces than BPE
+    * tokens at sf0.01 — the larger effective vocabulary should win; a
+    * regression to per-character decoding craters both floors at
+    * once). */
+  private def unigramCheck(spark: SparkSession, sfDir: String): Seq[Check] = {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    val model = graft.operators.Unigram.fit(d, "text", vocabSize = 200,
+      rounds = 2, maxPieceLen = 5, seedSize = 2000)
+    val agg = graft.operators.Unigram.encodeStats(d, "doc_id", "text", model)
+      .agg(sum(col("n_chars_tok")).as("c"), sum(col("n_pieces")).as("t"),
+        count(lit(1)).as("n")).head()
+    val pieces = math.max(agg.getAs[Long]("t"), 1L)
+    val comp = agg.getAs[Long]("c").toDouble / pieces.toDouble
+    val bpeTokens = graft.operators.Bpe.encodeStats(d, "doc_id", "text",
+        graft.operators.Bpe.fit(d, "text", numMerges = 30))
+      .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+    Seq(
+      Check("unigram_encode_compression", comp, floor = 1.02,
+        agg.getAs[Long]("n"), model.pieces.length.toLong,
+        metric = "chars_per_token"),
+      Check("unigram_vs_bpe_fertility", bpeTokens.toDouble / pieces.toDouble,
+        floor = 0.8, agg.getAs[Long]("n"), model.pieces.length.toLong,
+        metric = "bpe_tokens_per_unigram_piece"))
   }
 
   /** Bounded-probe ANN recall checks for scales where the FULL check set

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{UnigramModel, UnigramSegmentExpr}
+
+/** Unigram-LM tokenizer training (Kudo 2018 — the OTHER production
+  * tokenizer family next to [[Bpe]]; sentencepiece's default): seed a
+  * large candidate-piece vocabulary from corpus substrings, then
+  * alternate Viterbi re-segmentation (E) with count re-estimation and
+  * pruning (M) until the vocabulary reaches its target size.
+  *
+  * Scale design — the [[Bpe.fit]] collapse: every statistic is a
+  * function of the (token, n) WORD-FREQUENCY table, so the corpus is
+  * touched exactly once; seeding explodes substrings of DISTINCT words
+  * (vocab-scale × maxPieceLen² rows, never corpus-scale), and each EM
+  * round is one vocab-scale segment-explode + hash aggregate. The
+  * model itself (≤ seed size (piece, count) rows) is the only thing
+  * collected — the IVF-centroid bounded-model-data contract.
+  *
+  * Determinism (the engine's frozen-arithmetic discipline applied to a
+  * tokenizer): counts are exact longs; piece log-probabilities freeze
+  * as MICRO-quantized longs via StrictMath.log (bit-identical on every
+  * JVM); the Viterbi decoder sums those longs exactly
+  * ([[UnigramSegmentExpr]]), with the longest-piece-wins tie-break —
+  * so fit → segment → encode reproduces bit-for-bit across runs,
+  * partitionings, and machines. Hard-EM (1-best counts) replaces the
+  * paper's forward–backward expectations — the standard fast variant;
+  * the fixed-point it converges to is spec-pinned, not paper-identical.
+  *
+  * Pruning, stated plainly: ALL single code points ever seeded are
+  * kept for coverage (zero-count singles keep the UNK floor score);
+  * multi-character pieces rank by (count desc, piece asc) and each
+  * round keeps the top 75% until the FINAL round cuts to exactly
+  * `vocabSize − |singles|` (or everything that survived `minCount`,
+  * whichever is smaller). */
+object Unigram {
+
+  /** Substring-candidate seed counts over the word-frequency table:
+    * every code-point window of length 1..maxPieceLen of every distinct
+    * word, weighted by the word's corpus count. Spark `substring` is
+    * code-point based, matching the decoder's boundaries. */
+  def seedCounts(words: DataFrame, maxPieceLen: Int): DataFrame = {
+    val L = length(col("token"))
+    val windows = flatten(transform(sequence(lit(1), L),
+      i => transform(sequence(lit(0), least(lit(maxPieceLen - 1), L - i)),
+        k => col("token").substr(i, k + lit(1)))))
+    words.select(col("n"), explode(windows).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("n")).cast("long").as("cnt"))
+  }
+
+  /** Train: returns the frozen model. `df` → corpus; tokenization is
+    * [[TextAnalysis.tokens]] over [[TextAnalysis.normalized]] text (the
+    * text family's contract, same as BPE). */
+  def fit(df: DataFrame, textCol: String, vocabSize: Int = 400,
+          rounds: Int = 3, maxPieceLen: Int = 6, seedSize: Int = 4000,
+          minCount: Long = 2L, unkMicro: Long = -100000000L): UnigramModel = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(seedSize >= vocabSize,
+      s"seedSize ($seedSize) must be >= vocabSize ($vocabSize)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val words = Bpe.wordFreq(df, textCol).persist(lvl)
+    try {
+      val seed = seedCounts(words, maxPieceLen)
+      def isSingle(p: String): Boolean = p.codePointCount(0, p.length) == 1
+      // singles: every seeded code point (coverage set, kept for life)
+      val singles = seed.filter(length(col("piece")) <= 2)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .filter { case (p, _) => isSingle(p) }
+      val multiTop = seed.filter(length(col("piece")) >= 2)
+        .filter(col("cnt") >= minCount)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(seedSize).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .filter { case (p, _) => !isSingle(p) }
+      def freeze(counts: Seq[(String, Long)]): UnigramModel = {
+        val total = counts.map(_._2).sum.max(1L)
+        UnigramModel(counts.map { case (p, c) =>
+          val micro =
+            if (c <= 0) unkMicro
+            else math.round(StrictMath.log(c.toDouble / total.toDouble) * 1e6)
+          (p, micro)
+        }, unkMicro)
+      }
+      var model = freeze((singles ++ multiTop).distinct)
+      val singleSet = singles.map(_._1).toSet
+      var r = 1
+      while (r <= rounds) {
+        // E: 1-best piece counts over the word table (vocab-scale)
+        val counts = words
+          .select(col("n"),
+            explode(UnigramSegmentExpr.segment(col("token"), model)).as("piece"))
+          .groupBy(col("piece")).agg(sum(col("n")).cast("long").as("cnt"))
+          .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+        // M + prune on the driver (model-scale)
+        val multis = model.pieces.iterator.filter(p => !isSingle(p))
+          .map(p => (p, counts.getOrElse(p, 0L)))
+          .filter { case (_, c) => c >= minCount }
+          .toSeq.sortBy { case (p, c) => (-c, p) }
+        val targetMulti =
+          if (r == rounds) math.max(0, vocabSize - singleSet.size)
+          else math.max(math.max(0, vocabSize - singleSet.size),
+            multis.length * 3 / 4)
+        val keptMulti = multis.take(targetMulti)
+        val keptSingles = singleSet.toSeq.sorted
+          .map(p => (p, counts.getOrElse(p, 0L)))
+        model = freeze(keptSingles ++ keptMulti)
+        r += 1
+      }
+      model
+    } finally { words.unpersist(); () }
+  }
+
+  /** The trained vocabulary as a frame: (rank, piece, cnt-frozen
+    * micro log-prob) ordered by score desc then piece — the committed,
+    * reproducible artifact (rows-only query surface). */
+  def vocabTable(spark: SparkSession, model: UnigramModel): DataFrame = {
+    import spark.implicits._
+    model.pieces.zip(model.scoresMicro).toSeq
+      .sortBy { case (p, m) => (-m, p) }
+      .zipWithIndex
+      .map { case ((p, m), i) => (i + 1L, p, m) }
+      .toDF("rank", "piece", "score_micro")
+  }
+
+  /** Corpus ENCODING statistics under a trained model — the
+    * [[Bpe.encodeStats]] twin, so the two tokenizer families price the
+    * same corpus on the same columns: (doc_id, n_words, n_chars_tok,
+    * n_pieces, chars_per_token). The chained decode is paid once per
+    * DISTINCT word, never per occurrence (the docSurprisal price-join
+    * shape). */
+  def encodeStats(df: DataFrame, idCol: String, textCol: String,
+                  model: UnigramModel): DataFrame = {
+    val toks = filter(
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))),
+      t => length(t) > 0)
+    val tf = df.select(col(idCol).as("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val enc = tf.select(col("w")).distinct()
+      .select(col("w"),
+        UnigramSegmentExpr.segmentCountCol(col("w"), model)
+          .cast("long").as("n_sym"),
+        length(col("w")).cast("long").as("n_ch"))
+    tf.join(enc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("n_ch")).as("n_chars_tok"),
+        sum(col("tf") * col("n_sym")).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_chars_tok"),
+        col("n_pieces"),
+        (col("n_chars_tok").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_token"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Classify, Dedup, Graph, Monitoring, NearDupPipeline, Packing, Relevance, Sampling, Vocab, TextAnalysis => TA}
+import graft.operators.{Bpe, Classify, Dedup, Graph, Monitoring, NearDupPipeline, Packing, Relevance, Sampling, Unigram, Vocab, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Queries #20-#23 and #27-#30 of SURVEY.md §2: text analysis and text
@@ -1425,6 +1425,33 @@ object TextQueries {
       val d = Tables.load(s, dir, "documents")
       Bpe.encodeStats(d, "doc_id", "text",
           Bpe.fit(d, "text", numMerges = 30))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unigram-LM tokenizer trainer (Kudo 2018) — the OTHER production
+    // tokenizer family next to BPE: substring seed → hard-EM Viterbi
+    // rounds → prune to the target vocabulary. Frozen micro log-probs +
+    // exact-integer Viterbi make the committed vocab bit-reproducible
+    // (rows-only — fit is not SQL-expressible; UnigramSpec pins
+    // hand-computed paths, the tie-break, and a hand-computed fit).
+    "q_unigram_vocab" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Unigram.vocabTable(s,
+          Unigram.fit(d, "text", vocabSize = 200, rounds = 2,
+            maxPieceLen = 5, seedSize = 2000))
+        .orderBy(col("rank"))
+    }),
+
+    // The q_bpe_encode twin under the trained unigram vocabulary — the
+    // two families price the same corpus on the same columns, so
+    // q_token_fertility-style comparisons read straight across; the
+    // corpus-level compression and the fertility ratio vs the BPE lane
+    // are floor-pinned in VerifyExtras.
+    "q_unigram_encode" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Unigram.encodeStats(d, "doc_id", "text",
+          Unigram.fit(d, "text", vocabSize = 200, rounds = 2,
+            maxPieceLen = 5, seedSize = 2000))
         .orderBy(col("doc_id"))
     }),
 
