@@ -189,11 +189,12 @@ object VerifyExtras {
         Check("simhash_vs_exact_copies", pairRecall(exactCopyTruth, simhashCand),
           floor = 0.99, exactCopyTruth.length, simhashCand.length),
         // Margin-ordered multi-probe over the wired 6-band lshParamsFor
-        // config measures 0.92 here (0.88 under r13's 4 bands) — the
-        // floor pins usable-retrieval recall so a regression to bare
-        // banding (0.24) fails loudly.
+        // config measures 0.92 at sf0.01 (0.88 under r13's 4 bands) and
+        // 0.895 at sf1 — the floor moved 0.6 → 0.8 with the rewire so a
+        // regression to the dominated 4-band config (let alone bare
+        // banding, 0.24) fails loudly at every full-check scale.
         Check("ann_lsh_vs_brute_force", pairRecall(annTruth, annLsh),
-          floor = 0.6, annTruth.length, annLsh.length),
+          floor = 0.8, annTruth.length, annLsh.length),
         // Static sampled-centroid IVF at nProbe=6 (the q_ann_ivf config):
         // measured 0.68 on the near-random fixture. The floor sits at
         // 0.5 — strictly ABOVE the old nProbe=4 config's measured 0.40
