@@ -65,8 +65,14 @@ object Unigram {
     try {
       val seed = seedCounts(words, maxPieceLen)
       def isSingle(p: String): Boolean = p.codePointCount(0, p.length) == 1
-      // singles: every seeded code point (coverage set, kept for life)
-      val singles = seed.filter(length(col("piece")) <= 2)
+      // singles: every seeded code point (coverage set, kept for life).
+      // Spark's `length` counts CODE POINTS (UTF8String.numChars), so
+      // `=== 1` matches isSingle exactly and bounds the collect to the
+      // alphabet — the previous `<= 2` pre-filter also collected every
+      // character BIGRAM in the corpus (O(alphabet²) rows on a CJK-like
+      // corpus) only to discard them driver-side. isSingle stays as a
+      // belt-and-braces guard on the contract.
+      val singles = seed.filter(length(col("piece")) === 1)
         .collect().map(r => (r.getString(0), r.getLong(1)))
         .filter { case (p, _) => isSingle(p) }
       val multiTop = seed.filter(length(col("piece")) >= 2)

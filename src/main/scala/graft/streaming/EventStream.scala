@@ -105,20 +105,56 @@ object EventStream {
     * its lifecycle. Every named maintainer below is this function plus
     * its operator's census; new monitors whose state is a census fold
     * (counts over (dims, cell) — lang-purity, chi², HHI, KS, …) get
-    * maintenance for free by passing their state builder. */
+    * maintenance for free by passing their state builder.
+    *
+    * `autoCompact` wires the maintenance valve INTO the loop: every
+    * `everyBatches` appended deltas the writer folds the directory via
+    * [[compactCensusState]] — so no maintenance owner has to remember
+    * the compaction schedule and the read cost is bounded by
+    * construction at O(census + everyBatches deltas). A fixed delta
+    * count (not a deltas/census ratio) is deliberate: it bounds the
+    * read amplification directly and costs no extra census count per
+    * batch. Safe inside foreachBatch because compaction is an APPEND
+    * of the folded summary (atomic one-file commit), never a directory
+    * swap — concurrent readers see either the old state or the new,
+    * both correct. The batch counter is in-memory per started query:
+    * after a driver restart compaction re-arms from zero (at worst one
+    * interval later than it would have), never double-folds. */
+  final case class AutoCompact(keyCols: Seq[String], valueCols: Seq[String],
+                               everyBatches: Int = 32) {
+    require(everyBatches >= 1, s"everyBatches must be >= 1, got $everyBatches")
+  }
+
   def maintainCensusState(rows: DataFrame, statePath: String,
                           checkpointPath: String,
                           census: DataFrame => DataFrame,
-                          stampBatchId: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =
+                          stampBatchId: Boolean = true,
+                          autoCompact: Option[AutoCompact] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(autoCompact.isEmpty || stampBatchId,
+      "autoCompact requires stampBatchId=true (set-monoid directories " +
+        "compact as a plain distinct() rewrite, not a batch-id fold)")
+    // Driver-side (foreachBatch bodies run on the driver); one counter
+    // per started query, so two maintainers on different paths never
+    // share a schedule.
+    var sinceCompaction = 0
     rows.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val c = census(batch.toDF())
         (if (stampBatchId) c.withColumn("__batch_id", lit(batchId)) else c)
           .write.mode("append").parquet(statePath)
+        autoCompact.foreach { ac =>
+          sinceCompaction += 1
+          if (sinceCompaction >= ac.everyBatches) {
+            compactCensusState(batch.sparkSession, statePath,
+              ac.keyCols, ac.valueCols)
+            sinceCompaction = 0
+          }
+        }
         ()
       }
       .start()
+  }
 
   /** Current state from a [[maintainCensusState]] directory holding an
     * ADDITIVE census: replay-dedup on (__batch_id, keys), then per-key
@@ -159,12 +195,27 @@ object EventStream {
         valueCols.tail.map(c => sum(c).as(c)): _*)
   }
 
-  /** Rewrite a [[maintainCensusState]] delta directory as its fold — the
-    * maintenance valve that keeps [[readCensusState]]'s scan at
+  /** Fold a [[maintainCensusState]] delta directory down to its summary —
+    * the maintenance valve that keeps [[readCensusState]]'s scan at
     * O(census) instead of O(batches × census) as ingest batches
     * accumulate. The folded summary is stamped `__batch_id` =
-    * `__compacted_through` = W (the highest batch id folded), staged to
-    * a sibling directory, and swapped in via two renames; returns W.
+    * `__compacted_through` = W (the highest batch id folded) and
+    * APPENDED to the directory as ONE file (`coalesce(1)` — the commit
+    * is a single atomic rename, and a census is model-scale by the
+    * family's contract, so one file is the right physical shape
+    * anyway); superseded files are then garbage-collected as a separate
+    * optional step ([[gcCensusState]]). Returns W.
+    *
+    * Why append-first instead of a staged directory swap (the previous
+    * design): [[readCensusState]] already scopes every read to the
+    * LATEST summary plus newer deltas, so the appended summary is
+    * read-correct the instant it commits — there is NO window where the
+    * state directory doesn't exist (a swap's rename gap failed
+    * concurrent readers), and a concurrent foreachBatch append can
+    * never recreate the destination mid-swap and have the rename nest
+    * the tmp directory inside it. Quiescence is NOT required; the
+    * at-worst outcome of racing writers/readers is reading the
+    * pre-compaction state, which folds to the same census.
     *
     * Correctness across the rewrite: fold-after ≡ fold-before by
     * construction (the summary IS the fold, and [[readCensusState]]
@@ -174,41 +225,72 @@ object EventStream {
     * can never arrive with an id ≤ W; only replays can, and those are
     * exactly the rows that must be ignored. Compaction composes: a
     * later compaction folds the previous summary with newer deltas into
-    * a higher-W summary.
+    * a higher-W summary; re-compacting with no new deltas is a no-op
+    * (the W summary already exists — nothing is appended twice).
     *
-    * Scheduling is caller-owned, like the maintainer queries: run it
-    * from the maintenance owner between micro-batches (foreachBatch
-    * writers are paused between triggers; the swap is two metadata
-    * renames on HDFS-like filesystems — object stores without atomic
-    * rename should quiesce readers for the swap instant). Set-monoid
-    * directories (`stampBatchId = false`) don't need this machinery:
-    * their compaction is a plain `.distinct()` rewrite, idempotent
-    * under replay by definition. */
+    * Scheduling: pass [[AutoCompact]] to [[maintainCensusState]] for
+    * the in-loop policy, or run this from the maintenance owner on its
+    * own schedule. Set-monoid directories (`stampBatchId = false`)
+    * don't need this machinery: their compaction is a plain
+    * `.distinct()` rewrite, idempotent under replay by definition. */
   def compactCensusState(spark: SparkSession, statePath: String,
-                         keyCols: Seq[String],
-                         valueCols: Seq[String]): Long = {
+                         keyCols: Seq[String], valueCols: Seq[String],
+                         gc: Boolean = true): Long = {
     val raw = spark.read.option("mergeSchema", "true").parquet(statePath)
-    val wExpr =
-      if (raw.columns.contains("__compacted_through"))
-        greatest(max(col("__batch_id")), max(col("__compacted_through")))
-      else max(col("__batch_id"))
-    val wRow = raw.agg(wExpr).head()
+    val hasStamp = raw.columns.contains("__compacted_through")
+    val wRow = raw.agg(
+      max(col("__batch_id")),
+      if (hasStamp) max(col("__compacted_through"))
+      else max(lit(null).cast("long"))).head()
     require(!wRow.isNullAt(0), s"cannot compact empty census state at $statePath")
-    val w = wRow.getLong(0)
-    val folded = readCensusState(spark, statePath, keyCols, valueCols)
-      .withColumn("__batch_id", lit(w))
-      .withColumn("__compacted_through", lit(w))
-    val base = statePath.stripSuffix("/")
-    val tmp = base + "__compact_tmp"
-    folded.write.mode("overwrite").parquet(tmp)
-    val dst = new org.apache.hadoop.fs.Path(base)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(base + "__compact_old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(dst, old) || !fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
-      throw new java.io.IOException(s"compaction swap failed for $statePath")
-    fs.delete(old, true)
+    val w = wRow.getLong(0).max(if (wRow.isNullAt(1)) Long.MinValue else wRow.getLong(1))
+    val alreadyThrough = !wRow.isNullAt(1) && wRow.getLong(1) == w
+    if (!alreadyThrough) {
+      val folded = readCensusState(spark, statePath, keyCols, valueCols)
+        .withColumn("__batch_id", lit(w))
+        .withColumn("__compacted_through", lit(w))
+      folded.coalesce(1).write.mode("append").parquet(statePath)
+    }
+    if (gc) { gcCensusState(spark, statePath); () }
     w
+  }
+
+  /** Garbage-collect files a compaction superseded: every file whose
+    * rows are ALL folded into the latest summary (newest `__batch_id`
+    * ≤ W and not itself part of the W summary) is deleted — old delta
+    * files, old summaries, and post-compaction REPLAYS of
+    * pre-compaction batches (whose rows [[readCensusState]] already
+    * ignores). One summary-scale pass groups rows by
+    * `input_file_name`; deletion is best-effort per file (a reader
+    * mid-scan on a snapshot listing keeps its view — the
+    * NearDupPipeline caveat; the rows were semantically dead either
+    * way). No-op on never-compacted directories. Returns the number of
+    * files removed. Separable from [[compactCensusState]] so an
+    * object-store deployment can defer it to a quiet window while the
+    * summary append stays hot-path. */
+  def gcCensusState(spark: SparkSession, statePath: String): Int = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(statePath)
+    if (!raw.columns.contains("__compacted_through")) return 0
+    val wRow = raw.agg(max(col("__compacted_through"))).head()
+    if (wRow.isNullAt(0)) return 0
+    val w = wRow.getLong(0)
+    val perFile = raw
+      .groupBy(input_file_name().as("__file"))
+      .agg(max(col("__batch_id")).as("__max_b"),
+        max(col("__compacted_through")).as("__max_c"))
+      .collect()
+    val dead = perFile.filter { r =>
+      !r.isNullAt(1) && r.getLong(1) <= w &&
+        (r.isNullAt(2) || r.getLong(2) < w)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    var removed = 0
+    dead.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+      val fs = p.getFileSystem(conf)
+      if (fs.delete(p, false)) removed += 1
+    }
+    removed
   }
 
   /** Continuous partition-checksum maintenance — the streaming half of

@@ -949,6 +949,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows().select("__batch_id").distinct().count() == 1)
   }
 
+  test("maintainCensusState autoCompact: compaction fires mid-stream; folds identical before/after; gc bounds the file count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-autoc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-autoc-ck").toString
+    val fp = graft.operators.TextAnalysis.docFingerprint(col("text"))
+    val keys = Seq("source", "fp"); val vals = Seq("n")
+    // everyBatches = 2: the policy must fire INSIDE the stream, twice
+    // over four batches, with no maintenance owner in sight.
+    val q = EventStream.maintainCensusState(
+      src.toDS().toDF("doc_id", "text", "source"), stateDir, ckpt,
+      b => graft.operators.Monitoring.dupRateState(b, "source", fp),
+      autoCompact = Some(EventStream.AutoCompact(keys, vals, everyBatches = 2)))
+    val batches = Seq(
+      Seq((1L, "same text", "a"), (2L, "other a", "a")),
+      Seq((3L, "only b", "b"), (4L, "same text", "b")),
+      Seq((5L, "more b", "b"), (6L, "same text", "a")),
+      Seq((7L, "other a", "a")))
+    def report() =
+      graft.operators.Monitoring.dupRateFromState(
+          EventStream.readDupRateState(spark, stateDir))
+        .orderBy($"source").collect().map(_.toSeq).toSeq
+    def recompute(upTo: Int) =
+      graft.operators.Monitoring.dupRateFromState(
+          graft.operators.Monitoring.dupRateState(
+            batches.take(upTo).flatten.toDF("doc_id", "text", "source"),
+            "source", fp))
+        .orderBy($"source").collect().map(_.toSeq).toSeq
+    try {
+      src.addData(batches(0): _*); q.processAllAvailable()
+      src.addData(batches(1): _*); q.processAllAvailable()
+      // after batch 1 (the 2nd append) the policy fired: the directory
+      // holds a W=1 summary and the read folds to the same census
+      val st2 = spark.read.option("mergeSchema", "true").parquet(stateDir)
+      assert(st2.columns.contains("__compacted_through"),
+        "autoCompact did not fire after everyBatches appends")
+      val w2 = st2.agg(max($"__compacted_through")).head().getLong(0)
+      assert(w2 == 1L)
+      assert(report() == recompute(2))
+      src.addData(batches(2): _*); q.processAllAvailable()
+      // batch 2 is a fresh delta on top of the summary — still correct
+      assert(report() == recompute(3))
+      src.addData(batches(3): _*); q.processAllAvailable()
+      // 2nd firing: compacted through batch 3, gc'd down to one summary
+      val st4 = spark.read.option("mergeSchema", "true").parquet(stateDir)
+      assert(st4.agg(max($"__compacted_through")).head().getLong(0) == 3L)
+      assert(st4.select("__batch_id").distinct().count() == 1)
+      assert(report() == recompute(4))
+    } finally q.stop()
+    // the read cost is bounded by construction: after gc only the
+    // summary file(s) remain (no delta since the last firing)
+    val files = new java.io.File(stateDir).listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"expected 1 summary file, got ${files.length}")
+  }
+
+  test("compactCensusState: append-first summary is read-correct with no directory swap; re-compaction without new deltas is a no-op") {
+    // Build a small uncompacted directory by hand (batch-stamped deltas)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-appf").toString
+    val keys = Seq("k"); val vals = Seq("n")
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+      .withColumn("__batch_id", lit(0L)).write.mode("append").parquet(stateDir)
+    Seq(("a", 3L)).toDF("k", "n")
+      .withColumn("__batch_id", lit(1L)).write.mode("append").parquet(stateDir)
+    def fold() = EventStream.readCensusState(spark, stateDir, keys, vals)
+      .orderBy($"k").collect().map(_.toSeq).toSeq
+    val before = fold()
+    // gc=false: the summary is appended but superseded deltas remain —
+    // the read must ALREADY be correct (the summary wins by stamp), so
+    // a reader racing the later gc step never sees a gap
+    val w = EventStream.compactCensusState(spark, stateDir, keys, vals, gc = false)
+    assert(w == 1L)
+    assert(fold() == before)
+    val nFilesPreGc = new java.io.File(stateDir).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFilesPreGc >= 3, "superseded deltas should still be present pre-gc")
+    // second compaction with no new deltas: nothing new appended
+    val w2 = EventStream.compactCensusState(spark, stateDir, keys, vals, gc = false)
+    assert(w2 == 1L)
+    assert(new java.io.File(stateDir).listFiles
+      .count(_.getName.endsWith(".parquet")) == nFilesPreGc)
+    // explicit gc: deltas + nothing else removed; fold unchanged
+    val removed = EventStream.gcCensusState(spark, stateDir)
+    assert(removed >= 2)
+    assert(fold() == before)
+    assert(new java.io.File(stateDir).listFiles
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // gc on a never-compacted directory is a no-op
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-appf2").toString
+    Seq(("a", 1L)).toDF("k", "n")
+      .withColumn("__batch_id", lit(0L)).write.mode("append").parquet(plainDir)
+    assert(EventStream.gcCensusState(spark, plainDir) == 0)
+  }
+
   test("maintainDoremiState: weights off folded census equal the one-shot operator; replays dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
