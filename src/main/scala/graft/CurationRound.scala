@@ -78,9 +78,12 @@ object CurationRound {
   final case class Result(funnel: DataFrame, curated: DataFrame,
                           packed: DataFrame, packStats: DataFrame,
                           private[graft] val pinned: Seq[DataFrame]) {
-    /** Release the stage frames this round persisted. Materialize (or
-      * checkpoint) `curated`/`packed` first — their lineages rebuild
-      * through the dropped caches afterwards. */
+    /** Release the stage frames this round persisted. SAFE BY
+      * CONSTRUCTION: every returned frame is driver-backed (`funnel`)
+      * or reads the materialized final-survivor table (`curated`,
+      * `packed`, `packStats` — parquet, immune to cache drops), so all
+      * four stay consumable afterwards; only the intermediate stage
+      * caches are freed. */
     def unpersist(): Unit = pinned.foreach(_.unpersist())
   }
 
@@ -92,85 +95,166 @@ object CurationRound {
     StructField("doc_retention", DoubleType, nullable = false),
     StructField("token_retention", DoubleType, nullable = false)))
 
-  /** Run the chain. `corpus` needs (idCol, strataCol, textCol);
-    * `bench` needs (idCol, textCol) — the benchmark suite
-    * decontamination protects.
-    *
-    * Stage boundaries MATERIALIZE via localCheckpoint (cache + logical
-    * lineage cut), not plain persist: each stage's analyzed plan embeds
-    * every upstream stage's tree, and with the gate signal bundles
-    * inlined per reference the tree size compounds MULTIPLICATIVELY
-    * across six stages — measured at sf0.01, analyzer cost alone took
-    * the chain to ~35 s on a 739-row corpus (a tiny anti join of two
-    * cached id frames cost 7.6 s of plan processing); truncation
-    * returns the chain to data-proportional cost. The price is
-    * recompute-on-executor-loss within the round — a production 100 TB
-    * run would swap the truncation points for reliable staging tables
-    * (same seams, same semantics). */
+  /** Where a run's stage frames land between stages. */
+  private sealed trait Seams {
+    /** Materialize a stage frame; `compute` is skipped when the seam
+      * can serve the stage from storage (resume). */
+    def seam(stageName: String, compute: () => DataFrame): DataFrame
+    /** Frames [[Result.unpersist]] must release (cache seams only). */
+    def pinned: Seq[DataFrame]
+    /** One-row frames (the gate census) — storage seams persist these
+      * too so a resumed run skips even the corpus gate scan. */
+    def tinySeam(stageName: String, compute: () => DataFrame): DataFrame
+  }
+
+  /** The in-session default: localCheckpoint (cache + logical lineage
+    * cut), not plain persist — each stage's analyzed plan embeds every
+    * upstream stage's tree, and with the gate signal bundles inlined
+    * the tree size compounds MULTIPLICATIVELY across six stages
+    * (measured at sf0.01: analyzer cost alone took the chain to ~35 s
+    * on a 739-row corpus; truncation returns it to data-proportional
+    * cost). The price is recompute-on-executor-loss within the round. */
+  private final class CacheSeams extends Seams {
+    private var frames = List.empty[DataFrame]
+    def seam(stageName: String, compute: () => DataFrame): DataFrame = {
+      val f = compute().localCheckpoint()
+      frames = f :: frames
+      f
+    }
+    def tinySeam(stageName: String, compute: () => DataFrame): DataFrame =
+      compute()
+    def pinned: Seq[DataFrame] = frames.reverse
+  }
+
+  /** The production seam: every stage frame is a RELIABLE STAGING
+    * TABLE (parquet under `root/<stage>`), the shape a 100 TB run uses
+    * so stages survive executor AND driver loss. A stage directory
+    * already carrying a `_SUCCESS` marker is read instead of
+    * recomputed — re-running a failed chain RESUMES from the last
+    * completed stage (same seams, same semantics as the cache run;
+    * CurationRoundSpec proves frame-for-frame equality). Stale staging
+    * from an older corpus is the caller's contract to clear, exactly
+    * like the census-state and NearDupPipeline staleness rules. */
+  private final class StorageSeams(spark: SparkSession, root: String) extends Seams {
+    private def path(stageName: String) =
+      root.stripSuffix("/") + "/" + stageName
+    private def done(p: String): Boolean = {
+      val sp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sp)
+    }
+    def seam(stageName: String, compute: () => DataFrame): DataFrame = {
+      val p = path(stageName)
+      if (!done(p)) compute().write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    def tinySeam(stageName: String, compute: () => DataFrame): DataFrame =
+      seam(stageName, () => compute().coalesce(1))
+    def pinned: Seq[DataFrame] = Nil
+  }
+
+  /** Run the chain with in-session cache seams (see [[CacheSeams]]). */
   def run(spark: SparkSession, corpus: DataFrame, bench: DataFrame,
-          cfg: Config): Result = {
+          cfg: Config): Result =
+    runSeamed(spark, corpus, bench, cfg, new CacheSeams)
+
+  /** Run the chain with RELIABLE staging-table seams under
+    * `stagingPath` (see [[StorageSeams]]): each stage writes
+    * `stagingPath/<stage>` parquet, and a re-run resumes from the last
+    * stage whose directory committed. Output is frame-for-frame equal
+    * to [[run]]'s. */
+  def runStaged(spark: SparkSession, corpus: DataFrame, bench: DataFrame,
+                cfg: Config, stagingPath: String): Result =
+    runSeamed(spark, corpus, bench, cfg, new StorageSeams(spark, stagingPath))
+
+  /** The chain body. `corpus` needs (idCol, strataCol, textCol);
+    * `bench` needs (idCol, textCol) — the benchmark suite
+    * decontamination protects. Stage boundaries materialize through
+    * `seams`; the FINAL survivor frame additionally lands in parquet
+    * in every mode (see the [[Result.unpersist]] contract). */
+  private def runSeamed(spark: SparkSession, corpus: DataFrame,
+                        bench: DataFrame, cfg: Config,
+                        seams: Seams): Result = {
     val id = col(cfg.idCol)
     val nTok = TextAnalysis.wsTokenCount(col(cfg.textCol)).cast("long")
     val base = corpus.select(id, col(cfg.strataCol), col(cfg.textCol),
       nTok.as("__n_tokens"))
 
     // Stages 0-2 ride ONE scan (the filterFunnel discipline): total,
-    // after the C4 page verdict, after C4 && Gopher.
+    // after the C4 page verdict, after C4 && Gopher. The census is a
+    // tiny seam so a staged resume skips even this corpus scan.
     val c4p = TextAnalysis.c4Signals(col(cfg.textCol), cfg.c4MinSentences).pass
     val gop = TextAnalysis.gopherSignals(col(cfg.textCol), cfg.gopherStops).pass
-    val g = base.agg(
-      count(lit(1)).as("d0"), sum(col("__n_tokens")).as("t0"),
+    val g = seams.tinySeam("s0_gate_census", () => base.agg(
+      count(lit(1)).as("d0"),
+      coalesce(sum(col("__n_tokens")), lit(0L)).as("t0"),
       count(when(c4p, 1)).as("d1"),
-      sum(when(c4p, col("__n_tokens"))).as("t1"),
+      coalesce(sum(when(c4p, col("__n_tokens"))), lit(0L)).as("t1"),
       count(when(c4p && gop, 1)).as("d2"),
-      sum(when(c4p && gop, col("__n_tokens"))).as("t2")).head()
+      coalesce(sum(when(c4p && gop, col("__n_tokens"))), lit(0L)).as("t2")))
+      .head()
     def lng(r: Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
 
     // The gated working set — every dedup stage scans it; text
     // materializes HERE once instead of re-deriving the signal bundles
     // per stage (and the signal trees leave every downstream plan).
-    val gated = base.filter(c4p && gop).localCheckpoint()
+    val gated = seams.seam("s2_gated", () => base.filter(c4p && gop))
 
     // Stage 3 — exact dedup: min id per fingerprint keeps; null
     // fingerprints pass through (the exactGroups contract).
-    val fps = gated.select(id,
-      TextAnalysis.docFingerprint(col(cfg.textCol)).as("__fp"))
-    val exactIds = fps.filter(col("__fp").isNotNull)
-      .groupBy(col("__fp")).agg(min(id).as(cfg.idCol))
-      .select(id)
-      .unionByName(fps.filter(col("__fp").isNull).select(id))
-      .localCheckpoint()
+    val exactIds = seams.seam("s3_exact_ids", () => {
+      val fps = gated.select(id,
+        TextAnalysis.docFingerprint(col(cfg.textCol)).as("__fp"))
+      fps.filter(col("__fp").isNotNull)
+        .groupBy(col("__fp")).agg(min(id).as(cfg.idCol))
+        .select(id)
+        .unionByName(fps.filter(col("__fp").isNull).select(id))
+    })
     val s3 = gated.join(exactIds, Seq(cfg.idCol), "left_semi")
 
     // Stage 4 — near dedup: pair candidates over exact survivors, then
     // the canonical keep/drop verdicts; docs in no pair survive free.
-    val pairs = Dedup.ngramJaccardPairs(s3, cfg.idCol, cfg.textCol,
-      cfg.jaccardN, cfg.jaccardMinJaccard, cfg.jaccardDfCap)
-    val verdicts = Dedup.canonicalKeepList(pairs,
-      s3.select(id, length(col(cfg.textCol)).cast("long").as("__q")),
-      cfg.idCol, "__q")
-    val nearIds = exactIds.join(
+    val nearIds = seams.seam("s4_near_ids", () => {
+      val pairs = Dedup.ngramJaccardPairs(s3, cfg.idCol, cfg.textCol,
+        cfg.jaccardN, cfg.jaccardMinJaccard, cfg.jaccardDfCap)
+      val verdicts = Dedup.canonicalKeepList(pairs,
+        s3.select(id, length(col(cfg.textCol)).cast("long").as("__q")),
+        cfg.idCol, "__q")
+      exactIds.join(
         verdicts.filter(!col("is_canonical"))
           .select(col("doc_id").as(cfg.idCol)),
         Seq(cfg.idCol), "left_anti")
-      .localCheckpoint()
+    })
     val s4 = gated.join(nearIds, Seq(cfg.idCol), "left_semi")
 
     // Stage 5 — decontamination: any benchmark overlap hit drops.
-    val contamIds = Dedup.contaminationPairs(s4, bench, cfg.idCol,
-        cfg.textCol, cfg.contamN, cfg.contamMinOverlap,
-        cfg.contamBenchDfCap)
-      .select(col("doc_id").as(cfg.idCol)).distinct()
-    val cleanIds = nearIds.join(contamIds, Seq(cfg.idCol), "left_anti")
-      .localCheckpoint()
+    val cleanIds = seams.seam("s5_clean_ids", () => {
+      val contamIds = Dedup.contaminationPairs(s4, bench, cfg.idCol,
+          cfg.textCol, cfg.contamN, cfg.contamMinOverlap,
+          cfg.contamBenchDfCap)
+        .select(col("doc_id").as(cfg.idCol)).distinct()
+      nearIds.join(contamIds, Seq(cfg.idCol), "left_anti")
+    })
     val s5 = gated.join(cleanIds, Seq(cfg.idCol), "left_semi")
 
-    // Stage 6 — mixture rebalance on the survivors' token mass.
-    val mixed = Sampling.mixtureRebalance(
-        s5.select(id, col(cfg.strataCol), col("__n_tokens")),
-        cfg.idCol, cfg.strataCol, col("__n_tokens"), cfg.mixTargets,
-        cfg.salt)
-      .localCheckpoint()
+    // Stage 6 — mixture rebalance on the survivors' token mass. The
+    // final survivor frame ALWAYS lands in parquet (a per-process temp
+    // table when no staging path was given — the NearDupPipeline
+    // materialization convention): it is the one frame every returned
+    // output reads, so backing it with storage instead of a cache
+    // makes Result.unpersist / clearCache safe by construction, and it
+    // is id-scale (id, stratum, token count — never text), so the
+    // write is noise next to the chain it concludes.
+    val mixedPlan = () => Sampling.mixtureRebalance(
+      s5.select(id, col(cfg.strataCol), col("__n_tokens")),
+      cfg.idCol, cfg.strataCol, col("__n_tokens"), cfg.mixTargets,
+      cfg.salt)
+    val mixed = seams match {
+      case ss: StorageSeams => ss.seam("s6_mixed_ids", mixedPlan)
+      case _ =>
+        val p = tempTableDir(spark)
+        mixedPlan().write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+    }
 
     // Funnel counts: stage frames are id-scale and persisted, so each
     // count is one bounded aggregate, not a chain recomputation.
@@ -205,7 +289,78 @@ object CurationRound {
     val stats = Packing.packStats(
       mixed.select(id, col("__n_tokens").as("n_tokens")),
       cfg.idCol, "n_tokens", cfg.packMaxTokens)
-    Result(funnel, curated, packed, stats,
-      Seq(gated, exactIds, nearIds, cleanIds, mixed))
+    Result(funnel, curated, packed, stats, seams.pinned)
   }
+
+  // ---- final-survivor temp tables (cache-seam mode) -----------------
+  // Per-process root + counter, the NearDupPipeline path convention:
+  // two JVMs curating concurrently never collide, and a process-wide
+  // counter keeps every run on a fresh path. Files are deleted when the
+  // owning session's application ends.
+  private val pathSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val livePaths =
+    scala.collection.mutable.Map.empty[org.apache.spark.SparkContext,
+      scala.collection.mutable.Buffer[String]]
+
+  private def tempTableDir(spark: SparkSession): String = {
+    val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_curation_" + ProcessHandle.current().pid() + "_" +
+        pathSeq.incrementAndGet()).getPath
+    val sc = spark.sparkContext
+    livePaths.synchronized {
+      if (!livePaths.contains(sc)) {
+        livePaths.update(sc, scala.collection.mutable.Buffer.empty)
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            livePaths.synchronized {
+              livePaths.remove(sc).toSeq.flatten
+                .foreach(d => deleteRecursively(new java.io.File(d)))
+            }
+        })
+      }
+      livePaths(sc) += p
+    }
+    p
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  // ---- cross-query memo ---------------------------------------------
+  // The NearDupPipeline `_build` economy applied to the whole chain:
+  // five/two consumers of one expensive composed artifact must not each
+  // re-run it. The memo'd Result is clearCache-immune by construction
+  // (funnel driver-backed, everything else parquet-rooted), and its
+  // stage caches are released eagerly inside the build. Staleness
+  // contract as everywhere: per (session, corpusKey, cfg), does NOT
+  // watch the data — new round over changed data calls invalidate/
+  // invalidateAll first (the bench does so at every pass boundary).
+  private val memo = scala.collection.mutable.Map
+    .empty[(SparkSession, String, Config), Result]
+
+  /** The chain's Result for (`corpusKey`, `cfg`), built at most once
+    * per session: first caller runs the chain (and releases its stage
+    * caches — the returned frames don't need them); later callers get
+    * the same Result. Synchronized like the metricsTable memo: two
+    * concurrent first callers must not both run the chain. */
+  def memoized(spark: SparkSession, corpusKey: String, corpus: => DataFrame,
+               bench: => DataFrame, cfg: Config): Result =
+    memo.synchronized {
+      memo.getOrElseUpdate((spark, corpusKey, cfg), {
+        val r = run(spark, corpus, bench, cfg)
+        r.unpersist()
+        r
+      })
+    }
+
+  /** Drop every memo owned by `s` — pass-boundary hook for the bench.
+    * Backing temp tables stay until application end (a consumer may
+    * hold a returned frame); they are id-scale files. */
+  def invalidateAll(s: SparkSession): Unit =
+    memo.synchronized {
+      memo.filterInPlace { case ((sess, _, _), _) => sess ne s }; ()
+    }
 }

@@ -213,6 +213,21 @@ object TextQueries {
     ()
   }
 
+  /** The memo'd end-to-end curation chain for a corpus dir — shared by
+    * q_curation_round (funnel) and q_curation_pack (packing census). */
+  private def curationResult(s: SparkSession, dir: String): graft.CurationRound.Result =
+    graft.CurationRound.memoized(s, dir, curationCorpus(s, dir),
+      benchCorpus(s, dir), curationConfig)
+
+  /** Bench hook, curation-family twin of [[buildNearDupPairs]]: run the
+    * six-stage chain once so q_curation_round / q_curation_pack report
+    * their post-build (read-the-artifact) cost and the chain itself is
+    * priced as its own `_curation_chain_build` row. */
+  def buildCurationChain(s: SparkSession, dir: String): Unit = {
+    curationResult(s, dir)
+    ()
+  }
+
   /** Stand-in eval suite for decontamination: the %7 documents (exactly
     * the ids dupCorpus duplicates at +100000 — known leaked rows). */
   def benchCorpus(s: SparkSession, dir: String): DataFrame =
@@ -1364,22 +1379,20 @@ object TextQueries {
     // mixture rebalance, one funnel row per stage. Counts are exact
     // longs (retentions one IEEE division each), so the COMPOSITION
     // itself is oracle-verified — the SQL twin chains the standalone
-    // stages' own oracle fragments. The funnel is driver-backed once
-    // computed, so the round's pinned stage frames release immediately.
-    "q_curation_round" -> ((s, dir) => {
-      val r = graft.CurationRound.run(s, curationCorpus(s, dir),
-        benchCorpus(s, dir), curationConfig)
-      // the funnel is driver-backed (counts were collected in run()),
-      // so the stage caches can release before the result is consumed
-      r.unpersist()
-      r.funnel.orderBy(col("stage_ord"))
-    }),
+    // stages' own oracle fragments. The chain is built at most once per
+    // (session, corpus) via CurationRound.memoized — the NearDupPipeline
+    // `_build` economy: this query reads the funnel, q_curation_pack the
+    // packing census, and the bench prices the build as its own
+    // `_curation_chain_build` row. Stage caches release inside the
+    // build; the memo'd Result is clearCache-immune by construction.
+    "q_curation_round" -> ((s, dir) =>
+      curationResult(s, dir).funnel.orderBy(col("stage_ord"))),
 
     // The packing census over the SAME composed survivor set — the
     // chain's final artifact priced (q_pack_stats on the curated docs).
-    "q_curation_pack" -> ((s, dir) =>
-      graft.CurationRound.run(s, curationCorpus(s, dir), benchCorpus(s, dir),
-        curationConfig).packStats),
+    // Reads the memo'd chain; no second end-to-end run, no leaked
+    // stage caches.
+    "q_curation_pack" -> ((s, dir) => curationResult(s, dir).packStats),
 
     // Flesch reading-ease under exact integer counts (sentence runs,
     // ws-split words, vowel-group syllable proxy) — the score is a fixed

@@ -106,6 +106,96 @@ class CurationRoundSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("unpersist is safe by construction: every returned frame consumable after release + clearCache") {
+    val cfg = TextQueries.curationConfig
+    val corpus = TextQueries.curationCorpus(spark, TestSpark.Sf0001)
+    val bench = TextQueries.benchCorpus(spark, TestSpark.Sf0001)
+    val r = CurationRound.run(spark, corpus, bench, cfg)
+    val funnelBefore = r.funnel.orderBy($"stage_ord").collect().map(_.toSeq).toSeq
+    val curatedBefore = ids(r.curated)
+    // release the stage caches FIRST, then consume everything — the
+    // old design raised block-not-found on curated/packed here
+    r.unpersist()
+    spark.catalog.clearCache() // the bench harness's between-queries move
+    assert(r.funnel.orderBy($"stage_ord").collect().map(_.toSeq).toSeq
+      == funnelBefore)
+    assert(ids(r.curated) == curatedBefore)
+    assert(r.packed.count() > 0)
+    val st = r.packStats.head()
+    assert(st.getAs[Long]("n_docs") == curatedBefore.size)
+    // double unpersist is harmless
+    r.unpersist()
+  }
+
+  test("memoized builds the chain once per (session, corpus); invalidateAll forces a rebuild") {
+    CurationRound.invalidateAll(spark)
+    val cfg = TextQueries.curationConfig
+    var builds = 0
+    def corpus = { builds += 1; TextQueries.curationCorpus(spark, TestSpark.Sf0001) }
+    val bench = TextQueries.benchCorpus(spark, TestSpark.Sf0001)
+    val r1 = CurationRound.memoized(spark, "memo-spec", corpus, bench, cfg)
+    val r2 = CurationRound.memoized(spark, "memo-spec", corpus, bench, cfg)
+    assert(builds == 1, "second call must serve the memo, not re-run the chain")
+    assert(r2 eq r1)
+    // memo'd frames survive cache drops (parquet/driver-rooted)
+    spark.catalog.clearCache()
+    assert(r1.funnel.count() == 7)
+    assert(r1.packStats.head().getAs[Long]("n_docs") == ids(r1.curated).size)
+    CurationRound.invalidateAll(spark)
+    val r3 = CurationRound.memoized(spark, "memo-spec", corpus, bench, cfg)
+    assert(builds == 2 && !(r3 eq r1))
+    assert(ids(r3.curated) == ids(r1.curated))
+    CurationRound.invalidateAll(spark)
+  }
+
+  test("runStaged: staging-table seams produce frame-for-frame the cache-seam output; a re-run resumes from storage") {
+    val cfg = TextQueries.curationConfig
+    val corpus = TextQueries.curationCorpus(spark, TestSpark.Sf0001)
+    val bench = TextQueries.benchCorpus(spark, TestSpark.Sf0001)
+    val staging = java.nio.file.Files.createTempDirectory("graft-cur-stage").toString
+
+    val cached = CurationRound.run(spark, corpus, bench, cfg)
+    val staged = CurationRound.runStaged(spark, corpus, bench, cfg, staging)
+    // seam-for-seam equality of the outputs
+    assert(staged.funnel.orderBy($"stage_ord").collect().map(_.toSeq).toSeq
+      == cached.funnel.orderBy($"stage_ord").collect().map(_.toSeq).toSeq)
+    assert(ids(staged.curated) == ids(cached.curated))
+    assert(staged.packed.orderBy($"doc_id").collect().map(_.toSeq).toSeq
+      == cached.packed.orderBy($"doc_id").collect().map(_.toSeq).toSeq)
+    assert(staged.packStats.head().toSeq == cached.packStats.head().toSeq)
+    cached.unpersist()
+    // every stage committed a reliable table
+    val stages = Seq("s0_gate_census", "s2_gated", "s3_exact_ids",
+      "s4_near_ids", "s5_clean_ids", "s6_mixed_ids")
+    stages.foreach { s =>
+      assert(new java.io.File(staging, s + "/_SUCCESS").exists(), s)
+    }
+
+    // RESUME: re-run against a poisoned corpus — every stage is already
+    // staged, so nothing recomputes and the output matches the ORIGINAL
+    // data (proof the seams read storage, not lineage)
+    val poisoned = corpus.limit(0)
+    val resumed = CurationRound.runStaged(spark, poisoned, bench, cfg, staging)
+    assert(resumed.funnel.orderBy($"stage_ord").collect().map(_.toSeq).toSeq
+      == staged.funnel.orderBy($"stage_ord").collect().map(_.toSeq).toSeq)
+    assert(resumed.packed.orderBy($"doc_id").collect().map(_.toSeq).toSeq
+      == staged.packed.orderBy($"doc_id").collect().map(_.toSeq).toSeq,
+      "resume must rebuild the packed artifact from the staged survivors")
+
+    // RESUME FROM A FAILED STAGE: drop the final stage's table — the
+    // re-run recomputes ONLY it, from the staged stage-5 survivors
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(staging, "s6_mixed_ids"))
+    val resumed2 = CurationRound.runStaged(spark, poisoned, bench, cfg, staging)
+    assert(resumed2.funnel.orderBy($"stage_ord").collect().map(_.toSeq).toSeq
+      == staged.funnel.orderBy($"stage_ord").collect().map(_.toSeq).toSeq)
+    assert(new java.io.File(staging, "s6_mixed_ids/_SUCCESS").exists())
+    deleteRec(new java.io.File(staging))
+  }
+
   test("curation funnel on an empty corpus reports zeros, not NaNs") {
     val cfg = TextQueries.curationConfig
     val empty = Seq.empty[(Long, String, String)]
