@@ -90,21 +90,26 @@ object Bench {
       "q_dedup_threshold_curve")
     val spanFamily = Set("q_span_dedup", "q_span_strike")
     val curationFamily = Set("q_curation_round", "q_curation_pack")
+    val unigramFamily = Set("q_unigram_vocab", "q_unigram_encode")
     val builds: Seq[(String, () => Unit)] =
       (if (names.exists(nearDupFamily)) Seq("_neardup_pairs_build" ->
         (() => graft.queries.TextQueries.buildNearDupPairs(spark, sfDir))) else Nil) ++
       (if (names.exists(spanFamily)) Seq("_span_census_build" ->
         (() => graft.queries.TextQueries.buildSpanCensus(spark, sfDir))) else Nil) ++
       (if (names.exists(curationFamily)) Seq("_curation_chain_build" ->
-        (() => graft.queries.TextQueries.buildCurationChain(spark, sfDir))) else Nil)
+        (() => graft.queries.TextQueries.buildCurationChain(spark, sfDir))) else Nil) ++
+      (if (names.exists(unigramFamily)) Seq("_unigram_fit_build" ->
+        (() => graft.queries.TextQueries.buildUnigramFit(spark, sfDir))) else Nil)
     val familyOf: Map[String, Set[String]] = Map(
       "_neardup_pairs_build" -> nearDupFamily,
       "_span_census_build" -> spanFamily,
-      "_curation_chain_build" -> curationFamily)
+      "_curation_chain_build" -> curationFamily,
+      "_unigram_fit_build" -> unigramFamily)
     def pass(): Map[String, Option[Double]] = {
       graft.operators.NearDupPipeline.invalidateAll(spark)
       graft.operators.SpanPipeline.invalidateAll(spark)
       graft.CurationRound.invalidateAll(spark)
+      graft.operators.Unigram.invalidateAll(spark)
       val buildResults = builds.map { case (name, body) => name -> timed(name, body) }
       // A failed build contaminates its family THIS PASS: each family
       // query would silently rebuild the memo inside its own timing, so

@@ -119,6 +119,41 @@ object Unigram {
     } finally { words.unpersist(); () }
   }
 
+  // ---- cross-query fit memo -----------------------------------------
+  // q_unigram_vocab, q_unigram_encode (and any other consumer of the
+  // same trained tokenizer) must not each re-run the EM fit — the
+  // NearDupPipeline `_build` economy applied to a driver-side model
+  // artifact. The model is bounded (≤ seedSize (piece, micro) pairs) and
+  // bit-reproducible, so memoizing it changes no output anywhere.
+  // Staleness contract as everywhere: per (session, corpusKey, params),
+  // does NOT watch the data — the bench invalidates at pass boundaries.
+  private type FitKey =
+    (SparkSession, String, String, Int, Int, Int, Int, Long, Long)
+  private val memo = scala.collection.mutable.Map.empty[FitKey, UnigramModel]
+
+  /** The trained model for (`corpusKey`, params), fit at most once per
+    * session; later callers get the identical frozen model.
+    * Synchronized like the other memos: two concurrent first callers
+    * must not both run the EM rounds. */
+  def fitMemo(df: DataFrame, corpusKey: String, textCol: String,
+              vocabSize: Int = 400, rounds: Int = 3, maxPieceLen: Int = 6,
+              seedSize: Int = 4000, minCount: Long = 2L,
+              unkMicro: Long = -100000000L): UnigramModel = {
+    val key: FitKey = (df.sparkSession, corpusKey, textCol, vocabSize,
+      rounds, maxPieceLen, seedSize, minCount, unkMicro)
+    memo.synchronized {
+      memo.getOrElseUpdate(key,
+        fit(df, textCol, vocabSize, rounds, maxPieceLen, seedSize,
+          minCount, unkMicro))
+    }
+  }
+
+  /** Drop every memo'd model owned by `s` — pass-boundary hook. */
+  def invalidateAll(s: SparkSession): Unit =
+    memo.synchronized {
+      memo.filterInPlace { case (k, _) => k._1 ne s }; ()
+    }
+
   /** The trained vocabulary as a frame: (rank, piece, cnt-frozen
     * micro log-prob) ordered by score desc then piece — the committed,
     * reproducible artifact (rows-only query surface). */

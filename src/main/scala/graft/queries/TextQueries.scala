@@ -228,6 +228,21 @@ object TextQueries {
     ()
   }
 
+  /** The suite's shared unigram-LM tokenizer (one fit per session +
+    * corpus — [[graft.operators.Unigram.fitMemo]]); consumed by
+    * q_unigram_vocab and q_unigram_encode. */
+  private[graft] def unigramModel(s: SparkSession, dir: String): graft.functions.UnigramModel =
+    Unigram.fitMemo(Tables.load(s, dir, "documents"), dir, "text",
+      vocabSize = 200, rounds = 2, maxPieceLen = 5, seedSize = 2000)
+
+  /** Bench hook: train the shared unigram tokenizer once so the encode/
+    * vocab rows report post-fit cost and the EM fit is priced as its
+    * own `_unigram_fit_build` row. */
+  def buildUnigramFit(s: SparkSession, dir: String): Unit = {
+    unigramModel(s, dir)
+    ()
+  }
+
   /** Stand-in eval suite for decontamination: the %7 documents (exactly
     * the ids dupCorpus duplicates at +100000 — known leaked rows). */
   def benchCorpus(s: SparkSession, dir: String): DataFrame =
@@ -1447,26 +1462,23 @@ object TextQueries {
     // exact-integer Viterbi make the committed vocab bit-reproducible
     // (rows-only — fit is not SQL-expressible; UnigramSpec pins
     // hand-computed paths, the tie-break, and a hand-computed fit).
-    "q_unigram_vocab" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-      Unigram.vocabTable(s,
-          Unigram.fit(d, "text", vocabSize = 200, rounds = 2,
-            maxPieceLen = 5, seedSize = 2000))
-        .orderBy(col("rank"))
-    }),
+    // The fit is SHARED with q_unigram_encode via Unigram.fitMemo (one
+    // model per session+corpus; the bench prices it as its own
+    // `_unigram_fit_build` row) — memoizing a bit-reproducible model
+    // changes no output.
+    "q_unigram_vocab" -> ((s, dir) =>
+      Unigram.vocabTable(s, unigramModel(s, dir)).orderBy(col("rank"))),
 
     // The q_bpe_encode twin under the trained unigram vocabulary — the
     // two families price the same corpus on the same columns, so
     // q_token_fertility-style comparisons read straight across; the
     // corpus-level compression and the fertility ratio vs the BPE lane
-    // are floor-pinned in VerifyExtras.
-    "q_unigram_encode" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-      Unigram.encodeStats(d, "doc_id", "text",
-          Unigram.fit(d, "text", vocabSize = 200, rounds = 2,
-            maxPieceLen = 5, seedSize = 2000))
-        .orderBy(col("doc_id"))
-    }),
+    // are floor-pinned in VerifyExtras. Same memo'd fit as
+    // q_unigram_vocab.
+    "q_unigram_encode" -> ((s, dir) =>
+      Unigram.encodeStats(Tables.load(s, dir, "documents"), "doc_id",
+          "text", unigramModel(s, dir))
+        .orderBy(col("doc_id"))),
 
     // Asymmetric near-SUPERSET detection: shingle containment of the
     // smaller doc in the larger (a doc quoted whole inside an
