@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -292,6 +292,309 @@ object CurationRound {
     Result(funnel, curated, packed, stats, seams.pinned)
   }
 
+  // ---- incremental fold ----------------------------------------------
+  // The chain as a MAINTAINED loop: a production curation pipeline
+  // ingests batches continuously and must not re-run the whole chain
+  // from scratch per batch. foldBatch runs one batch through the same
+  // six-stage semantics against accumulated state under `statePath`:
+  //
+  //   statePath/fps        (fp, __batch_id)            gated fingerprints seen
+  //   statePath/survivors  (id, stratum, text, n_tokens, n_sh, __batch_id)
+  //   statePath/postings   (id, sh, __batch_id)        retained docs' shingle index
+  //   statePath/shdf       (sh, n, __batch_id)         additive shingle-df census
+  //   statePath/funnel     (stage_ord, stage, n_docs, n_tokens, __batch_id)
+  //
+  // Per batch, only the BATCH is gated/fingerprinted/shingled; history
+  // participates through its maintained index: the exact gate is the
+  // Dedup.incrementalNew anti-join against `fps`, near-dup candidates
+  // come from joining the batch's postings against the survivor posting
+  // index under the POOL df valve (history df from the compactable
+  // `shdf` census fold + the batch's own — exactly the full chain's
+  // bucket-size cap over history ∪ batch), and decontamination is the
+  // stateless bench probe. At 100 TB the posting index is the table
+  // you'd bucket by `sh` so only the batch side shuffles; `shdf` and
+  // `funnel` are census-state directories, maintained and compacted by
+  // the EventStream machinery.
+  //
+  // SEMANTICS (the incremental contract, spec-pinned): ids and batch
+  // ids are MONOTONE (later ingest ⇒ larger ids); shipped history is
+  // immutable, so a batch doc near-pairing a retained historical doc
+  // drops (history-wins), and within-batch components elect the
+  // standalone canonical (quality = length, ties min id). Batch-folded
+  // state ≡ the full chain over the concatenation EXCEPT where a later
+  // batch's near-duplicate would out-rank its historical twin under the
+  // quality rule — the one divergence an append-only loop cannot honor
+  // (it cannot unship data); exact dedup, the gates, decontamination
+  // and the funnel sums agree unconditionally under monotone ids.
+  // CurationRoundSpec proves fold ≡ run() on a corpus where history
+  // dominates (including a cross-batch duplicate pair) and pins the
+  // divergence case as the contract.
+  //
+  // REPLAY: every state read inside foldBatch scopes to __batch_id <
+  // batchId, so re-folding a batch after a partial failure recomputes
+  // identical rows (appends are stamped; external readers dedup), the
+  // census-state discipline. Batch ids must not regress — folding an id
+  // below the recorded maximum is refused like MetricsStore's
+  // append-only rounds.
+
+  private def subPath(statePath: String, name: String): String =
+    statePath.stripSuffix("/") + "/" + name
+
+  private def dirNonEmpty(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hp) && fs.listStatus(hp).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  private def readState(spark: SparkSession, statePath: String, name: String,
+                        schema: StructType): DataFrame = {
+    val p = subPath(statePath, name)
+    if (dirNonEmpty(spark, p)) spark.read.parquet(p)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  private def fpsSchema = StructType(Seq(
+    StructField("fp", StringType), StructField("__batch_id", LongType)))
+  private def survivorsSchema(cfg: Config, strataType: DataType) = StructType(Seq(
+    StructField(cfg.idCol, LongType), StructField(cfg.strataCol, strataType),
+    StructField(cfg.textCol, StringType),
+    StructField("__n_tokens", LongType), StructField("__n_sh", LongType),
+    StructField("__batch_id", LongType)))
+  private def postingsSchema(cfg: Config) = StructType(Seq(
+    StructField(cfg.idCol, LongType), StructField("sh", LongType),
+    StructField("__batch_id", LongType)))
+  private def incFunnelSchema = StructType(Seq(
+    StructField("stage_ord", IntegerType), StructField("stage", StringType),
+    StructField("n_docs", LongType), StructField("n_tokens", LongType),
+    StructField("__batch_id", LongType)))
+
+  /** Highest batch id recorded anywhere under `statePath` (partial
+    * folds count — the funnel commits LAST), or None on fresh state. */
+  def lastFoldedBatch(spark: SparkSession, statePath: String): Option[Long] = {
+    val stamps = Seq("fps", "survivors", "postings", "shdf", "funnel")
+      .map(subPath(statePath, _)).filter(dirNonEmpty(spark, _))
+      .map(p => spark.read.parquet(p).agg(max(col("__batch_id"))).head())
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) }
+    if (stamps.isEmpty) None else Some(stamps.max)
+  }
+
+  /** Fold one ingest batch (rows: idCol, strataCol, textCol) through
+    * the chain against `statePath`; appends the batch's state deltas
+    * and returns its six funnel rows (stages 0–5; the mixture is a
+    * round-cut decision — see [[cutRound]]). */
+  def foldBatch(spark: SparkSession, statePath: String, batch: DataFrame,
+                bench: DataFrame, cfg: Config, batchId: Long): DataFrame = {
+    lastFoldedBatch(spark, statePath).foreach(last =>
+      require(batchId >= last,
+        s"batch ids are append-only: $batchId < recorded $last (the " +
+          "MetricsStore rule — re-folding history would forge the funnel)"))
+    val id = col(cfg.idCol)
+    val strataType = batch.schema(cfg.strataCol).dataType
+    def scoped(name: String, schema: StructType): DataFrame =
+      readState(spark, statePath, name, schema)
+        .filter(col("__batch_id") < batchId)
+
+    // Stages 0-2: gates over the BATCH only (per-row, stateless).
+    val nTok = TextAnalysis.wsTokenCount(col(cfg.textCol)).cast("long")
+    val base = batch.select(id.cast("long").as(cfg.idCol),
+      col(cfg.strataCol), col(cfg.textCol), nTok.as("__n_tokens"))
+    val c4p = TextAnalysis.c4Signals(col(cfg.textCol), cfg.c4MinSentences).pass
+    val gop = TextAnalysis.gopherSignals(col(cfg.textCol), cfg.gopherStops).pass
+    val g = base.agg(
+      count(lit(1)).as("d0"),
+      coalesce(sum(col("__n_tokens")), lit(0L)).as("t0"),
+      count(when(c4p, 1)).as("d1"),
+      coalesce(sum(when(c4p, col("__n_tokens"))), lit(0L)).as("t1"),
+      count(when(c4p && gop, 1)).as("d2"),
+      coalesce(sum(when(c4p && gop, col("__n_tokens"))), lit(0L)).as("t2")).head()
+    val gated = base.filter(c4p && gop).localCheckpoint()
+
+    // Stage 3 — exact vs history: in-batch min-id per fingerprint, then
+    // the incrementalNew anti-join against every fingerprint GATED
+    // before (a fp that lost later stages still blocks re-ingest — the
+    // full chain's min-id winner is decided at the exact stage).
+    val seenFps = scoped("fps", fpsSchema).select(col("fp")).distinct()
+    val fps = gated.select(id,
+      TextAnalysis.docFingerprint(col(cfg.textCol)).as("fp"))
+      .localCheckpoint()
+    val exactIds = fps.filter(col("fp").isNotNull)
+      .groupBy(col("fp")).agg(min(id).as(cfg.idCol))
+      .join(seenFps, Seq("fp"), "left_anti")
+      .select(id)
+      .unionByName(fps.filter(col("fp").isNull).select(id))
+    val s3 = gated.join(exactIds, Seq(cfg.idCol), "left_semi")
+      .localCheckpoint()
+
+    // Stage 4 — near-dup vs the maintained posting index. Batch docs
+    // shingle ONCE; the pool df valve (history shdf fold + batch df ≤
+    // dfCap) reproduces the full chain's bucket-size cap over
+    // history ∪ batch, and n_sh stays the doc's FULL distinct-shingle
+    // count (the jaccard denominator is valve-independent).
+    val batchSh = s3.select(id,
+        Dedup.shingles(col(cfg.textCol), cfg.jaccardN).as("arr"))
+      .select(id, size(col("arr")).cast("long").as("__n_sh"),
+        explode(col("arr")).as("raw"))
+      .select(id, col("__n_sh"), xxhash64(col("raw")).as("sh"))
+      .localCheckpoint()
+    val batchSizes = batchSh.select(id, col("__n_sh")).distinct()
+    val shdfSchema = StructType(Seq(StructField("sh", LongType),
+      StructField("n", LongType), StructField("__batch_id", LongType)))
+    val histDfScoped = scoped("shdf", shdfSchema)
+      .dropDuplicates("__batch_id", "sh")
+      .groupBy(col("sh")).agg(sum(col("n")).as("n"))
+    val batchDf = batchSh.groupBy(col("sh")).agg(count(lit(1)).as("bn"))
+    val keepSh = batchDf.join(histDfScoped, Seq("sh"), "left_outer")
+      .filter(col("bn") + coalesce(col("n"), lit(0L)) <= cfg.jaccardDfCap)
+      .select(col("sh"))
+    val bPost = batchSh.join(keepSh, Seq("sh"), "left_semi")
+    val survivors = scoped("survivors", survivorsSchema(cfg, strataType))
+      .dropDuplicates(cfg.idCol)
+      .localCheckpoint()
+    val hPost = scoped("postings", postingsSchema(cfg))
+      .select(id.as("__hid"), col("sh")).distinct()
+      .join(keepSh, Seq("sh"), "left_semi")
+    def jac(shared: Column, n1: Column, n2: Column): Column =
+      shared.cast("double") / (n1 + n2 - shared).cast("double")
+    // history edges: any retained doc within minJaccard vetoes (the
+    // shipped copy stays; the newcomer drops)
+    val histDrops = bPost.join(hPost, Seq("sh"))
+      .groupBy(id, col("__hid"), col("__n_sh"))
+      .agg(count(lit(1)).as("shared"))
+      .join(survivors.select(id.as("__hid"), col("__n_sh").as("__hn")),
+        Seq("__hid"))
+      .filter(jac(col("shared"), col("__n_sh"), col("__hn"))
+        >= cfg.jaccardMinJaccard)
+      .select(id).distinct()
+    // within-batch edges: the standalone canonical rule on the batch's
+    // own pair graph (quality = length, ties min id)
+    val a = bPost.select(id.as("id1"), col("__n_sh").as("n1"), col("sh"))
+    val b = bPost.select(id.as("id2"), col("__n_sh").as("n2"), col("sh"))
+    val batchPairs = a.join(b, Seq("sh"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(jac(col("shared"), col("n1"), col("n2"))
+        >= cfg.jaccardMinJaccard)
+    val nonCanon = Dedup.canonicalKeepList(batchPairs,
+        s3.select(id, length(col(cfg.textCol)).cast("long").as("__q")),
+        cfg.idCol, "__q")
+      .filter(!col("is_canonical"))
+      .select(col("doc_id").as(cfg.idCol))
+    val s4 = s3.join(histDrops, Seq(cfg.idCol), "left_anti")
+      .join(nonCanon, Seq(cfg.idCol), "left_anti")
+      .localCheckpoint()
+
+    // Stage 5 — decontamination (stateless vs the fixed bench suite).
+    val contamIds = Dedup.contaminationPairs(s4, bench, cfg.idCol,
+        cfg.textCol, cfg.contamN, cfg.contamMinOverlap, cfg.contamBenchDfCap)
+      .select(col("doc_id").as(cfg.idCol)).distinct()
+    val retained = s4.join(contamIds, Seq(cfg.idCol), "left_anti")
+      .localCheckpoint()
+
+    // Funnel rows for THIS batch (additive across batches by stage).
+    def lng(i: Int): Long = if (g.isNullAt(i)) 0L else g.getLong(i)
+    def stat(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col("__n_tokens")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (d3, t3) = stat(s3)
+    val (d4, t4) = stat(s4)
+    val (d5, t5) = stat(retained)
+    val rows = Seq(
+      Row(0, "total", lng(0), lng(1), batchId),
+      Row(1, "c4_gate", lng(2), lng(3), batchId),
+      Row(2, "gopher_gate", lng(4), lng(5), batchId),
+      Row(3, "dedup_exact", d3, t3, batchId),
+      Row(4, "dedup_near", d4, t4, batchId),
+      Row(5, "decontaminate", d5, t5, batchId))
+    val funnel = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), incFunnelSchema)
+
+    // State deltas, batch-stamped. The funnel commits LAST — it is the
+    // fold's completion record; a replay after any partial append
+    // recomputes identical rows (reads scoped < batchId) and external
+    // readers dedup on the stamps.
+    val stamped = lit(batchId).as("__batch_id")
+    fps.filter(col("fp").isNotNull).select(col("fp")).distinct()
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("append").parquet(subPath(statePath, "fps"))
+    val retSh = batchSh.join(retained.select(id), Seq(cfg.idCol), "left_semi")
+    retained.select(id, col(cfg.strataCol), col(cfg.textCol),
+        col("__n_tokens"))
+      .join(batchSizes, Seq(cfg.idCol), "left_outer")
+      .select(id, col(cfg.strataCol), col(cfg.textCol), col("__n_tokens"),
+        coalesce(col("__n_sh"), lit(0L)).as("__n_sh"), stamped)
+      .write.mode("append").parquet(subPath(statePath, "survivors"))
+    retSh.select(id, col("sh")).distinct().withColumn("__batch_id", lit(batchId))
+      .write.mode("append").parquet(subPath(statePath, "postings"))
+    retSh.groupBy(col("sh")).agg(count(lit(1)).as("n"))
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("append").parquet(subPath(statePath, "shdf"))
+    funnel.write.mode("append").parquet(subPath(statePath, "funnel"))
+    Seq(gated, fps, s3, batchSh, survivors, s4, retained)
+      .foreach(_.unpersist())
+    funnel
+  }
+
+  /** The retained corpus pool under `statePath` (replay-deduped):
+    * (idCol, strataCol, textCol, n_tokens). */
+  def readRetained(spark: SparkSession, statePath: String,
+                   cfg: Config): DataFrame =
+    readState(spark, statePath, "survivors",
+        survivorsSchema(cfg, StringType))
+      .dropDuplicates(cfg.idCol)
+      .select(col(cfg.idCol), col(cfg.strataCol), col(cfg.textCol),
+        col("__n_tokens").as("n_tokens"))
+
+  /** Per-batch funnel history (the MetricsStore shape: append-only,
+    * batch-keyed): (batch_id, stage_ord, stage, n_docs, n_tokens). */
+  def incrementalFunnel(spark: SparkSession, statePath: String): DataFrame =
+    readState(spark, statePath, "funnel", incFunnelSchema)
+      .dropDuplicates("__batch_id", "stage_ord")
+      .select(col("__batch_id").as("batch_id"), col("stage_ord"),
+        col("stage"), col("n_docs"), col("n_tokens"))
+
+  /** Cumulative funnel over every folded batch — shaped like
+    * [[run]]'s stages 0–5 (counts additive by stage; retentions vs
+    * cumulative stage 0). */
+  def cumulativeFunnel(spark: SparkSession, statePath: String): DataFrame = {
+    val perStage = incrementalFunnel(spark, statePath)
+      .groupBy(col("stage_ord"), col("stage"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+    val tot = perStage.filter(col("stage_ord") === 0)
+      .select(col("n_docs").as("__d0"), col("n_tokens").as("__t0"))
+    perStage.crossJoin(broadcast(tot))
+      .select(col("stage_ord"), col("stage"), col("n_docs"), col("n_tokens"),
+        when(col("__d0") > 0, col("n_docs").cast("double") / col("__d0").cast("double"))
+          .otherwise(0.0).as("doc_retention"),
+        when(col("__t0") > 0, col("n_tokens").cast("double") / col("__t0").cast("double"))
+          .otherwise(0.0).as("token_retention"))
+  }
+
+  /** Cut a training round from the maintained pool: mixture rebalance +
+    * packing over the retained survivors — the round-scoped decisions
+    * the per-batch fold deliberately leaves out (rebalance thresholds
+    * shift as mass accrues; re-deciding them per batch would unship
+    * history). Given equal pools this is bit-identical to the full
+    * chain's stage 6 (the mixture is deterministic in its input). */
+  def cutRound(spark: SparkSession, statePath: String,
+               cfg: Config): (DataFrame, DataFrame, DataFrame) = {
+    val pool = readRetained(spark, statePath, cfg).localCheckpoint()
+    val mixed = Sampling.mixtureRebalance(
+        pool.select(col(cfg.idCol), col(cfg.strataCol), col("n_tokens")),
+        cfg.idCol, cfg.strataCol, col("n_tokens"), cfg.mixTargets, cfg.salt)
+      .localCheckpoint()
+    val packed = Packing.sequenceOffsets(
+      mixed.select(col(cfg.idCol), col("n_tokens")),
+      cfg.idCol, "n_tokens", cfg.packMaxTokens)
+    val stats = Packing.packStats(
+      mixed.select(col(cfg.idCol), col("n_tokens")),
+      cfg.idCol, "n_tokens", cfg.packMaxTokens)
+    (mixed, packed, stats)
+  }
+
   // ---- final-survivor temp tables (cache-seam mode) -----------------
   // Per-process root + counter, the NearDupPipeline path convention:
   // two JVMs curating concurrently never collide, and a process-wide
@@ -301,6 +604,12 @@ object CurationRound {
   private val livePaths =
     scala.collection.mutable.Map.empty[org.apache.spark.SparkContext,
       scala.collection.mutable.Buffer[String]]
+
+  /** A fresh per-process state/table directory, deleted when the
+    * session's application ends — the query surface's home for
+    * single-run incremental folds. */
+  private[graft] def tempStatePath(spark: SparkSession): String =
+    tempTableDir(spark)
 
   private def tempTableDir(spark: SparkSession): String = {
     val p = new java.io.File(System.getProperty("java.io.tmpdir"),

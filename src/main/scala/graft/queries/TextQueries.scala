@@ -570,6 +570,185 @@ object TextQueries {
        |  WHERE substr(md5('graft:' || CAST(cc.doc_id AS VARCHAR)), 1, 8) < mthr.thr)""".stripMargin
   }
 
+  /** The INCREMENTAL curation folds unrolled in SQL — one block per
+    * ingest batch, each re-using the standalone stages' proven oracle
+    * fragments (the cgate feature formulas, the shingle/pair pipeline,
+    * the recursive component canonical, the contamination chain)
+    * re-rooted on that batch, with history entering exactly as the
+    * engine's maintained state does: seen-fingerprints = gated fps of
+    * earlier batches, the near-dup pool = retained survivors' posting
+    * index, the df valve over history + batch, and history edges veto
+    * the newcomer. Exposes if0/if1/if2 (per-batch funnel rows).
+    * Requires WITH RECURSIVE at the call site. */
+  private def incCurationCtes: String = {
+    val stopsSum = gopherStops.map(w =>
+      s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)").mkString(" + ")
+    val shListSql =
+      """list_distinct([array_to_string(l[i:i+2], ' ')
+        |                   for i in range(1, greatest(len(l) - 2, 0) + 1)])""".stripMargin
+    val benchCtes =
+      s"""ibenchd AS MATERIALIZED (
+         |  SELECT doc_id AS bench_id, $shListSql AS shs
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS l
+         |        FROM documents WHERE doc_id % 7 = 0)),
+         |ibenchsh AS MATERIALIZED (SELECT bench_id, unnest(shs) AS sh FROM ibenchd),
+         |ibenchsz AS MATERIALIZED (SELECT bench_id, count(*) AS n_bench FROM ibenchsh GROUP BY bench_id),
+         |ibenchkeep AS MATERIALIZED (SELECT sh FROM ibenchsh GROUP BY sh HAVING count(*) <= 100),
+         |ibenchshk AS MATERIALIZED (SELECT ibenchsh.bench_id, ibenchsh.sh FROM ibenchsh JOIN ibenchkeep USING (sh))""".stripMargin
+    def batchBlock(k: Int, pred: String, prev: Seq[Int]): String = {
+      val seen =
+        if (prev.isEmpty)
+          s"ibseen$k AS (SELECT CAST(NULL AS VARCHAR) AS fp WHERE FALSE)"
+        else
+          s"ibseen$k AS (SELECT DISTINCT fp FROM (${
+            prev.map(j => s"SELECT fp FROM ibfp$j").mkString(" UNION ALL ")}))"
+      val rpost =
+        if (prev.isEmpty)
+          s"irpost$k AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS sh WHERE FALSE)"
+        else
+          s"irpost$k AS (${prev.map(j =>
+            s"SELECT s.id, s.sh FROM ibsh$j s JOIN icc$j c ON s.id = c.doc_id")
+            .mkString(" UNION ALL ")})"
+      val rsz =
+        if (prev.isEmpty)
+          s"irsz$k AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS n_sh WHERE FALSE)"
+        else
+          s"irsz$k AS (${prev.map(j =>
+            s"SELECT s.id, s.n_sh FROM ibsz$j s JOIN icc$j c ON s.id = c.doc_id")
+            .mkString(" UNION ALL ")})"
+      s"""ib$k AS (SELECT doc_id, lang, text FROM cur WHERE $pred),
+         |ibtok$k AS MATERIALIZED (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM ib$k),
+         |ibfeat$k AS (
+         |  SELECT *,
+         |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+         |    string_split(replace(text, chr(10), ' '), ' ') AS toks,
+         |    replace(text, chr(10), ' ') AS flat
+         |  FROM ibtok$k),
+         |ibgate$k AS MATERIALIZED (
+         |  SELECT doc_id, lang, text, n_tokens,
+         |    (len(list_filter(lines, l ->
+         |       right(l, 1) IN ('.', '!', '?', '"')
+         |       AND len(list_filter(string_split(l, ' '), w -> length(w) > 0)) >= 3
+         |       AND NOT contains(lower(l), 'javascript'))) >= 5
+         |     AND NOT contains(lower(text), 'lorem ipsum')
+         |     AND NOT contains(text, '{')) AS c4_pass,
+         |    (len(toks) BETWEEN 50 AND 100000
+         |     AND (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |          / CAST(len(toks) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+         |     AND (CAST(len(regexp_extract_all(flat, '[#]'))
+         |          + len(regexp_extract_all(flat, '[.][.][.]')) AS DOUBLE)
+         |          / CAST(len(toks) AS DOUBLE)) <= 0.1
+         |     AND (CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+         |          OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+         |          / CAST(greatest(len(lines), 1) AS DOUBLE)) <= 0.9
+         |     AND (CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+         |          / CAST(greatest(len(lines), 1) AS DOUBLE)) <= 0.3
+         |     AND (CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+         |          AS DOUBLE)
+         |          / CAST(len(toks) AS DOUBLE)) >= 0.8
+         |     AND ($stopsSum) >= 2) AS gopher_pass
+         |  FROM ibfeat$k),
+         |ibg$k AS MATERIALIZED (SELECT doc_id, lang, text, n_tokens FROM ibgate$k
+         |          WHERE c4_pass AND gopher_pass),
+         |ibfp$k AS MATERIALIZED (SELECT doc_id, lang, text, n_tokens, md5($normSql) AS fp
+         |           FROM ibg$k),
+         |$seen,
+         |ibkeep$k AS (SELECT min(doc_id) AS doc_id FROM ibfp$k
+         |             WHERE fp NOT IN (SELECT fp FROM ibseen$k) GROUP BY fp),
+         |ibe$k AS MATERIALIZED (SELECT c.doc_id, c.lang, c.text, c.n_tokens
+         |          FROM ibfp$k c JOIN ibkeep$k USING (doc_id)),
+         |ibshd$k AS (
+         |  SELECT doc_id, $shListSql AS shs
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS l FROM ibe$k)),
+         |ibsh$k AS MATERIALIZED (SELECT doc_id AS id, unnest(shs) AS sh FROM ibshd$k),
+         |ibsz$k AS MATERIALIZED (SELECT id, count(*) AS n_sh FROM ibsh$k GROUP BY id),
+         |$rpost,
+         |$rsz,
+         |ibdf$k AS (SELECT sh, count(*) AS n FROM ibsh$k GROUP BY sh),
+         |irdf$k AS (SELECT sh, count(*) AS n FROM irpost$k GROUP BY sh),
+         |ikeepsh$k AS MATERIALIZED (SELECT b.sh FROM ibdf$k b LEFT JOIN irdf$k r USING (sh)
+         |              WHERE b.n + COALESCE(r.n, 0) <= 10000),
+         |ibp$k AS MATERIALIZED (SELECT id, sh FROM ibsh$k
+         |          WHERE sh IN (SELECT sh FROM ikeepsh$k)),
+         |irp$k AS MATERIALIZED (SELECT id, sh FROM irpost$k
+         |          WHERE sh IN (SELECT sh FROM ikeepsh$k)),
+         |ihp$k AS (SELECT b.id AS bid, r.id AS hid, count(*) AS shared
+         |          FROM ibp$k b JOIN irp$k r ON b.sh = r.sh GROUP BY 1, 2),
+         |ihdrop$k AS (
+         |  SELECT DISTINCT p.bid AS doc_id FROM ihp$k p
+         |  JOIN ibsz$k s1 ON p.bid = s1.id
+         |  JOIN irsz$k s2 ON p.hid = s2.id
+         |  WHERE CAST(p.shared AS DOUBLE)
+         |    / CAST(s1.n_sh + s2.n_sh - p.shared AS DOUBLE) >= 0.5),
+         |ibpair$k AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+         |             FROM ibp$k a JOIN ibp$k b ON a.sh = b.sh AND a.id < b.id
+         |             GROUP BY 1, 2),
+         |ibjp$k AS MATERIALIZED (
+         |  SELECT id1, id2 FROM ibpair$k p
+         |  JOIN ibsz$k s1 ON p.id1 = s1.id
+         |  JOIN ibsz$k s2 ON p.id2 = s2.id
+         |  WHERE CAST(p.shared AS DOUBLE)
+         |    / CAST(s1.n_sh + s2.n_sh - p.shared AS DOUBLE) >= 0.5),
+         |ibedge$k AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM ibjp$k
+         |                          UNION SELECT id2, id1 FROM ibjp$k),
+         |ibreach$k AS (
+         |  (SELECT src, dst FROM ibedge$k UNION SELECT src, src FROM ibedge$k)
+         |  UNION
+         |  SELECT r.src, e2.dst FROM ibreach$k r JOIN ibedge$k e2 ON r.dst = e2.src),
+         |ibcomp$k AS (SELECT src AS id, min(dst) AS component FROM ibreach$k
+         |             GROUP BY src),
+         |ibq$k AS (
+         |  SELECT c.id, row_number() OVER (PARTITION BY c.component
+         |    ORDER BY length(co.text) DESC, c.id) AS rn
+         |  FROM ibcomp$k c JOIN ibe$k co ON c.id = co.doc_id),
+         |ibdrop$k AS (SELECT id AS doc_id FROM ibq$k WHERE rn > 1),
+         |icn$k AS MATERIALIZED (SELECT * FROM ibe$k
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM ihdrop$k)
+         |            AND doc_id NOT IN (SELECT doc_id FROM ibdrop$k)),
+         |icp$k AS (
+         |  SELECT c.id AS doc_id, b.bench_id, count(*) AS shared
+         |  FROM (SELECT id, sh FROM ibsh$k
+         |        WHERE id IN (SELECT doc_id FROM icn$k)) c
+         |  JOIN ibenchshk b ON c.sh = b.sh AND c.id <> b.bench_id
+         |  GROUP BY 1, 2),
+         |icdrop$k AS (
+         |  SELECT DISTINCT p.doc_id FROM icp$k p JOIN ibenchsz s USING (bench_id)
+         |  WHERE CAST(p.shared AS DOUBLE) / CAST(s.n_bench AS DOUBLE) >= 0.5),
+         |icc$k AS MATERIALIZED (SELECT * FROM icn$k
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM icdrop$k)),
+         |if$k AS (
+         |  SELECT CAST($k AS BIGINT) AS batch_id, 0 AS stage_ord,
+         |    'total' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |    COALESCE(CAST(sum(n_tokens) AS BIGINT), 0) AS n_tokens FROM ibtok$k
+         |  UNION ALL SELECT CAST($k AS BIGINT), 1, 'c4_gate',
+         |    CAST(count(*) AS BIGINT), COALESCE(CAST(sum(n_tokens) AS BIGINT), 0)
+         |    FROM ibgate$k WHERE c4_pass
+         |  UNION ALL SELECT CAST($k AS BIGINT), 2, 'gopher_gate',
+         |    CAST(count(*) AS BIGINT), COALESCE(CAST(sum(n_tokens) AS BIGINT), 0)
+         |    FROM ibg$k
+         |  UNION ALL SELECT CAST($k AS BIGINT), 3, 'dedup_exact',
+         |    CAST(count(*) AS BIGINT), COALESCE(CAST(sum(n_tokens) AS BIGINT), 0)
+         |    FROM ibe$k
+         |  UNION ALL SELECT CAST($k AS BIGINT), 4, 'dedup_near',
+         |    CAST(count(*) AS BIGINT), COALESCE(CAST(sum(n_tokens) AS BIGINT), 0)
+         |    FROM icn$k
+         |  UNION ALL SELECT CAST($k AS BIGINT), 5, 'decontaminate',
+         |    CAST(count(*) AS BIGINT), COALESCE(CAST(sum(n_tokens) AS BIGINT), 0)
+         |    FROM icc$k)""".stripMargin
+    }
+    val preds = Seq(
+      "doc_id % 1000000000 < 100000",
+      "doc_id % 1000000000 >= 100000 AND doc_id % 1000000000 < 200000",
+      "doc_id % 1000000000 >= 200000")
+    s"""$curationCorpusSql,
+       |$benchCtes,
+       |${preds.zipWithIndex.map { case (p, k) =>
+           batchBlock(k, p, 0 until k) }.mkString(",\n")}""".stripMargin
+  }
+
   private val c4CorpusSql =
     """c4 AS (
       |  SELECT doc_id, source, concat_ws(chr(10),
@@ -1408,6 +1587,32 @@ object TextQueries {
     // Reads the memo'd chain; no second end-to-end run, no leaked
     // stage caches.
     "q_curation_pack" -> ((s, dir) => curationResult(s, dir).packStats),
+
+    // The curation chain as a MAINTAINED LOOP (CurationRound.foldBatch):
+    // the corpus's three provenance branches (base / +100k exact copies
+    // / +200k near-dup tails, keyed mod the ScaleUp stride) ingest as
+    // three monotone batches against accumulated state — fingerprint
+    // gate vs history, posting-index near-dup with the pool df valve,
+    // stateless decontamination — and the output is the per-batch
+    // funnel history (the MetricsStore shape). History-wins semantics
+    // are the loop's CONTRACT (shipped data never unships); the oracle
+    // unrolls the same three folds in SQL from the standalone stages'
+    // proven fragments, so the incremental COMPOSITION itself is
+    // hash-verified. Fold ≡ full-recompute equivalence under monotone
+    // ids + history dominance is CurationIncrementalSpec's business.
+    "q_curation_incremental" -> ((s, dir) => {
+      val cc = curationCorpus(s, dir)
+      val bench = benchCorpus(s, dir)
+      val statePath = graft.CurationRound.tempStatePath(s)
+      val m = col("doc_id") % 1000000000L
+      Seq(m < 100000L, m >= 100000L && m < 200000L, m >= 200000L)
+        .zipWithIndex.foreach { case (p, i) =>
+          graft.CurationRound.foldBatch(s, statePath, cc.filter(p),
+            bench, curationConfig, i.toLong)
+        }
+      graft.CurationRound.incrementalFunnel(s, statePath)
+        .orderBy(col("batch_id"), col("stage_ord"))
+    }),
 
     // Flesch reading-ease under exact integer counts (sentence runs,
     // ws-split words, vowel-group syllable proxy) — the score is a fixed
@@ -2604,6 +2809,15 @@ object TextQueries {
          |  UNION ALL SELECT 6, 'mixture', CAST(count(*) AS BIGINT),
          |    COALESCE(CAST(sum(n_tokens) AS BIGINT), 0) FROM cm) f
          |ORDER BY stage_ord""".stripMargin,
+
+    // The three incremental folds unrolled: per-batch funnels off the
+    // standalone stages' fragments with history as maintained state.
+    "q_curation_incremental" ->
+      s"""WITH RECURSIVE $incCurationCtes
+         |SELECT batch_id, stage_ord, stage, n_docs, n_tokens
+         |FROM (SELECT * FROM if0 UNION ALL SELECT * FROM if1
+         |      UNION ALL SELECT * FROM if2) f
+         |ORDER BY batch_id, stage_ord""".stripMargin,
 
     // q_pack_stats' t/c chain re-rooted on the curation survivors (cm).
     "q_curation_pack" ->
