@@ -90,7 +90,8 @@ object Bench {
       "q_dedup_threshold_curve")
     val spanFamily = Set("q_span_dedup", "q_span_strike")
     val curationFamily = Set("q_curation_round", "q_curation_pack")
-    val unigramFamily = Set("q_unigram_vocab", "q_unigram_encode")
+    val unigramFamily = Set("q_unigram_vocab", "q_unigram_encode",
+      "q_tokenizer_fertility")
     val builds: Seq[(String, () => Unit)] =
       (if (names.exists(nearDupFamily)) Seq("_neardup_pairs_build" ->
         (() => graft.queries.TextQueries.buildNearDupPairs(spark, sfDir))) else Nil) ++

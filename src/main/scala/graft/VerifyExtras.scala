@@ -557,8 +557,9 @@ object VerifyExtras {
   private def unigramCheck(spark: SparkSession, sfDir: String): Seq[Check] = {
     import org.apache.spark.sql.functions._
     val d = graft.sources.Tables.load(spark, sfDir, "documents")
-    val model = graft.operators.Unigram.fit(d, "text", vocabSize = 200,
-      rounds = 2, maxPieceLen = 5, seedSize = 2000)
+    // the queries' own memo'd fit (same key) — one EM run per session
+    val model = graft.operators.Unigram.fitMemo(d, sfDir, "text",
+      vocabSize = 200, rounds = 2, maxPieceLen = 5, seedSize = 2000)
     val agg = graft.operators.Unigram.encodeStats(d, "doc_id", "text", model)
       .agg(sum(col("n_chars_tok")).as("c"), sum(col("n_pieces")).as("t"),
         count(lit(1)).as("n")).head()
@@ -567,13 +568,33 @@ object VerifyExtras {
     val bpeTokens = graft.operators.Bpe.encodeStats(d, "doc_id", "text",
         graft.operators.Bpe.fit(d, "text", numMerges = 30))
       .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+    // the fertility census's unigram lane must total EXACTLY what the
+    // per-doc encode prices (same model, same corpus slice) — the
+    // q_tokenizer_fertility exactness contract
+    val slice = d.filter(col("source").isNotNull && col("lang").isNotNull &&
+      col("text").isNotNull)
+    val encTot = graft.operators.Unigram.encodeStats(slice, "doc_id", "text", model)
+      .agg(coalesce(sum(col("n_words")), lit(0L)),
+        coalesce(sum(col("n_chars_tok")), lit(0L)),
+        coalesce(sum(col("n_pieces")), lit(0L))).head()
+    val cenTot = graft.operators.Unigram
+      .fertilityCensus(d, "text", "source", "lang", model)
+      .agg(coalesce(sum(col("uni_words")), lit(0L)),
+        coalesce(sum(col("uni_chars")), lit(0L)),
+        coalesce(sum(col("uni_pieces")), lit(0L))).head()
+    val censusExact =
+      if ((0 to 2).forall(i => encTot.getLong(i) == cenTot.getLong(i))) 1.0
+      else 0.0
     Seq(
       Check("unigram_encode_compression", comp, floor = 1.02,
         agg.getAs[Long]("n"), model.pieces.length.toLong,
         metric = "chars_per_token"),
       Check("unigram_vs_bpe_fertility", bpeTokens.toDouble / pieces.toDouble,
         floor = 0.8, agg.getAs[Long]("n"), model.pieces.length.toLong,
-        metric = "bpe_tokens_per_unigram_piece"))
+        metric = "bpe_tokens_per_unigram_piece"),
+      Check("tokenizer_fertility_census_exactness", censusExact, floor = 1.0,
+        agg.getAs[Long]("n"), model.pieces.length.toLong,
+        metric = "census_equals_per_doc_encode"))
   }
 
   /** Bounded-probe ANN recall checks for scales where the FULL check set

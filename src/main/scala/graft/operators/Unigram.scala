@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{UnigramModel, UnigramSegmentExpr}
@@ -165,6 +165,96 @@ object Unigram {
       .map { case ((p, m), i) => (i + 1L, p, m) }
       .toDF("rank", "piece", "score_micro")
   }
+
+  /** Tokenizer-efficiency census per (source, lang) with the TRAINED
+    * UNIGRAM LANE beside the two static lanes — the
+    * [[Vocab.fertilityState]] shape extended so the tokenizer-family
+    * comparison (chars-per-ws-token vs chars-per-lex-token vs
+    * chars-per-unigram-piece, plus pieces-per-word fertility) reads per
+    * language slice off ONE report. ADDITIVE MONOID given the frozen
+    * model (piece counts are deterministic per word), so the streaming
+    * loop maintains it like every other census
+    * ([[graft.streaming.EventStream.maintainTokenizerFertilityState]]).
+    *
+    * Scale shape: the base lanes ride the scan (one map-side-combinable
+    * groupBy); the unigram lane explodes tokens to a (source, lang,
+    * word, tf) census and pays the Viterbi decode once per DISTINCT
+    * word, broadcast-joining the price back (the [[encodeStats]] /
+    * docSurprisal shape) — the decode cost is vocabulary-scale, never
+    * corpus-scale. Census cells: (source, lang, n_docs, ws_tokens,
+    * lex_tokens, n_chars, uni_words, uni_chars, uni_pieces). */
+  def fertilityCensus(df: DataFrame, textCol: String, sourceCol: String,
+                      langCol: String, model: UnigramModel): DataFrame = {
+    val base = Vocab.fertilityState(df, textCol, sourceCol, langCol)
+    val toks = filter(
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))),
+      t => length(t) > 0)
+    val tf = df.filter(col(sourceCol).isNotNull && col(langCol).isNotNull &&
+        col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"), col(langCol).as("lang"),
+        explode(toks).as("w"))
+      .groupBy(col("source"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val priced = tf.select(col("w")).distinct()
+      .select(col("w"),
+        UnigramSegmentExpr.segmentCountCol(col("w"), model)
+          .cast("long").as("__n_sym"),
+        length(col("w")).cast("long").as("__n_ch"))
+    val uni = tf.join(priced, Seq("w"))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("tf")).cast("long").as("uni_words"),
+        sum(col("tf") * col("__n_ch")).cast("long").as("uni_chars"),
+        sum(col("tf") * col("__n_sym")).cast("long").as("uni_pieces"))
+    base.join(uni, Seq("source", "lang"), "left_outer")
+      .select(col("source"), col("lang"), col("n_docs"), col("ws_tokens"),
+        col("lex_tokens"), col("n_chars"),
+        coalesce(col("uni_words"), lit(0L)).as("uni_words"),
+        coalesce(col("uni_chars"), lit(0L)).as("uni_chars"),
+        coalesce(col("uni_pieces"), lit(0L)).as("uni_pieces"))
+  }
+
+  /** Fertility report from a [[fertilityCensus]] (possibly folded
+    * across micro-batches — cells re-summed first so a fold is safe):
+    * the [[Vocab.fertilityFromCounts]] ratios plus the unigram lane's
+    * chars-per-piece and pieces-per-word, each frozen by one exact
+    * integer floor-division (milli; ppm for the fertilities). */
+  def fertilityFromCensus(census: DataFrame): DataFrame = {
+    def ratioMilli(num: Column, den: Column): Column =
+      when(den > 0,
+        floor(num.cast("decimal(38,0)") * 1000 / den).cast("long"))
+        .otherwise(lit(null).cast("long"))
+    def ratioPpm(num: Column, den: Column): Column =
+      when(den > 0,
+        floor(num.cast("decimal(38,0)") * 1000000 / den).cast("long"))
+        .otherwise(lit(null).cast("long"))
+    census.groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("ws_tokens"),
+        sum(col("lex_tokens")).cast("long").as("lex_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(col("uni_words")).cast("long").as("uni_words"),
+        sum(col("uni_chars")).cast("long").as("uni_chars"),
+        sum(col("uni_pieces")).cast("long").as("uni_pieces"))
+      .select(col("source"), col("lang"), col("n_docs"), col("ws_tokens"),
+        col("lex_tokens"), col("n_chars"), col("uni_words"),
+        col("uni_chars"), col("uni_pieces"),
+        ratioMilli(col("n_chars"), col("ws_tokens"))
+          .as("chars_per_ws_token_milli"),
+        ratioMilli(col("n_chars"), col("lex_tokens"))
+          .as("chars_per_lex_token_milli"),
+        ratioPpm(col("lex_tokens"), col("ws_tokens")).as("lex_per_ws_ppm"),
+        ratioMilli(col("uni_chars"), col("uni_pieces"))
+          .as("chars_per_piece_milli"),
+        ratioPpm(col("uni_pieces"), col("uni_words"))
+          .as("pieces_per_word_ppm"))
+  }
+
+  /** [[fertilityFromCensus]] ∘ [[fertilityCensus]] — the one-shot
+    * tokenizer-fertility report (the q_token_fertility twin with the
+    * trained lane). */
+  def tokenizerFertility(df: DataFrame, textCol: String, sourceCol: String,
+                         langCol: String, model: UnigramModel): DataFrame =
+    fertilityFromCensus(fertilityCensus(df, textCol, sourceCol, langCol, model))
 
   /** Corpus ENCODING statistics under a trained model — the
     * [[Bpe.encodeStats]] twin, so the two tokenizer families price the

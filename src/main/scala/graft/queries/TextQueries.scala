@@ -1327,6 +1327,21 @@ object TextQueries {
           "text", "source", "lang")
         .orderBy(col("source"), col("lang"))),
 
+    // q_token_fertility with the TRAINED UNIGRAM LANE: chars-per-piece
+    // and pieces-per-word under the suite's memo'd unigram-LM tokenizer
+    // beside the two static lanes, per (source, lang) — the
+    // tokenizer-family comparison as ONE census report. Rows-only (the
+    // model is a runtime artifact); exactness is cross-checked two ways:
+    // UnigramSpec proves the census lane sums equal q_unigram_encode's
+    // per-doc totals, and VerifyExtras pins that equality as a floor at
+    // every scale. Additive given the frozen model — maintained for
+    // free (maintainTokenizerFertilityState). q_token_fertility itself
+    // stays untouched (its static lanes keep their DuckDB oracle).
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      Unigram.tokenizerFertility(Tables.load(s, dir, "documents"),
+          "text", "source", "lang", unigramModel(s, dir))
+        .orderBy(col("source"), col("lang"))),
+
     // Lexical diversity per source: type–token ratio + hapax share over
     // the normalized token census — template farms score low on both;
     // novelty asks about cross-source sharing, repetition about

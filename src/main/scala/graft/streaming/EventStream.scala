@@ -795,6 +795,32 @@ object EventStream {
       readCensusState(spark, statePath, Seq("source", "lang"),
         Seq("n_docs", "ws_tokens", "lex_tokens", "n_chars")))
 
+  /** [[maintainFertilityState]] with the TRAINED UNIGRAM LANE
+    * ([[graft.operators.Unigram.fertilityCensus]]): the census stays an
+    * additive monoid because the model is FROZEN — the caller trains
+    * (or loads) it once and every micro-batch prices against the same
+    * piece table, so the fold equals a batch recompute. Retraining the
+    * tokenizer means a new census directory, exactly like changing
+    * `ngrams` on the DSIR maintainer. */
+  def maintainTokenizerFertilityState(docs: DataFrame, textCol: String,
+                                      sourceCol: String, langCol: String,
+                                      model: graft.functions.UnigramModel,
+                                      statePath: String,
+                                      checkpointPath: String,
+                                      autoCompact: Option[AutoCompact] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainCensusState(docs, statePath, checkpointPath,
+      b => graft.operators.Unigram.fertilityCensus(b, textCol, sourceCol,
+        langCol, model),
+      autoCompact = autoCompact)
+
+  /** Tokenizer-fertility report off a
+    * [[maintainTokenizerFertilityState]] directory. */
+  def readTokenizerFertility(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.Unigram.fertilityFromCensus(
+      readCensusState(spark, statePath, Seq("source", "lang"),
+        Seq("n_docs", "ws_tokens", "lex_tokens", "n_chars",
+          "uni_words", "uni_chars", "uni_pieces")))
+
   /** Streaming maintenance for the DSIR selection MODEL
     * ([[graft.operators.Vocab.dsirWeights]]'s bucket census): each
     * micro-batch appends its (bucket, n_raw, n_tgt) feature counts —

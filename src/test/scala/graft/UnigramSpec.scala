@@ -114,6 +114,75 @@ class UnigramSpec extends AnyFunSuite {
     Unigram.invalidateAll(spark)
   }
 
+  test("tokenizerFertility: unigram lane totals equal the per-doc encode; null dims route around; ratios are exact floors") {
+    val docs = Seq(
+      (1L, "web", "en", "the cat sat on the mat"),
+      (2L, "web", "en", "the cat sat"),
+      (3L, "web", "de", "der hund lief"),
+      (4L, null, "en", "dropped by null source"),
+      (5L, "web", "en", null))
+      .toDF("doc_id", "source", "lang", "text")
+    val model = Unigram.fit(docs.filter($"text".isNotNull), "text",
+      vocabSize = 30, rounds = 1, maxPieceLen = 3, seedSize = 100)
+    val rep = Unigram.tokenizerFertility(docs, "text", "source", "lang", model)
+      .orderBy($"source", $"lang").collect()
+    assert(rep.length == 2) // (web,de) and (web,en); null dims dropped
+    val en = rep.find(r => r.getString(1) == "en").get
+    assert(en.getAs[Long]("n_docs") == 2L)
+    // the lane totals equal the per-doc encode over the same slice
+    val enc = Unigram.encodeStats(
+        docs.filter($"source".isNotNull && $"lang".isNotNull && $"text".isNotNull)
+          .filter($"lang" === "en"),
+        "doc_id", "text", model)
+      .agg(sum($"n_words"), sum($"n_chars_tok"), sum($"n_pieces")).head()
+    assert(en.getAs[Long]("uni_words") == enc.getLong(0))
+    assert(en.getAs[Long]("uni_chars") == enc.getLong(1))
+    assert(en.getAs[Long]("uni_pieces") == enc.getLong(2))
+    // ratio freeze: one exact integer floor-division each
+    assert(en.getAs[Long]("chars_per_piece_milli")
+      == en.getAs[Long]("uni_chars") * 1000L / en.getAs[Long]("uni_pieces"))
+    assert(en.getAs[Long]("pieces_per_word_ppm")
+      == en.getAs[Long]("uni_pieces") * 1000000L / en.getAs[Long]("uni_words"))
+    // census additivity: cells folded across two halves re-sum to the
+    // one-shot report (the maintained-state contract)
+    val c1 = Unigram.fertilityCensus(docs.filter($"doc_id" <= 2), "text",
+      "source", "lang", model)
+    val c2 = Unigram.fertilityCensus(docs.filter($"doc_id" > 2), "text",
+      "source", "lang", model)
+    val folded = Unigram.fertilityFromCensus(c1.unionByName(c2))
+      .orderBy($"source", $"lang").collect().map(_.toSeq).toSeq
+    assert(folded == rep.map(_.toSeq).toSeq)
+  }
+
+  test("maintainTokenizerFertilityState: streamed fold equals the batch report; unigram lane rides the census") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Seq(
+      (1L, "web", "en", "the cat sat on the mat"),
+      (2L, "web", "en", "the cat sat"),
+      (3L, "wiki", "de", "der hund lief heute"))
+    val model = Unigram.fit(all.toDF("doc_id", "source", "lang", "text"),
+      "text", vocabSize = 30, rounds = 1, maxPieceLen = 3, seedSize = 100)
+    val src = MemoryStream[(Long, String, String, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-tokf").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tokf-ck").toString
+    val q = graft.streaming.EventStream.maintainTokenizerFertilityState(
+      src.toDS().toDF("doc_id", "source", "lang", "text"),
+      "text", "source", "lang", model, stateDir, ckpt)
+    try {
+      src.addData(all.take(2): _*); q.processAllAvailable()
+      src.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val maintained = graft.streaming.EventStream
+      .readTokenizerFertility(spark, stateDir)
+      .orderBy($"source", $"lang").collect().map(_.toSeq).toSeq
+    val recomputed = Unigram.tokenizerFertility(
+        all.toDF("doc_id", "source", "lang", "text"),
+        "text", "source", "lang", model)
+      .orderBy($"source", $"lang").collect().map(_.toSeq).toSeq
+    assert(maintained == recomputed)
+  }
+
   test("encodeStats: compression beats character-level; fertility comparable to BPE") {
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
     val model = Unigram.fit(docs, "text", vocabSize = 200, rounds = 2,
