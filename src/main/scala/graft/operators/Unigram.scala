@@ -50,6 +50,36 @@ object Unigram {
       .groupBy(col("piece")).agg(sum(col("n")).cast("long").as("cnt"))
   }
 
+  private[graft] def isSingle(p: String): Boolean =
+    p.codePointCount(0, p.length) == 1
+
+  /** The seed vocabulary selection, shared between [[fit]] and the
+    * soft-EM lab so both trainers start from the IDENTICAL candidate
+    * set: (singles — every seeded code point, the coverage set kept for
+    * life; multiTop — the seedSize most frequent multi-code-point
+    * substrings at or above minCount, ties broken by piece). Spark's
+    * `length` counts CODE POINTS (UTF8String.numChars), so `=== 1`
+    * matches isSingle exactly and bounds the singles collect to the
+    * alphabet — a `<= 2` pre-filter would also collect every character
+    * BIGRAM in the corpus (O(alphabet²) rows on a CJK-like corpus) only
+    * to discard them driver-side. isSingle stays as a belt-and-braces
+    * guard on the contract. */
+  private[graft] def seedVocab(words: DataFrame, maxPieceLen: Int,
+                               seedSize: Int, minCount: Long):
+      (Array[(String, Long)], Array[(String, Long)]) = {
+    val seed = seedCounts(words, maxPieceLen)
+    val singles = seed.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter { case (p, _) => isSingle(p) }
+    val multiTop = seed.filter(length(col("piece")) >= 2)
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(seedSize).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter { case (p, _) => !isSingle(p) }
+    (singles, multiTop)
+  }
+
   /** Train: returns the frozen model. `df` → corpus; tokenization is
     * [[TextAnalysis.tokens]] over [[TextAnalysis.normalized]] text (the
     * text family's contract, same as BPE). */
@@ -63,24 +93,8 @@ object Unigram {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val words = Bpe.wordFreq(df, textCol).persist(lvl)
     try {
-      val seed = seedCounts(words, maxPieceLen)
-      def isSingle(p: String): Boolean = p.codePointCount(0, p.length) == 1
-      // singles: every seeded code point (coverage set, kept for life).
-      // Spark's `length` counts CODE POINTS (UTF8String.numChars), so
-      // `=== 1` matches isSingle exactly and bounds the collect to the
-      // alphabet — the previous `<= 2` pre-filter also collected every
-      // character BIGRAM in the corpus (O(alphabet²) rows on a CJK-like
-      // corpus) only to discard them driver-side. isSingle stays as a
-      // belt-and-braces guard on the contract.
-      val singles = seed.filter(length(col("piece")) === 1)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-        .filter { case (p, _) => isSingle(p) }
-      val multiTop = seed.filter(length(col("piece")) >= 2)
-        .filter(col("cnt") >= minCount)
-        .orderBy(col("cnt").desc, col("piece"))
-        .limit(seedSize).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-        .filter { case (p, _) => !isSingle(p) }
+      val (singles, multiTop) =
+        seedVocab(words, maxPieceLen, seedSize, minCount)
       def freeze(counts: Seq[(String, Long)]): UnigramModel = {
         val total = counts.map(_._2).sum.max(1L)
         UnigramModel(counts.map { case (p, c) =>
