@@ -301,20 +301,37 @@ object CurationRound {
   //   statePath/fps        (fp, __batch_id)            gated fingerprints seen
   //   statePath/survivors  (id, stratum, text, n_tokens, n_sh, __batch_id)
   //   statePath/postings   (id, sh, __batch_id)        retained docs' shingle index
-  //   statePath/shdf       (sh, n, __batch_id)         additive shingle-df census
+  //   statePath/shdf       (sh, n, __batch_id)         EXACT-survivor shingle-df census
   //   statePath/funnel     (stage_ord, stage, n_docs, n_tokens, __batch_id)
   //
   // Per batch, only the BATCH is gated/fingerprinted/shingled; history
   // participates through its maintained index: the exact gate is the
   // Dedup.incrementalNew anti-join against `fps`, near-dup candidates
   // come from joining the batch's postings against the survivor posting
-  // index under the POOL df valve (history df from the compactable
-  // `shdf` census fold + the batch's own — exactly the full chain's
-  // bucket-size cap over history ∪ batch), and decontamination is the
-  // stateless bench probe. At 100 TB the posting index is the table
-  // you'd bucket by `sh` so only the batch side shuffles; `shdf` and
-  // `funnel` are census-state directories, maintained and compacted by
-  // the EventStream machinery.
+  // index under the POOL df valve (history df from the `shdf` census
+  // fold + the batch's own). `shdf` counts each batch's STAGE-3 (exact
+  // dedup) survivors' shingles — the same df domain the full chain's
+  // ngramJaccardPairs(s3) cap uses — so under monotone ids the valve
+  // is EXACTLY the full chain's bucket-size cap over the
+  // concatenation's exact survivors, even for docs later stages
+  // dropped. Decontamination is the stateless bench probe. At 100 TB
+  // the posting index is the table you'd bucket by `sh` so only the
+  // batch side shuffles.
+  //
+  // MAINTENANCE: `shdf` is the one ADDITIVE census here — compact it
+  // with EventStream.compactCensusState(keyCols=Seq("sh"),
+  // valueCols=Seq("n")); foldBatch's read is summary-scoped (latest
+  // summary + newer deltas) and REFUSES to fold a batch at or below
+  // the compaction frontier W (a summary folds batches ≤ W
+  // irreversibly, so a replayed batch ≤ W could no longer exclude its
+  // own prior contribution — compact only batches the checkpoint has
+  // committed; see streamCuration's compact-before-fold schedule).
+  // `funnel` is per-batch HISTORY (the MetricsStore shape) — folding
+  // it across batches would collapse incrementalFunnel's rows into one
+  // pseudo-batch; never compact it. `fps`/`postings`/`survivors` are
+  // per-doc SET state read through replay-dedup, not additive censuses;
+  // their only valid rewrite is a stamp-preserving distinct, which the
+  // reads make unnecessary.
   //
   // SEMANTICS (the incremental contract, spec-pinned): ids and batch
   // ids are MONOTONE (later ingest ⇒ larger ids); shipped history is
@@ -367,6 +384,43 @@ object CurationRound {
     StructField("stage_ord", IntegerType), StructField("stage", StringType),
     StructField("n_docs", LongType), StructField("n_tokens", LongType),
     StructField("__batch_id", LongType)))
+  private def shdfSchema = StructType(Seq(StructField("sh", LongType),
+    StructField("n", LongType), StructField("__batch_id", LongType)))
+
+  /** The shdf census scoped for folding `batchId`: compaction-aware
+    * (the EventStream.readCensusState rule — keep the LATEST summary
+    * plus deltas stamped after it), then `__batch_id < batchId` for
+    * replay correctness. mergeSchema reconciles deltas appended after
+    * a compaction, which lack the stamp column. Folding at or below
+    * the compaction frontier W is REFUSED: the W summary folds every
+    * batch ≤ W irreversibly, so a replay of such a batch could not
+    * exclude its own prior df contribution — the compact-before-fold
+    * schedule (only compact checkpoint-committed batches) makes the
+    * refusal unreachable in the maintained loop. */
+  private def scopedShdf(spark: SparkSession, statePath: String,
+                         batchId: Long): DataFrame = {
+    val p = subPath(statePath, "shdf")
+    if (!dirNonEmpty(spark, p))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], shdfSchema)
+    val raw = spark.read.option("mergeSchema", "true").parquet(p)
+    val scoped =
+      if (!raw.columns.contains("__compacted_through")) raw
+      else {
+        val wRow = raw.agg(max(col("__compacted_through"))).head()
+        if (wRow.isNullAt(0)) raw.drop("__compacted_through")
+        else {
+          val w = wRow.getLong(0)
+          require(batchId > w,
+            s"cannot fold batch $batchId: shdf is compacted through $w " +
+              "(a summary folds batches <= W irreversibly; compact only " +
+              "checkpoint-committed batches so replays stay above W)")
+          raw.filter(col("__compacted_through") === w ||
+              (col("__compacted_through").isNull && col("__batch_id") > w))
+            .drop("__compacted_through")
+        }
+      }
+    scoped.filter(col("__batch_id") < batchId)
+  }
 
   /** Highest batch id recorded anywhere under `statePath` (partial
     * folds count — the funnel commits LAST), or None on fresh state. */
@@ -427,9 +481,10 @@ object CurationRound {
 
     // Stage 4 — near-dup vs the maintained posting index. Batch docs
     // shingle ONCE; the pool df valve (history shdf fold + batch df ≤
-    // dfCap) reproduces the full chain's bucket-size cap over
-    // history ∪ batch, and n_sh stays the doc's FULL distinct-shingle
-    // count (the jaccard denominator is valve-independent).
+    // dfCap) reproduces the full chain's bucket-size cap — shdf counts
+    // exact-survivor shingles, the cap's domain in ngramJaccardPairs(s3)
+    // — and n_sh stays the doc's FULL distinct-shingle count (the
+    // jaccard denominator is valve-independent).
     val batchSh = s3.select(id,
         Dedup.shingles(col(cfg.textCol), cfg.jaccardN).as("arr"))
       .select(id, size(col("arr")).cast("long").as("__n_sh"),
@@ -437,12 +492,23 @@ object CurationRound {
       .select(id, col("__n_sh"), xxhash64(col("raw")).as("sh"))
       .localCheckpoint()
     val batchSizes = batchSh.select(id, col("__n_sh")).distinct()
-    val shdfSchema = StructType(Seq(StructField("sh", LongType),
-      StructField("n", LongType), StructField("__batch_id", LongType)))
-    val histDfScoped = scoped("shdf", shdfSchema)
+    // The batch's shingle-df census, computed ONCE (checkpointed): it
+    // probes the history semi-join, feeds the valve, and is the shdf
+    // state delta — three consumers, one aggregation.
+    val batchDf = batchSh.groupBy(col("sh")).agg(count(lit(1)).as("bn"))
+      .localCheckpoint()
+    // Semi-join the history census down to the BATCH's shingles before
+    // the replay-dedup + fold: the valve only needs df for shingles the
+    // batch actually carries, so the two aggregation exchanges run over
+    // O(batch ∩ history) rows instead of every shingle ever ingested —
+    // the difference between per-fold cost tracking the batch and
+    // tracking the corpus (at 100 TB, with shdf bucketed by `sh`, the
+    // semi join is the only history-wide scan and it prunes at the
+    // scan).
+    val histDfScoped = scopedShdf(spark, statePath, batchId)
+      .join(batchDf.select(col("sh")), Seq("sh"), "left_semi")
       .dropDuplicates("__batch_id", "sh")
       .groupBy(col("sh")).agg(sum(col("n")).as("n"))
-    val batchDf = batchSh.groupBy(col("sh")).agg(count(lit(1)).as("bn"))
     val keepSh = batchDf.join(histDfScoped, Seq("sh"), "left_outer")
       .filter(col("bn") + coalesce(col("n"), lit(0L)) <= cfg.jaccardDfCap)
       .select(col("sh"))
@@ -528,11 +594,16 @@ object CurationRound {
       .write.mode("append").parquet(subPath(statePath, "survivors"))
     retSh.select(id, col("sh")).distinct().withColumn("__batch_id", lit(batchId))
       .write.mode("append").parquet(subPath(statePath, "postings"))
-    retSh.groupBy(col("sh")).agg(count(lit(1)).as("n"))
+    // shdf counts ALL stage-3 survivors' shingles (not just retained
+    // docs'): the full chain's df cap is computed over s3 in
+    // ngramJaccardPairs, so a doc that later drops at near-dup/
+    // decontamination still contributes df there — and must here too,
+    // or the valve diverges from run() whenever the cap binds.
+    batchDf.select(col("sh"), col("bn").as("n"))
       .withColumn("__batch_id", lit(batchId))
       .write.mode("append").parquet(subPath(statePath, "shdf"))
     funnel.write.mode("append").parquet(subPath(statePath, "funnel"))
-    Seq(gated, fps, s3, batchSh, survivors, s4, retained)
+    Seq(gated, fps, s3, batchSh, batchDf, survivors, s4, retained)
       .foreach(_.unpersist())
     funnel
   }
@@ -595,6 +666,57 @@ object CurationRound {
     (mixed, packed, stats)
   }
 
+  /** The maintained loop WIRED as a streaming consumer (the reference's
+    * operating shape: ingest → fold → maintained state): each
+    * micro-batch of corpus rows (idCol, strataCol, textCol) folds
+    * through [[foldBatch]] under the micro-batch id — monotone by the
+    * checkpoint contract, so the fold's append-only id rule holds for
+    * free — and the five state directories accrue under `statePath`
+    * exactly as in batch use ([[readRetained]] / [[incrementalFunnel]] /
+    * [[cutRound]] read either). At-least-once → effectively-once is
+    * foldBatch's own replay contract: a replayed micro-batch re-reads
+    * state scoped `< batchId` and recomputes identical stamped rows.
+    *
+    * Maintenance rides the loop with the COMPACT-BEFORE-FOLD schedule:
+    * every `compactEvery` micro-batches, the shdf census (the one
+    * additive census here) compacts at the HEAD of the batch, and only
+    * when every delta present is from a batch `< batchId` — so the
+    * summary never folds the current (possibly replayed, possibly
+    * partially-appended) batch, and [[foldBatch]]'s frontier refusal is
+    * unreachable. The funnel/fps/postings/survivors directories are
+    * never compacted (per-batch history / per-doc set state — see the
+    * fold-state notes above). Counter semantics match
+    * [[graft.streaming.EventStream.AutoCompact]]: in-memory per started
+    * query, re-arming from zero after a driver restart. Returns the
+    * started query; callers own its lifecycle. */
+  def streamCuration(corpus: DataFrame, statePath: String,
+                     checkpointPath: String, bench: DataFrame, cfg: Config,
+                     compactEvery: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    var sinceCompaction = 0
+    corpus.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        sinceCompaction += 1
+        if (sinceCompaction >= compactEvery) {
+          val p = subPath(statePath, "shdf")
+          if (dirNonEmpty(spark, p)) {
+            val m = spark.read.option("mergeSchema", "true").parquet(p)
+              .agg(max(col("__batch_id"))).head()
+            if (!m.isNullAt(0) && m.getLong(0) < batchId) {
+              graft.streaming.EventStream.compactCensusState(spark, p,
+                Seq("sh"), Seq("n"))
+              sinceCompaction = 0
+            }
+          }
+        }
+        foldBatch(spark, statePath, batch.toDF(), bench, cfg, batchId)
+        ()
+      }
+      .start()
+  }
+
   // ---- final-survivor temp tables (cache-seam mode) -----------------
   // Per-process root + counter, the NearDupPipeline path convention:
   // two JVMs curating concurrently never collide, and a process-wide
@@ -647,29 +769,26 @@ object CurationRound {
   // contract as everywhere: per (session, corpusKey, cfg), does NOT
   // watch the data — new round over changed data calls invalidate/
   // invalidateAll first (the bench does so at every pass boundary).
-  private val memo = scala.collection.mutable.Map
-    .empty[(SparkSession, String, Config), Result]
+  private val memo = new KeyedMemo[(SparkSession, String, Config), Result]
 
   /** The chain's Result for (`corpusKey`, `cfg`), built at most once
     * per session: first caller runs the chain (and releases its stage
     * caches — the returned frames don't need them); later callers get
-    * the same Result. Synchronized like the metricsTable memo: two
-    * concurrent first callers must not both run the chain. */
+    * the same Result. Per-key double-checked ([[KeyedMemo]]): two
+    * concurrent first callers on the SAME key build once, while a
+    * first caller for a DIFFERENT (session, corpus, cfg) key builds
+    * in parallel instead of queueing behind this chain's six stages. */
   def memoized(spark: SparkSession, corpusKey: String, corpus: => DataFrame,
                bench: => DataFrame, cfg: Config): Result =
-    memo.synchronized {
-      memo.getOrElseUpdate((spark, corpusKey, cfg), {
-        val r = run(spark, corpus, bench, cfg)
-        r.unpersist()
-        r
-      })
+    memo.getOrBuild((spark, corpusKey, cfg)) {
+      val r = run(spark, corpus, bench, cfg)
+      r.unpersist()
+      r
     }
 
   /** Drop every memo owned by `s` — pass-boundary hook for the bench.
     * Backing temp tables stay until application end (a consumer may
     * hold a returned frame); they are id-scale files. */
   def invalidateAll(s: SparkSession): Unit =
-    memo.synchronized {
-      memo.filterInPlace { case ((sess, _, _), _) => sess ne s }; ()
-    }
+    memo.invalidateIf { case (sess, _, _) => sess eq s }
 }

@@ -143,30 +143,28 @@ object Unigram {
   // does NOT watch the data — the bench invalidates at pass boundaries.
   private type FitKey =
     (SparkSession, String, String, Int, Int, Int, Int, Long, Long)
-  private val memo = scala.collection.mutable.Map.empty[FitKey, UnigramModel]
+  private val memo = new graft.KeyedMemo[FitKey, UnigramModel]
 
   /** The trained model for (`corpusKey`, params), fit at most once per
-    * session; later callers get the identical frozen model.
-    * Synchronized like the other memos: two concurrent first callers
-    * must not both run the EM rounds. */
+    * session; later callers get the identical frozen model. Per-key
+    * double-checked ([[graft.KeyedMemo]]): two concurrent first
+    * callers on the SAME key fit once, while a first caller for a
+    * DIFFERENT (session, corpus, params) key fits in parallel instead
+    * of queueing behind this fit's EM rounds. */
   def fitMemo(df: DataFrame, corpusKey: String, textCol: String,
               vocabSize: Int = 400, rounds: Int = 3, maxPieceLen: Int = 6,
               seedSize: Int = 4000, minCount: Long = 2L,
               unkMicro: Long = -100000000L): UnigramModel = {
     val key: FitKey = (df.sparkSession, corpusKey, textCol, vocabSize,
       rounds, maxPieceLen, seedSize, minCount, unkMicro)
-    memo.synchronized {
-      memo.getOrElseUpdate(key,
-        fit(df, textCol, vocabSize, rounds, maxPieceLen, seedSize,
-          minCount, unkMicro))
-    }
+    memo.getOrBuild(key)(
+      fit(df, textCol, vocabSize, rounds, maxPieceLen, seedSize,
+        minCount, unkMicro))
   }
 
   /** Drop every memo'd model owned by `s` — pass-boundary hook. */
   def invalidateAll(s: SparkSession): Unit =
-    memo.synchronized {
-      memo.filterInPlace { case (k, _) => k._1 ne s }; ()
-    }
+    memo.invalidateIf(_._1 eq s)
 
   /** The trained vocabulary as a frame: (rank, piece, cnt-frozen
     * micro log-prob) ordered by score desc then piece — the committed,

@@ -577,8 +577,10 @@ object TextQueries {
     * re-rooted on that batch, with history entering exactly as the
     * engine's maintained state does: seen-fingerprints = gated fps of
     * earlier batches, the near-dup pool = retained survivors' posting
-    * index, the df valve over history + batch, and history edges veto
-    * the newcomer. Exposes if0/if1/if2 (per-batch funnel rows).
+    * index, the df valve over EXACT survivors of history + batch (the
+    * engine's shdf domain — the full chain's cap domain), and history
+    * edges veto the newcomer. Exposes if0/if1/if2 (per-batch funnel
+    * rows).
     * Requires WITH RECURSIVE at the call site. */
   private def incCurationCtes: String = {
     val stopsSum = gopherStops.map(w =>
@@ -609,6 +611,14 @@ object TextQueries {
           s"irpost$k AS (${prev.map(j =>
             s"SELECT s.id, s.sh FROM ibsh$j s JOIN icc$j c ON s.id = c.doc_id")
             .mkString(" UNION ALL ")})"
+      // the history df census spans prior EXACT survivors (ibsh$j),
+      // not just retained docs — the engine's shdf domain
+      val rdf =
+        if (prev.isEmpty)
+          s"irdf$k AS (SELECT CAST(NULL AS VARCHAR) AS sh, CAST(NULL AS BIGINT) AS n WHERE FALSE)"
+        else
+          s"irdf$k AS (SELECT sh, count(*) AS n FROM (${prev.map(j =>
+            s"SELECT sh FROM ibsh$j").mkString(" UNION ALL ")}) GROUP BY sh)"
       val rsz =
         if (prev.isEmpty)
           s"irsz$k AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS n_sh WHERE FALSE)"
@@ -668,7 +678,7 @@ object TextQueries {
          |$rpost,
          |$rsz,
          |ibdf$k AS (SELECT sh, count(*) AS n FROM ibsh$k GROUP BY sh),
-         |irdf$k AS (SELECT sh, count(*) AS n FROM irpost$k GROUP BY sh),
+         |$rdf,
          |ikeepsh$k AS MATERIALIZED (SELECT b.sh FROM ibdf$k b LEFT JOIN irdf$k r USING (sh)
          |              WHERE b.n + COALESCE(r.n, 0) <= 10000),
          |ibp$k AS MATERIALIZED (SELECT id, sh FROM ibsh$k

@@ -261,10 +261,18 @@ object EventStream {
     * files, old summaries, and post-compaction REPLAYS of
     * pre-compaction batches (whose rows [[readCensusState]] already
     * ignores). One summary-scale pass groups rows by
-    * `input_file_name`; deletion is best-effort per file (a reader
-    * mid-scan on a snapshot listing keeps its view — the
-    * NearDupPipeline caveat; the rows were semantically dead either
-    * way). No-op on never-compacted directories. Returns the number of
+    * `input_file_name`; deletion is best-effort per file. CONCURRENT
+    * READER CAVEAT: the rows a gc removes are semantically dead (the
+    * summary supersedes them), but a CROSS-PROCESS reader whose file
+    * listing predates the gc still FAILS with FileNotFoundException
+    * mid-scan unless it sets `spark.sql.files.ignoreMissingFiles` —
+    * Spark does not re-list on miss. Same-process readers planning
+    * after the gc are unaffected. So while [[compactCensusState]]'s
+    * summary append is safe against any reader at any instant, the gc
+    * step is NOT: defer it to a quiet window, or require
+    * ignoreMissingFiles of external readers (then the lost rows are
+    * exactly the superseded ones and every fold is still correct).
+    * No-op on never-compacted directories. Returns the number of
     * files removed. Separable from [[compactCensusState]] so an
     * object-store deployment can defer it to a quiet window while the
     * summary append stays hot-path. */

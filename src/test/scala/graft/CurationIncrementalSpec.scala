@@ -143,6 +143,146 @@ class CurationIncrementalSpec extends AnyFunSuite {
     full.unpersist()
   }
 
+  test("df valve binds over EXACT survivors (the full chain's cap domain), not just retained docs") {
+    // Family: X1 (6 lines) ⊃ X2 (5 lines) in batch 0 — X2 drops at
+    // near-dup (non-canonical) but STAYS an exact survivor; Y (7 lines)
+    // arrives in batch 1 as a near-dup of shipped X1.
+    val x1 = mkDoc("xx", 6); val x2 = mkDoc("xx", 5); val y = mkDoc("xx", 7)
+    val bench = Seq((900L, "unrelated bench words only.")).toDF("doc_id", "text")
+    val b0 = Seq((1L, "en", x1), (2L, "en", x2)).toDF("doc_id", "lang", "text")
+    val b1 = Seq((11L, "en", y)).toDF("doc_id", "lang", "text")
+
+    // Uncapped control: Y drops on its history edge to X1 (jaccard ≈ .87).
+    val openPath = java.nio.file.Files
+      .createTempDirectory("graft-cur-valve-open").toString
+    CurationRound.foldBatch(spark, openPath, b0, bench, cfg, 0L)
+    CurationRound.foldBatch(spark, openPath, b1, bench, cfg, 1L)
+    assert(ids(CurationRound.readRetained(spark, openPath, cfg)) == Set(1L))
+
+    // dfCap = 2: every shingle X1 shares with X2 now carries history
+    // df 2 (BOTH exact survivors — X2's near-dup drop must not erase
+    // its df) + batch df 1 = 3 > cap → valved out; only X1's line-6
+    // shingles (history df 1) stay eligible, far below minJaccard — Y
+    // SURVIVES. Counting retained docs only (the pre-fix census) would
+    // put the shared shingles at pool df 2 ≤ cap and wrongly drop Y.
+    val valveCfg = cfg.copy(jaccardDfCap = 2)
+    val cappedPath = java.nio.file.Files
+      .createTempDirectory("graft-cur-valve-cap").toString
+    CurationRound.foldBatch(spark, cappedPath, b0, bench, valveCfg, 0L)
+    CurationRound.foldBatch(spark, cappedPath, b1, bench, valveCfg, 1L)
+    assert(ids(CurationRound.readRetained(spark, cappedPath, valveCfg))
+      .contains(11L))
+
+    // The full chain agrees on the NEWCOMER's verdict (its cap domain
+    // is the concatenation's exact survivors — same df, same drop):
+    // Y survives there too. X2 itself diverges (batch 0 shipped its
+    // drop when the in-batch df was still under the cap) — the
+    // append-only contract's accepted shipped-decision divergence.
+    val full = CurationRound.run(spark,
+      Seq((1L, "en", x1), (2L, "en", x2), (11L, "en", y))
+        .toDF("doc_id", "lang", "text"), bench, valveCfg)
+    assert(ids(full.curated).contains(11L))
+    full.unpersist()
+  }
+
+  test("shdf compaction: summary-scoped folds match an uncompacted twin; gc=false never double-counts; the frontier refuses re-folds") {
+    val bench = Seq((900L, "unrelated bench words only.")).toDF("doc_id", "text")
+    def batch(k: Int) =
+      Seq((k * 10L + 1L, "en", mkDoc(s"t$k")), (k * 10L + 2L, "en", mkDoc(s"u$k")))
+        .toDF("doc_id", "lang", "text")
+    val a = java.nio.file.Files.createTempDirectory("graft-cur-cmp-a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft-cur-cmp-b").toString
+    (0 to 1).foreach { k =>
+      CurationRound.foldBatch(spark, a, batch(k), bench, cfg, k.toLong)
+      CurationRound.foldBatch(spark, b, batch(k), bench, cfg, k.toLong)
+    }
+    val shdfA = a + "/shdf"
+    // gc=false first: superseded deltas REMAIN next to the summary —
+    // the fold must scope to the summary, not sum both (double-count)
+    graft.streaming.EventStream.compactCensusState(spark, shdfA,
+      Seq("sh"), Seq("n"), gc = false)
+    CurationRound.foldBatch(spark, a, batch(2), bench, cfg, 2L)
+    CurationRound.foldBatch(spark, b, batch(2), bench, cfg, 2L)
+    def view(p: String) = (
+      ids(CurationRound.readRetained(spark, p, cfg)),
+      funnelRows(CurationRound.cumulativeFunnel(spark, p)))
+    assert(view(a) == view(b))
+    // gc pass, another fold on top: still the uncompacted twin's state
+    graft.streaming.EventStream.gcCensusState(spark, shdfA)
+    CurationRound.foldBatch(spark, a, batch(3), bench, cfg, 3L)
+    CurationRound.foldBatch(spark, b, batch(3), bench, cfg, 3L)
+    assert(view(a) == view(b))
+    // folding AT the compaction frontier is refused (a summary folds
+    // batches <= W irreversibly; a replay below it could no longer
+    // exclude its own prior df contribution)
+    graft.streaming.EventStream.compactCensusState(spark, shdfA,
+      Seq("sh"), Seq("n"))
+    val e = intercept[IllegalArgumentException] {
+      CurationRound.foldBatch(spark, a, batch(3), bench, cfg, 3L)
+    }
+    assert(e.getMessage.contains("compacted through"))
+    // the twin still replays its batch 3 fine (no compaction there)
+    CurationRound.foldBatch(spark, b, batch(3), bench, cfg, 3L)
+    assert(view(a)._1 == view(b)._1)
+  }
+
+  test("streamCuration: streamed micro-batch folds ≡ batch foldBatch ≡ full run; compaction fires mid-stream; replay leaves views unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = Seq((900L, "unrelated bench words only.")).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((1L, "en", mkDoc("aa")), (2L, "en", mkDoc("bb"))),
+      Seq((11L, "en", mkDoc("aa")),      // exact dup of shipped 1
+          (12L, "en", mkDoc("cc"))),
+      Seq((21L, "en", mkDoc("bb", 5)),   // shorter near-dup of shipped 2
+          (22L, "en", mkDoc("dd"))))
+    val streamed = java.nio.file.Files
+      .createTempDirectory("graft-cur-stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cur-stream-ck").toString
+    val src = MemoryStream[(Long, String, String)]
+    val q = CurationRound.streamCuration(
+      src.toDF().toDF("doc_id", "lang", "text"), streamed, ckpt, bench, cfg,
+      compactEvery = 2)
+    try {
+      batches.foreach { rows => src.addData(rows: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // ≡ the same three folds driven by hand
+    val manual = java.nio.file.Files
+      .createTempDirectory("graft-cur-manual").toString
+    batches.zipWithIndex.foreach { case (rows, k) =>
+      CurationRound.foldBatch(spark, manual,
+        rows.toDF("doc_id", "lang", "text"), bench, cfg, k.toLong)
+    }
+    def view(p: String) = (
+      ids(CurationRound.readRetained(spark, p, cfg)),
+      funnelRows(CurationRound.cumulativeFunnel(spark, p)),
+      CurationRound.incrementalFunnel(spark, p).count())
+    assert(view(streamed) == view(manual))
+
+    // ≡ the full chain over the concatenation (history dominates here)
+    val full = CurationRound.run(spark,
+      batches.flatten.toDF("doc_id", "lang", "text"), bench, cfg)
+    assert(ids(CurationRound.readRetained(spark, streamed, cfg))
+      == ids(full.curated))
+    full.unpersist()
+
+    // compact-before-fold fired mid-stream (compactEvery=2 → at the
+    // head of micro-batch 1, folding only the committed batch 0)
+    val shdf = spark.read.option("mergeSchema", "true")
+      .parquet(streamed + "/shdf")
+    assert(shdf.columns.contains("__compacted_through"))
+    assert(shdf.agg(max(col("__compacted_through"))).head().getLong(0) == 0L)
+
+    // failure-recovery: a replayed last micro-batch (the at-least-once
+    // case) recomputes identical stamped rows — every view unchanged
+    val before = view(streamed)
+    CurationRound.foldBatch(spark, streamed,
+      batches.last.toDF("doc_id", "lang", "text"), bench, cfg, 2L)
+    assert(view(streamed) == before)
+  }
+
   test("fold on fresh state from an empty batch records zero rows and survives") {
     val statePath = java.nio.file.Files
       .createTempDirectory("graft-cur-empty").toString

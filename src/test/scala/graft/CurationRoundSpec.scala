@@ -125,6 +125,34 @@ class CurationRoundSpec extends AnyFunSuite {
     assert(st.getAs[Long]("n_docs") == curatedBefore.size)
     // double unpersist is harmless
     r.unpersist()
+
+    // SAME contract in the staged seam mode (pinned is empty there —
+    // every frame is parquet-rooted, so release + clearCache is free)
+    val staging = java.nio.file.Files.createTempDirectory("graft-cur-unp").toString
+    val s = CurationRound.runStaged(spark, corpus, bench, cfg, staging)
+    s.unpersist()
+    spark.catalog.clearCache()
+    assert(s.funnel.orderBy($"stage_ord").collect().map(_.toSeq).toSeq
+      == funnelBefore)
+    assert(ids(s.curated) == curatedBefore)
+    assert(s.packed.count() > 0)
+    assert(s.packStats.head().getAs[Long]("n_docs") == curatedBefore.size)
+
+    // and via the MEMO path q_curation_round/q_curation_pack consume
+    // (memoized unpersists inside the build — the returned frames must
+    // still serve every consumer, across cache drops)
+    CurationRound.invalidateAll(spark)
+    val m = CurationRound.memoized(spark, "unpersist-spec",
+      TextQueries.curationCorpus(spark, TestSpark.Sf0001),
+      TextQueries.benchCorpus(spark, TestSpark.Sf0001), cfg)
+    m.unpersist() // a second consumer-side release on top of the build's
+    spark.catalog.clearCache()
+    assert(m.funnel.orderBy($"stage_ord").collect().map(_.toSeq).toSeq
+      == funnelBefore)
+    assert(ids(m.curated) == curatedBefore)
+    assert(m.packed.count() > 0)
+    assert(m.packStats.head().getAs[Long]("n_docs") == curatedBefore.size)
+    CurationRound.invalidateAll(spark)
   }
 
   test("memoized builds the chain once per (session, corpus); invalidateAll forces a rebuild") {

@@ -1044,6 +1044,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventStream.gcCensusState(spark, plainDir) == 0)
   }
 
+  test("compactCensusState: an append racing the compaction is never lost or nested — at every interleaving point") {
+    // The swap design's two failure modes were (1) a reader hitting the
+    // rename gap and (2) a concurrent foreachBatch append recreating
+    // the destination mid-swap, nesting the tmp dir inside it. The
+    // append-first design has NO such window; this pins the concrete
+    // interleaving: a fresh delta lands BETWEEN the summary append and
+    // the gc (exactly where a concurrent maintainer would put it).
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-race").toString
+    val keys = Seq("k"); val vals = Seq("n")
+    def delta(bid: Long, rows: (String, Long)*): Unit =
+      rows.toSeq.toDF("k", "n").withColumn("__batch_id", lit(bid))
+        .write.mode("append").parquet(stateDir)
+    def fold() = EventStream.readCensusState(spark, stateDir, keys, vals)
+      .orderBy($"k").collect().map(_.toSeq).toSeq
+    delta(0L, "a" -> 1L, "b" -> 2L)
+    delta(1L, "a" -> 3L)
+    // summary appended (W=1), superseded deltas still on disk...
+    assert(EventStream.compactCensusState(spark, stateDir, keys, vals,
+      gc = false) == 1L)
+    // ...and the racing append (monotonic id 2) lands before the gc
+    delta(2L, "b" -> 5L, "c" -> 7L)
+    assert(fold() == Seq(Seq("a", 4L), Seq("b", 7L), Seq("c", 7L)))
+    // gc removes ONLY the superseded pre-summary files: the racer's
+    // rows and the summary survive, the fold is unchanged, and the
+    // directory never held a nested tmp dir (flat parquet files only)
+    val removed = EventStream.gcCensusState(spark, stateDir)
+    assert(removed >= 2)
+    assert(fold() == Seq(Seq("a", 4L), Seq("b", 7L), Seq("c", 7L)))
+    assert(new java.io.File(stateDir).listFiles.forall(!_.isDirectory))
+    // the next compaction folds the racer into a higher-W summary
+    assert(EventStream.compactCensusState(spark, stateDir, keys, vals) == 2L)
+    assert(fold() == Seq(Seq("a", 4L), Seq("b", 7L), Seq("c", 7L)))
+  }
+
   test("maintainDoremiState: weights off folded census equal the one-shot operator; replays dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
