@@ -27,5 +27,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ FunctionQueries.oracleSql ++ TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ EventQueries.oracleSql ++
-      AnalyticsQueries.oracleSql
+      MultimodalQueries.oracleSql ++ AnalyticsQueries.oracleSql
 }

@@ -233,7 +233,8 @@ object VerifyExtras {
           floor = 0.9, knnTruth.length, knnCand.length)
       ) ++ sketchChecks(spark, sfDir) ++ bpeCheck(spark, sfDir) ++
         unigramCheck(spark, sfDir) ++
-        clusterCapCheck(spark, sfDir) ++ silhouetteCheck(spark, sfDir) ++ pcaCheck(spark, sfDir)
+        clusterCapCheck(spark, sfDir) ++ silhouetteCheck(spark, sfDir) ++
+        pcaCheck(spark, sfDir) ++ multimodalCheck(spark, sfDir)
     } finally {
       corpus.unpersist(); emb.unpersist(); dupEmb.unpersist()
     }
@@ -325,6 +326,35 @@ object VerifyExtras {
     val structOk = out.nonEmpty && ok == out.length && covered == usable
     Seq(Check("silhouette_exactness", if (structOk) 1.0 else 0.0,
       floor = 1.0, out.length.toLong, covered, metric = "bounds_and_coverage"))
+  }
+
+  /** q_multimodal_features' rows-only floor: the DISTRIBUTED decode lane
+    * (mapPartitions over typed rows) must agree byte-for-byte with a
+    * driver-side recompute of the same stub on the same payloads — a
+    * checksum/feature mismatch means the executor-side row handling
+    * (null payloads, encoder round-trip, partition preservation)
+    * corrupted bytes, the failure a swapped-in REAL codec would hit
+    * too. Bounded: one collect of ≤ `cap` (payload, checksum, feat_0)
+    * rows, documents-table scale. */
+  private def multimodalCheck(spark: SparkSession, sfDir: String,
+                              cap: Int = 500): Seq[Check] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val media = Multimodal.mediaTable(
+      graft.sources.Tables.load(spark, sfDir, "documents")).limit(cap)
+    val got = Multimodal.extractFeatures(media.as[Multimodal.MediaRow]).toDF()
+      .join(media.select(col("doc_id"), col("media")), Seq("doc_id"))
+      .select(col("doc_id"), col("media"), col("checksum"),
+        element_at(col("features"), 1).as("feat_0"))
+      .collect()
+    val ok = got.count { r =>
+      val (cs, feats) = Multimodal.decodeStub(r.getAs[Array[Byte]]("media"))
+      cs == r.getAs[Long]("checksum") && feats(0) == r.getAs[Float]("feat_0")
+    }
+    Seq(Check("multimodal_decode_parity",
+      if (got.isEmpty) 0.0 else ok.toDouble / got.length, floor = 1.0,
+      got.length.toLong, got.length.toLong, metric = "checksum_feat_parity"))
   }
 
   /** Sketch-vs-exact accuracy for q_sketch_profile's approximate

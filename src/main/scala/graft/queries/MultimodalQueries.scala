@@ -6,30 +6,169 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 import graft.sources.Tables
 
-/** Query #31 of SURVEY.md §2: multimodal binary-column plumbing. Rows-only
-  * (binary payloads + stubbed decode aren't oracle-expressible); the
-  * deterministic checksum/shape invariants are pinned in MultimodalSpec. */
+/** Query #31 of SURVEY.md §2: multimodal binary-column plumbing.
+  *
+  * q_multimodal_meta is ORACLE-WIRED: the engine parses width/height/
+  * frame-count/sample-rate out of real container headers (PNG IHDR,
+  * GIF logical screen, JPEG SOF scan, MP4 stsz, WAV fmt) with codegen'd
+  * byte-slice arithmetic, and the DuckDB oracle independently builds
+  * the same blobs (from_hex/encode) and re-parses them with blob→hex
+  * string arithmetic — construction AND parse verified end-to-end.
+  * q_multimodal_features stays rows-only (the decode stub's checksum/
+  * histogram is an iterative byte fold no static SQL expresses); its
+  * determinism is pinned in MultimodalSpec and floored in VerifyExtras.
+  */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> ((s, dir) => {
-      import s.implicits._
       val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"))
-      val feats = Multimodal.extractFeatures(media.as[Multimodal.MediaRow]).toDF()
       val frames = Multimodal.sampleFrames(media, stride = 2)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled_frames"))
-      // Magic-byte sniff of the actual payload — rides the media scan
-      // (codegen'd byte-slice compares, no UDF).
-      val sniff = media.select(col("doc_id"),
-        Multimodal.sniffFormat(col("media")).as("format_sniffed"))
-      feats.join(frames, Seq("doc_id"), "left_outer")
-        .join(sniff, Seq("doc_id"))
-        .select(col("doc_id"), col("media_type"), col("format_sniffed"),
-          col("n_bytes"), col("n_frames"), col("checksum"),
-          element_at(col("features"), 1).as("feat_0"),
+      Multimodal.resizePlan(media, maxSide = 256)
+        .join(frames, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("media_type"),
+          col("format").as("format_sniffed"),
+          length(col("media")).cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("out_width").cast("long").as("out_width"),
+          col("out_height").cast("long").as("out_height"),
+          col("resized"),
           coalesce(col("n_sampled_frames"), lit(0L)).as("n_sampled_frames"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The decode lane: deterministic stub checksum + feature head over
+    // the payload bytes (rows-only; spec-pinned + VerifyExtras floor).
+    "q_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"))
+      Multimodal.extractFeatures(media.as[Multimodal.MediaRow]).toDF()
+        .select(col("doc_id"), col("media_type"),
+          col("n_bytes").cast("long").as("n_bytes"), col("checksum"),
+          element_at(col("features"), 1).as("feat_0"))
+        .orderBy(col("doc_id"))
     })
+  )
+
+  // ---- DuckDB oracle -------------------------------------------------
+  // Blob arithmetic mirrors: construction via from_hex/encode/printf,
+  // parsing via hex(blob) + substr + CAST('0x…') — byte K (1-based) of
+  // the blob is hex offset 2(K−1)+1.
+  private def byteAt(k: String) =
+    s"CAST('0x' || substr(hx, 2*(($k)-1)+1, 2) AS BIGINT)"
+  private def beAt(k: String, n: Int) =
+    s"CAST('0x' || substr(hx, 2*(($k)-1)+1, ${2 * n}) AS BIGINT)"
+  private def leAt(k: String, n: Int) =
+    (0 until n).map(i =>
+      s"(${byteAt(s"($k)+$i")}) * ${1L << (8 * i)}").mkString(" + ")
+  private def leHex(expr: String, n: Int) =
+    (0 until n).map(i =>
+      s"printf('%02x', (($expr) // ${1L << (8 * i)}) % 256)").mkString(" || ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, doc_id % 3 AS sel, doc_id % 9 AS isel,
+         |    doc_id % 640 + 32 AS gw, doc_id % 480 + 32 AS gh,
+         |    doc_id % 16 + 1 AS gnf, (doc_id % 5 + 1) * 8000 AS grate,
+         |    encode(text) AS payload, octet_length(encode(text)) AS plen
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CASE WHEN sel = 0 THEN 'image' WHEN sel = 1 THEN 'audio'
+         |      ELSE 'video' END AS media_type,
+         |    (CASE
+         |      WHEN sel = 0 AND isel = 0 THEN
+         |        from_hex('89504E470D0A1A0A0000000D49484452'
+         |          || printf('%08x', gw) || printf('%08x', gh)
+         |          || '080600000000000000')
+         |      WHEN sel = 0 AND isel = 3 THEN
+         |        encode('GIF89a')
+         |          || from_hex(${leHex("gw", 2)} || ${leHex("gh", 2)} || '000000')
+         |      WHEN sel = 0 THEN
+         |        from_hex('FFD8FFE000104A46494600010100000100010000FFC0001108'
+         |          || printf('%04x', gh) || printf('%04x', gw)
+         |          || '03011100021101031101')
+         |      WHEN sel = 1 THEN
+         |        encode('RIFF') || from_hex(${leHex("plen + 36", 4)})
+         |          || encode('WAVEfmt ')
+         |          || from_hex('10000000' || '0100' || '0100'
+         |            || ${leHex("grate", 4)} || ${leHex("grate * 2", 4)}
+         |            || '0200' || '1000')
+         |          || encode('data') || from_hex(${leHex("plen", 4)})
+         |      ELSE
+         |        from_hex('00000010') || encode('ftypisom')
+         |          || from_hex('00000000' || '00000014')
+         |          || encode('stsz') || from_hex('0000000000000000')
+         |          || from_hex(printf('%08x', gnf))
+         |          || from_hex(printf('%08x', plen + 8)) || encode('mdat')
+         |      END) || payload AS media
+         |  FROM m),
+         |h AS (SELECT doc_id, media_type, media, hex(media) AS hx,
+         |        octet_length(media) AS n_bytes FROM b),
+         |f AS (SELECT *,
+         |  CASE WHEN media IS NULL THEN 'unknown'
+         |    WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+         |    WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+         |    WHEN substr(hx, 1, 8) = '47494638' THEN 'gif'
+         |    WHEN substr(hx, 1, 8) = '52494646'
+         |      AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+         |    WHEN substr(hx, 1, 8) = '52494646'
+         |      AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+         |    WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+         |    WHEN substr(hx, 1, 6) = '494433' OR substr(hx, 1, 4) = 'FFFB'
+         |      OR substr(hx, 1, 4) = 'FFF3' THEN 'mp3'
+         |    WHEN substr(hx, 1, 8) = '25504446' THEN 'pdf'
+         |    ELSE 'unknown' END AS format_sniffed
+         |  FROM h),
+         |p AS (SELECT *,
+         |  CASE WHEN strpos(hx, 'FFC0') > 0 AND (strpos(hx, 'FFC2') = 0
+         |         OR strpos(hx, 'FFC0') <= strpos(hx, 'FFC2'))
+         |       THEN (strpos(hx, 'FFC0') + 1) // 2
+         |       WHEN strpos(hx, 'FFC2') > 0
+         |       THEN (strpos(hx, 'FFC2') + 1) // 2 END AS sofp,
+         |  (strpos(hx, '7374737A') + 1) // 2 AS stszp,
+         |  (strpos(hx, '666D7420') + 1) // 2 AS fmtp
+         |  FROM f),
+         |d AS (SELECT *,
+         |  CASE WHEN format_sniffed = 'png' THEN ${beAt("17", 4)}
+         |       WHEN format_sniffed = 'gif' THEN ${leAt("7", 2)}
+         |       WHEN format_sniffed = 'jpeg' AND sofp > 0
+         |         THEN ${beAt("sofp + 7", 2)} END AS width0,
+         |  CASE WHEN format_sniffed = 'png' THEN ${beAt("21", 4)}
+         |       WHEN format_sniffed = 'gif' THEN ${leAt("9", 2)}
+         |       WHEN format_sniffed = 'jpeg' AND sofp > 0
+         |         THEN ${beAt("sofp + 5", 2)} END AS height0,
+         |  CASE WHEN format_sniffed = 'mp4' AND stszp > 0
+         |    THEN ${beAt("stszp + 12", 4)} END AS n_frames0,
+         |  CASE WHEN format_sniffed = 'wav' AND fmtp > 0
+         |    THEN ${leAt("fmtp + 12", 4)} END AS sample_rate0
+         |  FROM p),
+         |r AS (SELECT *,
+         |  CASE WHEN greatest(width0, height0) > 0 THEN
+         |    least(CAST(1.0 AS DOUBLE), CAST(256.0 AS DOUBLE) /
+         |      greatest(CAST(width0 AS DOUBLE), CAST(height0 AS DOUBLE)))
+         |    END AS scale
+         |  FROM d)
+         |SELECT doc_id, media_type, format_sniffed,
+         |  CAST(n_bytes AS BIGINT) AS n_bytes,
+         |  CAST(width0 AS BIGINT) AS width,
+         |  CAST(height0 AS BIGINT) AS height,
+         |  CAST(n_frames0 AS BIGINT) AS n_frames,
+         |  CAST(sample_rate0 AS BIGINT) AS sample_rate,
+         |  CASE WHEN scale IS NOT NULL THEN greatest(CAST(1 AS BIGINT),
+         |    CAST(round(CAST(width0 AS DOUBLE) * scale) AS BIGINT)) END AS out_width,
+         |  CASE WHEN scale IS NOT NULL THEN greatest(CAST(1 AS BIGINT),
+         |    CAST(round(CAST(height0 AS DOUBLE) * scale) AS BIGINT)) END AS out_height,
+         |  COALESCE(scale < 1.0, false) AS resized,
+         |  CASE WHEN media_type = 'video' AND n_frames0 > 0
+         |    THEN CAST((n_frames0 - 1) // 2 + 1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS n_sampled_frames
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 }

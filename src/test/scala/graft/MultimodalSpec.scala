@@ -23,19 +23,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df(2).getSeq[String](1).length == 3) // starts 0, 450, 900
   }
 
-  test("media table carries binary payload + typed metadata") {
-    val r = media.orderBy($"doc_id").limit(1).collect().head
-    assert(r.getAs[Array[Byte]]("media").nonEmpty)
-    assert(Seq("image", "audio", "video").contains(r.getAs[String]("media_type")))
-    assert(r.getAs[Int]("n_frames") >= 1)
+  test("media table: metadata is PARSED from the constructed header bytes and matches the generator arithmetic") {
+    val rows = media.filter($"media".isNotNull).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val fmt = r.getAs[String]("format")
+      r.getAs[String]("media_type") match {
+        case "image" =>
+          assert(Seq("png", "gif", "jpeg").contains(fmt), s"doc $id: $fmt")
+          // the parse round-trips the dimensions the header encodes
+          assert(r.getAs[Int]("width") == (id % 640 + 32).toInt, s"doc $id")
+          assert(r.getAs[Int]("height") == (id % 480 + 32).toInt, s"doc $id")
+          assert(r.isNullAt(r.fieldIndex("n_frames")))
+          assert(r.isNullAt(r.fieldIndex("sample_rate")))
+        case "audio" =>
+          assert(fmt == "wav")
+          assert(r.getAs[Int]("sample_rate") == ((id % 5 + 1) * 8000).toInt)
+          assert(r.isNullAt(r.fieldIndex("width")))
+        case "video" =>
+          assert(fmt == "mp4")
+          assert(r.getAs[Int]("n_frames") == (id % 16 + 1).toInt)
+          assert(r.isNullAt(r.fieldIndex("width")))
+      }
+    }
+    // the image subformats all actually occur (png/gif/jpeg rotation)
+    val fmts = rows.filter(_.getAs[String]("media_type") == "image")
+      .map(_.getAs[String]("format")).toSet
+    assert(fmts == Set("png", "gif", "jpeg"))
+  }
+
+  test("header parsers handle handcrafted real layouts: GIF87a, progressive JPEG, shifted SOF, truncated/alien payloads") {
+    def b(s: String) = s.getBytes("ISO-8859-1")
+    // GIF87a (sniff covers GIF8*), 303×77 little-endian
+    val gif87 = b("GIF87a") ++ Array[Byte](0x2F, 0x01, 77, 0) ++ b("tail")
+    // progressive JPEG: SOI + COM segment (so the scan must skip
+    // non-APP0 leading bytes too) + SOF2 at a shifted offset, 77×515
+    val jpegP = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xFE.toByte, 0, 6, 'h', 'i', '!', '?',
+      0xFF.toByte, 0xC2.toByte, 0, 17, 8, 0, 77, 2, 3) ++ b("rest")
+    // PNG truncated INSIDE the IHDR dims: parse must yield null, not garbage
+    val pngTrunc = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R', 0, 0)
+    // JPEG with NO SOF marker at all (corrupt): null dims
+    val jpegNoSof = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte,
+      0, 4, 1, 2) ++ b("no frame header here")
+    // HTML masquerading as media: unknown, all metadata null
+    val alien = b("<html>not media</html>")
+    val df = Seq((1L, gif87), (2L, jpegP), (3L, pngTrunc), (4L, jpegNoSof),
+        (5L, alien))
+      .toDF("id", "media")
+      .select($"id", Multimodal.sniffFormat($"media").as("f"),
+        Multimodal.imageDims($"media").as("d"))
+      .orderBy($"id").collect()
+    assert(df(0).getString(1) == "gif")
+    assert(df(0).getStruct(2).getInt(0) == 303 && df(0).getStruct(2).getInt(1) == 77)
+    assert(df(1).getString(1) == "jpeg")
+    assert(df(1).getStruct(2).getInt(0) == 515 && df(1).getStruct(2).getInt(1) == 77)
+    assert(df(2).getString(1) == "png" && df(2).isNullAt(2))
+    assert(df(3).getString(1) == "jpeg" && df(3).isNullAt(2))
+    assert(df(4).getString(1) == "unknown" && df(4).isNullAt(2))
   }
 
   test("decode stub treats a null payload as empty (lenient-at-scale)") {
     val (c0, f0) = Multimodal.decodeStub(null)
     val (c1, f1) = Multimodal.decodeStub(Array.emptyByteArray)
     assert(c0 == c1 && f0.toSeq == f1.toSeq)
-    val m = Seq((1L, null.asInstanceOf[Array[Byte]], "image", 64, 64, 1))
-      .toDF("doc_id", "media", "media_type", "width", "height", "n_frames")
+    val m = Seq((1L, null.asInstanceOf[Array[Byte]], "image"))
+      .toDF("doc_id", "media", "media_type")
     val out = Multimodal.extractFeatures(m.as[Multimodal.MediaRow]).collect()
     assert(out.length == 1 && out.head.n_bytes == 0)
   }
@@ -75,9 +130,10 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.sniffFormat($"media").as("f")).distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     // NULL-text docs (if any) sniff unknown; every real payload must
-    // match its claimed container.
+    // match its claimed container (images rotate the three formats).
     val real = got.filter(_._2 != "unknown")
-    assert(real == Set(("image", "png"), ("audio", "wav"), ("video", "mp4")))
+    assert(real == Set(("image", "png"), ("image", "gif"), ("image", "jpeg"),
+      ("audio", "wav"), ("video", "mp4")))
   }
 
   test("resizePlan preserves aspect ratio, never upscales, never hits zero") {
@@ -122,10 +178,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("n") == (r.getAs[Int]("n_frames") + 1) / 2))
   }
 
-  test("frame sampling: frame-less videos yield zero rows, not a sequence error") {
-    val m = Seq((1L, Array[Byte](1), "video", 64, 64, 0),   // corrupt: no frames
-                (2L, Array[Byte](2), "video", 64, 64, 3))
-      .toDF("doc_id", "media", "media_type", "width", "height", "n_frames")
+  test("frame sampling: frame-less videos (zero or NULL count — corrupt/stsz-less containers) yield zero rows, not a sequence error") {
+    val m = Seq((1L, Array[Byte](1), "video", Some(0)), // corrupt: no frames
+                (2L, Array[Byte](2), "video", Some(3)),
+                (3L, Array[Byte](3), "video", None))    // no stsz parsed
+      .toDF("doc_id", "media", "media_type", "n_frames")
     val out = Multimodal.sampleFrames(m, stride = 2).collect()
     assert(out.forall(_.getAs[Long]("doc_id") == 2L))
     assert(out.length == 2) // frames 0, 2
