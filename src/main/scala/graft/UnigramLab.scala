@@ -17,13 +17,17 @@ import graft.operators.{Bpe, Unigram}
   * Scale note, stated plainly: the soft E-step here runs DRIVER-SIDE
   * over the collected (token, n) word-frequency table — a BOUNDED
   * LAB-ONLY collect (distinct normalized words; megabytes at lab
-  * scales), acceptable because the lab exists to price a design
-  * decision, not to ship. A production soft-EM would push the
-  * forward–backward into a native expression exactly like
-  * [[UnigramSegmentExpr]] does for Viterbi — same lattice, expected
-  * counts instead of argmax — and keep the corpus distributed; the
-  * hard-EM trainer needs no such machinery, which is part of its
-  * price advantage.
+  * scales), with UNQUANTIZED double expectations (the paper's exact
+  * estimator, the lab's ground truth). The PRODUCTION soft-EM this lab
+  * priced now ships as `Unigram.fit(softEm = true)`: the
+  * forward–backward pushed into a native expression
+  * ([[graft.functions.UnigramExpectExpr]]) — same lattice, expected
+  * counts instead of argmax — with per-(word, piece) micro-quantized
+  * longs so the distributed count sum is exact and
+  * partition-order-free. Hard-EM stays the query surface's contract
+  * (it maximizes exactly the Viterbi likelihood the encoder uses, and
+  * measured better LL/word here); the lab stays as the unquantized
+  * reference pricing that decision.
   *
   * Output: one JSON line (and a file, default UNIGRAM_LAB.json) with
   * both models' stats. Usage:

@@ -82,10 +82,26 @@ object Unigram {
 
   /** Train: returns the frozen model. `df` → corpus; tokenization is
     * [[TextAnalysis.tokens]] over [[TextAnalysis.normalized]] text (the
-    * text family's contract, same as BPE). */
+    * text family's contract, same as BPE).
+    *
+    * `softEm = true` opts into Kudo 2018's ACTUAL E-step — distributed
+    * forward–backward expected counts via the native
+    * [[graft.functions.UnigramExpectExpr]] — under the same determinism
+    * discipline as the hard path: posteriors micro-quantize to longs
+    * per (word, piece) BEFORE aggregation, so the count table is an
+    * exact integer sum, partition-order-free. The M-step, prune
+    * schedule, and freeze are literally shared; only the count source
+    * differs (expected micro-counts at 1e6 scale — minCount compares
+    * at the same scale, and freeze's log(c/total) is scale-invariant).
+    * Hard-EM (1-best) stays the default and the query surface's
+    * contract: it maximizes exactly the Viterbi likelihood the encoder
+    * uses (UNIGRAM_LAB measures the trade: identical encoding on the
+    * lab corpus, LL/word −4.26 hard vs −4.41 soft), and its counts
+    * need no quantization headroom. */
   def fit(df: DataFrame, textCol: String, vocabSize: Int = 400,
           rounds: Int = 3, maxPieceLen: Int = 6, seedSize: Int = 4000,
-          minCount: Long = 2L, unkMicro: Long = -100000000L): UnigramModel = {
+          minCount: Long = 2L, unkMicro: Long = -100000000L,
+          softEm: Boolean = false): UnigramModel = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(seedSize >= vocabSize,
@@ -106,18 +122,31 @@ object Unigram {
       }
       var model = freeze((singles ++ multiTop).distinct)
       val singleSet = singles.map(_._1).toSet
+      // Soft counts live at 1e6 micro scale; the prune threshold moves
+      // with them so minCount means "expected occurrences" either way.
+      val minC = if (softEm) minCount * 1000000L else minCount
       var r = 1
       while (r <= rounds) {
-        // E: 1-best piece counts over the word table (vocab-scale)
-        val counts = words
-          .select(col("n"),
-            explode(UnigramSegmentExpr.segment(col("token"), model)).as("piece"))
-          .groupBy(col("piece")).agg(sum(col("n")).cast("long").as("cnt"))
-          .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+        // E over the word table (vocab-scale): 1-best piece counts
+        // (hard) or forward–backward expected micro-counts (soft) —
+        // exact longs under aggregation in BOTH modes.
+        val counts =
+          if (!softEm)
+            words.select(col("n"),
+                explode(UnigramSegmentExpr.segment(col("token"), model)).as("piece"))
+              .groupBy(col("piece")).agg(sum(col("n")).cast("long").as("cnt"))
+              .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+          else
+            words.select(col("n"),
+                explode(graft.functions.UnigramExpectExpr
+                  .expect(col("token"), model)).as("x"))
+              .groupBy(col("x.piece").as("piece"))
+              .agg(sum(col("x.emicro") * col("n")).cast("long").as("cnt"))
+              .collect().map(x => (x.getString(0), x.getLong(1))).toMap
         // M + prune on the driver (model-scale)
         val multis = model.pieces.iterator.filter(p => !isSingle(p))
           .map(p => (p, counts.getOrElse(p, 0L)))
-          .filter { case (_, c) => c >= minCount }
+          .filter { case (_, c) => c >= minC }
           .toSeq.sortBy { case (p, c) => (-c, p) }
         val targetMulti =
           if (r == rounds) math.max(0, vocabSize - singleSet.size)
@@ -142,7 +171,7 @@ object Unigram {
   // Staleness contract as everywhere: per (session, corpusKey, params),
   // does NOT watch the data — the bench invalidates at pass boundaries.
   private type FitKey =
-    (SparkSession, String, String, Int, Int, Int, Int, Long, Long)
+    (SparkSession, String, String, Int, Int, Int, Int, Long, Long, Boolean)
   private val memo = new graft.KeyedMemo[FitKey, UnigramModel]
 
   /** The trained model for (`corpusKey`, params), fit at most once per
@@ -154,12 +183,13 @@ object Unigram {
   def fitMemo(df: DataFrame, corpusKey: String, textCol: String,
               vocabSize: Int = 400, rounds: Int = 3, maxPieceLen: Int = 6,
               seedSize: Int = 4000, minCount: Long = 2L,
-              unkMicro: Long = -100000000L): UnigramModel = {
+              unkMicro: Long = -100000000L,
+              softEm: Boolean = false): UnigramModel = {
     val key: FitKey = (df.sparkSession, corpusKey, textCol, vocabSize,
-      rounds, maxPieceLen, seedSize, minCount, unkMicro)
+      rounds, maxPieceLen, seedSize, minCount, unkMicro, softEm)
     memo.getOrBuild(key)(
       fit(df, textCol, vocabSize, rounds, maxPieceLen, seedSize,
-        minCount, unkMicro))
+        minCount, unkMicro, softEm))
   }
 
   /** Drop every memo'd model owned by `s` — pass-boundary hook. */
