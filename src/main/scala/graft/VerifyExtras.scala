@@ -700,8 +700,10 @@ object VerifyExtras {
         // dominated 4-band config (0.709) fails loudly at scale.
         Check("ann_lsh_vs_brute_force", pairRecall(annTruth, annLsh),
           floor = 0.8, annTruth.length, annLsh.length)) ++
-        // Linear-cost, so these run in the bounded mode too.
-        clusterCapCheck(spark, sfDir) ++ silhouetteCheck(spark, sfDir) ++ pcaCheck(spark, sfDir)
+        // Linear-cost (multimodal: a fixed ≤500-row collect), so these
+        // run in the bounded mode too.
+        clusterCapCheck(spark, sfDir) ++ silhouetteCheck(spark, sfDir) ++
+        pcaCheck(spark, sfDir) ++ multimodalCheck(spark, sfDir)
     } finally {
       if (sampled != null) sampled.unpersist()
       emb.unpersist(); ()
