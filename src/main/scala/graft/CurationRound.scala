@@ -83,8 +83,15 @@ object CurationRound {
       * or reads the materialized final-survivor table (`curated`,
       * `packed`, `packStats` — parquet, immune to cache drops), so all
       * four stay consumable afterwards; only the intermediate stage
-      * caches are freed. */
-    def unpersist(): Unit = pinned.foreach(_.unpersist())
+      * caches are freed. The pinned frames are localCheckpoints, whose
+      * RDD blocks Dataset.unpersist does NOT free (they live outside
+      * the cache manager) — releaseLocalCheckpoint drops the actual
+      * blocks, or they'd survive to application end (the measured
+      * ~50 GB/sweep leak behind the span-build inflation). */
+    def unpersist(): Unit = pinned.foreach { f =>
+      f.unpersist()
+      org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(f)
+    }
   }
 
   private val funnelSchema = StructType(Seq(
@@ -603,8 +610,11 @@ object CurationRound {
       .withColumn("__batch_id", lit(batchId))
       .write.mode("append").parquet(subPath(statePath, "shdf"))
     funnel.write.mode("append").parquet(subPath(statePath, "funnel"))
+    // releaseLocalCheckpoint, not just unpersist: these are local
+    // checkpoints, whose blocks the plain unpersist leaves pinned for
+    // the application's life (see GraftBridge.releaseLocalCheckpoint).
     Seq(gated, fps, s3, batchSh, batchDf, survivors, s4, retained)
-      .foreach(_.unpersist())
+      .foreach(org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(_))
     funnel
   }
 
@@ -657,6 +667,12 @@ object CurationRound {
         pool.select(col(cfg.idCol), col(cfg.strataCol), col("n_tokens")),
         cfg.idCol, cfg.strataCol, col("n_tokens"), cfg.mixTargets, cfg.salt)
       .localCheckpoint()
+    // mixed is eagerly materialized, so the pool's checkpoint blocks
+    // can release NOW (plain unpersist would leave them pinned — the
+    // localCheckpoint leak, see GraftBridge.releaseLocalCheckpoint).
+    // `mixed` itself stays checkpointed: all three returned frames
+    // read it; a caller done with them releases it the same way.
+    org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(pool)
     val packed = Packing.sequenceOffsets(
       mixed.select(col(cfg.idCol), col("n_tokens")),
       cfg.idCol, "n_tokens", cfg.packMaxTokens)

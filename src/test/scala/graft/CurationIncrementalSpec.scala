@@ -283,6 +283,27 @@ class CurationIncrementalSpec extends AnyFunSuite {
     assert(view(streamed) == before)
   }
 
+  test("foldBatch releases its checkpoint blocks: zero persistent RDDs leak per fold") {
+    // localCheckpoint blocks live outside the cache manager; a plain
+    // Dataset.unpersist leaks them until application end (the measured
+    // sweep-scale leak behind the sf10 span-build inflation). Each fold
+    // must leave the persistent-RDD set exactly as it found it.
+    val bench = Seq((900L, "unrelated bench words only.")).toDF("doc_id", "text")
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-cur-leak").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    CurationRound.foldBatch(spark, statePath,
+      Seq((1L, "en", mkDoc("la")), (2L, "en", mkDoc("lb")))
+        .toDF("doc_id", "lang", "text"), bench, cfg, 0L)
+    // clearCache first (the bench harness's between-queries move): it
+    // releases CACHE-MANAGER entries from operators inside the fold —
+    // what it can NEVER release is a leaked localCheckpoint, which is
+    // exactly what the final assert would catch.
+    spark.catalog.clearCache()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "foldBatch leaked checkpoint RDD blocks")
+  }
+
   test("fold on fresh state from an empty batch records zero rows and survives") {
     val statePath = java.nio.file.Files
       .createTempDirectory("graft-cur-empty").toString

@@ -110,6 +110,7 @@ class CurationRoundSpec extends AnyFunSuite {
     val cfg = TextQueries.curationConfig
     val corpus = TextQueries.curationCorpus(spark, TestSpark.Sf0001)
     val bench = TextQueries.benchCorpus(spark, TestSpark.Sf0001)
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val r = CurationRound.run(spark, corpus, bench, cfg)
     val funnelBefore = r.funnel.orderBy($"stage_ord").collect().map(_.toSeq).toSeq
     val curatedBefore = ids(r.curated)
@@ -117,6 +118,13 @@ class CurationRoundSpec extends AnyFunSuite {
     // old design raised block-not-found on curated/packed here
     r.unpersist()
     spark.catalog.clearCache() // the bench harness's between-queries move
+    // ...and the release is REAL: localCheckpoint blocks live outside
+    // the cache manager (plain Dataset.unpersist leaks them until
+    // application end — the measured ~50 GB/sweep behind the sf10
+    // span-build inflation), so unpersist must leave ZERO new
+    // persistent RDDs behind.
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore).isEmpty,
+      "run + unpersist leaked checkpoint RDD blocks")
     assert(r.funnel.orderBy($"stage_ord").collect().map(_.toSeq).toSeq
       == funnelBefore)
     assert(ids(r.curated) == curatedBefore)
