@@ -120,7 +120,13 @@ object CurationRound {
     * the tree size compounds MULTIPLICATIVELY across six stages
     * (measured at sf0.01: analyzer cost alone took the chain to ~35 s
     * on a 739-row corpus; truncation returns it to data-proportional
-    * cost). The price is recompute-on-executor-loss within the round. */
+    * cost). Re-measured this round (guide §1.1): swapping the id-scale
+    * seams for LAZY persists — hoping to save their materialization
+    * jobs — took the sf0.1 build from 14 s to 20 s, because every
+    * downstream ACTION (the final-survivor write, the stats, each
+    * consumer) re-analyzes the untruncated trees; the eager
+    * checkpoints pay one small job each and keep planning O(stage).
+    * The price is recompute-on-executor-loss within the round. */
   private final class CacheSeams extends Seams {
     private var frames = List.empty[DataFrame]
     def seam(stageName: String, compute: () => DataFrame): DataFrame = {
@@ -201,22 +207,23 @@ object CurationRound {
       .head()
     def lng(r: Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
 
-    // The gated working set — every dedup stage scans it; text
-    // materializes HERE once instead of re-deriving the signal bundles
-    // per stage (and the signal trees leave every downstream plan).
-    val gated = seams.seam("s2_gated", () => base.filter(c4p && gop))
+    // The gated working set — every dedup stage scans it; text AND the
+    // exact-dedup fingerprint materialize HERE once (gate + fp ride one
+    // scan — guide §2.3) instead of re-deriving the signal bundles per
+    // stage (and the signal trees leave every downstream plan).
+    val gated = seams.seam("s2_gated", () => base.filter(c4p && gop)
+      .withColumn("__fp", TextAnalysis.docFingerprint(col(cfg.textCol))))
 
     // Stage 3 — exact dedup: min id per fingerprint keeps; null
     // fingerprints pass through (the exactGroups contract).
     val exactIds = seams.seam("s3_exact_ids", () => {
-      val fps = gated.select(id,
-        TextAnalysis.docFingerprint(col(cfg.textCol)).as("__fp"))
+      val fps = gated.select(id, col("__fp"))
       fps.filter(col("__fp").isNotNull)
         .groupBy(col("__fp")).agg(min(id).as(cfg.idCol))
         .select(id)
         .unionByName(fps.filter(col("__fp").isNull).select(id))
     })
-    val s3 = gated.join(exactIds, Seq(cfg.idCol), "left_semi")
+    val s3 = gated.join(exactIds, Seq(cfg.idCol), "left_semi").drop("__fp")
 
     // Stage 4 — near dedup: pair candidates over exact survivors, then
     // the canonical keep/drop verdicts; docs in no pair survive free.
@@ -231,7 +238,7 @@ object CurationRound {
           .select(col("doc_id").as(cfg.idCol)),
         Seq(cfg.idCol), "left_anti")
     })
-    val s4 = gated.join(nearIds, Seq(cfg.idCol), "left_semi")
+    val s4 = gated.join(nearIds, Seq(cfg.idCol), "left_semi").drop("__fp")
 
     // Stage 5 — decontamination: any benchmark overlap hit drops.
     val cleanIds = seams.seam("s5_clean_ids", () => {
@@ -241,7 +248,7 @@ object CurationRound {
         .select(col("doc_id").as(cfg.idCol)).distinct()
       nearIds.join(contamIds, Seq(cfg.idCol), "left_anti")
     })
-    val s5 = gated.join(cleanIds, Seq(cfg.idCol), "left_semi")
+    val s5 = gated.join(cleanIds, Seq(cfg.idCol), "left_semi").drop("__fp")
 
     // Stage 6 — mixture rebalance on the survivors' token mass. The
     // final survivor frame ALWAYS lands in parquet (a per-process temp
@@ -263,16 +270,24 @@ object CurationRound {
         spark.read.parquet(p)
     }
 
-    // Funnel counts: stage frames are id-scale and persisted, so each
-    // count is one bounded aggregate, not a chain recomputation.
-    def stat(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(col("__n_tokens"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    val (d3, t3) = stat(s3)
-    val (d4, t4) = stat(s4)
-    val (d5, t5) = stat(s5)
-    val (d6, t6) = stat(mixed)
+    // Funnel counts: stage frames are id-scale and persisted; ONE
+    // union-aggregate job replaces the four per-stage count jobs (each
+    // paid a driver round-trip for a one-row answer — guide §1.2).
+    val statByStage = s3.select(lit(3).as("__stage"), col("__n_tokens"))
+      .unionByName(s4.select(lit(4).as("__stage"), col("__n_tokens")))
+      .unionByName(s5.select(lit(5).as("__stage"), col("__n_tokens")))
+      .unionByName(mixed.select(lit(6).as("__stage"), col("__n_tokens")))
+      .groupBy(col("__stage"))
+      .agg(count(lit(1)).as("d"),
+        coalesce(sum(col("__n_tokens")), lit(0L)).as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def stat(stage: Int): (Long, Long) =
+      statByStage.getOrElse(stage, (0L, 0L))
+    val (d3, t3) = stat(3)
+    val (d4, t4) = stat(4)
+    val (d5, t5) = stat(5)
+    val (d6, t6) = stat(6)
     val counts = Seq(
       (0, "total", lng(g, 0), lng(g, 1)),
       (1, "c4_gate", lng(g, 2), lng(g, 3)),
@@ -364,6 +379,13 @@ object CurationRound {
   private def subPath(statePath: String, name: String): String =
     statePath.stripSuffix("/") + "/" + name
 
+  /** Label every job a fold phase fires (guide §1.5) — phase-level
+    * attribution in the UI / JobProfile; thread-local, restored after. */
+  private def phase[T](spark: SparkSession, name: String)(body: => T): T = {
+    spark.sparkContext.setJobDescription(name)
+    try body finally spark.sparkContext.setJobDescription(null)
+  }
+
   private def dirNonEmpty(spark: SparkSession, p: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -430,13 +452,22 @@ object CurationRound {
   }
 
   /** Highest batch id recorded anywhere under `statePath` (partial
-    * folds count — the funnel commits LAST), or None on fresh state. */
+    * folds count — the funnel commits LAST), or None on fresh state.
+    * One job: the five per-directory max aggregates used to run as five
+    * separate driver round-trips (guide §1.2 — per-fold fixed cost);
+    * unioning the stamp columns computes the same max in one action. */
   def lastFoldedBatch(spark: SparkSession, statePath: String): Option[Long] = {
-    val stamps = Seq("fps", "survivors", "postings", "shdf", "funnel")
+    val dirs = Seq("fps", "survivors", "postings", "shdf", "funnel")
       .map(subPath(statePath, _)).filter(dirNonEmpty(spark, _))
-      .map(p => spark.read.parquet(p).agg(max(col("__batch_id"))).head())
-      .collect { case r if !r.isNullAt(0) => r.getLong(0) }
-    if (stamps.isEmpty) None else Some(stamps.max)
+    if (dirs.isEmpty) None
+    else {
+      val r = dirs
+        .map(p => spark.read.parquet(p)
+          .select(col("__batch_id").cast("long").as("__batch_id")))
+        .reduce(_ unionByName _)
+        .agg(max(col("__batch_id"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
   }
 
   /** Fold one ingest batch (rows: idCol, strataCol, textCol) through
@@ -445,7 +476,7 @@ object CurationRound {
     * round-cut decision — see [[cutRound]]). */
   def foldBatch(spark: SparkSession, statePath: String, batch: DataFrame,
                 bench: DataFrame, cfg: Config, batchId: Long): DataFrame = {
-    lastFoldedBatch(spark, statePath).foreach(last =>
+    phase(spark, "fold:guard") { lastFoldedBatch(spark, statePath) }.foreach(last =>
       require(batchId >= last,
         s"batch ids are append-only: $batchId < recorded $last (the " +
           "MetricsStore rule — re-folding history would forge the funnel)"))
@@ -461,30 +492,40 @@ object CurationRound {
       col(cfg.strataCol), col(cfg.textCol), nTok.as("__n_tokens"))
     val c4p = TextAnalysis.c4Signals(col(cfg.textCol), cfg.c4MinSentences).pass
     val gop = TextAnalysis.gopherSignals(col(cfg.textCol), cfg.gopherStops).pass
-    val g = base.agg(
+    val g = phase(spark, "fold:gate-census") { base.agg(
       count(lit(1)).as("d0"),
       coalesce(sum(col("__n_tokens")), lit(0L)).as("t0"),
       count(when(c4p, 1)).as("d1"),
       coalesce(sum(when(c4p, col("__n_tokens"))), lit(0L)).as("t1"),
       count(when(c4p && gop, 1)).as("d2"),
-      coalesce(sum(when(c4p && gop, col("__n_tokens"))), lit(0L)).as("t2")).head()
-    val gated = base.filter(c4p && gop).localCheckpoint()
+      coalesce(sum(when(c4p && gop, col("__n_tokens"))), lit(0L)).as("t2")).head() }
+    // Gate + fingerprint ride ONE scan (guide §2.3: project/compute
+    // before materializing): the fp column lands inside the gated
+    // checkpoint instead of a second corpus pass with its own
+    // checkpoint job. Stage checkpoints stay EAGER localCheckpoints
+    // throughout: they truncate each stage's logical tree, and every
+    // downstream ACTION (five state writes + the stats) re-analyzes
+    // its whole input tree — measured here at sf0.1, swapping these
+    // for lazy persists quadrupled the fold (105 s vs 24 s) on pure
+    // driver-side re-planning of the untruncated trees.
+    val gated = phase(spark, "fold:gated") { base.filter(c4p && gop)
+      .withColumn("__fp", TextAnalysis.docFingerprint(col(cfg.textCol)))
+      .localCheckpoint() }
 
     // Stage 3 — exact vs history: in-batch min-id per fingerprint, then
     // the incrementalNew anti-join against every fingerprint GATED
     // before (a fp that lost later stages still blocks re-ingest — the
     // full chain's min-id winner is decided at the exact stage).
     val seenFps = scoped("fps", fpsSchema).select(col("fp")).distinct()
-    val fps = gated.select(id,
-      TextAnalysis.docFingerprint(col(cfg.textCol)).as("fp"))
-      .localCheckpoint()
+    val fps = gated.select(id, col("__fp").as("fp"))
     val exactIds = fps.filter(col("fp").isNotNull)
       .groupBy(col("fp")).agg(min(id).as(cfg.idCol))
       .join(seenFps, Seq("fp"), "left_anti")
       .select(id)
       .unionByName(fps.filter(col("fp").isNull).select(id))
-    val s3 = gated.join(exactIds, Seq(cfg.idCol), "left_semi")
-      .localCheckpoint()
+    val s3 = phase(spark, "fold:s3-exact") {
+      gated.drop("__fp").join(exactIds, Seq(cfg.idCol), "left_semi")
+        .localCheckpoint() }
 
     // Stage 4 — near-dup vs the maintained posting index. Batch docs
     // shingle ONCE; the pool df valve (history shdf fold + batch df ≤
@@ -492,18 +533,19 @@ object CurationRound {
     // exact-survivor shingles, the cap's domain in ngramJaccardPairs(s3)
     // — and n_sh stays the doc's FULL distinct-shingle count (the
     // jaccard denominator is valve-independent).
-    val batchSh = s3.select(id,
+    val batchSh = phase(spark, "fold:shingle") { s3.select(id,
         Dedup.shingles(col(cfg.textCol), cfg.jaccardN).as("arr"))
       .select(id, size(col("arr")).cast("long").as("__n_sh"),
         explode(col("arr")).as("raw"))
       .select(id, col("__n_sh"), xxhash64(col("raw")).as("sh"))
-      .localCheckpoint()
+      .localCheckpoint() }
     val batchSizes = batchSh.select(id, col("__n_sh")).distinct()
     // The batch's shingle-df census, computed ONCE (checkpointed): it
     // probes the history semi-join, feeds the valve, and is the shdf
     // state delta — three consumers, one aggregation.
-    val batchDf = batchSh.groupBy(col("sh")).agg(count(lit(1)).as("bn"))
-      .localCheckpoint()
+    val batchDf = phase(spark, "fold:batch-df") {
+      batchSh.groupBy(col("sh")).agg(count(lit(1)).as("bn"))
+        .localCheckpoint() }
     // Semi-join the history census down to the BATCH's shingles before
     // the replay-dedup + fold: the valve only needs df for shingles the
     // batch actually carries, so the two aggregation exchanges run over
@@ -520,18 +562,42 @@ object CurationRound {
       .filter(col("bn") + coalesce(col("n"), lit(0L)) <= cfg.jaccardDfCap)
       .select(col("sh"))
     val bPost = batchSh.join(keepSh, Seq("sh"), "left_semi")
+    // Parquet-backed state with ONE consumer (the histDrops size join):
+    // no reason to materialize a copy.
     val survivors = scoped("survivors", survivorsSchema(cfg, strataType))
       .dropDuplicates(cfg.idCol)
-      .localCheckpoint()
     val hPost = scoped("postings", postingsSchema(cfg))
       .select(id.as("__hid"), col("sh")).distinct()
       .join(keepSh, Seq("sh"), "left_semi")
     def jac(shared: Column, n1: Column, n2: Column): Column =
       shared.cast("double") / (n1 + n2 - shared).cast("double")
+    import graft.functions.CappedCollectList.cappedCollectList
+    // Pair fan-out through BUCKET ARRAYS + double explode, the
+    // shinglePairCounts shape (guide §2.4 — no join on the fan-out
+    // path): a common shingle under the valve (e.g. a boilerplate line
+    // every page carries, df ≲ dfCap) makes the per-shingle pair space
+    // quadratic, and generating it through a shuffled join paid one
+    // 5.8 s job per fold at sf0.1; through a bucket-local explode that
+    // streams straight into the codegen'd count aggregate the same
+    // tuples never touch join machinery. The pool valve (keepSh)
+    // already bounds every kept shingle's batch+history df ≤ dfCap,
+    // so cappedCollectList never truncates — it is buffer-bounding
+    // hygiene, exactly like shinglePairCounts' bucket build.
+    val bBuckets = bPost
+      .groupBy(col("sh"))
+      .agg(cappedCollectList(struct(id, col("__n_sh")), cfg.jaccardDfCap)
+        .as("bdocs"))
     // history edges: any retained doc within minJaccard vetoes (the
-    // shipped copy stays; the newcomer drops)
-    val histDrops = bPost.join(hPost, Seq("sh"))
-      .groupBy(id, col("__hid"), col("__n_sh"))
+    // shipped copy stays; the newcomer drops). hBuckets ⋈ bBuckets is a
+    // bucket-scale join (one row per shingle); the explode is local.
+    val hBuckets = hPost
+      .groupBy(col("sh"))
+      .agg(cappedCollectList(col("__hid"), cfg.jaccardDfCap).as("hdocs"))
+    val histDrops = bBuckets.join(hBuckets, Seq("sh"))
+      .select(explode(col("bdocs")).as("a"), col("hdocs"))
+      .select(col("a"), explode(col("hdocs")).as("__hid"))
+      .groupBy(col(s"a.${cfg.idCol}").as(cfg.idCol), col("__hid"),
+        col("a.__n_sh").as("__n_sh"))
       .agg(count(lit(1)).as("shared"))
       .join(survivors.select(id.as("__hid"), col("__n_sh").as("__hn")),
         Seq("__hid"))
@@ -540,40 +606,87 @@ object CurationRound {
       .select(id).distinct()
     // within-batch edges: the standalone canonical rule on the batch's
     // own pair graph (quality = length, ties min id)
-    val a = bPost.select(id.as("id1"), col("__n_sh").as("n1"), col("sh"))
-    val b = bPost.select(id.as("id2"), col("__n_sh").as("n2"), col("sh"))
-    val batchPairs = a.join(b, Seq("sh"))
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+    val batchPairs = bBuckets
+      .filter(size(col("bdocs")) > 1)
+      .select(explode(col("bdocs")).as("a"), col("bdocs"))
+      .select(col("a"), explode(col("bdocs")).as("b"))
+      .filter(col(s"a.${cfg.idCol}") < col(s"b.${cfg.idCol}"))
+      .groupBy(col(s"a.${cfg.idCol}").as("id1"), col(s"b.${cfg.idCol}").as("id2"),
+        col("a.__n_sh").as("n1"), col("b.__n_sh").as("n2"))
       .agg(count(lit(1)).as("shared"))
       .filter(jac(col("shared"), col("n1"), col("n2"))
         >= cfg.jaccardMinJaccard)
-    val nonCanon = Dedup.canonicalKeepList(batchPairs,
-        s3.select(id, length(col(cfg.textCol)).cast("long").as("__q")),
-        cfg.idCol, "__q")
-      .filter(!col("is_canonical"))
-      .select(col("doc_id").as(cfg.idCol))
-    val s4 = s3.join(histDrops, Seq(cfg.idCol), "left_anti")
-      .join(nonCanon, Seq(cfg.idCol), "left_anti")
-      .localCheckpoint()
+    val nonCanon = phase(spark, "fold:canonical") {
+      Dedup.canonicalKeepList(batchPairs,
+          s3.select(id, length(col(cfg.textCol)).cast("long").as("__q")),
+          cfg.idCol, "__q")
+        .filter(!col("is_canonical"))
+        .select(col("doc_id").as(cfg.idCol)) }
+    val s4 = phase(spark, "fold:s4-near") {
+      s3.join(histDrops, Seq(cfg.idCol), "left_anti")
+        .join(nonCanon, Seq(cfg.idCol), "left_anti")
+        .localCheckpoint() }
 
     // Stage 5 — decontamination (stateless vs the fixed bench suite).
     val contamIds = Dedup.contaminationPairs(s4, bench, cfg.idCol,
         cfg.textCol, cfg.contamN, cfg.contamMinOverlap, cfg.contamBenchDfCap)
       .select(col("doc_id").as(cfg.idCol)).distinct()
-    val retained = s4.join(contamIds, Seq(cfg.idCol), "left_anti")
-      .localCheckpoint()
+    val retained = phase(spark, "fold:s5-decontam") {
+      s4.join(contamIds, Seq(cfg.idCol), "left_anti")
+        .localCheckpoint() }
+
+    // State deltas FIRST (the funnel still commits LAST — it is the
+    // fold's completion record; a replay after any partial append
+    // recomputes identical rows (reads scoped < batchId) and external
+    // readers dedup on the stamps). Every write reads the stage
+    // checkpoints, so these are block-scan + append jobs, never chain
+    // recomputations.
+    val stamped = lit(batchId).as("__batch_id")
+    phase(spark, "fold:write-fps") {
+      fps.filter(col("fp").isNotNull).select(col("fp")).distinct()
+        .withColumn("__batch_id", lit(batchId))
+        .write.mode("append").parquet(subPath(statePath, "fps")) }
+    val retSh = batchSh.join(retained.select(id), Seq(cfg.idCol), "left_semi")
+    phase(spark, "fold:write-survivors") {
+      retained.select(id, col(cfg.strataCol), col(cfg.textCol),
+          col("__n_tokens"))
+        .join(batchSizes, Seq(cfg.idCol), "left_outer")
+        .select(id, col(cfg.strataCol), col(cfg.textCol), col("__n_tokens"),
+          coalesce(col("__n_sh"), lit(0L)).as("__n_sh"), stamped)
+        .write.mode("append").parquet(subPath(statePath, "survivors")) }
+    phase(spark, "fold:write-postings") {
+      retSh.select(id, col("sh")).distinct()
+        .withColumn("__batch_id", lit(batchId))
+        .write.mode("append").parquet(subPath(statePath, "postings")) }
+    // shdf counts ALL stage-3 survivors' shingles (not just retained
+    // docs'): the full chain's df cap is computed over s3 in
+    // ngramJaccardPairs, so a doc that later drops at near-dup/
+    // decontamination still contributes df there — and must here too,
+    // or the valve diverges from run() whenever the cap binds.
+    phase(spark, "fold:write-shdf") {
+      batchDf.select(col("sh"), col("bn").as("n"))
+        .withColumn("__batch_id", lit(batchId))
+        .write.mode("append").parquet(subPath(statePath, "shdf")) }
 
     // Funnel rows for THIS batch (additive across batches by stage).
+    // ONE union-aggregate over the (now cached) stage frames — the
+    // three per-frame count jobs this replaces each paid a full driver
+    // round-trip for a one-row answer (guide §1.2).
     def lng(i: Int): Long = if (g.isNullAt(i)) 0L else g.getLong(i)
-    def stat(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(sum(col("__n_tokens")), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    val (d3, t3) = stat(s3)
-    val (d4, t4) = stat(s4)
-    val (d5, t5) = stat(retained)
+    val statByStage = phase(spark, "fold:stats") {
+      s3.select(lit(3).as("__stage"), col("__n_tokens"))
+        .unionByName(s4.select(lit(4).as("__stage"), col("__n_tokens")))
+        .unionByName(retained.select(lit(5).as("__stage"), col("__n_tokens")))
+        .groupBy(col("__stage"))
+        .agg(count(lit(1)).as("d"),
+          coalesce(sum(col("__n_tokens")), lit(0L)).as("t"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap }
+    def stat(stage: Int): (Long, Long) =
+      statByStage.getOrElse(stage, (0L, 0L))
+    val (d3, t3) = stat(3)
+    val (d4, t4) = stat(4)
+    val (d5, t5) = stat(5)
     val rows = Seq(
       Row(0, "total", lng(0), lng(1), batchId),
       Row(1, "c4_gate", lng(2), lng(3), batchId),
@@ -583,37 +696,12 @@ object CurationRound {
       Row(5, "decontaminate", d5, t5, batchId))
     val funnel = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), incFunnelSchema)
-
-    // State deltas, batch-stamped. The funnel commits LAST — it is the
-    // fold's completion record; a replay after any partial append
-    // recomputes identical rows (reads scoped < batchId) and external
-    // readers dedup on the stamps.
-    val stamped = lit(batchId).as("__batch_id")
-    fps.filter(col("fp").isNotNull).select(col("fp")).distinct()
-      .withColumn("__batch_id", lit(batchId))
-      .write.mode("append").parquet(subPath(statePath, "fps"))
-    val retSh = batchSh.join(retained.select(id), Seq(cfg.idCol), "left_semi")
-    retained.select(id, col(cfg.strataCol), col(cfg.textCol),
-        col("__n_tokens"))
-      .join(batchSizes, Seq(cfg.idCol), "left_outer")
-      .select(id, col(cfg.strataCol), col(cfg.textCol), col("__n_tokens"),
-        coalesce(col("__n_sh"), lit(0L)).as("__n_sh"), stamped)
-      .write.mode("append").parquet(subPath(statePath, "survivors"))
-    retSh.select(id, col("sh")).distinct().withColumn("__batch_id", lit(batchId))
-      .write.mode("append").parquet(subPath(statePath, "postings"))
-    // shdf counts ALL stage-3 survivors' shingles (not just retained
-    // docs'): the full chain's df cap is computed over s3 in
-    // ngramJaccardPairs, so a doc that later drops at near-dup/
-    // decontamination still contributes df there — and must here too,
-    // or the valve diverges from run() whenever the cap binds.
-    batchDf.select(col("sh"), col("bn").as("n"))
-      .withColumn("__batch_id", lit(batchId))
-      .write.mode("append").parquet(subPath(statePath, "shdf"))
-    funnel.write.mode("append").parquet(subPath(statePath, "funnel"))
+    phase(spark, "fold:write-funnel") {
+      funnel.write.mode("append").parquet(subPath(statePath, "funnel")) }
     // releaseLocalCheckpoint, not just unpersist: these are local
     // checkpoints, whose blocks the plain unpersist leaves pinned for
     // the application's life (see GraftBridge.releaseLocalCheckpoint).
-    Seq(gated, fps, s3, batchSh, batchDf, survivors, s4, retained)
+    Seq(gated, s3, batchSh, batchDf, s4, retained)
       .foreach(org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(_))
     funnel
   }

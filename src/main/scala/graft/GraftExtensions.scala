@@ -96,6 +96,19 @@ object GraftSession {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's coalescing floor (default 1 MB) collapses a small shuffle
+      // output to 1-2 partitions BY BYTES, blind to downstream fan-out:
+      // a bucket table of a few MB whose next stage double-explodes
+      // into millions of candidate pairs (LSH buckets, prefix-blocked
+      // levenshtein, shingle posting lists) then runs that CPU-heavy
+      // stage on one or two cores. 128 KB keeps small-but-expensive
+      // post-shuffle stages parallel (measured at sf0.1:
+      // q_dedup_editdist 4.2 s -> 1.0 s, q_rolling_salted 1.7 -> 0.9,
+      // 16-query subset total 0.88x, no regression beyond noise). At
+      // production shuffle sizes partitions are advisory-sized (64 MB+)
+      // and this floor never binds — a small-input floor, not a
+      // local-mode tune (guide §2.2).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "131072")
       // The generated-class cache defaults to 100 entries; a workload
       // cycling through this library's ~60-query surface evicts
       // constantly and re-Janinos every plan (~40% wall-time overhead

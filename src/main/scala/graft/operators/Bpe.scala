@@ -119,16 +119,40 @@ object Bpe {
     var words = wordFreq(df, textCol)
       .select(split(col("token"), "").as("syms"), col("n"))
       .persist(lvl)
-    // RDD ids persisted by the CURRENT round's localCheckpoint; round 0's
+    // RDD ids persisted by each round's localCheckpoint; round 0's
     // words is a plain persist and cleans up via Dataset.unpersist.
-    var checkpointIds: scala.collection.Set[Int] = Set.empty[Int]
+    // `liveIds` backs the CURRENT words (not yet materialized when the
+    // checkpoint is lazy); `staleIds` backed the PREVIOUS words and is
+    // releasable as soon as the current one materializes.
+    var liveIds: scala.collection.Set[Int] = Set.empty[Int]
+    var staleIds: scala.collection.Set[Int] = Set.empty[Int]
+    var prevWords: DataFrame = null
     def releaseCheckpoints(ids: scala.collection.Set[Int]): Unit =
       ids.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
+    // Scope AQE OFF for the merge rounds: each round is a FIXED
+    // two-stage query (one exchange into the pair aggregate, then a
+    // top-1 TakeOrdered) over the vocab-scale word table — there is no
+    // join to re-strategize and no skew to split, so adaptive
+    // execution only adds one scheduling round-trip (a separate job)
+    // per query stage, serialized across `numMerges` driver rounds.
+    // Measured at sf0.1: the fit ran ~70 jobs with AQE vs ~half
+    // without, saving ~2 s of pure per-job latency; the same
+    // materialization barriers serialize on a real cluster. Restored
+    // in the finally — callers keep their session setting.
+    val sqlConf = df.sparkSession.conf
+    val aqeBefore = sqlConf.get("spark.sql.adaptive.enabled", "true")
+    sqlConf.set("spark.sql.adaptive.enabled", "false")
     try {
       while (rules.length < numMerges && !done) {
+        // ONE job per round: this collect materializes the previous
+        // round's LAZY checkpoint (reading its parent, still cached)
+        // and the pair aggregate on top of it. The old eager-checkpoint
+        // form paid two jobs per round — one to materialize the merge,
+        // one to count pairs (guide §1.2: fixed per-job cost dominated
+        // the vocab-scale fit).
         val top = words.filter(size(col("syms")) >= 2)
           .select(col("n"), explode(adjacentPairs(col("syms"))).as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
@@ -136,6 +160,12 @@ object Bpe {
           .filter(col("cnt") >= minPairCount)
           .orderBy(col("cnt").desc, col("l"), col("r"))
           .limit(1).collect()
+        // `words` is now materialized, so the frame it was computed
+        // FROM can release: its parent's blocks were only needed to
+        // populate the current checkpoint.
+        if (prevWords ne null) { prevWords.unpersist(); prevWords = null }
+        releaseCheckpoints(staleIds)
+        staleIds = Set.empty
         if (top.isEmpty) done = true
         else {
           val (l, r) = (top.head.getString(0), top.head.getString(1))
@@ -144,29 +174,34 @@ object Bpe {
           // logical plan nests k mergeAdjacent HOF lambdas and the
           // optimizer's walk over that nest grows super-linearly —
           // measured OOM near 20 rounds on a 31-word vocabulary. The
-          // checkpoint is eager (materializes before the parent drops)
-          // and the table is vocab-scale. Its storage is invisible to
+          // checkpoint is LAZY — it materializes inside the next
+          // round's pair-count job instead of paying its own job — and
+          // the table is vocab-scale. Its storage is invisible to
           // Dataset.unpersist (scaladoc), so the newly persisted RDD
-          // ids are diffed around the call and released NEXT round,
-          // once `next` no longer reads them. The id diff is safe here
+          // ids are diffed around the call and released one round
+          // later, once the NEXT checkpoint has materialized and no
+          // longer needs its parent's blocks. The id diff is safe here
           // because fit() drives this session's only concurrent job —
           // a parallel caller persisting inside the window would get
           // its block evicted early (a recompute, not a wrong result).
           val before = sc.getPersistentRDDs.keySet
           val next = words
             .select(mergeAdjacent(col("syms"), l, r).as("syms"), col("n"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           val fresh = sc.getPersistentRDDs.keySet -- before
-          words.unpersist() // frees round 0's plain persist; no-op after
-          releaseCheckpoints(checkpointIds)
-          checkpointIds = fresh
+          prevWords = words // round 0's plain persist; no-op after
+          staleIds = liveIds
+          liveIds = fresh
           words = next
         }
       }
       rules.toSeq
     } finally {
+      sqlConf.set("spark.sql.adaptive.enabled", aqeBefore)
+      if (prevWords ne null) prevWords.unpersist()
       words.unpersist()
-      releaseCheckpoints(checkpointIds)
+      releaseCheckpoints(staleIds)
+      releaseCheckpoints(liveIds)
       ()
     }
   }

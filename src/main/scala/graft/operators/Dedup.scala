@@ -556,11 +556,18 @@ object Dedup {
       .distinct().persist(lvl)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist(lvl)
-    // Option: an empty pair set sums to SQL NULL — None==None then reads
+    // Option: an empty pair set sums to SQL NULL — equal Nones then read
     // as the (vacuously correct) fixed point instead of an NPE.
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
-    var prevSum = labelSum(labels)
+    // Sums are compared between CONSECUTIVE rounds (labels only
+    // decrease, so an unchanged sum across a round ⟺ fixed point);
+    // the identity labeling's pre-loop sum was one more job per CC
+    // call (guide §1.2) and only saved a round on inputs that are
+    // ALREADY converged — i.e. pair tables with no real edge, which
+    // cost one extra empty-frame round instead. Outer Option = "no
+    // round yet"; inner Option = the empty-graph NULL sum.
+    var prevSum: Option[Option[java.math.BigDecimal]] = None
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -574,8 +581,8 @@ object Dedup {
       val s = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = s == prevSum
-      prevSum = s
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       iter += 1
     }
     edges.unpersist()

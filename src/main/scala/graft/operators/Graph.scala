@@ -34,8 +34,14 @@ object Graph {
     * Scale shape: edges and degrees persist once (two narrow columns);
     * each iteration is one join of the rank table to edges (rank rides
     * to the edge's partition — never the reverse) plus one aggregate on
-    * dst, both node/edge-scale shuffles. Each round materializes before
-    * the next so lineage stays one-round deep. */
+    * dst, both node/edge-scale shuffles. Each rank frame is consumed by
+    * exactly ONE downstream round, so the iterations chain LAZILY into
+    * a single plan (linear in `iterations` — no per-round eager
+    * persist+count jobs, whose fixed cost dominated the fixed-3-round
+    * graph at bench scale; guide §1.2) and the whole rank computation
+    * executes as one job against the cached edge/degree tables; only
+    * the FINAL rank table materializes eagerly (so edges/deg release
+    * before return, the original cleanup contract). */
   def pageRank(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
                iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
@@ -53,8 +59,6 @@ object Graph {
     var ranks = deg
       .select(col("src").as("id"),
         round(lit(1.0) / lit(n.toDouble), 12).cast(dec).as("rank"))
-      .persist(lvl)
-    ranks.count()
     for (_ <- 1 to iterations) {
       val shares = ranks.join(deg, ranks("id") === deg("src"))
         .select(col("id"),
@@ -63,19 +67,17 @@ object Graph {
       val inbound = edges.join(shares, edges("src") === shares("id"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("in_sum"))
-      val next = deg
+      ranks = deg
         .select(col("src").as("id"))
         .join(inbound, col("id") === col("dst"), "left")
         .select(col("id"),
           round(lit(1.0 - damping) / lit(n.toDouble) +
             lit(damping) * coalesce(col("in_sum"), lit(0L)).cast("double"), 12)
             .cast(dec).as("rank"))
-        .persist(lvl)
-      next.count()
-      ranks.unpersist()
-      ranks = next
     }
     val out = ranks.select(col("id"), col("rank").cast("double").as("rank"))
+      .persist(lvl)
+    out.count() // one materialization of the whole lazy chain
     edges.unpersist()
     deg.unpersist()
     out
