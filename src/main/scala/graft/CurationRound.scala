@@ -579,23 +579,40 @@ object CurationRound {
     // quadratic, and generating it through a shuffled join paid one
     // 5.8 s job per fold at sf0.1; through a bucket-local explode that
     // streams straight into the codegen'd count aggregate the same
-    // tuples never touch join machinery. The pool valve (keepSh)
+    // tuples never touch join machinery. Hot buckets additionally
+    // CHUNK-SPLIT (Dedup.bucketSelfPairCounts — guide §2.5) so one
+    // boilerplate shingle's quadratic pair space parallelizes instead
+    // of serializing in its bucket's task. The pool valve (keepSh)
     // already bounds every kept shingle's batch+history df ≤ dfCap,
     // so cappedCollectList never truncates — it is buffer-bounding
     // hygiene, exactly like shinglePairCounts' bucket build.
+    val chunk = 256
     val bBuckets = bPost
       .groupBy(col("sh"))
       .agg(cappedCollectList(struct(id, col("__n_sh")), cfg.jaccardDfCap)
         .as("bdocs"))
     // history edges: any retained doc within minJaccard vetoes (the
     // shipped copy stays; the newcomer drops). hBuckets ⋈ bBuckets is a
-    // bucket-scale join (one row per shingle); the explode is local.
+    // bucket-scale join (one row per shingle); the cross fan-out is
+    // local for small buckets and chunk-split + round-robin spread for
+    // hot ones (same §2.5 treatment, bipartite form).
     val hBuckets = hPost
       .groupBy(col("sh"))
       .agg(cappedCollectList(col("__hid"), cfg.jaccardDfCap).as("hdocs"))
+    def chunksOf(c: Column) = transform(
+      sequence(lit(0), ((size(c) - lit(1)) / lit(chunk)).cast("int")),
+      i => slice(c, i * chunk + 1, lit(chunk)))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // Unconditional chunking, one path (a hot/cold filter split would
+    // re-evaluate the unpersisted bucket build once per branch — the
+    // bucketSelfPairCounts lesson); small buckets are one chunk-pair.
     val histDrops = bBuckets.join(hBuckets, Seq("sh"))
-      .select(explode(col("bdocs")).as("a"), col("hdocs"))
-      .select(col("a"), explode(col("hdocs")).as("__hid"))
+      .select(chunksOf(col("bdocs")).as("__bc"), chunksOf(col("hdocs")).as("__hc"))
+      .select(explode(col("__bc")).as("__ci"), col("__hc"))
+      .select(col("__ci"), explode(col("__hc")).as("__cj"))
+      .repartition(parts)
+      .select(explode(col("__ci")).as("a"), col("__cj"))
+      .select(col("a"), explode(col("__cj")).as("__hid"))
       .groupBy(col(s"a.${cfg.idCol}").as(cfg.idCol), col("__hid"),
         col("a.__n_sh").as("__n_sh"))
       .agg(count(lit(1)).as("shared"))
@@ -606,13 +623,11 @@ object CurationRound {
       .select(id).distinct()
     // within-batch edges: the standalone canonical rule on the batch's
     // own pair graph (quality = length, ties min id)
-    val batchPairs = bBuckets
-      .filter(size(col("bdocs")) > 1)
-      .select(explode(col("bdocs")).as("a"), col("bdocs"))
-      .select(col("a"), explode(col("bdocs")).as("b"))
-      .filter(col(s"a.${cfg.idCol}") < col(s"b.${cfg.idCol}"))
-      .groupBy(col(s"a.${cfg.idCol}").as("id1"), col(s"b.${cfg.idCol}").as("id2"),
-        col("a.__n_sh").as("n1"), col("b.__n_sh").as("n2"))
+    val batchPairs = Dedup.bucketSelfPairCounts(
+        bBuckets.filter(size(col("bdocs")) > 1), "bdocs", cfg.idCol, "__n_sh",
+        chunk)
+      .groupBy(col(s"x.${cfg.idCol}").as("id1"), col(s"y.${cfg.idCol}").as("id2"),
+        col("x.__n_sh").as("n1"), col("y.__n_sh").as("n2"))
       .agg(count(lit(1)).as("shared"))
       .filter(jac(col("shared"), col("n1"), col("n2"))
         >= cfg.jaccardMinJaccard)

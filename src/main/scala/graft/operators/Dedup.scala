@@ -253,13 +253,67 @@ object Dedup {
       .filter(size(col("docs")) > 1 && size(col("docs")) <= dfCap)
     // (id, n_sh) is functionally dependent on id, so grouping by the four
     // columns equals grouping by the pair — no join back for sizes.
-    buckets
-      .select(explode(col("docs")).as("a"), col("docs"))
-      .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
+    bucketSelfPairCounts(buckets, "docs", "id", "n_sh")
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"),
+        col("x.n_sh").as("n1"), col("y.n_sh").as("n2"))
       .agg(count(lit(1)).as("shared"))
+  }
+
+  /** Per-bucket UNORDERED pair fan-out with HOT-BUCKET CHUNK SPLITTING
+    * (guide §2.5 — "split a single enormous key"): both explodes of the
+    * plain bucket-array form run inside the bucket's OWN task, so one
+    * degenerate under-cap key (a boilerplate shingle df-thousands of
+    * documents share, a mirrored prefix block) serializes its quadratic
+    * pair space on a single core — measured at sf0.1, the curation
+    * corpus's shared layout lines put ~12M pairs through one task.
+    * Buckets larger than `chunk` split into `chunk`-sized slices; each
+    * (slice i, slice j ≥ i) pair becomes its own row, ROUND-ROBIN
+    * repartitioned across the session's shuffle partitions, so a hot
+    * bucket's pair space parallelizes ~(k²/2)-ways while small buckets
+    * (the overwhelming majority at any scale) keep the original
+    * zero-extra-shuffle in-place explode. The extra exchange moves only
+    * hot-bucket chunk rows (≈ (k+1)× the hot bucket's posting mass — at
+    * dfCap 10000 and chunk 256, ≤ 41 slices, bounded by the valve).
+    *
+    * Emits one (x, y) struct row per unordered in-bucket pair with
+    * x.`idField` < y.`idField` — exactly the plain form's pair multiset
+    * (self slice-pairs keep the upper triangle; cross slice-pairs are
+    * enumerated once and normalized by id) — for the caller to
+    * aggregate. Chunk order inside a bucket is whatever the capped
+    * collect produced; normalization makes the output independent of
+    * it. Chunking is UNCONDITIONAL (a ≤`chunk` bucket is one self
+    * slice-pair row): a hot/cold filter split was measured and lost —
+    * the two branches re-evaluate the whole unpersisted upstream
+    * (shingle + bucket aggregate) once each, which cost more than the
+    * one extra exchange of chunk rows this form pays. Self slice-pairs
+    * carry NULL for the j-side (the explode reuses the i-side), so a
+    * 1-chunk bucket ships its members once, not twice. */
+  private[graft] def bucketSelfPairCounts(buckets: DataFrame, docsCol: String,
+                                          idField: String, nField: String,
+                                          chunk: Int = 256): DataFrame = {
+    val docs = col(docsCol)
+    def aId = col(s"a.$idField")
+    def bId = col(s"b.$idField")
+    val parts = buckets.sparkSession.sessionState.conf.numShufflePartitions
+    buckets
+      .select(transform(
+        sequence(lit(0), ((size(docs) - lit(1)) / lit(chunk)).cast("int")),
+        i => slice(docs, i * chunk + 1, lit(chunk))).as("__chunks"))
+      .select(posexplode(col("__chunks")).as(Seq("__i", "__ci")), col("__chunks"))
+      // __j == 0 ⇔ the self slice-pair; its __cj ships NULL and the
+      // pair explode falls back to __ci (halves small-bucket shuffle).
+      .select(col("__ci"),
+        posexplode(slice(col("__chunks"), col("__i") + lit(1),
+          size(col("__chunks")) - col("__i"))).as(Seq("__j", "__cj")))
+      .select(col("__ci"), col("__j"),
+        when(col("__j") > 0, col("__cj")).as("__cj"))
+      .repartition(parts)
+      .select(col("__j"), explode(col("__ci")).as("a"),
+        coalesce(col("__cj"), col("__ci")).as("__cj"))
+      .select(col("a"), explode(col("__cj")).as("b"), col("__j"))
+      .filter(col("__j") > 0 || aId < bId)
+      .select(when(aId < bId, col("a")).otherwise(col("b")).as("x"),
+        when(aId < bId, col("b")).otherwise(col("a")).as("y"))
   }
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
