@@ -104,11 +104,13 @@ object GraftSession {
       // stage on one or two cores. 128 KB keeps small-but-expensive
       // post-shuffle stages parallel (measured at sf0.1:
       // q_dedup_editdist 4.2 s -> 1.0 s, q_rolling_salted 1.7 -> 0.9,
-      // 16-query subset total 0.88x, no regression beyond noise). At
-      // production shuffle sizes partitions are advisory-sized (64 MB+)
-      // and this floor never binds — a small-input floor, not a
-      // local-mode tune (guide §2.2).
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "131072")
+      // 16-query subset total 0.88x). At production shuffle sizes
+      // partitions are advisory-sized (64 MB+) and this floor never
+      // binds — a small-input floor, not a local-mode tune (guide
+      // §2.2). Env-overridable so deployments (and A/B measurement)
+      // can retune without a rebuild.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "131072"))
       // The generated-class cache defaults to 100 entries; a workload
       // cycling through this library's ~60-query surface evicts
       // constantly and re-Janinos every plan (~40% wall-time overhead

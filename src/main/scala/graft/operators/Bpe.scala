@@ -132,19 +132,12 @@ object Bpe {
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
-    // Scope AQE OFF for the merge rounds: each round is a FIXED
-    // two-stage query (one exchange into the pair aggregate, then a
-    // top-1 TakeOrdered) over the vocab-scale word table — there is no
-    // join to re-strategize and no skew to split, so adaptive
-    // execution only adds one scheduling round-trip (a separate job)
-    // per query stage, serialized across `numMerges` driver rounds.
-    // Measured at sf0.1: the fit ran ~70 jobs with AQE vs ~half
-    // without, saving ~2 s of pure per-job latency; the same
-    // materialization barriers serialize on a real cluster. Restored
-    // in the finally — callers keep their session setting.
-    val sqlConf = df.sparkSession.conf
-    val aqeBefore = sqlConf.get("spark.sql.adaptive.enabled", "true")
-    sqlConf.set("spark.sql.adaptive.enabled", "false")
+    // (Measured, not kept: scoping AQE off for the merge rounds halved
+    // the fit's JOB count — each AQE query stage is its own job — but
+    // wall-clock came out flat-to-worse back-to-back (5.6 s vs 5.2 s at
+    // sf0.1): the per-stage scheduling it saves is already hidden by
+    // the driver's round loop, and AQE's coalescing keeps the tiny
+    // per-round reduce stages at sane task counts.)
     try {
       while (rules.length < numMerges && !done) {
         // ONE job per round: this collect materializes the previous
@@ -197,7 +190,6 @@ object Bpe {
       }
       rules.toSeq
     } finally {
-      sqlConf.set("spark.sql.adaptive.enabled", aqeBefore)
       if (prevWords ne null) prevWords.unpersist()
       words.unpersist()
       releaseCheckpoints(staleIds)
