@@ -92,6 +92,8 @@ object Bench {
     val curationFamily = Set("q_curation_round", "q_curation_pack")
     val unigramFamily = Set("q_unigram_vocab", "q_unigram_encode",
       "q_tokenizer_fertility")
+    val kmeansFamily = Set("q_ann_ivf_fit", "q_cluster_cap_sample",
+      "q_silhouette")
     val builds: Seq[(String, () => Unit)] =
       (if (names.exists(nearDupFamily)) Seq("_neardup_pairs_build" ->
         (() => graft.queries.TextQueries.buildNearDupPairs(spark, sfDir))) else Nil) ++
@@ -100,17 +102,21 @@ object Bench {
       (if (names.exists(curationFamily)) Seq("_curation_chain_build" ->
         (() => graft.queries.TextQueries.buildCurationChain(spark, sfDir))) else Nil) ++
       (if (names.exists(unigramFamily)) Seq("_unigram_fit_build" ->
-        (() => graft.queries.TextQueries.buildUnigramFit(spark, sfDir))) else Nil)
+        (() => graft.queries.TextQueries.buildUnigramFit(spark, sfDir))) else Nil) ++
+      (if (names.exists(kmeansFamily)) Seq("_kmeans_fit_build" ->
+        (() => graft.queries.SimilarityQueries.buildKmeansFit(spark, sfDir))) else Nil)
     val familyOf: Map[String, Set[String]] = Map(
       "_neardup_pairs_build" -> nearDupFamily,
       "_span_census_build" -> spanFamily,
       "_curation_chain_build" -> curationFamily,
-      "_unigram_fit_build" -> unigramFamily)
+      "_unigram_fit_build" -> unigramFamily,
+      "_kmeans_fit_build" -> kmeansFamily)
     def pass(): Map[String, Option[Double]] = {
       graft.operators.NearDupPipeline.invalidateAll(spark)
       graft.operators.SpanPipeline.invalidateAll(spark)
       graft.CurationRound.invalidateAll(spark)
       graft.operators.Unigram.invalidateAll(spark)
+      graft.operators.Similarity.invalidateFitMemo(spark)
       val buildResults = builds.map { case (name, body) => name -> timed(name, body) }
       // A failed build contaminates its family THIS PASS: each family
       // query would silently rebuild the memo inside its own timing, so

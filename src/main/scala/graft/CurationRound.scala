@@ -211,8 +211,16 @@ object CurationRound {
     // exact-dedup fingerprint materialize HERE once (gate + fp ride one
     // scan — guide §2.3) instead of re-deriving the signal bundles per
     // stage (and the signal trees leave every downstream plan).
-    val gated = seams.seam("s2_gated", () => base.filter(c4p && gop)
+    // Staging-layout versioning: a resumed s2_gated written BEFORE the
+    // fingerprint rode this seam lacks __fp — recompute it from the
+    // staged text (same deterministic function, identical values)
+    // instead of failing the resume on a missing column.
+    val gatedRaw = seams.seam("s2_gated", () => base.filter(c4p && gop)
       .withColumn("__fp", TextAnalysis.docFingerprint(col(cfg.textCol))))
+    val gated =
+      if (gatedRaw.columns.contains("__fp")) gatedRaw
+      else gatedRaw.withColumn("__fp",
+        TextAnalysis.docFingerprint(col(cfg.textCol)))
 
     // Stage 3 — exact dedup: min id per fingerprint keeps; null
     // fingerprints pass through (the exactGroups contract).
@@ -380,10 +388,14 @@ object CurationRound {
     statePath.stripSuffix("/") + "/" + name
 
   /** Label every job a fold phase fires (guide §1.5) — phase-level
-    * attribution in the UI / JobProfile; thread-local, restored after. */
+    * attribution in the UI / JobProfile; thread-local, and the PREVIOUS
+    * description (a calling harness may have set one) is captured and
+    * restored afterwards rather than clobbered to null. */
   private def phase[T](spark: SparkSession, name: String)(body: => T): T = {
-    spark.sparkContext.setJobDescription(name)
-    try body finally spark.sparkContext.setJobDescription(null)
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(name)
+    try body finally sc.setJobDescription(prev)
   }
 
   private def dirNonEmpty(spark: SparkSession, p: String): Boolean = {
@@ -476,10 +488,20 @@ object CurationRound {
     * round-cut decision — see [[cutRound]]). */
   def foldBatch(spark: SparkSession, statePath: String, batch: DataFrame,
                 bench: DataFrame, cfg: Config, batchId: Long): DataFrame = {
-    phase(spark, "fold:guard") { lastFoldedBatch(spark, statePath) }.foreach(last =>
-      require(batchId >= last,
-        s"batch ids are append-only: $batchId < recorded $last (the " +
-          "MetricsStore rule — re-folding history would forge the funnel)"))
+    // One small pool drives every INDEPENDENT action of this fold as a
+    // concurrent job (guide §2.6): the append-only guard and the gate
+    // census launch here at fold start — the guard's answer is only
+    // NEEDED before the first state mutation (nothing is written until
+    // the delta writes below) and the census row only at funnel
+    // assembly, but both used to serialize ~1 s of scan/listing jobs
+    // ahead of the chain. The same pool later runs the four delta
+    // writes + the stats aggregate concurrently.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    def submit[T](body: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] { def call(): T = body })
+    try {
+    val guardF = submit(phase(spark, "fold:guard") {
+      lastFoldedBatch(spark, statePath) })
     val id = col(cfg.idCol)
     val strataType = batch.schema(cfg.strataCol).dataType
     def scoped(name: String, schema: StructType): DataFrame =
@@ -492,13 +514,13 @@ object CurationRound {
       col(cfg.strataCol), col(cfg.textCol), nTok.as("__n_tokens"))
     val c4p = TextAnalysis.c4Signals(col(cfg.textCol), cfg.c4MinSentences).pass
     val gop = TextAnalysis.gopherSignals(col(cfg.textCol), cfg.gopherStops).pass
-    val g = phase(spark, "fold:gate-census") { base.agg(
+    val gF = submit(phase(spark, "fold:gate-census") { base.agg(
       count(lit(1)).as("d0"),
       coalesce(sum(col("__n_tokens")), lit(0L)).as("t0"),
       count(when(c4p, 1)).as("d1"),
       coalesce(sum(when(c4p, col("__n_tokens"))), lit(0L)).as("t1"),
       count(when(c4p && gop, 1)).as("d2"),
-      coalesce(sum(when(c4p && gop, col("__n_tokens"))), lit(0L)).as("t2")).head() }
+      coalesce(sum(when(c4p && gop, col("__n_tokens"))), lit(0L)).as("t2")).head() })
     // Gate + fingerprint ride ONE scan (guide §2.3: project/compute
     // before materializing): the fp column lands inside the gated
     // checkpoint instead of a second corpus pass with its own
@@ -593,9 +615,11 @@ object CurationRound {
         .as("bdocs"))
     // history edges: any retained doc within minJaccard vetoes (the
     // shipped copy stays; the newcomer drops). hBuckets ⋈ bBuckets is a
-    // bucket-scale join (one row per shingle); the cross fan-out is
-    // local for small buckets and chunk-split + round-robin spread for
-    // hot ones (same §2.5 treatment, bipartite form).
+    // bucket-scale join (one row per shingle); the chunk-pair rows then
+    // re-shuffle ONCE round-robin — the whole joined posting mass
+    // crosses that exchange (small buckets as one chunk-pair row, hot
+    // ones as their slice pairs), the bucketSelfPairCounts trade
+    // (measured win at sf0.1; same §2.5 treatment, bipartite form).
     val hBuckets = hPost
       .groupBy(col("sh"))
       .agg(cappedCollectList(col("__hid"), cfg.jaccardDfCap).as("hdocs"))
@@ -655,40 +679,56 @@ object CurationRound {
     // recomputes identical rows (reads scoped < batchId) and external
     // readers dedup on the stamps). Every write reads the stage
     // checkpoints, so these are block-scan + append jobs, never chain
-    // recomputations.
+    // recomputations — and the four deltas land in four INDEPENDENT
+    // directories with no cross-order contract (replay safety does not
+    // depend on which deltas a partial fold left behind), so they and
+    // the stats aggregate run as CONCURRENT jobs (guide §2.6: actions
+    // are only sequential because the driver calls them sequentially;
+    // each write's tail back-fills cores the others free). Measured at
+    // sf0.1 these five one-row-trip jobs were ~1/3 of the fold's tail.
+    // Job descriptions are thread-local, so each task labels itself.
+    // The append-only guard resolves HERE, before the first state
+    // mutation — exactly the refusal point the sequential form had
+    // (nothing was written above; a regressing id still leaves state
+    // untouched), it just stopped serializing its listing jobs ahead
+    // of the chain.
+    guardF.get().foreach(last =>
+      require(batchId >= last,
+        s"batch ids are append-only: $batchId < recorded $last (the " +
+          "MetricsStore rule — re-folding history would forge the funnel)"))
     val stamped = lit(batchId).as("__batch_id")
-    phase(spark, "fold:write-fps") {
-      fps.filter(col("fp").isNotNull).select(col("fp")).distinct()
-        .withColumn("__batch_id", lit(batchId))
-        .write.mode("append").parquet(subPath(statePath, "fps")) }
     val retSh = batchSh.join(retained.select(id), Seq(cfg.idCol), "left_semi")
-    phase(spark, "fold:write-survivors") {
-      retained.select(id, col(cfg.strataCol), col(cfg.textCol),
-          col("__n_tokens"))
-        .join(batchSizes, Seq(cfg.idCol), "left_outer")
-        .select(id, col(cfg.strataCol), col(cfg.textCol), col("__n_tokens"),
-          coalesce(col("__n_sh"), lit(0L)).as("__n_sh"), stamped)
-        .write.mode("append").parquet(subPath(statePath, "survivors")) }
-    phase(spark, "fold:write-postings") {
-      retSh.select(id, col("sh")).distinct()
-        .withColumn("__batch_id", lit(batchId))
-        .write.mode("append").parquet(subPath(statePath, "postings")) }
-    // shdf counts ALL stage-3 survivors' shingles (not just retained
-    // docs'): the full chain's df cap is computed over s3 in
-    // ngramJaccardPairs, so a doc that later drops at near-dup/
-    // decontamination still contributes df there — and must here too,
-    // or the valve diverges from run() whenever the cap binds.
-    phase(spark, "fold:write-shdf") {
-      batchDf.select(col("sh"), col("bn").as("n"))
-        .withColumn("__batch_id", lit(batchId))
-        .write.mode("append").parquet(subPath(statePath, "shdf")) }
-
-    // Funnel rows for THIS batch (additive across batches by stage).
-    // ONE union-aggregate over the (now cached) stage frames — the
-    // three per-frame count jobs this replaces each paid a full driver
-    // round-trip for a one-row answer (guide §1.2).
-    def lng(i: Int): Long = if (g.isNullAt(i)) 0L else g.getLong(i)
-    val statByStage = phase(spark, "fold:stats") {
+    val writes = Seq[java.util.concurrent.Future[_]](
+      submit(phase(spark, "fold:write-fps") {
+        fps.filter(col("fp").isNotNull).select(col("fp")).distinct()
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(subPath(statePath, "fps")) }),
+      submit(phase(spark, "fold:write-survivors") {
+        retained.select(id, col(cfg.strataCol), col(cfg.textCol),
+            col("__n_tokens"))
+          .join(batchSizes, Seq(cfg.idCol), "left_outer")
+          .select(id, col(cfg.strataCol), col(cfg.textCol), col("__n_tokens"),
+            coalesce(col("__n_sh"), lit(0L)).as("__n_sh"), stamped)
+          .write.mode("append").parquet(subPath(statePath, "survivors")) }),
+      submit(phase(spark, "fold:write-postings") {
+        retSh.select(id, col("sh")).distinct()
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(subPath(statePath, "postings")) }),
+      // shdf counts ALL stage-3 survivors' shingles (not just
+      // retained docs'): the full chain's df cap is computed over s3
+      // in ngramJaccardPairs, so a doc that later drops at near-dup/
+      // decontamination still contributes df there — and must here
+      // too, or the valve diverges from run() when the cap binds.
+      submit(phase(spark, "fold:write-shdf") {
+        batchDf.select(col("sh"), col("bn").as("n"))
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(subPath(statePath, "shdf")) }))
+    // Funnel counts for THIS batch (additive across batches by
+    // stage): ONE union-aggregate over the (cached) stage frames —
+    // the three per-frame count jobs this replaced each paid a full
+    // driver round-trip for a one-row answer (guide §1.2) — running
+    // beside the writes on the pool's fifth thread.
+    val statsF = submit(phase(spark, "fold:stats") {
       s3.select(lit(3).as("__stage"), col("__n_tokens"))
         .unionByName(s4.select(lit(4).as("__stage"), col("__n_tokens")))
         .unionByName(retained.select(lit(5).as("__stage"), col("__n_tokens")))
@@ -696,7 +736,14 @@ object CurationRound {
         .agg(count(lit(1)).as("d"),
           coalesce(sum(col("__n_tokens")), lit(0L)).as("t"))
         .collect()
-        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap }
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap })
+    // get() rethrows a task's failure (wrapped): a failed delta write
+    // must fail the fold BEFORE the funnel commit below — exactly the
+    // partial-append state the replay contract recovers from.
+    writes.foreach(_.get())
+    val statByStage = statsF.get()
+    val g = gF.get()
+    def lng(i: Int): Long = if (g.isNullAt(i)) 0L else g.getLong(i)
     def stat(stage: Int): (Long, Long) =
       statByStage.getOrElse(stage, (0L, 0L))
     val (d3, t3) = stat(3)
@@ -719,6 +766,7 @@ object CurationRound {
     Seq(gated, s3, batchSh, batchDf, s4, retained)
       .foreach(org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(_))
     funnel
+    } finally pool.shutdown()
   }
 
   /** The retained corpus pool under `statePath` (replay-deduped):

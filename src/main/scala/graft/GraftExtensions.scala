@@ -95,7 +95,13 @@ object GraftSession {
       // 128-group sort fallback is far too eager for <= K-element buffers.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      // Env-overridable for A/B measurement only (the bench and all
+      // deployments run the default true): AQE's per-query-stage jobs
+      // multiply driver round-trips on fixed-cost-bound suites, and
+      // r16/r17 measured whether that tax is real (it was not — see
+      // OPTIMIZATION_r17.md; the knob stays for future measurement).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // AQE's coalescing floor (default 1 MB) collapses a small shuffle
       // output to 1-2 partitions BY BYTES, blind to downstream fan-out:
       // a bucket table of a few MB whose next stage double-explodes

@@ -41,6 +41,7 @@ object JobProfile {
       graft.operators.SpanPipeline.invalidateAll(spark)
       graft.CurationRound.invalidateAll(spark)
       graft.operators.Unigram.invalidateAll(spark)
+      graft.operators.Similarity.invalidateFitMemo(spark)
       jobs = Nil
       val w0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

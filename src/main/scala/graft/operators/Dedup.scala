@@ -269,11 +269,21 @@ object Dedup {
     * Buckets larger than `chunk` split into `chunk`-sized slices; each
     * (slice i, slice j ≥ i) pair becomes its own row, ROUND-ROBIN
     * repartitioned across the session's shuffle partitions, so a hot
-    * bucket's pair space parallelizes ~(k²/2)-ways while small buckets
-    * (the overwhelming majority at any scale) keep the original
-    * zero-extra-shuffle in-place explode. The extra exchange moves only
-    * hot-bucket chunk rows (≈ (k+1)× the hot bucket's posting mass — at
-    * dfCap 10000 and chunk 256, ≤ 41 slices, bounded by the valve).
+    * bucket's pair space parallelizes ~(k²/2)-ways. The repartition is
+    * UNCONDITIONAL, so the WHOLE bucket table re-shuffles once: a small
+    * (≤`chunk`) bucket crosses the exchange as one self slice-pair row
+    * (~1× its posting mass, j-side NULL — see below), a hot bucket as
+    * ≈ (k+1)/2 × its posting mass (at dfCap 10000 and chunk 256, ≤ 41
+    * slices, bounded by the valve). The justification is measured, not
+    * structural: at sf0.1 the one extra exchange of the full posting
+    * mass costs less than the serialized hot-bucket explode it replaces
+    * (fold canonical phase 5.8 s → 3.0 s; chain build 14 → 8 s), and a
+    * hot/cold two-branch split that WOULD spare small buckets the
+    * exchange was measured and lost (each branch re-evaluates the
+    * unpersisted upstream once). At scales where small buckets dominate
+    * the posting mass and no hot bucket exists, the exchange is pure
+    * overhead — bounded by one shuffle of (id, n_sh) rows, the same
+    * order as the aggregate exchange that follows.
     *
     * Emits one (x, y) struct row per unordered in-bucket pair with
     * x.`idField` < y.`idField` — exactly the plain form's pair multiset
@@ -568,7 +578,13 @@ object Dedup {
     * labels (labels only ever decrease, so an unchanged sum ⟺ a fixed
     * point) — one cheap aggregate per round, no self-join diffing. The
     * sum is computed in DECIMAL(38,0): corpus-scale id sums overflow a
-    * long, and a wrapped sum could fake convergence.
+    * long, and a wrapped sum could fake convergence. Consecutive-round
+    * comparison means detecting a fixed point takes a MINIMUM of TWO
+    * rounds — even an already-converged input (e.g. self-loop-only
+    * pairs) needs one round to move and one to confirm, so callers must
+    * pass `maxIter` ≥ diameter + 1 and at least 2; maxIter = 1 throws
+    * on every input (the pre-r16 form spent an extra pre-loop job to
+    * make that case succeed — not worth one job per CC call).
     *
     * Scale: each round is ONE join + one aggregate on (edge, label)
     * rows, partitioned by vertex — the standard iterative-join CC (the

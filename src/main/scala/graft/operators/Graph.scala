@@ -41,11 +41,25 @@ object Graph {
     * graph at bench scale; guide §1.2) and the whole rank computation
     * executes as one job against the cached edge/degree tables; only
     * the FINAL rank table materializes eagerly (so edges/deg release
-    * before return, the original cleanup contract). */
+    * before return, the original cleanup contract).
+    *
+    * DEPTH GUARD: a lazy chain's analyzed tree grows with `iterations`,
+    * and past ~20 nested rounds the analyzer/optimizer walk goes
+    * super-linear (the Bpe.fit lesson — its scaladoc documents the OOM
+    * near 20 nested merge rounds). Every `checkpointEvery` iterations
+    * the rank frame eagerly localCheckpoints — truncating the lineage
+    * at the cost of one small node-scale job — and the previous
+    * checkpoint's blocks release immediately (they are consumed by the
+    * new checkpoint's materialization; GraftBridge frees the blocks a
+    * plain unpersist would pin for the application's life). At the
+    * default 3 iterations no checkpoint fires and the plan is the same
+    * single lazy chain as before; GraphSpec pins a 25-iteration run. */
   def pageRank(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
-               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 3, damping: Double = 0.85,
+               checkpointEvery: Int = 8): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dec = "decimal(30,12)"
     val edges = pairs
@@ -59,7 +73,8 @@ object Graph {
     var ranks = deg
       .select(col("src").as("id"),
         round(lit(1.0) / lit(n.toDouble), 12).cast(dec).as("rank"))
-    for (_ <- 1 to iterations) {
+    var ckpt: DataFrame = null
+    for (i <- 1 to iterations) {
       val shares = ranks.join(deg, ranks("id") === deg("src"))
         .select(col("id"),
           round(col("rank").cast("double") / col("deg").cast("double"), 12)
@@ -74,10 +89,22 @@ object Graph {
           round(lit(1.0 - damping) / lit(n.toDouble) +
             lit(damping) * coalesce(col("in_sum"), lit(0L)).cast("double"), 12)
             .cast(dec).as("rank"))
+      // Lineage seam, never on the last round (the final materialization
+      // below truncates that one): rank values are unchanged — the
+      // checkpoint only pins the round's frame and cuts the plan.
+      if (i % checkpointEvery == 0 && i < iterations) {
+        val next = ranks.localCheckpoint() // eager: materializes here
+        if (ckpt != null)
+          org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(ckpt)
+        ckpt = next
+        ranks = next
+      }
     }
     val out = ranks.select(col("id"), col("rank").cast("double").as("rank"))
       .persist(lvl)
     out.count() // one materialization of the whole lazy chain
+    if (ckpt != null)
+      org.apache.spark.sql.GraftBridge.releaseLocalCheckpoint(ckpt)
     edges.unpersist()
     deg.unpersist()
     out

@@ -332,4 +332,23 @@ object Multimodal {
             sequence(lit(0), col("n_frames") - 1, lit(stride)))
             .otherwise(array().cast("array<int>"))).as("frame_idx"))
   }
+
+  /** Per-row count of the frames [[sampleFrames]] would emit — the
+    * closed form ⌈n_frames / stride⌉ for frame-ful video rows, 0
+    * otherwise (non-video, NULL or ≤ 0 frame counts), proven equal to
+    * `sampleFrames(...).groupBy(doc_id).count()` in MultimodalSpec.
+    * Exists so a per-doc census can ride the SAME projection as the
+    * other metadata columns instead of exploding every frame index
+    * into a corpus-scale aggregate and joining back — the explode →
+    * groupBy → self-join shape evaluated the whole byte-parse tree
+    * TWICE and paid two exchanges for a number each row already
+    * determines locally (guide §2.4: remove shuffles outright). */
+  def sampledFrameCount(stride: Int = 2): Column = {
+    require(stride > 0, "stride must be positive")
+    // Spark's `/` is double division; the cast truncates — exact floor
+    // for the non-negative int range n_frames lives in.
+    when(col("media_type") === "video" && col("n_frames") > 0,
+        ((col("n_frames") - 1) / lit(stride)).cast("long") + 1)
+      .otherwise(lit(0L))
+  }
 }

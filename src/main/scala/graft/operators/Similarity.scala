@@ -462,6 +462,41 @@ object Similarity {
     } finally { u.unpersist(); () }
   }
 
+  // ---- cross-query fit memo -----------------------------------------
+  // q_ann_ivf_fit, q_cluster_cap_sample and q_silhouette each train the
+  // SAME (embeddings corpus, cellsFor(n), maxIter = 5) spherical k-means
+  // model — three identical Lloyd fits per sweep (~1 s each at sf0.1,
+  // the whole fitted family's fixed cost at sf10). The NearDupPipeline
+  // `_build` economy applied to a driver-side model artifact (the
+  // Unigram.fitMemo shape): the model is bounded (k×d doubles) and the
+  // memo also carries the corpus count so callers don't re-run the
+  // sizing count job. semDedup does NOT share this memo — it fits over
+  // its own injected-duplicate corpus, a different training set.
+  // Staleness contract as everywhere: per (session, corpusKey, params),
+  // does NOT watch the data — the bench invalidates at pass boundaries
+  // and prices the fit as its own `_kmeans_fit_build` row.
+  private type FitKey = (org.apache.spark.sql.SparkSession, String, Int, Int)
+  private val fitMemoMap = new graft.KeyedMemo[FitKey, (Long, Seq[Seq[Double]])]
+
+  /** The fitted (corpus count, centroids) for (`corpusKey`, params),
+    * trained at most once per session: k = [[cellsFor]](count(df)).
+    * Per-key double-checked ([[graft.KeyedMemo]]) like the unigram and
+    * curation memos. */
+  def kmeansFitMemo(df: DataFrame, corpusKey: String, maxIter: Int = 5,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): (Long, Seq[Seq[Double]]) = {
+    val key: FitKey = (df.sparkSession, corpusKey, maxIter, 0)
+    fitMemoMap.getOrBuild(key) {
+      val n = df.count()
+      (n, kmeansFit(df, k = cellsFor(n), maxIter = maxIter,
+        idCol = idCol, vecCol = vecCol))
+    }
+  }
+
+  /** Drop every memo'd model owned by `s` — pass-boundary hook. */
+  def invalidateFitMemo(s: org.apache.spark.sql.SparkSession): Unit =
+    fitMemoMap.invalidateIf(_._1 eq s)
+
   /** Bits per band for [[cosineNearDupPairsLsh]], derived from the corpus
     * size so expected bucket population stays ~`targetBucket` as the
     * corpus grows — the property a FIXED block cardinality lacks (fixed

@@ -1271,7 +1271,22 @@ object Vocab {
     * dimension-scale broadcast self-join over numHashes-length arrays. */
   def sourceOverlapMinHash(df: DataFrame, textCol: String, sourceCol: String,
                            n: Int = 3, numHashes: Int = 128): DataFrame =
-    overlapMinHashFromState(sourceNoveltyState(df, textCol, sourceCol, n),
+    // RAW (source, shingle-key) occurrences, NOT sourceNoveltyState's
+    // distinct set: every signature lane is a MIN, and min over the
+    // occurrence multiset equals min over the distinct set — so the
+    // state builder's corpus-scale distinct exchange (plus the second
+    // exchange its groupBy(source) then pays) is pure overhead on this
+    // path. The signature aggregate collapses map-side to ≤ sources ×
+    // (numHashes+1) values per partition, so the ONLY exchange left is
+    // dimension-scale (guide §2.3/§2.4: aggregate before you shuffle —
+    // measured at sf0.1: 2.35 → ~1.5 s). Reading off MAINTAINED state
+    // ([[overlapMinHashFromState]]) is unchanged — folded state is
+    // already distinct, and either input yields identical signatures.
+    overlapMinHashFromState(
+      df.select(col(sourceCol).as("source"),
+          explode(Dedup.shingles(col(textCol), n)).as("raw"))
+        .select(col("source"),
+          struct(xxhash64(col("raw")), xxhash64(lit(1), col("raw"))).as("sh")),
       numHashes)
 
   /** [[sourceOverlapMinHash]] off maintained [[sourceNoveltyState]] —
@@ -1279,10 +1294,26 @@ object Vocab {
   def overlapMinHashFromState(state: DataFrame, numHashes: Int = 128): DataFrame = {
     require(numHashes > 0 && numHashes <= 4096,
       s"numHashes must be in [1, 4096], got $numHashes")
+    // PERSISTED: the pairwise self-join below references the signature
+    // frame twice (probe side + broadcast side), and an unpersisted
+    // reference re-runs the whole corpus-scan + per-lane hashing
+    // aggregate per side — the query's dominant job, paid double (the
+    // r17 plan dump showed two full aggregate subtrees). The cached
+    // frame is dimension-scale (sources × numHashes longs — a bounded
+    // model artifact); left cached for the session like semDedup's
+    // assignment, sweep callers clearCache() between corpora.
+    // Lane hashing stays one XxHash64 EXPRESSION PER LANE, by
+    // measurement: a fused native all-lanes-in-one-call expression
+    // (array of 128 longs per row, aggregate mins via element_at) was
+    // built, proven bit-identical, and benched SLOWER (3.24 s vs
+    // 2.54 s at sf0.1) — the per-row array allocation costs more than
+    // the 128 allocation-free codegen'd hash expressions it replaced;
+    // reverted (guide §1.1: measure, keep the empirical winner).
     val sig = state.filter(col("source").isNotNull)
       .groupBy(col("source"))
       .agg(array((0 until numHashes).map(h =>
         min(xxhash64(lit(h), col("sh")))): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("source").as("source_a"), col("sig").as("sig_a"))
     val b = sig.select(col("source").as("source_b"), col("sig").as("sig_b"))
     a.join(broadcast(b), col("source_a") < col("source_b"))

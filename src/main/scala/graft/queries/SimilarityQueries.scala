@@ -17,6 +17,24 @@ object SimilarityQueries {
     * %11 == 0 at +200000 — cosine ≈ 0.999 against its source, so both
     * injections sit in the near-duplicate regime LSH blocking targets
     * (the base embeddings are near-orthogonal random vectors). */
+  /** The suite's shared spherical-k-means cell model over the raw
+    * `embeddings` table (k = cellsFor(n), maxIter = 5) — one fit per
+    * session + corpus ([[graft.operators.Similarity.kmeansFitMemo]]);
+    * consumed by q_ann_ivf_fit, q_cluster_cap_sample and q_silhouette,
+    * which each trained the identical model independently before.
+    * q_semdedup keeps its own fit (it trains over the injected-duplicate
+    * corpus, a different training set). */
+  private[graft] def embeddingCentroids(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    Similarity.kmeansFitMemo(Tables.load(s, dir, "embeddings"), dir)._2
+
+  /** Bench hook: train the shared cell model once so the three fitted
+    * rows report post-fit cost and the Lloyd fit is priced as its own
+    * `_kmeans_fit_build` row (the `_unigram_fit_build` convention). */
+  def buildKmeansFit(s: SparkSession, dir: String): Unit = {
+    embeddingCentroids(s, dir)
+    ()
+  }
+
   def dupEmbCorpus(s: SparkSession, dir: String): DataFrame = {
     val v = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val perturbed = transform(col("embedding"),
@@ -87,13 +105,14 @@ object SimilarityQueries {
     // at equal nProbe dominates the sampled-centroid variant. Rows-only
     // (cross-partition float sums make fitted components ulp-level
     // nondeterministic); recall vs q_ann_topk pinned in SimilaritySpec
-    // and exported via VerifyExtras.
+    // and exported via VerifyExtras. The fit is SHARED with
+    // q_cluster_cap_sample / q_silhouette via [[embeddingCentroids]]
+    // (one model per session+corpus; the bench prices it as its own
+    // `_kmeans_fit_build` row) — the q_unigram_vocab memo pattern.
     "q_ann_ivf_fit" -> ((s, dir) => {
       val v = Tables.load(s, dir, "embeddings")
-      val cents = Similarity.kmeansFit(v, k = Similarity.cellsFor(v.count()),
-        maxIter = 5)
       Similarity.ivfTopK(v.filter(col("vec_id") % 100 === 0), v, k = 5,
-          nProbe = 4, centroids = cents)
+          nProbe = 4, centroids = embeddingCentroids(s, dir))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -149,10 +168,13 @@ object SimilarityQueries {
     // Rows-only (learned centroids aren't SQL-portable); cap/coverage/
     // fixed-centroid window equality spec-pinned, Σ min(cap, cell_n)
     // exactness exported via VerifyExtras `cluster_cap_exactness`.
+    // Cell model shared with q_ann_ivf_fit / q_silhouette (the
+    // `_kmeans_fit_build` memo — same (corpus, cellsFor, maxIter 5) fit
+    // each of the three trained independently before).
     "q_cluster_cap_sample" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.clusterCapSample(emb, cap = 20,
-          k = Similarity.cellsFor(emb.count()))
+          centroids = embeddingCentroids(s, dir))
         .orderBy(col("cell"), col("rn"))
     }),
 
@@ -164,7 +186,7 @@ object SimilarityQueries {
     "q_silhouette" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.clusterSilhouette(emb,
-          k = Similarity.cellsFor(emb.count()))
+          centroids = embeddingCentroids(s, dir))
         .orderBy(col("cell"))
     }),
 

@@ -1039,28 +1039,25 @@ object TextQueries {
         .orderBy(col("doc_id"))),
 
     "q_text_quality" -> ((s, dir) =>
-      Tables.load(s, dir, "documents").select(
+      Tables.load(s, dir, "documents").orderBy(col("doc_id")).select(
         col("doc_id"),
         TA.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
         TA.stopwordCount(col("text"), qualityStops).cast("long").as("stop_cnt"),
         TA.stopwordRatio(col("text"), qualityStops).as("stop_ratio"),
         TA.vowelRatio(col("text")).as("vowel_ratio"),
-        TA.qualityScore(col("text"), qualityStops).as("quality"))
-        .orderBy(col("doc_id"))),
+        TA.qualityScore(col("text"), qualityStops).as("quality"))),
 
     "q_lang_id" -> ((s, dir) =>
-      Tables.load(s, dir, "documents").select(
+      Tables.load(s, dir, "documents").orderBy(col("doc_id")).select(
         col("doc_id"), col("lang"),
         TA.langIdScore(col("text")).as("en_score"),
-        TA.langIdPrediction(col("text")).as("pred"))
-        .orderBy(col("doc_id"))),
+        TA.langIdPrediction(col("text")).as("pred"))),
 
     "q_doc_fingerprint" -> ((s, dir) =>
-      Tables.load(s, dir, "documents").select(
+      Tables.load(s, dir, "documents").orderBy(col("doc_id")).select(
         col("doc_id"),
         TA.docFingerprint(col("text")).as("fp"),
-        TA.prefixFingerprint(col("text"), 5).as("prefix_fp"))
-        .orderBy(col("doc_id"))),
+        TA.prefixFingerprint(col("text"), 5).as("prefix_fp"))),
 
     // RAG-prep chunking (reference rag_tool.py: size 500 / overlap 50).
     "q_chunk_documents" -> ((s, dir) =>
@@ -1086,14 +1083,13 @@ object TextQueries {
     // multi-line corpus, duplicate-2/3-gram fractions over the raw text.
     // One scan, zero shuffle (per-row array ops + native ShinglesExpr).
     "q_text_repetition" -> ((s, dir) =>
-      repCorpus(s, dir).select(
+      repCorpus(s, dir).orderBy(col("doc_id")).select(
         col("doc_id"),
         size(TA.nonBlankLines(col("lined_text"))).cast("long").as("n_lines"),
         TA.dupLineFrac(col("lined_text")).as("dup_line_frac"),
         TA.wsTokenCount(col("text")).cast("long").as("n_tokens"),
         TA.dupNgramFrac(col("text"), 2).as("dup_2gram_frac"),
-        TA.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"))
-        .orderBy(col("doc_id"))),
+        TA.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"))),
 
     // Token-length histogram in power-of-two buckets — the distribution
     // a packing/batching planner reads (bucket = floor(log2 n)+1 via
@@ -1145,12 +1141,11 @@ object TextQueries {
     // PII scrub pass: match counts + the redacted text's fingerprint.
     // One scan, zero shuffle (regexp_count / regexp_replace are codegen'd).
     "q_pii_scrub" -> ((s, dir) =>
-      piiCorpus(s, dir).select(
+      piiCorpus(s, dir).orderBy(col("doc_id")).select(
         col("doc_id"),
         TA.emailCount(col("text")).cast("long").as("n_emails"),
         TA.phoneCount(col("text")).cast("long").as("n_phones"),
-        md5(TA.scrubPii(col("text"))).as("scrubbed_md5"))
-        .orderBy(col("doc_id"))),
+        md5(TA.scrubPii(col("text"))).as("scrubbed_md5"))),
 
     // PII leak-rate monitor: the per-source census the scrub pass's
     // owner reads (who is leaking, how dense, how much scrub work).
@@ -1375,7 +1370,7 @@ object TextQueries {
     // fingerprints the actual filtered page — the transform output.
     "q_c4_filter" -> ((s, dir) => {
       val c = TA.c4Signals(col("c4_text"))
-      c4Corpus(s, dir).select(
+      c4Corpus(s, dir).orderBy(col("doc_id")).select(
         col("doc_id"),
         c.nLines.cast("long").as("n_lines"),
         c.nKept.cast("long").as("n_kept"),
@@ -1384,7 +1379,6 @@ object TextQueries {
         c.hasBrace.as("has_brace"),
         c.pass.as("c4_pass"),
         md5(c.keptText).as("kept_md5"))
-        .orderBy(col("doc_id"))
     }),
 
     // C4 gate health per source — the gopher-rate monitor's twin on the
@@ -1395,7 +1389,7 @@ object TextQueries {
 
     "q_gopher_quality" -> ((s, dir) => {
       val g = TA.gopherSignals(col("gopher_text"), gopherStops)
-      gopherCorpus(s, dir).select(
+      gopherCorpus(s, dir).orderBy(col("doc_id")).select(
         col("doc_id"),
         g.nWords.cast("long").as("n_words"),
         g.meanWordLen.as("mean_word_len"),
@@ -1405,7 +1399,6 @@ object TextQueries {
         g.alphaWordFrac.as("alpha_word_frac"),
         g.stopHits.cast("long").as("stop_hits"),
         g.pass.as("gopher_pass"))
-        .orderBy(col("doc_id"))
     }),
 
     // Per-source quality-gate HEALTH: the Gopher verdict aggregated to a
@@ -1446,9 +1439,17 @@ object TextQueries {
         9 -> 0.11, 10 -> 0.10)
       val pass = (topThresh.map { case (n, t) => topFrac(n) <= t } ++
         dupThresh.map { case (n, t) => dupFrac(n) <= t }).reduce(_ && _)
-      repCorpus(s, dir).select(
-        (col("doc_id") +: (tops ++ dups) :+ pass.as("rep_pass")): _*)
+      // Sort BEFORE the signal projection: a global orderBy above an
+      // expensive scan projection makes the range partitioner's
+      // sampling pass evaluate the whole projection a second time (the
+      // 9 per-n repetition censuses — half this query's cost at
+      // sf0.1); sorted-then-projected, the sample pass reads only
+      // (doc_id, lined_text) and the signals compute once, after the
+      // exchange. Same rows, same order — Catalyst has no rule that
+      // reorders a Project below a Sort, and the plan dump pins it.
+      repCorpus(s, dir).select(col("doc_id"), col("lined_text"))
         .orderBy(col("doc_id"))
+        .select((col("doc_id") +: (tops ++ dups) :+ pass.as("rep_pass")): _*)
     }),
 
     // Bounded per-source exemplar panel: the k=5 smallest salted-md5
@@ -1643,13 +1644,12 @@ object TextQueries {
     // ws-split words, vowel-group syllable proxy) — the score is a fixed
     // IEEE dependency tree, oracle-exact (see fleschScore scaladoc).
     "q_readability" -> ((s, dir) =>
-      Tables.load(s, dir, "documents").select(
+      Tables.load(s, dir, "documents").orderBy(col("doc_id")).select(
         col("doc_id"),
         TA.sentenceCount(col("text")).cast("long").as("n_sents"),
         TA.wsTokenCount(col("text")).cast("long").as("n_words"),
         TA.syllableProxy(col("text")).cast("long").as("n_syll"),
-        TA.fleschScore(col("text")).as("flesch"))
-        .orderBy(col("doc_id"))),
+        TA.fleschScore(col("text")).as("flesch"))),
 
     // Character-level near-dup: prefix-blocked banded Levenshtein pairs
     // (the blocking is the operator's CONTRACT, mirrored in the oracle).

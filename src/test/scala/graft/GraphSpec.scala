@@ -35,6 +35,24 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.pageRank(pairs, damping = 1.0))
   }
 
+  test("pageRank: 25 iterations stay bounded (checkpoint seam) and equal the unseamed chain") {
+    // The depth guard (checkpointEvery) must be value-invisible: a 25-round
+    // run with the default seam every 8 rounds equals one with the seam
+    // effectively off (checkpointEvery = 1000 keeps the whole chain lazy) —
+    // and both complete without the analyzer blowup the guard exists to
+    // prevent. Rank mass stays conserved after 25 damped rounds.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 6L))
+      .toDF("id1", "id2")
+    val seamed = Graph.pageRank(pairs, iterations = 25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val unseamed = Graph.pageRank(pairs, iterations = 25, checkpointEvery = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(seamed == unseamed, "checkpoint seam changed rank values")
+    assert(math.abs(seamed.values.sum - 1.0) < 1e-8, s"mass ${seamed.values.sum}")
+    intercept[IllegalArgumentException](
+      Graph.pageRank(pairs, checkpointEvery = 0))
+  }
+
   test("TopKNeighbors: equals window top-k under every partitioning (merge-truncate exactness)") {
     import graft.functions.TopKNeighbors.topKNeighbors
     // Scored candidate rows with DUPLICATES (same (id, neighbor, cos)

@@ -178,6 +178,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("n") == (r.getAs[Int]("n_frames") + 1) / 2))
   }
 
+  test("sampledFrameCount equals sampleFrames' per-doc explode count (incl. corrupt/NULL/non-video rows)") {
+    // The closed form q_multimodal_meta rides must equal the operator's
+    // explode census on every edge: frame-ful videos, zero/NULL frame
+    // counts, non-video rows (absent from sampleFrames == counted 0).
+    val m = Seq((1L, "video", Some(0)), (2L, "video", Some(3)),
+                (3L, "video", None), (4L, "image", Some(7)),
+                (5L, "video", Some(1)), (6L, "video", Some(16)))
+      .toDF("doc_id", "media_type", "n_frames")
+    for (stride <- Seq(1, 2, 3, 5)) {
+      val exploded = Multimodal.sampleFrames(m, stride)
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val closed = m.select($"doc_id",
+          Multimodal.sampledFrameCount(stride).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      m.select($"doc_id").collect().map(_.getLong(0)).foreach { id =>
+        assert(closed(id) == exploded.getOrElse(id, 0L),
+          s"doc $id stride $stride: closed ${closed(id)} vs explode ${exploded.getOrElse(id, 0L)}")
+      }
+    }
+    intercept[IllegalArgumentException](Multimodal.sampledFrameCount(0))
+  }
+
   test("frame sampling: frame-less videos (zero or NULL count — corrupt/stsz-less containers) yield zero rows, not a sequence error") {
     val m = Seq((1L, Array[Byte](1), "video", Some(0)), // corrupt: no frames
                 (2L, Array[Byte](2), "video", Some(3)),
